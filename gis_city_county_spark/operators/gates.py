@@ -1,0 +1,96 @@
+"""Declarative QA gates — the reference's real correctness mechanism.
+
+The reference guards its pipeline with runtime data-quality assertions
+(SURVEY.md §2.4 A2/A3): a minimum-row-count check before heavy work
+(``bunny.py:228-229``, threshold ``config.py:75``), a missing-value
+tolerance on source files (``retrieve.py:112-116``), and a planned
+previous-vs-current diff gate (``quality_check.py:1-6``).
+
+Gates come in two forms:
+
+- **action gates** (``expect_*``) — run ``count()`` and raise
+  :class:`GateError`; these are deliberate barriers, like the
+  reference's.
+- **declarative gates** (``*_df``) — single-row DataFrames carrying the
+  measured value + pass flag, so the check itself is oracle-testable
+  and can be persisted as a QA artifact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class GateError(ValueError):
+    """A data-quality gate failed; the pipeline must not proceed."""
+
+
+def expect_min_count(df: DataFrame, min_rows: int, name: str = "input") -> DataFrame:
+    """Reference A2 (``bunny.py:228-229``): raise if fewer than
+    ``min_rows`` rows — wrong-layer / truncated-source detection."""
+    n = df.count()
+    if n < min_rows:
+        raise GateError(f"{name}: {n} rows < required {min_rows}")
+    return df
+
+
+def expect_max_missing(
+    df: DataFrame, cols: Sequence[str], max_missing: int, name: str = "input"
+) -> DataFrame:
+    """Reference A3 (``retrieve.py:112-116``): reject the source if
+    more than ``max_missing`` rows have all of ``cols`` NULL."""
+    missing = df.filter(F.coalesce(*[F.col(c) for c in cols]).isNull()).count()
+    if missing > max_missing:
+        raise GateError(f"{name}: {missing} rows missing all of {cols} > {max_missing}")
+    return df
+
+
+def count_gate_df(df: DataFrame, min_rows: int) -> DataFrame:
+    """Declarative form of A2: one row ``(n_rows, min_rows, passed)``."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(min_rows).cast("long").alias("min_rows"),
+        (F.count(F.lit(1)) >= min_rows).alias("passed"),
+    )
+
+
+def missing_gate_df(df: DataFrame, cols: Sequence[str], max_missing: int) -> DataFrame:
+    """Declarative form of A3: one row with the missing count + flag."""
+    miss = F.sum(
+        F.when(F.coalesce(*[F.col(c) for c in cols]).isNull(), 1).otherwise(0)
+    ).cast("long")
+    return df.agg(
+        miss.alias("n_missing"),
+        F.lit(max_missing).cast("long").alias("max_missing"),
+        (miss <= max_missing).alias("passed"),
+    )
+
+
+def diff_gate_df(
+    current: DataFrame,
+    previous: DataFrame,
+    key_cols: Sequence[str],
+    max_change_fraction: float,
+) -> DataFrame:
+    """The reference's planned publish gate (``quality_check.py:1-6``):
+    block if the symmetric difference between releases exceeds a
+    fraction of the previous release.
+
+    Computed with two anti-joins (no full shuffle of payload columns —
+    only ``key_cols`` move). Returns one row
+    ``(n_added, n_removed, n_previous, change_fraction, passed)``.
+    """
+    cur_keys = current.select(*key_cols)
+    prev_keys = previous.select(*key_cols)
+    added = cur_keys.join(prev_keys, list(key_cols), "left_anti").count()
+    removed = prev_keys.join(cur_keys, list(key_cols), "left_anti").count()
+    n_prev = prev_keys.count()
+    frac = (added + removed) / max(n_prev, 1)
+    spark = current.sparkSession
+    return spark.createDataFrame(
+        [(added, removed, n_prev, float(frac), frac <= max_change_fraction)],
+        "n_added long, n_removed long, n_previous long, change_fraction double, passed boolean",
+    )

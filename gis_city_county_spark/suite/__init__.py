@@ -1,0 +1,49 @@
+"""The correctness/benchmark query suite.
+
+Each :class:`QuerySpec` pairs a Spark query (``fn(spark, sf_dir) ->
+DataFrame``) with its DuckDB oracle SQL twin (``oracle``). The driver
+runs both at sf0.01 and hash-compares row counts, schemas and values —
+column names are aliased identically on both sides, numeric aggregates
+go through the decimal-sum convention (``functions.numeric``) so the
+doubles match bit-for-bit, and every query ends with a deterministic
+total order being unnecessary (the driver sorts) but deterministic
+*values* being mandatory.
+
+Queries that are genuinely not SQL-expressible set ``oracle=None`` and
+get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def all_specs() -> list[QuerySpec]:
+    """Assemble the full suite (import here to avoid import cycles)."""
+    from gis_city_county_spark.suite import (
+        dedup_q,
+        events_q,
+        multimodal_q,
+        parity,
+        similarity_q,
+        text_q,
+        tpch,
+    )
+
+    specs: list[QuerySpec] = []
+    for mod in (tpch, parity, text_q, dedup_q, similarity_q, events_q, multimodal_q):
+        specs.extend(mod.SPECS)
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), "duplicate query names"
+    return specs

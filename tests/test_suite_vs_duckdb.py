@@ -1,0 +1,50 @@
+"""Every suite query must hash-match its DuckDB oracle (the driver's
+t2 gate, run locally at sf0.001 for fast iteration)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gis_city_county_spark.suite import all_specs
+from tests.oracle import compare, duckdb_connection
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connection(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("spec", [s for s in SPECS if s.oracle], ids=lambda s: s.name)
+def test_query_matches_oracle(spec, spark, sf_dir, con):
+    result = compare(spec.fn(spark, sf_dir), con, spec.oracle)
+    assert result.ok, f"{spec.name}: {result.detail}"
+
+
+@pytest.mark.parametrize("spec", [s for s in SPECS if s.oracle is None], ids=lambda s: s.name)
+def test_query_runs(spec, spark, sf_dir):
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) > 0
+
+
+def test_contract_shapes(spark):
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert q, "queries() must not be empty"
+    assert set(o) <= set(q)
+    for name, fn in q.items():
+        assert callable(fn), name
