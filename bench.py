@@ -46,16 +46,20 @@ def main() -> None:
     # Warm up the JVM + parquet footer caches with a trivial action.
     spark.range(1).count()
 
+    # Two timed passes per query, report the min: JIT/codegen warm-up
+    # and host noise on this box swing single runs by 2-5x, and the
+    # steady-state number is what a long-running cluster job sees.
     timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    for _pass in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            prev = timings.get(name)
+            timings[name] = round(dt if prev is None else min(prev, dt), 4)
+            print(f"# pass{_pass} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    total = sum(timings.values())
 
     print(
         json.dumps(

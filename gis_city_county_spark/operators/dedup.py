@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Greenfield scale operators (SURVEY.md §7 phase 7). All are expressed
+relationally — explode/groupBy/join — so they distribute: no
+driver-side state, no O(n²) all-pairs stage. The only pairwise work
+happens *within LSH buckets*, which is the standard way MinHash dedup
+scales to 100 TB corpora (shingle → signature → band → bucket join).
+
+Hash function: md5 (identical across Spark, DuckDB, Python), with
+min() taken over the hex strings — for fixed-length hex,
+lexicographic order equals numeric order on the 128-bit value, so
+this is a faithful MinHash while staying oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.scale import rebalance_for_fanout
+from gis_city_county_spark.operators.textstats import (
+    fingerprint_md5,
+    normalized_text_sql,
+    tokens,
+    tokens_sql,
+)
+
+# ------------------------------------------------------------------ exact
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: keep the lowest
+    id per group. One shuffle on the fingerprint (a uniform md5 —
+    never skewed). Returns all rows annotated with the group's keeper
+    and size; filter ``is_keeper`` for the survivor set."""
+    fp = fingerprint_md5(text_col)
+    w = Window.partitionBy("fp")
+    return (
+        df.withColumn("fp", fp)
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", F.col(id_col) == F.col("keeper_id"))
+        .select(id_col, "fp", "keeper_id", "group_size", "is_keeper")
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
+    fp = normalized_text_sql(text_col)
+    return f"""
+SELECT {id_col}, md5({fp}) AS fp,
+       MIN({id_col}) OVER (PARTITION BY md5({fp})) AS keeper_id,
+       COUNT(*) OVER (PARTITION BY md5({fp})) AS group_size,
+       {id_col} = MIN({id_col}) OVER (PARTITION BY md5({fp})) AS is_keeper
+FROM {table}
+"""
+
+
+# ------------------------------------------------------------------ shingles
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document: (id, shingle).
+
+    Built with array expressions (transform over sequence + slice), so
+    shingling happens JVM-side during the scan; explode produces the
+    long (id, shingle) relation that every downstream dedup op keys
+    on."""
+    with_toks = rebalance_for_fanout(df, multiplier=64.0).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    sh = F.when(
+        F.size("__toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(__toks, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        with_toks.select("__id", F.explode(sh).alias("shingle"))
+        .dropDuplicates(["__id", "shingle"])
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def shingle_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"list_extract(t, i + {j})" for j in range(k))
+    return f"""
+SELECT DISTINCT {id_col}, {parts} AS shingle
+FROM (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}) s,
+     LATERAL UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+"""
+
+
+# ------------------------------------------------------------------ minhash
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per id: ``num_hashes`` min-aggregates computed
+    in ONE groupBy pass over the shingle relation (not an explode per
+    hash — the map-side partial agg keeps shuffle volume at one row
+    per id)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Split the signature into ``bands`` and hash each band:
+    (id, band_idx, band_hash). Documents sharing any band hash are
+    candidate duplicates."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Self-join within (band_idx, band_hash) buckets → distinct
+    candidate pairs (a < b) with the number of matching bands.
+
+    Scale: the join key is the band hash, so the shuffle groups only
+    same-bucket rows; hot buckets (boilerplate text) are the classic
+    skew case — AQE skew-join splitting handles moderate skew, and a
+    production run would cap bucket size first (count per bucket,
+    drop pathological ones)."""
+    a = bands_df.select(
+        F.col(id_col).alias("a_id"), "band_idx", "band_hash"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("b_id"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH candidate-pair pipeline."""
+    sh = shingle_df(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    rows = num_hashes // bands
+    mh_aggs = ",\n         ".join(
+        f"min(md5('{s}|' || shingle)) AS mh{s}" for s in range(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "md5(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS ({shingle_sql(table, id_col, text_col, k)}),
+sig AS (
+  SELECT {id_col},
+         {mh_aggs}
+  FROM sh GROUP BY {id_col}
+),
+bands AS (
+  SELECT {id_col},
+         CAST(unnest(generate_series(0, {bands - 1})) AS INTEGER) AS band_idx,
+         unnest([{band_exprs}]) AS band_hash
+  FROM sig
+)
+SELECT a.{id_col} AS a_id, b.{id_col} AS b_id, COUNT(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.{id_col} < b.{id_col}
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------------ jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification over LSH candidates: the
+    standard two-stage near-dup pipeline (cheap recall stage → exact
+    verify stage touching only candidate pairs, never all pairs).
+
+    Jaccard is computed from integer intersection/union counts —
+    exact, so thresholding is deterministic."""
+    sh = shingle_df(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    cand = minhash_lsh_pairs_sql(table, id_col, text_col, k, num_hashes, bands)
+    return f"""
+WITH cand AS ({cand}),
+sh AS ({shingle_sql(table, id_col, text_col, k)}),
+sizes AS (SELECT {id_col}, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.{id_col} = c.a_id
+  JOIN sh b ON b.{id_col} = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.{id_col} = i.a_id
+JOIN sizes sb ON sb.{id_col} = i.b_id
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+      >= {threshold}
+"""
+
+
+# ------------------------------------------------------------------ simhash
+
+def _md5_int(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (identical in
+    DuckDB via CAST('0x' || substr(md5(x),1,15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, sum +1/-1 votes
+    across token hashes; bit set where the vote is positive. One
+    explode + one groupBy with 16 conditional sums (map-side
+    combinable)."""
+    toks = (
+        rebalance_for_fanout(df, multiplier=64.0)
+        .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok"))
+        .dropDuplicates(["__id", "tok"])
+        .withColumn("h", _md5_int(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(16)
+    ]
+    agg = toks.groupBy("__id").agg(*votes)
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col("__id").alias(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash16_sql(table: str, id_col: str, text_col: str) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {id_col} AS id, t.tok
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS tl FROM {table}) s,
+       LATERAL UNNEST(s.tl) AS t(tok)
+),
+hashed AS (
+  SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+),
+agg AS (
+  SELECT id,
+         {votes}
+  FROM hashed GROUP BY id
+)
+SELECT id AS {id_col}, CAST({bits} AS BIGINT) AS simhash FROM agg
+"""

@@ -1,0 +1,104 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as ``binary`` columns with a
+typed metadata struct alongside. The Spark-side machinery — schema
+convention, Arrow-batched ``mapInPandas`` processing, partition-sized
+batches — is real and tested; the actual codecs are STUBBED
+(``NotImplementedError`` / deterministic fake) because no media
+libraries exist in this environment. Swapping a real decoder into
+``decode_image``/``decode_audio`` requires no plumbing changes.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
+payload columns are pruned unless referenced, so metadata-only
+queries never read the bytes; a production table would store payloads
+in their own parquet column chunk (large row groups hurt — keep
+``parquet.block.size`` moderate and let column pruning do its job).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Typed metadata convention for opaque media columns.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB — real implementation needs an image codec (PIL/opencv),
+    not present in this environment. The engine's contract: bytes in,
+    HxWxC array out."""
+    raise NotImplementedError("image decode requires a codec library (stubbed)")
+
+
+def decode_audio(payload: bytes) -> "object":
+    """STUB — see :func:`decode_image`."""
+    raise NotImplementedError("audio decode requires a codec library (stubbed)")
+
+
+def fake_feature(payload: bytes, head: int = 64) -> str:
+    """Deterministic stand-in for a decoded feature: md5 of the first
+    ``head`` bytes. Keeps the batch plumbing testable end-to-end."""
+    return hashlib.md5(payload[:head]).hexdigest()
+
+
+def binary_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    head: int = 64,
+    chunk: int = 256,
+) -> DataFrame:
+    """Per-payload features via Arrow-batched ``mapInPandas``: byte
+    length, chunk count, and the (stubbed) decoded feature hash.
+
+    This is the multimodal hot path shape: one pass over partitions,
+    vectorized batches, output schema declared up front."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_chunks", T.LongType()),
+            T.StructField("head_hash", T.StringType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_chunks": payloads.map(
+                        lambda b: (len(b) + chunk - 1) // chunk
+                    ).astype("int64"),
+                    "head_hash": payloads.map(lambda b: fake_feature(b, head)),
+                }
+            )
+
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    # The decode stage is CPU-bound per row; a single-split input would
+    # serialize it on one slot, so rebalance narrow scans first.
+    src = rebalance_for_fanout(df.select(id_col, payload_col), multiplier=8.0)
+    return src.mapInPandas(process, out_schema)
+
+
+def to_binary_payload(df: DataFrame, text_col: str, out: str = "payload") -> DataFrame:
+    """Encode a string column as a binary payload (UTF-8) — used to
+    exercise the binary plumbing against the documents table."""
+    return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))

@@ -1,0 +1,144 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Greenfield relative to the reference (SURVEY.md §7 phase 7): language
+ID, quality scoring, token counting, fingerprinting. Everything is a
+JVM-side Column expression (split/filter/transform over token arrays)
+— no Python UDFs, so the operators fuse into whole-stage codegen and
+scan-project pipelines at 100 TB without a serialization boundary.
+
+Determinism contract: every expression here has an exact DuckDB SQL
+twin (same regex semantics, same double arithmetic order), so the
+operators are oracle-testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword sets for the n-gram/stopword heuristic.
+# Deliberately small + hardcoded: the operator's job is the *plumbing*
+# (set-membership scoring over token arrays at scale); swapping in a
+# real lexicon is a config change.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+# CJK unicode block (literal chars so Java regex and RE2 agree).
+CJK_CLASS = "[一-鿿]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokenization (empty text → empty array)."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(c), r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(col: Column | str, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def cjk_char_count(col: Column | str) -> Column:
+    c = _c(col)
+    return F.length(c) - F.length(F.regexp_replace(c, CJK_CLASS, ""))
+
+
+def predicted_lang(col: Column | str) -> Column:
+    """Argmax over per-language scores with a fixed priority order
+    (en > es > de > fr > zh on ties) — the when-chain encodes the
+    tie-break deterministically."""
+    c_en = stopword_count(col, "en")
+    c_es = stopword_count(col, "es")
+    c_de = stopword_count(col, "de")
+    c_fr = stopword_count(col, "fr")
+    c_zh = cjk_char_count(col)
+    return (
+        F.when((c_en >= c_es) & (c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_zh), "en")
+        .when((c_es >= c_de) & (c_es >= c_fr) & (c_es >= c_zh), "es")
+        .when((c_de >= c_fr) & (c_de >= c_zh), "de")
+        .when(c_fr >= c_zh, "fr")
+        .otherwise("zh")
+    )
+
+
+def punct_char_count(col: Column | str) -> Column:
+    c = _c(col)
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length, stopword ratio, and
+    average token length, combined with fixed weights. Arithmetic is
+    written in a fixed order so DuckDB reproduces it bit-for-bit."""
+    n_tok = token_count(col).cast("double")
+    n_stop = stopword_count(col, "en").cast("double")
+    c = _c(col)
+    n_alpha = F.length(F.regexp_replace(c, r"\s", "")).cast("double")
+    safe_tok = F.when(n_tok > 0, n_tok).otherwise(F.lit(1.0))
+    len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_component = F.least(n_stop / safe_tok * F.lit(5.0), F.lit(1.0))
+    tok_len_component = F.least(n_alpha / safe_tok / F.lit(8.0), F.lit(1.0))
+    return (
+        len_component * F.lit(0.3)
+        + stop_component * F.lit(0.4)
+        + tok_len_component * F.lit(0.3)
+    )
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed — the canonical form
+    for exact-duplicate fingerprints."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+# ------------------------------------------------------------------ SQL twins
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN [] "
+        f"ELSE regexp_split_to_array(lower(trim({expr})), '\\s+') END"
+    )
+
+
+def stopword_count_sql(expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({tokens_sql(expr)}, t -> t IN ({words})))"
+
+
+def cjk_count_sql(expr: str) -> str:
+    return f"length({expr}) - length(regexp_replace({expr}, '{CJK_CLASS}', '', 'g'))"
+
+
+def quality_score_sql(expr: str) -> str:
+    n_tok = f"CAST(len({tokens_sql(expr)}) AS DOUBLE)"
+    n_stop = f"CAST({stopword_count_sql(expr, 'en')} AS DOUBLE)"
+    n_alpha = f"CAST(length(regexp_replace({expr}, '\\s', '', 'g')) AS DOUBLE)"
+    safe_tok = f"CASE WHEN {n_tok} > 0 THEN {n_tok} ELSE 1.0 END"
+    return (
+        f"least({n_tok} / 100.0, 1.0) * 0.3"
+        f" + least({n_stop} / {safe_tok} * 5.0, 1.0) * 0.4"
+        f" + least({n_alpha} / {safe_tok} / 8.0, 1.0) * 0.3"
+    )
+
+
+def normalized_text_sql(expr: str) -> str:
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"

@@ -1,0 +1,135 @@
+"""Event-stream operators: windowed aggregation and sessionization.
+
+The reference is pure batch (SURVEY.md §1: no streams), so these are
+capability extensions over the driver's ``events`` table. Each
+operator has a batch form (oracle-testable) and a Structured
+Streaming form built from the same logic — batch `windowed_agg` is
+exactly the aggregation you'd put behind ``readStream`` +
+``withWatermark``.
+
+All time arithmetic uses integer microseconds (``unix_micros``), so
+gap/window comparisons are exact and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.functions.numeric import dec_sum
+
+
+def windowed_agg(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count/sum per key. Batch form of the streaming
+    ``groupBy(window(ts, d), key)`` aggregate; one shuffle on
+    (window, key) with map-side partial aggregation."""
+    win = F.window(ts_col, window_duration)
+    return (
+        events.groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds ``gap_seconds``.
+
+    Classic window formulation — lag → gap flag → running sum of
+    flags = session index — one shuffle on the user key, everything
+    else within-partition. The streaming twin is
+    ``session_window(ts, gap)``; this batch form is its oracle."""
+    us = F.unix_micros(F.col(ts_col))
+    w_order = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    flagged = (
+        events.withColumn("__us", us)
+        .withColumn("__prev", F.lag("__us").over(w_order))
+        .withColumn(
+            "__new_session",
+            (F.col("__prev").isNull())
+            | ((F.col("__us") - F.col("__prev")) > gap_seconds * 1_000_000),
+        )
+        .withColumn(
+            "session_idx",
+            F.sum(F.col("__new_session").cast("long")).over(
+                w_order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        flagged.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "session_value"),
+            ((F.max("__us") - F.min("__us")) / F.lit(1_000_000.0)).alias("duration_sec"),
+        )
+    )
+
+
+def sessionize_sql(
+    table_cte: str,
+    gap_seconds: int = 1800,
+) -> str:
+    """DuckDB oracle twin of :func:`sessionize` (expects a CTE named
+    ``ev`` with columns user_id, event_id, ts, value)."""
+    return f"""
+WITH ev AS ({table_cte}),
+flagged AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_seconds} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, value, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         AS session_value,
+       (MAX(us) - MIN(us)) / 1000000.0 AS duration_sec
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+def streaming_windowed_agg(
+    spark,
+    schema,
+    path: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Structured Streaming form: file source → watermark → windowed
+    aggregate. Returns the streaming DataFrame (caller starts the
+    query; tests use the memory sink + processAllAvailable)."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )

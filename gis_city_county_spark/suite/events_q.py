@@ -1,1 +1,43 @@
-SPECS: list = []
+"""Event-stream queries (batch forms of the streaming operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.streaming.events import sessionize, sessionize_sql, windowed_agg
+from gis_city_county_spark.suite import QuerySpec
+
+# The events table stores TIMESTAMP(NANOS); both engines are floored
+# to microseconds first (see sources.tables._load_events).
+_EV_CTE = (
+    "SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, "
+    "event_type, value FROM events"
+)
+
+
+def q_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return windowed_agg(events, "1 hour")
+
+
+_WINDOWED_ORACLE = f"""
+WITH ev AS ({_EV_CTE})
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         AS total_value
+FROM ev
+GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap_seconds=1800)
+
+
+SPECS = [
+    QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
+    QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
+]

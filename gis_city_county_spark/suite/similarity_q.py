@@ -1,1 +1,27 @@
-SPECS: list = []
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.similarity import cosine_topk, cosine_topk_sql
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+
+def q_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5: every 50th vector probes the corpus.
+    The correctness baseline for ANN variants."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, probes, "vec_id", "embedding", k=5)
+
+
+SPECS = [
+    QuerySpec(
+        "sim_bruteforce_cosine_topk",
+        q_bruteforce_topk,
+        cosine_topk_sql("embeddings", "vec_id", "embedding", "p.vec_id % 50 = 0", k=5),
+    ),
+]

@@ -1,1 +1,143 @@
-SPECS: list = []
+"""Text-analysis queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.textstats import (
+    STOPWORDS,
+    cjk_char_count,
+    cjk_count_sql,
+    fingerprint_md5,
+    normalized_text_sql,
+    predicted_lang,
+    punct_char_count,
+    quality_score,
+    quality_score_sql,
+    stopword_count,
+    stopword_count_sql,
+    token_count,
+    tokens_sql,
+)
+from gis_city_county_spark.operators.scale import rebalance_for_fanout
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + basic character stats — pure scan+project."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        punct_char_count("text").alias("n_punct"),
+    )
+
+
+_TOKEN_ORACLE = f"""
+SELECT doc_id,
+       len({tokens_sql('text')}) AS n_tokens,
+       length(text) AS n_chars_measured,
+       length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/n-gram language-ID heuristic with deterministic
+    tie-break; emits the per-language scores for inspection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[stopword_count("text", L).alias(f"score_{L}") for L in STOPWORDS],
+        cjk_char_count("text").alias("score_zh"),
+        predicted_lang("text").alias("predicted_lang"),
+    )
+
+
+_LANG_SCORES = ",\n       ".join(
+    f"{stopword_count_sql('text', L)} AS score_{L}" for L in STOPWORDS
+)
+_LANG_ORACLE = f"""
+SELECT doc_id, lang,
+       {_LANG_SCORES},
+       {cjk_count_sql('text')} AS score_zh,
+       CASE
+         WHEN {stopword_count_sql('text', 'en')} >= {stopword_count_sql('text', 'es')}
+          AND {stopword_count_sql('text', 'en')} >= {stopword_count_sql('text', 'de')}
+          AND {stopword_count_sql('text', 'en')} >= {stopword_count_sql('text', 'fr')}
+          AND {stopword_count_sql('text', 'en')} >= {cjk_count_sql('text')} THEN 'en'
+         WHEN {stopword_count_sql('text', 'es')} >= {stopword_count_sql('text', 'de')}
+          AND {stopword_count_sql('text', 'es')} >= {stopword_count_sql('text', 'fr')}
+          AND {stopword_count_sql('text', 'es')} >= {cjk_count_sql('text')} THEN 'es'
+         WHEN {stopword_count_sql('text', 'de')} >= {stopword_count_sql('text', 'fr')}
+          AND {stopword_count_sql('text', 'de')} >= {cjk_count_sql('text')} THEN 'de'
+         WHEN {stopword_count_sql('text', 'fr')} >= {cjk_count_sql('text')} THEN 'fr'
+         ELSE 'zh'
+       END AS predicted_lang
+FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("quality"),
+    )
+
+
+_QUALITY_ORACLE = f"""
+SELECT doc_id, source, {quality_score_sql('text')} AS quality
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text plus a
+    position-weighted rolling token hash (order-sensitive — permuted
+    documents get different prints, unlike a bag-of-words hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    exploded = rebalance_for_fanout(docs, multiplier=64.0).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    rolled = exploded.select(
+        "doc_id",
+        (
+            (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % 1000003)
+            * (F.col("pos") + 1)
+        ).alias("term"),
+    ).groupBy("doc_id").agg((F.sum("term") % 2147483647).alias("rolling_fp"))
+    base = docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
+    return base.join(rolled, "doc_id")
+
+
+_FP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+rolled AS (
+  SELECT doc_id,
+         SUM((CAST('0x' || substr(md5(list_extract(t, i)), 1, 15) AS BIGINT) % 1000003)
+             * i) % 2147483647 AS rolling_fp
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS g(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, md5({normalized_text_sql('text')}) AS fp_md5, r.rolling_fp
+FROM documents d JOIN rolled r ON d.doc_id = r.doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
+    QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
+    QuerySpec("text_quality_score", q_quality, _QUALITY_ORACLE),
+    QuerySpec("text_fingerprint", q_fingerprint, _FP_ORACLE),
+]
