@@ -66,6 +66,238 @@ def cosine_topk(
     )
 
 
+# ---------------------------------------------------------- LSH scale path
+
+def hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH, rounded to 6
+    decimals so the literal text parsed by DuckDB equals the double
+    Spark receives bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def _dot_const(vec: Column, plane: list[float]) -> Column:
+    """Dot product against a literal hyperplane (JVM fold, same
+    left-to-right order as DuckDB's list_dot_product)."""
+    arr = F.array(*[F.lit(p) for p in plane])
+    prods = F.zip_with(vec, arr, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def rp_lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH banding:
+    ``(id, vec, norm2, band_idx, band_val)`` — one row per band.
+
+    Sign bits ``dot(v, plane) >= 0`` are packed into ``bands`` integer
+    band values; vectors sharing any band value are similarity
+    candidates. The vector and its norm ride along so the candidate
+    join needs no second pass over the corpus (bands x vector bytes of
+    shuffle — the standard trade against re-joining the full table)."""
+    rows = len(planes) // bands
+    bits = [
+        F.when(_dot_const(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for p in planes
+    ]
+    band_vals = []
+    for b in range(bands):
+        v: Column = F.lit(0)
+        for r in range(rows):
+            v = v + bits[b * rows + r] * F.lit(1 << r)
+        band_vals.append(v)
+    n2 = dot_product(F.col(vec_col), F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        n2.alias("__n2"),
+        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: only
+    vectors sharing an LSH band are compared, so the pairwise stage is
+    per-bucket, never all-pairs. Approximate by construction (recall
+    is the banding probability); the oracle runs the identical
+    algorithm so results match exactly."""
+    planes = hyperplanes(dim, n_planes)
+    bd = rp_lsh_bands(df, id_col, vec_col, planes, bands)
+    a = bd.select(
+        F.col("__id").alias("a_id"), F.col("__v").alias("a_v"),
+        F.col("__n2").alias("a_n2"), "band_idx", "band_val",
+    )
+    b = bd.select(
+        F.col("__id").alias("b_id"), F.col("__v").alias("b_v"),
+        F.col("__n2").alias("b_n2"), "band_idx", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cos = dot_product(F.col("a_v"), F.col("b_v")) / (
+        F.sqrt("a_n2") * F.sqrt("b_n2")
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_pred: Column,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k neighbors: probes meet only same-band corpus
+    rows (the 100 TB path — bucket join instead of cross join), then
+    exact cosine + per-probe window rank over the candidates."""
+    planes = hyperplanes(dim, n_planes)
+    bd = rp_lsh_bands(corpus, id_col, vec_col, planes, bands)
+    probes = bd.filter(probe_pred).select(
+        F.col("__id").alias("probe_id"), F.col("__v").alias("p_v"),
+        F.col("__n2").alias("p_n2"), "band_idx", "band_val",
+    )
+    cand = bd.select(
+        F.col("__id").alias("neighbor_id"), F.col("__v").alias("c_v"),
+        F.col("__n2").alias("c_n2"), "band_idx", "band_val",
+    )
+    pairs = (
+        probes.join(cand, ["band_idx", "band_val"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    cos = dot_product(F.col("c_v"), F.col("p_v")) / (
+        F.sqrt("p_n2") * F.sqrt("c_n2")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _planes_sql(planes: list[list[float]]) -> list[str]:
+    return ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+
+
+def _bands_cte_sql(
+    table: str, id_col: str, vec_col: str, n_planes: int, bands: int, dim: int
+) -> str:
+    """Shared SQL CTEs producing the (id, v, n2, band_idx, band_val)
+    relation with the same hyperplanes as the Spark side."""
+    planes = hyperplanes(dim, n_planes)
+    lits = _planes_sql(planes)
+    rows = n_planes // bands
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    bits = [
+        f"CASE WHEN list_dot_product(v, {lits[i]}) >= 0 THEN 1 ELSE 0 END"
+        for i in range(n_planes)
+    ]
+    band_exprs = [
+        " + ".join(f"{bits[b * rows + r]} * {1 << r}" for r in range(rows))
+        for b in range(bands)
+    ]
+    idx_list = ", ".join(str(i) for i in range(bands))
+    band_list = ", ".join(band_exprs)
+    return f"""
+e AS (
+  SELECT {id_col} AS id, {vd} AS v,
+         list_dot_product({vd}, {vd}) AS n2
+  FROM {table}
+),
+bands AS (
+  SELECT id, v, n2,
+         unnest([{idx_list}]) AS band_idx,
+         unnest([{band_list}]) AS band_val
+  FROM e
+)"""
+
+
+def embedding_cosine_pairs_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    ctes = _bands_cte_sql(table, id_col, vec_col, n_planes, bands, dim)
+    return f"""
+WITH {ctes},
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
+)
+SELECT c.a_id, c.b_id,
+       list_dot_product(ea.v, eb.v) / (sqrt(ea.n2) * sqrt(eb.n2)) AS cosine
+FROM cand c JOIN e ea ON ea.id = c.a_id JOIN e eb ON eb.id = c.b_id
+WHERE list_dot_product(ea.v, eb.v) / (sqrt(ea.n2) * sqrt(eb.n2)) >= {threshold}
+"""
+
+
+def lsh_ann_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    probe_filter: str,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+) -> str:
+    """``probe_filter`` must be written against ``p.id`` — the banded
+    id alias (e.g. ``"p.id % 50 = 0"``)."""
+    ctes = _bands_cte_sql(table, id_col, vec_col, n_planes, bands, dim)
+    return f"""
+WITH {ctes},
+cand AS (
+  SELECT DISTINCT p.id AS probe_id, c.id AS neighbor_id
+  FROM bands p JOIN bands c
+    ON p.band_idx = c.band_idx AND p.band_val = c.band_val AND p.id != c.id
+  WHERE {probe_filter}
+),
+scored AS (
+  SELECT cd.probe_id, cd.neighbor_id,
+         list_dot_product(ec.v, ep.v) / (sqrt(ep.n2) * sqrt(ec.n2)) AS cosine
+  FROM cand cd JOIN e ep ON ep.id = cd.probe_id JOIN e ec ON ec.id = cd.neighbor_id
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+FROM (
+  SELECT probe_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {k}
+"""
+
+
 def cosine_topk_sql(
     table: str,
     id_col: str,

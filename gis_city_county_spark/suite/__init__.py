@@ -39,10 +39,11 @@ def all_specs() -> list[QuerySpec]:
         similarity_q,
         text_q,
         tpch,
+        tpch_ext,
     )
 
     specs: list[QuerySpec] = []
-    for mod in (tpch, parity, text_q, dedup_q, similarity_q, events_q, multimodal_q):
+    for mod in (tpch, tpch_ext, parity, text_q, dedup_q, similarity_q, events_q, multimodal_q):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -14,6 +14,10 @@ from gis_city_county_spark.operators.dedup import (
     simhash16,
     simhash16_sql,
 )
+from gis_city_county_spark.operators.similarity import (
+    embedding_cosine_pairs,
+    embedding_cosine_pairs_sql,
+)
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
 
@@ -38,6 +42,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(docs, "doc_id", "text")
 
 
+def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, threshold 0.4 —
+    the test embeddings have no planted duplicates; max pairwise
+    cosine is ~0.51, so 0.4 exercises real output)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
     QuerySpec(
@@ -51,4 +63,9 @@ SPECS = [
         ngram_jaccard_pairs_sql("documents", "doc_id", "text", threshold=0.5),
     ),
     QuerySpec("dedup_simhash", q_simhash, simhash16_sql("documents", "doc_id", "text")),
+    QuerySpec(
+        "dedup_embedding_cosine",
+        q_embedding_cosine,
+        embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4),
+    ),
 ]

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gis_city_county_spark.operators.similarity import cosine_topk, cosine_topk_sql
+from gis_city_county_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_sql,
+    lsh_ann_topk,
+    lsh_ann_topk_sql,
+)
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
 
@@ -18,10 +23,22 @@ def q_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, probes, "vec_id", "embedding", k=5)
 
 
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 — the 100 TB path: probes meet
+    only same-band corpus rows instead of the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5)
+
+
 SPECS = [
     QuerySpec(
         "sim_bruteforce_cosine_topk",
         q_bruteforce_topk,
         cosine_topk_sql("embeddings", "vec_id", "embedding", "p.vec_id % 50 = 0", k=5),
+    ),
+    QuerySpec(
+        "sim_lsh_ann_topk",
+        q_lsh_ann_topk,
+        lsh_ann_topk_sql("embeddings", "vec_id", "embedding", "p.id % 50 = 0", k=5),
     ),
 ]

@@ -1,0 +1,667 @@
+"""Extended OLAP coverage: the rest of the TPC-H-shaped surface.
+
+Widens :mod:`tpch` with the relational capabilities the first six
+queries don't touch: semi/anti joins (EXISTS / NOT EXISTS), correlated
+aggregates, conditional aggregation, disjunctive pushdown predicates,
+ROLLUP + GROUPING, INTERSECT/EXCEPT, group-by-HAVING with join-back,
+window-max selection, and JSON extraction. Query numbers follow the
+TPC-H queries they are shaped after, adapted to the synthetic
+warehouse's columns (no partsupp / shipmode / commitdate).
+
+Scale notes (apply to every query here):
+- filters are expressed directly over the scan so parquet pushdown +
+  column pruning apply;
+- dimension sides of joins are broadcast explicitly;
+- fact-fact joins shuffle on the join key with partial aggregation
+  pushed map-side by Catalyst;
+- double aggregates route through DECIMAL(38,10) (functions.numeric)
+  so results are order-independent and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.functions.numeric import (
+    dec_avg,
+    dec_avg_sql,
+    dec_sum,
+    dec_sum_sql,
+)
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ------------------------------------------------------------------ Q4
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — EXISTS semi-join: orders (one quarter) having at
+    least one line shipped after the order date, counted by priority.
+    The semi-join shuffles only the distinct probe keys."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
+    return (
+        orders.join(late, F.col("o_orderkey") == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------------------ Q7
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — bidirectional nation-pair volume by ship year.
+    Nation is broadcast twice under different aliases; the only big
+    shuffle is lineitem↔orders."""
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        nation.filter(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        nation.filter(F.col("n_name").isin(*pair)).select(
+            F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nkey"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_ORACLE = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1','NATION_2')
+  AND nc.n_name IN ('NATION_1','NATION_2')
+  AND ns.n_name != nc.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ------------------------------------------------------------------ Q8
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — a target nation's share of regional PROMO revenue per
+    order year: conditional aggregation over a 6-way join."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_nations = F.broadcast(
+        nation.join(
+            F.broadcast(region.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    supp_nation = F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1995-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_nations, F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (dec_sum(target_vol) / dec_sum(vol)).alias("mkt_share"),
+            dec_sum(vol, "total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(CAST(SUM(CAST(CASE WHEN ns.n_name = 'NATION_3'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+            AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+       / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS mkt_share,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'total_volume')}
+FROM lineitem
+JOIN part      ON l_partkey = p_partkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region    ON nc.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ------------------------------------------------------------------ Q9
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — profit by supplier nation and order year for parts
+    matching a name pattern (LIKE pushdown on the dimension)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'sum_profit')}
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY 1, 2 DESC
+"""
+
+
+# ------------------------------------------------------------------ Q10
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — top 20 customers by revenue lost to returns in one
+    quarter. Customer attach is broadcast; total order (revenue desc,
+    custkey) makes the limit deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       c_acctbal
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------------ Q13
+
+def q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — distribution of order counts per customer,
+    including zero-order customers (left outer join, two-level agg)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ------------------------------------------------------------------ Q14
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue share in one month (conditional
+    aggregation; part is broadcast into the filtered scan)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-03-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (dec_sum(promo) * F.lit(100.0) / dec_sum(vol)).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q14_ORACLE = """
+SELECT CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+         AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) * 100.0
+       / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+         AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# ------------------------------------------------------------------ Q15
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — supplier(s) with max quarterly revenue, selected
+    with a global window max (no second scan of the revenue agg)."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    w = Window.partitionBy()
+    return (
+        rev.withColumn("max_rev", F.max("total_revenue").over(w))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------------------------------ Q17
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — revenue from orders below 20%% of the part's average
+    quantity: the correlated aggregate becomes a per-part agg joined
+    back to the fact (one extra shuffle on partkey, no recompute)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_b = li.join(
+        F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_qty = li_b.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        dec_avg("l_quantity", "avg_qty")
+    )
+    return (
+        li_b.join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg((dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_Q17_ORACLE = f"""
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+),
+aq AS (
+  SELECT l_partkey AS ap_key, {dec_avg_sql('l_quantity', 'avg_qty')}
+  FROM li_b GROUP BY 1
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+       / 7.0 AS avg_yearly
+FROM li_b JOIN aq ON l_partkey = ap_key
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+# ------------------------------------------------------------------ Q18
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — orders whose total quantity exceeds a threshold
+    (group-HAVING), joined back for customer/order detail."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {dec_sum_sql('l_quantity', 'sum_qty')}
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+) b
+JOIN orders   ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+# ------------------------------------------------------------------ Q19
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — OR-of-ANDs predicate across the part join: Catalyst
+    extracts the common l_partkey join plus per-branch filters."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    branch1 = (
+        (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(1, 25)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 40)
+        & F.col("l_quantity").between(10, 40)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 1 AND 25)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 40 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+# ------------------------------------------------------------------ Q22
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — wealthy customers with no orders: scalar-subquery
+    average + NOT EXISTS anti-join, grouped by market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal_row = cust.filter(F.col("c_acctbal") > 0).agg(
+        dec_avg("c_acctbal", "avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal_row)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    return (
+        rich.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q22_ORACLE = f"""
+SELECT c_mktsegment, COUNT(*) AS numcust, {dec_sum_sql('c_acctbal', 'totacctbal')}
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+           / COUNT(c_acctbal)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------- ROLLUP / set ops
+
+def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation) with an explicit grouping mask —
+    subtotals and grand total in one pass (Catalyst expands to a
+    single shuffle)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mask = (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int")
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dec_sum("c_acctbal", "total_bal"),
+            mask.alias("gmask"),
+        )
+        .orderBy("gmask", "r_name", "n_name")
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name, COUNT(*) AS n_cust,
+       {dec_sum_sql('c_acctbal', 'total_bal')},
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INTEGER) AS gmask
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY gmask, r_name, n_name
+"""
+
+
+def q_setops_customer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT over customer key sets: customers active in
+    both 1996 and 1997 vs. only 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    ).select("o_custkey").distinct()
+    y97 = orders.filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    ).select("o_custkey").distinct()
+    both = y96.intersect(y97).select(F.lit("both").alias("cohort"), "o_custkey")
+    only96 = y96.exceptAll(y97).select(F.lit("only_1996").alias("cohort"), "o_custkey")
+    return both.unionByName(only96)
+
+
+_SETOPS_ORACLE = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'only_1996' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — Catalyst plans the two-phase
+    expand + partial distinct aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events props column + aggregation —
+    get_json_object stays JVM-side (Jackson), no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("k", "sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       {dec_sum_sql("CAST(json_extract_string(props, '$.k') AS BIGINT)", 'sum_k')},
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec("tpch_q4_order_priority", q4_order_priority, _Q4_ORACLE),
+    QuerySpec("tpch_q7_volume_shipping", q7_volume_shipping, _Q7_ORACLE),
+    QuerySpec("tpch_q8_market_share", q8_market_share, _Q8_ORACLE),
+    QuerySpec("tpch_q9_product_profit", q9_product_profit, _Q9_ORACLE),
+    QuerySpec("tpch_q10_returned_items", q10_returned_items, _Q10_ORACLE),
+    QuerySpec("tpch_q13_order_counts", q13_order_counts, _Q13_ORACLE),
+    QuerySpec("tpch_q14_promo_effect", q14_promo_effect, _Q14_ORACLE),
+    QuerySpec("tpch_q15_top_supplier", q15_top_supplier, _Q15_ORACLE),
+    QuerySpec("tpch_q17_small_qty_revenue", q17_small_qty_revenue, _Q17_ORACLE),
+    QuerySpec("tpch_q18_large_orders", q18_large_orders, _Q18_ORACLE),
+    QuerySpec("tpch_q19_disjunctive", q19_disjunctive, _Q19_ORACLE),
+    QuerySpec("tpch_q22_idle_customers", q22_idle_customers, _Q22_ORACLE),
+    QuerySpec("olap_rollup_region_nation", q_rollup_region_nation, _ROLLUP_ORACLE),
+    QuerySpec("olap_setops_customer_activity", q_setops_customer_activity, _SETOPS_ORACLE),
+    QuerySpec("olap_distinct_agg", q_distinct_agg, _DISTINCT_ORACLE),
+    QuerySpec("func_json_props", q_json_props, _JSON_ORACLE),
+]
