@@ -46,6 +46,24 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pretokenizer (GPT-2-shaped, simplified): contraction
+# suffixes, letter runs, digit runs, punctuation runs. Restricted to
+# constructs Java regex and RE2 treat identically (alternation is
+# leftmost-first in both; no lookaround).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """Subword-ish tokens via the BPE pretokenizer regex — the token
+    accounting a training-data pipeline budgets by (whitespace tokens
+    undercount CJK/punctuation-heavy text)."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def stopword_count(col: Column | str, lang: str) -> Column:
     words = STOPWORDS[lang]
     toks = tokens(col)
@@ -142,3 +160,8 @@ def quality_score_sql(expr: str) -> str:
 
 def normalized_text_sql(expr: str) -> str:
     return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"

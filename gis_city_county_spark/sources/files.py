@@ -1,0 +1,306 @@
+"""File/service sources and staging sinks (SURVEY.md §2.1, §2.9).
+
+Re-expresses the reference's retrieval surface Spark-first:
+
+- S1 feature-service scan   -> GeoJSON snapshot reader (`bunny.py:211-219`,
+  `coastline.py:36-42`; production would page the REST ``/query`` endpoint
+  into snapshots on a schedule, the engine always reads snapshots)
+- S2 streamed HTTP download -> :func:`download_file` (`retrieve.py:50-58`)
+- S3 zip-member delimited   -> :func:`read_delimited` (`retrieve.py:33-37`)
+- S4 Excel w/ declared dtypes -> :func:`read_xlsx` (`retrieve.py:97-106`);
+  self-contained OOXML parse (zip + XML, a public format) since no xlsx
+  library ships in this environment
+- S6 probing discovery      -> :func:`probe_first_available`
+  (`retrieve.py:70-95`)
+- S7 CSV staging sink       -> :func:`write_staging_csv` (`retrieve.py:44,132`)
+- K1/K3 publish + blue/green swap -> :func:`publish_snapshot` /
+  :func:`read_published` (`scripts/_services.py:1-38` semantics: write the
+  new version fully, then atomically repoint)
+
+Scale notes: S2/S4/S6 are driver-side control plane (small config-ish
+inputs — the reference's right-hand join sides are ≤ ~2k rows); the
+data plane (S1/S3 bulk reads) goes through ``spark.read`` so scans
+distribute, push filters down, and prune columns.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+import zipfile
+from collections.abc import Callable, Iterable, Mapping, Sequence
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ------------------------------------------------------------------ S3
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    sep: str = "|",
+    member: str | None = None,
+    header: bool = True,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Delimited text reader; with ``member`` set, extracts that file
+    from a zip archive first (driver-side — archive members aren't
+    splittable anyway; a 100 TB corpus of zips would instead map
+    ``binaryFile`` partitions through a decompress generator)."""
+    src = path
+    if member is not None:
+        tmp = tempfile.mkdtemp(prefix="sgraft_zip_")
+        with zipfile.ZipFile(path) as zf:
+            src = zf.extract(member, tmp)
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema is not None:
+        return reader.schema(schema).csv(src)
+    return reader.csv(src)
+
+
+# ------------------------------------------------------------------ S4
+
+_A1_RE = re.compile(r"([A-Z]+)(\d+)")
+_MAIN_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(a1: str) -> int:
+    """``'A1'`` -> 0, ``'AB7'`` -> 27."""
+    m = _A1_RE.match(a1)
+    if not m:
+        return 0
+    n = 0
+    for ch in m.group(1):
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def _xlsx_rows(path: str, sheet_index: int = 0) -> list[list[str | None]]:
+    """Minimal OOXML worksheet parse: shared strings + inline values.
+    Covers the subset the reference's inputs use (strings, numbers);
+    formulas/dates come back as their stored raw values."""
+    with zipfile.ZipFile(path) as zf:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_MAIN_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_MAIN_NS}t")))
+        sheets = sorted(
+            n for n in zf.namelist()
+            if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ElementTree.fromstring(zf.read(sheets[sheet_index]))
+        rows: list[list[str | None]] = []
+        for row in root.iter(f"{_MAIN_NS}row"):
+            cells: dict[int, str | None] = {}
+            for c in row.findall(f"{_MAIN_NS}c"):
+                idx = _col_index(c.get("r", ""))
+                ctype = c.get("t", "n")
+                v = c.find(f"{_MAIN_NS}v")
+                if ctype == "s" and v is not None and v.text is not None:
+                    cells[idx] = shared[int(v.text)]
+                elif ctype == "inlineStr":
+                    is_el = c.find(f"{_MAIN_NS}is")
+                    cells[idx] = (
+                        "".join(t.text or "" for t in is_el.iter(f"{_MAIN_NS}t"))
+                        if is_el is not None
+                        else None
+                    )
+                else:
+                    cells[idx] = v.text if v is not None else None
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+        return rows
+
+
+def read_xlsx(
+    spark: SparkSession,
+    path: str,
+    skiprows: int = 0,
+    dtypes: Mapping[str, str] | None = None,
+    sheet_index: int = 0,
+) -> DataFrame:
+    """Excel read with declared dtypes (reference S4,
+    ``retrieve.py:97-106``): first post-skip row is the header; every
+    column declared in ``dtypes`` keeps its raw string form unless the
+    dtype says numeric — exactly the reference's trick for preserving
+    leading-zero FIPS codes. Driver-side parse (config-scale inputs),
+    distributed DataFrame out."""
+    rows = _xlsx_rows(path, sheet_index)[skiprows:]
+    header = [str(h) if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+    body = rows[1:]
+    width = len(header)
+    dtypes = dict(dtypes or {})
+
+    fields = []
+    for name in header:
+        kind = dtypes.get(name, "str")
+        if kind in ("int", "long"):
+            fields.append(T.StructField(name, T.LongType()))
+        elif kind in ("float", "double"):
+            fields.append(T.StructField(name, T.DoubleType()))
+        else:
+            fields.append(T.StructField(name, T.StringType()))
+    schema = T.StructType(fields)
+
+    def conv(val: str | None, kind: str):
+        if val is None:
+            return None
+        if kind in ("int", "long"):
+            return int(float(val))
+        if kind in ("float", "double"):
+            return float(val)
+        return str(val)
+
+    data = [
+        tuple(
+            conv(r[i] if i < len(r) else None, dtypes.get(header[i], "str"))
+            for i in range(width)
+        )
+        for r in body
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+# ------------------------------------------------------------------ S2/S6
+
+def download_file(url: str, dest_dir: str, extension: str, chunk_size: int = 4096) -> str:
+    """Streamed HTTP download to a named temp file (reference S2,
+    ``retrieve.py:50-58``). Driver-side control plane."""
+    import requests
+
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"download{extension}")
+    with requests.get(url, stream=True, timeout=60) as resp:
+        resp.raise_for_status()
+        with open(dest, "wb") as fh:
+            for chunk in resp.iter_content(chunk_size=chunk_size):
+                fh.write(chunk)
+    return dest
+
+
+def probe_first_available(
+    candidates: Iterable[str],
+    exists: Callable[[str], bool] | None = None,
+) -> str | None:
+    """Probing source discovery (reference S6, ``retrieve.py:70-95``:
+    try year=now..earliest and take the first URL that answers). The
+    probe predicate defaults to local-path existence; pass an HTTP
+    HEAD lambda for remote probing."""
+    check = exists or os.path.exists
+    for cand in candidates:
+        if check(cand):
+            return cand
+    return None
+
+
+def year_candidates(template: str, newest: int, oldest: int) -> list[str]:
+    """Expand a ``{year}`` template newest-first, the reference's
+    probing order (``retrieve.py:70-82``)."""
+    return [template.format(year=y) for y in range(newest, oldest - 1, -1)]
+
+
+# ------------------------------------------------------------------ S1
+
+# GeoJSON geometry struct: type + nested coordinate arrays. Polygon
+# coordinates are ring-lists; MultiPolygon adds one nesting level.
+# Read as strings and re-parsed by the geometry kernel (geomlite).
+_GEOJSON_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "features",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField("id", T.LongType()),
+                        T.StructField("properties", T.MapType(T.StringType(), T.StringType())),
+                        T.StructField("geometry", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField("type", T.StringType()),
+    ]
+)
+
+
+def read_feature_snapshot(
+    spark: SparkSession,
+    path: str,
+    property_cols: Sequence[str],
+) -> DataFrame:
+    """Feature-service snapshot reader (reference S1): a GeoJSON
+    FeatureCollection saved from the service's ``/query`` endpoint.
+    Features explode into rows; requested properties become columns;
+    the geometry stays as its GeoJSON string for the geometry kernel
+    to parse (WKB conversion is a projection, not a shuffle).
+
+    The JSON scan is distributed (one task per file / multiline
+    document); a production connector would page ``resultOffset``
+    windows into many snapshot files so this scan parallelizes."""
+    raw = (
+        spark.read.option("multiLine", "true")
+        .schema(_GEOJSON_SCHEMA)
+        .json(path)
+    )
+    feats = raw.select(F.explode("features").alias("f"))
+    cols = [F.col("f.id").alias("feature_id")]
+    cols += [F.col("f.properties").getItem(p).alias(p) for p in property_cols]
+    cols.append(F.col("f.geometry").alias("geometry_json"))
+    return feats.select(*cols)
+
+
+# ------------------------------------------------------------------ sinks
+
+def write_staging_csv(df: DataFrame, path: str) -> None:
+    """S7 staging sink (header CSV, reference ``retrieve.py:44``)."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def publish_snapshot(df: DataFrame, base_dir: str, name: str) -> str:
+    """K1+K3 blue/green publish: write the full new version to a fresh
+    ``v{N}`` directory, then atomically repoint ``CURRENT``. Readers
+    resolving through :func:`read_published` never observe a partial
+    write — the reference's staging→swap flow (`scripts/_services.py`,
+    `scripts/swap_services.py:4-12`) with a pointer file standing in
+    for the AGOL view relationship."""
+    root = os.path.join(base_dir, name)
+    os.makedirs(root, exist_ok=True)
+    existing = [
+        int(d[1:]) for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    version = max(existing, default=0) + 1
+    target = os.path.join(root, f"v{version}")
+    df.write.mode("errorifexists").parquet(target)
+    pointer = os.path.join(root, "CURRENT")
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"v{version}\n")
+    os.replace(tmp, pointer)  # atomic on POSIX
+    return target
+
+
+def read_published(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Resolve the CURRENT pointer and read that snapshot version."""
+    root = os.path.join(base_dir, name)
+    with open(os.path.join(root, "CURRENT")) as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(root, version))
+
+
+def rollback_pointer(base_dir: str, name: str, to_version: str) -> None:
+    """Blue/green rollback = repoint CURRENT at a previous version
+    (the old data is still there — swaps never delete)."""
+    root = os.path.join(base_dir, name)
+    if not os.path.isdir(os.path.join(root, to_version)):
+        raise FileNotFoundError(f"no snapshot {to_version} under {root}")
+    tmp = os.path.join(root, "CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{to_version}\n")
+    os.replace(tmp, os.path.join(root, "CURRENT"))

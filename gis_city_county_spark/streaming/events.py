@@ -133,3 +133,68 @@ def streaming_windowed_agg(
         .groupBy(F.window("ts", window_duration).alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
     )
+
+
+def streaming_sessionize(
+    spark,
+    schema,
+    path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Structured Streaming twin of :func:`sessionize`:
+    ``session_window`` merges events closer than ``gap`` into one
+    growing window per user. State is scoped per (user, session
+    window) and dropped once the watermark passes the session end —
+    bounded memory on an unbounded stream."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+    )
+
+
+def stateful_user_totals(
+    spark,
+    schema,
+    path: str,
+):
+    """Custom stateful operator via ``applyInPandasWithState``:
+    per-user running event count + value total maintained in explicit
+    GroupState across micro-batches (the escape hatch for stateful
+    logic ``session_window`` can't express — e.g. cross-session
+    lifetime counters). Arrow-batched; state is one small tuple per
+    key, so a 100 TB stream shards by user across executors."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
+    )

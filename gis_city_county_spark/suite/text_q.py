@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.textstats import (
     STOPWORDS,
+    bpe_token_count,
+    bpe_token_count_sql,
     cjk_char_count,
     cjk_count_sql,
     fingerprint_md5,
@@ -31,6 +33,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_measured"),
         punct_char_count("text").alias("n_punct"),
     )
@@ -39,6 +42,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_ORACLE = f"""
 SELECT doc_id,
        len({tokens_sql('text')}) AS n_tokens,
+       {bpe_token_count_sql('text')} AS n_bpe_tokens,
        length(text) AS n_chars_measured,
        length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct
 FROM documents

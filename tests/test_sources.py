@@ -1,0 +1,141 @@
+"""Sources/sinks: zip-delimited, xlsx, GeoJSON snapshot, probing,
+blue/green publish (SURVEY.md §2.1/§2.9)."""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+from pyspark.sql import types as T
+
+from gis_city_county_spark.sources.files import (
+    probe_first_available,
+    publish_snapshot,
+    read_delimited,
+    read_feature_snapshot,
+    read_published,
+    read_xlsx,
+    rollback_pointer,
+    write_staging_csv,
+    year_candidates,
+)
+
+
+def test_read_delimited_zip_member(spark, tmp_path):
+    zpath = str(tmp_path / "codes.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.writestr(
+            "Text/FederalCodes.txt",
+            "feature_id|feature_name|state_name\n"
+            "1|City of Alameda|California\n"
+            "2|Reno|Nevada\n",
+        )
+    df = read_delimited(spark, zpath, sep="|", member="Text/FederalCodes.txt")
+    rows = {r["feature_id"]: r["state_name"] for r in df.collect()}
+    assert rows == {"1": "California", "2": "Nevada"}
+
+
+def _write_min_xlsx(path: str, shared: list[str], sheet_rows: str) -> None:
+    """Hand-assemble a minimal OOXML workbook (zip of XML parts)."""
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sst = (
+        f'<?xml version="1.0"?><sst {ns} count="{len(shared)}" '
+        f'uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    ws = f'<?xml version="1.0"?><worksheet {ns}><sheetData>{sheet_rows}</sheetData></worksheet>'
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", ws)
+
+
+def test_read_xlsx_skiprows_and_dtypes(spark, tmp_path):
+    """skiprows + declared string dtype preserving leading-zero FIPS
+    (the reference's Census read, retrieve.py:97-106)."""
+    xpath = str(tmp_path / "geocodes.xlsx")
+    # rows: 1 junk banner row, header, 2 data rows
+    rows_xml = (
+        '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>2</v></c>'
+        '<c r="C2" t="s"><v>3</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3"><v>06</v></c>'
+        '<c r="C3"><v>12.5</v></c></row>'
+        '<row r="4"><c r="A4" t="s"><v>5</v></c><c r="B4"><v>04</v></c>'
+        '<c r="C4"><v>7</v></c></row>'
+    )
+    shared = ["Banner", "Area Name", "State FIPS Code", "Pop", "Alameda County", "Yuma"]
+    _write_min_xlsx(xpath, shared, rows_xml)
+    df = read_xlsx(
+        spark, xpath, skiprows=1,
+        dtypes={"State FIPS Code": "str", "Pop": "double"},
+    )
+    assert df.schema["State FIPS Code"].dataType == T.StringType()
+    assert df.schema["Pop"].dataType == T.DoubleType()
+    got = {r["Area Name"]: (r["State FIPS Code"], r["Pop"]) for r in df.collect()}
+    # leading zero preserved because the column is declared string
+    assert got == {"Alameda County": ("06", 12.5), "Yuma": ("04", 7.0)}
+
+
+def test_read_feature_snapshot(spark, tmp_path):
+    snap = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": 1,
+                "properties": {"CITY": "Alameda", "COUNTY": "Alameda", "COPRI": "01001"},
+                "geometry": {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]},
+            },
+            {
+                "type": "Feature",
+                "id": 2,
+                "properties": {"CITY": "Unincorporated", "COUNTY": "Alpine", "COPRI": "02000"},
+                "geometry": {"type": "Polygon", "coordinates": [[[2, 2], [3, 2], [3, 3], [2, 3], [2, 2]]]},
+            },
+        ],
+    }
+    path = str(tmp_path / "cdtfa_snapshot.json")
+    with open(path, "w") as fh:
+        json.dump(snap, fh)
+    df = read_feature_snapshot(spark, path, ["CITY", "COUNTY", "COPRI"])
+    rows = {r["feature_id"]: r for r in df.collect()}
+    assert rows[1]["CITY"] == "Alameda"
+    assert rows[2]["COPRI"] == "02000"
+    assert json.loads(rows[1]["geometry_json"])["type"] == "Polygon"
+
+
+def test_probe_first_available(tmp_path):
+    hit = tmp_path / "all-geocodes-v2023.xlsx"
+    hit.write_bytes(b"x")
+    cands = year_candidates(str(tmp_path / "all-geocodes-v{year}.xlsx"), 2025, 2020)
+    assert probe_first_available(cands) == str(hit)
+    assert probe_first_available(year_candidates("nope-{year}", 2025, 2024)) is None
+
+
+def test_staging_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    out = str(tmp_path / "staged")
+    write_staging_csv(df, out)
+    back = spark.read.option("header", "true").csv(out)
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("a", "1"), ("b", "2")}
+
+
+def test_blue_green_publish_swap_rollback(spark, tmp_path):
+    base = str(tmp_path / "pub")
+    v1 = spark.createDataFrame([(1, "blue")], ["id", "color"])
+    v2 = spark.createDataFrame([(1, "green"), (2, "green")], ["id", "color"])
+
+    p1 = publish_snapshot(v1, base, "boundaries")
+    assert read_published(spark, base, "boundaries").count() == 1
+
+    p2 = publish_snapshot(v2, base, "boundaries")
+    assert p1 != p2
+    cur = read_published(spark, base, "boundaries")
+    assert cur.count() == 2
+
+    # old version still on disk -> rollback is a pointer flip
+    rollback_pointer(base, "boundaries", "v1")
+    assert read_published(spark, base, "boundaries").count() == 1
+    assert os.path.isdir(p2)

@@ -1,0 +1,105 @@
+"""Structured Streaming operators vs. their batch twins.
+
+Each streaming query runs with an ``availableNow`` trigger over a
+parquet snapshot of the events table and lands in a memory sink; the
+batch form of the same logic is the oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.streaming.events import (
+    sessionize,
+    stateful_user_totals,
+    streaming_sessionize,
+    streaming_windowed_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_snapshot(spark, sf_dir, tmp_path_factory):
+    """Events subset re-written as plain-TIMESTAMP parquet (the raw
+    table stores TIMESTAMP(NANOS), which readStream can't infer)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ev.write.parquet(path)
+    return path, spark.read.parquet(path).schema
+
+
+def _run_to_memory(stream_df, name: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_windowed_agg_matches_batch(spark, events_snapshot):
+    path, schema = events_snapshot
+    # Append mode would hold back windows the final watermark hasn't
+    # closed (they'd emit on the next trigger of a live stream);
+    # complete mode shows the full state for a like-for-like check.
+    _run_to_memory(
+        streaming_windowed_agg(spark, schema, path, "1 hour"), "win_agg", "complete"
+    )
+    got = {
+        (r["win"]["start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    raw = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r["win"]["start"], r["event_type"]): r["n_events"] for r in raw.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_sessionize_matches_batch_counts(spark, events_snapshot):
+    path, schema = events_snapshot
+    _run_to_memory(
+        streaming_sessionize(spark, schema, path, gap="30 minutes"), "sess", "complete"
+    )
+    stream_sessions = spark.sql(
+        "SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events "
+        "FROM sess GROUP BY user_id"
+    ).collect()
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in stream_sessions}
+
+    batch = sessionize(spark.read.parquet(path), gap_seconds=1800)
+    want_rows = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in want_rows}
+    assert got == want
+
+
+def test_stateful_user_totals(spark, events_snapshot):
+    path, schema = events_snapshot
+    _run_to_memory(stateful_user_totals(spark, schema, path), "totals", "update")
+    # Update mode can emit a row per key per micro-batch; the final
+    # (max n_events) row per key is the lifetime total.
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, MAX(n_events) AS n_events FROM totals GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
