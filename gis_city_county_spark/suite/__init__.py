@@ -34,6 +34,7 @@ def all_specs() -> list[QuerySpec]:
     from gis_city_county_spark.suite import (
         dedup_q,
         events_q,
+        geo_q,
         multimodal_q,
         parity,
         similarity_q,
@@ -43,7 +44,9 @@ def all_specs() -> list[QuerySpec]:
     )
 
     specs: list[QuerySpec] = []
-    for mod in (tpch, tpch_ext, parity, text_q, dedup_q, similarity_q, events_q, multimodal_q):
+    for mod in (
+        tpch, tpch_ext, parity, geo_q, text_q, dedup_q, similarity_q, events_q, multimodal_q
+    ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -1,0 +1,165 @@
+"""Geometry operator queries (reference parity A1/J2/J3/G1-G10/§2.8).
+
+The driver's testdata has no geometry tables, so each query builds its
+deterministic micro-polygon fixture inline (FIXTURES.md §4/§5 shapes)
+and reduces the geometric result to numeric summaries. The DuckDB
+oracle is then a literal VALUES table of the hand-computed golden
+values — stronger than the rows-only check: the value hash must match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gis_city_county_spark.geo import kernel as K
+from gis_city_county_spark.geo.ops import (
+    dissolve,
+    erase,
+    fix_slivers,
+    st_area,
+    st_num_parts,
+)
+from gis_city_county_spark.suite import QuerySpec
+
+
+def _rect(x0, y0, x1, y1) -> bytes:
+    return K.to_wkb(
+        [([(float(x0), float(y0)), (float(x1), float(y0)),
+           (float(x1), float(y1)), (float(x0), float(y1))], [])]
+    )
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("OBJECTID", T.LongType()),
+        T.StructField("COUNTY", T.StringType()),
+        T.StructField("CITY", T.StringType()),
+        T.StructField("COPRI", T.StringType()),
+        T.StructField("geometry", T.BinaryType()),
+    ]
+)
+
+
+def _boundaries(spark: SparkSession) -> DataFrame:
+    """FIXTURES.md §4-shaped CDTFA micro-fixture: annexation slivers
+    per city (dissolve is non-trivial), island parts, two counties."""
+    rows = [
+        (1, "Alameda", "Alameda", "01001", _rect(0, 0, 4, 4)),
+        (2, "Alameda", "Alameda", "01001", _rect(4, 0, 6, 4)),
+        (3, "Alameda", "Alameda", "01001", _rect(10, 0, 12, 2)),
+        (4, "Alameda", "Unincorporated", "01000", _rect(0, 0, 20, 10)),
+        (5, "Butte", "Gridley", "02001", _rect(30, 0, 32, 2)),
+        (6, "Butte", "Unincorporated", "02000", _rect(30, 0, 40, 10)),
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def q_geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cities = _boundaries(spark).filter(F.col("CITY") != "Unincorporated")
+    d = dissolve(cities, ["CITY", "COPRI"], carry=["COUNTY"])
+    return d.select(
+        "CITY", "COPRI", "COUNTY",
+        st_area("geometry").alias("area_m2"),
+        st_num_parts("geometry").alias("n_parts"),
+    )
+
+
+_DISSOLVE_ORACLE = """
+SELECT * FROM (VALUES
+  ('Alameda', '01001', 'Alameda', 28.0, 2),
+  ('Gridley', '02001', 'Butte', 4.0, 1)
+) AS t(CITY, COPRI, COUNTY, area_m2, n_parts)
+"""
+
+
+def q_geo_erase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _boundaries(spark)
+    counties = b.filter(F.col("CITY") == "Unincorporated")
+    cities = b.filter(F.col("CITY") != "Unincorporated")
+    out = erase(counties, cities, "OBJECTID", cell=8.0)
+    return out.select(
+        "OBJECTID", "COUNTY",
+        st_area("geometry").alias("area_m2"),
+    )
+
+
+_ERASE_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(4 AS BIGINT), 'Alameda', 172.0),
+  (CAST(6 AS BIGINT), 'Butte', 96.0)
+) AS t(OBJECTID, COUNTY, area_m2)
+"""
+
+
+def q_geo_sliver_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SF triple case (reference ``coastline.py:91-102``) plus a
+    keep-list-protected sliver."""
+    land = _rect(0, 0, 100, 100)
+    bay_sliver = [([(0.0, 100.0), (10.0, 100.0), (10.0, 102.0), (0.0, 102.0)], [])]
+    protected = [([(150.0, 100.0), (152.0, 100.0), (152.0, 102.0), (150.0, 102.0)], [])]
+    bay = K.to_wkb(K.from_wkb(_rect(100, 0, 200, 100)) + bay_sliver + protected)
+    rows = [
+        (1, "San Francisco", land),
+        (2, "San Francisco", bay),
+        (3, "San Francisco", _rect(0, -200, 200, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "GNIS_PLACE_NAME", "geometry"])
+    out = fix_slivers(
+        df, "GNIS_PLACE_NAME", "rid", threshold_m2=1000.0,
+        keep_list=[K.to_wkb(protected)],
+    )
+    return out.select("rid", st_area("geometry").alias("area_m2"))
+
+
+_SLIVER_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 10020.0),
+  (CAST(2 AS BIGINT), 10004.0),
+  (CAST(3 AS BIGINT), 40000.0)
+) AS t(rid, area_m2)
+"""
+
+
+def q_geo_area_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/G3: area of a lon/lat square computed in EPSG:3310 and
+    converted to mi² (reference ``bunny.py:500-506``). The oracle value
+    is the kernel's own deterministic double (embedded at import)."""
+    d = 0.1
+    sq = K.to_wkb([([(-121.0, 37.0), (-121.0 + d, 37.0),
+                     (-121.0 + d, 37.0 + d), (-121.0, 37.0 + d)], [])])
+    df = spark.createDataFrame([(1, sq)], ["id", "geometry"])
+    m2 = st_area("geometry", "EPSG:4326", "EPSG:3310")
+    return df.select(
+        "id",
+        m2.alias("area_m2"),
+        (m2 / F.lit(2_589_988.110336)).alias("area_sqmi"),
+    )
+
+
+def _expected_area() -> tuple[float, float]:
+    d = 0.1
+    sq = [([(-121.0, 37.0), (-121.0 + d, 37.0),
+            (-121.0 + d, 37.0 + d), (-121.0, 37.0 + d)], [])]
+    m2 = K.area(K.transform(sq, "EPSG:4326", "EPSG:3310"))
+    return m2, m2 / 2_589_988.110336
+
+
+_M2, _SQMI = _expected_area()
+# doubles go through VARCHAR: DuckDB types bare decimal literals as
+# DECIMAL and its DECIMAL->DOUBLE conversion is not correctly rounded
+# (same quirk functions.numeric.dec_sum_sql works around).
+_AREA_ORACLE = f"""
+SELECT * FROM (VALUES
+  (1, CAST('{_M2!r}' AS DOUBLE), CAST('{_SQMI!r}' AS DOUBLE))
+) AS t(id, area_m2, area_sqmi)
+"""
+
+
+SPECS = [
+    QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE),
+    QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE),
+    QuerySpec("geo_sliver_fix", q_geo_sliver_fix, _SLIVER_ORACLE),
+    QuerySpec("geo_g3_area_crs", q_geo_area_crs, _AREA_ORACLE),
+]

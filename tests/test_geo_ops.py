@@ -1,0 +1,198 @@
+"""Geometry operators on Spark: golden micro-polygon fixtures shaped
+after the reference pipeline (dissolve → join → erase → overlay →
+sliver fix; reference flow ``bunny.py:534-562``/``coastline.py``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gis_city_county_spark.geo import kernel as K
+from gis_city_county_spark.geo.ops import (
+    dissolve,
+    erase,
+    fix_slivers,
+    geojson_to_wkb,
+    st_area,
+    st_dump,
+    st_make_valid,
+    st_num_parts,
+    st_touches,
+    st_transform,
+    union_overlay,
+)
+
+
+def rect_wkb(x0, y0, x1, y1):
+    return K.to_wkb([([(float(x0), float(y0)), (float(x1), float(y0)),
+                       (float(x1), float(y1)), (float(x0), float(y1))], [])])
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("OBJECTID", T.LongType()),
+        T.StructField("COUNTY", T.StringType()),
+        T.StructField("CITY", T.StringType()),
+        T.StructField("COPRI", T.StringType()),
+        T.StructField("geometry", T.BinaryType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def boundaries(spark):
+    """Two counties; Alameda city in two disconnected annexation
+    pieces + one adjacent piece (dissolve merges 3 rows -> 1 feature,
+    2 parts); the rest unincorporated."""
+    rows = [
+        (1, "Alameda", "Alameda", "01001", rect_wkb(0, 0, 4, 4)),
+        (2, "Alameda", "Alameda", "01001", rect_wkb(4, 0, 6, 4)),   # adjacent -> merges
+        (3, "Alameda", "Alameda", "01001", rect_wkb(10, 0, 12, 2)),  # island part
+        (4, "Alameda", "Unincorporated", "01000", rect_wkb(0, 0, 20, 10)),
+        (5, "Butte", "Gridley", "02001", rect_wkb(30, 0, 32, 2)),
+        (6, "Butte", "Unincorporated", "02000", rect_wkb(30, 0, 40, 10)),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_dissolve_merges_parts(spark, boundaries):
+    cities = boundaries.filter(F.col("CITY") != "Unincorporated")
+    d = dissolve(cities, ["CITY", "COPRI"], carry=["COUNTY"])
+    got = {r["CITY"]: r for r in d.collect()}
+    assert set(got) == {"Alameda", "Gridley"}
+    alameda = K.from_wkb(got["Alameda"]["geometry"])
+    assert K.num_parts(alameda) == 2          # adjacent pieces merged, island separate
+    assert K.area(alameda) == 24.0 + 4.0
+    assert got["Alameda"]["COUNTY"] == "Alameda"
+
+
+def test_erase_unincorporated(spark, boundaries):
+    counties = boundaries.filter(F.col("CITY") == "Unincorporated")
+    cities = boundaries.filter(F.col("CITY") != "Unincorporated")
+    out = erase(counties, cities, "OBJECTID", cell=8.0)
+    got = {r["OBJECTID"]: r for r in out.collect()}
+    # Alameda county 200 - city 28 = 172; Butte 100 - 4 = 96
+    assert st_area
+    assert K.area(K.from_wkb(got[4]["geometry"])) == 200.0 - 28.0
+    assert K.area(K.from_wkb(got[6]["geometry"])) == 100.0 - 4.0
+
+
+def test_erase_drops_fully_covered(spark):
+    rows = [(1, rect_wkb(0, 0, 2, 2))]
+    left = spark.createDataFrame(rows, ["id", "geometry"])
+    right = spark.createDataFrame([(9, rect_wkb(-1, -1, 3, 3))], ["id", "geometry"])
+    assert erase(left, right, "id", cell=4.0).count() == 0
+
+
+def test_union_overlay_pieces_and_remainders(spark):
+    juris = spark.createDataFrame(
+        [(1, "Pacifica", rect_wkb(0, 0, 10, 10))], ["jid", "NAME", "geometry"]
+    )
+    ocean = spark.createDataFrame(
+        [(101, "ocean", rect_wkb(8, 0, 20, 10))], ["oid", "OFFSHORE", "geometry"]
+    )
+    out = union_overlay(juris, ocean, "jid", "oid", cell=16.0)
+    rows = out.collect()
+    by_kind = {}
+    for r in rows:
+        kind = ("a" if r["FID_a"] is not None else "") + ("b" if r["FID_b"] is not None else "")
+        by_kind.setdefault(kind, []).append(r)
+    # intersection piece: 2x10; land remainder: 8x10; ocean remainder: 10x10
+    assert len(by_kind["ab"]) == 1
+    assert K.area(K.from_wkb(by_kind["ab"][0]["geometry"])) == 20.0
+    assert by_kind["ab"][0]["NAME"] == "Pacifica" and by_kind["ab"][0]["OFFSHORE"] == "ocean"
+    assert len(by_kind["a"]) == 1
+    assert K.area(K.from_wkb(by_kind["a"][0]["geometry"])) == 80.0
+    assert by_kind["a"][0]["OFFSHORE"] is None
+    assert len(by_kind["b"]) == 1
+    assert K.area(K.from_wkb(by_kind["b"][0]["geometry"])) == 100.0
+
+
+def test_fix_slivers_sf_triple(spark):
+    """The San Francisco case (reference ``coastline.py:91-102``): one
+    place split into land / bay / ocean features; a sub-threshold
+    sliver part of the bay feature touches the big land part and must
+    move to land; protected (keep-list) slivers stay."""
+    land = rect_wkb(0, 0, 100, 100)                   # area 10000, big
+    bay_big = rect_wkb(100, 0, 200, 100)              # big bay part
+    bay_sliver = [([(0.0, 100.0), (10.0, 100.0), (10.0, 102.0), (0.0, 102.0)], [])]
+    ocean_big = rect_wkb(0, -200, 200, 0)
+    protected_sliver = [([(150.0, 100.0), (152.0, 100.0), (152.0, 102.0), (150.0, 102.0)], [])]
+    bay = K.to_wkb(K.from_wkb(bay_big) + bay_sliver + protected_sliver)
+    rows = [
+        (1, "San Francisco", land),
+        (2, "San Francisco", bay),
+        (3, "San Francisco", ocean_big),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "GNIS_PLACE_NAME", "geometry"])
+    keep = [K.to_wkb(protected_sliver)]
+    out = fix_slivers(
+        df, "GNIS_PLACE_NAME", "rid", threshold_m2=1000.0, keep_list=keep
+    )
+    got = {r["rid"]: K.from_wkb(r["geometry"]) for r in out.collect()}
+    # sliver (20 m2) moved from bay to land; protected sliver stayed
+    assert K.area(got[1]) == 10000.0 + 20.0
+    assert K.area(got[2]) == 10000.0 + 4.0
+    assert K.area(got[3]) == 40000.0
+
+
+def test_fix_slivers_no_eligible_pairs(spark):
+    """Places with one polygon are untouched (reference skips <2)."""
+    rows = [(1, "Lone", rect_wkb(0, 0, 5, 5))]
+    df = spark.createDataFrame(rows, ["rid", "place", "geometry"])
+    out = fix_slivers(df, "place", "rid", threshold_m2=1.0)
+    assert K.area(K.from_wkb(out.collect()[0]["geometry"])) == 25.0
+
+
+def test_scalar_ops_roundtrip(spark):
+    df = spark.createDataFrame([(1, rect_wkb(0, 0, 3, 3))], ["id", "geometry"])
+    row = (
+        df.withColumn("geometry", st_make_valid("geometry"))
+        .withColumn("a", st_area("geometry"))
+        .withColumn("np", st_num_parts("geometry"))
+        .collect()[0]
+    )
+    assert row["a"] == 9.0 and row["np"] == 1
+
+    dumped = st_dump(df)
+    assert dumped.count() == 1
+    assert dumped.collect()[0]["part_idx"] == 0
+
+
+def test_transform_and_area_sqmi(spark):
+    """G3: area computed in an explicit equal-area CRS from lon/lat
+    geometry (reference bunny.py:500-506)."""
+    d = 0.1
+    sq = K.to_wkb([([(-121.0, 37.0), (-121.0 + d, 37.0),
+                     (-121.0 + d, 37.0 + d), (-121.0, 37.0 + d)], [])])
+    df = spark.createDataFrame([(1, sq)], ["id", "geometry"])
+    row = (
+        df.withColumn("m2", st_area("geometry", "EPSG:4326", "EPSG:3310"))
+        .withColumn("proj", st_transform("geometry", "EPSG:4326", "EPSG:3310"))
+        .collect()[0]
+    )
+    # ~0.1 deg x 0.1 deg at 37N is ~ 11.1km x 8.9km ~ 98.7e6 m2
+    assert 9.0e7 < row["m2"] < 1.1e8
+    assert K.area(K.from_wkb(row["proj"])) == pytest.approx(row["m2"])
+
+
+def test_touches_predicate_on_spark(spark):
+    df = spark.createDataFrame(
+        [(rect_wkb(0, 0, 2, 2), rect_wkb(2, 0, 4, 2), True),
+         (rect_wkb(0, 0, 2, 2), rect_wkb(1, 1, 3, 3), False)],
+        ["g1", "g2", "want"],
+    )
+    rows = df.withColumn("got", st_touches("g1", "g2")).collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+
+
+def test_geojson_to_wkb(spark):
+    import json
+
+    gj = json.dumps({"type": "Polygon",
+                     "coordinates": [[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]]})
+    df = spark.createDataFrame([(1, gj)], ["id", "geometry_json"])
+    row = df.withColumn("geometry", geojson_to_wkb("geometry_json")).collect()[0]
+    assert K.area(K.from_wkb(row["geometry"])) == 4.0
