@@ -418,6 +418,10 @@ def fix_slivers(
             "part_area"
         ),
     )
+    # The plan references parts three times (small side, big side,
+    # kept-parts anti-join); persisting avoids re-running the dump +
+    # area UDFs per reference. Size = one row per polygon part.
+    parts = parts.persist()
     small = parts.filter(F.col("part_area") < threshold_m2)
     big = parts.filter(F.col("part_area") >= threshold_m2).select(
         F.col(group_col).alias("__g2"),

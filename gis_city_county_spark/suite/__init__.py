@@ -27,6 +27,10 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    # False for constant-size golden-fixture checks (e.g. geometry
+    # micro-polygons): they verify correctness but don't scale with
+    # sf_dir, so timing them would only measure plan latency.
+    bench: bool = True
 
 
 def all_specs() -> list[QuerySpec]:

@@ -158,8 +158,8 @@ SELECT * FROM (VALUES
 
 
 SPECS = [
-    QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE),
-    QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE),
-    QuerySpec("geo_sliver_fix", q_geo_sliver_fix, _SLIVER_ORACLE),
-    QuerySpec("geo_g3_area_crs", q_geo_area_crs, _AREA_ORACLE),
+    QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE, bench=False),
+    QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE, bench=False),
+    QuerySpec("geo_sliver_fix", q_geo_sliver_fix, _SLIVER_ORACLE, bench=False),
+    QuerySpec("geo_g3_area_crs", q_geo_area_crs, _AREA_ORACLE, bench=False),
 ]
