@@ -102,3 +102,62 @@ def to_binary_payload(df: DataFrame, text_col: str, out: str = "payload") -> Dat
     """Encode a string column as a binary payload (UTF-8) — used to
     exercise the binary plumbing against the documents table."""
     return df.withColumn(out, F.encode(F.col(text_col), "UTF-8"))
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — real implementation needs a codec (see
+    :func:`decode_image`); contract: encoded bytes in, re-encoded
+    resized bytes out."""
+    raise NotImplementedError("image resize requires a codec library (stubbed)")
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    frame_size: int = 256,
+    stride: int = 512,
+) -> DataFrame:
+    """Frame sampling over opaque media payloads: emit a frame of
+    ``frame_size`` bytes every ``stride`` bytes with its hash — the
+    video-keyframe-extraction plumbing shape (one input row fans out
+    to many frame rows inside the same Arrow batch; a real pipeline
+    swaps the byte-slice for a codec's keyframe decode).
+
+    Output: (id, frame_idx, frame_offset, n_frame_bytes, frame_hash).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_offset", T.LongType()),
+            T.StructField("n_frame_bytes", T.IntegerType()),
+            T.StructField("frame_hash", T.StringType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, sizes, hashes = [], [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i, off in enumerate(range(0, len(payload), stride)):
+                    frame = payload[off : off + frame_size]
+                    ids.append(rid)
+                    idxs.append(i)
+                    offs.append(off)
+                    sizes.append(len(frame))
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    src = rebalance_for_fanout(df.select(id_col, payload_col), multiplier=8.0)
+    return src.mapInPandas(gen, out_schema)

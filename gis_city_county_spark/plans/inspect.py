@@ -1,0 +1,79 @@
+"""Physical-plan inspection — makes plan quality assertable.
+
+The scale properties that matter at 100 TB (filters reaching the
+parquet scan, column pruning, broadcast joins for dimensions, shuffle
+counts, whole-stage codegen coverage) are all visible in
+``df.explain("formatted")`` output. These helpers parse that output so
+tests can pin the properties down — a regressed plan (lost pushdown, a
+broadcast that became a shuffle join) fails CI instead of silently
+becoming a cluster bottleneck.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _explain(df: DataFrame, mode: str) -> str:
+    # the same JVM entry point DataFrame.explain() prints through
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return _explain(df, "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return _explain(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All predicates the parquet source accepted for pushdown."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every scan — the columns actually read (pruning
+    evidence: a 2-column projection must not read 16 columns)."""
+    return re.findall(r"ReadSchema:\s*(\S+)", formatted_plan(df))
+
+
+def scan_columns(df: DataFrame) -> list[set[str]]:
+    """Column-name sets per scan, parsed from ReadSchema structs."""
+    cols = []
+    for schema in read_schemas(df):
+        cols.append(set(re.findall(r"(\w+):", schema)))
+    return cols
+
+
+def num_shuffles(df: DataFrame) -> int:
+    """Distinct Exchange operators in the initial physical plan (AQE
+    may later coalesce them, never add). Node ids dedupe the tree line
+    vs. detail section of the formatted output."""
+    return len(set(re.findall(r"Exchange \((\d+)\)", formatted_plan(df))))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_cartesian_or_bnlj(df: DataFrame) -> bool:
+    """True if the plan degraded to a product join — with an
+    equi-condition present this is a red flag at scale (intentional
+    for small broadcast cross joins only)."""
+    p = formatted_plan(df)
+    return "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct WholeStageCodegen spans — fewer spans over the same
+    ops = wider fusion."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

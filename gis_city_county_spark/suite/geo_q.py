@@ -20,6 +20,7 @@ from gis_city_county_spark.geo.ops import (
     fix_slivers,
     st_area,
     st_num_parts,
+    union_overlay,
 )
 from gis_city_county_spark.suite import QuerySpec
 
@@ -122,6 +123,35 @@ SELECT * FROM (VALUES
 """
 
 
+def q_geo_union_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 Union overlay (reference ``coastline.py:49-52``): coastal
+    jurisdiction x ocean polygon -> intersection piece + both
+    remainders with FID provenance."""
+    juris = spark.createDataFrame(
+        [(1, "Pacifica", _rect(0, 0, 10, 10))], ["jid", "NAME", "geometry"]
+    )
+    ocean = spark.createDataFrame(
+        [(101, "ocean", _rect(8, 0, 20, 10))], ["oid", "OFFSHORE", "geometry"]
+    )
+    out = union_overlay(juris, ocean, "jid", "oid", cell=16.0)
+    return out.select(
+        F.coalesce(F.col("NAME"), F.lit("")).alias("NAME"),
+        F.coalesce(F.col("OFFSHORE"), F.lit("")).alias("OFFSHORE"),
+        F.col("FID_a").cast("long").alias("FID_a"),
+        F.col("FID_b").cast("long").alias("FID_b"),
+        st_area("geometry").alias("area_m2"),
+    )
+
+
+_OVERLAY_ORACLE = """
+SELECT * FROM (VALUES
+  ('Pacifica', 'ocean', CAST(1 AS BIGINT), CAST(101 AS BIGINT), 20.0),
+  ('Pacifica', '', CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 80.0),
+  ('', 'ocean', CAST(NULL AS BIGINT), CAST(101 AS BIGINT), 100.0)
+) AS t(NAME, OFFSHORE, FID_a, FID_b, area_m2)
+"""
+
+
 def q_geo_area_crs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2/G3: area of a lon/lat square computed in EPSG:3310 and
     converted to mi² (reference ``bunny.py:500-506``). The oracle value
@@ -161,5 +191,6 @@ SPECS = [
     QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE, bench=False),
     QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE, bench=False),
     QuerySpec("geo_sliver_fix", q_geo_sliver_fix, _SLIVER_ORACLE, bench=False),
+    QuerySpec("geo_j2_union_overlay", q_geo_union_overlay, _OVERLAY_ORACLE, bench=False),
     QuerySpec("geo_g3_area_crs", q_geo_area_crs, _AREA_ORACLE, bench=False),
 ]

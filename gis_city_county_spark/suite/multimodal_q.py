@@ -4,7 +4,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gis_city_county_spark.operators.multimodal import binary_features, to_binary_payload
+from gis_city_county_spark.operators.multimodal import (
+    binary_features,
+    sample_frames,
+    to_binary_payload,
+)
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
 
@@ -29,6 +33,27 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (video-keyframe plumbing
+    with a byte-slice stand-in for the codec)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = to_binary_payload(docs, "text")
+    return sample_frames(payloads, "doc_id", "payload", frame_size=256, stride=512)
+
+
+# ASCII text: byte slices == character substrings.
+_FRAME_ORACLE = """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 512 AS BIGINT) AS frame_offset,
+       CAST(least(256, strlen(text) - i * 512) AS INTEGER) AS n_frame_bytes,
+       md5(substr(text, i * 512 + 1, 256)) AS frame_hash
+FROM documents,
+     LATERAL UNNEST(generate_series(0, CAST(ceil(strlen(text) / 512.0) AS BIGINT) - 1)) AS g(i)
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
+    QuerySpec("mm_frame_sample", q_frame_sample, _FRAME_ORACLE),
 ]

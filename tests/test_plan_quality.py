@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, shuffle
+counts. A plan regression here is a 100 TB bottleneck, so it fails CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gis_city_county_spark.plans.inspect import (
+    has_broadcast_join,
+    has_cartesian_or_bnlj,
+    num_shuffles,
+    pushed_filters,
+    scan_columns,
+)
+from gis_city_county_spark.suite.dedup_q import q_minhash
+from gis_city_county_spark.suite.parity import q_join_field_first_match
+from gis_city_county_spark.suite.text_q import q_token_stats
+from gis_city_county_spark.suite.tpch import (
+    q_pricing_summary,
+    q_revenue_forecast,
+    q_shipping_priority,
+    q_topk_per_group,
+)
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    df = q_revenue_forecast(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to parquet: {pushed}"
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    df = q_revenue_forecast(spark, sf_dir)
+    (cols,) = scan_columns(df)
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_token_stats_reads_only_needed_columns(spark, sf_dir):
+    df = q_token_stats(spark, sf_dir)
+    (cols,) = scan_columns(df)
+    assert cols == {"doc_id", "text"}
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = q_shipping_priority(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_join_field_broadcasts_right_side(spark, sf_dir):
+    df = q_join_field_first_match(spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_q1_shuffle_budget(spark, sf_dir):
+    """Scan-heavy aggregate: one shuffle for the groupBy, one for the
+    final order — anything more means partial aggregation broke."""
+    df = q_pricing_summary(spark, sf_dir)
+    assert num_shuffles(df) <= 2
+
+
+def test_topk_single_shuffle(spark, sf_dir):
+    """Window top-k must shuffle once on the partition key."""
+    df = q_topk_per_group(spark, sf_dir)
+    assert num_shuffles(df) == 1
+
+
+def test_minhash_no_product_join(spark, sf_dir):
+    """LSH candidate pairing must stay an equi-join on band hashes —
+    a nested-loop degradation would be O(n^2) at corpus scale."""
+    df = q_minhash(spark, sf_dir)
+    assert not has_cartesian_or_bnlj(df)
