@@ -137,24 +137,38 @@ def embedding_cosine_pairs(
     algorithm so results match exactly."""
     planes = hyperplanes(dim, n_planes)
     bd = rp_lsh_bands(df, id_col, vec_col, planes, bands)
-    a = bd.select(
-        F.col("__id").alias("a_id"), F.col("__v").alias("a_v"),
-        F.col("__n2").alias("a_n2"), "band_idx", "band_val",
-    )
-    b = bd.select(
-        F.col("__id").alias("b_id"), F.col("__v").alias("b_v"),
-        F.col("__n2").alias("b_n2"), "band_idx", "band_val",
-    )
+    # Pair on thin (id, band) rows only: the candidate-pair explosion
+    # shuffles 16-byte id pairs, not 0.5 KB vectors. Vectors re-attach
+    # afterwards by id (AQE broadcasts the side if it's small; at
+    # corpus scale it's a shuffle join on id over far fewer rows than
+    # the raw band join would have carried).
+    thin = bd.select("__id", "band_idx", "band_val")
+    a = thin.select(F.col("__id").alias("a_id"), "band_idx", "band_val")
+    b = thin.select(F.col("__id").alias("b_id"), "band_idx", "band_val")
     cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        dot_product(F.col(vec_col), F.col(vec_col)).alias("__n2"),
+    )
+    av = vecs.select(
+        F.col("__id").alias("a_id"), F.col("__v").alias("a_v"), F.col("__n2").alias("a_n2")
+    )
+    bv = vecs.select(
+        F.col("__id").alias("b_id"), F.col("__v").alias("b_v"), F.col("__n2").alias("b_n2")
     )
     cos = dot_product(F.col("a_v"), F.col("b_v")) / (
         F.sqrt("a_n2") * F.sqrt("b_n2")
     )
     return (
-        cand.withColumn("cosine", cos)
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
@@ -175,25 +189,40 @@ def lsh_ann_topk(
     exact cosine + per-probe window rank over the candidates."""
     planes = hyperplanes(dim, n_planes)
     bd = rp_lsh_bands(corpus, id_col, vec_col, planes, bands)
-    probes = bd.filter(probe_pred).select(
-        F.col("__id").alias("probe_id"), F.col("__v").alias("p_v"),
-        F.col("__n2").alias("p_n2"), "band_idx", "band_val",
+    # Thin-pair join (see embedding_cosine_pairs): vectors re-attach
+    # by id after the candidate dedupe.
+    thin = bd.select("__id", "band_idx", "band_val")
+    probes = thin.filter(probe_pred).select(
+        F.col("__id").alias("probe_id"), "band_idx", "band_val"
     )
-    cand = bd.select(
-        F.col("__id").alias("neighbor_id"), F.col("__v").alias("c_v"),
-        F.col("__n2").alias("c_n2"), "band_idx", "band_val",
-    )
+    cand = thin.select(F.col("__id").alias("neighbor_id"), "band_idx", "band_val")
     pairs = (
         probes.join(cand, ["band_idx", "band_val"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id")
         .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        dot_product(F.col(vec_col), F.col(vec_col)).alias("__n2"),
+    )
+    pv = vecs.select(
+        F.col("__id").alias("probe_id"), F.col("__v").alias("p_v"),
+        F.col("__n2").alias("p_n2"),
+    )
+    cv = vecs.select(
+        F.col("__id").alias("neighbor_id"), F.col("__v").alias("c_v"),
+        F.col("__n2").alias("c_n2"),
     )
     cos = dot_product(F.col("c_v"), F.col("p_v")) / (
         F.sqrt("p_n2") * F.sqrt("c_n2")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("cosine", cos)
+        pairs.join(pv, "probe_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("probe_id", "neighbor_id", "rank", "cosine")
