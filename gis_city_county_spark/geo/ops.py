@@ -135,27 +135,32 @@ def _intersects(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+# NOTE: every branch of these UDFs must tolerate NULL inputs — Spark
+# evaluates pandas UDFs on the whole batch even inside when()/otherwise()
+# branches, so "guarded" call sites still feed NULL rows through.
+
 @pandas_udf(T.BinaryType())
 def _intersection(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(
         [
             K.to_wkb(K.intersection(K.from_wkb(x), K.from_wkb(y)))
-            if x and y else None
+            if x is not None and y is not None else None
             for x, y in zip(a, b)
-        ]
+        ],
+        dtype="object",
     )
 
 
 @pandas_udf(T.BinaryType())
 def _difference(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [
-            K.to_wkb(K.difference(K.from_wkb(x), K.from_wkb(y))) if x else None
-            for x, y in zip(a, b)
-        ]
-        if len(a)
-        else []
-    )
+    def one(x, y):
+        if x is None:
+            return None
+        if y is None:
+            return x  # difference with nothing removes nothing
+        return K.to_wkb(K.difference(K.from_wkb(x), K.from_wkb(y)))
+
+    return pd.Series([one(x, y) for x, y in zip(a, b)], dtype="object")
 
 
 @pandas_udf(T.BinaryType())
@@ -286,7 +291,11 @@ def erase(
     Relational form: bucket-join candidates → exact intersects filter
     → per-left union of matching right geometries → one difference per
     left row; unmatched left rows pass through whole. Empty results
-    (fully covered) are dropped, matching ArcGIS."""
+    (fully covered) are dropped, matching ArcGIS.
+
+    ``left_id`` MUST be deterministic under plan re-evaluation (a real
+    key or a content hash — NOT monotonically_increasing_id): the plan
+    references ``left`` twice and re-evaluated ids would not line up."""
     cand = spatial_candidate_pairs(
         left.select(left_id, geom),
         right.select(F.monotonically_increasing_id().alias("__rid"), geom),
@@ -332,7 +341,8 @@ def union_overlay(
 
     Composition: bucket-join → exact intersection pieces; remainders
     via per-feature difference against the union of its bucket-mates;
-    three-way unionByName."""
+    three-way unionByName. ``a_id``/``b_id`` must be deterministic
+    under re-evaluation (see :func:`erase`)."""
     a_attrs = [c for c in a.columns if c != geom]
     b_attrs = [c for c in b.columns if c != geom]
 
@@ -407,7 +417,8 @@ def fix_slivers(
 
     Plan shape: part explode → size split → within-group pairing
     (groups are places: tiny) → exact touches filter → winner pick via
-    window → two shuffles to reassemble features.
+    window → two shuffles to reassemble features. ``row_id`` must be
+    deterministic under re-evaluation (see :func:`erase`).
     """
     parts = st_dump(df.select(group_col, row_id, geom), geom, "part_geom").select(
         group_col,
