@@ -647,18 +647,300 @@ ORDER BY event_type
 """
 
 
+# ------------------------------------------------------------------ Q2
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — min-cost supplier per part (no partsupp table in the
+    synthetic warehouse, so unit cost is derived from lineitem as
+    min(extendedprice/quantity) per part×supplier). The correlated
+    min-subquery becomes a window min over partkey — one shuffle on
+    partkey, dimensions broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+_Q2_ORACLE = """
+WITH cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size <= 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM cost c
+WHERE unit_cost = (SELECT MIN(unit_cost) FROM cost c2
+                   WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+# ------------------------------------------------------------------ Q11
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — per-part value HAVING > fraction of the grand total.
+    The scalar subquery (global total) is a 1-row broadcast cross-join
+    against the grouped result; the grouped result is computed once and
+    reused for both sides (Spark caches nothing here — the total is an
+    extra reduce over the *grouped* rows, not a rescan of lineitem)."""
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # Cast operands to decimal BEFORE multiplying: a double×double
+    # product rounded to decimal(38,10) can differ by 1 ulp between
+    # engines (shortest-repr vs exact-binary rounding); decimal×decimal
+    # is exact and bit-identical everywhere.
+    value_expr = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,4)")
+    value = (
+        li.join(F.broadcast(supp.select("s_suppkey")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dec_sum(value_expr, "part_value"))
+    )
+    total = value.agg(dec_sum("part_value", "total_value"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_Q11_ORACLE = f"""
+WITH value AS (
+  SELECT l_partkey,
+         {dec_sum_sql(
+             'CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))',
+             'part_value')}
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM value
+WHERE part_value > 0.001 * (
+  SELECT CAST(CAST(SUM(CAST(part_value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+  FROM value)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# ------------------------------------------------------------------ Q16
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — distinct suppliers per (brand, type, size) with a
+    NOT-IN supplier exclusion. The NOT IN subquery is a broadcast
+    left_anti join (the excluded set is tiny); count-distinct expands
+    to a two-phase agg that Catalyst plans with partial aggregation."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    excluded = supp.filter(F.col("s_name").like("%7")).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(excluded), F.col("l_suppkey") == excluded["s_suppkey"], "left_anti")
+        .join(F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ------------------------------------------------------------------ Q20
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — suppliers holding an outsized share of a part's 1996
+    PROMO volume: per (supplier, part) quantity vs. a correlated
+    per-part total (agg joined back on partkey), then a semi-join up to
+    the supplier dimension. Two shuffles (partkey, then the semi-join
+    probe on suppkey — distinct keys only)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_4")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    li_p = li.join(F.broadcast(part.select("p_partkey")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+    pair_qty = li_p.groupBy("l_suppkey", "l_partkey").agg(dec_sum("l_quantity", "pair_qty"))
+    part_qty = li_p.groupBy(F.col("l_partkey").alias("tp_key")).agg(
+        dec_sum("l_quantity", "part_qty")
+    )
+    heavy = (
+        pair_qty.join(part_qty, F.col("l_partkey") == F.col("tp_key"))
+        .filter(F.col("pair_qty") > F.lit(0.25) * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        supp.join(heavy, F.col("s_suppkey") == heavy["l_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_ORACLE = f"""
+WITH li_p AS (
+  SELECT l_suppkey, l_partkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+),
+pair AS (
+  SELECT l_suppkey, l_partkey, {dec_sum_sql('l_quantity', 'pair_qty')}
+  FROM li_p GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey AS tp_key, {dec_sum_sql('l_quantity', 'part_qty')}
+  FROM li_p GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_4')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM pair JOIN tot ON l_partkey = tp_key
+    WHERE pair_qty > 0.25 * part_qty)
+ORDER BY s_suppkey
+"""
+
+
+# ------------------------------------------------------------------ Q21
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — suppliers that were the *sole* late shipper in a
+    multi-supplier order: EXISTS (another supplier in the order) AND
+    NOT EXISTS (another late supplier) become a left_semi then a
+    left_anti join on orderkey with a supplier-inequality predicate.
+    Both probes ship only (orderkey, suppkey) pairs."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    l1 = lines.filter(F.col("late"))
+    others = lines.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("o2_supp")
+    ).distinct()
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("o3_supp")
+    ).distinct()
+    sole_late = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("o2_supp")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("o3_supp")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+_Q21_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM lines l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lines l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
 SPECS = [
+    QuerySpec("tpch_q2_min_cost_supplier", q2_min_cost_supplier, _Q2_ORACLE),
     QuerySpec("tpch_q4_order_priority", q4_order_priority, _Q4_ORACLE),
     QuerySpec("tpch_q7_volume_shipping", q7_volume_shipping, _Q7_ORACLE),
     QuerySpec("tpch_q8_market_share", q8_market_share, _Q8_ORACLE),
     QuerySpec("tpch_q9_product_profit", q9_product_profit, _Q9_ORACLE),
     QuerySpec("tpch_q10_returned_items", q10_returned_items, _Q10_ORACLE),
+    QuerySpec("tpch_q11_important_stock", q11_important_stock, _Q11_ORACLE),
     QuerySpec("tpch_q13_order_counts", q13_order_counts, _Q13_ORACLE),
     QuerySpec("tpch_q14_promo_effect", q14_promo_effect, _Q14_ORACLE),
     QuerySpec("tpch_q15_top_supplier", q15_top_supplier, _Q15_ORACLE),
+    QuerySpec("tpch_q16_supplier_counts", q16_supplier_counts, _Q16_ORACLE),
     QuerySpec("tpch_q17_small_qty_revenue", q17_small_qty_revenue, _Q17_ORACLE),
     QuerySpec("tpch_q18_large_orders", q18_large_orders, _Q18_ORACLE),
     QuerySpec("tpch_q19_disjunctive", q19_disjunctive, _Q19_ORACLE),
+    QuerySpec("tpch_q20_excess_suppliers", q20_excess_suppliers, _Q20_ORACLE),
+    QuerySpec("tpch_q21_waiting_suppliers", q21_waiting_suppliers, _Q21_ORACLE),
     QuerySpec("tpch_q22_idle_customers", q22_idle_customers, _Q22_ORACLE),
     QuerySpec("olap_rollup_region_nation", q_rollup_region_nation, _ROLLUP_ORACLE),
     QuerySpec("olap_setops_customer_activity", q_setops_customer_activity, _SETOPS_ORACLE),
