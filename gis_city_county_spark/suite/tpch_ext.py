@@ -814,11 +814,16 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_p = li.join(F.broadcast(part.select("p_partkey")),
                    F.col("l_partkey") == F.col("p_partkey"))
     pair_qty = li_p.groupBy("l_suppkey", "l_partkey").agg(dec_sum("l_quantity", "pair_qty"))
-    part_qty = li_p.groupBy(F.col("l_partkey").alias("tp_key")).agg(
-        dec_sum("l_quantity", "part_qty")
-    )
+    # The correlated per-part total is a window sum over the pair
+    # aggregates (quantities are integral, so the double→decimal
+    # round-trip is exact): lineitem is scanned and shuffled exactly
+    # once; the window re-shuffles only the (supplier, part) rollup.
+    w = Window.partitionBy("l_partkey")
     heavy = (
-        pair_qty.join(part_qty, F.col("l_partkey") == F.col("tp_key"))
+        pair_qty.withColumn(
+            "part_qty",
+            F.sum(F.col("pair_qty").cast("decimal(38,10)")).over(w).cast("double"),
+        )
         .filter(F.col("pair_qty") > F.lit(0.25) * F.col("part_qty"))
         .select("l_suppkey")
     )
@@ -844,16 +849,17 @@ pair AS (
   SELECT l_suppkey, l_partkey, {dec_sum_sql('l_quantity', 'pair_qty')}
   FROM li_p GROUP BY 1, 2
 ),
-tot AS (
-  SELECT l_partkey AS tp_key, {dec_sum_sql('l_quantity', 'part_qty')}
-  FROM li_p GROUP BY 1
+shares AS (
+  SELECT l_suppkey, pair_qty,
+         CAST(CAST(SUM(CAST(pair_qty AS DECIMAL(38,10)))
+                   OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE) AS part_qty
+  FROM pair
 )
 SELECT s_suppkey, s_name, n_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name IN ('NATION_1', 'NATION_4')
   AND s_suppkey IN (
-    SELECT l_suppkey FROM pair JOIN tot ON l_partkey = tp_key
-    WHERE pair_qty > 0.25 * part_qty)
+    SELECT l_suppkey FROM shares WHERE pair_qty > 0.25 * part_qty)
 ORDER BY s_suppkey
 """
 
@@ -862,10 +868,12 @@ ORDER BY s_suppkey
 
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape — suppliers that were the *sole* late shipper in a
-    multi-supplier order: EXISTS (another supplier in the order) AND
-    NOT EXISTS (another late supplier) become a left_semi then a
-    left_anti join on orderkey with a supplier-inequality predicate.
-    Both probes ship only (orderkey, suppkey) pairs."""
+    multi-supplier order. The textbook EXISTS + NOT-EXISTS pair would
+    scan/shuffle the order-lines three times; instead the per-order
+    counts (distinct suppliers, distinct late suppliers) are window
+    aggregates over orderkey — lineitem is scanned once and shuffled
+    once, and the EXISTS/NOT-EXISTS predicates become row filters
+    (orders are ≤7 lines, so the per-group set is tiny)."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     lines = li.join(
@@ -876,23 +884,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
     )
-    l1 = lines.filter(F.col("late"))
-    others = lines.select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("o2_supp")
-    ).distinct()
-    late_others = l1.select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("o3_supp")
-    ).distinct()
+    # EXISTS(other supplier)        ⇔ n_supp >= 2
+    # NOT EXISTS(other late suppl.) ⇔ n_late_supp == 1 (itself — every
+    # probe row below is late, so its own supplier is always counted)
+    w = Window.partitionBy("l_orderkey")
     sole_late = (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("o2_supp")),
-            "left_semi",
-        ).join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("o3_supp")),
-            "left_anti",
+        lines.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
         )
+        .filter(F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

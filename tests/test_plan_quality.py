@@ -22,6 +22,11 @@ from gis_city_county_spark.suite.tpch import (
     q_shipping_priority,
     q_topk_per_group,
 )
+from gis_city_county_spark.suite.tpch_ext import (
+    q16_supplier_counts,
+    q20_excess_suppliers,
+    q21_waiting_suppliers,
+)
 
 
 def test_q6_filters_reach_the_scan(spark, sf_dir):
@@ -65,6 +70,31 @@ def test_topk_single_shuffle(spark, sf_dir):
     """Window top-k must shuffle once on the partition key."""
     df = q_topk_per_group(spark, sf_dir)
     assert num_shuffles(df) == 1
+
+
+def test_q16_anti_join_broadcasts(spark, sf_dir):
+    """The NOT-IN exclusion set is tiny and must broadcast; neither
+    join may degrade to a nested loop."""
+    df = q16_supplier_counts(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_q20_single_lineitem_pass(spark, sf_dir):
+    """The correlated per-part total must roll up from the pair
+    aggregates — a second scan of lineitem means the rewrite broke."""
+    df = q20_excess_suppliers(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") <= 1
+
+
+def test_q21_single_lineitem_pass(spark, sf_dir):
+    """EXISTS + NOT EXISTS as one per-order aggregation: exactly one
+    scan of lineitem, no nested-loop joins."""
+    df = q21_waiting_suppliers(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") <= 1
+    assert not has_cartesian_or_bnlj(df)
 
 
 def test_minhash_no_product_join(spark, sf_dir):
