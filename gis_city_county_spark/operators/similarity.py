@@ -229,6 +229,143 @@ def lsh_ann_topk(
     )
 
 
+# ---------------------------------------------------------- IVF scale path
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    centroid-id tiebreak) → ``(id, vec, norm2, cid)`` — the inverted
+    lists, keyed by centroid. Centroids are broadcast (nlist ≈ √N rows
+    even at 100 TB), so assignment is one map-side pass + a window over
+    the corpus id; at scale the result would be written bucketed by
+    ``cid`` so a probe reads only its nprobe lists."""
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn2", dot_product(F.col("__cv"), F.col("__cv")))
+    e = corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    e = e.withColumn("__n2", dot_product(F.col("__v"), F.col("__v")))
+    cos = dot_product(F.col("__v"), F.col("__cv")) / (F.sqrt("__n2") * F.sqrt("__cn2"))
+    w = Window.partitionBy("__id").orderBy(F.desc("__ccos"), F.asc("cid"))
+    return (
+        e.crossJoin(F.broadcast(c))
+        .withColumn("__ccos", cos)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__v", "__n2", "cid")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_pred: Column,
+    k: int = 5,
+    nlist: int = 32,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: a coarse quantizer partitions the corpus
+    into ``nlist`` inverted lists; each probe scores only the vectors
+    in its ``nprobe`` nearest lists (an equi-join on list id — never a
+    cross join against the corpus).
+
+    The quantizer here is deterministic — centroids are the vectors
+    with ``id < nlist`` — so the DuckDB oracle can replay the identical
+    index; production would train k-means on a sample and plug the
+    centroid table in unchanged (the assignment/search plans don't
+    depend on how centroids were chosen). ``probe_pred`` is evaluated
+    against the assigned-corpus ``__id`` column."""
+    cents = corpus.filter(F.col(id_col) < nlist)
+    lists = ivf_assign(corpus, cents, id_col, vec_col)
+
+    c = cents.select(
+        F.col(id_col).alias("pcid"), F.col(vec_col).alias("__pcv")
+    ).withColumn("__pcn2", dot_product(F.col("__pcv"), F.col("__pcv")))
+    probes = lists.filter(probe_pred).select(
+        F.col("__id").alias("probe_id"), F.col("__v").alias("p_v"), F.col("__n2").alias("p_n2")
+    )
+    pcos = dot_product(F.col("p_v"), F.col("__pcv")) / (F.sqrt("p_n2") * F.sqrt("__pcn2"))
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("__pcos"), F.asc("pcid"))
+    probe_lists = (
+        probes.crossJoin(F.broadcast(c))
+        .withColumn("__pcos", pcos)
+        .withColumn("__prn", F.row_number().over(wp))
+        .filter(F.col("__prn") <= nprobe)
+        .select("probe_id", "p_v", "p_n2", F.col("pcid").alias("cid"))
+    )
+    cos = dot_product(F.col("__v"), F.col("p_v")) / (F.sqrt("p_n2") * F.sqrt("__n2"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("__id"))
+    return (
+        probe_lists.join(lists, "cid")
+        .filter(F.col("__id") != F.col("probe_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("__id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def ivf_ann_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    probe_filter: str,
+    k: int = 5,
+    nlist: int = 32,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ivf_ann_topk` — replays the identical
+    deterministic index. ``probe_filter`` must be qualified against
+    alias ``p`` — e.g. ``"p.id % 50 = 0"``."""
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id, {vd} AS v, list_dot_product({vd}, {vd}) AS n2
+  FROM {table}
+),
+cent AS (SELECT id AS cid, v AS cv, n2 AS cn2 FROM e WHERE id < {nlist}),
+assigned AS (
+  SELECT id, v, n2, cid FROM (
+    SELECT e.id, e.v, e.n2, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.id
+             ORDER BY list_dot_product(e.v, c.cv) / (sqrt(e.n2) * sqrt(c.cn2)) DESC,
+                      c.cid ASC) AS rn
+    FROM e CROSS JOIN cent c) t
+  WHERE rn = 1
+),
+probe_lists AS (
+  SELECT probe_id, p_v, p_n2, cid FROM (
+    SELECT p.id AS probe_id, p.v AS p_v, p.n2 AS p_n2, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.id
+             ORDER BY list_dot_product(p.v, c.cv) / (sqrt(p.n2) * sqrt(c.cn2)) DESC,
+                      c.cid ASC) AS prn
+    FROM assigned p CROSS JOIN cent c
+    WHERE {probe_filter}) t
+  WHERE prn <= {nprobe}
+),
+scored AS (
+  SELECT pl.probe_id, a.id AS neighbor_id,
+         list_dot_product(a.v, pl.p_v) / (sqrt(pl.p_n2) * sqrt(a.n2)) AS cosine
+  FROM probe_lists pl JOIN assigned a USING (cid)
+  WHERE a.id != pl.probe_id
+)
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cosine
+FROM (
+  SELECT probe_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {k}
+"""
+
+
 def _planes_sql(planes: list[list[float]]) -> list[str]:
     return ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
 

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from gis_city_county_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_sql,
+    ivf_ann_topk,
+    ivf_ann_topk_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
 )
@@ -30,6 +32,15 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 — coarse-quantized inverted lists, probes
+    score only their nprobe nearest lists (equi-join on list id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5, nlist=32, nprobe=4
+    )
+
+
 SPECS = [
     QuerySpec(
         "sim_bruteforce_cosine_topk",
@@ -40,5 +51,12 @@ SPECS = [
         "sim_lsh_ann_topk",
         q_lsh_ann_topk,
         lsh_ann_topk_sql("embeddings", "vec_id", "embedding", "p.id % 50 = 0", k=5),
+    ),
+    QuerySpec(
+        "sim_ivf_ann_topk",
+        q_ivf_ann_topk,
+        ivf_ann_topk_sql(
+            "embeddings", "vec_id", "embedding", "p.id % 50 = 0", k=5, nlist=32, nprobe=4
+        ),
     ),
 ]
