@@ -139,9 +139,76 @@ FROM documents d JOIN rolled r ON d.doc_id = r.doc_id
 """
 
 
+def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data shape: language-ID filter →
+    quality threshold → exact dedup on the normalized-text fingerprint
+    (keep lowest doc_id) → per-source document/token accounting.
+    Single scan, one window shuffle on the fingerprint, one
+    aggregation shuffle on source — the composition adds no extra
+    passes over the corpus."""
+    from pyspark.sql import Window
+
+    from gis_city_county_spark.functions.numeric import dec_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        predicted_lang("text").alias("plang"),
+        quality_score("text").alias("quality"),
+        bpe_token_count("text").alias("n_tokens"),
+        fingerprint_md5("text").alias("fp"),
+    ).filter((F.col("plang") == "en") & (F.col("quality") >= 0.45))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = enriched.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec_sum("n_tokens", "total_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_PIPELINE_ORACLE = f"""
+WITH enriched AS (
+  SELECT doc_id, source,
+         {quality_score_sql('text')} AS quality,
+         {bpe_token_count_sql('text')} AS n_tokens,
+         md5({normalized_text_sql('text')}) AS fp
+  FROM documents
+  WHERE CASE
+          WHEN {stopword_count_sql('text', 'en')} >= {stopword_count_sql('text', 'es')}
+           AND {stopword_count_sql('text', 'en')} >= {stopword_count_sql('text', 'de')}
+           AND {stopword_count_sql('text', 'en')} >= {stopword_count_sql('text', 'fr')}
+           AND {stopword_count_sql('text', 'en')} >= {cjk_count_sql('text')} THEN 'en'
+          ELSE 'other'
+        END = 'en'
+    AND {quality_score_sql('text')} >= 0.45
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM enriched) t
+  WHERE rn = 1
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(CAST(SUM(CAST(n_tokens AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) AS total_tokens,
+       MIN(quality) AS min_quality,
+       MAX(quality) AS max_quality
+FROM deduped
+GROUP BY source
+ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
     QuerySpec("text_quality_score", q_quality, _QUALITY_ORACLE),
     QuerySpec("text_fingerprint", q_fingerprint, _FP_ORACLE),
+    QuerySpec("pipeline_training_data", q_training_data_pipeline, _PIPELINE_ORACLE),
 ]
