@@ -13,7 +13,66 @@ parallelism and this is a no-op.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Shuffle join that survives heavy skew in ``left``'s join keys.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer;
+    at 100 TB a single key holding 1% of the fact table turns into a
+    straggler task processing 1 TB. AQE's skew-join split handles sort
+    -merge inputs it can see, but not joins hidden behind windows/aggs
+    or non-split-able stages. This helper makes the fix explicit:
+
+    - ``left`` rows get a deterministic salt in ``[0, n_salt)`` hashed
+      from the whole row (xxhash64 — no RNG, so plan re-evaluation and
+      task retries keep the same salt);
+    - ``right`` is replicated ``n_salt``× via an inline explode;
+    - the join key becomes (key..., salt), spreading each hot key over
+      ``n_salt`` reducers.
+
+    Correct for ``inner`` and ``left`` joins (each left row matches
+    exactly the one right replica carrying its salt). ``right`` should
+    be the smaller side — its shuffle volume multiplies by
+    ``n_salt``."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    lft = left.withColumn("__salt", salt)
+    rgt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = lft.join(rgt, [*keys, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-phase COUNT(DISTINCT x) GROUP BY k for skewed ``k``: first
+    dedupe on (k, salt-spread x) — the heavy shuffle spreads each hot
+    group over ``n_salt`` reducers because x rides in the key — then
+    count per group. Returns ``(group_col, n_distinct)``.
+
+    (Plain groupBy+countDistinct makes Catalyst shuffle all rows of a
+    group to one reducer for the final exact count; the two-phase form
+    shrinks that final shuffle to the already-deduped rows.)"""
+    dedup = df.select(group_col, distinct_col).dropDuplicates([group_col, distinct_col])
+    return dedup.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_distinct"))
 
 
 def rebalance_for_fanout(df: DataFrame, multiplier: float = 8.0) -> DataFrame:

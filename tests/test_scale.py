@@ -1,0 +1,49 @@
+"""Skew helpers: salted join / two-phase distinct must be result-
+identical to their plain forms (the only difference is plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.scale import salted_count_distinct, salted_join
+from gis_city_county_spark.sources.tables import load_table
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_salted_inner_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = salted_join(li, orders, "l_orderkey", n_salt=8)
+    cols = ["l_orderkey", "l_quantity", "o_orderpriority"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    # restrict the right side so some left rows have no match
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    plain = li.join(orders, "l_orderkey", "left")
+    salted = salted_join(li, orders, "l_orderkey", how="left", n_salt=8)
+    cols = ["l_orderkey", "l_linenumber", "o_orderpriority"]
+    assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
+
+
+def test_salted_count_distinct_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n_distinct"))
+    )
+    two_phase = salted_count_distinct(li, "l_returnflag", "l_orderkey")
+    cols = ["l_returnflag", "n_distinct"]
+    assert _sorted_rows(two_phase, cols) == _sorted_rows(plain, cols)
