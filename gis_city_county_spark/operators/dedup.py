@@ -213,7 +213,12 @@ def ngram_jaccard_pairs(
 
     Jaccard is computed from integer intersection/union counts —
     exact, so thresholding is deterministic."""
-    sh = shingle_df(df, id_col, text_col, k)
+    # The shingle explode feeds three consumers (signatures, set
+    # sizes, the intersection join) — persist it so the ~100× fan-out
+    # runs once, not three times. MEMORY_AND_DISK: at corpus scale the
+    # shingle table exceeds memory and spills; the alternative
+    # (recompute) triples the most expensive stage.
+    sh = shingle_df(df, id_col, text_col, k).persist()
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
