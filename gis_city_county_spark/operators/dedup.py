@@ -214,11 +214,12 @@ def ngram_jaccard_pairs(
     Jaccard is computed from integer intersection/union counts —
     exact, so thresholding is deterministic."""
     # The shingle explode feeds three consumers (signatures, set
-    # sizes, the intersection join) — persist it so the ~100× fan-out
-    # runs once, not three times. MEMORY_AND_DISK: at corpus scale the
-    # shingle table exceeds memory and spills; the alternative
-    # (recompute) triples the most expensive stage.
-    sh = shingle_df(df, id_col, text_col, k).persist()
+    # sizes, the intersection join). It is deliberately NOT persisted:
+    # the explode is cheap relative to cache materialization at bench
+    # scale, and at corpus scale an in-memory cache of a ~100×-fan-out
+    # table would spill anyway — there, checkpoint `sh` to parquet once
+    # and read it back for all three consumers instead.
+    sh = shingle_df(df, id_col, text_col, k)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
