@@ -155,6 +155,26 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    spark,
+    schema,
+    path: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+):
+    """Streaming exact dedup: keep the first event per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` drops
+    a key's state once the watermark passes its last-seen timestamp —
+    the streaming form of the batch ``dropDuplicates``, and the only
+    form whose state doesn't grow without bound on an infinite
+    stream). On a 100 TB/day stream the state store shards by key
+    hash across executors; the watermark horizon bounds each shard."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stateful_user_totals(
     spark,
     schema,

@@ -14,6 +14,7 @@ from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.streaming.events import (
     sessionize,
     stateful_user_totals,
+    streaming_dedup,
     streaming_sessionize,
     streaming_windowed_agg,
 )
@@ -82,6 +83,24 @@ def test_streaming_sessionize_matches_batch_counts(spark, events_snapshot):
     )
     want = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in want_rows}
     assert got == want
+
+
+def test_streaming_dedup_matches_batch_keys(spark, events_snapshot):
+    path, schema = events_snapshot
+    _run_to_memory(
+        streaming_dedup(spark, schema, path, keys=("user_id", "event_type")),
+        "dedup",
+        "append",
+    )
+    rows = spark.sql("SELECT user_id, event_type FROM dedup").collect()
+    got = [(r["user_id"], r["event_type"]) for r in rows]
+    # exactly one surviving row per distinct key
+    assert len(got) == len(set(got))
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in spark.read.parquet(path).select("user_id", "event_type").distinct().collect()
+    }
+    assert set(got) == want
 
 
 def test_stateful_user_totals(spark, events_snapshot):
