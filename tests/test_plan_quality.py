@@ -102,3 +102,18 @@ def test_minhash_no_product_join(spark, sf_dir):
     a nested-loop degradation would be O(n^2) at corpus scale."""
     df = q_minhash(spark, sf_dir)
     assert not has_cartesian_or_bnlj(df)
+
+
+def test_geo_overlays_no_product_join(spark, sf_dir):
+    """Spatial overlays pair candidates through the bbox grid-cell
+    equi-join; a cartesian/BNLJ here is O(n·m) over polygon tables at
+    scale. (The tiny literal frames in the geo suite would happily
+    nested-loop — the assertion pins the plan shape, not the size.)"""
+    from gis_city_county_spark.suite.geo_q import (
+        q_geo_erase,
+        q_geo_sliver_fix,
+        q_geo_union_overlay,
+    )
+
+    for fn in (q_geo_erase, q_geo_union_overlay, q_geo_sliver_fix):
+        assert not has_cartesian_or_bnlj(fn(spark, sf_dir)), fn.__name__
