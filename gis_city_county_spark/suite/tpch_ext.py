@@ -864,6 +864,42 @@ ORDER BY s_suppkey
 """
 
 
+# ----------------------------------------------------- order statistics
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics per group: median and p90 quantity plus
+    extremes. `percentile` is the exact (sort-based) aggregate — on
+    integral quantities the interpolated results are exactly
+    representable doubles, so they hash-match across engines. (The
+    approximate sketch path for 100 TB is `approx_percentile`; the
+    exact form is the oracle-able surface.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ------------------------------------------------------------------ Q21
 
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,5 +983,6 @@ SPECS = [
     QuerySpec("olap_rollup_region_nation", q_rollup_region_nation, _ROLLUP_ORACLE),
     QuerySpec("olap_setops_customer_activity", q_setops_customer_activity, _SETOPS_ORACLE),
     QuerySpec("olap_distinct_agg", q_distinct_agg, _DISTINCT_ORACLE),
+    QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("func_json_props", q_json_props, _JSON_ORACLE),
 ]
