@@ -1,0 +1,61 @@
+"""Table profiling: the pre-ingest data census.
+
+One wide aggregation computes every column's stats in a single pass
+(count, nulls, distincts, string-ordered extremes), then an inline
+``stack`` unpivots to long format — no per-column scans, no shuffle
+beyond the global aggregate's partial-merge. At 100 TB this is one
+scan of the table; the distinct counts are the only memory-heavy
+part (exact here for oracle-ability; swap ``countDistinct`` for
+``approx_count_distinct`` when cardinalities are huge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Long-format profile: one row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value)``.
+    Extremes are compared on the string form so heterogeneous column
+    types share one schema (and one engine-independent ordering)."""
+    cols = list(cols) if cols is not None else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(s).alias(f"__min_{c}"),
+            F.max(s).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def profile_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB oracle twin of :func:`profile` (same long format)."""
+    parts = [
+        f"""
+SELECT '{c}' AS column,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_value,
+       MAX(CAST({c} AS VARCHAR)) AS max_value
+FROM {table}"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)

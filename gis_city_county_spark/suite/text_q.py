@@ -139,6 +139,21 @@ FROM documents d JOIN rolled r ON d.doc_id = r.doc_id
 """
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-ingest data census of the documents table: one pass, one
+    wide aggregate, unpivoted to a row per column."""
+    from gis_city_county_spark.operators.profile import profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile(docs, ["doc_id", "source", "lang", "text"])
+
+
+def _profile_oracle() -> str:
+    from gis_city_county_spark.operators.profile import profile_sql
+
+    return profile_sql("documents", ["doc_id", "source", "lang", "text"])
+
+
 def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data shape: language-ID filter →
     quality threshold → exact dedup on the normalized-text fingerprint
@@ -211,4 +226,5 @@ SPECS = [
     QuerySpec("text_quality_score", q_quality, _QUALITY_ORACLE),
     QuerySpec("text_fingerprint", q_fingerprint, _FP_ORACLE),
     QuerySpec("pipeline_training_data", q_training_data_pipeline, _PIPELINE_ORACLE),
+    QuerySpec("profile_documents", q_profile_documents, _profile_oracle()),
 ]
