@@ -104,6 +104,32 @@ def test_minhash_no_product_join(spark, sf_dir):
     assert not has_cartesian_or_bnlj(df)
 
 
+# Queries where a nested-loop join is the intended plan: 1-row scalar
+# -subquery totals (q11/q22), the brute-force similarity baseline
+# (broadcast probe cross join IS the algorithm), and IVF's corpus ×
+# broadcast-centroid assignment (nlist ≈ √N rows even at scale).
+_BNLJ_ALLOWED = {
+    "tpch_q11_important_stock",
+    "tpch_q22_idle_customers",
+    "sim_bruteforce_cosine_topk",
+    "sim_ivf_ann_topk",
+}
+
+
+def test_no_unexpected_product_joins_suite_wide(spark, sf_dir):
+    """Every suite query's physical plan must be free of cartesian /
+    broadcast-nested-loop joins except the documented allowlist — a
+    new BNLJ anywhere else is an O(n·m) stage at 100 TB."""
+    from gis_city_county_spark.suite import all_specs
+
+    offenders = [
+        s.name
+        for s in all_specs()
+        if s.name not in _BNLJ_ALLOWED and has_cartesian_or_bnlj(s.fn(spark, sf_dir))
+    ]
+    assert not offenders, f"unexpected product joins: {offenders}"
+
+
 def test_geo_overlays_no_product_join(spark, sf_dir):
     """Spatial overlays pair candidates through the bbox grid-cell
     equi-join; a cartesian/BNLJ here is O(n·m) over polygon tables at
