@@ -269,6 +269,53 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------------------------ Q12
+
+def q12_lateness_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — the synthetic warehouse has no shipmode/commitdate,
+    so the classifier becomes ship lateness (days between order and
+    ship date, bucketed); per bucket, conditional counts of
+    high- vs low-priority orders. One shuffle join on orderkey, one
+    aggregation over three buckets."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(days <= 30, F.lit("1_FAST"))
+        .when(days <= 60, F.lit("2_MEDIUM"))
+        .otherwise(F.lit("3_SLOW"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("lateness"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("lateness")
+    )
+
+
+_Q12_ORACLE = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN '1_FAST'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 60 THEN '2_MEDIUM'
+            ELSE '3_SLOW' END AS lateness,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # ------------------------------------------------------------------ Q13
 
 def q13_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,6 +1017,7 @@ SPECS = [
     QuerySpec("tpch_q9_product_profit", q9_product_profit, _Q9_ORACLE),
     QuerySpec("tpch_q10_returned_items", q10_returned_items, _Q10_ORACLE),
     QuerySpec("tpch_q11_important_stock", q11_important_stock, _Q11_ORACLE),
+    QuerySpec("tpch_q12_lateness_classes", q12_lateness_classes, _Q12_ORACLE),
     QuerySpec("tpch_q13_order_counts", q13_order_counts, _Q13_ORACLE),
     QuerySpec("tpch_q14_promo_effect", q14_promo_effect, _Q14_ORACLE),
     QuerySpec("tpch_q15_top_supplier", q15_top_supplier, _Q15_ORACLE),
