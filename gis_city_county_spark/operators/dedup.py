@@ -332,3 +332,121 @@ agg AS (
 )
 SELECT id AS {id_col}, CAST({bits} AS BIGINT) AS simhash FROM agg
 """
+
+
+# ------------------------------------------------- connected components
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into connected components and pick
+    a canonical keeper per cluster — the step a training-data pipeline
+    runs *after* pair generation (pairs are not actionable on their
+    own; "keep one doc per duplicate group" needs the transitive
+    closure: a~b, b~c ⇒ {a,b,c} is one group even if (a,c) was never a
+    candidate pair).
+
+    Algorithm: iterative min-label propagation. ``comp`` starts as the
+    node's own id; each round every node takes the min of its own
+    label and its neighbors' labels; at fixpoint ``comp`` is the
+    minimum id reachable in the component, which is also the canonical
+    keeper (so ``is_keeper = (id == component)`` — no second pass).
+
+    Scale: each round is one shuffle join (edges × labels, both keyed
+    on id) plus one map-side-combinable min-aggregate — no driver-side
+    graph state. Rounds needed = graph diameter, and near-dup clusters
+    are dense (diameter 2–4 in practice). ``localCheckpoint`` after
+    each round truncates the lineage so the plan doesn't grow
+    quadratically across iterations; at 100 TB you'd checkpoint to the
+    cluster store instead (``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()``) for executor-loss resilience, and switch to the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") if a pathological long-chain
+    graph ever pushes the round count up.
+
+    Returns one row per node: (id, component, component_size,
+    is_keeper).
+    """
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+
+    w = Window.partitionBy("comp")
+    return labels.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("component"),
+        F.count(F.lit(1)).over(w).alias("component_size"),
+        (F.col("id") == F.col("comp")).alias("is_keeper"),
+    )
+
+
+def dedup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH pairs → connected components → canonical keeper."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, k, num_hashes, bands)
+    return connected_components(df, pairs, id_col)
+
+
+def dedup_components_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    """Oracle: transitive closure via recursive CTE (min reachable id
+    per node = the component label the propagation converges to)."""
+    cand = minhash_lsh_pairs_sql(table, id_col, text_col, k, num_hashes, bands)
+    return f"""
+WITH RECURSIVE cand AS ({cand}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM cand
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM cand
+),
+reach AS (
+  SELECT {id_col} AS src, {id_col} AS dst FROM {table}
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS {id_col}, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT {id_col}, component,
+       COUNT(*) OVER (PARTITION BY component) AS component_size,
+       {id_col} = component AS is_keeper
+FROM comp
+"""

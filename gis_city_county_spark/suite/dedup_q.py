@@ -5,6 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from gis_city_county_spark.operators.dedup import (
+    dedup_components,
+    dedup_components_sql,
     exact_dedup,
     exact_dedup_sql,
     minhash_lsh_pairs,
@@ -50,8 +52,20 @@ def q_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
 
 
+def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs clustered to duplicate groups (transitive
+    closure) with the canonical keeper per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_components(docs, "doc_id", "text")
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
+    QuerySpec(
+        "dedup_connected_components",
+        q_components,
+        dedup_components_sql("documents", "doc_id", "text"),
+    ),
     QuerySpec(
         "dedup_minhash_lsh_pairs",
         q_minhash,
