@@ -1,0 +1,211 @@
+"""Temporal join operators: as-of join and bucketed range join.
+
+The reference has no temporal joins (SURVEY.md §2.5 — equi-joins
+only); these are greenfield scale operators for event/feature
+pipelines (e.g. point-in-time-correct feature lookup for training
+data). Both avoid the naive per-key cross product:
+
+* ``asof_join`` — merged-stream window scan: union both inputs tagged
+  by side, one shuffle on the join key, then a running ``last()`` over
+  (ts, side, tiebreak). Cost is O(n log n) per key partition and the
+  shuffle moves each row exactly once — no time-range explosion, no
+  per-left-row probe. This is the plan a 100 TB point-in-time join
+  wants: a single sort-based window, AQE-splittable on skewed keys.
+* ``range_join`` — equi-join on (key, time bucket) with bucket width =
+  the window span, left rows exploded to the ≤2 covering buckets, then
+  an exact range refine. The shuffle co-locates only temporal
+  neighbors, so a hot key never degenerates into a full per-key cross
+  product; Catalyst sees a plain equi-join (hash, AQE-skew-splittable)
+  rather than a broadcast-nested-loop theta join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- as-of
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    right_tiebreak: str,
+    suffix: str = "_r",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: for every left row, attach the
+    right row with the greatest ``right_ts <= left_ts`` (ties on the
+    timestamp broken by the greatest ``right_tiebreak``), left-outer
+    semantics (unmatched left rows keep NULL right columns).
+
+    The matched columns are carried through the window as ONE struct,
+    so all attached fields always come from the same right row even
+    when some payload fields are NULL.
+
+    ``tolerance_seconds`` (optional) voids matches older than the
+    given lag, mirroring pandas ``merge_asof(tolerance=...)``.
+    """
+    rpay = F.struct(*[F.col(c) for c in right_cols + [right_ts]])
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(
+            right.select(rpay.alias("x")).schema["x"].dataType
+        ).alias("__rpay"),
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns
+          if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_tiebreak).cast("long").alias("__tb"),
+        rpay.alias("__rpay"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ts", "__side", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = lhs.unionByName(rhs).withColumn(
+        "__match", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    out = matched.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        lag = F.col("__ts").cast("double") - F.col(f"__match.{right_ts}").cast("double")
+        out = out.withColumn(
+            "__match", F.when(lag <= F.lit(tolerance_seconds), F.col("__match"))
+        )
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols + [right_ts]],
+    )
+
+
+def asof_join_sql(
+    left_sql: str,
+    right_sql: str,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tiebreak: str,
+    suffix: str = "_r",
+) -> str:
+    """DuckDB twin via the same merged-stream window scan (native ASOF
+    JOIN breaks timestamp ties arbitrarily; this formulation pins the
+    tiebreak so both engines pick the same row)."""
+    keys = ", ".join(on)
+    lsel = ", ".join(c for c in left_cols if c not in on)
+    r_null = ", ".join(
+        f"NULL AS {c}" for c in left_cols if c not in on
+    )
+    pay = right_cols + [right_ts]
+    l_null_pay = ", ".join(f"NULL AS __p_{c}" for c in pay)
+    r_pay = ", ".join(f"{c} AS __p_{c}" for c in pay)
+    lasts = ",\n       ".join(
+        f"last_value(__p_{c} IGNORE NULLS) OVER w AS {c}{suffix}" for c in pay
+    )
+    outcols = ", ".join(left_cols + [f"{c}{suffix}" for c in pay])
+    return f"""
+WITH l AS ({left_sql}), r AS ({right_sql}),
+merged AS (
+  SELECT {keys}, {lsel}, {left_ts} AS __ts, 1 AS side, 0 AS tb, {l_null_pay} FROM l
+  UNION ALL BY NAME
+  SELECT {keys}, {r_null}, {right_ts} AS __ts, 0 AS side, {right_tiebreak} AS tb,
+         {r_pay} FROM r
+),
+scanned AS (
+  SELECT *,
+       {lasts}
+  FROM merged
+  WINDOW w AS (PARTITION BY {keys} ORDER BY __ts, side, tb
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT {outcols}
+FROM scanned WHERE side = 1
+"""
+
+
+# --------------------------------------------------------------- range
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs sharing ``on`` with
+    ``left_ts + lower <= right_ts <= left_ts + upper``.
+
+    Bucket width = window span (integer microseconds, exact): each
+    right row lands in one bucket, each left row probes the ≤2 buckets
+    covering its window, and the exact predicate refines after the
+    equi-join. Right columns come back suffixed.
+    """
+    span_us = int(round((upper_seconds - lower_seconds) * 1_000_000))
+    if span_us <= 0:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    lo_us = int(round(lower_seconds * 1_000_000))
+    up_us = int(round(upper_seconds * 1_000_000))
+
+    lus = F.unix_micros(F.col(left_ts))
+    rus = F.unix_micros(F.col(right_ts))
+    lhs = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((lus + lo_us) / span_us), F.floor((lus + up_us) / span_us)
+            )
+        ),
+    )
+    rhs = right.select(
+        *[F.col(c).alias(f"{c}{suffix}" if c not in on else c) for c in right.columns],
+    ).withColumn("__bucket", F.floor(F.unix_micros(F.col(f"{right_ts}{suffix}")) / span_us))
+
+    rts = F.unix_micros(F.col(f"{right_ts}{suffix}"))
+    lts = F.unix_micros(F.col(left_ts))
+    return (
+        lhs.join(rhs, on + ["__bucket"])
+        .filter((rts >= lts + lo_us) & (rts <= lts + up_us))
+        .drop("__bucket")
+    )
+
+
+def range_join_sql(
+    left_sql: str,
+    right_sql: str,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str = "_r",
+) -> str:
+    keys = " AND ".join(f"r.{k} = l.{k}" for k in on)
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    rsel = ", ".join(
+        f"r.{c} AS {c}{suffix}" for c in right_cols if c not in on
+    )
+    lo_us = int(round(lower_seconds * 1_000_000))
+    up_us = int(round(upper_seconds * 1_000_000))
+    return f"""
+WITH l AS ({left_sql}), r AS ({right_sql})
+SELECT {lsel}, {rsel}
+FROM l JOIN r ON {keys}
+ AND epoch_us(r.{right_ts}) >= epoch_us(l.{left_ts}) + {lo_us}
+ AND epoch_us(r.{right_ts}) <= epoch_us(l.{left_ts}) + {up_us}
+"""

@@ -42,6 +42,7 @@ def all_specs() -> list[QuerySpec]:
         multimodal_q,
         parity,
         similarity_q,
+        temporal_q,
         text_q,
         tpch,
         tpch_ext,
@@ -49,7 +50,8 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (
-        tpch, tpch_ext, parity, geo_q, text_q, dedup_q, similarity_q, events_q, multimodal_q
+        tpch, tpch_ext, parity, geo_q, text_q, dedup_q, similarity_q,
+        events_q, temporal_q, multimodal_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

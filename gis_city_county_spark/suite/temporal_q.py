@@ -1,0 +1,105 @@
+"""Temporal-join queries over the events table: as-of join (latest
+click at or before each error, per user) and bucketed range join
+(clicks in the 10 minutes before each error)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.temporal import (
+    asof_join,
+    asof_join_sql,
+    range_join,
+    range_join_sql,
+)
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+# Nanos-floored events (see events_q._EV_CTE for the convention).
+_ERR_SQL = (
+    "SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts "
+    "FROM events WHERE event_type = 'error'"
+)
+_CLICK_SQL = (
+    "SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts, value "
+    "FROM events WHERE event_type = 'click'"
+)
+
+
+def _errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+
+
+def _clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the user's most recent click at or
+    before it (point-in-time-correct feature lookup shape)."""
+    return asof_join(
+        _errors(spark, sf_dir),
+        _clicks(spark, sf_dir),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+    )
+
+
+_ASOF_ORACLE = asof_join_sql(
+    _ERR_SQL,
+    _CLICK_SQL,
+    on=["user_id"],
+    left_ts="ts",
+    right_ts="ts",
+    left_cols=["event_id", "user_id", "ts"],
+    right_cols=["event_id", "value"],
+    right_tiebreak="event_id",
+)
+
+
+def q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (error, click) pairs per user with the click in the 10
+    minutes up to the error, with the lag in seconds."""
+    pairs = range_join(
+        _errors(spark, sf_dir),
+        _clicks(spark, sf_dir),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=-600.0,
+        upper_seconds=0.0,
+    )
+    lag = (F.unix_micros("ts") - F.unix_micros("ts_r")).cast("double") / F.lit(1e6)
+    return pairs.withColumn("lag_sec", lag)
+
+
+_RANGE_ORACLE = (
+    "SELECT *, CAST(epoch_us(ts) - epoch_us(ts_r) AS DOUBLE) / 1e6 AS lag_sec "
+    "FROM ("
+    + range_join_sql(
+        _ERR_SQL,
+        _CLICK_SQL,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=-600.0,
+        upper_seconds=0.0,
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["event_id", "ts", "value"],
+    )
+    + ")"
+)
+
+
+SPECS = [
+    QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
+    QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
+]
