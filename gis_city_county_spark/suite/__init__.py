@@ -42,6 +42,7 @@ def all_specs() -> list[QuerySpec]:
         multimodal_q,
         parity,
         similarity_q,
+        sketch_q,
         temporal_q,
         text_q,
         tpch,
@@ -51,7 +52,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         tpch, tpch_ext, parity, geo_q, text_q, dedup_q, similarity_q,
-        events_q, temporal_q, multimodal_q,
+        events_q, temporal_q, sketch_q, multimodal_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

@@ -1,0 +1,70 @@
+"""Deterministic sketch/sample queries: KMV distinct estimation and
+hash-Bernoulli sampling (both bit-identical across engines, unlike
+HLL / seeded RNG sampling)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.functions.numeric import dec_sum, dec_sum_sql
+from gis_city_county_spark.operators.sketch import (
+    hash_sample,
+    hash_sample_predicate_sql,
+    kmv_distinct,
+    kmv_distinct_sql,
+)
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+
+def q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-priority: KMV (k=64) estimate of distinct customers,
+    alongside the exact count so the sketch error is visible."""
+    orders = load_table(spark, sf_dir, "orders")
+    est = kmv_distinct(orders, ["o_orderpriority"], "o_custkey", k=64)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return est.join(exact, "o_orderpriority")
+
+
+_KMV_ORACLE = f"""
+WITH est AS ({kmv_distinct_sql("SELECT * FROM orders", ["o_orderpriority"], "o_custkey", k=64)}),
+exact AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT est.*, exact.n_exact FROM est JOIN exact USING (o_orderpriority)
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% deterministic order sample rolled up by priority — the
+    reproducible-subset pattern (same keys survive on any engine, any
+    partitioning; joining tables sampled by the same key stays
+    consistent)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        hash_sample(orders, "o_orderkey", 0.10)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "total_price"),
+        )
+    )
+
+
+_SAMPLE_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       {dec_sum_sql("o_totalprice", "total_price")}
+FROM orders
+WHERE {hash_sample_predicate_sql("o_orderkey", 0.10)}
+GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
+    QuerySpec("sketch_hash_sample", q_hash_sample, _SAMPLE_ORACLE),
+]
