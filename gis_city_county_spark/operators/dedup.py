@@ -379,23 +379,25 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint()
 
+    def _label_sum(df: DataFrame) -> object:
+        # Labels only ever decrease, so the (exact, decimal) sum
+        # strictly decreases until the fixpoint — an O(1)-result scan
+        # over the checkpointed frame, far cheaper than a per-round
+        # old-vs-new join.
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iters):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("comp")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
 

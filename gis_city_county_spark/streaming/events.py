@@ -218,3 +218,55 @@ def stateful_user_totals(
     return stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "Update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_interval_join(
+    spark,
+    schema,
+    path: str,
+    lower_seconds: int = -600,
+    upper_seconds: int = 0,
+    watermark: str = "2 hours",
+):
+    """Stream-stream interval join: (error, click) pairs per user with
+    the click inside ``[error_ts + lower, error_ts + upper]`` — the
+    Structured Streaming twin of :func:`operators.temporal.range_join`.
+
+    Both sides carry a watermark AND the join has a two-sided time
+    bound, which is what lets the state store evict: a buffered click
+    can only match errors in a known time band, so once the error-side
+    watermark passes ``click_ts + |lower|`` the row is dropped. With
+    only a watermark (no range condition) stream-stream join state
+    grows forever — the range bound is load-bearing, not an
+    optimization."""
+    errors = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("err_ts") + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
+        & (F.col("click_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return errors.join(clicks, cond, "inner").select(
+        "err_id", "user_id", "err_ts", "click_id", "click_ts", "click_value"
+    )

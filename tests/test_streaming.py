@@ -122,3 +122,28 @@ def test_stateful_user_totals(spark, events_snapshot):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch_range_join(spark, events_snapshot):
+    from gis_city_county_spark.operators.temporal import range_join
+    from gis_city_county_spark.streaming.events import streaming_interval_join
+
+    path, schema = events_snapshot
+    _run_to_memory(
+        streaming_interval_join(spark, schema, path), "interval_join", "append"
+    )
+    got = {
+        (r.err_id, r.click_id)
+        for r in spark.sql("SELECT err_id, click_id FROM interval_join").collect()
+    }
+    ev = spark.read.parquet(path)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pairs = range_join(errors, clicks, ["user_id"], "ts", "ts", -600.0, 0.0)
+    want = {(r.event_id, r.event_id_r) for r in pairs.collect()}
+    assert got == want
+    assert len(want) > 0
