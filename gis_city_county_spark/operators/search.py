@@ -1,0 +1,126 @@
+"""Keyword search scoring: TF-IDF top-k over a document corpus.
+
+Fully relational full-text scoring for a fixed term list: one token
+explode → per-document conditional term counts (map-side-combinable
+aggregate, one pass) → corpus document frequencies as a 1-row
+broadcast → score and rank.
+
+Determinism across engines: the score uses the rational inverse
+document frequency ``N / df`` (one double division, one multiply per
+term, terms summed in FIXED expression order) — every operation is an
+IEEE primitive with identical operands on Spark and the oracle, so
+results are bit-equal. Production rankers swap in the damped
+``ln((N - df + 0.5) / (df + 0.5))`` BM25 idf — a one-line change that
+costs only cross-engine bit-equality (libm ``log`` is not correctly
+rounded), not determinism within an engine.
+
+Scale: the explode fans out ~tokens-per-doc ×; the conditional
+aggregate collapses it right back to one row per matching document
+before any shuffle (partial aggregation), so shuffle volume is
+O(matching docs), not O(tokens). The df/N side is a single 1-row
+frame — broadcast, never a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.scale import rebalance_for_fanout
+from gis_city_county_spark.operators.textstats import tokens, tokens_sql
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents by summed TF-IDF over ``terms``:
+    (id, tf_<term>..., score, rank). Ties broken by id ascending."""
+    toks = (
+        rebalance_for_fanout(df, multiplier=64.0)
+        .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+    )
+    tf = toks.groupBy("__id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    dfs = toks.groupBy().agg(
+        *[
+            F.countDistinct(F.when(F.col("tok") == t, F.col("__id"))).alias(f"df_{t}")
+            for t in terms
+        ]
+    )
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+
+    scored = tf.crossJoin(F.broadcast(dfs)).crossJoin(F.broadcast(n_docs))
+    score = None
+    for t in terms:
+        term_score = F.col(f"tf_{t}").cast("double") * (
+            F.col("n_docs").cast("double") / F.col(f"df_{t}").cast("double")
+        )
+        score = term_score if score is None else score + term_score
+    # Global top-k as sort+limit (TakeOrdered: per-partition top-k,
+    # driver merge of k×partitions rows) — NOT a global rank window,
+    # which would funnel the whole corpus through one partition. The
+    # rank window then runs over just the k survivors.
+    topk = (
+        scored.withColumn("score", score)
+        .select(
+            F.col("__id").alias(id_col), *[F.col(f"tf_{t}") for t in terms], "score"
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def tfidf_topk_sql(
+    table_sql: str, id_col: str, text_col: str, terms: list[str], k: int = 20
+) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in terms
+    )
+    df_aggs = ",\n         ".join(
+        f"COUNT(DISTINCT CASE WHEN tok = '{t}' THEN id END) AS df_{t}" for t in terms
+    )
+    # Fixed left-associative sum — must mirror the Spark expression
+    # order exactly for bit-equal doubles.
+    score = " + ".join(
+        f"(CAST(tf_{t} AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_{t} AS DOUBLE)))"
+        for t in terms
+    )
+    tf_cols = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT id, t.tok
+  FROM (SELECT {id_col} AS id, {tokens_sql(text_col)} AS tl FROM ({table_sql})) s,
+       LATERAL UNNEST(s.tl) AS t(tok)
+  WHERE t.tok IN ({in_list})
+),
+tf AS (
+  SELECT id,
+         {tf_aggs}
+  FROM toks GROUP BY id
+),
+dfs AS (
+  SELECT {df_aggs}
+  FROM toks
+),
+n AS (SELECT COUNT(*) AS n_docs FROM ({table_sql})),
+scored AS (
+  SELECT tf.id, {tf_cols}, {score} AS score
+  FROM tf CROSS JOIN dfs CROSS JOIN n
+)
+SELECT id AS {id_col}, {tf_cols}, score,
+       ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""

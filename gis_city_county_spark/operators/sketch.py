@@ -111,3 +111,37 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
 def hash_sample_predicate_sql(key_expr: str, fraction: float) -> str:
     cut = int(fraction * _SPACE)
     return f"{_h60_sql(f'CAST({key_expr} AS VARCHAR)')} < {cut}"
+
+
+def quota_sample(
+    df: DataFrame, group_cols: list[str], id_col: str, n_per_group: int
+) -> DataFrame:
+    """Deterministic per-group quota sample: rank rows inside each
+    group by md5(id) (a uniform, engine-independent order) and keep
+    the first ``n_per_group`` — the training-mix pattern "at most N
+    documents per language/source".
+
+    One shuffle on the group key. For pathologically hot groups,
+    pre-filter with :func:`hash_sample` at ~2·n/|group| before the
+    exact rank so the window never sorts the full group; the final
+    result is identical because both stages use the same hash order.
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col))
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= n_per_group
+    )
+
+
+def quota_sample_sql(
+    table_sql: str, group_cols: list[str], id_col: str, n_per_group: int
+) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+SELECT * FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY {keys}
+           ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS sample_rank
+  FROM ({table_sql})
+) WHERE sample_rank <= {n_per_group}
+"""

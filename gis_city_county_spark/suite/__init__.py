@@ -40,6 +40,7 @@ def all_specs() -> list[QuerySpec]:
         events_q,
         geo_q,
         multimodal_q,
+        packing_q,
         parity,
         similarity_q,
         sketch_q,
@@ -52,7 +53,7 @@ def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
     for mod in (
         tpch, tpch_ext, parity, geo_q, text_q, dedup_q, similarity_q,
-        events_q, temporal_q, sketch_q, multimodal_q,
+        events_q, temporal_q, sketch_q, packing_q, multimodal_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

@@ -1,0 +1,57 @@
+"""Training-shard preparation queries: quota sampling, sequence
+packing, TF-IDF keyword search."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gis_city_county_spark.operators.packing import pack_summary, pack_summary_sql
+from gis_city_county_spark.operators.search import tfidf_topk, tfidf_topk_sql
+from gis_city_county_spark.operators.sketch import quota_sample, quota_sample_sql
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+_TERMS = ["spark", "query", "join", "vector"]
+
+
+def q_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 20 documents per language, chosen by deterministic
+    hash order (the training-mix cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, ["lang"], "doc_id", 20).select(
+        "doc_id", "lang", "source", "sample_rank"
+    )
+
+
+_QUOTA_ORACLE = f"""
+SELECT doc_id, lang, source, sample_rank
+FROM ({quota_sample_sql("SELECT * FROM documents", ["lang"], "doc_id", 20)})
+"""
+
+
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~4000-char shards per language: per-pack
+    doc count and size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_summary(docs, ["lang"], "doc_id", "n_chars", 4000)
+
+
+_PACK_ORACLE = pack_summary_sql(
+    "SELECT * FROM documents", ["lang"], "doc_id", "n_chars", 4000
+)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by TF-IDF for a fixed keyword set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", _TERMS, k=20)
+
+
+_TFIDF_ORACLE = tfidf_topk_sql("SELECT * FROM documents", "doc_id", "text", _TERMS, 20)
+
+
+SPECS = [
+    QuerySpec("pipeline_quota_sample", q_quota, _QUOTA_ORACLE),
+    QuerySpec("pipeline_pack_sequences", q_pack, _PACK_ORACLE),
+    QuerySpec("search_tfidf_topk", q_tfidf, _TFIDF_ORACLE),
+]

@@ -106,13 +106,15 @@ def test_minhash_no_product_join(spark, sf_dir):
 
 # Queries where a nested-loop join is the intended plan: 1-row scalar
 # -subquery totals (q11/q22), the brute-force similarity baseline
-# (broadcast probe cross join IS the algorithm), and IVF's corpus ×
-# broadcast-centroid assignment (nlist ≈ √N rows even at scale).
+# (broadcast probe cross join IS the algorithm), IVF's corpus ×
+# broadcast-centroid assignment (nlist ≈ √N rows even at scale), and
+# TF-IDF's two 1-row broadcast scalars (corpus size, per-term dfs).
 _BNLJ_ALLOWED = {
     "tpch_q11_important_stock",
     "tpch_q22_idle_customers",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_ann_topk",
+    "search_tfidf_topk",
 }
 
 
