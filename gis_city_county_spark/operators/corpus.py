@@ -1,0 +1,292 @@
+"""Corpus-shaping operators for training-data pipelines.
+
+Greenfield relative to the reference (SURVEY.md §7 phase 7, BASELINE
+north star): the sharding/cleaning steps a 100 TB pretraining corpus
+goes through between raw documents and training shards —
+
+* **chunking**: split each document into fixed-token windows with
+  overlap (context-window packing upstream of tokenization);
+* **decontamination**: flag training documents sharing k-gram shingles
+  with a held-out evaluation set;
+* **deterministic splits**: hash-keyed train/val/test assignment that
+  is stable across runs, engines, and cluster sizes;
+* **repetition stats**: within-document token repetition ratios, the
+  standard boilerplate/low-diversity signal.
+
+Everything is JVM-side Column expressions (array transforms over the
+token array, explode, broadcast joins) — zero Python UDFs, so the hot
+path stays inside whole-stage codegen. Each operator has an exact
+DuckDB SQL twin for the oracle gate.
+
+Scale notes (100 TB):
+* chunking and repetition stats are scan-side (narrow) until their
+  single aggregation; no join, no second pass over the corpus.
+* decontamination broadcasts the *held-out* shingle set (benchmarks
+  are small by construction) so the training side is a map-side hash
+  join; only the hit rows reach the per-document aggregation.
+* split assignment is a pure projection — a filter on it pushes down
+  to the parquet scan like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.scale import rebalance_for_fanout
+from gis_city_county_spark.operators.sketch import _h60, _h60_sql
+from gis_city_county_spark.operators.textstats import tokens, tokens_sql
+
+# ------------------------------------------------------------------ chunking
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document.
+
+    Window ``i`` covers tokens ``[i*stride, i*stride + chunk)``; the
+    last window may be short. Documents with zero tokens produce no
+    chunks. Output: (id, chunk_id, chunk_text, n_chunk_tokens).
+
+    The token array, window count, and slices are all array
+    expressions evaluated during the scan; ``explode`` fans out to one
+    row per window with no shuffle.
+    """
+    assert 0 < stride <= chunk
+    with_toks = rebalance_for_fanout(df, multiplier=16.0).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    last_k = F.expr(
+        f"CASE WHEN size(__toks) > {chunk} "
+        f"THEN (size(__toks) - {chunk} + {stride} - 1) div {stride} "
+        f"ELSE 0 END"
+    ).cast("long")
+    exploded = with_toks.select(
+        "__id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), last_k)).alias("chunk_id"),
+    )
+    piece = F.expr(f"slice(__toks, int(chunk_id * {stride}) + 1, {chunk})")
+    return exploded.select(
+        F.col("__id").alias(id_col),
+        "chunk_id",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def chunk_documents_sql(
+    table: str, id_col: str, text_col: str, chunk: int = 64, stride: int = 48
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table}
+),
+nonempty AS (SELECT * FROM toks WHERE len(t) > 0),
+fanned AS (
+  SELECT {id_col}, t, g.k AS chunk_id
+  FROM nonempty,
+       LATERAL UNNEST(generate_series(
+         0,
+         CASE WHEN len(t) > {chunk}
+              THEN (len(t) - {chunk} + {stride} - 1) // {stride}
+              ELSE 0 END)) AS g(k)
+)
+SELECT {id_col}, chunk_id,
+       array_to_string(
+         list_slice(t, chunk_id * {stride} + 1,
+                    least(chunk_id * {stride} + {chunk}, len(t))), ' ')
+         AS chunk_text,
+       least(chunk_id * {stride} + {chunk}, len(t)) - chunk_id * {stride}
+         AS n_chunk_tokens
+FROM fanned
+"""
+
+
+# ------------------------------------------------------- repetition stats
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition: token count, distinct-token count,
+    distinct ratio, and the frequency share of the most common token.
+
+    One explode + one two-level aggregation keyed on the document id;
+    the map-side partial agg collapses each document's tokens before
+    the shuffle, so shuffle volume is O(distinct tokens), not O(tokens).
+    """
+    exploded = rebalance_for_fanout(df, multiplier=16.0).select(
+        F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok")
+    )
+    per_tok = exploded.groupBy("__id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_tok.groupBy("__id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_token_freq"),
+    )
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_distinct",
+        "max_token_freq",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+         ).alias("distinct_ratio"),
+        (F.col("max_token_freq").cast("double") / F.col("n_tokens").cast("double")
+         ).alias("top_token_ratio"),
+    )
+
+
+def repetition_stats_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {table}
+),
+per_tok AS (
+  SELECT {id_col}, tok, COUNT(*) AS c FROM tok GROUP BY {id_col}, tok
+),
+agg AS (
+  SELECT {id_col},
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         MAX(c) AS max_token_freq
+  FROM per_tok GROUP BY {id_col}
+)
+SELECT {id_col}, n_tokens, n_distinct, max_token_freq,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+       CAST(max_token_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio
+FROM agg
+"""
+
+
+# ------------------------------------------------------ deterministic split
+
+
+def split_assign(df: DataFrame, key_col: str) -> DataFrame:
+    """Append a deterministic ``split`` column (80/10/10
+    train/val/test) keyed on the md5 of ``key_col``.
+
+    Stable across runs, partitionings, and engines — the property that
+    matters when the corpus is rebuilt incrementally: a document's
+    split never changes, so no eval example ever leaks into training
+    on a later rebuild. A pure projection; filters on ``split``
+    push down to the scan.
+    """
+    bucket = _h60(F.col(key_col).cast("string")) % 10
+    return df.withColumn(
+        "split",
+        F.when(bucket == 0, "test").when(bucket == 1, "val").otherwise("train"),
+    )
+
+
+def split_case_sql(key_expr: str) -> str:
+    b = f"{_h60_sql(f'CAST({key_expr} AS VARCHAR)')} % 10"
+    return (
+        f"CASE WHEN {b} = 0 THEN 'test' "
+        f"WHEN {b} = 1 THEN 'val' ELSE 'train' END"
+    )
+
+
+# --------------------------------------------------------- decontamination
+
+
+def _shingle_array_expr(toks: str, k: int):
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}),"
+        f" i -> concat_ws(' ', slice({toks}, i, {k})))) "
+        f"ELSE array() END"
+    )
+
+
+def contamination(
+    train: DataFrame,
+    heldout: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Flag training documents sharing any k-token shingle with a
+    held-out set. Output per training document (with ≥1 shingle):
+    (id, n_shingles, n_hits, contamination_ratio).
+
+    Plan shape: the held-out shingle set is distinct-ed and
+    **broadcast** (eval benchmarks are tiny next to the corpus), so
+    the training side is scan → explode → broadcast hash join; only
+    hit rows are shuffled for the per-document count. The
+    per-document shingle total comes from an array expression during
+    the scan — no second aggregation over the full shingle relation.
+    """
+    heldout_sh = (
+        heldout.select(tokens(text_col).alias("__t"))
+        .select(F.explode(_shingle_array_expr("__t", k)).alias("shingle"))
+        .distinct()
+    )
+    base = train.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__t")
+    ).select(
+        "__id", F.size(_shingle_array_expr("__t", k)).alias("n_shingles"), "__t"
+    ).filter(F.col("n_shingles") > 0)
+    hits = (
+        rebalance_for_fanout(base, multiplier=16.0)
+        .select("__id", F.explode(_shingle_array_expr("__t", k)).alias("shingle"))
+        .join(F.broadcast(heldout_sh), "shingle")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        base.select("__id", "n_shingles")
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_shingles",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def contamination_sql(
+    train_table: str,
+    heldout_table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> str:
+    parts = " || ' ' || ".join(f"list_extract(t, i + {j})" for j in range(k))
+    return f"""
+WITH ho_toks AS (
+  SELECT {tokens_sql(text_col)} AS t FROM {heldout_table}
+),
+ho_sh AS (
+  SELECT DISTINCT {parts} AS shingle
+  FROM ho_toks, LATERAL UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+  WHERE len(t) >= {k}
+),
+tr_toks AS (
+  SELECT {id_col} AS __id, {tokens_sql(text_col)} AS t FROM {train_table}
+),
+tr_sh AS (
+  SELECT DISTINCT __id, {parts} AS shingle
+  FROM tr_toks, LATERAL UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+  WHERE len(t) >= {k}
+),
+base AS (
+  SELECT __id, COUNT(*) AS n_shingles FROM tr_sh GROUP BY __id
+),
+hits AS (
+  SELECT __id, COUNT(*) AS n_hits
+  FROM tr_sh JOIN ho_sh USING (shingle) GROUP BY __id
+)
+SELECT b.__id AS {id_col}, b.n_shingles,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(b.n_shingles AS DOUBLE)
+         AS contamination_ratio
+FROM base b LEFT JOIN hits h ON b.__id = h.__id
+"""

@@ -1,0 +1,101 @@
+"""Corpus-shaping queries: chunking, decontamination, deterministic
+splits, repetition stats (operators.corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.functions.numeric import dec_sum
+from gis_city_county_spark.operators.corpus import (
+    chunk_documents,
+    chunk_documents_sql,
+    contamination,
+    contamination_sql,
+    repetition_stats,
+    repetition_stats_sql,
+    split_assign,
+    split_case_sql,
+)
+from gis_city_county_spark.operators.textstats import token_count, tokens_sql
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+_CHUNK, _STRIDE = 64, 48
+_DECON_K, _DECON_MOD = 5, 37
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 64-token windows with a
+    48-token stride over every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk=_CHUNK, stride=_STRIDE)
+
+
+_CHUNK_ORACLE = chunk_documents_sql(
+    "documents", "doc_id", "text", chunk=_CHUNK, stride=_STRIDE
+)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate signal: within-document token repetition ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+_REP_ORACLE = repetition_stats_sql("documents", "doc_id", "text")
+
+
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split keyed on doc_id, summarized per
+    (split, lang): document count + whitespace-token budget. The
+    assignment is a projection; the only shuffle is the final
+    2-column aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = split_assign(docs, "doc_id")
+    return (
+        assigned.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec_sum(token_count("text"), "total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_ORACLE = f"""
+SELECT {split_case_sql('doc_id')} AS split, lang,
+       COUNT(*) AS n_docs,
+       CAST(CAST(SUM(CAST(len({tokens_sql('text')}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         AS total_tokens
+FROM documents
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 37th document is the held-out
+    eval set; training documents are scored by the fraction of their
+    5-token shingles that appear anywhere in the eval set."""
+    docs = load_table(spark, sf_dir, "documents")
+    heldout = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return contamination(train, heldout, "doc_id", "text", k=_DECON_K)
+
+
+_DECON_ORACLE = contamination_sql(
+    f"(SELECT * FROM documents WHERE doc_id % {_DECON_MOD} <> 0)",
+    f"(SELECT * FROM documents WHERE doc_id % {_DECON_MOD} = 0)",
+    "doc_id",
+    "text",
+    k=_DECON_K,
+)
+
+
+SPECS = [
+    QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_repetition_stats", q_repetition_stats, _REP_ORACLE),
+    QuerySpec("pipeline_train_val_test", q_train_val_test, _SPLIT_ORACLE),
+    QuerySpec("pipeline_decontaminate", q_decontaminate, _DECON_ORACLE),
+]
