@@ -36,6 +36,7 @@ class QuerySpec:
 def all_specs() -> list[QuerySpec]:
     """Assemble the full suite (import here to avoid import cycles)."""
     from gis_city_county_spark.suite import (
+        cdc_q,
         corpus_q,
         dedup_q,
         events_q,
@@ -53,9 +54,9 @@ def all_specs() -> list[QuerySpec]:
 
     specs: list[QuerySpec] = []
     for mod in (
-        tpch, tpch_ext, parity, geo_q, text_q, corpus_q, dedup_q,
-        similarity_q, events_q, temporal_q, sketch_q, packing_q,
-        multimodal_q,
+        tpch, tpch_ext, parity, geo_q, text_q, corpus_q, cdc_q,
+        dedup_q, similarity_q, events_q, temporal_q, sketch_q,
+        packing_q, multimodal_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

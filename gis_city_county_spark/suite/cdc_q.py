@@ -1,0 +1,156 @@
+"""CDC / mutation queries (operators.cdc): MERGE-style upsert over
+orders, type-2 history from the events log, and the release-diff of
+two document-table versions (reference ``quality_check.py`` sketch).
+
+The change sets / second snapshots are derived deterministically from
+the warehouse tables themselves (mod-partitioned by key) so the same
+construction runs identically in Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.cdc import (
+    merge_upsert,
+    merge_upsert_sql,
+    scd2_history,
+    scd2_history_sql,
+    snapshot_diff,
+    snapshot_diff_sql,
+)
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+# ------------------------------------------------------------- merge upsert
+
+_ORD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _orders_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(*_ORD_COLS)
+
+
+def _orders_changes(base: DataFrame) -> DataFrame:
+    """Deterministic change set: key%10==3 → price uplift (update),
+    key%10==7 → delete, key%10==1 → re-keyed insert."""
+    k = F.col("o_orderkey")
+    upd = base.filter(k % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(1.1)
+    ).withColumn("op", F.lit("U"))
+    dels = base.filter(k % 10 == 7).withColumn("op", F.lit("D"))
+    ins = (
+        base.filter(k % 10 == 1)
+        .withColumn("o_orderkey", k + F.lit(1_000_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("op", F.lit("I"))
+    )
+    return upd.unionByName(dels).unionByName(ins)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO shape: apply an upsert/delete change set to orders
+    by row identity (the reference's update-by-OID re-expressed
+    relationally; SURVEY §1 row identity)."""
+    base = _orders_base(spark, sf_dir)
+    return merge_upsert(base, _orders_changes(base), ["o_orderkey"])
+
+
+_ORD_BASE_SQL = f"SELECT {', '.join(_ORD_COLS)} FROM orders"
+_ORD_CHANGES_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+       'U' AS op FROM ({_ORD_BASE_SQL}) WHERE o_orderkey % 10 = 3
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 'D' AS op
+FROM ({_ORD_BASE_SQL}) WHERE o_orderkey % 10 = 7
+UNION ALL
+SELECT o_orderkey + 1000000000, o_custkey, 'N', o_totalprice, 'I' AS op
+FROM ({_ORD_BASE_SQL}) WHERE o_orderkey % 10 = 1
+"""
+_MERGE_ORACLE = merge_upsert_sql(
+    _ORD_BASE_SQL, _ORD_CHANGES_SQL, ["o_orderkey"], _ORD_COLS
+)
+
+# ------------------------------------------------------------- SCD2 history
+
+# Micros-floored events timestamps (see sources.tables._load_events).
+_EV_SQL = (
+    "SELECT event_id, user_id, event_type, make_timestamp(epoch_us(ts)) AS ts "
+    "FROM events"
+)
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 state history per user from the event log: one validity
+    interval per run of identical event_type, ordered by (ts,
+    event_id) so timestamp ties resolve identically everywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return scd2_history(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak="event_id",
+    )
+
+
+_SCD2_ORACLE = scd2_history_sql(
+    _EV_SQL,
+    key_cols=["user_id"],
+    ts_col="ts",
+    attr_cols=["event_type"],
+    tiebreak="event_id",
+)
+
+# ------------------------------------------------------------ snapshot diff
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release diff (reference ``quality_check.py:1-6``): compare the
+    documents table against a deterministically-perturbed next
+    release (drops, edits, additions by doc_id mod 13) and summarize
+    per-status row counts."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    m = F.col("doc_id") % 13
+    new = (
+        docs.filter(m != 0)
+        .withColumn(
+            "n_chars",
+            F.when(m == 1, F.col("n_chars") + 1).otherwise(F.col("n_chars")),
+        )
+        .unionByName(
+            docs.filter(m == 2).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+    )
+    diff = snapshot_diff(docs, new, ["doc_id"], ["lang", "source", "n_chars"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+
+
+_DOC_OLD_SQL = "SELECT doc_id, lang, source, n_chars FROM documents"
+_DOC_NEW_SQL = f"""
+SELECT doc_id, lang, source,
+       CASE WHEN doc_id % 13 = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars
+FROM ({_DOC_OLD_SQL}) WHERE doc_id % 13 <> 0
+UNION ALL
+SELECT doc_id + 1000000, lang, source, n_chars
+FROM ({_DOC_OLD_SQL}) WHERE doc_id % 13 = 2
+"""
+_DIFF_ORACLE = f"""
+SELECT status, COUNT(*) AS n FROM (
+{snapshot_diff_sql(_DOC_OLD_SQL, _DOC_NEW_SQL, ['doc_id'], ['lang', 'source', 'n_chars'])}
+) GROUP BY status ORDER BY status
+"""
+
+
+SPECS = [
+    QuerySpec("cdc_merge_upsert", q_merge_upsert, _MERGE_ORACLE),
+    QuerySpec("cdc_scd2_history", q_scd2_history, _SCD2_ORACLE),
+    QuerySpec("cdc_snapshot_diff", q_snapshot_diff, _DIFF_ORACLE),
+]
