@@ -190,6 +190,115 @@ def split_case_sql(key_expr: str) -> str:
     )
 
 
+# ------------------------------------------------------ shard assignment
+
+
+def shard_assign(
+    df: DataFrame, key_col: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic training-shard assignment + within-shard order.
+
+    ``shard`` = md5-hash bucket of the key (uniform, layout-stable);
+    ``pos`` = rank of the key's hash within its shard. Together they
+    define a reproducible global example order (shard-major) that is
+    independent of partitioning and cluster size — the property a
+    resumable data loader needs. Hash-ordering within the shard is
+    also an effective within-shard *shuffle*: adjacent source
+    documents land far apart.
+
+    Plan: pure projection for ``shard``; one shuffle keyed on
+    ``shard`` for the rank window. Shards are hash-uniform so the
+    window partitions are balanced by construction — no global sort,
+    no single-partition bottleneck.
+    """
+    h = _h60(F.col(key_col).cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def shard_assign_sql(source_sql: str, key_col: str, n_shards: int = 16) -> str:
+    h = _h60_sql(f"CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH src AS ({source_sql}),
+hashed AS (SELECT *, {h} AS __h, {h} % {n_shards} AS shard FROM src)
+SELECT * EXCLUDE (__h),
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY __h, {key_col})
+            AS BIGINT) AS pos
+FROM hashed
+"""
+
+
+# --------------------------------------------------- corpus n-gram top-k
+
+
+def ngram_topk(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent token n-grams per group (every occurrence
+    counts, unlike the decontamination shingles which are per-document
+    sets). Ties break lexicographically so the result is total-ordered.
+
+    Plan: scan-side n-gram explode → two-level count (map-side partial
+    agg collapses repeats before the shuffle) → per-group rank window.
+    The rank window reuses the count shuffle's hash partitioning on
+    the group key, so the whole query is one wide exchange.
+    """
+    from pyspark.sql import Window
+
+    grams = F.expr(
+        f"CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(1, size(__t) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(__t, i, {n}))) "
+        f"ELSE array() END"
+    )
+    counts = (
+        rebalance_for_fanout(df, multiplier=16.0)
+        .select(F.col(group_col), tokens(text_col).alias("__t"))
+        .select(group_col, F.explode(grams).alias("ngram"))
+        .groupBy(group_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ngram_topk_sql(
+    source_sql: str, group_col: str, text_col: str, n: int = 2, k: int = 10
+) -> str:
+    parts = " || ' ' || ".join(f"list_extract(t, i + {j})" for j in range(n))
+    return f"""
+WITH src AS ({source_sql}),
+toks AS (SELECT {group_col}, {tokens_sql(text_col)} AS t FROM src),
+grams AS (
+  SELECT {group_col}, {parts} AS ngram
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - {n - 1})) AS g(i)
+  WHERE len(t) >= {n}
+),
+counts AS (
+  SELECT {group_col}, ngram, COUNT(*) AS freq FROM grams GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY {group_col}
+              ORDER BY freq DESC, ngram ASC) AS BIGINT) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+
+
 # --------------------------------------------------------- decontamination
 
 

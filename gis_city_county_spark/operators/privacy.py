@@ -1,0 +1,99 @@
+"""PII redaction for document pipelines.
+
+Greenfield relative to the reference (SURVEY.md §7 phase 7 /
+BASELINE north star): before text reaches a training corpus, address
+the obvious machine-recognizable identifiers — email addresses,
+NANP-style phone numbers, long digit runs (account/ID numbers). This
+is the standard regex-scrub stage; ML-based NER scrubbing would slot
+in behind the same interface as a Pandas-UDF stage.
+
+All three passes are JVM-side ``regexp_replace`` / ``regexp_count``
+over patterns restricted to constructs Java regex and RE2 (DuckDB)
+treat identically — character classes, bounded repetition, no
+lookaround, no alternation whose leftmost-first order matters — so the
+operator is exactly oracle-testable and stays inside whole-stage
+codegen (a pure scan-side projection: zero shuffles, zero UDFs).
+
+Pass order matters and is part of the contract: emails first (their
+local parts may contain digit runs), then phones, then bare digit
+runs; each count is taken on the text as redacted by the previous
+pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+IDNUM_PATTERN = r"[0-9]{7,}"
+
+EMAIL_TOKEN = "<EMAIL>"
+PHONE_TOKEN = "<PHONE>"
+IDNUM_TOKEN = "<ID>"
+
+
+def _count(c: Column, pattern: str) -> Column:
+    return F.regexp_count(c, F.lit(pattern)).cast("long")
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact emails → phones → digit runs, in that order.
+
+    Output: (id, redacted_text, n_emails, n_phones, n_idnums,
+    n_redactions). Counts are per-pass on the progressively-redacted
+    text, so an email's digits are never double-counted as an ID.
+    """
+    raw = F.col(text_col)
+    after_email = F.regexp_replace(raw, EMAIL_PATTERN, EMAIL_TOKEN)
+    after_phone = F.regexp_replace(after_email, PHONE_PATTERN, PHONE_TOKEN)
+    after_id = F.regexp_replace(after_phone, IDNUM_PATTERN, IDNUM_TOKEN)
+    out = df.select(
+        F.col(id_col),
+        after_id.alias("redacted_text"),
+        _count(raw, EMAIL_PATTERN).alias("n_emails"),
+        _count(after_email, PHONE_PATTERN).alias("n_phones"),
+        _count(after_phone, IDNUM_PATTERN).alias("n_idnums"),
+    )
+    return out.withColumn(
+        "n_redactions",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_idnums")).cast("long"),
+    )
+
+
+def redact_pii_sql(source_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin. DuckDB's ``regexp_replace`` is first-match-only
+    unless passed the ``'g'`` option (Spark's replaces all), and its
+    match count is ``len(regexp_extract_all(...))``."""
+    def rep(expr: str, pat: str, tok: str) -> str:
+        return f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+
+    def cnt(expr: str, pat: str) -> str:
+        return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+
+    e1 = rep(text_col, EMAIL_PATTERN, EMAIL_TOKEN)
+    e2 = rep("after_email", PHONE_PATTERN, PHONE_TOKEN)
+    e3 = rep("after_phone", IDNUM_PATTERN, IDNUM_TOKEN)
+    return f"""
+WITH src AS ({source_sql}),
+s1 AS (
+  SELECT {id_col}, {text_col},
+         {e1} AS after_email,
+         {cnt(text_col, EMAIL_PATTERN)} AS n_emails
+  FROM src
+),
+s2 AS (
+  SELECT *, {e2} AS after_phone,
+         {cnt('after_email', PHONE_PATTERN)} AS n_phones
+  FROM s1
+),
+s3 AS (
+  SELECT *, {e3} AS after_id,
+         {cnt('after_phone', IDNUM_PATTERN)} AS n_idnums
+  FROM s2
+)
+SELECT {id_col}, after_id AS redacted_text, n_emails, n_phones, n_idnums,
+       n_emails + n_phones + n_idnums AS n_redactions
+FROM s3
+"""

@@ -44,6 +44,7 @@ def all_specs() -> list[QuerySpec]:
         multimodal_q,
         packing_q,
         parity,
+        privacy_q,
         similarity_q,
         sketch_q,
         temporal_q,
@@ -56,7 +57,7 @@ def all_specs() -> list[QuerySpec]:
     for mod in (
         tpch, tpch_ext, parity, geo_q, text_q, corpus_q, cdc_q,
         dedup_q, similarity_q, events_q, temporal_q, sketch_q,
-        packing_q, multimodal_q,
+        packing_q, multimodal_q, privacy_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

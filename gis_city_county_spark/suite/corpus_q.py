@@ -12,8 +12,12 @@ from gis_city_county_spark.operators.corpus import (
     chunk_documents_sql,
     contamination,
     contamination_sql,
+    ngram_topk,
+    ngram_topk_sql,
     repetition_stats,
     repetition_stats_sql,
+    shard_assign,
+    shard_assign_sql,
     split_assign,
     split_case_sql,
 )
@@ -93,8 +97,37 @@ _DECON_ORACLE = contamination_sql(
 )
 
 
+_NGRAM_N, _NGRAM_K, _N_SHARDS = 2, 10, 16
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate signal: the 10 most frequent bigrams
+    per language (every occurrence counted, lexicographic tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_topk(docs, "lang", "text", n=_NGRAM_N, k=_NGRAM_K)
+
+
+_NGRAM_ORACLE = ngram_topk_sql(
+    "SELECT lang, text FROM documents", "lang", "text", n=_NGRAM_N, k=_NGRAM_K
+)
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard id + within-shard hash order for
+    every document; stable across runs, engines, and partitionings."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return shard_assign(docs, "doc_id", n_shards=_N_SHARDS)
+
+
+_SHARD_ORACLE = shard_assign_sql(
+    "SELECT doc_id, lang, n_chars FROM documents", "doc_id", n_shards=_N_SHARDS
+)
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
+    QuerySpec("pipeline_shard_assign", q_shard_assign, _SHARD_ORACLE),
     QuerySpec("corpus_repetition_stats", q_repetition_stats, _REP_ORACLE),
     QuerySpec("pipeline_train_val_test", q_train_val_test, _SPLIT_ORACLE),
     QuerySpec("pipeline_decontaminate", q_decontaminate, _DECON_ORACLE),

@@ -1,0 +1,65 @@
+"""PII-redaction query (operators.privacy).
+
+The synthetic documents contain no digits, so the query first injects
+deterministic PII (keyed on doc_id mod 7) — an email, a phone, an
+account number, or nothing — identically on the Spark and oracle
+sides, then redacts. This exercises every pattern and the pass-order
+contract while staying byte-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.operators.privacy import redact_pii, redact_pii_sql
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+
+def _inject(doc_id, text):
+    m = doc_id % 7
+    return (
+        F.when(
+            m == 0,
+            F.concat(
+                text,
+                F.lit(" contact user"),
+                doc_id.cast("string"),
+                F.lit("@example.com today"),
+            ),
+        )
+        .when(m == 1, F.concat(text, F.lit(" call 555-867-5309 now")))
+        .when(
+            m == 2,
+            F.concat(text, F.lit(" account 9"), (doc_id + 1000000).cast("string")),
+        )
+        .otherwise(text)
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _inject(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return redact_pii(docs, "doc_id", "text")
+
+
+_INJECTED_SQL = """
+SELECT doc_id,
+       CASE doc_id % 7
+         WHEN 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com today'
+         WHEN 1 THEN text || ' call 555-867-5309 now'
+         WHEN 2 THEN text || ' account 9' || CAST(doc_id + 1000000 AS VARCHAR)
+         ELSE text
+       END AS text
+FROM documents
+"""
+
+_PII_ORACLE = redact_pii_sql(_INJECTED_SQL, "doc_id", "text")
+
+
+SPECS = [
+    QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
+]
