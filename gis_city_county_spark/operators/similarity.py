@@ -499,3 +499,109 @@ FROM (
 ) t
 WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- centroids / outliers
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label centroid of an embedding column: ``(label,
+    centroid array<double>)``.
+
+    Plan: posexplode to (label, pos, val) — a narrow dim-fold fan-out
+    — then one aggregation on (label, pos) whose map-side partial agg
+    collapses each partition's rows to |labels|·dim cells before the
+    shuffle, then a per-label array rebuild (sorted by position).
+
+    Determinism: values are floor-quantized to 1e-8 resolution and
+    summed as exact integers (DECIMAL(38,0) — order-independent, and
+    unlike a direct double→DECIMAL(38,10) cast there is no rounding
+    step, hence no half-tie whose direction engines disagree on);
+    the mean is then two double divisions, identical everywhere.
+    """
+    per_dim = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    scaled = F.floor(F.col("val") * F.lit(1e8)).cast("decimal(38,0)")
+    cells = per_dim.groupBy("label", "pos").agg(
+        (
+            F.sum(scaled).cast("double") / F.count("val") / F.lit(1e8)
+        ).alias("cval")
+    )
+    return cells.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("centroid")
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k farthest vectors from their own label centroid (squared
+    L2) — the standard per-cluster anomaly/mislabeled-example scan.
+
+    The centroid table is |labels| rows — broadcast — so the corpus
+    streams through one scan; the only wide exchange is the per-label
+    top-k window. Distance = dot(diff, diff) with the same
+    left-to-right fold as the DuckDB oracle's ``list_dot_product``.
+    """
+    cents = label_centroids(df, vec_col, label_col)
+    j = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col).alias("__v")
+    ).join(F.broadcast(cents), "label")
+    diff = F.zip_with(
+        F.col("__v"), F.col("centroid"), lambda x, y: x.cast("double") - y
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dist2"), F.asc(id_col))
+    return (
+        j.withColumn("dist2", dot_product(diff, diff))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("label", id_col, "dist2", "rank")
+    )
+
+
+def centroid_outliers_sql(
+    table: str, id_col: str, vec_col: str, label_col: str, dim: int, k: int = 5
+) -> str:
+    avg = (
+        "CAST(CAST(SUM(CAST(floor(val * 1e8) AS DECIMAL(38,0))) AS VARCHAR)"
+        " AS DOUBLE) / COUNT(val) / 1e8 AS cval"
+    )
+    return f"""
+WITH per_dim AS (
+  SELECT {label_col} AS label, g.i AS pos,
+         CAST(list_extract({vec_col}, g.i) AS DOUBLE) AS val
+  FROM {table}, LATERAL UNNEST(generate_series(1, {dim})) AS g(i)
+),
+cells AS (
+  SELECT label, pos, {avg} FROM per_dim GROUP BY label, pos
+),
+cent AS (
+  SELECT label, list(cval ORDER BY pos) AS centroid FROM cells GROUP BY label
+),
+diffs AS (
+  SELECT e.{id_col}, e.{label_col} AS label,
+         list_transform(generate_series(1, {dim}),
+           i -> CAST(list_extract(e.{vec_col}, i) AS DOUBLE)
+                - list_extract(c.centroid, i)) AS diff
+  FROM {table} e JOIN cent c ON e.{label_col} = c.label
+),
+scored AS (
+  SELECT {id_col}, label, list_dot_product(diff, diff) AS dist2 FROM diffs
+)
+SELECT label, {id_col}, dist2, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+              ORDER BY dist2 DESC, {id_col} ASC) AS BIGINT) AS rank
+  FROM scored
+) t WHERE rank <= {k}
+"""

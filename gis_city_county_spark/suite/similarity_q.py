@@ -6,6 +6,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.similarity import (
+    centroid_outliers,
+    centroid_outliers_sql,
     cosine_topk,
     cosine_topk_sql,
     ivf_ann_topk,
@@ -41,7 +43,19 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + the 5 vectors farthest from their own
+    centroid (squared L2) — mislabeled-example / anomaly scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "vec_id", "embedding", "label", k=5)
+
+
 SPECS = [
+    QuerySpec(
+        "sim_centroid_outliers",
+        q_centroid_outliers,
+        centroid_outliers_sql("embeddings", "vec_id", "embedding", "label", dim=64, k=5),
+    ),
     QuerySpec(
         "sim_bruteforce_cosine_topk",
         q_bruteforce_topk,
