@@ -324,37 +324,36 @@ def contamination(
 
     Plan shape: the held-out shingle set is distinct-ed and
     **broadcast** (eval benchmarks are tiny next to the corpus), so
-    the training side is scan → explode → broadcast hash join; only
-    hit rows are shuffled for the per-document count. The
-    per-document shingle total comes from an array expression during
-    the scan — no second aggregation over the full shingle relation.
+    the training side is a single pass: scan → shingle explode →
+    broadcast *left* join carrying a hit marker → one per-document
+    aggregation counting rows and markers together. The corpus is
+    read once, the shingle arrays are built once, and the only
+    shuffle is the per-document count (map-side combined).
     """
     heldout_sh = (
         heldout.select(tokens(text_col).alias("__t"))
         .select(F.explode(_shingle_array_expr("__t", k)).alias("shingle"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    base = train.select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__t")
-    ).select(
-        "__id", F.size(_shingle_array_expr("__t", k)).alias("n_shingles"), "__t"
-    ).filter(F.col("n_shingles") > 0)
-    hits = (
-        rebalance_for_fanout(base, multiplier=16.0)
+    exploded = (
+        rebalance_for_fanout(train, multiplier=16.0)
+        .select(F.col(id_col).alias("__id"), tokens(text_col).alias("__t"))
         .select("__id", F.explode(_shingle_array_expr("__t", k)).alias("shingle"))
-        .join(F.broadcast(heldout_sh), "shingle")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
-        base.select("__id", "n_shingles")
-        .join(hits, "__id", "left")
+        exploded.join(F.broadcast(heldout_sh), "shingle", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
         .select(
             F.col("__id").alias(id_col),
             "n_shingles",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_hits",
             (
-                F.coalesce("n_hits", F.lit(0)).cast("double")
+                F.col("n_hits").cast("double")
                 / F.col("n_shingles").cast("double")
             ).alias("contamination_ratio"),
         )

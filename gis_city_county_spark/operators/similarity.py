@@ -78,12 +78,21 @@ def hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> list[list[f
     return [[round(float(x), 6) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
 
-def _dot_const(vec: Column, plane: list[float]) -> Column:
-    """Dot product against a literal hyperplane (JVM fold, same
-    left-to-right order as DuckDB's list_dot_product)."""
-    arr = F.array(*[F.lit(p) for p in plane])
-    prods = F.zip_with(vec, arr, lambda x, y: x.cast("double") * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+def _dots_const(vec: Column, planes: list[list[float]]) -> Column:
+    """All plane dot products in one expression: ``transform`` over a
+    single constant 2-D array literal (``F.lit`` of the nested list —
+    a true Literal, materialized once, unlike ``F.array(*lits)`` which
+    rebuilds the array per row) with the same left-to-right fold as
+    DuckDB's ``list_dot_product``. One tree instead of n_planes copies
+    keeps plan size and per-row allocation O(1) in n_planes."""
+    return F.transform(
+        F.lit(planes),
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def rp_lsh_bands(
@@ -102,21 +111,35 @@ def rp_lsh_bands(
     join needs no second pass over the corpus (bands x vector bytes of
     shuffle — the standard trade against re-joining the full table)."""
     rows = len(planes) // bands
-    bits = [
-        F.when(_dot_const(F.col(vec_col), p) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in planes
-    ]
+    n2 = dot_product(F.col(vec_col), F.col(vec_col))
+    # The signature is extracted n_planes ways downstream, and
+    # CollapseProject would inline (= re-evaluate) the transform into
+    # every extraction. Materializing it through a one-element explode
+    # puts a Generate barrier under the extractions: the fold runs
+    # exactly once per row.
+    sigged = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        n2.alias("__n2"),
+        F.explode(F.array(_dots_const(F.col(vec_col), planes))).alias("__sig"),
+    )
+
+    def bit(i: int) -> Column:
+        return (
+            F.when(F.element_at(F.col("__sig"), i + 1) >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
     band_vals = []
     for b in range(bands):
         v: Column = F.lit(0)
         for r in range(rows):
-            v = v + bits[b * rows + r] * F.lit(1 << r)
+            v = v + bit(b * rows + r) * F.lit(1 << r)
         band_vals.append(v)
-    n2 = dot_product(F.col(vec_col), F.col(vec_col))
-    return df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        n2.alias("__n2"),
+    return sigged.select(
+        "__id",
+        "__v",
+        "__n2",
         F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
     )
 
