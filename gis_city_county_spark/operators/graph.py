@@ -1,0 +1,111 @@
+"""Graph analytics over relational edge lists.
+
+Greenfield (SURVEY.md §7 — the reference has no graph surface;
+near-dup clustering in ``operators.dedup`` already needs transitive
+closure, and ranking entities in a supplier/customer or link graph is
+the next standard ask of the same edge data).
+
+``pagerank`` is the deterministic integer-scaled variant: ranks are
+BIGINTs (initial mass ``scale`` per node) and each update is
+
+    rank'(v) = (15·scale) div 100 + (85 · Σ_{u→v} rank(u) div outdeg(u)) div 100
+
+— all integer arithmetic, so the result is exact, order-independent,
+and bit-identical on any engine (float PageRank sums diverge in the
+last ulps under parallel reduction). Mass lost to integer truncation
+and dangling nodes is *not* redistributed; that loss is part of the
+operator's contract, identically on both sides.
+
+Scale notes (100 TB): each iteration is one shuffle join
+(edges ⋈ ranks, both hash-keyed on the source node) plus one
+map-side-combinable SUM keyed on the destination — the standard
+Pregel-as-relational shape. ``localCheckpoint`` truncates lineage per
+round (cluster deployments would ``checkpoint()`` to durable storage
+instead). Out-degrees are computed once, attached to the edge list,
+and reused across iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Integer-scaled PageRank over a directed edge list.
+
+    Nodes are the distinct edge endpoints. Returns (node, rank) with
+    ``rank`` in units of ``1/scale``.
+
+    Each rank appears exactly once in the next iteration's plan, so a
+    small iteration count composes into ONE linear query (AQE plans
+    the whole chain; no per-round job barrier); lineage is truncated
+    only every ``checkpoint_every`` rounds to keep long runs bounded.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(outdeg, "src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for i in range(iters):
+        msgs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = nodes.join(msgs, nodes.node == msgs.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({DAMP_NUM} * coalesce(m, 0L)) div {DAMP_DEN}")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iters: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin: the fixed iteration count is unrolled into chained
+    CTEs (aggregation over the working table inside a recursive CTE is
+    not portable)."""
+    base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, o.deg FROM edges e JOIN outdeg o USING (src))",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""r{i + 1} AS (
+  SELECT n.node,
+         CAST({base} + ({DAMP_NUM} * COALESCE(s.m, 0)) // {DAMP_DEN} AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT dst, SUM(rank // deg) AS m
+    FROM ed JOIN r{i} ON ed.src = r{i}.node GROUP BY dst
+  ) s ON n.node = s.dst)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"

@@ -41,6 +41,7 @@ def all_specs() -> list[QuerySpec]:
         dedup_q,
         events_q,
         geo_q,
+        graph_q,
         multimodal_q,
         packing_q,
         parity,
@@ -57,7 +58,7 @@ def all_specs() -> list[QuerySpec]:
     for mod in (
         tpch, tpch_ext, parity, geo_q, text_q, corpus_q, cdc_q,
         dedup_q, similarity_q, events_q, temporal_q, sketch_q,
-        packing_q, multimodal_q, privacy_q,
+        packing_q, multimodal_q, privacy_q, graph_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

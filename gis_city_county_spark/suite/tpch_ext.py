@@ -1009,7 +1009,67 @@ ORDER BY numwait DESC, s_name
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per user, one count column per event type (the
+    wide activity-matrix shape). The pivot value list is declared, so
+    Catalyst plans a single pass — one shuffle on user_id, no
+    per-value scans."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return wide.select(
+        "user_id", *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+_PIVOT_ORACLE = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+_MELT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_melt_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: lineitem's four numeric measures to long form
+    (metric, val), re-aggregated per metric. The melt is a scan-side
+    expand (no shuffle); the only exchange is the 4-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.melt(
+        ids=[], values=_MELT_COLS, variableColumnName="metric", valueColumnName="val"
+    )
+    return (
+        long.groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("val", "total"))
+        .orderBy("metric")
+    )
+
+
+_MELT_ORACLE = (
+    "SELECT metric, COUNT(*) AS n, "
+    + dec_sum_sql("val", "total")
+    + " FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS metric, {c} AS val FROM lineitem" for c in _MELT_COLS
+    )
+    + ") GROUP BY metric ORDER BY metric"
+)
+
+
 SPECS = [
+    QuerySpec("olap_pivot_event_matrix", q_pivot_event_matrix, _PIVOT_ORACLE),
+    QuerySpec("olap_melt_lineitem_metrics", q_melt_lineitem_metrics, _MELT_ORACLE),
     QuerySpec("tpch_q2_min_cost_supplier", q2_min_cost_supplier, _Q2_ORACLE),
     QuerySpec("tpch_q4_order_priority", q4_order_priority, _Q4_ORACLE),
     QuerySpec("tpch_q7_volume_shipping", q7_volume_shipping, _Q7_ORACLE),
