@@ -59,3 +59,57 @@ FROM {table}"""
         for c in cols
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Fixed-range equi-width histogram: ``(bin, lo_edge, hi_edge,
+    n)``. Out-of-range values clamp into the edge bins (so every row
+    is counted; a separate range scan isn't needed first). One
+    map-side-combinable aggregation on a projected bin id — the
+    single-pass profiling shape that works at any scale.
+
+    Bin edges are ``lo + bin·(hi-lo)/nbins`` computed in double,
+    identically on any engine; the bin id is ``floor((x-lo)/w)``
+    clamped to ``[0, nbins)``.
+    """
+    w = (hi - lo) / nbins
+    bin_ = F.least(
+        F.lit(nbins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(w)).cast("int"),
+        ),
+    ).cast("long")
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin").cast("double") * F.lit(w)).alias("lo_edge"),
+            (F.lit(lo) + (F.col("bin") + 1).cast("double") * F.lit(w)).alias("hi_edge"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+def histogram_sql(
+    table_sql: str, value_col: str, lo: float, hi: float, nbins: int
+) -> str:
+    w = (hi - lo) / nbins
+    bin_ = (
+        f"CAST(least({nbins - 1}, greatest(0, "
+        f"CAST(floor((CAST({value_col} AS DOUBLE) - {lo!r}) / {w!r}) AS INTEGER)"
+        f")) AS BIGINT)"
+    )
+    return f"""
+SELECT bin,
+       {lo!r} + CAST(bin AS DOUBLE) * {w!r} AS lo_edge,
+       {lo!r} + CAST(bin + 1 AS DOUBLE) * {w!r} AS hi_edge,
+       COUNT(*) AS n
+FROM (SELECT {bin_} AS bin FROM ({table_sql}))
+GROUP BY bin ORDER BY bin
+"""

@@ -145,3 +145,24 @@ SELECT * FROM (
   FROM ({table_sql})
 ) WHERE sample_rank <= {n_per_group}
 """
+
+
+def weighted_hash_sample(
+    df: DataFrame, key_col: str, weight: Column
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row iff its
+    hash point ``md5(key)/2^60 ∈ [0,1)`` falls below its (clamped to
+    [0,1]) ``weight`` — Poisson-style importance sampling with zero
+    RNG state. Like :func:`hash_sample`, membership depends only on
+    the key and weight, so the sample is stable across runs, engines,
+    partitionings, and incremental rebuilds; unlike it, inclusion
+    probability varies per row (e.g. upweight long documents).
+    A pure filter: pushes to the scan, no shuffle."""
+    u = _h60(F.col(key_col).cast("string")).cast("double") / F.lit(_SPACE)
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+    return df.filter(u < w)
+
+
+def weighted_hash_sample_predicate_sql(key_expr: str, weight_expr: str) -> str:
+    u = f"CAST({_h60_sql(f'CAST({key_expr} AS VARCHAR)')} AS DOUBLE) / {_SPACE}"
+    return f"{u} < least(1.0, greatest(0.0, {weight_expr}))"

@@ -209,3 +209,80 @@ FROM l JOIN r ON {keys}
  AND epoch_us(r.{right_ts}) >= epoch_us(l.{left_ts}) + {lo_us}
  AND epoch_us(r.{right_ts}) <= epoch_us(l.{left_ts}) + {up_us}
 """
+
+
+# ------------------------------------------------------------ funnel
+
+
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the timestamp of the
+    first occurrence of stage i that happens strictly *after* their
+    first completed stage i-1 (the classic signup → click → purchase
+    progression; re-orderings don't count).
+
+    One row per user: (user, stage_reached, t_stage1..t_stageN).
+
+    Plan shape: every stage is a conditional ``MIN() OVER (PARTITION
+    BY user)`` window referencing the previous stage's column — N
+    chained projections over a single hash exchange on the user key
+    (no joins, no N scans of the event log), then one distinct to
+    collapse to per-user rows.
+    """
+    w = Window.partitionBy(user_col)
+    out = events
+    for i, s in enumerate(stages):
+        cond = F.col(type_col) == s
+        if i > 0:
+            cond = cond & (F.col(ts_col) > F.col(f"t_stage{i}"))
+        out = out.withColumn(
+            f"t_stage{i + 1}",
+            F.min(F.when(cond, F.col(ts_col))).over(w),
+        )
+    reached = F.lit(0)
+    for i in range(len(stages)):
+        reached = F.when(F.col(f"t_stage{i + 1}").isNotNull(), i + 1).otherwise(
+            reached
+        )
+    # Evaluate deepest-first: stage N implies all earlier stages.
+    cols = [f"t_stage{i + 1}" for i in range(len(stages))]
+    return (
+        out.select(user_col, *cols)
+        .distinct()
+        .withColumn("stage_reached", reached.cast("int"))
+    )
+
+
+def funnel_stages_sql(
+    source_sql: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> str:
+    layers = [f"s0 AS ({source_sql})"]
+    for i, s in enumerate(stages):
+        cond = f"{type_col} = '{s}'"
+        if i > 0:
+            cond += f" AND {ts_col} > t_stage{i}"
+        layers.append(
+            f"s{i + 1} AS (SELECT *, MIN(CASE WHEN {cond} THEN {ts_col} END)"
+            f" OVER (PARTITION BY {user_col}) AS t_stage{i + 1} FROM s{i})"
+        )
+    reached = "0"
+    for i in range(len(stages)):
+        reached = (
+            f"CASE WHEN t_stage{i + 1} IS NOT NULL THEN {i + 1} ELSE {reached} END"
+        )
+    cols = ", ".join(f"t_stage{i + 1}" for i in range(len(stages)))
+    return (
+        "WITH " + ",\n".join(layers) + f"""
+SELECT {user_col}, {cols}, CAST({reached} AS INTEGER) AS stage_reached
+FROM (SELECT DISTINCT {user_col}, {cols} FROM s{len(stages)})
+"""
+    )

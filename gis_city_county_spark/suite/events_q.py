@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gis_city_county_spark.operators.temporal import funnel_stages, funnel_stages_sql
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.streaming.events import sessionize, sessionize_sql, windowed_agg
 from gis_city_county_spark.suite import QuerySpec
@@ -37,7 +38,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap_seconds=1800)
 
 
+_FUNNEL = ["signup", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → click → purchase funnel: per-user stage
+    timestamps + deepest stage reached (strict temporal order)."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_stages(events, "user_id", "ts", "event_type", _FUNNEL)
+
+
+_FUNNEL_ORACLE = funnel_stages_sql(
+    _EV_CTE, "user_id", "ts", "event_type", _FUNNEL
+)
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
+    QuerySpec("events_funnel_stages", q_funnel, _FUNNEL_ORACLE),
 ]

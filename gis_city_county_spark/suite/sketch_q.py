@@ -13,6 +13,8 @@ from gis_city_county_spark.operators.sketch import (
     hash_sample_predicate_sql,
     kmv_distinct,
     kmv_distinct_sql,
+    weighted_hash_sample,
+    weighted_hash_sample_predicate_sql,
 )
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
@@ -64,7 +66,31 @@ GROUP BY 1
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic document sample (p = n_chars /
+    4000, clamped): longer documents are proportionally more likely to
+    survive, membership is still a pure key-hash filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = weighted_hash_sample(
+        docs, "doc_id", F.col("n_chars").cast("double") / F.lit(4000.0)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dec_sum(F.col("n_chars").cast("double"), "total_chars"),
+    )
+
+
+_WEIGHTED_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       {dec_sum_sql("CAST(n_chars AS DOUBLE)", "total_chars")}
+FROM documents
+WHERE {weighted_hash_sample_predicate_sql("doc_id", "CAST(n_chars AS DOUBLE) / 4000.0")}
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
     QuerySpec("sketch_hash_sample", q_hash_sample, _SAMPLE_ORACLE),
+    QuerySpec("sketch_weighted_sample", q_weighted_sample, _WEIGHTED_ORACLE),
 ]

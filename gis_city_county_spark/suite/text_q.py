@@ -154,6 +154,21 @@ def _profile_oracle() -> str:
     return profile_sql("documents", ["doc_id", "source", "lang", "text"])
 
 
+def q_histogram_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of document lengths (20 bins over
+    [0, 4000), clamped edge bins) — single-pass profiling."""
+    from gis_city_county_spark.operators.profile import histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram(docs, "n_chars", 0.0, 4000.0, 20)
+
+
+def _histogram_oracle() -> str:
+    from gis_city_county_spark.operators.profile import histogram_sql
+
+    return histogram_sql("SELECT * FROM documents", "n_chars", 0.0, 4000.0, 20)
+
+
 def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data shape: language-ID filter →
     quality threshold → exact dedup on the normalized-text fingerprint
@@ -227,4 +242,5 @@ SPECS = [
     QuerySpec("text_fingerprint", q_fingerprint, _FP_ORACLE),
     QuerySpec("pipeline_training_data", q_training_data_pipeline, _PIPELINE_ORACLE),
     QuerySpec("profile_documents", q_profile_documents, _profile_oracle()),
+    QuerySpec("profile_histogram_nchars", q_histogram_nchars, _histogram_oracle()),
 ]
