@@ -398,3 +398,58 @@ SELECT b.__id AS {id_col}, b.n_shingles,
          AS contamination_ratio
 FROM base b LEFT JOIN hits h ON b.__id = h.__id
 """
+
+
+# ----------------------------------------------- quantile band filter
+
+
+def quantile_band_filter(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the per-group exact
+    quantile band ``[lo_q, hi_q]`` — the outlier trim a corpus runs on
+    document lengths / quality scores per language.
+
+    Two passes by necessity (the bounds are data-dependent): one
+    per-group exact-percentile aggregate (|groups| rows — broadcast),
+    then a scan-side filter against the broadcast bounds. Exact
+    ``percentile`` on integral values is engine-identical
+    (see ``olap_percentiles``); the approximate 100 TB path swaps in
+    ``approx_percentile`` without changing the shape.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_q})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi_q})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .filter((v >= F.col("__lo")) & (v <= F.col("__hi")))
+        .drop("__lo", "__hi")
+    )
+
+
+def quantile_band_filter_sql(
+    source_sql: str,
+    group_col: str,
+    value_col: str,
+    cols: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> str:
+    return f"""
+WITH src AS ({source_sql}),
+bounds AS (
+  SELECT {group_col},
+         quantile_cont({value_col}, {lo_q}) AS __lo,
+         quantile_cont({value_col}, {hi_q}) AS __hi
+  FROM src GROUP BY {group_col}
+)
+SELECT {cols} FROM src JOIN bounds USING ({group_col})
+WHERE CAST({value_col} AS DOUBLE) >= __lo
+  AND CAST({value_col} AS DOUBLE) <= __hi
+"""

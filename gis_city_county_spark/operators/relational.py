@@ -154,3 +154,16 @@ def fix_individual(
             ),
         )
     return df
+
+
+def blocklist_filter(
+    df: DataFrame, col: str, blocklist: DataFrame, block_col: str | None = None
+) -> DataFrame:
+    """Drop rows whose ``col`` appears in a blocklist table — the
+    domain/source-exclusion step of a crawl-cleaning pipeline,
+    expressed as a broadcast LEFT ANTI join (blocklists are small next
+    to the corpus, so the scan is never shuffled; Catalyst folds the
+    anti join into a map-side hash lookup)."""
+    bc = block_col or col
+    right = blocklist.select(F.col(bc).alias(col)).dropDuplicates([col])
+    return df.join(F.broadcast(right), col, "left_anti")

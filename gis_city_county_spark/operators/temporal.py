@@ -286,3 +286,70 @@ SELECT {user_col}, {cols}, CAST({reached} AS INTEGER) AS stage_reached
 FROM (SELECT DISTINCT {user_col}, {cols} FROM s{len(stages)})
 """
     )
+
+
+# ------------------------------------------------- rolling features
+
+
+def rolling_features(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_seconds: int = 600,
+) -> DataFrame:
+    """Per-event trailing-window features: count and (decimal-exact)
+    sum of ``value_col`` over the last ``window_seconds`` for the same
+    user, plus the gap to the previous event — the standard
+    point-in-time feature-engineering shape.
+
+    Both windows share one hash exchange on the user key: the trailing
+    frame is a RANGE window over the microsecond timestamp (frame
+    membership is by *value*, so timestamp ties land in each other's
+    frames identically on any engine), the gap uses a ROWS ordering
+    with the event id as tiebreak. Sums accumulate in DECIMAL(38,10),
+    so the doubles are order-independent and engine-exact.
+    """
+    micros = F.unix_micros(F.col(ts_col))
+    w_range = (
+        Window.partitionBy(user_col)
+        .orderBy(micros)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    w_row = Window.partitionBy(user_col).orderBy(micros, F.col(id_col))
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col),
+        F.count(F.lit(1)).over(w_range).alias("n_trailing"),
+        F.sum(F.col(value_col).cast("decimal(38,10)"))
+        .over(w_range)
+        .cast("double")
+        .alias("sum_trailing"),
+        (micros - F.lag(micros).over(w_row)).alias("gap_us"),
+    )
+
+
+def rolling_features_sql(
+    source_sql: str,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    window_seconds: int = 600,
+) -> str:
+    span = window_seconds * 1_000_000
+    return f"""
+WITH src AS ({source_sql}),
+base AS (SELECT *, epoch_us({ts_col}) AS __us FROM src)
+SELECT {id_col}, {user_col}, {ts_col},
+       COUNT(*) OVER wr AS n_trailing,
+       CAST(CAST(SUM(CAST({value_col} AS DECIMAL(38,10))) OVER wr AS VARCHAR)
+            AS DOUBLE) AS sum_trailing,
+       __us - LAG(__us) OVER (PARTITION BY {user_col} ORDER BY __us, {id_col})
+         AS gap_us
+FROM base
+WINDOW wr AS (PARTITION BY {user_col} ORDER BY __us
+              RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)
+"""

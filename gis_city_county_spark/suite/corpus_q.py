@@ -14,6 +14,8 @@ from gis_city_county_spark.operators.corpus import (
     contamination_sql,
     ngram_topk,
     ngram_topk_sql,
+    quantile_band_filter,
+    quantile_band_filter_sql,
     repetition_stats,
     repetition_stats_sql,
     shard_assign,
@@ -124,9 +126,34 @@ _SHARD_ORACLE = shard_assign_sql(
 )
 
 
+def q_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language p05–p95 document-length trim: keep mid-band docs,
+    report per-language survivor counts and kept-length extremes."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quantile_band_filter(docs, "lang", "n_chars", 0.05, 0.95)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_kept"),
+            F.max("n_chars").alias("max_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BAND_ORACLE = f"""
+SELECT lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_kept, MAX(n_chars) AS max_kept
+FROM ({quantile_band_filter_sql('SELECT * FROM documents', 'lang', 'n_chars',
+                                'lang, n_chars', 0.05, 0.95)})
+GROUP BY lang ORDER BY lang
+"""
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
+    QuerySpec("corpus_length_band_filter", q_length_band, _BAND_ORACLE),
     QuerySpec("pipeline_shard_assign", q_shard_assign, _SHARD_ORACLE),
     QuerySpec("corpus_repetition_stats", q_repetition_stats, _REP_ORACLE),
     QuerySpec("pipeline_train_val_test", q_train_val_test, _SPLIT_ORACLE),

@@ -4,7 +4,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gis_city_county_spark.operators.temporal import funnel_stages, funnel_stages_sql
+from gis_city_county_spark.operators.temporal import (
+    funnel_stages,
+    funnel_stages_sql,
+    rolling_features,
+    rolling_features_sql,
+)
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.streaming.events import sessionize, sessionize_sql, windowed_agg
 from gis_city_county_spark.suite import QuerySpec
@@ -53,8 +58,23 @@ _FUNNEL_ORACLE = funnel_stages_sql(
 )
 
 
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-minute per-user activity features on every event
+    (count, decimal-exact value sum, gap to previous event)."""
+    events = load_table(spark, sf_dir, "events")
+    return rolling_features(
+        events, "user_id", "ts", "event_id", "value", window_seconds=600
+    )
+
+
+_ROLLING_ORACLE = rolling_features_sql(
+    _EV_CTE, "user_id", "ts", "event_id", "value", window_seconds=600
+)
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
     QuerySpec("events_funnel_stages", q_funnel, _FUNNEL_ORACLE),
+    QuerySpec("events_rolling_features", q_rolling, _ROLLING_ORACLE),
 ]

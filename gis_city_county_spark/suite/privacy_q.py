@@ -60,6 +60,33 @@ FROM documents
 _PII_ORACLE = redact_pii_sql(_INJECTED_SQL, "doc_id", "text")
 
 
+_BLOCKED = ["src3", "src7", "src11"]
+
+
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-exclusion: drop documents from blocklisted sources via a
+    broadcast anti-join, count survivors per (lang, source)."""
+    from gis_city_county_spark.operators.relational import blocklist_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    blocked = spark.createDataFrame([(s,) for s in _BLOCKED], ["source"])
+    kept = blocklist_filter(docs, "source", blocked)
+    return (
+        kept.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "source")
+    )
+
+
+_BLOCK_ORACLE = f"""
+SELECT lang, source, COUNT(*) AS n_docs
+FROM documents
+WHERE source NOT IN ({", ".join(repr(s) for s in _BLOCKED)})
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 SPECS = [
     QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
+    QuerySpec("pipeline_blocklist_filter", q_blocklist_filter, _BLOCK_ORACLE),
 ]
