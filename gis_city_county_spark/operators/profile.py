@@ -113,3 +113,52 @@ SELECT bin,
 FROM (SELECT {bin_} AS bin FROM ({table_sql}))
 GROUP BY bin ORDER BY bin
 """
+
+
+def zscore(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """Per-group z-score normalization from exact moments.
+
+    Mean and E[x²] come from DECIMAL(38,10) sums (order-independent ⇒
+    engine-exact); variance is the population ``E[x²] − mean²`` and
+    degenerate groups (zero variance) emit z = 0. Two passes by
+    necessity: a |groups|-row moment aggregate (broadcast) and a
+    scan-side projection — the feature-normalization shape that holds
+    at any scale.
+    """
+    x = F.col(value_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        (F.sum(x.cast("decimal(38,10)")).cast("double") / F.count(x)).alias("__mean"),
+        (F.sum((x * x).cast("decimal(38,10)")).cast("double") / F.count(x)).alias(
+            "__e2"
+        ),
+    )
+    var = F.col("__e2") - F.col("__mean") * F.col("__mean")
+    z = F.when(var > 0, (x - F.col("__mean")) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn(out_col, z)
+        .drop("__mean", "__e2")
+    )
+
+
+def zscore_sql(
+    source_sql: str, group_col: str, value_col: str, cols: str, out_col: str = "zscore"
+) -> str:
+    x = f"CAST({value_col} AS DOUBLE)"
+    dsum = "CAST(CAST(SUM(CAST(({e}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    mean = dsum.format(e=x) + f" / COUNT({value_col})"
+    e2 = dsum.format(e=f"{x} * {x}") + f" / COUNT({value_col})"
+    return f"""
+WITH src AS ({source_sql}),
+stats AS (
+  SELECT {group_col}, {mean} AS __mean, {e2} AS __e2
+  FROM src GROUP BY {group_col}
+)
+SELECT {cols},
+       CASE WHEN __e2 - __mean * __mean > 0
+            THEN ({x} - __mean) / sqrt(__e2 - __mean * __mean)
+            ELSE 0.0 END AS {out_col}
+FROM src JOIN stats USING ({group_col})
+"""

@@ -124,3 +124,70 @@ SELECT id AS {id_col}, {tf_cols}, score,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+# ------------------------------------------------------- fuzzy lookup
+
+
+def fuzzy_lookup(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    name_col: str,
+    k: int = 3,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Top-k nearest names by Levenshtein distance for each probe —
+    the fuzzy crosswalk the reference maintains by hand as a
+    name-fix table (``tests/data/inputs/Names_Crosswalk.xlsx``,
+    GNIS_ADJUSTMENTS ``config.py:115-123``): instead of curating exact
+    replacement pairs, match misspelled/variant names to their nearest
+    canonical entry.
+
+    Edit distance with unit costs is engine-exact. The probe set is
+    broadcast (crosswalks are small); the corpus streams through one
+    scan and only (probe, candidate, dist) survivors reach the
+    per-probe top-k window. Ties break on candidate id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(name_col).alias("cand_name")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(name_col).alias("probe_name")
+    )
+    scored = c.crossJoin(F.broadcast(p)).withColumn(
+        "dist", F.levenshtein(F.col("cand_name"), F.col("probe_name"))
+    )
+    if max_dist is not None:
+        scored = scored.filter(F.col("dist") <= max_dist)
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "probe_name", "cand_id", "cand_name", "dist", "rank")
+    )
+
+
+def fuzzy_lookup_sql(
+    corpus_sql: str,
+    probes_sql: str,
+    id_col: str,
+    name_col: str,
+    k: int = 3,
+    max_dist: int | None = None,
+) -> str:
+    having = f"WHERE dist <= {max_dist}" if max_dist is not None else ""
+    return f"""
+WITH c AS (SELECT {id_col} AS cand_id, {name_col} AS cand_name FROM ({corpus_sql})),
+p AS (SELECT {id_col} AS probe_id, {name_col} AS probe_name FROM ({probes_sql})),
+scored AS (
+  SELECT probe_id, probe_name, cand_id, cand_name,
+         levenshtein(cand_name, probe_name) AS dist
+  FROM c CROSS JOIN p
+)
+SELECT probe_id, probe_name, cand_id, cand_name, dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY dist ASC, cand_id ASC) AS BIGINT) AS rank
+  FROM scored {having}
+) WHERE rank <= {k}
+"""

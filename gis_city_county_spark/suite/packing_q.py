@@ -5,8 +5,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from gis_city_county_spark.operators.packing import pack_summary, pack_summary_sql
-from gis_city_county_spark.operators.search import tfidf_topk, tfidf_topk_sql
+from gis_city_county_spark.operators.search import (
+    fuzzy_lookup,
+    fuzzy_lookup_sql,
+    tfidf_topk,
+    tfidf_topk_sql,
+)
 from gis_city_county_spark.operators.sketch import quota_sample, quota_sample_sql
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
@@ -50,8 +57,30 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_ORACLE = tfidf_topk_sql("SELECT * FROM documents", "doc_id", "text", _TERMS, 20)
 
 
+def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name crosswalk: every 50th part name, first character
+    dropped (a deterministic 'typo'), matched back to its 3 nearest
+    part names by edit distance."""
+    part = load_table(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") % 50 == 0).select(
+        "p_partkey", F.expr("substring(p_name, 2)").alias("p_name")
+    )
+    return fuzzy_lookup(part, probes, "p_partkey", "p_name", k=3)
+
+
+_FUZZY_ORACLE = fuzzy_lookup_sql(
+    "SELECT p_partkey, p_name FROM part",
+    "SELECT p_partkey, substring(p_name, 2) AS p_name FROM part"
+    " WHERE p_partkey % 50 = 0",
+    "p_partkey",
+    "p_name",
+    k=3,
+)
+
+
 SPECS = [
     QuerySpec("pipeline_quota_sample", q_quota, _QUOTA_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pack, _PACK_ORACLE),
     QuerySpec("search_tfidf_topk", q_tfidf, _TFIDF_ORACLE),
+    QuerySpec("search_fuzzy_name_lookup", q_fuzzy, _FUZZY_ORACLE),
 ]

@@ -169,6 +169,26 @@ def _histogram_oracle() -> str:
     return histogram_sql("SELECT * FROM documents", "n_chars", 0.0, 4000.0, 20)
 
 
+def q_zscore_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score of document length from exact decimal
+    moments — length-normalization feature, engine-exact."""
+    from gis_city_county_spark.operators.profile import zscore
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return zscore(docs, "lang", "n_chars")
+
+
+def _zscore_oracle() -> str:
+    from gis_city_county_spark.operators.profile import zscore_sql
+
+    return zscore_sql(
+        "SELECT doc_id, lang, n_chars FROM documents",
+        "lang",
+        "n_chars",
+        "doc_id, lang, n_chars",
+    )
+
+
 def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data shape: language-ID filter →
     quality threshold → exact dedup on the normalized-text fingerprint
@@ -243,4 +263,5 @@ SPECS = [
     QuerySpec("pipeline_training_data", q_training_data_pipeline, _PIPELINE_ORACLE),
     QuerySpec("profile_documents", q_profile_documents, _profile_oracle()),
     QuerySpec("profile_histogram_nchars", q_histogram_nchars, _histogram_oracle()),
+    QuerySpec("text_zscore_nchars", q_zscore_nchars, _zscore_oracle()),
 ]
