@@ -353,3 +353,112 @@ FROM base
 WINDOW wr AS (PARTITION BY {user_col} ORDER BY __us
               RANGE BETWEEN {span} PRECEDING AND CURRENT ROW)
 """
+
+
+# -------------------------------------------------- resample + ffill
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Resample an irregular event stream onto a regular per-key time
+    grid with forward fill — the gap-free series a feature store or
+    plotting layer wants.
+
+    Grid cells run from each key's first to last event (inclusive) at
+    ``step_seconds``; a cell's observation is the *last* event inside
+    it (total order: ts, id), and empty cells carry the previous
+    cell's value forward (leading cells before any observation stay
+    NULL — nothing to fill from).
+
+    Plan: per-key min/max (one agg) → grid explode (scan-side
+    ``sequence``) → left join against the per-cell last-event
+    aggregate (both sides hash on the key+cell) → one ordered window
+    for the fill. No per-event cross products; grid size is bounded by
+    span/step, independent of event density.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    step_us = step_seconds * 1_000_000
+    cell = F.expr(f"unix_micros({ts_col}) div {step_us}").alias("cell")
+    # Last observation per (key, cell): row_number desc over (ts, id).
+    w_last = Window.partitionBy(key_col, "cell").orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    obs = (
+        events.select(F.col(key_col), cell, F.col(ts_col), F.col(id_col),
+                      F.col(value_col))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, "cell", F.col(value_col).alias("__obs"))
+    )
+    spans = events.groupBy(key_col).agg(
+        F.min(us).alias("__lo"), F.max(us).alias("__hi")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.expr(f"__lo div {step_us}"), F.expr(f"__hi div {step_us}")
+            )
+        ).alias("cell"),
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "cell"], "left")
+        .select(
+            key_col,
+            F.timestamp_micros(F.col("cell") * step_us).alias("cell_start"),
+            F.last("__obs", ignorenulls=True).over(w_fill).alias("value_ffill"),
+            F.col("__obs").isNotNull().alias("observed"),
+        )
+    )
+
+
+def resample_ffill_sql(
+    source_sql: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    step_seconds: int,
+) -> str:
+    step_us = step_seconds * 1_000_000
+    return f"""
+WITH src AS ({source_sql}),
+cells AS (
+  SELECT *, epoch_us({ts_col}) // {step_us} AS cell FROM src
+),
+obs AS (
+  SELECT {key_col}, cell, {value_col} AS __obs FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY {key_col}, cell
+                ORDER BY {ts_col} DESC, {id_col} DESC) AS __rn
+    FROM cells
+  ) WHERE __rn = 1
+),
+spans AS (
+  SELECT {key_col},
+         MIN(epoch_us({ts_col})) // {step_us} AS lo,
+         MAX(epoch_us({ts_col})) // {step_us} AS hi
+  FROM src GROUP BY {key_col}
+),
+grid AS (
+  SELECT {key_col}, g.cell
+  FROM spans, LATERAL UNNEST(generate_series(lo, hi)) AS g(cell)
+)
+SELECT g.{key_col},
+       make_timestamp(g.cell * {step_us}) AS cell_start,
+       LAST_VALUE(o.__obs IGNORE NULLS) OVER (
+         PARTITION BY g.{key_col} ORDER BY g.cell
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       o.__obs IS NOT NULL AS observed
+FROM grid g LEFT JOIN obs o ON g.{key_col} = o.{key_col} AND g.cell = o.cell
+"""

@@ -7,6 +7,8 @@ from pyspark.sql import DataFrame, SparkSession
 from gis_city_county_spark.operators.temporal import (
     funnel_stages,
     funnel_stages_sql,
+    resample_ffill,
+    resample_ffill_sql,
     rolling_features,
     rolling_features_sql,
 )
@@ -72,9 +74,24 @@ _ROLLING_ORACLE = rolling_features_sql(
 )
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample of the 'value' series with forward
+    fill over empty hours (gap-free feature series)."""
+    events = load_table(spark, sf_dir, "events")
+    return resample_ffill(
+        events, "user_id", "ts", "event_id", "value", step_seconds=3600
+    )
+
+
+_RESAMPLE_ORACLE = resample_ffill_sql(
+    _EV_CTE, "user_id", "ts", "event_id", "value", step_seconds=3600
+)
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
     QuerySpec("events_funnel_stages", q_funnel, _FUNNEL_ORACLE),
     QuerySpec("events_rolling_features", q_rolling, _ROLLING_ORACLE),
+    QuerySpec("events_resample_ffill", q_resample, _RESAMPLE_ORACLE),
 ]

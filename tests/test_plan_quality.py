@@ -107,14 +107,18 @@ def test_minhash_no_product_join(spark, sf_dir):
 # Queries where a nested-loop join is the intended plan: 1-row scalar
 # -subquery totals (q11/q22), the brute-force similarity baseline
 # (broadcast probe cross join IS the algorithm), IVF's corpus ×
-# broadcast-centroid assignment (nlist ≈ √N rows even at scale), and
-# TF-IDF's two 1-row broadcast scalars (corpus size, per-term dfs).
+# broadcast-centroid assignment (nlist ≈ √N rows even at scale),
+# TF-IDF's two 1-row broadcast scalars (corpus size, per-term dfs),
+# and the unbounded fuzzy top-k (no distance bound → every candidate
+# must be scored; broadcast probe cross join is the algorithm — the
+# bounded/blocked variant `fuzzy_join_blocked` is the scale path).
 _BNLJ_ALLOWED = {
     "tpch_q11_important_stock",
     "tpch_q22_idle_customers",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_ann_topk",
     "search_tfidf_topk",
+    "search_fuzzy_name_lookup",
 }
 
 
