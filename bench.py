@@ -46,8 +46,16 @@ def main() -> None:
         n for n in specs if n not in HEADLINE
     ]
 
-    # Warm up the JVM + parquet footer caches with a trivial action.
+    # Warm up the JVM + parquet footer caches with a trivial action,
+    # and the Python worker pool (fork + pandas/pyarrow import per
+    # worker) with a no-op mapInPandas across all slots — startup
+    # costs shouldn't be attributed to whichever query hits them
+    # first.
     spark.range(1).count()
+    slots = spark.sparkContext.defaultParallelism
+    spark.range(slots, numPartitions=slots).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # Two timed passes per query, report the min: JIT/codegen warm-up
     # and host noise on this box swing single runs by 2-5x, and the

@@ -149,8 +149,13 @@ def fuzzy_lookup(
     scan and only (probe, candidate, dist) survivors reach the
     per-probe top-k window. Ties break on candidate id.
     """
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), F.col(name_col).alias("cand_name")
+    # The distance scan is CPU-bound at |corpus|×|probes| rows; a
+    # single-split corpus file would serialize it on one slot.
+    c = rebalance_for_fanout(
+        corpus.select(
+            F.col(id_col).alias("cand_id"), F.col(name_col).alias("cand_name")
+        ),
+        multiplier=8.0,
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(name_col).alias("probe_name")
@@ -189,5 +194,103 @@ SELECT probe_id, probe_name, cand_id, cand_name, dist, rank FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
               ORDER BY dist ASC, cand_id ASC) AS BIGINT) AS rank
   FROM scored {having}
+) WHERE rank <= {k}
+"""
+
+
+def fuzzy_join_blocked(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int,
+    k: int | None = None,
+) -> DataFrame:
+    """Bounded-distance fuzzy join via length-band blocking — the
+    scale path next to :func:`fuzzy_lookup`'s brute-force scan.
+
+    Any pair within Levenshtein distance ``d`` satisfies
+    ``|len(a) - len(b)| <= d`` (each edit changes length by at most
+    one), so each probe is exploded to the ``2d+1`` lengths in its
+    band and candidates are paired through a **hash equi-join on
+    length** — no product join; only same-band pairs are ever scored.
+    Scoring uses the threshold form of ``levenshtein`` (early exit
+    once the running distance exceeds ``d``), and ``k`` optionally
+    keeps the k nearest per probe (ties on candidate id).
+
+    Scale notes: comparisons drop from ``n·m`` to the sum over length
+    bands; length alone is a low-cardinality key, so at extreme corpus
+    sizes the join inherits the length distribution's skew — AQE skew
+    -join splitting handles the hot bands (oversized partitions split
+    at runtime), and the probe side is typically small enough to
+    broadcast anyway.
+    """
+    # Same single-split concern as fuzzy_lookup: spread the CPU-bound
+    # scoring join across slots before fanning out.
+    c = rebalance_for_fanout(
+        corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(name_col).alias("cand_name"),
+            F.length(name_col).alias("__blk"),
+        ),
+        multiplier=8.0,
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(name_col).alias("probe_name"),
+        F.explode(
+            F.sequence(
+                F.length(name_col) - max_dist, F.length(name_col) + max_dist
+            )
+        ).alias("__blk"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "__blk")
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("cand_name"), F.col("probe_name"), max_dist),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+    out = scored.select("probe_id", "probe_name", "cand_id", "cand_name", "dist")
+    if k is None:
+        return out
+    w = Window.partitionBy("probe_id").orderBy(F.asc("dist"), F.asc("cand_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def fuzzy_join_blocked_sql(
+    corpus_sql: str,
+    probes_sql: str,
+    id_col: str,
+    name_col: str,
+    max_dist: int,
+    k: int | None = None,
+) -> str:
+    base = f"""
+WITH c AS (SELECT {id_col} AS cand_id, {name_col} AS cand_name,
+                  length({name_col}) AS blk FROM ({corpus_sql})),
+p AS (SELECT {id_col} AS probe_id, {name_col} AS probe_name,
+             length({name_col}) + g.d AS blk
+      FROM ({probes_sql}),
+           LATERAL UNNEST(generate_series(-{max_dist}, {max_dist})) AS g(d)),
+scored AS (
+  SELECT probe_id, probe_name, cand_id, cand_name,
+         levenshtein(cand_name, probe_name) AS dist
+  FROM c JOIN p USING (blk)
+)
+SELECT probe_id, probe_name, cand_id, cand_name, dist
+FROM scored WHERE dist <= {max_dist}
+"""
+    if k is None:
+        return base
+    return f"""
+SELECT probe_id, probe_name, cand_id, cand_name, dist, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY dist ASC, cand_id ASC) AS BIGINT) AS rank
+  FROM ({base})
 ) WHERE rank <= {k}
 """

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Long-lived multi-query drivers accumulate shuffle/broadcast
+        # registrations that the ContextCleaner only releases when the
+        # driver JVM happens to GC (default periodic GC: 30 min). On a
+        # session running hundreds of queries that backlog degrades
+        # later Python-exchange stages by seconds; a 60s floor keeps
+        # cleaner state bounded. Same flag matters for any production
+        # driver serving a query stream.
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.packing import pack_summary, pack_summary_sql
 from gis_city_county_spark.operators.search import (
+    fuzzy_join_blocked,
+    fuzzy_join_blocked_sql,
     fuzzy_lookup,
     fuzzy_lookup_sql,
     tfidf_topk,
@@ -78,9 +80,32 @@ _FUZZY_ORACLE = fuzzy_lookup_sql(
 )
 
 
+def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded fuzzy crosswalk (the scale path): same probes as
+    ``search_fuzzy_name_lookup`` but paired through the length-band
+    equi-join and scored with the early-exit threshold distance."""
+    part = load_table(spark, sf_dir, "part")
+    probes = part.filter(F.col("p_partkey") % 50 == 0).select(
+        "p_partkey", F.expr("substring(p_name, 2)").alias("p_name")
+    )
+    return fuzzy_join_blocked(part, probes, "p_partkey", "p_name", max_dist=2, k=3)
+
+
+_FUZZY_BLOCKED_ORACLE = fuzzy_join_blocked_sql(
+    "SELECT p_partkey, p_name FROM part",
+    "SELECT p_partkey, substring(p_name, 2) AS p_name FROM part"
+    " WHERE p_partkey % 50 = 0",
+    "p_partkey",
+    "p_name",
+    max_dist=2,
+    k=3,
+)
+
+
 SPECS = [
     QuerySpec("pipeline_quota_sample", q_quota, _QUOTA_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pack, _PACK_ORACLE),
     QuerySpec("search_tfidf_topk", q_tfidf, _TFIDF_ORACLE),
     QuerySpec("search_fuzzy_name_lookup", q_fuzzy, _FUZZY_ORACLE),
+    QuerySpec("search_fuzzy_join_blocked", q_fuzzy_blocked, _FUZZY_BLOCKED_ORACLE),
 ]

@@ -69,7 +69,12 @@ def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_city_county_spark.operators.relational import blocklist_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    blocked = spark.createDataFrame([(s,) for s in _BLOCKED], ["source"])
+    # Build the tiny blocklist JVM-side (literal array → explode): a
+    # spark.createDataFrame here would route through the Python-RDD
+    # path and pay a Python worker spin-up just to ship 3 strings.
+    blocked = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in _BLOCKED])).alias("source")
+    )
     kept = blocklist_filter(docs, "source", blocked)
     return (
         kept.groupBy("lang", "source")
