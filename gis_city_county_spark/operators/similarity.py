@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -68,7 +69,7 @@ def cosine_topk(
 
 # ---------------------------------------------------------- LSH scale path
 
-def hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+def hyperplanes(dim: int = 64, n_planes: int = 64, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-LSH, rounded to 6
     decimals so the literal text parsed by DuckDB equals the double
     Spark receives bit-for-bit."""
@@ -78,23 +79,6 @@ def hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> list[list[f
     return [[round(float(x), 6) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
 
-def _dots_const(vec: Column, planes: list[list[float]]) -> Column:
-    """All plane dot products in one expression: ``transform`` over a
-    single constant 2-D array literal (``F.lit`` of the nested list —
-    a true Literal, materialized once, unlike ``F.array(*lits)`` which
-    rebuilds the array per row) with the same left-to-right fold as
-    DuckDB's ``list_dot_product``. One tree instead of n_planes copies
-    keeps plan size and per-row allocation O(1) in n_planes."""
-    return F.transform(
-        F.lit(planes),
-        lambda p: F.aggregate(
-            F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-
-
 def rp_lsh_bands(
     df: DataFrame,
     id_col: str,
@@ -102,46 +86,65 @@ def rp_lsh_bands(
     planes: list[list[float]],
     bands: int,
 ) -> DataFrame:
-    """Random-hyperplane (SimHash-for-vectors) LSH banding:
-    ``(id, vec, norm2, band_idx, band_val)`` — one row per band.
+    """Random-hyperplane (SimHash-for-vectors) LSH band keys:
+    ``(__id, band_idx, band_val)`` — one thin row per band; consumers
+    re-attach vectors by id for the exact-scoring stage.
 
     Sign bits ``dot(v, plane) >= 0`` are packed into ``bands`` integer
     band values; vectors sharing any band value are similarity
-    candidates. The vector and its norm ride along so the candidate
-    join needs no second pass over the corpus (bands x vector bytes of
-    shuffle — the standard trade against re-joining the full table)."""
-    rows = len(planes) // bands
-    n2 = dot_product(F.col(vec_col), F.col(vec_col))
-    # The signature is extracted n_planes ways downstream, and
-    # CollapseProject would inline (= re-evaluate) the transform into
-    # every extraction. Materializing it through a one-element explode
-    # puts a Generate barrier under the extractions: the fold runs
-    # exactly once per row.
-    sigged = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        n2.alias("__n2"),
-        F.explode(F.array(_dots_const(F.col(vec_col), planes))).alias("__sig"),
-    )
+    candidates.
 
-    def bit(i: int) -> Column:
-        return (
-            F.when(F.element_at(F.col("__sig"), i + 1) >= 0, F.lit(1))
-            .otherwise(F.lit(0))
-        )
+    The signature kernel is a vectorized Arrow-batched ``mapInPandas``
+    — one ``n×planes×dim`` numpy multiply per chunk instead of
+    ``planes×dim`` interpreted higher-order-function steps per row
+    (the expression form was the bottleneck of the whole LSH path at
+    64 planes). Determinism: ``np.cumsum`` along the dim axis is a
+    sequential prefix sum, so its last element reproduces the exact
+    left-to-right IEEE fold of DuckDB's ``list_dot_product`` — signs,
+    and hence band values, are bit-identical to the SQL twin (a
+    pairwise/BLAS ``np.dot`` would not be)."""
+    import numpy as np
+    import pandas as pd
 
-    band_vals = []
-    for b in range(bands):
-        v: Column = F.lit(0)
-        for r in range(rows):
-            v = v + bit(b * rows + r) * F.lit(1 << r)
-        band_vals.append(v)
-    return sigged.select(
-        "__id",
-        "__v",
-        "__n2",
-        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    n_planes = len(planes)
+    rows = n_planes // bands
+    plane_mat = np.array(planes, dtype=np.float64)  # planes × dim
+    weights = (1 << np.arange(rows)).astype(np.int64)
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_val", T.IntegerType()),
+        ]
     )
+    chunk = 2048  # n×planes×dim float64 ⇒ ~64 MB per chunk at 64×64
+
+    def signatures(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                v = np.array(list(vecs[lo:hi]), dtype=np.float64)
+                prods = v[:, None, :] * plane_mat[None, :, :]
+                dots = np.cumsum(prods, axis=2)[:, :, -1]
+                bits = (dots >= 0).astype(np.int64).reshape(-1, bands, rows)
+                band_vals = (bits * weights).sum(axis=2).astype(np.int32)
+                n = hi - lo
+                yield pd.DataFrame(
+                    {
+                        "__id": np.repeat(ids[lo:hi], bands),
+                        "band_idx": np.tile(
+                            np.arange(bands, dtype=np.int32), n
+                        ),
+                        "band_val": band_vals.ravel(),
+                    }
+                )
+
+    src = rebalance_for_fanout(df.select(id_col, vec_col), multiplier=float(bands))
+    return src.mapInPandas(signatures, out_schema)
 
 
 def embedding_cosine_pairs(
@@ -149,15 +152,24 @@ def embedding_cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: only
     vectors sharing an LSH band are compared, so the pairwise stage is
     per-bucket, never all-pairs. Approximate by construction (recall
     is the banding probability); the oracle runs the identical
-    algorithm so results match exactly."""
+    algorithm so results match exactly.
+
+    Band width sets the bucket count and hence the pair blowup: 8-bit
+    bands (the default, 64 planes / 8 bands) give 256 buckets per
+    band, so expected pairs/band ~ n²/256 instead of n²/16 with 4-bit
+    bands — the difference between a feasible and a quadratic shuffle
+    at corpus scale. Recall for a pair at angle θ is
+    ``1 - (1 - (1-θ/π)^8)^8`` — ≈0.99 at cosine 0.95, ≈0.93 at 0.9 —
+    i.e. true near-dups are kept; only far-apart marginal pairs are
+    increasingly dropped."""
     planes = hyperplanes(dim, n_planes)
     bd = rp_lsh_bands(df, id_col, vec_col, planes, bands)
     # Pair on thin (id, band) rows only: the candidate-pair explosion
@@ -203,8 +215,8 @@ def lsh_ann_topk(
     vec_col: str,
     probe_pred: Column,
     k: int = 5,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k neighbors: probes meet only same-band corpus
@@ -431,8 +443,8 @@ def embedding_cosine_pairs_sql(
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int = 64,
 ) -> str:
     ctes = _bands_cte_sql(table, id_col, vec_col, n_planes, bands, dim)
@@ -456,8 +468,8 @@ def lsh_ann_topk_sql(
     vec_col: str,
     probe_filter: str,
     k: int = 5,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int = 64,
 ) -> str:
     """``probe_filter`` must be written against ``p.id`` — the banded
