@@ -79,3 +79,104 @@ def co_bucketed_join(
     """Join two co-bucketed tables on their bucket key. With matching
     bucket counts this plans with no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+# ----------------------------------------------------- z-order clustering
+
+
+def _quantize_tpl(expr_sql: str, lo: int, hi: int, bits: int, idiv: str) -> str:
+    span = hi - lo + 1
+    top = (1 << bits) - 1
+    return (
+        f"greatest(0, least({top},"
+        f" (({expr_sql} - {lo}) * {1 << bits}) {idiv} {span}))"
+    )
+
+
+def quantize(expr_sql: str, lo: int, hi: int, bits: int) -> "F.Column":
+    """Map an integer SQL expression into ``[0, 2^bits)`` by exact
+    integer arithmetic: ``((x - lo) * 2^bits) div (hi - lo + 1)``,
+    clamped. All-BIGINT (no doubles), so engines agree bit-for-bit;
+    :func:`quantize_sql` is the literal DuckDB twin (``//``)."""
+    return F.expr(_quantize_tpl(expr_sql, lo, hi, bits, "div")).cast("long")
+
+
+def quantize_sql(expr_sql: str, lo: int, hi: int, bits: int) -> str:
+    return f"CAST({_quantize_tpl(expr_sql, lo, hi, bits, '//')} AS BIGINT)"
+
+
+def zorder_key(x: "F.Column", y: "F.Column", bits: int = 8) -> "F.Column":
+    """Interleave the low ``bits`` bits of two quantized integer
+    columns into a Morton (Z-order) key: bit ``i`` of ``x`` lands at
+    position ``2i``, of ``y`` at ``2i+1``. Rows close in the key are
+    close in BOTH dimensions, so min/max column stats of files written
+    in key ranges form tight boxes — a multi-dimensional data-skipping
+    layout that plain sorting (tight in one dimension, useless in the
+    rest) cannot give. Pure integer shifts/masks — identical on any
+    engine."""
+    z: "F.Column" = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return z
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB twin of :func:`zorder_key` (same shifts, same order)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    key: "F.Column",
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Cluster ``df`` into ``n_files`` contiguous Z-key ranges (range
+    repartition + in-file sort) and write parquet. Each output file
+    then covers one small Z-interval = one small box in the original
+    dimensions; a reader with predicates on those dimensions skips
+    whole files/row-groups on min/max stats. The write costs one range
+    shuffle — the standard pay-once layout investment."""
+    (
+        df.withColumn("__z", key)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_minmax_stats(path: str, cols: list[str]) -> "list[dict]":
+    """Per-file min/max of ``cols`` from parquet footers (driver-side
+    metadata read — no data scan). The basis for asserting a layout's
+    skipping power: a file can be skipped for a box query iff its
+    [min,max] box misses the query box."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        lo: dict = {c: None for c in cols}
+        hi: dict = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                c = col.path_in_schema
+                if c in lo and col.statistics is not None:
+                    s = col.statistics
+                    lo[c] = s.min if lo[c] is None else min(lo[c], s.min)
+                    hi[c] = s.max if hi[c] is None else max(hi[c], s.max)
+        out.append({"file": name, "min": lo, "max": hi})
+    return out

@@ -42,6 +42,7 @@ def all_specs() -> list[QuerySpec]:
         events_q,
         geo_q,
         graph_q,
+        layout_q,
         multimodal_q,
         packing_q,
         parity,
@@ -58,7 +59,7 @@ def all_specs() -> list[QuerySpec]:
     for mod in (
         tpch, tpch_ext, parity, geo_q, text_q, corpus_q, cdc_q,
         dedup_q, similarity_q, events_q, temporal_q, sketch_q,
-        packing_q, multimodal_q, privacy_q, graph_q,
+        packing_q, multimodal_q, privacy_q, graph_q, layout_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

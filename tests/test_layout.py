@@ -98,3 +98,89 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
     ).count()
     assert co_bucketed_join(spark, left, right, ["o_custkey"]).count() == expected
+
+
+# ----------------------------------------------------- z-order layout
+
+
+def _overlap_fraction(stats, x_col, x_box, y_col, y_box):
+    """Fraction of files whose [min,max] box intersects the query box
+    — the files a stats-based reader must open."""
+    hit = 0
+    for s in stats:
+        if s["min"][x_col] is None:
+            hit += 1
+            continue
+        x_miss = s["max"][x_col] < x_box[0] or s["min"][x_col] > x_box[1]
+        y_miss = s["max"][y_col] < y_box[0] or s["min"][y_col] > y_box[1]
+        if not (x_miss or y_miss):
+            hit += 1
+    return hit / len(stats)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Files written in Z-key ranges form tight boxes in BOTH
+    dimensions, so a 2-d box query overlaps far fewer files than under
+    a single-column sort (tight in one dimension, covering the full
+    range of the other)."""
+    from gis_city_county_spark.sources.layout import (
+        file_minmax_stats,
+        quantize,
+        write_zordered,
+        zorder_key,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+         .cast("long").alias("o_day"),
+    )
+    hi_cust = orders.agg(F.max("o_custkey")).collect()[0][0]
+    hi_day = orders.agg(F.max("o_day")).collect()[0][0]
+
+    z = zorder_key(
+        quantize("o_custkey", 1, int(hi_cust), 8),
+        quantize("o_day", 0, int(hi_day), 8),
+        bits=8,
+    )
+    z_dir = str(tmp_path / "orders_z")
+    write_zordered(orders, z_dir, z, n_files=128)
+
+    lin_dir = str(tmp_path / "orders_linear")
+    write_zordered(orders, lin_dir, F.col("o_custkey"), n_files=128)
+
+    cols = ["o_custkey", "o_day"]
+    z_stats = file_minmax_stats(z_dir, cols)
+    lin_stats = file_minmax_stats(lin_dir, cols)
+    assert len(z_stats) >= 64 and len(lin_stats) >= 64
+
+    # 10%-wide predicates in the middle of each dimension.
+    x_all = (0, int(hi_cust))
+    y_all = (0, int(hi_day))
+    x_box = (int(hi_cust * 0.45), int(hi_cust * 0.55))
+    y_box = (int(hi_day * 0.45), int(hi_day * 0.55))
+
+    # The defining property: a sorted layout prunes its sort dimension
+    # perfectly and the other one not at all (every file spans the full
+    # date range). The Z layout must prune BOTH dimensions, so its
+    # worst single-dimension overlap stays bounded while linear's is 1.
+    z_worst = max(
+        _overlap_fraction(z_stats, "o_custkey", x_box, "o_day", y_all),
+        _overlap_fraction(z_stats, "o_custkey", x_all, "o_day", y_box),
+    )
+    lin_worst = max(
+        _overlap_fraction(lin_stats, "o_custkey", x_box, "o_day", y_all),
+        _overlap_fraction(lin_stats, "o_custkey", x_all, "o_day", y_box),
+    )
+    assert lin_worst >= 0.9
+    assert z_worst <= 0.5
+
+    # And the 2-d box query must stay well below full-scan territory.
+    z_frac = _overlap_fraction(z_stats, "o_custkey", x_box, "o_day", y_box)
+    assert z_frac <= 0.2
+
+    # Correctness: the clustered copy still holds exactly the same rows.
+    assert (
+        spark.read.parquet(z_dir).count()
+        == orders.count()
+    )
