@@ -38,16 +38,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table stores TIMESTAMP(NANOS) — a parquet type Spark
-    rejects. Read the raw int64 nanos (``nanosAsLong``) and floor to
-    microsecond timestamps; the DuckDB oracle mirrors this with
-    ``make_timestamp(epoch_us(ts))``. Conversion is a projection — no
-    materialization, pushdown on the other columns is unaffected."""
+    """Normalize the events table's ``ts`` column to session-TZ
+    TIMESTAMP regardless of how the generator wrote it. Known layouts:
+
+    - TIMESTAMP(NANOS): a parquet type Spark rejects — read the raw
+      int64 nanos (``nanosAsLong``) and floor to microseconds; the
+      DuckDB oracle mirrors this with ``make_timestamp(epoch_us(ts))``.
+    - timestamp[us] without UTC adjustment: Spark reads TIMESTAMP_NTZ;
+      cast to TIMESTAMP (session TZ pinned to UTC, so values are
+      preserved and the DuckDB naive-timestamp oracle still matches).
+
+    Conversion is a projection — no materialization; pushdown on the
+    other columns is unaffected."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def load_tables(
