@@ -453,3 +453,94 @@ SELECT {cols} FROM src JOIN bounds USING ({group_col})
 WHERE CAST({value_col} AS DOUBLE) >= __lo
   AND CAST({value_col} AS DOUBLE) <= __hi
 """
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    shares: dict[str, float],
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Resample a corpus toward a target mixture: given per-group
+    target shares (e.g. language proportions for a training mix) and a
+    token budget (``budget_frac`` of the current total), derive each
+    group's deterministic sampling rate and keep rows by the weighted
+    key-hash filter — the "rebalance the data mix" stage of a
+    training-data pipeline.
+
+    rate(g) = min(1, share(g) · budget / tokens(g)) — groups above
+    their target are downsampled proportionally, groups at/below keep
+    everything (no upsampling; duplication is a separate op).
+
+    Scale shape: one aggregate over the corpus for the per-group token
+    totals (map-side combinable; output is |groups| rows), a broadcast
+    join of those rates back onto the stream, then a pure filter —
+    membership depends only on (id, rate), so the sample is stable
+    across runs, engines and partitionings, and the whole pass adds no
+    shuffle of the corpus itself.
+
+    Returns the kept rows with ``rate`` attached.
+    """
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.sketch import weighted_hash_sample
+
+    stats = df.groupBy(group_col).agg(F.sum(weight_col).alias("__toks"))
+    total = stats.agg(F.sum("__toks").alias("__total"))
+    share_lits = F.array(
+        *[
+            F.struct(F.lit(g).alias(group_col), F.lit(s).alias("__share"))
+            for g, s in sorted(shares.items())
+        ]
+    )
+    share_df = df.sparkSession.range(1).select(F.explode(share_lits).alias("s")).select("s.*")
+    rate = F.least(
+        F.lit(1.0),
+        (
+            F.col("__share")
+            * (F.lit(budget_frac) * F.col("__total").cast("double"))
+        )
+        / F.col("__toks").cast("double"),
+    )
+    rates = (
+        stats.join(F.broadcast(share_df), group_col)
+        .crossJoin(F.broadcast(total))
+        .select(group_col, rate.alias("rate"))
+    )
+    joined = df.join(F.broadcast(rates), group_col)
+    return weighted_hash_sample(joined, id_col, F.col("rate"))
+
+
+def mixture_resample_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    shares: dict[str, float],
+    budget_frac: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`mixture_resample` (kept rows + rate)."""
+    from gis_city_county_spark.operators.sketch import (
+        weighted_hash_sample_predicate_sql,
+    )
+
+    values = ", ".join(f"('{g}', {s!r})" for g, s in sorted(shares.items()))
+    pred = weighted_hash_sample_predicate_sql(f"d.{id_col}", "r.rate")
+    return f"""
+WITH stats AS (
+  SELECT {group_col}, SUM({weight_col}) AS __toks FROM {table} GROUP BY {group_col}
+),
+tot AS (SELECT SUM(__toks) AS __total FROM stats),
+shares({group_col}, __share) AS (VALUES {values}),
+rates AS (
+  SELECT s.{group_col},
+         LEAST(1.0, (sh.__share * ({budget_frac!r} * CAST(t.__total AS DOUBLE)))
+                    / CAST(s.__toks AS DOUBLE)) AS rate
+  FROM stats s JOIN shares sh USING ({group_col}) CROSS JOIN tot t
+)
+SELECT d.*, r.rate
+FROM {table} d JOIN rates r USING ({group_col})
+WHERE {pred}
+"""

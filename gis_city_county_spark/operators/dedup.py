@@ -370,14 +370,30 @@ def connected_components(
     Returns one row per node: (id, component, component_size,
     is_keeper).
     """
-    edges = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    # Checkpoint the edge list ONCE. ``pairs`` is usually the output of
+    # an expensive candidate-generation plan (shingle → minhash → band
+    # join); without the materialization every propagation round would
+    # re-execute that whole plan as a subtree of its join.
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+        )
+        .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint()
+    # Propagate labels only over nodes incident to at least one edge.
+    # In a near-dup corpus the overwhelming majority of documents are
+    # singletons; keeping them out of the loop shrinks every per-round
+    # join/aggregate from |corpus| to |dup-involved nodes| — the
+    # difference between shuffling 100 TB per round and shuffling the
+    # (tiny) duplicate subgraph. Singletons are attached at the end
+    # with constant-folded component columns (no shuffle).
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
 
     def _label_sum(df: DataFrame) -> object:
         # Labels only ever decrease, so the (exact, decimal) sum
@@ -401,13 +417,24 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
 
-    w = Window.partitionBy("comp")
-    return labels.select(
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("component_size"))
+    active = labels.join(sizes, "comp").select(
         F.col("id").alias(id_col),
         F.col("comp").alias("component"),
-        F.count(F.lit(1)).over(w).alias("component_size"),
+        F.col("component_size"),
         (F.col("id") == F.col("comp")).alias("is_keeper"),
     )
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(labels.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.col(id_col).alias("component"),
+            F.lit(1).cast("long").alias("component_size"),
+            F.lit(True).alias("is_keeper"),
+        )
+    )
+    return active.unionByName(singletons)
 
 
 def dedup_components(

@@ -97,3 +97,33 @@ SELECT {id_col}, after_id AS redacted_text, n_emails, n_phones, n_idnums,
        n_emails + n_phones + n_idnums AS n_redactions
 FROM s3
 """
+
+
+def k_anonymity(
+    df: DataFrame, qid_cols: list[str], k: int = 5
+) -> DataFrame:
+    """K-anonymity audit over a set of quasi-identifier columns: every
+    distinct QI combination with its population, flagged when fewer
+    than ``k`` rows share it (those rows are re-identifiable by the
+    QI tuple alone — the groups a release would have to suppress or
+    generalize).
+
+    One hash aggregate on the QI key — the same single-shuffle shape
+    at any scale; the output is bounded by the QI-combination
+    cardinality, not the row count. The companion release step is a
+    broadcast/semi-join of the violating combinations back onto the
+    row stream to drop or coarsen them.
+    """
+    return (
+        df.groupBy(*qid_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("violates_k", F.col("group_size") < k)
+    )
+
+
+def k_anonymity_sql(source_sql: str, qid_cols: list[str], k: int = 5) -> str:
+    keys = ", ".join(qid_cols)
+    return f"""
+SELECT {keys}, COUNT(*) AS group_size, COUNT(*) < {k} AS violates_k
+FROM ({source_sql}) GROUP BY {keys}
+"""

@@ -270,3 +270,62 @@ def streaming_interval_join(
     return errors.join(clicks, cond, "inner").select(
         "err_id", "user_id", "err_ts", "click_id", "click_ts", "click_value"
     )
+
+
+def streaming_cdc_apply(
+    spark,
+    schema,
+    changes_path: str,
+    publish_dir: str,
+    name: str,
+    key_cols: tuple[str, ...],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    max_files_per_trigger: int = 1,
+):
+    """Streaming CDC apply: a change-record stream continuously merged
+    into a published blue/green snapshot via ``foreachBatch`` — the
+    streaming twin of :func:`operators.cdc.merge_upsert` and the
+    standard "keep a serving table fresh from a change feed" pattern.
+
+    Per micro-batch: (1) reduce the batch to the LATEST change per key
+    by ``seq_col`` (a globally monotone change sequence — a CDC LSN),
+    (2) read the CURRENT snapshot, (3) ``merge_upsert``, (4) publish
+    the result as a new version and atomically repoint CURRENT
+    (:func:`sources.files.publish_snapshot`). Readers never see a
+    partial merge, and a crash mid-batch leaves the old pointer
+    intact — the batch replays idempotently because applying the same
+    latest-per-key change set twice is a no-op.
+
+    Because the per-batch reduction keeps the max-``seq_col`` row per
+    key, the final state is independent of how the stream is chopped
+    into micro-batches. At scale the snapshot rewrite becomes a
+    partition-scoped rewrite (only partitions containing changed keys)
+    or a Delta/Iceberg MERGE; the foreachBatch shape is identical.
+
+    Returns a ``DataStreamWriter`` — caller ``.start()``s it.
+    """
+    from gis_city_county_spark.operators.cdc import merge_upsert
+    from gis_city_county_spark.sources.files import publish_snapshot, read_published
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", seq_col)
+        )
+        base = read_published(sess, publish_dir, name)
+        merged = merge_upsert(base, latest, list(key_cols), op_col, delete_op)
+        publish_snapshot(merged, publish_dir, name)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(changes_path)
+    )
+    return stream.writeStream.foreachBatch(apply_batch).outputMode("update")

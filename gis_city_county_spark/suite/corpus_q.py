@@ -12,6 +12,8 @@ from gis_city_county_spark.operators.corpus import (
     chunk_documents_sql,
     contamination,
     contamination_sql,
+    mixture_resample,
+    mixture_resample_sql,
     ngram_topk,
     ngram_topk_sql,
     quantile_band_filter,
@@ -150,6 +152,32 @@ GROUP BY lang ORDER BY lang
 """
 
 
+_MIX_SHARES = {"en": 0.35, "zh": 0.25, "de": 0.15, "es": 0.15, "fr": 0.10}
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a target language mixture at half
+    the current token budget, then report the per-language result —
+    the data-mix stage of a training pipeline (deterministic: the same
+    docs survive on any engine/partitioning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_resample(
+        docs, "lang", "doc_id", "n_chars", _MIX_SHARES, budget_frac=0.5
+    )
+    return kept.groupBy("lang", "rate").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+    )
+
+
+_MIX_ORACLE = f"""
+SELECT lang, rate, COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM ({mixture_resample_sql("documents", "lang", "doc_id", "n_chars", _MIX_SHARES, budget_frac=0.5)})
+GROUP BY lang, rate
+"""
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
@@ -158,4 +186,5 @@ SPECS = [
     QuerySpec("corpus_repetition_stats", q_repetition_stats, _REP_ORACLE),
     QuerySpec("pipeline_train_val_test", q_train_val_test, _SPLIT_ORACLE),
     QuerySpec("pipeline_decontaminate", q_decontaminate, _DECON_ORACLE),
+    QuerySpec("pipeline_mixture_resample", q_mixture_resample, _MIX_ORACLE),
 ]

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gis_city_county_spark.operators.privacy import redact_pii, redact_pii_sql
+from gis_city_county_spark.operators.privacy import (
+    k_anonymity,
+    k_anonymity_sql,
+    redact_pii,
+    redact_pii_sql,
+)
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
 
@@ -91,7 +96,29 @@ GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit of customers under the quasi-identifier
+    (nation, market segment, $1000 balance band): group sizes plus a
+    violates-k flag for combinations shared by fewer than 5 rows —
+    the pre-release re-identification scan."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+_KANON_ORACLE = k_anonymity_sql(
+    "SELECT c_nationkey, c_mktsegment, "
+    "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer",
+    ["c_nationkey", "c_mktsegment", "bal_band"],
+    k=5,
+)
+
+
 SPECS = [
     QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
     QuerySpec("pipeline_blocklist_filter", q_blocklist_filter, _BLOCK_ORACLE),
+    QuerySpec("privacy_k_anonymity", q_k_anonymity, _KANON_ORACLE),
 ]

@@ -50,6 +50,86 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(emb, "vec_id", "embedding", "label", k=5)
 
 
+def q_vector_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function surface over the embedding column —
+    all JVM-side lambda expressions (zip_with/aggregate/filter/
+    transform), no Python in the loop: per label, vector count, total
+    positive components, min/max squared norm, max |component|.
+    Aggregates are counts and comparisons only, so every output is
+    bit-deterministic without the decimal-sum detour."""
+    from gis_city_county_spark.operators.similarity import dot_product
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    per_vec = emb.select(
+        "label",
+        dot_product(v, v).alias("norm2"),
+        F.size(F.filter(v, lambda x: x >= 0)).cast("long").alias("n_pos"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double").alias("max_abs"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("n_pos").alias("total_pos"),
+        F.min("norm2").alias("min_norm2"),
+        F.max("norm2").alias("max_norm2"),
+        F.max("max_abs").alias("max_abs_comp"),
+    )
+
+
+_VECOPS_ORACLE = """
+WITH per_vec AS (
+  SELECT label,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))) AS norm2,
+         CAST(len(list_filter(embedding, x -> x >= 0)) AS BIGINT) AS n_pos,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs, SUM(n_pos) AS total_pos,
+       MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
+       MAX(max_abs) AS max_abs_comp
+FROM per_vec GROUP BY label
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against the brute-force baseline,
+    per probe — the evaluation harness an ANN deployment runs on a
+    sampled probe set before trading exactness for the bucket join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = cosine_topk(emb, probes, "vec_id", "embedding", k=5)
+    ann = lsh_ann_topk(emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5)
+    hits = (
+        bf.join(ann, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    all_probes = bf.select("probe_id").distinct()
+    return all_probes.join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "recall"
+        ),
+    )
+
+
+_RECALL_ORACLE = f"""
+WITH bf AS (SELECT * FROM ({cosine_topk_sql("embeddings", "vec_id", "embedding", "p.vec_id % 50 = 0", k=5)})),
+ann AS (SELECT * FROM ({lsh_ann_topk_sql("embeddings", "vec_id", "embedding", "p.id % 50 = 0", k=5)})),
+hits AS (
+  SELECT bf.probe_id, COUNT(*) AS n_hits
+  FROM bf JOIN ann USING (probe_id, neighbor_id) GROUP BY bf.probe_id
+)
+SELECT p.probe_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+FROM (SELECT DISTINCT probe_id FROM bf) p
+LEFT JOIN hits h USING (probe_id)
+"""
+
+
 SPECS = [
     QuerySpec(
         "sim_centroid_outliers",
@@ -73,4 +153,6 @@ SPECS = [
             "embeddings", "vec_id", "embedding", "p.id % 50 = 0", k=5, nlist=32, nprobe=4
         ),
     ),
+    QuerySpec("func_vector_ops", q_vector_ops, _VECOPS_ORACLE),
+    QuerySpec("sim_ann_recall", q_ann_recall, _RECALL_ORACLE),
 ]

@@ -99,7 +99,54 @@ _RANGE_ORACLE = (
 )
 
 
+_GAP_SECONDS = 21600  # 6 h
+
+
+def q_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user silence-gap detection: consecutive-event deltas via a
+    lag window (ordered by ts with event_id tiebreak — a total order,
+    so both engines pair the same neighbors), keeping gaps longer than
+    6 hours. One shuffle on user_id; the filter on the lag output
+    drops the overwhelmingly-common small gaps before anything else
+    consumes them — at 100 TB this is the monitoring query shape for
+    'which sensors went dark and for how long'."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gap = (F.unix_micros(F.col("ts")) - prev_us).cast("double") / F.lit(1e6)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.timestamp_micros(prev_us).alias("prev_ts"),
+            gap.alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec") > _GAP_SECONDS)
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_GAP_ORACLE = f"""
+SELECT user_id, event_id, make_timestamp(epoch_us(ts)) AS ts,
+       make_timestamp(prev_us) AS prev_ts,
+       CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1e6 AS gap_sec
+FROM (
+  SELECT user_id, event_id, ts,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_us
+  FROM events
+)
+WHERE CAST(epoch_us(ts) - prev_us AS DOUBLE) / 1e6 > {_GAP_SECONDS}
+ORDER BY user_id, ts, event_id
+"""
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
+    QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
 ]

@@ -1067,6 +1067,77 @@ _MELT_ORACLE = (
 )
 
 
+def q_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, market segment): all four grouping combos
+    (detail, per-region, per-segment, grand total) in ONE pass — the
+    Expand operator replicates each input row per grouping set before
+    a single shuffle, so the cost is 4× map output, not 4 scans."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mask = (F.grouping("r_name") * 2 + F.grouping("c_mktsegment")).cast("int")
+    return (
+        base.cube("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dec_sum("c_acctbal", "total_bal"),
+            mask.alias("gmask"),
+        )
+        .orderBy("gmask", "r_name", "c_mktsegment")
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
+       {dec_sum_sql('c_acctbal', 'total_bal')},
+       CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS INTEGER) AS gmask
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, c_mktsegment)
+ORDER BY gmask, r_name, c_mktsegment
+"""
+
+
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles via ntile(10) over a total order
+    (acctbal, custkey tiebreak), rolled up per decile. The global
+    window is a single-partition sort — fine for a dimension table;
+    for a 100 TB fact column the same report would come from
+    approx_percentile boundaries + a bucket join, trading exactness
+    for a shuffle-free scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_acctbal").alias("lo_bal"),
+            F.max("c_acctbal").alias("hi_bal"),
+            dec_sum("c_acctbal", "total_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+_NTILE_ORACLE = f"""
+SELECT decile, COUNT(*) AS n_cust,
+       MIN(c_acctbal) AS lo_bal, MAX(c_acctbal) AS hi_bal,
+       {dec_sum_sql('c_acctbal', 'total_bal')}
+FROM (
+  SELECT c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+GROUP BY decile ORDER BY decile
+"""
+
+
 SPECS = [
     QuerySpec("olap_pivot_event_matrix", q_pivot_event_matrix, _PIVOT_ORACLE),
     QuerySpec("olap_melt_lineitem_metrics", q_melt_lineitem_metrics, _MELT_ORACLE),
@@ -1089,6 +1160,8 @@ SPECS = [
     QuerySpec("tpch_q21_waiting_suppliers", q21_waiting_suppliers, _Q21_ORACLE),
     QuerySpec("tpch_q22_idle_customers", q22_idle_customers, _Q22_ORACLE),
     QuerySpec("olap_rollup_region_nation", q_rollup_region_nation, _ROLLUP_ORACLE),
+    QuerySpec("olap_cube_region_segment", q_cube_region_segment, _CUBE_ORACLE),
+    QuerySpec("olap_ntile_deciles", q_ntile_deciles, _NTILE_ORACLE),
     QuerySpec("olap_setops_customer_activity", q_setops_customer_activity, _SETOPS_ORACLE),
     QuerySpec("olap_distinct_agg", q_distinct_agg, _DISTINCT_ORACLE),
     QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),

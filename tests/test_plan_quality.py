@@ -105,13 +105,15 @@ def test_minhash_no_product_join(spark, sf_dir):
 
 
 # Queries where a nested-loop join is the intended plan: 1-row scalar
-# -subquery totals (q11/q22), the brute-force similarity baseline
-# (broadcast probe cross join IS the algorithm), IVF's corpus ×
-# broadcast-centroid assignment (nlist ≈ √N rows even at scale),
-# TF-IDF's two 1-row broadcast scalars (corpus size, per-term dfs),
-# and the unbounded fuzzy top-k (no distance bound → every candidate
-# must be scored; broadcast probe cross join is the algorithm — the
-# bounded/blocked variant `fuzzy_join_blocked` is the scale path).
+# -subquery totals (q11/q22, mixture_resample's corpus-total-tokens
+# scalar), the brute-force similarity baseline (broadcast probe cross
+# join IS the algorithm — and the recall eval reruns it as its ground
+# truth), IVF's corpus × broadcast-centroid assignment (nlist ≈ √N
+# rows even at scale), TF-IDF's two 1-row broadcast scalars (corpus
+# size, per-term dfs), and the unbounded fuzzy top-k (no distance
+# bound → every candidate must be scored; broadcast probe cross join
+# is the algorithm — the bounded/blocked variant `fuzzy_join_blocked`
+# is the scale path).
 _BNLJ_ALLOWED = {
     "tpch_q11_important_stock",
     "tpch_q22_idle_customers",
@@ -119,6 +121,8 @@ _BNLJ_ALLOWED = {
     "sim_ivf_ann_topk",
     "search_tfidf_topk",
     "search_fuzzy_name_lookup",
+    "pipeline_mixture_resample",
+    "sim_ann_recall",
 }
 
 

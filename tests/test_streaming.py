@@ -147,3 +147,67 @@ def test_streaming_interval_join_matches_batch_range_join(spark, events_snapshot
     want = {(r.event_id, r.event_id_r) for r in pairs.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_streaming_cdc_apply_matches_sequential_batch(spark, tmp_path):
+    import os
+    import time
+
+    from gis_city_county_spark.operators.cdc import merge_upsert
+    from gis_city_county_spark.sources.files import publish_snapshot, read_published
+    from gis_city_county_spark.streaming.events import streaming_cdc_apply
+
+    pub = str(tmp_path / "pub")
+    base = spark.createDataFrame(
+        [(k, float(k * 10)) for k in range(1, 6)], "k long, val double"
+    )
+    publish_snapshot(base, pub, "snap")
+
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    batch1 = spark.createDataFrame(
+        [(3, 30.5, "U", 1), (6, 6.0, "I", 2)], "k long, val double, op string, seq long"
+    )
+    batch2 = spark.createDataFrame(
+        # Two changes for the same key inside one file: only seq=4 may win.
+        [(1, 0.0, "D", 3), (6, 66.0, "U", 4), (6, -1.0, "U", 0)],
+        "k long, val double, op string, seq long",
+    )
+    # The file stream source lists plain files under the watched dir
+    # (no recursion), so stage each change batch and move its part
+    # file in flat, with distinct mtimes so c1's batch triggers first.
+    import glob
+    import shutil
+
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, (batch, offs) in enumerate(((batch1, 60), (batch2, 30)), start=1):
+        staged = str(stage / f"c{i}")
+        batch.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(changes_dir / f"c{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - offs, now - offs))
+
+    schema = batch1.schema
+    q = streaming_cdc_apply(
+        spark, schema, str(changes_dir), pub, "snap", ("k",), "seq"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {(r.k, r.val) for r in read_published(spark, pub, "snap").collect()}
+
+    state = base
+    for ch in (batch1, batch2):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+        latest = (
+            ch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "seq")
+        )
+        state = merge_upsert(state, latest, ["k"])
+    want = {(r.k, r.val) for r in state.collect()}
+    assert got == want
+    assert got == {(2, 20.0), (3, 30.5), (4, 40.0), (5, 50.0), (6, 66.0)}
