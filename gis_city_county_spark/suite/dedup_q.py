@@ -59,6 +59,53 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, "doc_id", "text")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic dedup: documents joined to their embedding
+    rows, near-dup pairs from the cosine-LSH path, transitive closure
+    to duplicate groups, then the per-language release report (total
+    docs, canonical keepers kept, dropped dups) — the full "dedupe the
+    corpus by meaning, keep one per cluster" pipeline as one plan.
+    Threshold 0.4 (the synthetic embeddings' max pairwise cosine is
+    ~0.51, so real groups form without planted duplicates)."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    comp = connected_components(emb, pairs, "vec_id")
+    labeled = docs.join(comp, docs.doc_id == comp.vec_id)
+    return labeled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n_kept"),
+        F.sum((~F.col("is_keeper")).cast("long")).alias("n_dropped"),
+    )
+
+
+_SEMANTIC_ORACLE = f"""
+WITH RECURSIVE cand AS (
+  SELECT * FROM ({embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4)})
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM cand
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM cand
+),
+reach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (SELECT src AS vec_id, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.vec_id = c.component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.vec_id = c.component THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+FROM documents d JOIN comp c ON c.vec_id = d.doc_id
+GROUP BY d.lang
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
     QuerySpec(
@@ -82,4 +129,5 @@ SPECS = [
         q_embedding_cosine,
         embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4),
     ),
+    QuerySpec("pipeline_semantic_dedup", q_semantic_dedup, _SEMANTIC_ORACLE),
 ]

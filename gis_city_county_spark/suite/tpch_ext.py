@@ -1103,6 +1103,54 @@ ORDER BY gmask, r_name, c_mktsegment
 """
 
 
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface in one pass over each customer's
+    order history: row_number, lag/lead, running decimal sum,
+    percent_rank/cume_dist, and a 3-row moving minimum — all sharing
+    one (partition, order) spec, so Catalyst plans a single sort +
+    single Window operator (one shuffle on o_custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+        .over(wrun)
+        .cast("double")
+        .alias("run_total"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.min("o_totalprice").over(wmov).alias("mov_min"),
+    )
+
+
+_WINBAT_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+       LAG(o_totalprice) OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS run_total,
+       PERCENT_RANK() OVER w AS pr,
+       CUME_DIST() OVER w AS cd,
+       MIN(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS mov_min
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance deciles via ntile(10) over a total order
     (acctbal, custkey tiebreak), rolled up per decile. The global
@@ -1162,6 +1210,7 @@ SPECS = [
     QuerySpec("olap_rollup_region_nation", q_rollup_region_nation, _ROLLUP_ORACLE),
     QuerySpec("olap_cube_region_segment", q_cube_region_segment, _CUBE_ORACLE),
     QuerySpec("olap_ntile_deciles", q_ntile_deciles, _NTILE_ORACLE),
+    QuerySpec("olap_window_battery", q_window_battery, _WINBAT_ORACLE),
     QuerySpec("olap_setops_customer_activity", q_setops_customer_activity, _SETOPS_ORACLE),
     QuerySpec("olap_distinct_agg", q_distinct_agg, _DISTINCT_ORACLE),
     QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),
