@@ -40,6 +40,7 @@ def all_specs() -> list[QuerySpec]:
         corpus_q,
         dedup_q,
         events_q,
+        functions_q,
         geo_q,
         graph_q,
         layout_q,
@@ -60,6 +61,7 @@ def all_specs() -> list[QuerySpec]:
         tpch, tpch_ext, parity, geo_q, text_q, corpus_q, cdc_q,
         dedup_q, similarity_q, events_q, temporal_q, sketch_q,
         packing_q, multimodal_q, privacy_q, graph_q, layout_q,
+        functions_q,
     ):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]

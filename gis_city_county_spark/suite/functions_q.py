@@ -1,0 +1,140 @@
+"""Scalar-function batteries: the date/time and string surfaces.
+
+The reference's scalar layer is string slicing + padding (SURVEY.md
+§2.3); a Spark replacement exposes the full built-in function surface.
+These two queries pin the cross-engine behavior of the most-used
+scalar families against DuckDB — every expression is JVM-side
+(whole-stage codegen), and only functions with identical semantics in
+both engines are used (e.g. no initcap/translate — DuckDB lacks or
+diverges on them; covered instead by the parity suite's F-functions
+where the engine defines the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_city_county_spark.sources.tables import load_table
+from gis_city_county_spark.suite import QuerySpec
+
+
+def q_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over order dates: extraction
+    (year/month/quarter/day), truncation, month arithmetic, day
+    diffs, epoch seconds, and formatting — aggregated per (year,
+    month) so the output is bounded and every value is an exact
+    min/max over exact per-row derivations."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    derived = orders.select(
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.quarter(d).alias("q"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.add_months(d, 3).cast("timestamp").alias("plus3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since"),
+        F.unix_seconds(d.cast("timestamp")).alias("epoch_s"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+    return derived.groupBy("y", "m").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("q").alias("q"),
+        F.max("dom").alias("max_dom"),
+        F.min("month_start").alias("month_start"),
+        F.min("plus3m").alias("min_plus3m"),
+        F.min("days_since").alias("min_days_since"),
+        F.max("epoch_s").alias("max_epoch_s"),
+        F.min("ym").alias("ym"),
+    )
+
+
+_DATE_ORACLE = """
+WITH derived AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+         CAST(month(o_orderdate) AS INTEGER) AS m,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         CAST(day(o_orderdate) AS INTEGER) AS dom,
+         date_trunc('month', o_orderdate) AS month_start,
+         CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+         CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+         strftime(o_orderdate, '%Y-%m') AS ym
+  FROM orders
+)
+SELECT y, m, COUNT(*) AS n_orders, MIN(q) AS q, MAX(dom) AS max_dom,
+       MIN(month_start) AS month_start, MIN(plus3m) AS min_plus3m,
+       MIN(days_since) AS min_days_since, MAX(epoch_s) AS max_epoch_s,
+       MIN(ym) AS ym
+FROM derived GROUP BY y, m
+"""
+
+
+def q_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over customer rows: case mapping,
+    slicing, padding, search, split/size, reverse, concat_ws, replace
+    and levenshtein — aggregated per market segment over exact string
+    min/max."""
+    cust = load_table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    derived = cust.select(
+        "c_mktsegment",
+        F.upper(name).alias("up"),
+        F.lower(name).alias("lo"),
+        F.substring(name, 1, 8).alias("pre8"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key12"),
+        F.instr(name, "1").cast("long").alias("pos1"),
+        F.size(F.split(name, "#")).cast("long").alias("n_parts"),
+        F.reverse(name).alias("rev"),
+        F.concat_ws("-", F.col("c_mktsegment"), name).alias("seg_name"),
+        F.regexp_replace(name, "Customer", "C").alias("shortname"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).cast("long").alias("lev"),
+        F.length(name).cast("long").alias("len"),
+    )
+    return derived.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("up").alias("min_up"),
+        F.max("lo").alias("max_lo"),
+        F.max("pre8").alias("max_pre8"),
+        F.max("key12").alias("max_key12"),
+        F.max("pos1").alias("max_pos1"),
+        F.max("n_parts").alias("max_parts"),
+        F.max("rev").alias("max_rev"),
+        F.min("seg_name").alias("min_seg_name"),
+        F.max("shortname").alias("max_short"),
+        F.min("lev").alias("lev"),
+        F.max("len").alias("max_len"),
+    )
+
+
+_STRING_ORACLE = """
+WITH derived AS (
+  SELECT c_mktsegment,
+         upper(c_name) AS up,
+         lower(c_name) AS lo,
+         substring(c_name, 1, 8) AS pre8,
+         lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key12,
+         CAST(strpos(c_name, '1') AS BIGINT) AS pos1,
+         CAST(len(string_split(c_name, '#')) AS BIGINT) AS n_parts,
+         reverse(c_name) AS rev,
+         concat_ws('-', c_mktsegment, c_name) AS seg_name,
+         regexp_replace(c_name, 'Customer', 'C', 'g') AS shortname,
+         CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev,
+         CAST(length(c_name) AS BIGINT) AS len
+  FROM customer
+)
+SELECT c_mktsegment, COUNT(*) AS n,
+       MIN(up) AS min_up, MAX(lo) AS max_lo, MAX(pre8) AS max_pre8,
+       MAX(key12) AS max_key12, MAX(pos1) AS max_pos1,
+       MAX(n_parts) AS max_parts, MAX(rev) AS max_rev,
+       MIN(seg_name) AS min_seg_name, MAX(shortname) AS max_short,
+       MIN(lev) AS lev, MAX(len) AS max_len
+FROM derived GROUP BY c_mktsegment
+"""
+
+
+SPECS = [
+    QuerySpec("func_date_battery", q_date_battery, _DATE_ORACLE),
+    QuerySpec("func_string_battery", q_string_battery, _STRING_ORACLE),
+]
