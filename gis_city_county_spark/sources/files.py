@@ -304,3 +304,62 @@ def rollback_pointer(base_dir: str, name: str, to_version: str) -> None:
     with open(tmp, "w") as fh:
         fh.write(f"{to_version}\n")
     os.replace(tmp, os.path.join(root, "CURRENT"))
+
+
+# ------------------------------------------------------- JSONL / evolution
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines reader with a declared schema and PERMISSIVE corrupt-
+    record capture: malformed lines land whole in ``corrupt_col``
+    instead of killing the job — the ingest contract for web-scale
+    document feeds, where some fraction of every batch is broken and
+    a fail-fast reader would never finish.
+
+    The declared schema (never inference — a schema-inference pass
+    over 100 TB is a full extra scan) also gives column pruning: a
+    downstream ``select`` reads only the parsed fields it needs.
+    Callers split the result with :func:`split_corrupt`.
+    """
+    full = schema.add(T.StructField(corrupt_col, T.StringType()))
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, quarantined_rows).
+
+    Quarantined rows keep the full schema (parsed columns NULL, the
+    raw line in ``corrupt_col``) rather than projecting the corrupt
+    column alone — Spark disallows scans that reference only the
+    internal corrupt-record column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and an
+    ingest pipeline wants the whole row in the quarantine sink anyway.
+    """
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull())
+    return clean, bad
+
+
+def read_evolved(
+    spark: SparkSession, *paths: str
+) -> DataFrame:
+    """Read parquet snapshots whose schemas evolved across writes
+    (columns added over time) as ONE table: ``mergeSchema`` unions the
+    footers' schemas and older files surface the newer columns as
+    NULL — the reference's AddField-style schema evolution
+    (`bunny.py:41-43`) replayed over immutable snapshot generations
+    instead of in-place mutation. Merging reads every footer, so
+    production tables pin the merged schema in a catalog and pass it
+    explicitly; semantics are identical."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -139,3 +139,46 @@ def test_blue_green_publish_swap_rollback(spark, tmp_path):
     rollback_pointer(base, "boundaries", "v1")
     assert read_published(spark, base, "boundaries").count() == 1
     assert os.path.isdir(p2)
+
+
+def test_read_jsonl_permissive_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from gis_city_county_spark.sources.files import read_jsonl, split_corrupt
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha", "n": 10}\n'
+        '{"doc_id": 2, "text": "beta", "n": 20}\n'
+        "{broken json line\n"
+        '{"doc_id": 3, "text": "gamma", "n": null}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, str(p), schema))
+    rows = {(r.doc_id, r.text, r.n) for r in clean.collect()}
+    assert rows == {(1, "alpha", 10), (2, "beta", 20), (3, "gamma", None)}
+    assert clean.columns == ["doc_id", "text", "n"]
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert quarantined == ["{broken json line"]
+
+
+def test_read_evolved_schema_union(spark, tmp_path):
+    from gis_city_county_spark.sources.files import read_evolved
+
+    old = str(tmp_path / "gen1")
+    new = str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(new)
+
+    merged = read_evolved(spark, old, new)
+    assert set(merged.columns) == {"id", "name", "score"}
+    got = {(r.id, r.name, r.score) for r in merged.collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
