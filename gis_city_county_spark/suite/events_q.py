@@ -88,10 +88,49 @@ _RESAMPLE_ORACLE = resample_ffill_sql(
 )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention: users grouped by first-seen day, counted
+    as active per day-offset from that cohort day — the product-
+    analytics triangle matrix. Two shuffles (per-user min day, then
+    the (cohort, offset) distinct-count); output is bounded by
+    days² regardless of event volume."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = days.join(first, "user_id")
+    return (
+        act.groupBy(
+            "cohort_day",
+            F.datediff(F.col("day").cast("date"), F.col("cohort_day").cast("date"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+_COHORT_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+first AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+SELECT f.cohort_day,
+       date_diff('day', CAST(f.cohort_day AS DATE), CAST(d.day AS DATE)) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_active
+FROM days d JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
     QuerySpec("events_funnel_stages", q_funnel, _FUNNEL_ORACLE),
     QuerySpec("events_rolling_features", q_rolling, _ROLLING_ORACLE),
     QuerySpec("events_resample_ffill", q_resample, _RESAMPLE_ORACLE),
+    QuerySpec("events_cohort_retention", q_cohort_retention, _COHORT_ORACLE),
 ]

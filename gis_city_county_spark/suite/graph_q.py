@@ -53,6 +53,74 @@ SELECT c_node AS src, s_node AS dst FROM pairs
 _PR_ORACLE = pagerank_sql(_EDGES_SQL, iters=_ITERS, scale=_SCALE)
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the nation-level trade graph (nations
+    adjacent when any supplier in one shipped to a customer in the
+    other): canonical a<b<c edge orientation, two equi-joins — the
+    standard relational triangle enumeration, with the per-nation
+    participation count. Edge derivation shuffles lineitem once; the
+    joins run on the tiny distinct nation-pair relation. On a big
+    graph the same plan holds with degree-ordered orientation, which
+    bounds the join fan-out by max degree."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = pairs.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    nodes = tri.select(F.col("a").alias("nation")).unionByName(
+        tri.select(F.col("b").alias("nation"))
+    ).unionByName(tri.select(F.col("c").alias("nation")))
+    return (
+        nodes.groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("nation")
+    )
+
+
+_TRI_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT least(s_nationkey, c_nationkey) AS a,
+                  greatest(s_nationkey, c_nationkey) AS b
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE s_nationkey <> c_nationkey
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT a AS nation FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT nation, COUNT(*) AS n_triangles FROM nodes GROUP BY nation ORDER BY nation
+"""
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
+    QuerySpec("graph_triangle_count", q_triangle_count, _TRI_ORACLE),
 ]
