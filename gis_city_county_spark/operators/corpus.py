@@ -544,3 +544,103 @@ SELECT d.*, r.rate
 FROM {table} d JOIN rates r USING ({group_col})
 WHERE {pred}
 """
+
+
+def mixture_duplicate(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    shares: dict[str, float],
+    budget_frac: float = 2.0,
+) -> DataFrame:
+    """The upsampling half of data-mix rebalancing (complement of
+    :func:`mixture_resample`): given target shares and a token budget
+    above the current total, emit each row ``floor(rate)`` times plus
+    one more with probability ``frac(rate)`` — deterministic
+    stochastic rounding via the key-hash point, so expected group
+    tokens hit the target exactly and the output is stable across
+    engines and partitionings.
+
+    Scale shape: the duplication is a scan-side ``explode(sequence)``
+    — no shuffle, fan-out proportional to the rate — and each copy
+    carries ``copy_idx`` so downstream shuffles/packing can spread
+    duplicates (a training pipeline interleaves them into different
+    shards rather than adjacent rows).
+    """
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.sketch import _SPACE, _h60
+
+    stats = df.groupBy(group_col).agg(F.sum(weight_col).alias("__toks"))
+    total = stats.agg(F.sum("__toks").alias("__total"))
+    share_lits = F.array(
+        *[
+            F.struct(F.lit(g).alias(group_col), F.lit(s).alias("__share"))
+            for g, s in sorted(shares.items())
+        ]
+    )
+    share_df = df.sparkSession.range(1).select(F.explode(share_lits).alias("s")).select("s.*")
+    rate = (
+        F.col("__share") * (F.lit(budget_frac) * F.col("__total").cast("double"))
+    ) / F.col("__toks").cast("double")
+    rates = (
+        stats.join(F.broadcast(share_df), group_col)
+        .crossJoin(F.broadcast(total))
+        .select(group_col, rate.alias("rate"))
+    )
+    joined = df.join(F.broadcast(rates), group_col)
+    u = _h60(F.col(id_col).cast("string")).cast("double") / F.lit(float(_SPACE))
+    n_copies = (
+        F.floor(F.col("rate")).cast("long")
+        + F.when(u < F.col("rate") - F.floor(F.col("rate")), F.lit(1)).otherwise(F.lit(0))
+    )
+    # sequence(1, 0) in Spark is the DESCENDING [1, 0], not empty —
+    # rows rounding to zero copies must be dropped explicitly.
+    copies = F.when(
+        F.col("__n_copies") >= 1, F.expr("sequence(1, __n_copies)")
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        joined.withColumn("__n_copies", n_copies)
+        .select("*", F.explode(copies).alias("copy_idx"))
+        .drop("__n_copies")
+    )
+
+
+def mixture_duplicate_sql(
+    table: str,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    shares: dict[str, float],
+    budget_frac: float = 2.0,
+) -> str:
+    """DuckDB twin of :func:`mixture_duplicate`."""
+    from gis_city_county_spark.operators.sketch import _SPACE, _h60_sql
+
+    values = ", ".join(f"('{g}', {s!r})" for g, s in sorted(shares.items()))
+    u = f"CAST({_h60_sql(f'CAST(d.{id_col} AS VARCHAR)')} AS DOUBLE) / {float(_SPACE)!r}"
+    n_copies = (
+        f"CAST(FLOOR(r.rate) AS BIGINT) + "
+        f"(CASE WHEN {u} < r.rate - FLOOR(r.rate) THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH stats AS (
+  SELECT {group_col}, SUM({weight_col}) AS __toks FROM {table} GROUP BY {group_col}
+),
+tot AS (SELECT SUM(__toks) AS __total FROM stats),
+shares({group_col}, __share) AS (VALUES {values}),
+rates AS (
+  SELECT s.{group_col},
+         (sh.__share * ({budget_frac!r} * CAST(t.__total AS DOUBLE)))
+         / CAST(s.__toks AS DOUBLE) AS rate
+  FROM stats s JOIN shares sh USING ({group_col}) CROSS JOIN tot t
+),
+expanded AS (
+  SELECT d.*, r.rate, {n_copies} AS __n_copies
+  FROM {table} d JOIN rates r USING ({group_col})
+)
+SELECT * EXCLUDE (__n_copies), CAST(g.i AS BIGINT) AS copy_idx
+FROM expanded, LATERAL UNNEST(generate_series(1, __n_copies)) AS g(i)
+WHERE __n_copies >= 1
+"""

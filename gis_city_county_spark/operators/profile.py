@@ -162,3 +162,83 @@ SELECT {cols},
             ELSE 0.0 END AS {out_col}
 FROM src JOIN stats USING ({group_col})
 """
+
+
+def ols_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (y = a + b·x) over INTEGER
+    features, from exact integer moments: slope b =
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept a = (Σy − b·Σx)/n.
+
+    The moments are sums of integer products carried in DECIMAL(38,0)
+    (Spark) / HUGEINT (the DuckDB twin) — exact and order-independent
+    up to 38 digits, and map-side-combinable (one shuffle keyed on the
+    group) — so the fit is bit-deterministic at any parallelism; the
+    closing divisions are single IEEE ops identical on any engine.
+    The trend-per-segment shape ("does quality drift with length per
+    language?") without any ML-library dependency.
+
+    Returns (group, n, slope, intercept); groups with zero x-variance
+    get NULL slope/intercept.
+    """
+    dec = "decimal(38,0)"
+    xd = F.col(x_col).cast("decimal(19,0)")
+    yd = F.col(y_col).cast("decimal(19,0)")
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast(dec).alias("__sx"),
+        F.sum(yd).cast(dec).alias("__sy"),
+        F.sum((xd * yd).cast(dec)).cast(dec).alias("__sxy"),
+        F.sum((xd * xd).cast(dec)).cast(dec).alias("__sxx"),
+    )
+    nn = F.col("n").cast(dec)
+    num = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    den = (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    slope = F.when(den != 0.0, num / den)
+    intercept = F.when(
+        den != 0.0,
+        (F.col("__sy").cast("double") - (num / den) * F.col("__sx").cast("double"))
+        / F.col("n").cast("double"),
+    )
+    return m.select(
+        group_col,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def ols_slope_sql(source_sql: str, group_col: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`ols_slope`: HUGEINT (int128) moments are
+    exact like Spark's DECIMAL(38,0); the double casts route through
+    VARCHAR for correctly-rounded parses (see ``functions.numeric``)."""
+    xd = f"CAST({x_col} AS HUGEINT)"
+    yd = f"CAST({y_col} AS HUGEINT)"
+
+    def d(expr: str) -> str:
+        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+    return f"""
+WITH m AS (
+  SELECT {group_col}, COUNT(*) AS n,
+         SUM({xd}) AS sx, SUM({yd}) AS sy,
+         SUM({xd} * {yd}) AS sxy, SUM({xd} * {xd}) AS sxx
+  FROM ({source_sql}) GROUP BY {group_col}
+),
+c AS (
+  SELECT {group_col}, n,
+         {d("CAST(n AS HUGEINT) * sxy - sx * sy")} AS num,
+         {d("CAST(n AS HUGEINT) * sxx - sx * sx")} AS den,
+         {d("sy")} AS syd, {d("sx")} AS sxd
+  FROM m
+)
+SELECT {group_col}, n,
+       CASE WHEN den <> 0.0 THEN num / den END AS slope,
+       CASE WHEN den <> 0.0
+            THEN (syd - (num / den) * sxd) / CAST(n AS DOUBLE) END AS intercept
+FROM c
+"""

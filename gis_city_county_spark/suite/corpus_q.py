@@ -12,6 +12,8 @@ from gis_city_county_spark.operators.corpus import (
     chunk_documents_sql,
     contamination,
     contamination_sql,
+    mixture_duplicate,
+    mixture_duplicate_sql,
     mixture_resample,
     mixture_resample_sql,
     ngram_topk,
@@ -178,6 +180,32 @@ GROUP BY lang, rate
 """
 
 
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsample the corpus to twice the token budget at the target
+    mixture: deterministic stochastic rounding duplicates each doc
+    floor(rate)+Bernoulli(frac) times; report per-language row/doc/
+    char totals (expected chars land on target share × 2 × total)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_duplicate(
+        docs, "lang", "doc_id", "n_chars", _MIX_SHARES, budget_frac=2.0
+    )
+    return out.groupBy("lang", "rate").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.max("copy_idx").cast("long").alias("max_copies"),
+    )
+
+
+_UPSAMPLE_ORACLE = f"""
+SELECT lang, rate, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(MAX(copy_idx) AS BIGINT) AS max_copies
+FROM ({mixture_duplicate_sql("documents", "lang", "doc_id", "n_chars", _MIX_SHARES, budget_frac=2.0)})
+GROUP BY lang, rate
+"""
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
@@ -187,4 +215,5 @@ SPECS = [
     QuerySpec("pipeline_train_val_test", q_train_val_test, _SPLIT_ORACLE),
     QuerySpec("pipeline_decontaminate", q_decontaminate, _DECON_ORACLE),
     QuerySpec("pipeline_mixture_resample", q_mixture_resample, _MIX_ORACLE),
+    QuerySpec("pipeline_mixture_upsample", q_mixture_upsample, _UPSAMPLE_ORACLE),
 ]

@@ -59,6 +59,58 @@ def q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, "doc_id", "text")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch (doc_id % 3 == 0)
+    is deduped AGAINST the already-ingested corpus (the rest) by
+    normalized-text fingerprint — broadcast/shuffle anti-join on the
+    fingerprint — then within-batch (keep lowest id per fingerprint).
+    This is the arriving-data path of a continuously-built corpus: the
+    existing side would be the fingerprint index read from the last
+    snapshot, so each batch costs one scan of itself plus an equi-join,
+    never a rescan of the corpus body."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.textstats import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = fingerprint_md5("text")
+    existing = docs.filter(F.col("doc_id") % 3 != 0).select(fp.alias("fp")).distinct()
+    incoming = docs.filter(F.col("doc_id") % 3 == 0).withColumn("fp", fp)
+    fresh = incoming.join(existing, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = fresh.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_ingested"),
+        F.sum("n_chars").cast("long").alias("chars_ingested"),
+    )
+
+
+def _incremental_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import normalized_text_sql
+
+    fp = f"md5({normalized_text_sql('text')})"
+    return f"""
+WITH existing AS (
+  SELECT DISTINCT {fp} AS fp FROM documents WHERE doc_id % 3 <> 0
+),
+incoming AS (
+  SELECT *, {fp} AS fp FROM documents WHERE doc_id % 3 = 0
+),
+fresh AS (
+  SELECT * FROM incoming WHERE fp NOT IN (SELECT fp FROM existing)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fresh
+  ) WHERE rn = 1
+)
+SELECT lang, COUNT(*) AS n_ingested,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_ingested
+FROM kept GROUP BY lang
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end semantic dedup: documents joined to their embedding
     rows, near-dup pairs from the cosine-LSH path, transitive closure
@@ -130,4 +182,5 @@ SPECS = [
         embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4),
     ),
     QuerySpec("pipeline_semantic_dedup", q_semantic_dedup, _SEMANTIC_ORACLE),
+    QuerySpec("pipeline_incremental_dedup", q_incremental_dedup, _incremental_oracle()),
 ]

@@ -255,6 +255,32 @@ ORDER BY source
 """
 
 
+def q_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language linear fit of BPE-token count against character
+    count — integer-exact moments, bit-deterministic slope (see
+    operators.profile.ols_slope). The chars-per-token trend is the
+    standard sanity check that a tokenizer treats each language
+    comparably."""
+    from gis_city_county_spark.operators.profile import ols_slope
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        bpe_token_count("text").cast("long").alias("y"),
+    )
+    return ols_slope(docs, "lang", "x", "y")
+
+
+def _ols_oracle() -> str:
+    from gis_city_county_spark.operators.profile import ols_slope_sql
+
+    src = (
+        "SELECT lang, CAST(n_chars AS BIGINT) AS x, "
+        f"CAST({bpe_token_count_sql('text')} AS BIGINT) AS y FROM documents"
+    )
+    return ols_slope_sql(src, "lang", "x", "y")
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
@@ -264,4 +290,5 @@ SPECS = [
     QuerySpec("profile_documents", q_profile_documents, _profile_oracle()),
     QuerySpec("profile_histogram_nchars", q_histogram_nchars, _histogram_oracle()),
     QuerySpec("text_zscore_nchars", q_zscore_nchars, _zscore_oracle()),
+    QuerySpec("profile_ols_slope", q_ols_slope, _ols_oracle()),
 ]

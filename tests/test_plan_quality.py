@@ -122,6 +122,7 @@ _BNLJ_ALLOWED = {
     "search_tfidf_topk",
     "search_fuzzy_name_lookup",
     "pipeline_mixture_resample",
+    "pipeline_mixture_upsample",
     "sim_ann_recall",
 }
 
