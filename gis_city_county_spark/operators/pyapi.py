@@ -1,0 +1,167 @@
+"""Python-API operator surfaces: grouped ``applyInPandas`` and UDTF.
+
+The engine's design rule is JVM expressions for everything expressible
+(see README "Scale design"); these operators exist for the residue
+that genuinely needs imperative Python — and they pin the Arrow
+plumbing (schemas, grouping, batch shapes) with oracle-checked
+queries so the escape hatches are as trusted as the native path.
+The reference's own escape hatch was CalculateField code blocks
+(`src/bunnyhop/bunny.py:79-86`); this is the Spark-shaped equivalent.
+
+Determinism: both operators below use only integer/string operations
+on already-exact inputs, so their results are bit-identical to their
+SQL twins.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def user_span_features(df: DataFrame, user_col: str, ts_col: str, value_col: str) -> DataFrame:
+    """Per-user lifetime features via grouped ``applyInPandas``: event
+    count, first/last event micros, the maximum inter-event gap (µs)
+    and the index of the event starting that gap — the "one state
+    machine per key over the full ordered history" shape that window
+    functions express awkwardly and Python expresses directly.
+
+    One shuffle on the user key; each group arrives as a single Arrow
+    batch, sorted in Python (Spark does not guarantee intra-group
+    order) — so per-group memory is the bound, exactly like any
+    session-state operator. All arithmetic is integer microseconds.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("max_gap_us", T.LongType()),
+            T.StructField("gap_start_idx", T.LongType()),
+        ]
+    )
+
+    def features(pdf):
+        import numpy as np
+        import pandas as pd
+
+        us = np.sort(pdf["__us"].to_numpy())
+        n = len(us)
+        if n > 1:
+            gaps = np.diff(us)
+            # argmax returns the FIRST index of the maximum — the
+            # earliest max gap, matching the SQL twin's MIN(idx).
+            gap_idx = int(np.argmax(gaps))
+            max_gap = int(gaps[gap_idx])
+        else:
+            max_gap, gap_idx = 0, 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf[user_col].iloc[0])],
+                "n_events": [n],
+                "first_us": [int(us[0])],
+                "last_us": [int(us[-1])],
+                "max_gap_us": [max_gap],
+                "gap_start_idx": [gap_idx],
+            }
+        )
+
+    src = df.select(
+        F.col(user_col), F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us")
+    )
+    return src.groupBy(user_col).applyInPandas(features, out_schema)
+
+
+def user_span_features_sql(events_sql: str) -> str:
+    """DuckDB twin of :func:`user_span_features` (ties in the gap max
+    resolve to the earliest gap start on both sides: Python keeps the
+    first strict improvement; SQL picks min index among maxima)."""
+    return f"""
+WITH ev AS ({events_sql}),
+ordered AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1 AS idx
+  FROM ev
+),
+gaps AS (
+  SELECT user_id, idx - 1 AS gap_start_idx,
+         us - LAG(us) OVER (PARTITION BY user_id ORDER BY idx) AS gap
+  FROM ordered
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events, MIN(us) AS first_us, MAX(us) AS last_us
+  FROM ordered GROUP BY user_id
+),
+best AS (
+  SELECT user_id,
+         COALESCE(MAX(gap), 0) AS max_gap_us
+  FROM gaps GROUP BY user_id
+),
+best_idx AS (
+  SELECT g.user_id, MIN(g.gap_start_idx) AS gap_start_idx
+  FROM gaps g JOIN best b ON b.user_id = g.user_id AND g.gap = b.max_gap_us
+  GROUP BY g.user_id
+)
+SELECT a.user_id, a.n_events, a.first_us, a.last_us,
+       b.max_gap_us,
+       COALESCE(bi.gap_start_idx, 0) AS gap_start_idx
+FROM agg a
+JOIN best b USING (user_id)
+LEFT JOIN best_idx bi USING (user_id)
+"""
+
+
+_WS = re.compile(r"\s+")
+
+
+def chunk_udtf_class(chunk: int, stride: int):
+    """Build the UDTF class for Python-side document chunking — the
+    table-function form of :func:`corpus.chunk_documents` (same
+    window/stride contract, same output schema), used to pin the UDTF
+    surface against both the native operator and the DuckDB oracle.
+    """
+
+    class ChunkDocs:
+        def eval(self, doc_id: int, text: str):  # noqa: D401
+            t = (text or "").strip().lower()
+            toks = _WS.split(t) if t else []
+            if not toks:
+                return
+            n = len(toks)
+            last_k = (n - chunk + stride - 1) // stride if n > chunk else 0
+            for k in range(last_k + 1):
+                piece = toks[k * stride : k * stride + chunk]
+                yield doc_id, k, " ".join(piece), len(piece)
+
+    return ChunkDocs
+
+
+def chunk_documents_udtf(
+    df: DataFrame, id_col: str, text_col: str, chunk: int = 64, stride: int = 48
+) -> DataFrame:
+    """Run the chunking UDTF laterally against ``df`` (one output row
+    per window). Python UDTFs are the slow path — row-at-a-time — so
+    this exists as the API-surface twin; the production operator is
+    the array-expression :func:`corpus.chunk_documents`."""
+    from pyspark.sql.functions import udtf
+
+    cls = chunk_udtf_class(chunk, stride)
+    chunker = udtf(
+        cls,
+        returnType=(
+            f"{id_col} bigint, chunk_id bigint, chunk_text string, "
+            "n_chunk_tokens bigint"
+        ),
+    )
+    spark = df.sparkSession
+    name = f"__chunk_udtf_{chunk}_{stride}"
+    spark.udtf.register(name, chunker)
+    df.select(F.col(id_col).alias("__cid"), F.col(text_col).alias("__ctext")) \
+        .createOrReplaceTempView(name + "_src")
+    return spark.sql(
+        f"SELECT c.* FROM {name}_src, LATERAL {name}(__cid, __ctext) AS c"
+    )

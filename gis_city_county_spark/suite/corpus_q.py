@@ -206,8 +206,20 @@ GROUP BY lang, rate
 """
 
 
+def q_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: the table-function chunker must reproduce
+    the native array-expression chunker bit-for-bit (same oracle SQL).
+    Row-at-a-time Python — the API-parity witness, not the production
+    path."""
+    from gis_city_county_spark.operators.pyapi import chunk_documents_udtf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_udtf(docs, "doc_id", "text", chunk=_CHUNK, stride=_STRIDE)
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("pyapi_chunk_udtf", q_chunk_udtf, _CHUNK_ORACLE),
     QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
     QuerySpec("corpus_length_band_filter", q_length_band, _BAND_ORACLE),
     QuerySpec("pipeline_shard_assign", q_shard_assign, _SHARD_ORACLE),

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gis_city_county_spark.operators.pyapi import user_span_features_sql
 from gis_city_county_spark.operators.temporal import (
     funnel_stages,
     funnel_stages_sql,
@@ -126,6 +127,27 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_user_span_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas surface: per-user lifetime span features
+    (count, first/last micros, max inter-event gap + its index) as an
+    Arrow grouped-map state machine, oracle-checked like any native
+    operator. Scoped to a user subset — the witness needs the API
+    exercised, not every group paying the per-group Python call (the
+    production form of this exact feature set is a collect_list +
+    vectorized pandas_udf, one call per Arrow batch of groups)."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.pyapi import user_span_features
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    return user_span_features(ev, "user_id", "ts", "value")
+
+
+_SPAN_ORACLE = user_span_features_sql(
+    f"SELECT * FROM ({_EV_CTE}) WHERE user_id % 7 = 0"
+)
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
@@ -133,4 +155,5 @@ SPECS = [
     QuerySpec("events_rolling_features", q_rolling, _ROLLING_ORACLE),
     QuerySpec("events_resample_ffill", q_resample, _RESAMPLE_ORACLE),
     QuerySpec("events_cohort_retention", q_cohort_retention, _COHORT_ORACLE),
+    QuerySpec("pyapi_user_span_features", q_user_span_features, _SPAN_ORACLE),
 ]

@@ -1103,6 +1103,53 @@ ORDER BY gmask, r_name, c_mktsegment
 """
 
 
+def q_sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end: tables registered as temp views
+    (:func:`sources.tables.register_views` — the engine's equivalent of
+    the reference's named-workspace tables) and the query written as
+    one ``spark.sql`` CTE statement. Same Catalyst plan as the
+    DataFrame form — this query witnesses that every capability is
+    reachable from plain SQL."""
+    from gis_city_county_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(
+        """
+WITH supp_rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, revenue
+FROM supp_rev
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE revenue > 100000.0
+"""
+    )
+
+
+_SQL_API_ORACLE = f"""
+WITH supp_rev AS (
+  SELECT l_suppkey,
+         {dec_sum_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name, revenue
+FROM supp_rev
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE revenue > 100000.0
+"""
+
+
 def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The analytic-window surface in one pass over each customer's
     order history: row_number, lag/lead, running decimal sum,
@@ -1211,6 +1258,7 @@ SPECS = [
     QuerySpec("olap_cube_region_segment", q_cube_region_segment, _CUBE_ORACLE),
     QuerySpec("olap_ntile_deciles", q_ntile_deciles, _NTILE_ORACLE),
     QuerySpec("olap_window_battery", q_window_battery, _WINBAT_ORACLE),
+    QuerySpec("sql_api_supplier_revenue", q_sql_api_revenue, _SQL_API_ORACLE),
     QuerySpec("olap_setops_customer_activity", q_setops_customer_activity, _SETOPS_ORACLE),
     QuerySpec("olap_distinct_agg", q_distinct_agg, _DISTINCT_ORACLE),
     QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),
