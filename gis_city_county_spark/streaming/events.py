@@ -329,3 +329,63 @@ def streaming_cdc_apply(
         .parquet(changes_path)
     )
     return stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+
+
+def stateful_user_totals_tws(
+    spark,
+    schema,
+    path: str,
+):
+    """The Spark-4 arbitrary-state API (``transformWithStateInPandas``)
+    form of :func:`stateful_user_totals`: a ``StatefulProcessor`` with
+    an explicit ``ValueState`` per user. Compared to
+    ``applyInPandasWithState`` this is the successor surface — typed
+    state handles (value/list/map), timers, and TTL — backed by the
+    RocksDB state store, which is also what bounds memory on a 100 TB
+    stream (state spills to local disk + changelog-checkpoints to the
+    cluster store instead of living on the JVM heap)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -182,3 +182,22 @@ def test_read_evolved_schema_union(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     got = {(r.id, r.name, r.score) for r in merged.collect()}
     assert got == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is the second columnar format Spark supports natively; the
+    engine's scans get the same predicate pushdown there (PushedFilters
+    in the scan node), so a reference user with ORC data needs no code
+    changes — only format('orc')."""
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(1000)],
+        "id long, name string, score double",
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t.orc")
+    df.write.orc(path)
+    back = spark.read.orc(path).filter(F.col("id") > 900).select("id", "score")
+    assert back.count() == 99
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:120]

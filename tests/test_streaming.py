@@ -211,3 +211,46 @@ def test_streaming_cdc_apply_matches_sequential_batch(spark, tmp_path):
     want = {(r.k, r.val) for r in state.collect()}
     assert got == want
     assert got == {(2, 20.0), (3, 30.5), (4, 40.0), (5, 50.0), (6, 66.0)}
+
+
+def test_stateful_user_totals_tws_matches_batch(spark, events_snapshot):
+    # transformWithStateInPandas ships state-schema protos through
+    # google.protobuf; environments without a working protobuf can't
+    # start the TWS driver worker at all (import-gated per brief).
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState needs it")
+
+    from gis_city_county_spark.streaming.events import stateful_user_totals_tws
+
+    path, schema = events_snapshot
+    # transformWithState requires the RocksDB state store provider.
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        _run_to_memory(
+            stateful_user_totals_tws(spark, schema, path), "totals_tws", "update"
+        )
+        got = {
+            r["user_id"]: r["n_events"]
+            for r in spark.sql(
+                "SELECT user_id, MAX(n_events) AS n_events FROM totals_tws GROUP BY user_id"
+            ).collect()
+        }
+        want = {
+            r["user_id"]: r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
