@@ -187,7 +187,91 @@ SELECT * FROM (VALUES
 """
 
 
+def q_grid_refine_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spatial-join SCALE path, benchable: synthetic points derived
+    from lineitem keys against 40 deterministic rectangles, joined in
+    the standard two stages — (1) coarse 10×10 grid-cell equi-join
+    (each rectangle explodes to its ≤4 covering cells, each point to
+    exactly one cell: a plain hash join, never a theta join), then
+    (2) exact half-open containment refine as JVM comparisons.
+    Per-rectangle point count + revenue. This is exactly the plan
+    shape ``geo.ops`` uses for overlays (bbox grid then exact kernel),
+    here with a DuckDB oracle since rectilinear containment needs no
+    geometry kernel — so the strategy itself is hash-verified at
+    warehouse scale, not just on golden fixtures."""
+    from gis_city_county_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        ((F.col("l_orderkey") % 10000).cast("double") / 100.0).alias("px"),
+        ((F.col("l_partkey") % 10000).cast("double") / 100.0).alias("py"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("rev"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("px") / 10).cast("long"),
+            "cy": F.floor(F.col("py") / 10).cast("long"),
+        }
+    )
+    rects = spark.range(40).select(
+        F.col("id").alias("rect_id"),
+        ((F.col("id") * 37) % 90).cast("double").alias("x0"),
+        ((F.col("id") * 53) % 90).cast("double").alias("y0"),
+        (3 + F.col("id") % 7).cast("double").alias("w"),
+        (3 + F.col("id") % 5).cast("double").alias("h"),
+    )
+    cells = rects.select(
+        "rect_id", "x0", "y0", "w", "h",
+        F.explode(
+            F.expr("sequence(CAST(floor(x0/10) AS BIGINT), CAST(floor((x0+w)/10) AS BIGINT))")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr("sequence(CAST(floor(y0/10) AS BIGINT), CAST(floor((y0+h)/10) AS BIGINT))")
+        ).alias("cy"),
+    )
+    joined = pts.join(F.broadcast(cells), ["cx", "cy"]).filter(
+        (F.col("px") >= F.col("x0"))
+        & (F.col("px") < F.col("x0") + F.col("w"))
+        & (F.col("py") >= F.col("y0"))
+        & (F.col("py") < F.col("y0") + F.col("h"))
+    )
+    from gis_city_county_spark.functions.numeric import dec_sum
+
+    return (
+        joined.groupBy("rect_id")
+        .agg(F.count(F.lit(1)).alias("n_points"), dec_sum("rev", "revenue"))
+        .orderBy("rect_id")
+    )
+
+
+def _grid_refine_oracle() -> str:
+    from gis_city_county_spark.functions.numeric import dec_sum_sql
+
+    return f"""
+WITH pts AS (
+  SELECT CAST(l_orderkey % 10000 AS DOUBLE) / 100.0 AS px,
+         CAST(l_partkey % 10000 AS DOUBLE) / 100.0 AS py,
+         l_extendedprice * (1.0 - l_discount) AS rev
+  FROM lineitem
+),
+rects AS (
+  SELECT id AS rect_id,
+         CAST((id * 37) % 90 AS DOUBLE) AS x0,
+         CAST((id * 53) % 90 AS DOUBLE) AS y0,
+         CAST(3 + id % 7 AS DOUBLE) AS w,
+         CAST(3 + id % 5 AS DOUBLE) AS h
+  FROM (SELECT unnest(generate_series(0, 39)) AS id)
+)
+SELECT rect_id, COUNT(*) AS n_points, {dec_sum_sql('rev', 'revenue')}
+FROM pts JOIN rects
+  ON px >= x0 AND px < x0 + w AND py >= y0 AND py < y0 + h
+GROUP BY rect_id ORDER BY rect_id
+"""
+
+
 SPECS = [
+    QuerySpec("geo_grid_refine_density", q_grid_refine_density, _grid_refine_oracle()),
     QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE, bench=False),
     QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE, bench=False),
     QuerySpec("geo_sliver_fix", q_geo_sliver_fix, _SLIVER_ORACLE, bench=False),
