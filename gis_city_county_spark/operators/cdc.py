@@ -203,3 +203,63 @@ SELECT {keysel},
             ELSE 'changed' END AS status
 FROM o FULL OUTER JOIN n ON {on}
 """
+
+
+# ------------------------------------------------- incremental aggregates
+
+
+def incremental_agg_refresh(
+    prev_agg: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental (materialized-view) refresh of a keyed rollup:
+    merge a delta batch's partial aggregates into the previous
+    aggregate snapshot — never rescanning the base facts. This is how
+    a 100 TB rollup stays fresh: each refresh costs one aggregate of
+    the (small) delta plus an outer merge on the (group-sized) state,
+    instead of a full recompute.
+
+    ``prev_agg`` must carry ``key_cols``, ``count_col`` and one column
+    per ``sum_cols`` entry holding DECIMAL(38,10) partial sums (as
+    produced by :func:`agg_snapshot`); counts and decimal sums are the
+    self-mergeable aggregates (exact, associative), which is exactly
+    why the engine's numeric convention routes through decimal —
+    min/max are merge-only-growable and avg derives as sum/count.
+    Retractions arrive as negative counts/sums in the delta; groups
+    whose merged count reaches 0 drop out.
+    """
+    keys = list(key_cols)
+    merged = prev_agg.join(delta, keys, "full_outer")
+    out_cols: list = [F.col(k) for k in keys]
+    cnt = (
+        F.coalesce(prev_agg[count_col], F.lit(0).cast("long"))
+        + F.coalesce(delta[count_col], F.lit(0).cast("long"))
+    ).alias(count_col)
+    out_cols.append(cnt)
+    for c in sum_cols:
+        zero = F.lit(0).cast("decimal(38,10)")
+        out_cols.append(
+            (F.coalesce(prev_agg[c], zero) + F.coalesce(delta[c], zero))
+            .cast("decimal(38,10)")
+            .alias(c)
+        )
+    return merged.select(*out_cols).filter(F.col(count_col) > 0)
+
+
+def agg_snapshot(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    sum_exprs: dict[str, "F.Column | str"],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Self-mergeable aggregate state for :func:`incremental_agg_refresh`:
+    per-group row count + DECIMAL(38,10) sums (exact, associative —
+    merging partials equals aggregating the union, in any order)."""
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    for name, expr in sum_exprs.items():
+        col = F.col(expr) if isinstance(expr, str) else expr
+        aggs.append(F.sum(col.cast("decimal(38,10)")).cast("decimal(38,10)").alias(name))
+    return df.groupBy(*key_cols).agg(*aggs)

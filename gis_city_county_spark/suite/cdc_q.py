@@ -149,8 +149,51 @@ SELECT status, COUNT(*) AS n FROM (
 """
 
 
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup refresh: the per-returnflag revenue rollup
+    is maintained as self-mergeable state (count + decimal sums); a
+    10% delta batch is aggregated alone and MERGED into the snapshot
+    built from the other 90% — and the result must hash-equal the
+    full recompute (the DuckDB oracle aggregates everything). At
+    100 TB this is the difference between touching the delta and
+    rescanning the lake."""
+    from gis_city_county_spark.operators.cdc import (
+        agg_snapshot,
+        incremental_agg_refresh,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 10 != 0)
+    delta = li.filter(F.col("l_orderkey") % 10 == 0)
+    sums = {"sum_qty": "l_quantity", "sum_price": "l_extendedprice"}
+    snap = agg_snapshot(base, ["l_returnflag"], sums)
+    d = agg_snapshot(delta, ["l_returnflag"], sums)
+    refreshed = incremental_agg_refresh(
+        snap, d, ["l_returnflag"], list(sums)
+    )
+    return refreshed.select(
+        "l_returnflag",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
+from gis_city_county_spark.functions.numeric import dec_sum_sql as _dss
+
+_INCR_ORACLE = f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       {_dss('l_quantity', 'sum_qty')},
+       {_dss('l_extendedprice', 'sum_price')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("cdc_merge_upsert", q_merge_upsert, _MERGE_ORACLE),
+    QuerySpec("cdc_incremental_rollup", q_incremental_rollup, _INCR_ORACLE),
     QuerySpec("cdc_scd2_history", q_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_diff", q_snapshot_diff, _DIFF_ORACLE),
 ]

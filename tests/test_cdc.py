@@ -67,3 +67,26 @@ def test_merge_upsert_plan_has_no_extra_shuffle_on_broadcastable_changes(spark):
     merged = merge_upsert(base, F.broadcast(changes), ["id"])
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_incremental_agg_refresh_retraction(spark):
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.cdc import (
+        agg_snapshot,
+        incremental_agg_refresh,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, v double"
+    )
+    snap = agg_snapshot(base, ["k"], {"sum_v": "v"})
+    # retract one 'a' row and ALL of 'b' (negative count/sums)
+    retract = spark.createDataFrame(
+        [("a", -1, -2.0), ("b", -1, -5.0)],
+        "k string, n_rows long, sum_v double",
+    ).withColumn("sum_v", F.col("sum_v").cast("decimal(38,10)"))
+    out = incremental_agg_refresh(snap, retract, ["k"], ["sum_v"])
+    rows = {(r.k, r.n_rows, float(r.sum_v)) for r in out.collect()}
+    # 'b' reached count 0 -> dropped; 'a' keeps one row summing 1.0
+    assert rows == {("a", 1, 1.0)}
