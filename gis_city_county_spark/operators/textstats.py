@@ -165,3 +165,61 @@ def normalized_text_sql(expr: str) -> str:
 def bpe_token_count_sql(expr: str) -> str:
     pat = BPE_PATTERN.replace("'", "''")
     return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+def rarity_score(df, id_col: str, text_col: str):
+    """Per-document vocabulary-rarity score: every corpus token gets a
+    frequency rank (1 = most common; ties broken by token string so
+    the rank is a total order), and each document scores the mean rank
+    of its token occurrences — a self-trained, model-free stand-in for
+    LM-perplexity filtering (documents full of rare vocabulary score
+    high; boilerplate scores low). All counting/ranking is integer,
+    the mean goes through the decimal convention, so the score is
+    bit-deterministic.
+
+    Plan shape: one explode + token count (shuffle on token), a
+    vocabulary-sized global rank window (the vocabulary is orders of
+    magnitude smaller than the corpus even at 100 TB — and if it ever
+    isn't, the window becomes a two-stage range rank), then a
+    broadcast-sized join of ranks back onto the token stream and one
+    aggregate keyed on the document."""
+    from pyspark.sql import DataFrame, Window
+
+    from gis_city_county_spark.functions.numeric import dec_avg
+
+    assert isinstance(df, DataFrame)
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (
+        toks.join(F.broadcast(ranked.select("tok", "rank")), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            dec_avg(F.col("rank").cast("double"), "mean_rank"),
+            F.max("rank").alias("max_rank"),
+        )
+    )
+
+
+def rarity_score_sql(table: str, id_col: str, text_col: str) -> str:
+    from gis_city_county_spark.functions.numeric import dec_avg_sql
+
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {table}
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       {dec_avg_sql('CAST(rank AS DOUBLE)', 'mean_rank')},
+       MAX(rank) AS max_rank
+FROM toks JOIN ranked USING (tok)
+GROUP BY {id_col}
+"""

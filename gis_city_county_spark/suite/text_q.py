@@ -281,6 +281,42 @@ def _ols_oracle() -> str:
     return ols_slope_sql(src, "lang", "x", "y")
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape: confusion matrix of the language-ID
+    heuristic against the labeled lang column, with per-cell counts —
+    the accuracy report a pipeline runs before trusting a filter
+    stage. One aggregate over the scored scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", predicted_lang("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+_CONFUSION_ORACLE = f"""
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM ({_LANG_ORACLE})
+GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
+"""
+
+
+def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-rarity scoring (model-free perplexity stand-in):
+    mean corpus-frequency-rank of each document's tokens."""
+    from gis_city_county_spark.operators.textstats import rarity_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rarity_score(docs, "doc_id", "text")
+
+
+def _rarity_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import rarity_score_sql
+
+    return rarity_score_sql("documents", "doc_id", "text")
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
@@ -291,4 +327,6 @@ SPECS = [
     QuerySpec("profile_histogram_nchars", q_histogram_nchars, _histogram_oracle()),
     QuerySpec("text_zscore_nchars", q_zscore_nchars, _zscore_oracle()),
     QuerySpec("profile_ols_slope", q_ols_slope, _ols_oracle()),
+    QuerySpec("text_rarity_score", q_rarity_score, _rarity_oracle()),
+    QuerySpec("eval_lang_id_confusion", q_lang_confusion, _CONFUSION_ORACLE),
 ]
