@@ -180,3 +180,36 @@ def file_minmax_stats(path: str, cols: list[str]) -> "list[dict]":
                     hi[c] = s.max if hi[c] is None else max(hi[c], s.max)
         out.append({"file": name, "min": lo, "max": hi})
     return out
+
+
+def compact_files(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files of roughly the target
+    size. The small-files problem is the dominant failure mode of
+    continuously-appended lakes (every file costs a task, a footer
+    read and a namenode entry; a 100 TB table fed by streaming
+    micro-batches degrades to millions of kilobyte files without
+    this). One shuffle (round-robin repartition — rebalances skewed
+    input files) and one write; run it per partition directory on
+    partitioned tables so partition pruning is preserved.
+
+    Returns the output file count. Compaction writes to a NEW
+    directory — pair with the blue/green pointer swap
+    (:func:`files.publish_snapshot`) so readers flip atomically.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).repartition(n_out).write.parquet(dest_dir)
+    return n_out

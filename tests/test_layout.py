@@ -184,3 +184,23 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
         spark.read.parquet(z_dir).count()
         == orders.count()
     )
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from gis_city_county_spark.sources.layout import compact_files
+
+    src = str(tmp_path / "small")
+    dest = str(tmp_path / "compact")
+    df = spark.range(50_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(40).write.parquet(src)
+
+    import glob
+
+    n_small = len(glob.glob(f"{src}/part-*.parquet"))
+    assert n_small == 40
+    n_out = compact_files(spark, src, dest, target_bytes=64 * 1024 * 1024)
+    n_files = len(glob.glob(f"{dest}/part-*.parquet"))
+    assert n_files == n_out <= 2
+    back = spark.read.parquet(dest)
+    assert back.count() == 50_000
+    assert back.agg({"v": "sum"}).collect()[0][0] == df.agg({"v": "sum"}).collect()[0][0]
