@@ -238,10 +238,10 @@ def q_grid_refine_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from gis_city_county_spark.functions.numeric import dec_sum
 
-    return (
-        joined.groupBy("rect_id")
-        .agg(F.count(F.lit(1)).alias("n_points"), dec_sum("rev", "revenue"))
-        .orderBy("rect_id")
+    # No orderBy: the driver's compare is order-insensitive and a
+    # global sort would add a range Exchange for nothing.
+    return joined.groupBy("rect_id").agg(
+        F.count(F.lit(1)).alias("n_points"), dec_sum("rev", "revenue")
     )
 
 

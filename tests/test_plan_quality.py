@@ -154,3 +154,36 @@ def test_geo_overlays_no_product_join(spark, sf_dir):
 
     for fn in (q_geo_erase, q_geo_union_overlay, q_geo_sliver_fix):
         assert not has_cartesian_or_bnlj(fn(spark, sf_dir)), fn.__name__
+
+
+def test_grid_refine_broadcasts_cells(spark, sf_dir):
+    """The spatial scale path must broadcast the (tiny) exploded cell
+    relation against the point stream — a shuffle of the fact side on
+    (cx, cy) would re-partition the whole lake per overlay."""
+    from gis_city_county_spark.suite.geo_q import q_grid_refine_density
+
+    df = q_grid_refine_density(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnlj(df)
+    # one aggregate exchange + the broadcast exchange of the cells —
+    # the point stream itself never shuffles for the join
+    assert num_shuffles(df) <= 2
+
+
+def test_incremental_dedup_is_anti_join(spark, sf_dir):
+    from gis_city_county_spark.suite.dedup_q import q_incremental_dedup
+
+    df = q_incremental_dedup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert not has_cartesian_or_bnlj(df)
+
+
+def test_rarity_score_broadcasts_rank_table(spark, sf_dir):
+    """The vocabulary rank table re-attaches to the token stream via
+    broadcast — the token stream itself must not shuffle for the join."""
+    from gis_city_county_spark.suite.text_q import q_rarity_score
+
+    df = q_rarity_score(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_cartesian_or_bnlj(df)
