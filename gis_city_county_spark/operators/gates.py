@@ -94,3 +94,49 @@ def diff_gate_df(
         [(added, removed, n_prev, float(frac), frac <= max_change_fraction)],
         "n_added long, n_removed long, n_previous long, change_fraction double, passed boolean",
     )
+
+
+class RunReport:
+    """The reference's alert buffer (``logging_and_alerts.py:13-67``:
+    log to file + accumulate an in-memory buffer for the
+    end-of-run email / GitHub-issue), re-expressed as a structured
+    run report: gates record their outcome here, the pipeline
+    publishes the report next to the data (auditable QA artifact),
+    and ``raise_if_failed`` is the end-of-run alert barrier.
+
+    Driver-side state only (a handful of rows per run) — never touches
+    executors."""
+
+    def __init__(self) -> None:
+        self.entries: list[tuple[str, bool, str]] = []
+
+    def record(self, gate: str, ok: bool, detail: str = "") -> None:
+        self.entries.append((gate, bool(ok), detail))
+
+    def check(self, gate: str, fn, *args, **kwargs):
+        """Run an action gate, recording pass/fail instead of letting
+        :class:`GateError` escape immediately (failures raise together
+        at ``raise_if_failed`` — the reference reports ALL problems in
+        one alert, not just the first)."""
+        try:
+            out = fn(*args, **kwargs)
+        except GateError as e:
+            self.record(gate, False, str(e))
+            return None
+        self.record(gate, True)
+        return out
+
+    @property
+    def ok(self) -> bool:
+        return all(ok for _, ok, _ in self.entries)
+
+    def df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            self.entries, "gate string, ok boolean, detail string"
+        )
+
+    def raise_if_failed(self) -> None:
+        failed = [(g, d) for g, ok, d in self.entries if not ok]
+        if failed:
+            msg = "; ".join(f"{g}: {d}" for g, d in failed)
+            raise GateError(f"{len(failed)} gate(s) failed: {msg}")

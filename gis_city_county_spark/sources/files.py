@@ -262,13 +262,27 @@ def write_staging_csv(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("header", "true").csv(path)
 
 
-def publish_snapshot(df: DataFrame, base_dir: str, name: str) -> str:
+def publish_snapshot(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    metadata: Mapping[str, object] | None = None,
+) -> str:
     """K1+K3 blue/green publish: write the full new version to a fresh
     ``v{N}`` directory, then atomically repoint ``CURRENT``. Readers
     resolving through :func:`read_published` never observe a partial
     write — the reference's staging→swap flow (`scripts/_services.py`,
     `scripts/swap_services.py:4-12`) with a pointer file standing in
-    for the AGOL view relationship."""
+    for the AGOL view relationship.
+
+    ``metadata`` (optional) is the K2 service-definition sync
+    (`scripts/update_service_definitions.py:44-120`): caller-supplied
+    description fields are written as ``.metadata.json`` INSIDE the
+    version directory (plus the version id and column schema), before
+    the pointer flips — so metadata and data always swap together,
+    unlike the reference's separate post-publish REST call."""
+    import json
+
     root = os.path.join(base_dir, name)
     os.makedirs(root, exist_ok=True)
     existing = [
@@ -278,12 +292,29 @@ def publish_snapshot(df: DataFrame, base_dir: str, name: str) -> str:
     version = max(existing, default=0) + 1
     target = os.path.join(root, f"v{version}")
     df.write.mode("errorifexists").parquet(target)
+    if metadata is not None:
+        doc = dict(metadata)
+        doc.setdefault("version", f"v{version}")
+        doc.setdefault("columns", [f.name for f in df.schema.fields])
+        with open(os.path.join(target, ".metadata.json"), "w") as fh:
+            json.dump(doc, fh, indent=2, sort_keys=True)
     pointer = os.path.join(root, "CURRENT")
     tmp = pointer + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(f"v{version}\n")
     os.replace(tmp, pointer)  # atomic on POSIX
     return target
+
+
+def read_published_metadata(base_dir: str, name: str) -> dict:
+    """Resolve CURRENT and read its ``.metadata.json`` sidecar."""
+    import json
+
+    root = os.path.join(base_dir, name)
+    with open(os.path.join(root, "CURRENT")) as fh:
+        version = fh.read().strip()
+    with open(os.path.join(root, version, ".metadata.json")) as fh:
+        return json.load(fh)
 
 
 def read_published(spark: SparkSession, base_dir: str, name: str) -> DataFrame:

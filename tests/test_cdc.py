@@ -90,3 +90,25 @@ def test_incremental_agg_refresh_retraction(spark):
     rows = {(r.k, r.n_rows, float(r.sum_v)) for r in out.collect()}
     # 'b' reached count 0 -> dropped; 'a' keeps one row summing 1.0
     assert rows == {("a", 1, 1.0)}
+
+
+def test_run_report_collects_all_gate_failures(spark):
+    from gis_city_county_spark.operators.gates import (
+        GateError,
+        RunReport,
+        expect_min_count,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    rpt = RunReport()
+    assert rpt.check("enough_rows", expect_min_count, df, 1, "t") is df
+    assert rpt.check("too_few", expect_min_count, df, 500, "t") is None
+    rpt.record("custom", True)
+    assert not rpt.ok
+    rows = {(r.gate, r.ok) for r in rpt.df(spark).collect()}
+    assert rows == {("enough_rows", True), ("too_few", False), ("custom", True)}
+    try:
+        rpt.raise_if_failed()
+        raise AssertionError("should have raised")
+    except GateError as e:
+        assert "too_few" in str(e)

@@ -201,3 +201,24 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert back.count() == 99
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:120]
+
+
+def test_publish_snapshot_metadata_sidecar(spark, tmp_path):
+    from gis_city_county_spark.sources.files import (
+        publish_snapshot,
+        read_published,
+        read_published_metadata,
+    )
+
+    base = str(tmp_path / "pub")
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    publish_snapshot(df, base, "svc", metadata={"description": "first release"})
+    meta = read_published_metadata(base, "svc")
+    assert meta["description"] == "first release"
+    assert meta["version"] == "v1"
+    assert meta["columns"] == ["id", "name"]
+    # underscore-prefixed sidecar is invisible to the parquet reader
+    assert read_published(spark, base, "svc").count() == 1
+    # metadata swaps with the data
+    publish_snapshot(df, base, "svc", metadata={"description": "second"})
+    assert read_published_metadata(base, "svc")["version"] == "v2"
