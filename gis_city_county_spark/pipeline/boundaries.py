@@ -280,11 +280,16 @@ def flow(
     sliver_threshold_m2: float = 100_000.0,
     keep_list: Sequence[bytes] = (),
     cell: float = 1.0,
+    report: "object | None" = None,
 ) -> DataFrame:
     """E1 end-to-end (reference ``bunny.py:534-562``): process sources,
     split/dissolve/join boundaries, optional coastal cut, erase
     unincorporated, merge, finalize. Returns the merged cities +
-    counties + unincorporated layer in EPSG:3310."""
+    counties + unincorporated layer in EPSG:3310.
+
+    Pass a :class:`operators.gates.RunReport` as ``report`` to have the
+    final layer's row-count gate recorded there (the reference's
+    end-of-run alert buffer) instead of raising mid-flow."""
     from gis_city_county_spark.operators.relational import merge_by_name
 
     g = process_gnis(gnis)
@@ -312,4 +317,9 @@ def flow(
 
     unincorporated = derive_unincorporated(counties, cities, cell=cell)
     merged = merge_by_name(cities, counties, unincorporated)
-    return finalize(merged, fixes=SF_FIXES)
+    out = finalize(merged, fixes=SF_FIXES)
+    if report is not None:
+        report.check(
+            "final_layer_min_rows", expect_min_count, out, min_boundary_rows, "final"
+        )
+    return out

@@ -180,3 +180,15 @@ def test_flow_end_to_end(spark, sources):
     xs = [abs(x) for ring, _ in g for x, y in ring]
     assert max(xs) > 1000.0                      # EPSG:3310 meters, not degrees
     out.unpersist()
+
+
+def test_flow_records_report(spark, sources):
+    from gis_city_county_spark.operators.gates import RunReport
+
+    gnis, census, dla, boundaries, coastline = sources
+    rpt = RunReport()
+    out = flow(gnis, census, dla, boundaries, coastline, cell=0.5, report=rpt)
+    assert out.count() > 0
+    assert rpt.ok
+    assert [g for g, _, _ in rpt.entries] == ["final_layer_min_rows"]
+    rpt.raise_if_failed()  # no-op when all gates passed
