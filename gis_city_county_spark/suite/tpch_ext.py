@@ -1150,6 +1150,45 @@ WHERE revenue > 100000.0
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — only the two marginal breakdowns
+    (per-region, per-segment), skipping the detail cells a CUBE would
+    also compute: the Expand operator replicates rows only per
+    requested set, so asking for 2 sets costs 2× map output instead of
+    CUBE's 4×."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    mask = (F.grouping("r_name") * 2 + F.grouping("c_mktsegment")).cast("int")
+    return (
+        base.groupingSets(
+            [["r_name"], ["c_mktsegment"]], "r_name", "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dec_sum("c_acctbal", "total_bal"),
+            mask.alias("gmask"),
+        )
+        .orderBy("gmask", "r_name", "c_mktsegment")
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT r_name, c_mktsegment, COUNT(*) AS n_cust,
+       {dec_sum_sql('c_acctbal', 'total_bal')},
+       CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS INTEGER) AS gmask
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment))
+ORDER BY gmask, r_name, c_mktsegment
+"""
+
+
 def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The analytic-window surface in one pass over each customer's
     order history: row_number, lag/lead, running decimal sum,
@@ -1256,6 +1295,7 @@ SPECS = [
     QuerySpec("tpch_q22_idle_customers", q22_idle_customers, _Q22_ORACLE),
     QuerySpec("olap_rollup_region_nation", q_rollup_region_nation, _ROLLUP_ORACLE),
     QuerySpec("olap_cube_region_segment", q_cube_region_segment, _CUBE_ORACLE),
+    QuerySpec("olap_grouping_sets", q_grouping_sets, _GSETS_ORACLE),
     QuerySpec("olap_ntile_deciles", q_ntile_deciles, _NTILE_ORACLE),
     QuerySpec("olap_window_battery", q_window_battery, _WINBAT_ORACLE),
     QuerySpec("sql_api_supplier_revenue", q_sql_api_revenue, _SQL_API_ORACLE),
