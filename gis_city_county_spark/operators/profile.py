@@ -242,3 +242,65 @@ SELECT {group_col}, n,
             THEN (syd - (num / den) * sxd) / CAST(n AS DOUBLE) END AS intercept
 FROM c
 """
+
+
+def correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation over INTEGER features from the
+    same exact integer moments as :func:`ols_slope`:
+    r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²)).
+    Moments are exact and order-independent; the closing sqrt/divide
+    are single IEEE ops — bit-deterministic, unlike the built-in
+    ``corr`` whose float accumulation is partition-order-dependent.
+    Groups with zero variance on either side get NULL."""
+    dec = "decimal(38,0)"
+    xd = F.col(x_col).cast("decimal(19,0)")
+    yd = F.col(y_col).cast("decimal(19,0)")
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast(dec).alias("__sx"),
+        F.sum(yd).cast(dec).alias("__sy"),
+        F.sum((xd * yd).cast(dec)).cast(dec).alias("__sxy"),
+        F.sum((xd * xd).cast(dec)).cast(dec).alias("__sxx"),
+        F.sum((yd * yd).cast(dec)).cast(dec).alias("__syy"),
+    )
+    nn = F.col("n").cast(dec)
+    num = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (nn * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    r = F.when((vx > 0.0) & (vy > 0.0), num / F.sqrt(vx * vy))
+    return m.select(group_col, "n", r.alias("pearson_r"))
+
+
+def correlation_sql(source_sql: str, group_col: str, x_col: str, y_col: str) -> str:
+    """DuckDB twin of :func:`correlation` (HUGEINT moments, VARCHAR-
+    routed double casts — see :func:`ols_slope_sql`)."""
+    xd = f"CAST({x_col} AS HUGEINT)"
+    yd = f"CAST({y_col} AS HUGEINT)"
+
+    def d(expr: str) -> str:
+        return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+    return f"""
+WITH m AS (
+  SELECT {group_col}, COUNT(*) AS n,
+         SUM({xd}) AS sx, SUM({yd}) AS sy,
+         SUM({xd} * {yd}) AS sxy,
+         SUM({xd} * {xd}) AS sxx, SUM({yd} * {yd}) AS syy
+  FROM ({source_sql}) GROUP BY {group_col}
+),
+c AS (
+  SELECT {group_col}, n,
+         {d("CAST(n AS HUGEINT) * sxy - sx * sy")} AS num,
+         {d("CAST(n AS HUGEINT) * sxx - sx * sx")} AS vx,
+         {d("CAST(n AS HUGEINT) * syy - sy * sy")} AS vy
+  FROM m
+)
+SELECT {group_col}, n,
+       CASE WHEN vx > 0.0 AND vy > 0.0 THEN num / sqrt(vx * vy) END AS pearson_r
+FROM c
+"""

@@ -302,6 +302,30 @@ GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang
 """
 
 
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation of character count vs BPE
+    token count from exact integer moments (deterministic twin of the
+    float-accumulating built-in corr)."""
+    from gis_city_county_spark.operators.profile import correlation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        bpe_token_count("text").cast("long").alias("y"),
+    )
+    return correlation(docs, "lang", "x", "y")
+
+
+def _corr_oracle() -> str:
+    from gis_city_county_spark.operators.profile import correlation_sql
+
+    src = (
+        "SELECT lang, CAST(n_chars AS BIGINT) AS x, "
+        f"CAST({bpe_token_count_sql('text')} AS BIGINT) AS y FROM documents"
+    )
+    return correlation_sql(src, "lang", "x", "y")
+
+
 def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-rarity scoring (model-free perplexity stand-in):
     mean corpus-frequency-rank of each document's tokens."""
@@ -329,4 +353,5 @@ SPECS = [
     QuerySpec("profile_ols_slope", q_ols_slope, _ols_oracle()),
     QuerySpec("text_rarity_score", q_rarity_score, _rarity_oracle()),
     QuerySpec("eval_lang_id_confusion", q_lang_confusion, _CONFUSION_ORACLE),
+    QuerySpec("profile_correlation", q_correlation, _corr_oracle()),
 ]
