@@ -644,3 +644,103 @@ SELECT * EXCLUDE (__n_copies), CAST(g.i AS BIGINT) AS copy_idx
 FROM expanded, LATERAL UNNEST(generate_series(1, __n_copies)) AS g(i)
 WHERE __n_copies >= 1
 """
+
+
+# ------------------------------------------------------ PMI co-occurrence
+
+
+def pmi_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_k: int = 200,
+    top_k: int = 25,
+) -> DataFrame:
+    """Token co-occurrence with PMI-style scoring: which vocabulary
+    terms appear in the same documents far more often than their
+    independent document frequencies predict (collocations, templated
+    boilerplate, topic anchors).
+
+    Scale shape: the corpus collapses once into a thin
+    ``(doc_id, token)`` relation restricted to the ``vocab_k`` highest
+    document-frequency tokens (a broadcast filter), so the per-document
+    pair fan-out is bounded by vocab size — never O(doc_len²) — and
+    the pair join shuffles only ids+tokens keyed on ``doc_id``. The
+    score is exact integer arithmetic end-to-end:
+    ``pmi_ppm = ⌊n_pair · n_docs · 10⁶ / (df_a · df_b)⌋`` (> 10⁶ ⇒
+    positive association), so ranking is bit-deterministic across
+    engines. Top-k executes as TakeOrderedAndProject.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(vocab_k)
+    tokv = tok.join(F.broadcast(vocab), "token").select("__doc", "token", "df")
+    a = tokv.select(
+        F.col("__doc"), F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    b = tokv.select(
+        F.col("__doc"), F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, ["__doc"])
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # `div` = exact integral division on decimals (matches HUGEINT `//`
+    # in the twin); a decimal `/` would round at scale 6 first and can
+    # disagree with floor division in the last integer.
+    score = F.expr(
+        "(CAST(n_pair AS DECIMAL(38,0)) * CAST(n_docs AS DECIMAL(38,0)) * 1000000)"
+        " div (CAST(df_a AS DECIMAL(38,0)) * CAST(df_b AS DECIMAL(38,0)))"
+    ).cast("long")
+    return (
+        pairs.crossJoin(F.broadcast(totals))
+        .select(
+            "token_a",
+            "token_b",
+            "n_pair",
+            "df_a",
+            "df_b",
+            "n_docs",
+            score.alias("pmi_ppm"),
+        )
+        .orderBy(F.col("pmi_ppm").desc(), "token_a", "token_b")
+        .limit(top_k)
+    )
+
+
+def pmi_pairs_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    vocab_k: int = 200,
+    top_k: int = 25,
+) -> str:
+    """DuckDB oracle twin of :func:`pmi_pairs` (HUGEINT integer score)."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc, t.token
+  FROM ({table_sql}),
+       LATERAL UNNEST(list_distinct({tokens_sql(text_col)})) AS t(token)
+),
+totals AS (SELECT COUNT(*) AS n_docs FROM ({table_sql})),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+vocab AS (SELECT token, df FROM dfreq ORDER BY df DESC, token ASC LIMIT {vocab_k}),
+tokv AS (SELECT tok.doc, tok.token, vocab.df FROM tok JOIN vocab USING (token)),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS n_pair
+  FROM tokv a JOIN tokv b ON a.doc = b.doc AND a.token < b.token
+  GROUP BY 1, 2, 3, 4
+)
+SELECT token_a, token_b, n_pair, df_a, df_b, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(CAST(n_pair AS HUGEINT) * n_docs * 1000000
+            // (CAST(df_a AS HUGEINT) * df_b) AS BIGINT) AS pmi_ppm
+FROM pairs CROSS JOIN totals
+ORDER BY pmi_ppm DESC, token_a, token_b LIMIT {top_k}
+"""

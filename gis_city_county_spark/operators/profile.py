@@ -115,6 +115,70 @@ GROUP BY bin ORDER BY bin
 """
 
 
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Join-key skew diagnosis: the k heaviest keys with their share of
+    the table in parts-per-million — run this before shuffling 100 TB
+    on a key to decide whether a join needs salting / AQE skew
+    handling.
+
+    Shape: one count aggregation keyed on ``key_col`` (map-side
+    combinable), then a global top-k. Spark executes the
+    ``orderBy().limit(k)`` as TakeOrderedAndProject — per-partition
+    heaps merged on the driver, never a full sort — so the cost is the
+    one aggregation shuffle regardless of key cardinality. The total
+    row count rides along via a single-row broadcast cross join.
+
+    Output: ``(rank, key, cnt, n_rows, n_keys, share_ppm)`` with
+    ``share_ppm = cnt·10⁶ ÷ n_rows`` in exact integer arithmetic and a
+    deterministic (cnt desc, key asc) order.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            F.col("key").cast("string").alias("key"),
+            "cnt",
+            "n_rows",
+            "n_keys",
+            # `div` = exact integral division (twin of HUGEINT `//`);
+            # decimal `/` would round at scale 6 before truncation.
+            F.expr("(CAST(cnt AS DECIMAL(38,0)) * 1000000) div n_rows")
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )
+
+
+def skew_report_sql(table_sql: str, key_col: str, top_k: int = 10) -> str:
+    """DuckDB oracle twin of :func:`skew_report`."""
+    return f"""
+WITH counts AS (
+  SELECT {key_col} AS key, COUNT(*) AS cnt
+  FROM ({table_sql}) GROUP BY 1
+),
+totals AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM counts),
+top AS (
+  SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank
+  FROM counts ORDER BY cnt DESC, key ASC LIMIT {top_k}
+)
+SELECT CAST(rank AS INTEGER) AS rank, CAST(key AS VARCHAR) AS key, cnt,
+       CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(CAST(cnt AS HUGEINT) * 1000000 // n_rows AS BIGINT) AS share_ppm
+FROM top CROSS JOIN totals
+"""
+
+
 def zscore(
     df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore"
 ) -> DataFrame:

@@ -17,6 +17,10 @@ from __future__ import annotations
 
 import re
 
+# Module-level so pandas-UDF type hints (stringized by the __future__
+# annotations import) resolve through this module's globals.
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -165,3 +169,91 @@ def chunk_documents_udtf(
     return spark.sql(
         f"SELECT c.* FROM {name}_src, LATERAL {name}(__cid, __ctext) AS c"
     )
+
+
+def group_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group lower median via a GROUPED_AGG pandas UDF — the
+    Arrow-batched aggregate-function surface (the third Python escape
+    hatch next to applyInPandas and UDTF).
+
+    "Lower median" = the element at sorted index ⌊(n−1)/2⌋: an actual
+    input value, no averaging — so the result is bit-deterministic and
+    oracle-able (the SQL twin picks the same row with ROW_NUMBER).
+    One shuffle on the group key; each group's values stream into one
+    Arrow buffer, so per-group memory is the bound — same contract as
+    any holistic aggregate (exact medians don't partial-aggregate).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def lower_median(v: pd.Series) -> float:
+        import numpy as np
+
+        a = np.sort(v.to_numpy())
+        return float(a[(len(a) - 1) // 2])
+
+    # Spark forbids mixing built-in aggregates with GROUPED_AGG pandas
+    # UDFs in one agg(); the row count comes from a second (cheap,
+    # map-side-combinable) aggregation joined back on the group key.
+    med = df.groupBy(group_col).agg(
+        lower_median(F.col(value_col).cast("double")).alias("median_lo")
+    )
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    return n.join(med, group_col).select(group_col, "n", "median_lo").orderBy(group_col)
+
+
+def group_median_sql(table_sql: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle twin of :func:`group_median`."""
+    return f"""
+WITH ranked AS (
+  SELECT {group_col} AS grp, CAST({value_col} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY CAST({value_col} AS DOUBLE)) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM ({table_sql})
+)
+SELECT grp AS {group_col}, CAST(n AS BIGINT) AS n, v AS median_lo
+FROM ranked WHERE rn = (n - 1) // 2 + 1
+ORDER BY {group_col}
+"""
+
+
+def arrow_byte_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-row UTF-8 byte/char accounting via ``mapInArrow`` — the
+    zero-copy batch surface (no pandas conversion at all): each Arrow
+    record batch is transformed with vectorized ``pyarrow.compute``
+    kernels. The storage-cost estimator for a text corpus (bytes ≠
+    chars once CJK enters), and the plumbing witness for custom
+    Arrow-native operators (tokenizers, codecs) at 100 TB — narrow,
+    scan-side, no shuffle.
+    """
+    import pyarrow as pa
+
+    src = df.select(F.col(id_col), F.col(text_col))
+
+    def stats(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            ids = batch.column(0)
+            txt = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pc.binary_length(txt),
+                    pc.utf8_length(txt),
+                ],
+                names=[id_col, "n_bytes", "n_codepoints"],
+            )
+
+    return src.mapInArrow(stats, f"{id_col} long, n_bytes int, n_codepoints int")
+
+
+def arrow_byte_stats_sql(table_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle twin of :func:`arrow_byte_stats` (octet_length on
+    the UTF-8 encoding vs character length)."""
+    return f"""
+SELECT {id_col}, CAST(octet_length(encode({text_col})) AS INTEGER) AS n_bytes,
+       CAST(length({text_col}) AS INTEGER) AS n_codepoints
+FROM ({table_sql})
+"""

@@ -640,3 +640,67 @@ SELECT label, {id_col}, dist2, rank FROM (
   FROM scored
 ) t WHERE rank <= {k}
 """
+
+
+# ----------------------------------------------- scalar quantization
+
+
+def quantize_report(df: DataFrame, vec_col: str) -> DataFrame:
+    """Per-dimension int8 symmetric scalar quantization report: for
+    each embedding dimension, the corpus-wide max |x| (the scale
+    anchor), and the mean absolute reconstruction error of
+    ``code = ⌊x · 127 / maxabs⌋`` — the calibration pass you run
+    before shipping a quantized ANN index, telling you which
+    dimensions lose precision.
+
+    Shape: one ``posexplode`` flattens vectors to (dim, value) — a
+    narrow scan-side op — then two keyed aggregations over |dims| ≪ n
+    groups (max, then the error fold), with the per-dim scale attached
+    back by broadcast. All arithmetic is IEEE double with floor (not
+    round, whose half-case tie rules differ between engines) and the
+    error mean goes through DECIMAL(38,10), so the report is
+    bit-deterministic at any parallelism.
+
+    Output: ``(dim, n, maxabs, mean_abs_err)``.
+    """
+    flat = df.select(
+        F.posexplode(vec_col).alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    scales = flat.groupBy("dim").agg(F.max(F.abs(F.col("x"))).alias("maxabs"))
+    code = F.floor(F.col("x") * F.lit(127.0) / F.col("maxabs"))
+    recon = code.cast("double") * F.col("maxabs") / F.lit(127.0)
+    err = F.when(F.col("maxabs") > 0.0, F.abs(F.col("x") - recon)).otherwise(F.lit(0.0))
+    return (
+        flat.join(F.broadcast(scales), "dim")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("maxabs").alias("maxabs"),
+            (
+                F.sum(err.cast("decimal(38,10)")).cast("double") / F.count(F.lit(1))
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("dim")
+    )
+
+
+def quantize_report_sql(table_sql: str, vec_col: str) -> str:
+    """DuckDB oracle twin of :func:`quantize_report` (0-based dims via
+    generate_series + 1-based list indexing — DuckDB 1.0 has no UNNEST
+    WITH ORDINALITY; VARCHAR-routed decimal→double)."""
+    return f"""
+WITH flat AS (
+  SELECT CAST(ord - 1 AS INTEGER) AS dim, CAST({vec_col}[ord] AS DOUBLE) AS x
+  FROM ({table_sql}),
+       LATERAL (SELECT UNNEST(generate_series(1, len({vec_col}))) AS ord)
+),
+scales AS (SELECT dim, MAX(abs(x)) AS maxabs FROM flat GROUP BY dim)
+SELECT f.dim, COUNT(*) AS n, MAX(s.maxabs) AS maxabs,
+       CAST(CAST(SUM(CAST(
+         CASE WHEN s.maxabs > 0.0
+              THEN abs(f.x - floor(f.x * 127.0 / s.maxabs) * s.maxabs / 127.0)
+              ELSE 0.0 END AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+         AS mean_abs_err
+FROM flat f JOIN scales s USING (dim)
+GROUP BY f.dim ORDER BY f.dim
+"""

@@ -462,3 +462,79 @@ SELECT g.{key_col},
        o.__obs IS NOT NULL AS observed
 FROM grid g LEFT JOIN obs o ON g.{key_col} = o.{key_col} AND g.cell = o.cell
 """
+
+
+# ------------------------------------------- time-weighted average
+
+
+def time_weighted_avg(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """Duration-weighted mean of a piecewise-constant signal: each
+    observation holds its value until the key's next event, and is
+    weighted by that holding time (the last event of a key carries no
+    weight — its duration is unknown).
+
+    The standard sensor/metrics rollup that a plain AVG gets wrong
+    whenever sampling is irregular. One shuffle: a (key, ts) window
+    computes ``lead`` durations in exact integer microseconds
+    (``unix_micros``), then a keyed aggregation folds the product
+    ``DECIMAL(18,6) value × DECIMAL(18,0) duration`` — exact decimal
+    multiply (37,6), order-independent sum, no double rounding until
+    the single closing IEEE divide. Contract: values are quantized to
+    micro-units (≤6 decimal places), which also guarantees the
+    double→decimal conversion is exact on every engine.
+
+    Output: ``(key, n_events, total_us, twa)``; keys with a single
+    event emit NULL twa.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(us.asc(), F.col(value_col).asc())
+    dur = (F.lead(us).over(w) - us).alias("__dur_us")
+    spans = df.select(F.col(key_col), F.col(value_col).cast("double").alias("__v"), dur)
+    held = spans.filter(F.col("__dur_us").isNotNull())
+    prod = F.col("__v").cast("decimal(18,6)") * F.col("__dur_us").cast("decimal(19,0)")
+    agg = held.groupBy(key_col).agg(
+        F.sum(prod).cast("double").alias("__ws"),
+        F.sum(F.col("__dur_us")).alias("total_us"),
+    )
+    n = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        n.join(agg, key_col, "left")
+        .select(
+            key_col,
+            "n_events",
+            F.coalesce(F.col("total_us"), F.lit(0)).alias("total_us"),
+            F.when(F.col("total_us") > 0, F.col("__ws") / F.col("total_us").cast("double")).alias("twa"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    table_sql: str, key_col: str, ts_col: str, value_col: str
+) -> str:
+    """DuckDB oracle twin of :func:`time_weighted_avg`."""
+    return f"""
+WITH spans AS (
+  SELECT {key_col} AS key,
+         CAST({value_col} AS DOUBLE) AS v,
+         LEAD(epoch_us({ts_col})) OVER (
+           PARTITION BY {key_col}
+           ORDER BY epoch_us({ts_col}) ASC, CAST({value_col} AS DOUBLE) ASC)
+           - epoch_us({ts_col}) AS dur_us
+  FROM ({table_sql})
+),
+agg AS (
+  SELECT key,
+         -- DECIMAL(19,0) forces int128 storage so the product can't
+         -- overflow DuckDB's int64 multiply path
+         CAST(CAST(SUM(CAST(v AS DECIMAL(18,6)) * CAST(dur_us AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS ws,
+         SUM(dur_us) AS total_us
+  FROM spans WHERE dur_us IS NOT NULL GROUP BY key
+),
+n AS (SELECT {key_col} AS key, COUNT(*) AS n_events FROM ({table_sql}) GROUP BY 1)
+SELECT n.key AS {key_col}, n.n_events,
+       COALESCE(agg.total_us, 0) AS total_us,
+       CASE WHEN agg.total_us > 0 THEN agg.ws / CAST(agg.total_us AS DOUBLE) END AS twa
+FROM n LEFT JOIN agg ON n.key = agg.key
+"""

@@ -18,6 +18,8 @@ from gis_city_county_spark.operators.corpus import (
     mixture_resample_sql,
     ngram_topk,
     ngram_topk_sql,
+    pmi_pairs,
+    pmi_pairs_sql,
     quantile_band_filter,
     quantile_band_filter_sql,
     repetition_stats,
@@ -217,8 +219,25 @@ def q_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents_udtf(docs, "doc_id", "text", chunk=_CHUNK, stride=_STRIDE)
 
 
+_PMI_V, _PMI_K = 120, 25
+
+
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top PMI-scored co-occurring vocabulary
+    pairs across documents (operators.corpus.pmi_pairs) — exact
+    integer scoring, vocab-bounded pair fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_pairs(docs, "doc_id", "text", vocab_k=_PMI_V, top_k=_PMI_K)
+
+
+_PMI_ORACLE = pmi_pairs_sql(
+    "SELECT doc_id, text FROM documents", "doc_id", "text", vocab_k=_PMI_V, top_k=_PMI_K
+)
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),
     QuerySpec("pyapi_chunk_udtf", q_chunk_udtf, _CHUNK_ORACLE),
     QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
     QuerySpec("corpus_length_band_filter", q_length_band, _BAND_ORACLE),

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gis_city_county_spark.operators.pyapi import user_span_features_sql
+from gis_city_county_spark.operators.pyapi import group_median_sql, user_span_features_sql
 from gis_city_county_spark.operators.temporal import (
     funnel_stages,
     funnel_stages_sql,
@@ -12,6 +12,7 @@ from gis_city_county_spark.operators.temporal import (
     resample_ffill_sql,
     rolling_features,
     rolling_features_sql,
+    time_weighted_avg_sql,
 )
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.streaming.events import sessionize, sessionize_sql, windowed_agg
@@ -148,6 +149,141 @@ _SPAN_ORACLE = user_span_features_sql(
 )
 
 
+def q_wow_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week traffic report: events + distinct actives per
+    ISO week, with absolute delta and basis-point change vs the prior
+    week (exact integral arithmetic — `div` twins HUGEINT `//`).
+    The growth-dashboard staple. The window runs over the already-
+    aggregated |weeks|-row frame, so the single-partition lag is on
+    dozens of rows, not the event stream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    # week stays TIMESTAMP: Spark DATE and DuckDB DATE round-trip
+    # differently through pandas (date object vs datetime64), so the
+    # suite convention is timestamp-typed calendar buckets.
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    w = Window.orderBy("week")
+    return (
+        weekly.withColumn("__prev", F.lag("n_events").over(w))
+        .select(
+            "week",
+            "n_events",
+            "n_users",
+            (F.col("n_events") - F.col("__prev")).alias("delta_events"),
+            F.when(
+                F.col("__prev") > 0,
+                F.expr(
+                    "(CAST(n_events AS DECIMAL(38,0)) - __prev) * 10000 div __prev"
+                ).cast("long"),
+            ).alias("change_bp"),
+        )
+        .orderBy("week")
+    )
+
+
+_WOW_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+         COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+  FROM ev GROUP BY 1
+)
+SELECT week, n_events, n_users,
+       n_events - LAG(n_events) OVER (ORDER BY week) AS delta_events,
+       CASE WHEN LAG(n_events) OVER (ORDER BY week) > 0 THEN
+         CAST((CAST(n_events AS HUGEINT) - LAG(n_events) OVER (ORDER BY week))
+              * 10000 // LAG(n_events) OVER (ORDER BY week) AS BIGINT)
+       END AS change_bp
+FROM weekly ORDER BY week
+"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: per-user event-type transition
+    counts and probabilities in exact parts-per-million (`div` ==
+    HUGEINT `//`). One (user, ts) window pass to pair each event with
+    its successor, then a tiny |types|² aggregation — the journey-
+    analysis / next-action-model shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("__from_total"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div __from_total AS BIGINT)").alias(
+                "prob_ppm"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_MARKOV_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+           ) AS to_type
+    FROM ev
+  ) WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (SELECT from_type, SUM(n) AS from_total FROM trans GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       CAST(CAST(t.n AS HUGEINT) * 1000000 // tt.from_total AS BIGINT) AS prob_ppm
+FROM trans t JOIN totals tt USING (from_type)
+ORDER BY t.from_type, t.to_type
+"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted per-user mean of the piecewise-constant value
+    signal (operators.temporal.time_weighted_avg) — the irregular-
+    sampling rollup a plain AVG gets wrong."""
+    from gis_city_county_spark.operators.temporal import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value")
+
+
+def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas-UDF surface: exact lower median of event
+    value per event type (operators.pyapi.group_median)."""
+    from gis_city_county_spark.operators.pyapi import group_median
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_median(ev, "event_type", "value")
+
+
+_TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
+_MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
@@ -156,4 +292,8 @@ SPECS = [
     QuerySpec("events_resample_ffill", q_resample, _RESAMPLE_ORACLE),
     QuerySpec("events_cohort_retention", q_cohort_retention, _COHORT_ORACLE),
     QuerySpec("pyapi_user_span_features", q_user_span_features, _SPAN_ORACLE),
+    QuerySpec("events_wow_report", q_wow_report, _WOW_ORACLE),
+    QuerySpec("events_markov_transitions", q_markov_transitions, _MARKOV_ORACLE),
+    QuerySpec("events_time_weighted_avg", q_time_weighted_avg, _TWA_ORACLE),
+    QuerySpec("pyapi_group_median", q_group_median, _MEDIAN_ORACLE),
 ]

@@ -14,6 +14,8 @@ from gis_city_county_spark.operators.similarity import (
     ivf_ann_topk_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
+    quantize_report,
+    quantize_report_sql,
 )
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
@@ -130,6 +132,19 @@ LEFT JOIN hits h USING (probe_id)
 """
 
 
+def q_quantize_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization calibration: per-dimension max|x| and
+    exact mean reconstruction error (operators.similarity
+    .quantize_report) — the pre-flight for a quantized ANN index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_report(emb, "embedding")
+
+
+_QUANT_ORACLE = quantize_report_sql(
+    "SELECT embedding FROM embeddings", "embedding"
+)
+
+
 SPECS = [
     QuerySpec(
         "sim_centroid_outliers",
@@ -155,4 +170,5 @@ SPECS = [
     ),
     QuerySpec("func_vector_ops", q_vector_ops, _VECOPS_ORACLE),
     QuerySpec("sim_ann_recall", q_ann_recall, _RECALL_ORACLE),
+    QuerySpec("sim_quantize_report", q_quantize_report, _QUANT_ORACLE),
 ]

@@ -341,6 +341,25 @@ def _rarity_oracle() -> str:
     return rarity_score_sql("documents", "doc_id", "text")
 
 
+def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow surface: per-document UTF-8 byte vs codepoint counts
+    through zero-copy pyarrow.compute kernels
+    (operators.pyapi.arrow_byte_stats)."""
+    from gis_city_county_spark.operators.pyapi import arrow_byte_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return arrow_byte_stats(docs, "doc_id", "text")
+
+
+def _arrow_bytes_oracle() -> str:
+    from gis_city_county_spark.operators.pyapi import arrow_byte_stats_sql
+
+    return arrow_byte_stats_sql("SELECT doc_id, text FROM documents", "doc_id", "text")
+
+
+_ARROW_BYTES_ORACLE = _arrow_bytes_oracle()
+
+
 SPECS = [
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
@@ -354,4 +373,5 @@ SPECS = [
     QuerySpec("text_rarity_score", q_rarity_score, _rarity_oracle()),
     QuerySpec("eval_lang_id_confusion", q_lang_confusion, _CONFUSION_ORACLE),
     QuerySpec("profile_correlation", q_correlation, _corr_oracle()),
+    QuerySpec("pyapi_arrow_byte_stats", q_arrow_byte_stats, _ARROW_BYTES_ORACLE),
 ]

@@ -1272,6 +1272,27 @@ GROUP BY decile ORDER BY decile
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis on the fact table's part key: the 10
+    heaviest keys with exact parts-per-million share
+    (operators.profile.skew_report) — run before a 100 TB shuffle to
+    decide on salting / AQE skew handling. Top-k executes as
+    TakeOrderedAndProject (per-partition heaps), never a full sort."""
+    from gis_city_county_spark.operators.profile import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_partkey", top_k=10)
+
+
+def _skew_oracle() -> str:
+    from gis_city_county_spark.operators.profile import skew_report_sql
+
+    return skew_report_sql("SELECT l_partkey FROM lineitem", "l_partkey", top_k=10)
+
+
+_SKEW_ORACLE = _skew_oracle()
+
+
 SPECS = [
     QuerySpec("olap_pivot_event_matrix", q_pivot_event_matrix, _PIVOT_ORACLE),
     QuerySpec("olap_melt_lineitem_metrics", q_melt_lineitem_metrics, _MELT_ORACLE),
@@ -1303,4 +1324,5 @@ SPECS = [
     QuerySpec("olap_distinct_agg", q_distinct_agg, _DISTINCT_ORACLE),
     QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("func_json_props", q_json_props, _JSON_ORACLE),
+    QuerySpec("profile_skew_report", q_skew_report, _SKEW_ORACLE),
 ]
