@@ -109,3 +109,79 @@ def pagerank_sql(
   ) s ON n.node = s.dst)"""
         )
     return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source shortest hop counts by iterative frontier
+    expansion — (node, hops) for every node within ``max_hops`` of
+    ``source``.
+
+    The Pregel-as-relational BFS: each round joins the current
+    frontier against the edge list (one hash join keyed on the node),
+    min-aggregates candidate distances, and anti-joins off already-
+    visited nodes so the frontier only carries *newly* discovered
+    nodes — work per round is proportional to the frontier's edge
+    neighborhood, not the graph. ``localCheckpoint`` truncates the
+    growing lineage each round (durable ``checkpoint()`` on a real
+    cluster). Early-exits when the frontier empties (one cheap
+    ``isEmpty`` per round — a driver barrier by design, like the
+    reference's count gates). Hop counts are exact integers: bit-
+    identical to the recursive-CTE oracle on any engine.
+    """
+    # Materialize the edge list once — every round's frontier join and
+    # emptiness probe would otherwise re-derive it from its full
+    # upstream lineage (scans + joins) on each action.
+    edges = edges.localCheckpoint(eager=True)
+    seed = edges.sparkSession.createDataFrame(
+        [(source, 0)], "node long, hops long"
+    )
+    # `visited` stays a lazy union of already-materialized levels —
+    # only each round's (small) frontier is checkpointed, never the
+    # growing visited set.
+    visited = seed
+    frontier = seed
+    for hop in range(1, max_hops + 1):
+        candidates = (
+            frontier.join(edges, frontier.node == edges[src_col])
+            .select(F.col(dst_col).alias("node"))
+            .distinct()
+        )
+        new = (
+            candidates.join(visited, "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new)
+        frontier = new
+    return visited.orderBy("hops", "node")
+
+
+def bfs_hops_sql(edges_sql: str, source: int, max_hops: int) -> str:
+    """DuckDB oracle twin of :func:`bfs_hops`: the loop unrolled into
+    level-synchronous CTEs (frontier k = distinct neighbors of
+    frontier k−1 minus all visited) — a naive recursive CTE would
+    enumerate every walk, exponential on a dense graph."""
+    ctes = [
+        "e AS (" + edges_sql + ")",
+        f"v0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops)",
+        "f0 AS (SELECT node FROM v0)",
+    ]
+    for k in range(1, max_hops + 1):
+        ctes.append(
+            f"n{k} AS (SELECT c.node, CAST({k} AS BIGINT) AS hops FROM "
+            f"(SELECT DISTINCT e.dst AS node FROM f{k-1} JOIN e ON f{k-1}.node = e.src) c "
+            f"WHERE c.node NOT IN (SELECT node FROM v{k-1}))"
+        )
+        ctes.append(f"v{k} AS (SELECT * FROM v{k-1} UNION ALL SELECT * FROM n{k})")
+        ctes.append(f"f{k} AS (SELECT node FROM n{k})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, hops FROM v{max_hops} ORDER BY hops, node"
+    )

@@ -368,3 +368,64 @@ SELECT {group_col}, n,
        CASE WHEN vx > 0.0 AND vy > 0.0 THEN num / sqrt(vx * vy) END AS pearson_r
 FROM c
 """
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[tuple[str, int]] = (("p25", 25), ("p50", 50), ("p75", 75), ("p90", 90)),
+) -> DataFrame:
+    """Exact per-group discrete quantiles: for each group, the value at
+    sorted index ``⌊(n−1)·p/100⌋`` for every requested percentile —
+    actual input values (type-preserving, no interpolation), so the
+    result is bit-deterministic and engine-exact, unlike
+    ``percentile``/``approx_percentile`` twins whose interpolation and
+    sketches differ across engines.
+
+    One shuffle: a (group, value) sort-window ranks rows, a count
+    window sizes each group, then a conditional max per percentile
+    collapses to one row per group. Exact quantiles are holistic (no
+    partial aggregation), so the per-group sort is the honest cost —
+    at 100 TB prefer this per *bounded* groups (the calibration-report
+    shape) and approx_percentile for corpus-wide monitoring.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("double").alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("__n"),
+    )
+    aggs = [F.max("__n").alias("n")]
+    for name, p in probs:
+        idx = F.floor((F.col("__n") - 1) * p / 100) + 1
+        aggs.append(F.max(F.when(F.col("__rn") == idx, F.col("__v"))).alias(name))
+    return ranked.groupBy(group_col).agg(*aggs).orderBy(group_col)
+
+
+def group_quantiles_sql(
+    table_sql: str,
+    group_col: str,
+    value_col: str,
+    probs: Sequence[tuple[str, int]] = (("p25", 25), ("p50", 50), ("p75", 75), ("p90", 90)),
+) -> str:
+    """DuckDB oracle twin of :func:`group_quantiles`."""
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = (n - 1) * {p} // 100 + 1 THEN v END) AS {name}"
+        for name, p in probs
+    )
+    return f"""
+WITH ranked AS (
+  SELECT {group_col} AS grp, CAST({value_col} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY CAST({value_col} AS DOUBLE) ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM ({table_sql})
+)
+SELECT grp AS {group_col}, CAST(MAX(n) AS BIGINT) AS n,
+       {picks}
+FROM ranked GROUP BY grp ORDER BY grp
+"""

@@ -294,3 +294,75 @@ SELECT probe_id, probe_name, cand_id, cand_name, dist, rank FROM (
   FROM ({base})
 ) WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- inverted index
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index posting relation: one row per (token, doc, tf).
+    The layout a 100 TB search index wants — thin, hash-partitionable
+    by token (write it bucketed on ``token`` via sources.layout and
+    every term lookup is a pruned scan; conjunctions become
+    co-bucketed joins that never shuffle the corpus)."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def conjunctive_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """AND-of-terms keyword search through the inverted index: the
+    documents containing *every* term, ranked by summed term frequency
+    (ties → lowest id first), top-k.
+
+    Relational shape: postings filtered to the query terms (an ``IN``
+    filter that reaches the scan / prunes token buckets), then a
+    count-matching-terms aggregation per document — an n-way posting
+    intersection as ONE group-by instead of (n−1) self-joins. Shuffle
+    volume is the matched postings only. Top-k is
+    TakeOrderedAndProject. Exact integer ranking — no floats anywhere.
+    """
+    nterms = len(set(terms))
+    postings = build_postings(df, id_col, text_col)
+    hits = postings.filter(F.col("token").isin(*terms))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("__n_terms") == nterms)
+        .drop("__n_terms")
+        .orderBy(F.col("total_tf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def conjunctive_search_sql(
+    table_sql: str, id_col: str, text_col: str, terms: list[str], k: int = 20
+) -> str:
+    """DuckDB oracle twin of :func:`conjunctive_search`."""
+    nterms = len(set(terms))
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH postings AS (
+  SELECT t.token, {id_col}, COUNT(*) AS tf
+  FROM ({table_sql}), LATERAL UNNEST({tokens_sql(text_col)}) AS t(token)
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT {id_col}, COUNT(*) AS n_terms, SUM(tf) AS total_tf
+  FROM postings WHERE token IN ({lits}) GROUP BY 1
+)
+SELECT {id_col}, CAST(total_tf AS BIGINT) AS total_tf
+FROM hits WHERE n_terms = {nterms}
+ORDER BY total_tf DESC, {id_col} ASC LIMIT {k}
+"""

@@ -538,3 +538,98 @@ SELECT n.key AS {key_col}, n.n_events,
        CASE WHEN agg.total_us > 0 THEN agg.ws / CAST(agg.total_us AS DOUBLE) END AS twa
 FROM n LEFT JOIN agg ON n.key = agg.key
 """
+
+
+# ------------------------------------------------- drift excursion
+
+
+def drift_excursion(
+    df: DataFrame, key_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """CUSUM-style drift detection: per key, the maximum upward
+    excursion of the cumulative deviation-from-mean of the value
+    series — large when the series has a sustained above-mean run (a
+    level shift / regime change), near zero for white noise.
+
+    Exactness trick: deviations from the mean are kept *scaled by n*
+    (``dev_i = n·xᵢ − Σx``, exact DECIMAL — no division), so the
+    running sums and the final max are exact integer-grade decimal
+    arithmetic; the one closing division by n happens in double, once.
+    Shapes: a per-key moment aggregate broadcast back, then ONE
+    ordered-window pass computing running sum and running min
+    together, then a keyed max — two shuffles total at any scale.
+    Contract: values quantized to ≤6 decimals (micro-units).
+
+    Output: ``(key, n, max_excursion)`` where max_excursion =
+    max over prefixes of (cum − min_prefix_cum) / n, in value units.
+    """
+    x = F.col(value_col).cast("decimal(18,6)")
+    stats = df.groupBy(key_col).agg(
+        F.sum(x).alias("__sx"), F.count(F.lit(1)).alias("__n")
+    )
+    us = F.unix_micros(F.col(ts_col))
+    src = df.join(F.broadcast(stats), key_col).select(
+        F.col(key_col),
+        us.alias("__us"),
+        (
+            F.col(value_col).cast("decimal(18,6)") * F.col("__n").cast("decimal(19,0)")
+            - F.col("__sx").cast("decimal(38,6)")
+        ).alias("__dev"),
+        F.col("__n"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__us").asc(), F.col("__dev").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = src.withColumn("__cum", F.sum("__dev").over(w))
+    exc = F.col("__cum") - F.min("__cum").over(w)
+    return (
+        cums.select(key_col, F.col("__n").alias("n"), exc.alias("__exc"))
+        .groupBy(key_col, "n")
+        .agg(F.max("__exc").alias("__maxexc"))
+        .select(
+            key_col,
+            "n",
+            (
+                F.col("__maxexc").cast("double") / F.col("n").cast("double")
+            ).alias("max_excursion"),
+        )
+    )
+
+
+def drift_excursion_sql(
+    table_sql: str, key_col: str, ts_col: str, value_col: str
+) -> str:
+    """DuckDB oracle twin of :func:`drift_excursion` (same scaled-
+    deviation window pass; DECIMAL(19,0) forces int128 multiply)."""
+    return f"""
+WITH stats AS (
+  SELECT {key_col} AS key, SUM(CAST({value_col} AS DECIMAL(18,6))) AS sx,
+         COUNT(*) AS n
+  FROM ({table_sql}) GROUP BY 1
+),
+src AS (
+  SELECT t.{key_col} AS key, epoch_us(t.{ts_col}) AS us,
+         CAST(t.{value_col} AS DECIMAL(18,6)) * CAST(s.n AS DECIMAL(19,0))
+           - CAST(s.sx AS DECIMAL(38,6)) AS dev,
+         s.n
+  FROM ({table_sql}) t JOIN stats s ON t.{key_col} = s.key
+),
+cums AS (
+  SELECT key, n, us, dev,
+         SUM(dev) OVER (PARTITION BY key ORDER BY us ASC, dev ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM src
+),
+runs AS (
+  SELECT key, n,
+         cum - MIN(cum) OVER (PARTITION BY key ORDER BY us ASC, dev ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exc
+  FROM cums
+)
+SELECT key AS {key_col}, CAST(n AS BIGINT) AS n,
+       CAST(CAST(MAX(exc) AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+         AS max_excursion
+FROM runs GROUP BY key, n
+"""

@@ -280,6 +280,82 @@ def q_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_median(ev, "event_type", "value")
 
 
+def q_drift_excursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift scan: per-user max upward excursion of the
+    cumulative deviation-from-mean of event values
+    (operators.temporal.drift_excursion) — level-shift detection with
+    exact scaled-integer arithmetic."""
+    from gis_city_county_spark.operators.temporal import drift_excursion
+
+    ev = load_table(spark, sf_dir, "events")
+    return drift_excursion(ev, "user_id", "ts", "value")
+
+
+def _drift_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import drift_excursion_sql
+
+    return drift_excursion_sql(_EV_CTE, "user_id", "ts", "value")
+
+
+_DRIFT_ORACLE = _drift_oracle()
+
+
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day active users per day (the WAU-by-day engagement
+    curve): each (user, active-day) pair contributes to the 7 report
+    days it trails into — a bounded explode (×7) on the *distinct*
+    day-user relation, then one distinct-count per report day. No
+    range self-join, no O(days²) window."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    spread = days.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__off")
+    ).select(
+        "user_id",
+        F.timestamp_add("DAY", F.col("__off"), F.col("day")).alias("report_day"),
+    )
+    return (
+        spread.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .orderBy("report_day")
+    )
+
+
+_ROLLING_ACTIVES_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+spread AS (
+  SELECT user_id, day + o.off * INTERVAL 1 DAY AS report_day
+  FROM days, LATERAL (SELECT UNNEST(generate_series(0, 6)) AS off) o
+)
+SELECT report_day, COUNT(DISTINCT user_id) AS wau
+FROM spread GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete per-type quantile report of event values
+    (operators.profile.group_quantiles) — the calibration-report
+    shape; actual input values, no interpolation."""
+    from gis_city_county_spark.operators.profile import group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_quantiles(ev, "event_type", "value")
+
+
+def _gq_oracle() -> str:
+    from gis_city_county_spark.operators.profile import group_quantiles_sql
+
+    return group_quantiles_sql(_EV_CTE, "event_type", "value")
+
+
+_GQ_ORACLE = _gq_oracle()
+
+
 _TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
 _MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
 
@@ -296,4 +372,7 @@ SPECS = [
     QuerySpec("events_markov_transitions", q_markov_transitions, _MARKOV_ORACLE),
     QuerySpec("events_time_weighted_avg", q_time_weighted_avg, _TWA_ORACLE),
     QuerySpec("pyapi_group_median", q_group_median, _MEDIAN_ORACLE),
+    QuerySpec("events_drift_excursion", q_drift_excursion, _DRIFT_ORACLE),
+    QuerySpec("events_rolling_actives", q_rolling_actives, _ROLLING_ACTIVES_ORACLE),
+    QuerySpec("profile_group_quantiles", q_group_quantiles, _GQ_ORACLE),
 ]

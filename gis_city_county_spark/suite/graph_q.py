@@ -120,7 +120,30 @@ SELECT nation, COUNT(*) AS n_triangles FROM nodes GROUP BY nation ORDER BY natio
 """
 
 
+_BFS_SOURCE, _BFS_HOPS = 2, 3  # node 2 = supplier 1 in the 2s/2c+1 keyspace
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS over the supplier↔customer trade graph:
+    shortest hop count to every node within 3 hops of supplier 1
+    (operators.graph.bfs_hops — frontier joins with anti-join
+    dedupe, localCheckpoint per round, early exit)."""
+    from gis_city_county_spark.operators.graph import bfs_hops
+
+    return bfs_hops(_trade_edges(spark, sf_dir), _BFS_SOURCE, _BFS_HOPS)
+
+
+def _bfs_oracle() -> str:
+    from gis_city_county_spark.operators.graph import bfs_hops_sql
+
+    return bfs_hops_sql(_EDGES_SQL, _BFS_SOURCE, _BFS_HOPS)
+
+
+_BFS_ORACLE = _bfs_oracle()
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
     QuerySpec("graph_triangle_count", q_triangle_count, _TRI_ORACLE),
+    QuerySpec("graph_bfs_hops", q_bfs_hops, _BFS_ORACLE),
 ]

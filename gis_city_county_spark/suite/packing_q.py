@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.packing import pack_summary, pack_summary_sql
 from gis_city_county_spark.operators.search import (
+    conjunctive_search,
+    conjunctive_search_sql,
     fuzzy_join_blocked,
     fuzzy_join_blocked_sql,
     fuzzy_lookup,
@@ -58,6 +60,22 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = tfidf_topk_sql("SELECT * FROM documents", "doc_id", "text", _TERMS, 20)
 
+_CONJ_TERMS = ["spark", "join"]
+
+
+def q_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index AND search: documents containing every query
+    term, ranked by summed term frequency (operators.search
+    .conjunctive_search — n-way posting intersection as one
+    aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return conjunctive_search(docs, "doc_id", "text", _CONJ_TERMS, k=20)
+
+
+_CONJ_ORACLE = conjunctive_search_sql(
+    "SELECT * FROM documents", "doc_id", "text", _CONJ_TERMS, 20
+)
+
 
 def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy name crosswalk: every 50th part name, first character
@@ -106,6 +124,7 @@ SPECS = [
     QuerySpec("pipeline_quota_sample", q_quota, _QUOTA_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pack, _PACK_ORACLE),
     QuerySpec("search_tfidf_topk", q_tfidf, _TFIDF_ORACLE),
+    QuerySpec("search_conjunctive", q_conjunctive, _CONJ_ORACLE),
     QuerySpec("search_fuzzy_name_lookup", q_fuzzy, _FUZZY_ORACLE),
     QuerySpec("search_fuzzy_join_blocked", q_fuzzy_blocked, _FUZZY_BLOCKED_ORACLE),
 ]
