@@ -481,3 +481,181 @@ SELECT {id_col}, component,
        {id_col} = component AS is_keeper
 FROM comp
 """
+
+
+# ------------------------------------------- prefix-filtering join
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT token-set similarity self-join (Jaccard ≥ τ) by prefix
+    filtering — the PPJoin-family scale path that needs no LSH and
+    misses nothing: a pair can reach Jaccard ≥ τ only if the two sets
+    share a token within each other's first ``n − ⌈τ·n⌉ + 1`` rarest
+    tokens, so only those *prefix* tokens are exploded as join keys.
+    Rare-token ordering keeps candidate buckets small (the most
+    selective tokens block the join, the "the"-bucket never forms).
+
+    τ is a rational ``tau_num/tau_den`` and every filter is integer
+    arithmetic — ``⌈τn⌉ = (τ_num·n + τ_den − 1) div τ_den``, the size
+    bound ``τ_den·n_min ≥ τ_num·n_max``, the final test
+    ``τ_den·inter ≥ τ_num·(n_a + n_b − inter)`` — so the join is
+    bit-deterministic on any engine; the reported ``jaccard`` double
+    is display-only.
+
+    Shapes at 100 TB: one (id, token) distinct relation feeds token
+    document-frequencies (one aggregate), per-document prefix ranking
+    (one (id)-keyed window — tokens order by (df, token), no global
+    rank/sort anywhere), the prefix-token equi-join (shuffle on
+    token), and the intersection verify touching candidate pairs
+    only. No stage is O(n²) in the corpus.
+
+    ``shingle_k`` switches the set universe from distinct tokens to
+    distinct k-word shingles — use it when the vocabulary is small
+    relative to document length (long documents' token sets over a
+    tiny vocabulary all converge to the whole vocabulary and
+    everything looks similar; shingle universes stay sparse).
+    """
+    if shingle_k is not None:
+        toks = shingle_df(df, id_col, text_col, shingle_k).select(
+            F.col(id_col).alias("__id"), F.col("shingle").alias("token")
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("n_t"))
+    w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("token").asc())
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn("__pos", F.row_number().over(w))
+        .join(sizes, "__id")
+    )
+    # prefix length L = n − ⌈τ·n⌉ + 1 (exact integral ceiling)
+    lmax = (
+        F.col("n_t")
+        - F.expr(f"(CAST({tau_num} AS BIGINT) * n_t + {tau_den} - 1) div {tau_den}")
+        + 1
+    )
+    prefix = ranked.filter(F.col("__pos") <= lmax).select(
+        "__id", "token", "n_t", "__pos"
+    )
+    a = prefix.select(
+        F.col("__id").alias("a_id"),
+        "token",
+        F.col("n_t").alias("n_a"),
+        F.col("__pos").alias("p_a"),
+    )
+    b = prefix.select(
+        F.col("__id").alias("b_id"),
+        "token",
+        F.col("n_t").alias("n_b"),
+        F.col("__pos").alias("p_b"),
+    )
+    # PPJoin positional filter: a shared prefix token at positions
+    # (p_a, p_b) can support at most min(n_a−p_a, n_b−p_b)+1 common
+    # tokens, which must reach the overlap bound
+    # α = ⌈τ/(1+τ)·(n_a+n_b)⌉ — exact pruning, big candidate cuts on
+    # low-diversity corpora where prefix buckets are fat.
+    alpha = F.expr(
+        f"(CAST({tau_num} AS BIGINT) * (n_a + n_b) + {tau_num} + {tau_den} - 1)"
+        f" div ({tau_num} + {tau_den})"
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("a_id") < F.col("b_id"))
+        # size-compatibility prune: τ·max ≤ min
+        .filter(
+            F.least("n_a", "n_b") * tau_den >= F.greatest("n_a", "n_b") * tau_num
+        )
+        .filter(
+            F.least(F.col("n_a") - F.col("p_a"), F.col("n_b") - F.col("p_b")) + 1
+            >= alpha
+        )
+        .select("a_id", "b_id", "n_a", "n_b")
+        .distinct()
+    )
+    a_t = toks.select(F.col("__id").alias("a_id"), "token")
+    b_t = toks.select(F.col("__id").alias("b_id"), "token")
+    inter = (
+        cand.select("a_id", "b_id")
+        .join(a_t, "a_id")
+        .join(b_t, ["b_id", "token"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = cand.join(inter, ["a_id", "b_id"]).filter(
+        F.col("n_inter") * tau_den
+        >= (F.col("n_a") + F.col("n_b") - F.col("n_inter")) * tau_num
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return out.select("a_id", "b_id", "n_inter", "n_a", "n_b", jac.alias("jaccard"))
+
+
+def prefix_jaccard_join_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    tau_num: int = 3,
+    tau_den: int = 5,
+    shingle_k: int | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`prefix_jaccard_join`."""
+    if shingle_k is not None:
+        toks_cte = (
+            f"SELECT {id_col} AS id, shingle AS token FROM "
+            f"({shingle_sql(f'({table_sql})', id_col, text_col, shingle_k)})"
+        )
+    else:
+        toks_cte = (
+            f"SELECT {id_col} AS id, t.token "
+            f"FROM ({table_sql}), "
+            f"LATERAL UNNEST(list_distinct({tokens_sql(text_col)})) AS t(token)"
+        )
+    return f"""
+WITH toks AS (
+  {toks_cte}
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+sizes AS (SELECT id, COUNT(*) AS n_t FROM toks GROUP BY id),
+ranked AS (
+  SELECT toks.id, toks.token, sizes.n_t,
+         ROW_NUMBER() OVER (PARTITION BY toks.id
+                            ORDER BY dfreq.df ASC, toks.token ASC) AS pos
+  FROM toks JOIN dfreq USING (token) JOIN sizes USING (id)
+),
+prefix AS (
+  SELECT id, token, n_t, pos FROM ranked
+  WHERE pos <= n_t - (({tau_num} * n_t + {tau_den} - 1) // {tau_den}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.n_t AS n_a, b.n_t AS n_b
+  FROM prefix a JOIN prefix b ON a.token = b.token AND a.id < b.id
+  WHERE least(a.n_t, b.n_t) * {tau_den} >= greatest(a.n_t, b.n_t) * {tau_num}
+    AND least(a.n_t - a.pos, b.n_t - b.pos) + 1 >=
+        ({tau_num} * (a.n_t + b.n_t) + {tau_num} + {tau_den} - 1)
+          // ({tau_num} + {tau_den})
+),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.id = c.a_id
+  JOIN toks tb ON tb.id = c.b_id AND tb.token = ta.token
+  GROUP BY c.a_id, c.b_id
+)
+SELECT c.a_id, c.b_id, i.n_inter, c.n_a, c.n_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(c.n_a + c.n_b - i.n_inter AS DOUBLE)
+         AS jaccard
+FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
+WHERE i.n_inter * {tau_den} >= (c.n_a + c.n_b - i.n_inter) * {tau_num}
+"""

@@ -166,3 +166,93 @@ def weighted_hash_sample(
 def weighted_hash_sample_predicate_sql(key_expr: str, weight_expr: str) -> str:
     u = f"CAST({_h60_sql(f'CAST({key_expr} AS VARCHAR)')} AS DOUBLE) / {_SPACE}"
     return f"{u} < least(1.0, greatest(0.0, {weight_expr}))"
+
+
+def kmv_setops(
+    df_a: DataFrame, df_b: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """Theta/KMV sketch set operations: estimate |A ∪ B|, the Jaccard
+    overlap, and |A ∩ B| of two value sets from one k-hash union
+    sketch — how "compare two corpora's vocabularies / two days' user
+    sets" runs when the sets are billions and an exact distinct-join
+    is off the table. Each side is reduced to its distinct md5 hashes
+    (bounded per-side state), the union sketch keeps the k smallest,
+    and the intersection estimate is the textbook
+    ``ρ·|A∪B|`` with ρ = fraction of union-sketch hashes present in
+    both sides (Beyer et al., SIGMOD 2007).
+
+    Determinism: md5 hashing, integer ranks, and a fixed expression
+    tree for the closing double arithmetic — identical estimates on
+    any engine at any parallelism (unlike HLL sketches whose merge is
+    implementation-defined).
+
+    Output (one row): ``(n_kept, n_both, union_est, jaccard_est,
+    intersect_est)``; estimates are exact when the union has < k
+    distinct values.
+    """
+    ha = df_a.select(F.md5(F.col(value_col).cast("string")).alias("__h")).distinct()
+    hb = df_b.select(F.md5(F.col(value_col).cast("string")).alias("__h")).distinct()
+    merged = (
+        ha.withColumn("__in_a", F.lit(1))
+        .join(hb.withColumn("__in_b", F.lit(1)), "__h", "full")
+        .select(
+            "__h",
+            F.coalesce(F.col("__in_a"), F.lit(0)).alias("__in_a"),
+            F.coalesce(F.col("__in_b"), F.lit(0)).alias("__in_b"),
+        )
+    )
+    # k smallest hashes via TakeOrderedAndProject (per-partition heaps)
+    # — never a global sort; hashes are distinct so the order is total.
+    kept = merged.orderBy(F.col("__h").asc()).limit(k)
+    agg = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum((F.col("__in_a") * F.col("__in_b"))).alias("n_both"),
+        F.max("__h").alias("__kth"),
+    )
+    frac = _hex60(F.col("__kth")).cast("double") / F.lit(_SPACE)
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / frac)
+    return agg.select(
+        "n_kept",
+        "n_both",
+        union_est.alias("union_est"),
+        (F.col("n_both").cast("double") / F.col("n_kept").cast("double")).alias(
+            "jaccard_est"
+        ),
+        (
+            (F.col("n_both").cast("double") / F.col("n_kept").cast("double"))
+            * union_est
+        ).alias("intersect_est"),
+    )
+
+
+def kmv_setops_sql(a_sql: str, b_sql: str, value_col: str, k: int = 256) -> str:
+    """DuckDB oracle twin of :func:`kmv_setops`."""
+    kth_frac = f"CAST({_hex60_sql('kth')} AS DOUBLE) / {_SPACE!r}"
+    return f"""
+WITH ha AS (SELECT DISTINCT md5(CAST({value_col} AS VARCHAR)) AS h FROM ({a_sql})),
+hb AS (SELECT DISTINCT md5(CAST({value_col} AS VARCHAR)) AS h FROM ({b_sql})),
+merged AS (
+  SELECT COALESCE(ha.h, hb.h) AS h,
+         CASE WHEN ha.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN hb.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ha FULL JOIN hb ON ha.h = hb.h
+),
+kept AS (
+  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged)
+  WHERE rn <= {k}
+),
+agg AS (
+  SELECT COUNT(*) AS n_kept, SUM(in_a * in_b) AS n_both, MAX(h) AS kth
+  FROM kept
+)
+SELECT CAST(n_kept AS BIGINT) AS n_kept, CAST(n_both AS BIGINT) AS n_both,
+       CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+            ELSE {float(k - 1)!r} / ({kth_frac}) END AS union_est,
+       CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jaccard_est,
+       (CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE)) *
+       (CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+             ELSE {float(k - 1)!r} / ({kth_frac}) END) AS intersect_est
+FROM agg
+"""

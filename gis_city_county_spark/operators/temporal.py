@@ -633,3 +633,111 @@ SELECT key AS {key_col}, CAST(n AS BIGINT) AS n,
          AS max_excursion
 FROM runs GROUP BY key, n
 """
+
+
+# ------------------------------------------------ sweep-line concurrency
+
+
+def peak_concurrency(
+    df: DataFrame,
+    ts_col: str,
+    duration_seconds: int,
+    day_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Peak concurrent intervals per day by relational sweep-line:
+    each row opens a half-open interval ``[ts, ts + duration)``; the
+    answer is the daily maximum of the running (+1 open / −1 close)
+    sum — the capacity-planning curve ("how many sessions were live at
+    the worst moment of each day").
+
+    Scale shape: intervals are split at midnight (a bounded explode —
+    an interval covers ≤ ⌈duration/day⌉+1 days), so the sweep's window
+    partitions by day instead of one global ordering — every stage is
+    keyed, nothing is single-partition. Close events sort before open
+    events at the same instant (half-open semantics), and ties beyond
+    that are interchangeable (+1/−1 multiset), so the peak is exact
+    and engine-deterministic — all integer arithmetic.
+
+    Output: ``(day, n_intervals, peak)`` — intervals *active* in the
+    day (``n_intervals``) and the day's max concurrency.
+    """
+    dur_us = duration_seconds * 1_000_000
+    s = F.unix_micros(F.col(ts_col))
+    iv = df.select(s.alias("__s"), (s + dur_us).alias("__e"))
+    clipped = (
+        iv.select(
+            "__s",
+            "__e",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__s") / day_us),
+                    F.floor((F.col("__e") - 1) / day_us),
+                )
+            ).alias("__day"),
+        )
+        .select(
+            "__day",
+            F.greatest(F.col("__s"), F.col("__day") * day_us).alias("__cs"),
+            F.least(F.col("__e"), (F.col("__day") + 1) * day_us).alias("__ce"),
+        )
+    )
+    opens = clipped.select("__day", F.col("__cs").alias("t"), F.lit(1).alias("delta"))
+    closes = clipped.select("__day", F.col("__ce").alias("t"), F.lit(-1).alias("delta"))
+    points = opens.unionByName(closes)
+    w = (
+        Window.partitionBy("__day")
+        .orderBy(F.col("t").asc(), F.col("delta").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = points.withColumn("__run", F.sum("delta").over(w))
+    return (
+        running.groupBy("__day")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+            F.max("__run").alias("peak"),
+        )
+        .select(
+            F.timestamp_micros(F.col("__day") * day_us).alias("day"),
+            "n_intervals",
+            "peak",
+        )
+        .orderBy("day")
+    )
+
+
+def peak_concurrency_sql(
+    table_sql: str, ts_col: str, duration_seconds: int
+) -> str:
+    """DuckDB oracle twin of :func:`peak_concurrency`."""
+    day_us = 86_400_000_000
+    dur_us = duration_seconds * 1_000_000
+    return f"""
+WITH iv AS (
+  SELECT epoch_us({ts_col}) AS s, epoch_us({ts_col}) + {dur_us} AS e
+  FROM ({table_sql})
+),
+clipped AS (
+  SELECT d.day,
+         greatest(iv.s, d.day * {day_us}) AS cs,
+         least(iv.e, (d.day + 1) * {day_us}) AS ce
+  FROM iv, LATERAL (
+    SELECT UNNEST(generate_series(iv.s // {day_us}, (iv.e - 1) // {day_us}))
+      AS day) d
+),
+points AS (
+  SELECT day, cs AS t, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day, ce AS t, -1 AS delta FROM clipped
+),
+runs AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t ASC, delta ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM points
+)
+SELECT make_timestamp(day * {day_us}) AS day,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+       CAST(MAX(run) AS BIGINT) AS peak
+FROM runs GROUP BY day ORDER BY day
+"""

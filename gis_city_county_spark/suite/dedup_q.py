@@ -13,6 +13,8 @@ from gis_city_county_spark.operators.dedup import (
     minhash_lsh_pairs_sql,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_sql,
+    prefix_jaccard_join,
+    prefix_jaccard_join_sql,
     simhash16,
     simhash16_sql,
 )
@@ -37,6 +39,36 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 4/5 shingle-set self-join by prefix filtering
+    (operators.dedup.prefix_jaccard_join) — the LSH-free exact scale
+    path: only each document's rarest prefix shingles become join
+    keys, and every threshold test (prefix length, size ratio,
+    positional overlap bound, final Jaccard) is integer arithmetic.
+    3-word shingles, not raw tokens: the synthetic corpus's tiny
+    vocabulary makes every long document's token *set* ≈ the whole
+    vocabulary (everything similar to everything); the shingle
+    universe stays sparse. Deterministic 1-in-3 subset keeps bench
+    runtime proportionate; the hypothesis suite proves exactness
+    against brute force."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return prefix_jaccard_join(
+        docs, "doc_id", "text", tau_num=4, tau_den=5, shingle_k=3
+    )
+
+
+_PREFIX_JACCARD_ORACLE = prefix_jaccard_join_sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+    "doc_id",
+    "text",
+    tau_num=4,
+    tau_den=5,
+    shingle_k=3,
+)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,6 +213,7 @@ SPECS = [
         q_embedding_cosine,
         embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4),
     ),
+    QuerySpec("dedup_prefix_jaccard_join", q_prefix_jaccard, _PREFIX_JACCARD_ORACLE),
     QuerySpec("pipeline_semantic_dedup", q_semantic_dedup, _SEMANTIC_ORACLE),
     QuerySpec("pipeline_incremental_dedup", q_incremental_dedup, _incremental_oracle()),
 ]

@@ -356,6 +356,25 @@ def _gq_oracle() -> str:
 _GQ_ORACLE = _gq_oracle()
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational sweep-line: peak concurrent 30-minute sessions per
+    day (operators.temporal.peak_concurrency) — +1/−1 open/close
+    events, day-partitioned running sum, exact integers."""
+    from gis_city_county_spark.operators.temporal import peak_concurrency
+
+    ev = load_table(spark, sf_dir, "events")
+    return peak_concurrency(ev, "ts", 1800)
+
+
+def _concurrency_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import peak_concurrency_sql
+
+    return peak_concurrency_sql(_EV_CTE, "ts", 1800)
+
+
+_CONCURRENCY_ORACLE = _concurrency_oracle()
+
+
 _TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
 _MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
 
@@ -375,4 +394,5 @@ SPECS = [
     QuerySpec("events_drift_excursion", q_drift_excursion, _DRIFT_ORACLE),
     QuerySpec("events_rolling_actives", q_rolling_actives, _ROLLING_ACTIVES_ORACLE),
     QuerySpec("profile_group_quantiles", q_group_quantiles, _GQ_ORACLE),
+    QuerySpec("events_peak_concurrency", q_peak_concurrency, _CONCURRENCY_ORACLE),
 ]

@@ -13,9 +13,12 @@ from gis_city_county_spark.operators.sketch import (
     hash_sample_predicate_sql,
     kmv_distinct,
     kmv_distinct_sql,
+    kmv_setops,
+    kmv_setops_sql,
     weighted_hash_sample,
     weighted_hash_sample_predicate_sql,
 )
+from gis_city_county_spark.operators.textstats import tokens, tokens_sql
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
 
@@ -89,8 +92,36 @@ GROUP BY 1
 """
 
 
+
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra: estimated union size, Jaccard, and
+    intersection of the English vs French token vocabularies from one
+    256-hash KMV union sketch (operators.sketch.kmv_setops) — the
+    corpus-overlap probe that never materializes either vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "en").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    b = docs.filter(F.col("lang") == "fr").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return kmv_setops(a, b, "token", k=256)
+
+
+def _setops_side_sql(lang: str) -> str:
+    return (
+        "SELECT t.token FROM documents, LATERAL UNNEST("
+        + tokens_sql("text")
+        + f") AS t(token) WHERE lang = '{lang}'"
+    )
+
+
+_SETOPS_ORACLE = kmv_setops_sql(_setops_side_sql("en"), _setops_side_sql("fr"), "token", k=256)
+
+
 SPECS = [
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
+    QuerySpec("sketch_kmv_setops", q_kmv_setops, _SETOPS_ORACLE),
     QuerySpec("sketch_hash_sample", q_hash_sample, _SAMPLE_ORACLE),
     QuerySpec("sketch_weighted_sample", q_weighted_sample, _WEIGHTED_ORACLE),
 ]

@@ -157,6 +157,81 @@ def test_merge_upsert_idempotent(chs):
     }
 
 
+
+docs_lists = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(**EX)
+@given(docs_lists)
+def test_prefix_jaccard_join_matches_bruteforce(token_lists):
+    """Prefix filtering is EXACT: the join returns precisely the pairs
+    with token-set Jaccard >= 3/5 — nothing missed (the completeness
+    theorem), nothing extra (the verify stage)."""
+    from gis_city_county_spark.operators.dedup import prefix_jaccard_join
+
+    spark = test_prefix_jaccard_join_matches_bruteforce.spark
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id)
+        for r in prefix_jaccard_join(df, "doc_id", "text", 3, 5).collect()
+    }
+    sets = {i: set(toks) for i, toks in enumerate(token_lists)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * 5 >= union * 3:
+                    want.add((a, b))
+    assert got == want
+
+
+intervals = st.lists(
+    st.integers(min_value=0, max_value=120),  # start second
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**EX)
+@given(intervals, st.integers(min_value=1, max_value=90))
+def test_peak_concurrency_matches_bruteforce(starts, dur):
+    """The sweep-line daily peak equals the brute-force maximum over
+    all interval start points (a half-open-interval overlap max is
+    always attained at some start)."""
+    from gis_city_county_spark.operators.temporal import peak_concurrency
+
+    spark = test_peak_concurrency_matches_bruteforce.spark
+    base = 1_700_000_000  # fixed epoch seconds anchor
+    rows = [(i, (base + s)) for i, s in enumerate(starts)]
+    df = spark.createDataFrame(rows, "i long, sec long").select(
+        F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = {r.day: r.peak for r in peak_concurrency(df, "ts", dur).collect()}
+    # brute force: for each interval start, count overlapping intervals,
+    # attribute the overlap to the day containing that start
+    day_us = 86_400_000_000
+    peaks = {}
+    for s in starts:
+        t = (base + s) * 1_000_000
+        cnt = sum(1 for o in starts if (base + o) * 1_000_000 <= t < (base + o + dur) * 1_000_000)
+        d = t // day_us
+        peaks[d] = max(peaks.get(d, 0), cnt)
+    got_by_day = {int(k.timestamp() * 1_000_000) // day_us: v for k, v in out.items()}
+    for d, want_peak in peaks.items():
+        assert got_by_day.get(d, 0) >= want_peak
+    assert max(got_by_day.values()) == max(peaks.values())
+
 def pytest_generate_tests(metafunc):
     pass
 
@@ -173,6 +248,8 @@ def _attach_spark(spark):
         test_asof_join_matches_bruteforce,
         test_weighted_sample_monotone_in_weight,
         test_merge_upsert_idempotent,
+        test_prefix_jaccard_join_matches_bruteforce,
+        test_peak_concurrency_matches_bruteforce,
     ):
         fn.spark = spark
     yield
