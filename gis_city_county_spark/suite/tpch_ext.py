@@ -1272,6 +1272,44 @@ GROUP BY decile ORDER BY decile
 """
 
 
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered dimension join (operators.scale
+    .bloom_prefilter): lineitem is cut to probable members of a
+    selective order subset by a 16 KB literal-bitstring Bloom test
+    (pure Catalyst exprs, pushable below the join) before the exact
+    join — same result as the plain join, a fraction of the shuffle.
+    The oracle IS the plain join: false positives cannot survive."""
+    from gis_city_county_spark.operators.scale import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    pre = bloom_prefilter(li, dim.select("l_orderkey"), "l_orderkey")
+    return (
+        pre.join(dim, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BLOOM_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey % 31 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis on the fact table's part key: the 10
     heaviest keys with exact parts-per-million share
@@ -1325,4 +1363,5 @@ SPECS = [
     QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("func_json_props", q_json_props, _JSON_ORACLE),
     QuerySpec("profile_skew_report", q_skew_report, _SKEW_ORACLE),
+    QuerySpec("scale_bloom_prefilter_join", q_bloom_prefilter_join, _BLOOM_ORACLE),
 ]

@@ -47,3 +47,36 @@ def test_salted_count_distinct_matches_plain(spark, sf_dir):
     two_phase = salted_count_distinct(li, "l_returnflag", "l_orderkey")
     cols = ["l_returnflag", "n_distinct"]
     assert _sorted_rows(two_phase, cols) == _sorted_rows(plain, cols)
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark, sf_dir):
+    from gis_city_county_spark.operators.scale import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # selective dimension side: 1-in-31 orders
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 31 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    pre = bloom_prefilter(li, dim, "l_orderkey")
+    # exactness through the follow-up join: identical result sets
+    plain = li.join(dim, "l_orderkey")
+    filtered = pre.join(dim, "l_orderkey")
+    cols = ["l_orderkey", "l_quantity"]
+    assert _sorted_rows(filtered, cols) == _sorted_rows(plain, cols)
+    # the prefilter must actually prune (few false positives)
+    n_all, n_pre, n_true = li.count(), pre.count(), plain.count()
+    assert n_pre < n_all * 0.2
+    assert n_pre >= n_true
+
+
+def test_bloom_prefilter_predicate_is_jvm_side(spark, sf_dir):
+    from gis_city_county_spark.operators.scale import bloom_prefilter
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    dim = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 31 == 0
+    ).select(F.col("o_orderkey").alias("l_orderkey"))
+    plan = bloom_prefilter(li, dim, "l_orderkey")._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan  # pure Catalyst expressions
