@@ -124,6 +124,13 @@ _BNLJ_ALLOWED = {
     "pipeline_mixture_resample",
     "pipeline_mixture_upsample",
     "sim_ann_recall",
+    # 1-row broadcast scalar attachments (n_rows/n_docs totals, the
+    # 16 KB bloom bitset): the "cross join" side is a single row by
+    # construction, the canonical way to ride a global scalar along a
+    # scan without a driver collect.
+    "profile_skew_report",
+    "corpus_pmi_pairs",
+    "scale_bloom_prefilter_join",
 }
 
 
