@@ -61,6 +61,66 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper policy: within each exact-duplicate
+    group (md5 fingerprint of normalized text), keep the HIGHEST
+    quality-score document — not the arbitrary min-id — with id as the
+    deterministic tiebreak. The retention decision a curation pipeline
+    actually wants; one fingerprint projection, one (group) window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.textstats import (
+        fingerprint_md5,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        fingerprint_md5("text").alias("fp"),
+        quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "group_size", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .select(
+            "doc_id",
+            "fp",
+            "group_size",
+            "quality",
+            (F.col("rk") == 1).alias("keep"),
+        )
+    )
+
+
+def _keeper_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import (
+        normalized_text_sql,
+        quality_score_sql,
+    )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, md5({normalized_text_sql('text')}) AS fp,
+         {quality_score_sql('text')} AS quality
+  FROM documents
+)
+SELECT doc_id, fp,
+       COUNT(*) OVER (PARTITION BY fp) AS group_size,
+       quality,
+       ROW_NUMBER() OVER (PARTITION BY fp
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+FROM scored
+"""
+
+
+_KEEPER_ORACLE = _keeper_oracle()
+
+
 _PREFIX_JACCARD_ORACLE = prefix_jaccard_join_sql(
     "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
     "doc_id",
@@ -214,6 +274,7 @@ SPECS = [
         embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4),
     ),
     QuerySpec("dedup_prefix_jaccard_join", q_prefix_jaccard, _PREFIX_JACCARD_ORACLE),
+    QuerySpec("pipeline_quality_keeper", q_quality_keeper, _KEEPER_ORACLE),
     QuerySpec("pipeline_semantic_dedup", q_semantic_dedup, _SEMANTIC_ORACLE),
     QuerySpec("pipeline_incremental_dedup", q_incremental_dedup, _incremental_oracle()),
 ]

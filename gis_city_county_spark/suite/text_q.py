@@ -341,6 +341,151 @@ def _rarity_oracle() -> str:
     return rarity_score_sql("documents", "doc_id", "text")
 
 
+def q_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: document count, mean quality
+    score, exact-duplicate rate (1 − distinct fingerprints ∕ docs, in
+    exact ppm), and token budget — the table a crawl-intake review
+    reads before admitting a source into the training mix. One
+    aggregation keyed on source; the dup rate needs the per-source
+    distinct fingerprint count (exact here; swap to approx at 10⁹+
+    fingerprints per source)."""
+    from gis_city_county_spark.operators.textstats import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            fingerprint_md5("text").alias("fp"),
+            # floor-quantize the quality double to integer ppm BEFORE
+            # aggregating: floor of identical doubles is identical on
+            # any engine, so the mean is exact integer arithmetic
+            # (summing raw doubles through decimal would hinge on the
+            # engines' double→decimal rounding agreeing).
+            F.floor(quality_score("text") * 1_000_000).alias("q_ppm"),
+            token_count("text").alias("toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(sum(q_ppm) AS DECIMAL(38,0)) div count(1)")
+            .cast("long")
+            .alias("mean_quality_ppm"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.expr(
+                "(CAST(count(1) - count(DISTINCT fp) AS DECIMAL(38,0)) * 1000000)"
+                " div count(1)"
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+            F.sum("toks").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_report_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import normalized_text_sql
+
+    return f"""
+WITH scored AS (
+  SELECT source, md5({normalized_text_sql('text')}) AS fp,
+         CAST(floor(({quality_score_sql('text')}) * 1000000) AS BIGINT) AS q_ppm,
+         len({tokens_sql('text')}) AS toks
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(CAST(SUM(q_ppm) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_quality_ppm,
+       COUNT(DISTINCT fp) AS n_unique,
+       CAST((CAST(COUNT(*) - COUNT(DISTINCT fp) AS HUGEINT) * 1000000)
+            // COUNT(*) AS BIGINT) AS dup_ppm,
+       SUM(toks) AS total_tokens
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+_SOURCE_REPORT_ORACLE = _source_report_oracle()
+
+
+_DRIFT_BINS, _DRIFT_LO, _DRIFT_HI = 10, 0.0, 4000.0
+
+
+def q_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: χ² statistic of each source's
+    document-length distribution against the corpus-wide distribution
+    over 10 fixed bins — the "did this source's content shift?" alarm.
+    Exact integer bin counts; each bin's (o−e)²∕e term is an IEEE
+    expression on identical operands, floor-quantized to integer ppm
+    before summing so the statistic is engine-exact (no reliance on
+    double→decimal rounding agreement). Two keyed aggregations (bin
+    counts, then per-source fold) + a broadcast 10-row corpus margin."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
+    bin_ = F.least(
+        F.lit(_DRIFT_BINS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("n_chars").cast("double") - _DRIFT_LO) / w).cast("int"),
+        ),
+    )
+    binned = docs.select("source", bin_.alias("bin"))
+    per_src = binned.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("o"))
+    margins = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("m"))
+    totals = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    grand = binned.agg(F.count(F.lit(1)).alias("n_all"))
+    joined = (
+        per_src.join(F.broadcast(margins), "bin")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    e = (
+        F.col("m").cast("double")
+        * F.col("n_src").cast("double")
+        / F.col("n_all").cast("double")
+    )
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return (
+        joined.select("source", "n_src", F.floor(term * 1_000_000).alias("__t_ppm"))
+        .groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_docs"),
+            F.sum("__t_ppm").alias("chi2_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _length_drift_oracle() -> str:
+    w = (_DRIFT_HI - _DRIFT_LO) / _DRIFT_BINS
+    bin_ = (
+        f"least({_DRIFT_BINS - 1}, greatest(0, "
+        f"CAST(floor((CAST(n_chars AS DOUBLE) - {_DRIFT_LO!r}) / {w!r}) AS INTEGER)))"
+    )
+    return f"""
+WITH binned AS (SELECT source, {bin_} AS bin FROM documents),
+per_src AS (SELECT source, bin, COUNT(*) AS o FROM binned GROUP BY 1, 2),
+margins AS (SELECT bin, COUNT(*) AS m FROM binned GROUP BY 1),
+totals AS (SELECT source, COUNT(*) AS n_src FROM binned GROUP BY 1),
+grand AS (SELECT COUNT(*) AS n_all FROM binned),
+terms AS (
+  SELECT p.source, t.n_src,
+         CAST(floor(
+           (CAST(p.o AS DOUBLE) - CAST(m.m AS DOUBLE) * CAST(t.n_src AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+           * (CAST(p.o AS DOUBLE) - CAST(m.m AS DOUBLE) * CAST(t.n_src AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+           / (CAST(m.m AS DOUBLE) * CAST(t.n_src AS DOUBLE) / CAST(g.n_all AS DOUBLE))
+           * 1000000) AS BIGINT) AS t_ppm
+  FROM per_src p
+  JOIN margins m USING (bin)
+  JOIN totals t USING (source)
+  CROSS JOIN grand g
+)
+SELECT source, MAX(n_src) AS n_docs, CAST(SUM(t_ppm) AS BIGINT) AS chi2_ppm
+FROM terms GROUP BY source ORDER BY source
+"""
+
+
+_LENGTH_DRIFT_ORACLE = _length_drift_oracle()
+
+
 def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow surface: per-document UTF-8 byte vs codepoint counts
     through zero-copy pyarrow.compute kernels
@@ -374,4 +519,6 @@ SPECS = [
     QuerySpec("eval_lang_id_confusion", q_lang_confusion, _CONFUSION_ORACLE),
     QuerySpec("profile_correlation", q_correlation, _corr_oracle()),
     QuerySpec("pyapi_arrow_byte_stats", q_arrow_byte_stats, _ARROW_BYTES_ORACLE),
+    QuerySpec("corpus_source_report", q_source_report, _SOURCE_REPORT_ORACLE),
+    QuerySpec("profile_length_drift_chi2", q_length_drift, _LENGTH_DRIFT_ORACLE),
 ]

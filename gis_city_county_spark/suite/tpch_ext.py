@@ -1272,6 +1272,37 @@ GROUP BY decile ORDER BY decile
 """
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VARIANT surface: ``parse_json`` the props column into a
+    variant once, ``variant_get`` typed paths out — the
+    semi-structured path that keeps a binary-encoded document instead
+    of reparsing JSON text per access (the open-lakehouse
+    semi-structured story). Same aggregation as the JSON twin so the
+    two extraction paths are cross-checked against one oracle shape."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered dimension join (operators.scale
     .bloom_prefilter): lineitem is cut to probable members of a
@@ -1362,6 +1393,7 @@ SPECS = [
     QuerySpec("olap_distinct_agg", q_distinct_agg, _DISTINCT_ORACLE),
     QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("func_json_props", q_json_props, _JSON_ORACLE),
+    QuerySpec("func_variant_props", q_variant_props, _VARIANT_ORACLE),
     QuerySpec("profile_skew_report", q_skew_report, _SKEW_ORACLE),
     QuerySpec("scale_bloom_prefilter_join", q_bloom_prefilter_join, _BLOOM_ORACLE),
 ]
