@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.scale import rebalance_for_fanout
@@ -744,3 +744,186 @@ SELECT token_a, token_b, n_pair, df_a, df_b, CAST(n_docs AS BIGINT) AS n_docs,
 FROM pairs CROSS JOIN totals
 ORDER BY pmi_ppm DESC, token_a, token_b LIMIT {top_k}
 """
+
+
+# ------------------------------------------------ pair-merge induction
+
+
+def pair_merge_rounds(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rounds: int = 3,
+    joiner: str = "_",
+) -> DataFrame:
+    """BPE-style merge-rule induction over the corpus: ``rounds``
+    iterations of (count adjacent token pairs corpus-wide → take the
+    most frequent pair → merge its non-overlapping occurrences greedily
+    left-to-right), returning the learned merge table
+    ``(round, w1, w2, pair_count)`` — the heart of tokenizer training,
+    run as a relational program.
+
+    The greedy left-to-right replacement is made order-parallel with a
+    run decomposition: within each maximal run of consecutive matching
+    positions, exactly the odd-offset positions merge (a run longer
+    than 1 only occurs when w1 = w2, e.g. "the the the") — so the
+    sequential scan becomes two windows (run grouping via
+    pos − row_number, then run-relative rank parity). All state stays
+    in a ``(doc, pos, token)`` relation: each round is a lead-window
+    pair count (one shuffle on doc), a corpus top-1
+    (TakeOrderedAndProject), and a rebuild projection; the relation is
+    localCheckpoint'ed per round to truncate lineage. Counts and
+    tiebreaks ((count desc, w1, w2)) are exact integers —
+    bit-deterministic on any engine; the DuckDB twin unrolls the same
+    rounds as CTEs.
+    """
+    seq = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).localCheckpoint()
+    merges = []
+    for r in range(1, rounds + 1):
+        w = Window.partitionBy("doc").orderBy("pos")
+        paired = seq.withColumn("nxt", F.lead("token").over(w))
+        cnt = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("token").alias("w1"), F.col("nxt").alias("w2"))
+            .agg(F.count(F.lit(1)).alias("pair_count"))
+        )
+        win = cnt.orderBy(
+            F.col("pair_count").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(1)
+        marked = paired.crossJoin(F.broadcast(win)).withColumn(
+            "m", (F.col("token") == F.col("w1")) & (F.col("nxt") == F.col("w2"))
+        )
+        runs = (
+            marked.filter("m")
+            .select(
+                "doc",
+                "pos",
+                (
+                    F.col("pos")
+                    - F.row_number().over(Window.partitionBy("doc").orderBy("pos"))
+                ).alias("grp"),
+            )
+        )
+        sel = (
+            runs.withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("doc", "grp").orderBy("pos")),
+            )
+            .filter(F.col("rk") % 2 == 1)
+            .select("doc", F.col("pos").alias("mpos"))
+        )
+        # Alias the self-join keys to fresh names: `sel` descends from
+        # `marked`, so `marked.doc == sel.doc` would resolve both sides
+        # to the SAME attribute (trivially-true join) and leak merges
+        # across documents.
+        sel_m = sel.select(F.col("doc").alias("__mdoc"), "mpos")
+        sel_c = sel.select(
+            F.col("doc").alias("__cdoc"), (F.col("mpos") + 1).alias("__cpos")
+        )
+        rebuilt = (
+            marked.join(
+                sel_m,
+                (F.col("doc") == F.col("__mdoc")) & (F.col("pos") == F.col("mpos")),
+                "left",
+            )
+            .join(
+                sel_c,
+                (F.col("doc") == F.col("__cdoc")) & (F.col("pos") == F.col("__cpos")),
+                "left_anti",
+            )
+            .select(
+                "doc",
+                "pos",
+                F.when(
+                    F.col("mpos").isNotNull(),
+                    F.concat_ws(joiner, F.col("token"), F.col("nxt")),
+                )
+                .otherwise(F.col("token"))
+                .alias("token"),
+            )
+        )
+        seq = rebuilt.select(
+            "doc",
+            (
+                F.row_number().over(Window.partitionBy("doc").orderBy("pos")) - 1
+            ).alias("pos"),
+            "token",
+        ).localCheckpoint()
+        merges.append(win.withColumn("round", F.lit(r)))
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.select("round", "w1", "w2", "pair_count").orderBy("round")
+
+
+def pair_merge_rounds_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    rounds: int = 3,
+    joiner: str = "_",
+) -> str:
+    """DuckDB oracle twin of :func:`pair_merge_rounds` (rounds
+    unrolled as CTE chains; same run-parity greedy semantics)."""
+    ctes = [
+        f"""seq0 AS (
+  SELECT {id_col} AS doc, g.i - 1 AS pos, t[g.i] AS token
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM ({table_sql})) s,
+       LATERAL UNNEST(generate_series(1, len(t))) AS g(i)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""paired{r} AS (
+  SELECT doc, pos, token,
+         LEAD(token) OVER (PARTITION BY doc ORDER BY pos) AS nxt
+  FROM seq{p}
+),
+win{r} AS (
+  SELECT token AS w1, nxt AS w2, COUNT(*) AS pair_count
+  FROM paired{r} WHERE nxt IS NOT NULL
+  GROUP BY 1, 2 ORDER BY pair_count DESC, w1 ASC, w2 ASC LIMIT 1
+),
+marked{r} AS (
+  SELECT p.doc, p.pos, p.token, p.nxt,
+         (p.token = w.w1 AND p.nxt = w.w2) AS m
+  FROM paired{r} p CROSS JOIN win{r} w
+),
+runs{r} AS (
+  SELECT doc, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS grp
+  FROM marked{r} WHERE m
+),
+sel{r} AS (
+  SELECT doc, pos AS mpos FROM (
+    SELECT doc, pos,
+           ROW_NUMBER() OVER (PARTITION BY doc, grp ORDER BY pos) AS rk
+    FROM runs{r}
+  ) WHERE rk % 2 = 1
+),
+seq{r} AS (
+  SELECT doc,
+         ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) - 1 AS pos,
+         token
+  FROM (
+    SELECT m.doc, m.pos,
+           CASE WHEN s.mpos IS NOT NULL
+                THEN m.token || '{joiner}' || m.nxt
+                ELSE m.token END AS token
+    FROM marked{r} m
+    LEFT JOIN sel{r} s ON s.doc = m.doc AND s.mpos = m.pos
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{r} s2 WHERE s2.doc = m.doc AND s2.mpos = m.pos - 1
+    )
+  )
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, w1, w2, CAST(pair_count AS BIGINT) AS pair_count FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY round"

@@ -18,6 +18,8 @@ from gis_city_county_spark.operators.corpus import (
     mixture_resample_sql,
     ngram_topk,
     ngram_topk_sql,
+    pair_merge_rounds,
+    pair_merge_rounds_sql,
     pmi_pairs,
     pmi_pairs_sql,
     quantile_band_filter,
@@ -235,9 +237,31 @@ _PMI_ORACLE = pmi_pairs_sql(
 )
 
 
+_MERGE_ROUNDS = 3
+
+
+def q_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training kernel: 3 rounds of corpus-wide top-pair
+    merge induction (operators.corpus.pair_merge_rounds) — the learned
+    merge table, BPE's inner loop as a relational program. Runs on a
+    deterministic 1-in-5 document subset to keep the benched round
+    count honest without scanning the whole corpus thrice."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return pair_merge_rounds(docs, "doc_id", "text", rounds=_MERGE_ROUNDS)
+
+
+_MERGES_ORACLE = pair_merge_rounds_sql(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+    "doc_id",
+    "text",
+    rounds=_MERGE_ROUNDS,
+)
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),
+    QuerySpec("corpus_pair_merges", q_pair_merges, _MERGES_ORACLE),
     QuerySpec("pyapi_chunk_udtf", q_chunk_udtf, _CHUNK_ORACLE),
     QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
     QuerySpec("corpus_length_band_filter", q_length_band, _BAND_ORACLE),

@@ -232,6 +232,57 @@ def test_peak_concurrency_matches_bruteforce(starts, dur):
         assert got_by_day.get(d, 0) >= want_peak
     assert max(got_by_day.values()) == max(peaks.values())
 
+
+merge_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=8),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**EX)
+@given(merge_docs, st.integers(min_value=1, max_value=3))
+def test_pair_merge_rounds_matches_bruteforce(token_lists, rounds):
+    """The relational merge induction (run-parity greedy) must equal
+    the sequential reference implementation — including the w1==w2
+    runs ("a a a" merges positions 1 and 3) and cross-round
+    interactions."""
+    from gis_city_county_spark.operators.corpus import pair_merge_rounds
+
+    spark = test_pair_merge_rounds_matches_bruteforce.spark
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.round, r.w1, r.w2, r.pair_count)
+        for r in pair_merge_rounds(df, "doc_id", "text", rounds=rounds).collect()
+    ]
+
+    # sequential reference
+    docs = [list(t) for t in token_lists]
+    want = []
+    for rnd in range(1, rounds + 1):
+        counts = {}
+        for d in docs:
+            for i in range(len(d) - 1):
+                counts[(d[i], d[i + 1])] = counts.get((d[i], d[i + 1]), 0) + 1
+        if not counts:
+            break
+        (w1, w2), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rnd, w1, w2, c))
+        new_docs = []
+        for d in docs:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == w1 and d[i + 1] == w2:
+                    out.append(d[i] + "_" + d[i + 1])
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            new_docs.append(out)
+        docs = new_docs
+    assert got == want
+
 def pytest_generate_tests(metafunc):
     pass
 
@@ -250,6 +301,7 @@ def _attach_spark(spark):
         test_merge_upsert_idempotent,
         test_prefix_jaccard_join_matches_bruteforce,
         test_peak_concurrency_matches_bruteforce,
+        test_pair_merge_rounds_matches_bruteforce,
     ):
         fn.spark = spark
     yield
