@@ -375,6 +375,50 @@ def _concurrency_oracle() -> str:
 _CONCURRENCY_ORACLE = _concurrency_oracle()
 
 
+_PATH_K = 15
+
+
+def q_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the 15 most common 3-step event-type paths
+    across user timelines (two lead windows over one (user, ts)
+    ordering — a single sort-window pass, then a tiny |types|³-bounded
+    aggregation; top-k as TakeOrderedAndProject)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    tri = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    return (
+        tri.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "s1", "s2", "s3")
+        .limit(_PATH_K)
+    )
+
+
+_PATH_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+tri AS (
+  SELECT event_type AS s1,
+         LEAD(event_type, 1) OVER w AS s2,
+         LEAD(event_type, 2) OVER w AS s3
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+)
+SELECT s1, s2, s3, COUNT(*) AS n
+FROM tri WHERE s3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, s1, s2, s3 LIMIT {_PATH_K}
+"""
+
+
 _TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
 _MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
 
@@ -395,4 +439,5 @@ SPECS = [
     QuerySpec("events_rolling_actives", q_rolling_actives, _ROLLING_ACTIVES_ORACLE),
     QuerySpec("profile_group_quantiles", q_group_quantiles, _GQ_ORACLE),
     QuerySpec("events_peak_concurrency", q_peak_concurrency, _CONCURRENCY_ORACLE),
+    QuerySpec("events_path_trigrams", q_path_trigrams, _PATH_ORACLE),
 ]

@@ -1272,6 +1272,75 @@ GROUP BY decile ORDER BY decile
 """
 
 
+_BASKET_MINSUP, _BASKET_K = 3, 25
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the 25 most co-purchased part pairs
+    (within an order) with exact integer lift —
+    ``lift_ppm = c_ab·n_orders·10⁶ div (c_a·c_b)`` (> 10⁶ ⇒ bought
+    together more than independence predicts). The within-order pair
+    join is bounded by basket size (≈ lines-per-order, single digits),
+    never O(parts²); supports below 3 are pruned before the lift math
+    and top-k executes as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item_cnt = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _BASKET_MINSUP)
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                "CAST((CAST(c_ab AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("c_ab").desc(), "part_a", "part_b")
+        .limit(_BASKET_K)
+    )
+
+
+_BASKET_ORACLE = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+item_cnt AS (SELECT l_partkey, COUNT(*) AS c FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_BASKET_MINSUP}
+)
+SELECT p.part_a, p.part_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+       CAST((CAST(p.c_ab AS HUGEINT) * n.n_orders * 1000000)
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN item_cnt ca ON ca.l_partkey = p.part_a
+JOIN item_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY p.c_ab DESC, p.part_a, p.part_b LIMIT {_BASKET_K}
+"""
+
+
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VARIANT surface: ``parse_json`` the props column into a
     variant once, ``variant_get`` typed paths out — the
@@ -1394,6 +1463,7 @@ SPECS = [
     QuerySpec("olap_percentiles", q_percentiles, _PERCENTILE_ORACLE),
     QuerySpec("func_json_props", q_json_props, _JSON_ORACLE),
     QuerySpec("func_variant_props", q_variant_props, _VARIANT_ORACLE),
+    QuerySpec("olap_basket_affinity", q_basket_affinity, _BASKET_ORACLE),
     QuerySpec("profile_skew_report", q_skew_report, _SKEW_ORACLE),
     QuerySpec("scale_bloom_prefilter_join", q_bloom_prefilter_join, _BLOOM_ORACLE),
 ]
