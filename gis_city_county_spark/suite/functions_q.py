@@ -138,3 +138,112 @@ SPECS = [
     QuerySpec("func_date_battery", q_date_battery, _DATE_ORACLE),
     QuerySpec("func_string_battery", q_string_battery, _STRING_ORACLE),
 ]
+
+
+def q_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics battery: null-safe equality (<=>), NULLIF/
+    COALESCE/NVL2 routing, null-skipping vs null-counting aggregates,
+    and conditional aggregates (count_if, bool_and/bool_or) — pinned
+    over a column with injected NULLs (every 7th customer's balance).
+    The three-valued-logic corners that silently corrupt pipelines
+    when engines disagree."""
+    cust = load_table(spark, sf_dir, "customer")
+    src = cust.select(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 != 0, F.col("c_acctbal")).alias("bal"),
+        (F.col("c_custkey") % 3 == 0).alias("flag"),
+    )
+    return (
+        src.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("bal").alias("n_nonnull"),
+            F.sum(F.col("bal").isNull().cast("long")).alias("n_null"),
+            F.count_if(F.col("bal").isNull() & F.col("flag")).alias("n_null_flagged"),
+            F.sum(
+                (F.col("bal").eqNullSafe(F.lit(None).cast("double"))).cast("long")
+            ).alias("n_nullsafe_eq_null"),
+            F.min(F.coalesce("bal", F.lit(0.0))).alias("min_coalesced"),
+            F.bool_and("flag").alias("all_flagged"),
+            F.bool_or(F.col("bal").isNull()).alias("any_null"),
+            F.sum(F.nullif(F.col("bal"), F.lit(0.0)).isNull().cast("long")).alias(
+                "n_zero_or_null"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_NULL_ORACLE = """
+WITH src AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal END AS bal,
+         c_custkey % 3 = 0 AS flag
+  FROM customer
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_rows,
+       COUNT(bal) AS n_nonnull,
+       CAST(SUM(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(COUNT(*) FILTER (WHERE bal IS NULL AND flag) AS BIGINT) AS n_null_flagged,
+       CAST(SUM(CASE WHEN bal IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nullsafe_eq_null,
+       MIN(COALESCE(bal, 0.0)) AS min_coalesced,
+       BOOL_AND(flag) AS all_flagged,
+       BOOL_OR(bal IS NULL) AS any_null,
+       CAST(SUM(CASE WHEN NULLIF(bal, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_or_null
+FROM src GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: scalar shifts/AND/OR/XOR plus the bit_and /
+    bit_or / bit_xor aggregates, over order keys per priority — the
+    flag-packing arithmetic a feature store leans on."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    src = orders.select(
+        "o_orderpriority",
+        (k % 256).alias("b"),
+        F.expr("shiftleft(o_orderkey % 16, 2)").alias("shifted"),
+    )
+    return (
+        src.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("b").alias("band"),
+            F.bit_or("b").alias("bor"),
+            F.bit_xor("b").alias("bxor"),
+            F.sum(F.expr("b & 15")).alias("sum_low_nibble"),
+            F.sum(F.expr("b | 16")).alias("sum_or16"),
+            F.sum(F.expr("b ^ 255")).alias("sum_flipped"),
+            F.sum("shifted").alias("sum_shifted"),
+            F.sum(F.expr("shiftright(b, 3)")).alias("sum_shr3"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BITWISE_ORACLE = """
+WITH src AS (
+  SELECT o_orderpriority, o_orderkey % 256 AS b,
+         (o_orderkey % 16) << 2 AS shifted
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(BIT_AND(b) AS BIGINT) AS band,
+       CAST(BIT_OR(b) AS BIGINT) AS bor,
+       CAST(BIT_XOR(b) AS BIGINT) AS bxor,
+       CAST(SUM(b & 15) AS BIGINT) AS sum_low_nibble,
+       CAST(SUM(b | 16) AS BIGINT) AS sum_or16,
+       CAST(SUM(xor(b, 255)) AS BIGINT) AS sum_flipped,
+       CAST(SUM(shifted) AS BIGINT) AS sum_shifted,
+       CAST(SUM(b >> 3) AS BIGINT) AS sum_shr3
+FROM src GROUP BY 1 ORDER BY 1
+"""
+
+
+SPECS += [
+    QuerySpec("func_null_battery", q_null_battery, _NULL_ORACLE),
+    QuerySpec("func_bitwise_battery", q_bitwise_battery, _BITWISE_ORACLE),
+]

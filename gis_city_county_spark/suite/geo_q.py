@@ -270,8 +270,88 @@ GROUP BY rect_id ORDER BY rect_id
 """
 
 
+_N_SITES = 40
+
+
+def q_knn_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment (k=1 KNN join / Voronoi aggregation),
+    benchable at warehouse volume: every synthetic point (integer
+    coordinates from lineitem keys) is assigned to the nearest of 40
+    broadcast sites, then per-site count and exact mean squared
+    distance. The argmin is ONE integer: ``code = d²·64 + site_id``
+    (d² exact integer, site_id < 64), so ``MIN(code)`` is a plain
+    map-side-combinable aggregate — no window over the ×40 fanout, no
+    struct-min portability questions — and ties break toward the
+    lowest site id on any engine. The same broadcast-fanout/argmin
+    shape is IVF's coarse assignment (similarity.ivf_assign) applied
+    to 2-D space."""
+    from gis_city_county_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey") % 10000).alias("xi"),
+        (F.col("l_partkey") % 10000).alias("yi"),
+    )
+    sites = spark.range(_N_SITES).select(
+        F.col("id").alias("site_id"),
+        ((F.col("id") * 2477) % 10000).alias("sx"),
+        ((F.col("id") * 3615) % 10000).alias("sy"),
+    )
+    code = (
+        ((F.col("xi") - F.col("sx")) * (F.col("xi") - F.col("sx"))
+         + (F.col("yi") - F.col("sy")) * (F.col("yi") - F.col("sy"))) * 64
+        + F.col("site_id")
+    )
+    best = (
+        pts.join(F.broadcast(sites))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min(code).alias("best"))
+    )
+    return (
+        best.select(
+            (F.col("best") % 64).alias("site_id"),
+            F.expr("best div 64").alias("d2"),
+        )
+        .groupBy("site_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr("CAST(sum(d2) AS DECIMAL(38,0)) div count(1)")
+            .cast("long")
+            .alias("mean_d2"),
+        )
+        .orderBy("site_id")
+    )
+
+
+_KNN_ORACLE = f"""
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+         l_orderkey % 10000 AS xi, l_partkey % 10000 AS yi
+  FROM lineitem
+),
+sites AS (
+  SELECT s AS site_id, (s * 2477) % 10000 AS sx, (s * 3615) % 10000 AS sy
+  FROM (SELECT UNNEST(generate_series(0, {_N_SITES - 1})) AS s)
+),
+best AS (
+  SELECT l_orderkey, l_linenumber,
+         MIN(((xi - sx) * (xi - sx) + (yi - sy) * (yi - sy)) * 64 + site_id)
+           AS best
+  FROM pts CROSS JOIN sites
+  GROUP BY 1, 2
+)
+SELECT CAST(best % 64 AS BIGINT) AS site_id,
+       COUNT(*) AS n_points,
+       CAST(CAST(SUM(best // 64) AS HUGEINT) // COUNT(*) AS BIGINT) AS mean_d2
+FROM best GROUP BY 1 ORDER BY 1
+"""
+
+
 SPECS = [
     QuerySpec("geo_grid_refine_density", q_grid_refine_density, _grid_refine_oracle()),
+    QuerySpec("geo_knn_assign", q_knn_assign, _KNN_ORACLE),
     QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE, bench=False),
     QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE, bench=False),
     QuerySpec("geo_sliver_fix", q_geo_sliver_fix, _SLIVER_ORACLE, bench=False),

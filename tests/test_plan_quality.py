@@ -131,6 +131,11 @@ _BNLJ_ALLOWED = {
     "profile_skew_report",
     "corpus_pmi_pairs",
     "scale_bloom_prefilter_join",
+    "olap_basket_affinity",
+    "profile_length_drift_chi2",
+    # the ×40 broadcast-site fanout IS the algorithm (IVF-style
+    # nearest-site assignment; partial-agg argmin collapses it)
+    "geo_knn_assign",
 }
 
 
