@@ -213,3 +213,29 @@ def compact_files(
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src_dir).repartition(n_out).write.parquet(dest_dir)
     return n_out
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Selective partition replacement: overwrite ONLY the hive
+    partitions present in ``df``, leaving every other partition's data
+    untouched — the incremental-refresh write a daily pipeline wants
+    (rewrite today's date partition, keep history) without the
+    read-modify-write of a full overwrite.
+
+    Uses ``partitionOverwriteMode=dynamic`` scoped to this write (the
+    static default would truncate the whole root). Pair with a
+    blue/green pointer (``files.publish_snapshot``) when readers need
+    atomicity across multiple partitions.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

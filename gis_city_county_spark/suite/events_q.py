@@ -419,6 +419,61 @@ ORDER BY n DESC, s1, s2, s3 LIMIT {_PATH_K}
 """
 
 
+_ANOM_K = 20
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted volume anomalies: each (day, hour) bucket
+    scored against the corpus-wide hour-of-day baseline —
+    ``ratio_ppm = observed·n_days·10⁶ div hour_total`` (10⁶ = exactly
+    the baseline share for that hour) — top 20 deviations. Two keyed
+    aggregations + a 24-row broadcast margin; exact integer scoring
+    (`div` == `//`), day count via a 1-row broadcast."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.hour("ts").alias("hour"),
+    )
+    per = buckets.groupBy("day", "hour").agg(F.count(F.lit(1)).alias("n"))
+    hourly = buckets.groupBy("hour").agg(F.count(F.lit(1)).alias("hour_total"))
+    days = buckets.select("day").distinct().agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        per.join(F.broadcast(hourly), "hour")
+        .crossJoin(F.broadcast(days))
+        .select(
+            "day",
+            "hour",
+            "n",
+            "hour_total",
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * n_days * 1000000)"
+                " div hour_total AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+        .orderBy(
+            F.abs(F.col("ratio_ppm") - 1_000_000).desc(), "day", "hour"
+        )
+        .limit(_ANOM_K)
+    )
+
+
+_ANOM_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+buckets AS (SELECT date_trunc('day', ts) AS day, hour(ts) AS hour FROM ev),
+per AS (SELECT day, hour, COUNT(*) AS n FROM buckets GROUP BY 1, 2),
+hourly AS (SELECT hour, COUNT(*) AS hour_total FROM buckets GROUP BY 1),
+days AS (SELECT COUNT(DISTINCT day) AS n_days FROM buckets)
+SELECT per.day, per.hour, per.n, hourly.hour_total,
+       CAST((CAST(per.n AS HUGEINT) * days.n_days * 1000000)
+            // hourly.hour_total AS BIGINT) AS ratio_ppm
+FROM per JOIN hourly USING (hour) CROSS JOIN days
+ORDER BY abs(ratio_ppm - 1000000) DESC, per.day, per.hour
+LIMIT {_ANOM_K}
+"""
+
+
 _TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
 _MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
 
@@ -440,4 +495,5 @@ SPECS = [
     QuerySpec("profile_group_quantiles", q_group_quantiles, _GQ_ORACLE),
     QuerySpec("events_peak_concurrency", q_peak_concurrency, _CONCURRENCY_ORACLE),
     QuerySpec("events_path_trigrams", q_path_trigrams, _PATH_ORACLE),
+    QuerySpec("events_hourly_anomalies", q_hourly_anomalies, _ANOM_ORACLE),
 ]

@@ -204,3 +204,35 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(dest)
     assert back.count() == 50_000
     assert back.agg({"v": "sum"}).collect()[0][0] == df.agg({"v": "sum"}).collect()[0][0]
+
+
+def test_overwrite_partitions_is_selective(spark, sf_dir, tmp_path):
+    from gis_city_county_spark.sources.layout import (
+        overwrite_partitions,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "orders_dyn")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(orders, path, ["o_orderpriority"])
+    before = read_partitioned(spark, path)
+    n_total = before.count()
+    n_urgent = before.filter(F.col("o_orderpriority") == "1-URGENT").count()
+
+    # replace ONLY the 1-URGENT partition with a reduced version
+    replacement = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("o_orderkey") % 2 == 0)
+    )
+    n_replacement = replacement.count()
+    overwrite_partitions(replacement, path, ["o_orderpriority"])
+
+    after = read_partitioned(spark, path)
+    # untouched partitions keep every row; only 1-URGENT shrank
+    assert after.filter(F.col("o_orderpriority") != "1-URGENT").count() == (
+        n_total - n_urgent
+    )
+    assert after.filter(F.col("o_orderpriority") == "1-URGENT").count() == n_replacement
+    # the static default would have truncated the sibling partitions
+    assert after.count() == n_total - n_urgent + n_replacement

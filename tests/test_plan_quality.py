@@ -133,6 +133,7 @@ _BNLJ_ALLOWED = {
     "scale_bloom_prefilter_join",
     "olap_basket_affinity",
     "profile_length_drift_chi2",
+    "events_hourly_anomalies",
     # the ×40 broadcast-site fanout IS the algorithm (IVF-style
     # nearest-site assignment; partial-agg argmin collapses it)
     "geo_knn_assign",
