@@ -474,6 +474,64 @@ LIMIT {_ANOM_K}
 """
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) bar with open/high/
+    low/close of the value series — the financial-style resample. Open
+    and close are picked by integer-coded argmin/argmax over
+    ``(epoch_us, event_id)`` (a total order, so ties cannot diverge
+    between engines), making the whole bar a single map-side-
+    combinable aggregation — no window, no sort."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+        F.struct(
+            F.unix_micros(F.col("ts")).alias("us"),
+            F.col("event_id"),
+            F.col("value"),
+        ).alias("pt"),
+        "value",
+    )
+    return (
+        src.groupBy("event_type", "bar")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pt").getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("pt").getField("value").alias("close"),
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+_OHLC_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+src AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar,
+         epoch_us(ts) AS us, event_id, value
+  FROM ev
+),
+ranked AS (
+  SELECT event_type, bar, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                            ORDER BY us ASC, event_id ASC) AS rn_open,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bar
+                            ORDER BY us DESC, event_id DESC) AS rn_close
+  FROM src
+)
+SELECT event_type, bar,
+       COUNT(*) AS n,
+       MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 _TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
 _MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
 
@@ -496,4 +554,5 @@ SPECS = [
     QuerySpec("events_peak_concurrency", q_peak_concurrency, _CONCURRENCY_ORACLE),
     QuerySpec("events_path_trigrams", q_path_trigrams, _PATH_ORACLE),
     QuerySpec("events_hourly_anomalies", q_hourly_anomalies, _ANOM_ORACLE),
+    QuerySpec("events_ohlc_bars", q_ohlc_bars, _OHLC_ORACLE),
 ]
