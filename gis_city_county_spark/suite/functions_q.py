@@ -247,3 +247,127 @@ SPECS += [
     QuerySpec("func_null_battery", q_null_battery, _NULL_ORACLE),
     QuerySpec("func_bitwise_battery", q_bitwise_battery, _BITWISE_ORACLE),
 ]
+
+
+def q_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ingestion surface: try_cast on malformed numerics/
+    dates, try_divide by zero, try_to_number — NULL instead of a
+    failed job, the contract dirty-ingest pipelines rely on. Probe
+    strings are derived from real columns so malformed and valid
+    cases both occur."""
+    docs = load_table(spark, sf_dir, "documents")
+    # probe = sometimes-numeric string: doc ids ending in 3 get a 'x'
+    staged = docs.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.col("doc_id").cast("string"), F.lit("x")),
+        )
+        .otherwise(F.col("doc_id").cast("string"))
+        .alias("probe"),
+        F.concat(
+            F.lit("2024-"),
+            F.lpad((F.col("doc_id") % 15).cast("string"), 2, "0"),
+            F.lit("-01"),
+        ).alias("date_probe"),
+    )
+    src = staged.select(
+        "lang",
+        F.expr("try_cast(probe AS BIGINT)").alias("as_long"),
+        F.try_divide(F.col("n_chars").cast("double"), F.col("doc_id") % 5).alias(
+            "div5"
+        ),
+        F.expr("try_cast(date_probe AS DATE)").alias("maybe_date"),
+    )
+    return (
+        src.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("as_long").alias("n_parsed"),
+            F.sum(F.col("as_long").isNull().cast("long")).alias("n_failed"),
+            F.count("div5").alias("n_div_ok"),
+            F.sum(F.col("div5").isNull().cast("long")).alias("n_div_by_zero"),
+            F.count("maybe_date").alias("n_valid_dates"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TRY_ORACLE = """
+WITH src AS (
+  SELECT lang,
+         TRY_CAST(CASE WHEN doc_id % 10 = 3
+                       THEN CAST(doc_id AS VARCHAR) || 'x'
+                       ELSE CAST(doc_id AS VARCHAR) END AS BIGINT) AS as_long,
+         CASE WHEN doc_id % 5 = 0 THEN NULL
+              ELSE CAST(n_chars AS DOUBLE) / (doc_id % 5) END AS div5,
+         TRY_CAST('2024-' || lpad(CAST(doc_id % 15 AS VARCHAR), 2, '0') || '-01'
+                  AS DATE) AS maybe_date
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n,
+       COUNT(as_long) AS n_parsed,
+       CAST(SUM(CASE WHEN as_long IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       COUNT(div5) AS n_div_ok,
+       CAST(SUM(CASE WHEN div5 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_div_by_zero,
+       COUNT(maybe_date) AS n_valid_dates
+FROM src GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType machinery witness: per customer segment build a
+    priority→count map (map_from_arrays over sorted keys — never
+    collect_list order), filter entries below 100 with map_filter,
+    double the surviving counts with transform_values, then explode
+    back to rows. The oracle states the equivalent relational
+    semantics; the map build/filter/transform/explode round-trip is
+    what's being pinned on the Spark side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    packed = per.groupBy("c_mktsegment").agg(
+        F.map_from_arrays(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "cnt"))).getField(
+                "o_orderpriority"
+            ),
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "cnt"))).getField(
+                "cnt"
+            ),
+        ).alias("m")
+    )
+    transformed = packed.select(
+        "c_mktsegment",
+        F.map_filter("m", lambda k, v: v >= 100).alias("m"),
+    ).select(
+        "c_mktsegment",
+        F.transform_values("m", lambda k, v: v * 2).alias("m"),
+    )
+    return (
+        transformed.select("c_mktsegment", F.explode("m").alias("priority", "doubled"))
+        .orderBy("c_mktsegment", "priority")
+    )
+
+
+_MAP_ORACLE = """
+SELECT c_mktsegment, o_orderpriority AS priority,
+       CAST(COUNT(*) * 2 AS BIGINT) AS doubled
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2 HAVING COUNT(*) >= 100
+ORDER BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec("func_try_battery", q_try_battery, _TRY_ORACLE),
+    QuerySpec("func_map_roundtrip", q_map_roundtrip, _MAP_ORACLE),
+]
