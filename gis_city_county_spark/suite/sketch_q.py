@@ -119,8 +119,59 @@ def _setops_side_sql(lang: str) -> str:
 _SETOPS_ORACLE = kmv_setops_sql(_setops_side_sql("en"), _setops_side_sql("fr"), "token", k=256)
 
 
+_EXACT_N = 500
+
+
+def q_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-size uniform sample: the 500 lineitems with
+    the smallest md5 of their (orderkey, linenumber) identity —
+    layout- and engine-stable like hash_sample, but with a guaranteed
+    sample size (rate-based sampling only hits N in expectation).
+    Executes as TakeOrderedAndProject over the hash projection — per-
+    partition heaps, no global sort — then a summary aggregation."""
+    from gis_city_county_spark.functions.numeric import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.md5(
+            F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("__h"),
+    )
+    sample = keyed.orderBy("__h").limit(_EXACT_N)
+    return (
+        sample.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            dec_sum("l_extendedprice", "sample_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _exact_n_oracle() -> str:
+    from gis_city_county_spark.functions.numeric import dec_sum_sql
+
+    return f"""
+WITH sample AS (
+  SELECT l_returnflag, l_extendedprice
+  FROM lineitem
+  ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+  LIMIT {_EXACT_N}
+)
+SELECT l_returnflag, COUNT(*) AS n_sampled,
+       {dec_sum_sql("l_extendedprice", "sample_revenue")}
+FROM sample GROUP BY 1 ORDER BY 1
+"""
+
+
+_EXACT_N_ORACLE = _exact_n_oracle()
+
+
 SPECS = [
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
+    QuerySpec("sketch_exact_n_sample", q_exact_n_sample, _EXACT_N_ORACLE),
     QuerySpec("sketch_kmv_setops", q_kmv_setops, _SETOPS_ORACLE),
     QuerySpec("sketch_hash_sample", q_hash_sample, _SAMPLE_ORACLE),
     QuerySpec("sketch_weighted_sample", q_weighted_sample, _WEIGHTED_ORACLE),

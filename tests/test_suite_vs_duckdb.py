@@ -48,3 +48,11 @@ def test_contract_shapes(spark):
     assert set(o) <= set(q)
     for name, fn in q.items():
         assert callable(fn), name
+
+
+def test_spec_names_unique():
+    """queries() is a dict — a duplicate spec name would silently
+    shadow an earlier query and shrink the verified surface."""
+    names = [s.name for s in SPECS]
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"duplicate spec names: {sorted(dupes)}"
