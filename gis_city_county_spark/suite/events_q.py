@@ -532,6 +532,61 @@ FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-design probe: how late do events arrive? Each event's
+    lateness is the running maximum event-time seen so far (in arrival
+    order) minus its own event-time; the audit reports, per event
+    type, how many events a 0s / 60s / 600s watermark would drop and
+    the worst lateness observed. The synthetic stream is stored in
+    perfect time order, so arrival order is simulated as the md5 of
+    the event id (a deterministic shuffle — the adversarial ingest).
+    One global arrival-order window (a stream is one arrival sequence
+    by definition; at scale this runs per ingest partition), then a
+    tiny keyed aggregation. Exact integer microseconds."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.orderBy(F.md5(F.col("event_id").cast("string")).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lat = ev.select(
+        "event_type",
+        (F.max(us).over(w) - us).alias("late_us"),
+    )
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("late_us") > 0).alias("n_out_of_order"),
+            F.count_if(F.col("late_us") > 60_000_000).alias("n_late_60s"),
+            F.count_if(F.col("late_us") > 600_000_000).alias("n_late_600s"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_LATENESS_ORACLE = f"""
+WITH ev AS (SELECT event_id, event_type, epoch_us(make_timestamp(epoch_us(ts))) AS us
+            FROM events),
+lat AS (
+  SELECT event_type,
+         MAX(us) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)) ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us
+           AS late_us
+  FROM ev
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(COUNT(*) FILTER (WHERE late_us > 0) AS BIGINT) AS n_out_of_order,
+       CAST(COUNT(*) FILTER (WHERE late_us > 60000000) AS BIGINT) AS n_late_60s,
+       CAST(COUNT(*) FILTER (WHERE late_us > 600000000) AS BIGINT) AS n_late_600s,
+       MAX(late_us) AS max_late_us
+FROM lat GROUP BY 1 ORDER BY 1
+"""
+
+
 _TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
 _MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
 
@@ -555,4 +610,5 @@ SPECS = [
     QuerySpec("events_path_trigrams", q_path_trigrams, _PATH_ORACLE),
     QuerySpec("events_hourly_anomalies", q_hourly_anomalies, _ANOM_ORACLE),
     QuerySpec("events_ohlc_bars", q_ohlc_bars, _OHLC_ORACLE),
+    QuerySpec("events_lateness_audit", q_lateness_audit, _LATENESS_ORACLE),
 ]
