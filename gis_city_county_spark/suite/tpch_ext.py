@@ -1341,6 +1341,73 @@ ORDER BY p.c_ab DESC, p.part_a, p.part_b LIMIT {_BASKET_K}
 """
 
 
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan rate for each foreign-key
+    edge of the warehouse (lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer) — the pre-join data-quality
+    gate. Each edge is one left-anti join against the (broadcastable)
+    distinct key set; exact ppm rates via `div`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def edge(name, child, fk, parent, pk):
+        hit = parent.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "__hit", F.lit(1)
+        )
+        return (
+            child.select(F.col(fk))
+            .join(hit, fk, "left")
+            .agg(
+                F.lit(name).alias("edge"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_if(F.col("__hit").isNull()).alias("n_orphans"),
+            )
+        )
+
+    out = (
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(edge("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"))
+        .unionByName(edge("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+    )
+    return out.select(
+        "edge",
+        "n_child",
+        "n_orphans",
+        F.expr("CAST(CAST(n_orphans AS DECIMAL(38,0)) * 1000000 div n_child AS BIGINT)").alias(
+            "orphan_ppm"
+        ),
+    ).orderBy("edge")
+
+
+_FK_ORACLE = """
+WITH edges AS (
+  SELECT 'lineitem->orders' AS edge, COUNT(*) AS n_child,
+         COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem->part', COUNT(*),
+         COUNT(*) FILTER (WHERE p.p_partkey IS NULL)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem->supplier', COUNT(*),
+         COUNT(*) FILTER (WHERE s.s_suppkey IS NULL)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'orders->customer', COUNT(*),
+         COUNT(*) FILTER (WHERE c.c_custkey IS NULL)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CAST(CAST(n_orphans AS HUGEINT) * 1000000 // n_child AS BIGINT) AS orphan_ppm
+FROM edges ORDER BY edge
+"""
+
+
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 VARIANT surface: ``parse_json`` the props column into a
     variant once, ``variant_get`` typed paths out — the
@@ -1464,6 +1531,7 @@ SPECS = [
     QuerySpec("func_json_props", q_json_props, _JSON_ORACLE),
     QuerySpec("func_variant_props", q_variant_props, _VARIANT_ORACLE),
     QuerySpec("olap_basket_affinity", q_basket_affinity, _BASKET_ORACLE),
+    QuerySpec("gate_fk_orphans", q_fk_orphans, _FK_ORACLE),
     QuerySpec("profile_skew_report", q_skew_report, _SKEW_ORACLE),
     QuerySpec("scale_bloom_prefilter_join", q_bloom_prefilter_join, _BLOOM_ORACLE),
 ]
