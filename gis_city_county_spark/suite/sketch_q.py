@@ -124,11 +124,17 @@ _EXACT_N = 500
 
 def q_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic EXACT-size uniform sample: the 500 lineitems with
-    the smallest md5 of their (orderkey, linenumber) identity —
-    layout- and engine-stable like hash_sample, but with a guaranteed
-    sample size (rate-based sampling only hits N in expectation).
-    Executes as TakeOrderedAndProject over the hash projection — per-
-    partition heaps, no global sort — then a summary aggregation."""
+    the smallest md5 of their row identity — layout- and engine-stable
+    like hash_sample, but with a guaranteed sample size (rate-based
+    sampling only hits N in expectation). Executes as
+    TakeOrderedAndProject over the hash projection — per-partition
+    heaps, no global sort — then a summary aggregation.
+
+    The hash covers every output-relevant column ((orderkey,
+    linenumber) is NOT unique in the synthetic data): rows tied at the
+    N-boundary are then value-identical, so any boundary choice yields
+    the same aggregate. The price routes through DECIMAL(18,2) for an
+    engine-identical string form."""
     from gis_city_county_spark.functions.numeric import dec_sum
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -136,7 +142,13 @@ def q_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "l_extendedprice",
         F.md5(
-            F.concat_ws(":", F.col("l_orderkey"), F.col("l_linenumber"))
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.col("l_returnflag"),
+                F.col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+            )
         ).alias("__h"),
     )
     sample = keyed.orderBy("__h").limit(_EXACT_N)
@@ -157,7 +169,9 @@ def _exact_n_oracle() -> str:
 WITH sample AS (
   SELECT l_returnflag, l_extendedprice
   FROM lineitem
-  ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+  ORDER BY md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+               || ':' || l_returnflag
+               || ':' || CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR))
   LIMIT {_EXACT_N}
 )
 SELECT l_returnflag, COUNT(*) AS n_sampled,
