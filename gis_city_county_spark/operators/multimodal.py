@@ -161,3 +161,71 @@ def sample_frames(
 
     src = rebalance_for_fanout(df.select(id_col, payload_col), multiplier=8.0)
     return src.mapInPandas(gen, out_schema)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    window: int = 64,
+) -> DataFrame:
+    """Windowed audio-feature extraction over opaque payloads: treat
+    the payload as unsigned 8-bit PCM samples (the deterministic
+    stand-in decode — a real pipeline swaps in ``decode_audio``),
+    split into non-overlapping ``window``-sample frames, and emit
+    per-frame energy (sum of sample values) and peak — the
+    VAD/loudness-profile plumbing shape.
+
+    Vectorized end-to-end: numpy reshapes each payload once (no
+    per-sample Python), Arrow carries the batches, and the fan-out
+    (one row → n_frames rows) happens inside the executor, never on
+    the driver. All-integer outputs — engine-exact."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("win_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            widx: list[int] = []
+            nsamp: list[int] = []
+            energy: list[int] = []
+            peak: list[int] = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(a) == 0:
+                    continue
+                n_win = -(-len(a) // window)
+                padded = np.zeros(n_win * window, dtype=np.int64)
+                padded[: len(a)] = a
+                frames = padded.reshape(n_win, window)
+                ids.extend([rid] * n_win)
+                widx.extend(range(n_win))
+                last = len(a) - (n_win - 1) * window
+                nsamp.extend([window] * (n_win - 1) + [last])
+                energy.extend(frames.sum(axis=1).tolist())
+                # pad is 0, which never beats a real uint8 sample max
+                # in a nonempty frame
+                peak.extend(frames.max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(nsamp, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int32"),
+                }
+            )
+
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    src = rebalance_for_fanout(df.select(id_col, payload_col), multiplier=8.0)
+    return src.mapInPandas(process, out_schema)

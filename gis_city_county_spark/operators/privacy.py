@@ -127,3 +127,38 @@ def k_anonymity_sql(source_sql: str, qid_cols: list[str], k: int = 5) -> str:
 SELECT {keys}, COUNT(*) AS group_size, COUNT(*) < {k} AS violates_k
 FROM ({source_sql}) GROUP BY {keys}
 """
+
+
+def l_diversity(
+    df: DataFrame, qid_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """L-diversity audit: k-anonymity's companion check. A QI group
+    can be large (k-anonymous) yet still leak the sensitive attribute
+    if every row in it shares one sensitive value — distinct-l-
+    diversity requires ≥ ``l`` distinct sensitive values per group.
+
+    Same single-shuffle hash aggregate as :func:`k_anonymity`;
+    ``countDistinct`` on the sensitive column is planned as a two-
+    phase distinct aggregate (partial sets map-side), so shuffle
+    volume is O(groups × distinct-sensitive), bounded regardless of
+    row count."""
+    return (
+        df.groupBy(*qid_cols)
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .withColumn("violates_l", F.col("n_sensitive") < l)
+    )
+
+
+def l_diversity_sql(
+    source_sql: str, qid_cols: list[str], sensitive_expr: str, l: int = 3
+) -> str:
+    keys = ", ".join(qid_cols)
+    return f"""
+SELECT {keys}, COUNT(*) AS group_size,
+       COUNT(DISTINCT {sensitive_expr}) AS n_sensitive,
+       COUNT(DISTINCT {sensitive_expr}) < {l} AS violates_l
+FROM ({source_sql}) GROUP BY {keys}
+"""

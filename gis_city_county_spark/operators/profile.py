@@ -429,3 +429,53 @@ SELECT grp AS {group_col}, CAST(MAX(n) AS BIGINT) AS n,
        {picks}
 FROM ranked GROUP BY grp ORDER BY grp
 """
+
+
+def gini_impurity(
+    df: DataFrame, group_cols: Sequence[str], class_col: str
+) -> DataFrame:
+    """Per-group Gini impurity of a categorical column — the
+    class-mix diagnostic (0 = one class, →1 = uniform across many).
+    ``1 − Σc²/n²`` is rational in the exact integer counts, so the
+    double result is one identical IEEE division/subtraction on any
+    engine — deterministic without any decimal plumbing.
+
+    Two chained hash aggregates (per-class counts, then per-group
+    moments); both map-side combinable, output bounded by group
+    cardinality."""
+    counts = df.groupBy(*group_cols, class_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    moments = counts.groupBy(*group_cols).agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.col("__c") * F.col("__c")).alias("sum_sq"),
+    )
+    return moments.withColumn(
+        "gini",
+        F.lit(1.0)
+        - F.col("sum_sq").cast("double")
+        / (F.col("n_rows") * F.col("n_rows")).cast("double"),
+    )
+
+
+def gini_impurity_sql(
+    source_sql: str, group_cols: Sequence[str], class_col: str
+) -> str:
+    keys = ", ".join(group_cols)
+    return f"""
+WITH counts AS (
+  SELECT {keys}, {class_col}, COUNT(*) AS c
+  FROM ({source_sql}) GROUP BY {keys}, {class_col}
+),
+moments AS (
+  SELECT {keys}, SUM(c) AS n_rows, COUNT(*) AS n_classes,
+         SUM(c * c) AS sum_sq
+  FROM counts GROUP BY {keys}
+)
+SELECT {keys}, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS gini
+FROM moments
+"""

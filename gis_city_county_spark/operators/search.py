@@ -366,3 +366,80 @@ SELECT {id_col}, CAST(total_tf AS BIGINT) AS total_tf
 FROM hits WHERE n_terms = {nterms}
 ORDER BY total_tf DESC, {id_col} ASC LIMIT {k}
 """
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """Exact-phrase search through *positional* postings: documents
+    containing the words of ``phrase`` consecutively, ranked by
+    occurrence count (ties → lowest id), top-k.
+
+    The positional index is (doc, position, token) from one
+    ``posexplode`` — the standard next step up from
+    :func:`build_postings` when queries need adjacency, not just
+    co-occurrence. An m-word phrase is m−1 equi-joins on
+    ``(doc, pos + i)``: each join input is pre-filtered to ONE term's
+    postings, so join volume is the postings of the rarest terms, not
+    the corpus. Partitioning by (doc) would co-locate every join; at
+    index-build time `sources.layout` bucketing on doc id makes the
+    whole chain shuffle-free. Exact integer ranking; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_search wants >= 2 words")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    cur = (
+        toks.filter(F.col("tok") == phrase[0])
+        .select("__id", F.col("pos").alias("p0"))
+    )
+    for i, word in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("tok") == word).select(
+            "__id", F.col("pos").alias(f"p{i}")
+        )
+        cur = cur.join(
+            nxt,
+            (cur["__id"] == nxt["__id"]) & (nxt[f"p{i}"] == cur["p0"] + i),
+        ).select(cur["__id"], cur["p0"])
+    return (
+        cur.groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("__id").alias(id_col), "n_hits")
+        .orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def phrase_search_sql(
+    table_sql: str, id_col: str, text_col: str, phrase: list[str], k: int = 20
+) -> str:
+    """DuckDB oracle twin of :func:`phrase_search` (1-based list
+    indices shifted to the 0-based positions Spark's posexplode
+    emits)."""
+    quoted = ["'" + w.replace("'", "''") + "'" for w in phrase]
+    joins = "\n  ".join(
+        f"JOIN toks t{i} ON t{i}.id = t0.id AND t{i}.pos = t0.pos + {i} "
+        f"AND t{i}.tok = {quoted[i]}"
+        for i in range(1, len(phrase))
+    )
+    return f"""
+WITH s AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS tl FROM ({table_sql})),
+toks AS (
+  SELECT id, g.i - 1 AS pos, tl[g.i] AS tok
+  FROM s, LATERAL UNNEST(generate_series(1, len(tl))) AS g(i)
+),
+m AS (
+  SELECT t0.id, t0.pos FROM toks t0
+  {joins}
+  WHERE t0.tok = {quoted[0]}
+)
+SELECT id AS {id_col}, COUNT(*) AS n_hits
+FROM m GROUP BY 1
+ORDER BY n_hits DESC, id ASC LIMIT {k}
+"""

@@ -741,3 +741,90 @@ SELECT make_timestamp(day * {day_us}) AS day,
        CAST(MAX(run) AS BIGINT) AS peak
 FROM runs GROUP BY day ORDER BY day
 """
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    duration_seconds: int,
+) -> DataFrame:
+    """Coalesce overlapping/adjacent intervals per key into maximal
+    covered spans (gaps-and-islands over *intervals*, the coverage
+    twin of point-based ``sessionize``): each row opens ``[ts, ts +
+    duration)``; output is one row per merged island with its span
+    and member count.
+
+    Relational form: order each key's intervals by start, take the
+    running max of *prior* ends (ROWS … 1 PRECEDING window) — a new
+    island starts exactly where the start exceeds that max — then a
+    running sum of the island flags numbers the islands and one
+    aggregate per (key, island) finishes. Two windows + one agg, all
+    partitioned by key: nothing global, integer-exact, and ties on
+    (start, end) are island-invariant so any tie order gives the
+    same result.
+
+    Output: ``(key, island, island_start_us, island_end_us,
+    n_intervals, covered_us)``."""
+    dur_us = duration_seconds * 1_000_000
+    s = F.unix_micros(F.col(ts_col))
+    iv = df.select(
+        F.col(key_col).alias("key"), s.alias("__s"), (s + dur_us).alias("__e")
+    )
+    w = Window.partitionBy("key").orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("__s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("key", "island")
+        .agg(
+            F.min("__s").alias("island_start_us"),
+            F.max("__e").alias("island_end_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .withColumn(
+            "covered_us", F.col("island_end_us") - F.col("island_start_us")
+        )
+    )
+
+
+def interval_union_sql(
+    table_sql: str, key_col: str, ts_col: str, duration_seconds: int
+) -> str:
+    """DuckDB oracle twin of :func:`interval_union`."""
+    dur_us = duration_seconds * 1_000_000
+    return f"""
+WITH iv AS (
+  SELECT {key_col} AS key, epoch_us({ts_col}) AS s,
+         epoch_us({ts_col}) + {dur_us} AS e
+  FROM ({table_sql})
+),
+flagged AS (
+  SELECT key, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY key ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT key, s, e,
+         SUM(new_island) OVER (PARTITION BY key ORDER BY s, e
+           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT key, CAST(island AS BIGINT) AS island,
+       MIN(s) AS island_start_us, MAX(e) AS island_end_us,
+       COUNT(*) AS n_intervals,
+       MAX(e) - MIN(s) AS covered_us
+FROM islands GROUP BY 1, 2
+"""

@@ -389,3 +389,37 @@ def stateful_user_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def hopping_window_agg(
+    events: DataFrame,
+    window_duration: str = "15 minutes",
+    slide_duration: str = "5 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Hopping (sliding) window count/sum per key: each event lands in
+    ``window/slide`` overlapping windows. Batch form of the streaming
+    ``groupBy(window(ts, w, s), key)`` aggregate — identical code runs
+    under ``readStream`` with a watermark.
+
+    Scale shape: Spark expands each row to its covering windows
+    *before* the aggregation (an internal explode by w/s), then one
+    shuffle on (window, key) with map-side partial agg — shuffle
+    volume is ``w/s ×`` the tumbling case, which is why production
+    hopping windows keep the ratio small and derive finer views by
+    re-aggregating tumbling panes instead."""
+    win = F.window(ts_col, window_duration, slide_duration)
+    return (
+        events.groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

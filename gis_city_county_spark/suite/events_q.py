@@ -14,8 +14,14 @@ from gis_city_county_spark.operators.temporal import (
     rolling_features_sql,
     time_weighted_avg_sql,
 )
+from gis_city_county_spark.functions.numeric import dec_sum_sql
 from gis_city_county_spark.sources.tables import load_table
-from gis_city_county_spark.streaming.events import sessionize, sessionize_sql, windowed_agg
+from gis_city_county_spark.streaming.events import (
+    hopping_window_agg,
+    sessionize,
+    sessionize_sql,
+    windowed_agg,
+)
 from gis_city_county_spark.suite import QuerySpec
 
 # The events table stores TIMESTAMP(NANOS); both engines are floored
@@ -591,8 +597,36 @@ _TWA_ORACLE = time_weighted_avg_sql(_EV_CTE, "user_id", "ts", "value")
 _MEDIAN_ORACLE = group_median_sql(_EV_CTE, "event_type", "value")
 
 
+def q_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window per-type volume: 15-minute windows sliding every
+    5 minutes (each event in 3 windows) — the streaming-compatible
+    overlapping-window aggregate next to the tumbling one."""
+    events = load_table(spark, sf_dir, "events")
+    return hopping_window_agg(events, "15 minutes", "5 minutes")
+
+
+# Spark aligns hopping windows to epoch multiples of the slide: an
+# event at microsecond t is in the 3 windows starting at
+# (t//s)*s − {2s, s, 0} for w=900s, s=300s. Mirrored in integer µs.
+_HOPPING_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+wins AS (
+  SELECT make_timestamp(g.st) AS window_start, event_type, value
+  FROM ev, LATERAL UNNEST(generate_series(
+      (epoch_us(ts) // 300000000) * 300000000 - 600000000,
+      (epoch_us(ts) // 300000000) * 300000000,
+      300000000)) AS g(st)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       {dec_sum_sql("value", "total_value")}
+FROM wins GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
+    QuerySpec("events_hopping_window", q_hopping, _HOPPING_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
     QuerySpec("events_funnel_stages", q_funnel, _FUNNEL_ORACLE),
     QuerySpec("events_rolling_features", q_rolling, _ROLLING_ORACLE),

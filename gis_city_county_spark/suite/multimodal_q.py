@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from gis_city_county_spark.operators.multimodal import (
+    audio_window_energy,
     binary_features,
     sample_frames,
     to_binary_payload,
@@ -53,7 +54,34 @@ FROM documents,
 """
 
 
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio-energy extraction: payload bytes as u8 PCM
+    samples, 64-sample frames, per-frame integer energy/peak via the
+    vectorized mapInPandas path."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = to_binary_payload(docs, "text")
+    return audio_window_energy(payloads, "doc_id", "payload", window=64)
+
+
+# ASCII text: sample value at 1-based position p is ascii(text[p]).
+_AUDIO_ORACLE = """
+WITH samples AS (
+  SELECT doc_id,
+         CAST((g.p - 1) // 64 AS INTEGER) AS win_idx,
+         ascii(substr(text, g.p, 1)) AS v
+  FROM documents,
+       LATERAL UNNEST(generate_series(1, strlen(text))) AS g(p)
+)
+SELECT doc_id, win_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS energy,
+       CAST(MAX(v) AS INTEGER) AS peak
+FROM samples GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
     QuerySpec("mm_frame_sample", q_frame_sample, _FRAME_ORACLE),
+    QuerySpec("mm_audio_windows", q_audio_windows, _AUDIO_ORACLE),
 ]

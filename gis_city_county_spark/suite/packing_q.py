@@ -11,6 +11,8 @@ from gis_city_county_spark.operators.packing import pack_summary, pack_summary_s
 from gis_city_county_spark.operators.search import (
     conjunctive_search,
     conjunctive_search_sql,
+    phrase_search,
+    phrase_search_sql,
     fuzzy_join_blocked,
     fuzzy_join_blocked_sql,
     fuzzy_lookup,
@@ -120,11 +122,28 @@ _FUZZY_BLOCKED_ORACLE = fuzzy_join_blocked_sql(
 )
 
 
+_PHRASE = ["table", "hash"]
+
+
+def q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search: documents with the words 'table hash'
+    adjacent, via positional postings (posexplode → per-term filters →
+    position+1 equi-joins), ranked by occurrence count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", _PHRASE, k=20)
+
+
+_PHRASE_ORACLE = phrase_search_sql(
+    "SELECT * FROM documents", "doc_id", "text", _PHRASE, 20
+)
+
+
 SPECS = [
     QuerySpec("pipeline_quota_sample", q_quota, _QUOTA_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pack, _PACK_ORACLE),
     QuerySpec("search_tfidf_topk", q_tfidf, _TFIDF_ORACLE),
     QuerySpec("search_conjunctive", q_conjunctive, _CONJ_ORACLE),
+    QuerySpec("search_phrase", q_phrase, _PHRASE_ORACLE),
     QuerySpec("search_fuzzy_name_lookup", q_fuzzy, _FUZZY_ORACLE),
     QuerySpec("search_fuzzy_join_blocked", q_fuzzy_blocked, _FUZZY_BLOCKED_ORACLE),
 ]

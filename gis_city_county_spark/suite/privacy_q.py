@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from gis_city_county_spark.operators.privacy import (
     k_anonymity,
     k_anonymity_sql,
+    l_diversity,
+    l_diversity_sql,
     redact_pii,
     redact_pii_sql,
 )
@@ -117,8 +119,31 @@ _KANON_ORACLE = k_anonymity_sql(
 )
 
 
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit of customers: under the (nation, market
+    segment) quasi-identifier, how many distinct $1000 balance bands
+    (the sensitive attribute) each group carries — groups with < 3
+    distinct values leak the attribute even when k-anonymous."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    )
+    return l_diversity(cust, ["c_nationkey", "c_mktsegment"], "bal_band", l=3)
+
+
+_LDIV_ORACLE = l_diversity_sql(
+    "SELECT c_nationkey, c_mktsegment, "
+    "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer",
+    ["c_nationkey", "c_mktsegment"],
+    "bal_band",
+    l=3,
+)
+
+
 SPECS = [
     QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
     QuerySpec("pipeline_blocklist_filter", q_blocklist_filter, _BLOCK_ORACLE),
     QuerySpec("privacy_k_anonymity", q_k_anonymity, _KANON_ORACLE),
+    QuerySpec("privacy_l_diversity", q_l_diversity, _LDIV_ORACLE),
 ]

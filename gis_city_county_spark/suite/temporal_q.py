@@ -7,9 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gis_city_county_spark.operators.profile import gini_impurity, gini_impurity_sql
 from gis_city_county_spark.operators.temporal import (
     asof_join,
     asof_join_sql,
+    interval_union,
+    interval_union_sql,
     range_join,
     range_join_sql,
 )
@@ -145,8 +148,45 @@ ORDER BY user_id, ts, event_id
 """
 
 
+_EV_CTE = (
+    "SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, "
+    "event_type, value FROM events"
+)
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged per-user coverage spans: every event opens a 15-minute
+    interval; overlapping/adjacent intervals coalesce into maximal
+    islands (total watched/active time, the coverage twin of
+    sessionize)."""
+    ev = load_table(spark, sf_dir, "events")
+    return interval_union(ev, "user_id", "ts", duration_seconds=900)
+
+
+_IUNION_ORACLE = interval_union_sql(_EV_CTE, "user_id", "ts", 900)
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type mix impurity per user cohort (user_id % 16): exact
+    integer moments plus the one-division Gini — the label-balance
+    diagnostic run before sampling decisions."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", F.pmod(F.col("user_id"), F.lit(16)).cast("long")
+    )
+    return gini_impurity(ev, ["cohort"], "event_type")
+
+
+_GINI_ORACLE = gini_impurity_sql(
+    "SELECT user_id % 16 AS cohort, event_type FROM events",
+    ["cohort"],
+    "event_type",
+)
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
+    QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),
+    QuerySpec("profile_gini_impurity", q_gini, _GINI_ORACLE),
 ]

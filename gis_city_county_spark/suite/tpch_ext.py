@@ -1477,6 +1477,43 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join (operators.scale.salted_join):
+    lineitem rows take a deterministic row-hash salt, orders replicate
+    ``n_salt``× via an inline explode, and the shuffle key becomes
+    (orderkey, salt) — each hot key spreads over 8 reducers instead of
+    one straggler. Same rows out as the plain join (each left row
+    matches exactly the replica carrying its salt), which is what the
+    oracle checks."""
+    from gis_city_county_spark.operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, dim, "l_orderkey", "inner", n_salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SALTED_ORACLE = f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {dec_sum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis on the fact table's part key: the 10
     heaviest keys with exact parts-per-million share
@@ -1534,4 +1571,5 @@ SPECS = [
     QuerySpec("gate_fk_orphans", q_fk_orphans, _FK_ORACLE),
     QuerySpec("profile_skew_report", q_skew_report, _SKEW_ORACLE),
     QuerySpec("scale_bloom_prefilter_join", q_bloom_prefilter_join, _BLOOM_ORACLE),
+    QuerySpec("scale_salted_join", q_salted_join, _SALTED_ORACLE),
 ]
