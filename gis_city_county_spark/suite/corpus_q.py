@@ -258,8 +258,55 @@ _MERGES_ORACLE = pair_merge_rounds_sql(
 )
 
 
+def q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of every document into a 128-dim
+    sparse vector (sorted indices/counts arrays) — stateless
+    vocabulary-free encoding, explode + two bounded aggregates."""
+    from gis_city_county_spark.operators.mlprep import hash_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_features(docs, "doc_id", "text", n_buckets=128)
+
+
+def _hash_features_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import hash_features_sql
+
+    return hash_features_sql("SELECT * FROM documents", "doc_id", "text", 128)
+
+
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-vocabulary one-hot of the customer market segment (dense
+    0/1 array in category order), plus a per-nation sum of the vectors
+    — the categorical-encode + vector-aggregate shape."""
+    from gis_city_county_spark.operators.mlprep import one_hot
+
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = load_table(spark, sf_dir, "customer")
+    enc = one_hot(cust, "c_mktsegment", segs)
+    return enc.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        *[
+            F.sum(F.col("onehot")[i]).alias(f"n_{s.lower()}")
+            for i, s in enumerate(segs)
+        ],
+    )
+
+
+_ONE_HOT_ORACLE = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_mktsegment = 'AUTOMOBILE' AS INTEGER)) AS BIGINT) AS n_automobile,
+       CAST(SUM(CAST(c_mktsegment = 'BUILDING' AS INTEGER)) AS BIGINT) AS n_building,
+       CAST(SUM(CAST(c_mktsegment = 'FURNITURE' AS INTEGER)) AS BIGINT) AS n_furniture,
+       CAST(SUM(CAST(c_mktsegment = 'HOUSEHOLD' AS INTEGER)) AS BIGINT) AS n_household,
+       CAST(SUM(CAST(c_mktsegment = 'MACHINERY' AS INTEGER)) AS BIGINT) AS n_machinery
+FROM customer GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("mlprep_hash_features", q_hash_features, _hash_features_oracle()),
+    QuerySpec("mlprep_one_hot_segments", q_one_hot, _ONE_HOT_ORACLE),
     QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),
     QuerySpec("corpus_pair_merges", q_pair_merges, _MERGES_ORACLE),
     QuerySpec("pyapi_chunk_udtf", q_chunk_udtf, _CHUNK_ORACLE),

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.pyapi import group_median_sql, user_span_features_sql
 from gis_city_county_spark.operators.temporal import (
@@ -14,7 +15,7 @@ from gis_city_county_spark.operators.temporal import (
     rolling_features_sql,
     time_weighted_avg_sql,
 )
-from gis_city_county_spark.functions.numeric import dec_sum_sql
+from gis_city_county_spark.functions.numeric import dec_sum, dec_sum_sql
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.streaming.events import (
     hopping_window_agg,
@@ -624,9 +625,67 @@ FROM wins GROUP BY 1, 2
 """
 
 
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's native ``session_window`` (the
+    exact aggregate Structured Streaming runs with a watermark):
+    session start/end, event count, decimal-exact value sum. The
+    lag-window ``sessionize`` operator is this query's batch oracle
+    twin."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("sw"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", "total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# session_window merge rule: an event extends the session iff
+# ts − last_ts < gap (strictly); equality starts a NEW session —
+# hence `>=` in the island flag, unlike sessionize's `>` convention.
+_SESSION_NATIVE_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+flagged AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT user_id, value, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM flagged
+)
+SELECT user_id,
+       strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(make_timestamp(MAX(us) + 1800000000), '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       COUNT(*) AS n_events,
+       {dec_sum_sql("value", "total_value")}
+FROM sessions GROUP BY user_id, sidx
+"""
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_hopping_window", q_hopping, _HOPPING_ORACLE),
+    QuerySpec("events_session_window_native", q_session_window_native, _SESSION_NATIVE_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
     QuerySpec("events_funnel_stages", q_funnel, _FUNNEL_ORACLE),
     QuerySpec("events_rolling_features", q_rolling, _ROLLING_ORACLE),

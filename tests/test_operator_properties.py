@@ -283,6 +283,39 @@ def test_pair_merge_rounds_matches_bruteforce(token_lists, rounds):
         docs = new_docs
     assert got == want
 
+@settings(**EX)
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=14),
+    st.integers(min_value=1, max_value=120),
+)
+def test_interval_union_matches_bruteforce(starts, dur):
+    """Merged islands cover exactly the union of the input intervals:
+    covered microseconds equal the brute-force measure of the union,
+    islands are disjoint with true gaps between them, and member
+    counts add up to the inputs."""
+    from gis_city_county_spark.operators.temporal import interval_union
+
+    spark = test_interval_union_matches_bruteforce.spark
+    base = 1_700_000_000
+    rows = [(i, base + s) for i, s in enumerate(starts)]
+    df = spark.createDataFrame(rows, "user long, sec long").select(
+        F.lit(1).alias("key"), F.timestamp_seconds(F.col("sec")).alias("ts")
+    )
+    out = sorted(
+        interval_union(df, "key", "ts", dur).collect(),
+        key=lambda r: r.island_start_us,
+    )
+    # brute-force union measure in whole seconds
+    covered = set()
+    for s in starts:
+        covered.update(range(base + s, base + s + dur))
+    assert sum(r.covered_us for r in out) == len(covered) * 1_000_000
+    assert sum(r.n_intervals for r in out) == len(starts)
+    for a, b in zip(out, out[1:]):
+        assert a.island_end_us < b.island_start_us  # true gap between islands
+        assert a.island_end_us - a.island_start_us == a.covered_us
+
+
 def pytest_generate_tests(metafunc):
     pass
 
@@ -302,6 +335,7 @@ def _attach_spark(spark):
         test_prefix_jaccard_join_matches_bruteforce,
         test_peak_concurrency_matches_bruteforce,
         test_pair_merge_rounds_matches_bruteforce,
+        test_interval_union_matches_bruteforce,
     ):
         fn.spark = spark
     yield
