@@ -30,6 +30,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -927,3 +929,131 @@ seq{r} AS (
         for r in range(1, rounds + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY round"
+
+
+def apply_merges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: Sequence[tuple[str, str]],
+    joiner: str = "_",
+) -> DataFrame:
+    """BPE-style merge *application* (the encode step that pairs with
+    :func:`pair_merge_rounds`' induction): apply a fixed, ordered list
+    of merge rules to every document — one leftmost-greedy pass per
+    rule, in priority order, matching the induction's per-round
+    semantics exactly.
+
+    A leftmost-greedy adjacent-pair merge IS a left fold: walk the
+    tokens once, and when the accumulator's last element is ``w1`` and
+    the next token is ``w2``, replace the last element with the merged
+    token (a just-merged token never re-merges with the same rule —
+    the fold's accumulator tail is the merged form, which no longer
+    equals ``w1`` unless the rule is self-chaining, exactly the greedy
+    run-parity rule). So encoding compiles to ONE narrow projection of
+    chained higher-order ``aggregate`` calls: zero shuffles, zero
+    joins, fully parallel per document — this is the 100 TB encode
+    path (the induction's window/join chain is only needed when the
+    rules are *unknown*). The oracle runs the induction-style
+    positional rewrite with the rules as literals; the two agree
+    because run-parity selection and the fold both realize
+    leftmost-greedy.
+
+    Output: ``(id, n_tokens, text_encoded)``."""
+    def fold_rule(w1: str, w2: str):
+        merged = f"{w1}{joiner}{w2}"
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(w1))
+                & (x == F.lit(w2)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(merged)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    col = tokens(text_col)
+    for w1, w2 in rules:
+        col = F.aggregate(col, F.array().cast("array<string>"), fold_rule(w1, w2))
+    return df.select(
+        F.col(id_col),
+        F.size(col).alias("n_tokens"),
+        F.array_join(col, " ").alias("text_encoded"),
+    )
+
+
+def apply_merges_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    rules: Sequence[tuple[str, str]],
+    joiner: str = "_",
+) -> str:
+    """DuckDB oracle twin of :func:`apply_merges`: the rules applied
+    as literal per-round positional rewrites (lead-window mark →
+    run-parity select → rebuild), i.e. the induction machinery with
+    the top-1 search replaced by the given rule."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ctes = [
+        f"""seq0 AS (
+  SELECT {id_col} AS doc, g.i - 1 AS pos, t[g.i] AS token
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM ({table_sql})) s,
+       LATERAL UNNEST(generate_series(1, len(t))) AS g(i)
+)"""
+    ]
+    for r, (w1, w2) in enumerate(rules, start=1):
+        p = r - 1
+        ctes.append(
+            f"""marked{r} AS (
+  SELECT doc, pos, token,
+         LEAD(token) OVER (PARTITION BY doc ORDER BY pos) AS nxt,
+         (token = {q(w1)}
+          AND LEAD(token) OVER (PARTITION BY doc ORDER BY pos) = {q(w2)}) AS m
+  FROM seq{p}
+),
+runs{r} AS (
+  SELECT doc, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) AS grp
+  FROM marked{r} WHERE m
+),
+sel{r} AS (
+  SELECT doc, pos AS mpos FROM (
+    SELECT doc, pos,
+           ROW_NUMBER() OVER (PARTITION BY doc, grp ORDER BY pos) AS rk
+    FROM runs{r}
+  ) WHERE rk % 2 = 1
+),
+seq{r} AS (
+  SELECT doc,
+         ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos) - 1 AS pos,
+         token
+  FROM (
+    SELECT m.doc, m.pos,
+           CASE WHEN s.mpos IS NOT NULL
+                THEN m.token || '{joiner}' || m.nxt
+                ELSE m.token END AS token
+    FROM marked{r} m
+    LEFT JOIN sel{r} s ON s.doc = m.doc AND s.mpos = m.pos
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{r} s2 WHERE s2.doc = m.doc AND s2.mpos = m.pos - 1
+    )
+  )
+)"""
+        )
+    last = len(rules)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc AS {id_col},
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       string_agg(token, ' ' ORDER BY pos) AS text_encoded
+FROM seq{last} GROUP BY doc"""
+    )

@@ -394,3 +394,50 @@ def read_evolved(
     production tables pin the merged schema in a catalog and pass it
     explicitly; semantics are identical."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: Sequence[tuple[str, int, int, str]],
+    skip_header_lines: int = 0,
+) -> DataFrame:
+    """Fixed-width text reader (mainframe/legacy-export layouts):
+    ``fields`` is ``(name, start, width, type)`` with 1-based column
+    starts. The file is read as plain lines by ``spark.read.text`` —
+    a fully distributed, splittable scan — and each field becomes one
+    ``substring`` + ``trim`` + ``cast`` projection, so the whole parse
+    is a single codegen'd stage with no Python in the loop; malformed
+    numerics become NULL via try-semantics rather than failing the
+    scan."""
+    lines = spark.read.text(path)
+    if skip_header_lines:
+        # Numbering lines needs a per-file ordering (one shuffle on the
+        # file name); prefer headerless exports at scale — skip=0 keeps
+        # the read a pure narrow scan.
+        from pyspark.sql.window import Window
+
+        lines = (
+            lines.withColumn(
+                "__file", F.input_file_name()
+            )
+            .withColumn(
+                "__line",
+                F.row_number().over(
+                    Window.partitionBy("__file").orderBy(F.monotonically_increasing_id())
+                ),
+            )
+            .filter(F.col("__line") > skip_header_lines)
+            .drop("__file", "__line")
+        )
+    cols = []
+    for name, start, width, dtype in fields:
+        c = F.trim(F.substring(F.col("value"), start, width))
+        c = F.when(c == "", None).otherwise(c)
+        if dtype != "string":
+            c = F.expr(
+                f"try_cast(nullif(trim(substring(value, {start}, {width})), '')"
+                f" AS {dtype})"
+            )
+        cols.append(c.alias(name))
+    return lines.select(*cols)

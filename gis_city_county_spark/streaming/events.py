@@ -135,6 +135,28 @@ def streaming_windowed_agg(
     )
 
 
+def streaming_hopping_window_agg(
+    spark,
+    schema,
+    path: str,
+    window_duration: str = "15 minutes",
+    slide_duration: str = "5 minutes",
+    watermark: str = "2 hours",
+):
+    """Structured Streaming twin of :func:`hopping_window_agg`: the
+    same ``window(ts, w, s)`` expression under a watermark — state per
+    (window, key) evicts once the watermark passes window end."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration, slide_duration).alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
 def streaming_sessionize(
     spark,
     schema,

@@ -303,8 +303,31 @@ FROM customer GROUP BY 1
 """
 
 
+# Priority-ordered merge rules; the third chains on the first's output
+# token, exercising cross-rule composition.
+_BPE_RULES = [("table", "hash"), ("part", "filter"), ("table_hash", "value")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode step: apply a fixed ordered merge list to
+    every document as chained higher-order array folds — zero
+    shuffles, zero joins (operators.corpus.apply_merges); the oracle
+    replays the induction-style positional rewrite."""
+    from gis_city_county_spark.operators.corpus import apply_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_merges(docs, "doc_id", "text", _BPE_RULES)
+
+
+def _bpe_encode_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import apply_merges_sql
+
+    return apply_merges_sql("SELECT * FROM documents", "doc_id", "text", _BPE_RULES)
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_bpe_encode", q_bpe_encode, _bpe_encode_oracle()),
     QuerySpec("mlprep_hash_features", q_hash_features, _hash_features_oracle()),
     QuerySpec("mlprep_one_hot_segments", q_one_hot, _ONE_HOT_ORACLE),
     QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),

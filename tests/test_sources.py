@@ -36,6 +36,27 @@ def test_read_delimited_zip_member(spark, tmp_path):
     assert rows == {"1": "California", "2": "Nevada"}
 
 
+def test_read_fixed_width(spark, tmp_path):
+    from gis_city_county_spark.sources.files import read_fixed_width
+
+    p = str(tmp_path / "legacy.dat")
+    with open(p, "w") as f:
+        f.write("ID   NAME      AMT \n")   # header to skip
+        f.write("001  alameda   1250\n")
+        f.write("002  reno       bad\n")   # malformed numeric -> NULL
+        f.write("003\n")                    # short line: blanks -> NULL
+    df = read_fixed_width(
+        spark,
+        p,
+        [("id", 1, 5, "string"), ("name", 6, 10, "string"), ("amt", 16, 4, "bigint")],
+        skip_header_lines=1,
+    )
+    rows = {r["id"]: (r["name"], r["amt"]) for r in df.collect()}
+    assert rows["001"] == ("alameda", 1250)
+    assert rows["002"] == ("reno", None)
+    assert rows["003"][0] is None
+
+
 def _write_min_xlsx(path: str, shared: list[str], sheet_rows: str) -> None:
     """Hand-assemble a minimal OOXML workbook (zip of XML parts)."""
     ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'

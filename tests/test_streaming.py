@@ -15,6 +15,7 @@ from gis_city_county_spark.streaming.events import (
     sessionize,
     stateful_user_totals,
     streaming_dedup,
+    streaming_hopping_window_agg,
     streaming_sessionize,
     streaming_windowed_agg,
 )
@@ -57,6 +58,27 @@ def test_streaming_windowed_agg_matches_batch(spark, events_snapshot):
     raw = (
         spark.read.parquet(path)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r["win"]["start"], r["event_type"]): r["n_events"] for r in raw.collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_hopping_window_matches_batch(spark, events_snapshot):
+    path, schema = events_snapshot
+    _run_to_memory(
+        streaming_hopping_window_agg(spark, schema, path, "15 minutes", "5 minutes"),
+        "hop_agg",
+        "complete",
+    )
+    got = {
+        (r["win"]["start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM hop_agg").collect()
+    }
+    raw = (
+        spark.read.parquet(path)
+        .groupBy(F.window("ts", "15 minutes", "5 minutes").alias("win"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     want = {(r["win"]["start"], r["event_type"]): r["n_events"] for r in raw.collect()}
