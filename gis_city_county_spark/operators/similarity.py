@@ -704,3 +704,195 @@ SELECT f.dim, COUNT(*) AS n, MAX(s.maxabs) AS maxabs,
 FROM flat f JOIN scales s USING (dim)
 GROUP BY f.dim ORDER BY f.dim
 """
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_pred: Column,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): vectors compress to ``m`` codebook ids (here 4×3 bits ≈
+    12 bits vs 64×32-bit floats — the memory ratio that lets a 100 TB
+    corpus's index live in RAM); probes score the *compressed* codes
+    through a per-probe lookup table, never touching raw corpus
+    vectors.
+
+    Deterministic codebooks — subspace ``s``'s codewords are the
+    sub-slices of the vectors with ``id < ksub`` — so the oracle
+    replays the identical index (same stance as ``ivf_ann_topk``;
+    production swaps in k-means codebooks without changing any plan).
+
+    Relational shape, per stage: encode = bounded explode (m rows per
+    vector) ⋈ broadcast codebook → per-(vector, subspace) argmin
+    window → pivot back to one code row per vector. Search = probes ×
+    broadcast ADC table (m·ksub rows per probe) joined onto the code
+    columns — every join broadcast, the only big operand is the code
+    relation itself, scanned once. Distances use the
+    ``n2(a) + n2(b) − 2·dot(a,b)`` identity over the same
+    left-to-right fold both engines share, summed across subspaces in
+    fixed column order — bit-deterministic.
+
+    Output: ``(probe_id, neighbor_id, rank, dist2)`` (ADC estimate of
+    squared L2, ascending)."""
+    sub = dim // m
+
+    def sub_slice(col: Column, s: int) -> Column:
+        return F.slice(col, s * sub + 1, sub)
+
+    e = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    # subspace-exploded corpus: (id, s, sub_v)
+    subs = e.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), sub_slice(F.col("__v"), s).alias("sv"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select("__id", F.col("p.s").alias("s"), F.col("p.sv").alias("sv"))
+    cb = subs.filter(F.col("__id") < ksub).select(
+        F.col("s").alias("cs"), F.col("__id").alias("cid"), F.col("sv").alias("cv")
+    )
+    d2 = (
+        dot_product(F.col("sv"), F.col("sv"))
+        + dot_product(F.col("cv"), F.col("cv"))
+        - 2 * dot_product(F.col("sv"), F.col("cv"))
+    )
+    wa = Window.partitionBy("__id", "s").orderBy(F.asc("__d2"), F.asc("cid"))
+    assigned = (
+        subs.join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .withColumn("__d2", d2)
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "s", "cid")
+    )
+    codes = assigned.groupBy("__id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("cid"))).alias(f"c{s}")
+            for s in range(m)
+        ]
+    )
+    # per-probe ADC lookup table: dist from probe's sub-vector to every codeword
+    probes = subs.join(
+        e.filter(probe_pred).select(F.col("__id").alias("__pid")),
+        F.col("__id") == F.col("__pid"),
+    ).select(F.col("__pid").alias("pid"), F.col("s").alias("ps"), F.col("sv").alias("pv"))
+    adt = (
+        probes.join(F.broadcast(cb), F.col("ps") == F.col("cs"))
+        .withColumn(
+            "d",
+            dot_product(F.col("pv"), F.col("pv"))
+            + dot_product(F.col("cv"), F.col("cv"))
+            - 2 * dot_product(F.col("pv"), F.col("cv")),
+        )
+        .select("pid", "ps", "cid", "d")
+    )
+    scored = codes.crossJoin(
+        F.broadcast(adt.select("pid").distinct())
+    )
+    for s in range(m):
+        a_s = adt.filter(F.col("ps") == s).select(
+            F.col("pid").alias(f"__p{s}"),
+            F.col("cid").alias(f"__cc{s}"),
+            F.col("d").alias(f"d{s}"),
+        )
+        scored = scored.join(
+            F.broadcast(a_s),
+            (F.col("pid") == F.col(f"__p{s}")) & (F.col(f"c{s}") == F.col(f"__cc{s}")),
+        )
+    score = F.col("d0")
+    for s in range(1, m):
+        score = score + F.col(f"d{s}")
+    w = Window.partitionBy("pid").orderBy(F.asc("dist2"), F.asc("__id"))
+    return (
+        scored.withColumn("dist2", score)
+        .filter(F.col("__id") != F.col("pid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("pid").alias("probe_id"),
+            F.col("__id").alias("neighbor_id"),
+            "rank",
+            "dist2",
+        )
+    )
+
+
+def pq_adc_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    probe_filter: str,
+    k: int = 5,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`pq_adc_topk` (identical
+    deterministic codebooks and expression shapes). ``probe_filter``
+    is qualified against alias ``e`` — e.g. ``"e.id % 50 = 0"``."""
+    sub = dim // m
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    sub_rows = " UNION ALL ".join(
+        f"SELECT id, {s} AS s, list_slice(v, {s * sub + 1}, {(s + 1) * sub}) AS sv FROM e"
+        for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN cid END) AS c{s}" for s in range(m)
+    )
+    adt_joins = "\n  ".join(
+        f"JOIN adt a{s} ON a{s}.pid = p.pid AND a{s}.ps = {s} AND a{s}.cid = c.c{s}"
+        for s in range(m)
+    )
+    score = " + ".join(f"a{s}.d" for s in range(m))
+    return f"""
+WITH e AS (SELECT {id_col} AS id, {vd} AS v FROM {table}),
+subs AS ({sub_rows}),
+cb AS (SELECT s AS cs, id AS cid, sv AS cv FROM subs WHERE id < {ksub}),
+assigned AS (
+  SELECT id, s, cid FROM (
+    SELECT subs.id, subs.s, cb.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY subs.id, subs.s
+             ORDER BY (list_dot_product(subs.sv, subs.sv)
+                       + list_dot_product(cb.cv, cb.cv))
+                      - 2 * list_dot_product(subs.sv, cb.cv) ASC,
+                      cb.cid ASC) AS rn
+    FROM subs JOIN cb ON subs.s = cb.cs) t
+  WHERE rn = 1
+),
+codes AS (SELECT id, {code_cols} FROM assigned GROUP BY id),
+probe_ids AS (SELECT id AS pid FROM e WHERE {probe_filter}),
+adt AS (
+  SELECT subs.id AS pid, subs.s AS ps, cb.cid,
+         (list_dot_product(subs.sv, subs.sv) + list_dot_product(cb.cv, cb.cv))
+         - 2 * list_dot_product(subs.sv, cb.cv) AS d
+  FROM subs JOIN probe_ids ON subs.id = probe_ids.pid
+  JOIN cb ON subs.s = cb.cs
+),
+scored AS (
+  SELECT p.pid, c.id, {score} AS dist2
+  FROM codes c
+  CROSS JOIN probe_ids p
+  {adt_joins}
+  WHERE c.id != p.pid
+)
+SELECT pid AS probe_id, id AS neighbor_id, CAST(rank AS INTEGER) AS rank, dist2
+FROM (
+  SELECT pid, id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist2 ASC, id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= {k}
+"""

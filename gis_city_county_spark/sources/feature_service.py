@@ -1,0 +1,115 @@
+"""Python DataSource V2 for paged feature-service snapshots (S1).
+
+The reference pulls an ArcGIS feature layer in one driver-side call —
+``FeatureLayer(url).query()`` (``src/bunnyhop/bunny.py:211-219``,
+``src/bunnyhop/coastline.py:36-42``) — which downloads every page of
+the REST ``/query`` endpoint (``resultOffset`` paging) into local
+memory. At 100 TB that driver hop is the bottleneck, so this source
+makes the paged layout a first-class *distributed* scan:
+
+* a snapshot directory holds one JSON file per ``/query`` response
+  page (``{"features": [{"attributes": {...}}, ...]}`` — the ArcGIS
+  wire shape);
+* each page is one :class:`InputPartition`, so pages parse in
+  parallel across executors and the scan scales with page count;
+* equality/IsNotNull filters are pushed into the page parse
+  (``pushFilters``), so a selective query never materializes
+  non-matching rows — the Python-source analogue of parquet
+  predicate pushdown.
+
+A production deployment pairs this with a fetcher that pages the live
+endpoint into the snapshot dir on a schedule; the engine only ever
+reads snapshots (same stance as ``read_feature_snapshot``, which
+handles single-file GeoJSON).
+
+Usage (pushdown needs ``spark.sql.python.filterPushdown.enabled``)::
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FeatureServicePages)
+    df = (spark.read.format("feature_service_pages")
+          .schema("CITY string, COPRI string, POP bigint")
+          .option("path", snapshot_dir).load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+)
+from pyspark.sql.types import StructType
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _PagesReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("feature_service_pages requires option 'path'")
+        self.eq: list[tuple[str, object]] = []
+        self.notnull: list[str] = []
+
+    def pushFilters(self, filters: Sequence[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1:
+                self.eq.append((f.attribute[0], f.value))
+            elif isinstance(f, IsNotNull) and len(f.attribute) == 1:
+                self.notnull.append(f.attribute[0])
+            else:
+                yield f  # unsupported → Spark keeps evaluating it
+
+    def partitions(self) -> list[InputPartition]:
+        pages = sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".json")
+        )
+        return [_PagePartition(os.path.join(self.dir, f)) for f in pages]
+
+    def read(self, partition: _PagePartition):
+        with open(partition.path) as fh:
+            page = json.load(fh)
+        names = [f.name for f in self.schema.fields]
+        for feat in page.get("features", []):
+            attrs = feat.get("attributes", {})
+            if any(attrs.get(c) != v for c, v in self.eq):
+                continue
+            if any(attrs.get(c) is None for c in self.notnull):
+                continue
+            yield tuple(attrs.get(n) for n in names)
+
+
+class FeatureServicePages(DataSource):
+    """``spark.read.format("feature_service_pages")`` — see module
+    docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "feature_service_pages"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _PagesReader(schema, self.options)
+
+
+def write_pages(rows: list[dict], dest_dir: str, page_size: int = 1000) -> int:
+    """Helper for the snapshot-fetcher side: split attribute rows into
+    ArcGIS-shaped page files. Returns the page count."""
+    os.makedirs(dest_dir, exist_ok=True)
+    n_pages = 0
+    for i in range(0, max(len(rows), 1), page_size):
+        page = {"features": [{"attributes": r} for r in rows[i : i + page_size]]}
+        with open(os.path.join(dest_dir, f"page_{i // page_size:05d}.json"), "w") as fh:
+            json.dump(page, fh)
+        n_pages += 1
+    return n_pages

@@ -14,6 +14,7 @@ from gis_city_county_spark.operators.similarity import (
     ivf_ann_topk_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
+    pq_adc_topk_sql,
     quantize_report,
     quantize_report_sql,
 )
@@ -42,6 +43,18 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_ann_topk(
         emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5, nlist=32, nprobe=4
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors compressed to 4 codebook ids,
+    probes rank the whole corpus through a per-probe ADC lookup table
+    — the RAM-resident index path for 100 TB embedding stores."""
+    from gis_city_county_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5, m=4, ksub=8
     )
 
 
@@ -166,6 +179,13 @@ SPECS = [
         q_ivf_ann_topk,
         ivf_ann_topk_sql(
             "embeddings", "vec_id", "embedding", "p.id % 50 = 0", k=5, nlist=32, nprobe=4
+        ),
+    ),
+    QuerySpec(
+        "sim_pq_adc_topk",
+        q_pq_adc_topk,
+        pq_adc_topk_sql(
+            "embeddings", "vec_id", "embedding", "e.id % 50 = 0", k=5, m=4, ksub=8
         ),
     ),
     QuerySpec("func_vector_ops", q_vector_ops, _VECOPS_ORACLE),

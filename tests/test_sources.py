@@ -7,6 +7,8 @@ import json
 import os
 import zipfile
 
+from pyspark.sql import functions as F
+
 from pyspark.sql import types as T
 
 from gis_city_county_spark.sources.files import (
@@ -34,6 +36,36 @@ def test_read_delimited_zip_member(spark, tmp_path):
     df = read_delimited(spark, zpath, sep="|", member="Text/FederalCodes.txt")
     rows = {r["feature_id"]: r["state_name"] for r in df.collect()}
     assert rows == {"1": "California", "2": "Nevada"}
+
+
+def test_feature_service_pages_datasource(spark, tmp_path):
+    """Python DataSource V2: paged snapshot reads distribute one task
+    per page and push equality filters into the page parse."""
+    from gis_city_county_spark.sources.feature_service import (
+        FeatureServicePages,
+        write_pages,
+    )
+
+    rows = [
+        {"CITY": f"city{i}", "COPRI": str(i % 3), "POP": 1000 + i} for i in range(25)
+    ]
+    dest = str(tmp_path / "pages")
+    n_pages = write_pages(rows, dest, page_size=10)
+    assert n_pages == 3
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FeatureServicePages)
+    df = (
+        spark.read.format("feature_service_pages")
+        .schema("CITY string, COPRI string, POP long")
+        .option("path", dest)
+        .load()
+    )
+    assert df.count() == 25
+    # one input partition per page
+    assert df.rdd.getNumPartitions() == 3
+    got = df.filter((F.col("COPRI") == "1") & F.col("POP").isNotNull()).collect()
+    assert {r["CITY"] for r in got} == {f"city{i}" for i in range(25) if i % 3 == 1}
 
 
 def test_read_fixed_width(spark, tmp_path):
