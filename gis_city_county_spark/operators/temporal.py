@@ -828,3 +828,73 @@ SELECT key, CAST(island AS BIGINT) AS island,
        MAX(e) - MIN(s) AS covered_us
 FROM islands GROUP BY 1, 2
 """
+
+
+def sequence_pattern_count(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    class_col: str,
+    classes: dict[str, str],
+    pattern: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern matching, relationally: per
+    key, events collapse (in event-time order) to a one-char-per-event
+    symbol string, and the pattern is a regex counted leftmost-greedy
+    non-overlapping — the complex-event-processing shape ("how many
+    signup→browse*→purchase journeys did each user complete").
+
+    One aggregation per key (``collect_list(struct)`` + in-memory
+    ``array_sort`` — per-key data, never a global sort) and one regex
+    projection. Per-key sequences must fit an executor's row limits —
+    the same constraint MATCH_RECOGNIZE partitions carry. Symbols
+    outside ``classes`` map to ``.`` wildcard-breaking ``x``.
+
+    Output: ``(key, n_events, symbols, n_matches)``."""
+    sym = None
+    for val, ch in classes.items():
+        case = F.when(F.col(class_col) == val, F.lit(ch))
+        sym = case if sym is None else sym.when(F.col(class_col) == val, F.lit(ch))
+    sym = sym.otherwise(F.lit("x"))
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col), F.col(tiebreak_col), sym.alias("ch")))
+    )
+    seq = F.concat_ws("", F.transform(pairs, lambda p: p["ch"]))
+    return (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            seq.alias("symbols"),
+        )
+        .withColumn(
+            "n_matches",
+            F.size(F.regexp_extract_all("symbols", F.lit(pattern), F.lit(0))).cast("long"),
+        )
+    )
+
+
+def sequence_pattern_count_sql(
+    table_sql: str,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    class_col: str,
+    classes: dict[str, str],
+    pattern: str,
+) -> str:
+    """DuckDB oracle twin of :func:`sequence_pattern_count`."""
+    branches = " ".join(
+        f"WHEN {class_col} = '{v}' THEN '{c}'" for v, c in classes.items()
+    )
+    return f"""
+SELECT {key_col} AS key,
+       COUNT(*) AS n_events,
+       string_agg(CASE {branches} ELSE 'x' END, ''
+                  ORDER BY {ts_col}, {tiebreak_col}) AS symbols,
+       CAST(len(regexp_extract_all(
+           string_agg(CASE {branches} ELSE 'x' END, ''
+                      ORDER BY {ts_col}, {tiebreak_col}),
+           '{pattern}')) AS BIGINT) AS n_matches
+FROM ({table_sql}) GROUP BY {key_col}
+"""

@@ -183,8 +183,37 @@ FROM sample GROUP BY 1 ORDER BY 1
 _EXACT_N_ORACLE = _exact_n_oracle()
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via bitmap aggregation
+    (bit_or over 63-bit id words + popcount sum), with the shuffle
+    -distinct countDistinct alongside proving exactness."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.sketch import bitmap_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    bm = bitmap_distinct(ev, ["event_type"], "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return bm.join(exact, "event_type")
+
+
+def _bitmap_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import bitmap_distinct_sql
+
+    return f"""
+WITH bm AS ({bitmap_distinct_sql("SELECT event_type, user_id FROM events", ["event_type"], "user_id")}),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT bm.*, exact.n_exact FROM bm JOIN exact USING (event_type)
+"""
+
+
 SPECS = [
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
+    QuerySpec("olap_bitmap_distinct", q_bitmap_distinct, _bitmap_oracle()),
     QuerySpec("sketch_exact_n_sample", q_exact_n_sample, _EXACT_N_ORACLE),
     QuerySpec("sketch_kmv_setops", q_kmv_setops, _SETOPS_ORACLE),
     QuerySpec("sketch_hash_sample", q_hash_sample, _SAMPLE_ORACLE),

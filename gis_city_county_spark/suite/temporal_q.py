@@ -15,6 +15,8 @@ from gis_city_county_spark.operators.temporal import (
     interval_union_sql,
     range_join,
     range_join_sql,
+    sequence_pattern_count,
+    sequence_pattern_count_sql,
 )
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
@@ -183,8 +185,29 @@ _GINI_ORACLE = gini_impurity_sql(
 )
 
 
+_JOURNEY = {"signup": "s", "view": "v", "click": "c", "purchase": "p"}
+_JOURNEY_PAT = "s[vc]*p"
+
+
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style journey counting: per user, events
+    collapse to a symbol string in event-time order and completed
+    signup→(view|click)*→purchase journeys are counted as
+    non-overlapping regex matches."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_pattern_count(
+        ev, "user_id", "ts", "event_id", "event_type", _JOURNEY, _JOURNEY_PAT
+    )
+
+
+_PATTERN_ORACLE = sequence_pattern_count_sql(
+    _EV_CTE, "user_id", "ts", "event_id", "event_type", _JOURNEY, _JOURNEY_PAT
+)
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
+    QuerySpec("events_pattern_match", q_pattern_match, _PATTERN_ORACLE),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
     QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),

@@ -137,6 +137,11 @@ _BNLJ_ALLOWED = {
     # the ×40 broadcast-site fanout IS the algorithm (IVF-style
     # nearest-site assignment; partial-agg argmin collapses it)
     "geo_knn_assign",
+    # PQ-ADC ranks every compressed code per probe by design — the
+    # probes × code-relation pairing is the compressed-domain linear
+    # scan that replaces the raw-vector cross join (codes are ~100×
+    # smaller; the raw-vector joins all stay broadcast equi-joins)
+    "sim_pq_adc_topk",
 }
 
 
