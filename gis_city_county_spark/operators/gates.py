@@ -140,3 +140,43 @@ class RunReport:
         if failed:
             msg = "; ".join(f"{g}: {d}" for g, d in failed)
             raise GateError(f"{len(failed)} gate(s) failed: {msg}")
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    min_rows: int = 1,
+    max_null_frac: dict[str, float] | None = None,
+) -> dict:
+    """Single-pass gated sink: QA metrics ride along the write action
+    via ``df.observe`` instead of a separate ``count()``/scan — at
+    100 TB the naive gate-then-write reads the source (and recomputes
+    the whole plan) twice; this reads it once.
+
+    Writes parquet to ``path`` (a staging location in the blue/green
+    flow — ``publish_snapshot`` promotes only after the gate passes),
+    then raises :class:`GateError` if the observed row count is below
+    ``min_rows`` or any column's null fraction exceeds its bound.
+    Returns the observed metrics dict either way the gate allows."""
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    bounds = max_null_frac or {}
+    for c in bounds:
+        metrics.append(
+            F.avg(F.col(c).isNull().cast("double")).alias(f"null_frac_{c}")
+        )
+    obs = Observation("write_gate")
+    df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+    got = obs.get
+    if got["n_rows"] < min_rows:
+        raise GateError(
+            f"observed_write: {got['n_rows']} rows < required {min_rows}"
+        )
+    for c, bound in bounds.items():
+        frac = got[f"null_frac_{c}"] or 0.0
+        if frac > bound:
+            raise GateError(
+                f"observed_write: null fraction of {c} = {frac:.4f} > {bound}"
+            )
+    return got

@@ -40,10 +40,12 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     IsNotNull,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -101,6 +103,9 @@ class FeatureServicePages(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return _PagesReader(schema, self.options)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return _PagesWriter(self.options, overwrite)
+
 
 def write_pages(rows: list[dict], dest_dir: str, page_size: int = 1000) -> int:
     """Helper for the snapshot-fetcher side: split attribute rows into
@@ -113,3 +118,49 @@ def write_pages(rows: list[dict], dest_dir: str, page_size: int = 1000) -> int:
             json.dump(page, fh)
         n_pages += 1
     return n_pages
+
+
+class _PageCommit(WriterCommitMessage):
+    def __init__(self, staged: str, final: str):
+        self.staged = staged
+        self.final = final
+
+
+class _PagesWriter(DataSourceWriter):
+    """Per-partition page writer with a two-phase commit: tasks write
+    ``.staged-*`` files (safe under speculative/retried tasks — each
+    attempt re-stages its partition), the driver's ``commit`` renames
+    the winning set into place atomically-per-file, and ``abort``
+    removes every staged file. Mirrors the FileOutputCommitter
+    contract the parquet sink uses."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("feature_service_pages requires option 'path'")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PageCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.dir, exist_ok=True)
+        final = f"page_{pid:05d}.json"
+        staged = os.path.join(self.dir, f".staged-{final}")
+        feats = [{"attributes": row.asDict()} for row in iterator]
+        with open(staged, "w") as fh:
+            json.dump({"features": feats}, fh)
+        return _PageCommit(staged, os.path.join(self.dir, final))
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if f.endswith(".json") and not f.startswith("."):
+                    os.remove(os.path.join(self.dir, f))
+        for m in messages:
+            os.replace(m.staged, m.final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

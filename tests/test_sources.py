@@ -7,6 +7,7 @@ import json
 import os
 import zipfile
 
+import pytest
 from pyspark.sql import functions as F
 
 from pyspark.sql import types as T
@@ -66,6 +67,54 @@ def test_feature_service_pages_datasource(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3
     got = df.filter((F.col("COPRI") == "1") & F.col("POP").isNotNull()).collect()
     assert {r["CITY"] for r in got} == {f"city{i}" for i in range(25) if i % 3 == 1}
+
+
+def test_feature_service_pages_write_roundtrip(spark, tmp_path):
+    """DataSourceWriter two-phase commit: staged files promote on
+    commit, rows round-trip, and no staging residue survives."""
+    from gis_city_county_spark.sources.feature_service import FeatureServicePages
+
+    spark.dataSource.register(FeatureServicePages)
+    dest = str(tmp_path / "out_pages")
+    src = spark.range(20).selectExpr(
+        "CAST(concat('c', id) AS STRING) AS CITY", "id AS POP"
+    )
+    src.repartition(4).write.format("feature_service_pages").option(
+        "path", dest
+    ).mode("overwrite").save()
+
+    files = sorted(os.listdir(dest))
+    assert all(f.startswith("page_") and f.endswith(".json") for f in files)
+    assert len(files) == 4
+    back = (
+        spark.read.format("feature_service_pages")
+        .schema("CITY string, POP long")
+        .option("path", dest)
+        .load()
+    )
+    assert {(r["CITY"], r["POP"]) for r in back.collect()} == {
+        (f"c{i}", i) for i in range(20)
+    }
+
+
+def test_observed_write_single_pass_gate(spark, tmp_path):
+    from gis_city_county_spark.operators.gates import GateError, observed_write
+
+    df = spark.range(100).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN NULL ELSE id END AS v"
+    )
+    got = observed_write(
+        df, str(tmp_path / "ok"), min_rows=50, max_null_frac={"v": 0.2}
+    )
+    assert got["n_rows"] == 100 and abs(got["null_frac_v"] - 0.1) < 1e-12
+    assert spark.read.parquet(str(tmp_path / "ok")).count() == 100
+
+    with pytest.raises(GateError):
+        observed_write(df, str(tmp_path / "bad"), min_rows=500)
+    with pytest.raises(GateError):
+        observed_write(
+            df, str(tmp_path / "bad2"), min_rows=1, max_null_frac={"v": 0.05}
+        )
 
 
 def test_read_fixed_width(spark, tmp_path):
