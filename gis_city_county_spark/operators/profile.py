@@ -479,3 +479,101 @@ SELECT {keys}, CAST(n_rows AS BIGINT) AS n_rows,
        1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE) AS gini
 FROM moments
 """
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier report via Median Absolute Deviation —
+    the z-score's resistant twin (one wild value shifts a mean/stddev
+    gate; the median/MAD gate doesn't move). Per group: lower median m,
+    MAD = lower median of |v − m|, and the count of rows with
+    |v − m| > k·MAD.
+
+    Exactness: both medians are discrete (actual values at sorted
+    index ⌊(n−1)/2⌋ — no interpolation), deviations are single IEEE
+    subtractions, so every engine agrees bitwise. Cost shape: two
+    (group)-partitioned sort windows + joins back on the group key —
+    holistic like all exact quantiles; run per bounded group, or swap
+    approx_percentile in for corpus-wide monitoring (same plan shape).
+
+    Output: ``(group, n, med, mad, n_outliers)``."""
+    from pyspark.sql import Window
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy("__g").orderBy(F.col(col).asc())
+        ranked = frame.select(
+            "__g",
+            F.col(col),
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+        )
+        idx = F.floor((F.col("__n") - 1) / 2) + 1
+        return ranked.groupBy("__g").agg(
+            F.max("__n").alias("__n_rows"),
+            F.max(F.when(F.col("__rn") == idx, F.col(col))).alias(out),
+        )
+
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
+    )
+    med = lower_median(base, "__v", "med").select("__g", "__n_rows", "med")
+    dev = base.join(med, "__g").withColumn(
+        "__d", F.abs(F.col("__v") - F.col("med"))
+    )
+    mad = lower_median(dev.select("__g", "__d"), "__d", "mad").select("__g", "mad")
+    out = (
+        dev.join(mad, "__g")
+        .groupBy("__g")
+        .agg(
+            F.max("__n_rows").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                (F.col("__d") > F.lit(k) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+    return out.select(F.col("__g").alias(group_col), "n", "med", "mad", "n_outliers")
+
+
+def mad_outliers_sql(
+    table_sql: str, group_col: str, value_col: str, k: float = 3.0
+) -> str:
+    """DuckDB oracle twin of :func:`mad_outliers`."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v FROM ({table_sql})
+),
+med AS (
+  SELECT g, MAX(n) AS n_rows, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END) AS med
+  FROM (
+    SELECT g, v,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM base) t
+  GROUP BY g
+),
+dev AS (
+  SELECT base.g, abs(base.v - med.med) AS d, med.n_rows, med.med
+  FROM base JOIN med USING (g)
+),
+mad AS (
+  SELECT g, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN d END) AS mad
+  FROM (
+    SELECT g, d,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY d ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS n
+    FROM dev) t
+  GROUP BY g
+)
+SELECT dev.g AS {group_col}, CAST(MAX(dev.n_rows) AS BIGINT) AS n,
+       MAX(dev.med) AS med, MAX(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN dev.d > {k} * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (g)
+GROUP BY dev.g
+"""

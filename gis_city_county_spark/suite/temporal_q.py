@@ -205,9 +205,27 @@ _PATTERN_ORACLE = sequence_pattern_count_sql(
 )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report per event type: discrete median, MAD, and
+    the count of values beyond 3×MAD — the resistant anomaly gate."""
+    from gis_city_county_spark.operators.profile import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", "value", k=3.0)
+
+
+def _mad_oracle() -> str:
+    from gis_city_county_spark.operators.profile import mad_outliers_sql
+
+    return mad_outliers_sql(
+        "SELECT event_type, value FROM events", "event_type", "value", k=3.0
+    )
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("events_pattern_match", q_pattern_match, _PATTERN_ORACLE),
+    QuerySpec("profile_mad_outliers", q_mad_outliers, _mad_oracle()),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
     QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),
