@@ -180,3 +180,33 @@ def observed_write(
                 f"observed_write: null fraction of {c} = {frac:.4f} > {bound}"
             )
     return got
+
+
+def expect_schema(df: DataFrame, ddl: str, ignore_nullability: bool = True) -> DataFrame:
+    """Schema-contract gate: assert the DataFrame matches a DDL string
+    ("name type, ..."), raising :class:`GateError` with the exact
+    field-level diff (missing / unexpected / type-mismatched) —
+    the data-contract check a pipeline runs before publishing to
+    consumers who bind to the schema. Plan-only: touches no data."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    expected = _parse_datatype_string(ddl)
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    problems = []
+    for name, t in want.items():
+        if name not in got:
+            problems.append(f"missing column {name} {t}")
+        elif got[name] != t:
+            problems.append(f"{name}: expected {t}, got {got[name]}")
+    for name in got:
+        if name not in want:
+            problems.append(f"unexpected column {name} {got[name]}")
+    if not ignore_nullability:
+        nullable = {f.name: f.nullable for f in df.schema.fields}
+        for f in expected.fields:
+            if f.name in nullable and nullable[f.name] and not f.nullable:
+                problems.append(f"{f.name}: expected non-nullable")
+    if problems:
+        raise GateError("schema contract violated: " + "; ".join(problems))
+    return df

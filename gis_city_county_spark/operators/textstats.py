@@ -223,3 +223,66 @@ SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM toks JOIN ranked USING (tok)
 GROUP BY {id_col}
 """
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL for dedup/grouping — the crawl-pipeline
+    normalizer: scheme forced to https, host lowercased with ``www.``
+    and default ports stripped, trailing path slash dropped, tracking
+    params (utm_*/fbclid/gclid) removed, surviving params sorted,
+    fragment discarded. Pure regexp/array expressions (codegen'd,
+    no UDF); every step has an identical SQL twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1),
+        r"/$",
+        "",
+    )
+    q = F.regexp_extract(c, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: (x != "") & ~x.rlike("^(utm_[^=]*|fbclid|gclid)="),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+def canonical_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (expression fragment)."""
+    host = (
+        "regexp_replace(regexp_replace(lower(regexp_extract("
+        f"{expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), "
+        "'^www\\.', ''), ':(80|443)$', '')"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({expr}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/$', '')"
+    )
+    q = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    kept = (
+        "array_to_string(list_sort(list_filter(string_split("
+        f"{q}, '&'), x -> x != '' AND NOT regexp_matches(x, "
+        "'^(utm_[^=]*|fbclid|gclid)='))), '&')"
+    )
+    return (
+        f"'https://' || {host} || {path} || "
+        f"CASE WHEN {kept} != '' THEN '?' || {kept} ELSE '' END"
+    )

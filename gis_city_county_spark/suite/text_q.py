@@ -505,7 +505,89 @@ def _arrow_bytes_oracle() -> str:
 _ARROW_BYTES_ORACLE = _arrow_bytes_oracle()
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-dedup URL canonicalization: five deterministic raw
+    variants per document (case/www/ports/tracking-params/trailing
+    slash/fragments/param order) collapse onto canonical forms; output
+    = canonical URL with raw-row and distinct-raw-form counts."""
+    from gis_city_county_spark.operators.textstats import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(5))
+    url = (
+        F.when(m == 0, F.concat(F.lit("HTTP://WWW.H"), k, F.lit(".Example.com:80/path/a/?utm_source=x&b=2&a=1#frag")))
+        .when(m == 1, F.concat(F.lit("https://h"), k, F.lit(".example.com/path/a?a=1&b=2")))
+        .when(m == 2, F.concat(F.lit("https://h"), k, F.lit(".example.com:443/path/a/?b=2&a=1&gclid=zz")))
+        .when(m == 3, F.concat(F.lit("http://h"), k, F.lit(".example.com/path/a?a=1&utm_campaign=c&b=2")))
+        .otherwise(F.concat(F.lit("https://h"), k, F.lit(".example.com/other")))
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return (
+        with_url.withColumn("canonical", canonical_url("url"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("url").alias("n_forms"),
+        )
+    )
+
+
+def _url_canonicalize_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import canonical_url_sql
+
+    inject = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'HTTP://WWW.H' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.Example.com:80/path/a/?utm_source=x&b=2&a=1#frag'
+         WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/path/a?a=1&b=2'
+         WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com:443/path/a/?b=2&a=1&gclid=zz'
+         WHEN 3 THEN 'http://h' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/path/a?a=1&utm_campaign=c&b=2'
+         ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/other'
+       END AS url
+FROM documents
+"""
+    return f"""
+SELECT {canonical_url_sql("url")} AS canonical,
+       COUNT(*) AS n_raw, COUNT(DISTINCT url) AS n_forms
+FROM ({inject}) GROUP BY 1
+"""
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: the 10 customers after cursor
+    (acctbal 5000.0, custkey 0) in (acctbal DESC, custkey ASC) order —
+    the OFFSET-free pagination pattern: the cursor predicate prunes at
+    the scan and the page is a TakeOrdered, so page N costs the same
+    as page 1 (OFFSET N scans and discards N rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal0, key0 = 5000.0, 0
+    return (
+        cust.filter(
+            (F.col("c_acctbal") < bal0)
+            | ((F.col("c_acctbal") == bal0) & (F.col("c_custkey") > key0))
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_KEYSET_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal < 5000.0 OR (c_acctbal = 5000.0 AND c_custkey > 0)
+ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+"""
+
+
 SPECS = [
+    QuerySpec("text_url_canonicalize", q_url_canonicalize, _url_canonicalize_oracle()),
+    QuerySpec("olap_keyset_page", q_keyset_page, _KEYSET_ORACLE),
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
     QuerySpec("text_quality_score", q_quality, _QUALITY_ORACLE),

@@ -324,3 +324,16 @@ def test_publish_snapshot_metadata_sidecar(spark, tmp_path):
     # metadata swaps with the data
     publish_snapshot(df, base, "svc", metadata={"description": "second"})
     assert read_published_metadata(base, "svc")["version"] == "v2"
+
+
+def test_expect_schema_contract(spark):
+    from gis_city_county_spark.operators.gates import GateError, expect_schema
+
+    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS name")
+    expect_schema(df, "id bigint, name string")  # passes
+    with pytest.raises(GateError, match="missing column extra"):
+        expect_schema(df, "id bigint, name string, extra double")
+    with pytest.raises(GateError, match="expected int, got bigint"):
+        expect_schema(df, "id int, name string")
+    with pytest.raises(GateError, match="unexpected column name"):
+        expect_schema(df, "id bigint")
