@@ -445,3 +445,29 @@ def hopping_window_agg(
             "total_value",
         )
     )
+
+
+def streaming_enrich(
+    spark,
+    schema,
+    path: str,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_val: str = "c_mktsegment",
+):
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (broadcast — the dim is re-read per micro-batch but
+    never enters streaming state; contrast with stream-stream joins
+    whose both sides must be watermarked and buffered). The canonical
+    "attach user/account attributes to a click stream" shape; output
+    = running per-segment counts and value sums."""
+    stream = spark.readStream.schema(schema).parquet(path)
+    d = dim.select(
+        F.col(dim_key).alias(key_col), F.col(dim_val).alias("segment")
+    )
+    return (
+        stream.join(F.broadcast(d), key_col)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+    )

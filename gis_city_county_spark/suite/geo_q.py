@@ -9,7 +9,7 @@ values — stronger than the rows-only check: the value hash must match.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -187,6 +187,97 @@ SELECT * FROM (VALUES
 """
 
 
+def q_knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-BIG spatial kNN join — the variant broadcast can't save:
+    customer points find their 3 nearest order points within radius 2
+    (cell size = radius, 3×3 neighbor-cell equi-join → exact distance
+    refine → per-probe top-k window). No broadcast, no theta join:
+    the only shuffle keys are grid cells, so the plan survives both
+    sides growing 1000× (skew bounded by cell density; shrink the
+    cell to split hot areas)."""
+    from gis_city_county_spark.sources.tables import load_table
+
+    r = 2.0
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.select(
+        F.col("c_custkey").alias("aid"),
+        ((F.col("c_custkey") % 1000).cast("double") / 10.0).alias("ax"),
+        (((F.col("c_custkey") * 7) % 1000).cast("double") / 10.0).alias("ay"),
+    )
+    b = orders.select(
+        F.col("o_orderkey").alias("bid"),
+        ((F.col("o_orderkey") % 1000).cast("double") / 10.0).alias("bx"),
+        (((F.col("o_orderkey") * 13) % 1000).cast("double") / 10.0).alias("by"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("bx") / r).cast("long"),
+            "cy": F.floor(F.col("by") / r).cast("long"),
+        }
+    )
+    probes = a.select(
+        "aid", "ax", "ay",
+        F.explode(
+            F.expr(f"sequence(CAST(floor(ax/{r}) AS BIGINT) - 1, CAST(floor(ax/{r}) AS BIGINT) + 1)")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(CAST(floor(ay/{r}) AS BIGINT) - 1, CAST(floor(ay/{r}) AS BIGINT) + 1)")
+        ).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    w = Window.partitionBy("aid").orderBy(F.asc("dist2"), F.asc("bid"))
+    return (
+        probes.join(b, ["cx", "cy"])
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= F.lit(r * r))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("aid", "rank", "bid", "dist2")
+    )
+
+
+_KNN_JOIN_ORACLE = """
+WITH a AS (
+  SELECT c_custkey AS aid,
+         CAST(c_custkey % 1000 AS DOUBLE) / 10.0 AS ax,
+         CAST((c_custkey * 7) % 1000 AS DOUBLE) / 10.0 AS ay
+  FROM customer
+),
+b AS (
+  SELECT o_orderkey AS bid,
+         CAST(o_orderkey % 1000 AS DOUBLE) / 10.0 AS bx,
+         CAST((o_orderkey * 13) % 1000 AS DOUBLE) / 10.0 AS by,
+         CAST(FLOOR((CAST(o_orderkey % 1000 AS DOUBLE) / 10.0) / 2.0) AS BIGINT) AS cx,
+         CAST(FLOOR((CAST((o_orderkey * 13) % 1000 AS DOUBLE) / 10.0) / 2.0) AS BIGINT) AS cy
+  FROM orders
+),
+probes AS (
+  SELECT aid, ax, ay,
+         CAST(FLOOR(ax / 2.0) AS BIGINT) + dx.d AS cx,
+         CAST(FLOOR(ay / 2.0) AS BIGINT) + dy.d AS cy
+  FROM a,
+       LATERAL UNNEST([-1, 0, 1]) AS dx(d),
+       LATERAL UNNEST([-1, 0, 1]) AS dy(d)
+),
+cand AS (
+  SELECT p.aid, b.bid,
+         (p.ax - b.bx) * (p.ax - b.bx) + (p.ay - b.by) * (p.ay - b.by) AS dist2
+  FROM probes p JOIN b USING (cx, cy)
+)
+SELECT aid, CAST(rank AS INTEGER) AS rank, bid, dist2
+FROM (
+  SELECT aid, bid, dist2,
+         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY dist2 ASC, bid ASC) AS rank
+  FROM cand WHERE dist2 <= 4.0
+) t
+WHERE rank <= 3
+"""
+
+
 def q_grid_refine_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spatial-join SCALE path, benchable: synthetic points derived
     from lineitem keys against 40 deterministic rectangles, joined in
@@ -351,6 +442,7 @@ FROM best GROUP BY 1 ORDER BY 1
 
 SPECS = [
     QuerySpec("geo_grid_refine_density", q_grid_refine_density, _grid_refine_oracle()),
+    QuerySpec("geo_knn_join_grid", q_knn_join_grid, _KNN_JOIN_ORACLE),
     QuerySpec("geo_knn_assign", q_knn_assign, _KNN_ORACLE),
     QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE, bench=False),
     QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE, bench=False),

@@ -86,6 +86,34 @@ def test_streaming_hopping_window_matches_batch(spark, events_snapshot):
     assert len(got) > 0
 
 
+def test_streaming_enrich_stream_static_matches_batch(spark, sf_dir, events_snapshot):
+    from gis_city_county_spark.streaming.events import streaming_enrich
+
+    path, schema = events_snapshot
+    dim = load_table(spark, sf_dir, "customer")
+    _run_to_memory(
+        streaming_enrich(spark, schema, path, dim), "enriched", "complete"
+    )
+    got = {
+        r["segment"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = (
+        spark.read.parquet(path)
+        .join(
+            dim.selectExpr("c_custkey AS user_id", "c_mktsegment AS segment"),
+            "user_id",
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+    )
+    want = {r["segment"]: (r["n"], r["tv"]) for r in batch.collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
 def test_streaming_sessionize_matches_batch_counts(spark, events_snapshot):
     path, schema = events_snapshot
     _run_to_memory(
