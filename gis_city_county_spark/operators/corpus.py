@@ -1057,3 +1057,104 @@ SELECT doc AS {id_col},
        string_agg(token, ' ' ORDER BY pos) AS text_encoded
 FROM seq{last} GROUP BY doc"""
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023:
+    hashed-n-gram importance resampling): score every document by how
+    target-like its token distribution is, using hashed unigram
+    buckets — the modern way to up-select domain-relevant data from a
+    web-scale corpus before training.
+
+    Per bucket b: importance ratio
+    ``r(b) = ((tc_b+1)·(S+n)) / ((sc_b+1)·(T+n))`` (add-one smoothed
+    target vs source frequencies — integer products, one IEEE
+    division, engine-exact). A document's weight is the decimal-exact
+    MEAN of its tokens' bucket ratios — the deterministic arithmetic
+    variant of DSIR's sum-of-log-ratios (logs aren't bit-portable
+    across engines; the ranking is what matters and both orderings
+    agree for near-uniform docs).
+
+    Scale shape: bucket tables are ``n_buckets`` rows (broadcast);
+    the only big relations are the token explode and one per-doc
+    aggregate — no shuffle keyed on anything wider than the doc id.
+
+    Output: ``(id, n_tokens, weight)``."""
+    toks = rebalance_for_fanout(df, multiplier=64.0).select(
+        F.col(id_col).alias("__id"),
+        target_pred.alias("__is_target"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"cast(conv(substring(md5(tok), 25, 8), 16, 10) as bigint) % {n_buckets}"
+        ),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("sc"),
+        F.sum(F.col("__is_target").cast("long")).alias("tc"),
+    )
+    totals = per_bucket.groupBy().agg(
+        F.sum("sc").alias("S"), F.sum("tc").alias("T")
+    )
+    ratios = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            ((F.col("tc") + 1) * (F.col("S") + n_buckets)).cast("double")
+            / ((F.col("sc") + 1) * (F.col("T") + n_buckets)).cast("double")
+        ).alias("r"),
+    )
+    from gis_city_county_spark.functions.numeric import dec_avg
+
+    return (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dec_avg(F.col("r"), "weight"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def dsir_weights_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    target_pred_sql: str,
+    n_buckets: int = 256,
+) -> str:
+    """DuckDB oracle twin of :func:`dsir_weights`."""
+    from gis_city_county_spark.functions.numeric import dec_avg_sql
+
+    return f"""
+WITH toks AS (
+  SELECT id, is_target,
+         ('0x' || substr(md5(t.tok), 25, 8))::BIGINT % {n_buckets} AS bucket
+  FROM (SELECT {id_col} AS id, ({target_pred_sql}) AS is_target,
+               {tokens_sql(text_col)} AS tl FROM ({table_sql})) s,
+       LATERAL UNNEST(s.tl) AS t(tok)
+),
+per_bucket AS (
+  SELECT bucket, COUNT(*) AS sc,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tc
+  FROM toks GROUP BY bucket
+),
+totals AS (SELECT SUM(sc) AS S, SUM(tc) AS T FROM per_bucket),
+ratios AS (
+  SELECT bucket,
+         CAST((tc + 1) * (S + {n_buckets}) AS DOUBLE)
+         / CAST((sc + 1) * (T + {n_buckets}) AS DOUBLE) AS r
+  FROM per_bucket CROSS JOIN totals
+)
+SELECT id AS {id_col}, COUNT(*) AS n_tokens,
+       {dec_avg_sql("r", "weight")}
+FROM toks JOIN ratios USING (bucket)
+GROUP BY id
+"""

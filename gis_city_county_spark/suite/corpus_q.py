@@ -325,9 +325,29 @@ def _bpe_encode_oracle() -> str:
     return apply_merges_sql("SELECT * FROM documents", "doc_id", "text", _BPE_RULES)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: every document scored by how
+    English-target-like its hashed-unigram distribution is (add-one
+    smoothed target/source bucket ratios, decimal-exact per-doc
+    mean) — the data-selection step before mixture resampling."""
+    from gis_city_county_spark.operators.corpus import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, "doc_id", "text", F.col("lang") == "en", n_buckets=256)
+
+
+def _dsir_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import dsir_weights_sql
+
+    return dsir_weights_sql(
+        "SELECT * FROM documents", "doc_id", "text", "lang = 'en'", n_buckets=256
+    )
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_bpe_encode", q_bpe_encode, _bpe_encode_oracle()),
+    QuerySpec("corpus_dsir_weights", q_dsir_weights, _dsir_oracle()),
     QuerySpec("mlprep_hash_features", q_hash_features, _hash_features_oracle()),
     QuerySpec("mlprep_one_hot_segments", q_one_hot, _ONE_HOT_ORACLE),
     QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),

@@ -130,6 +130,7 @@ _BNLJ_ALLOWED = {
     # scan without a driver collect.
     "profile_skew_report",
     "corpus_pmi_pairs",
+    "corpus_dsir_weights",
     "scale_bloom_prefilter_join",
     "olap_basket_affinity",
     "profile_length_drift_chi2",
