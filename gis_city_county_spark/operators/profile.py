@@ -577,3 +577,93 @@ SELECT dev.g AS {group_col}, CAST(MAX(dev.n_rows) AS BIGINT) AS n,
 FROM dev JOIN mad USING (g)
 GROUP BY dev.g
 """
+
+
+def exact_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney U statistic with
+    midranks for ties — the eval-pipeline metric computed as a
+    relational program, engine-exact (every intermediate is an
+    integer; AUC is one final division).
+
+    With ties: AUC = (S₂ − P(P+1)) / (2·P·N) where S₂ is twice the
+    positive midrank sum — per distinct score v with c rows (p
+    positive) and C rows below it, midrank·2 = 2C + c + 1, so
+    S₂ = Σ p·(2C + c + 1). One aggregate per (group, score), one
+    cumulative window per group (partitioned — nothing global), one
+    final fold. NULL AUC when a group lacks both classes.
+
+    Output: ``(group, n_pos, n_neg, auc)``."""
+    from pyspark.sql import Window
+
+    per_score = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("long").alias("__y"),
+        )
+        .groupBy("__g", "__s")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("__y").alias("p"))
+    )
+    w = Window.partitionBy("__g").orderBy("__s")
+    # NB: not named "C" — Spark's default case-insensitive resolution
+    # would collide it with the per-score count column "c".
+    cum = per_score.withColumn(
+        "__below",
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    agg = cum.groupBy("__g").agg(
+        F.sum("p").alias("n_pos"),
+        (F.sum("c") - F.sum("p")).alias("n_neg"),
+        F.sum(
+            F.col("p") * (2 * F.col("__below") + F.col("c") + 1)
+        ).alias("s2"),
+    )
+    auc = (
+        (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+    )
+
+
+def exact_auc_sql(
+    table_sql: str, group_col: str, score_col: str, label_col: str
+) -> str:
+    """DuckDB oracle twin of :func:`exact_auc`."""
+    return f"""
+WITH per_score AS (
+  SELECT {group_col} AS g, CAST({score_col} AS DOUBLE) AS s,
+         COUNT(*) AS c, SUM(CAST({label_col} AS BIGINT)) AS p
+  FROM ({table_sql}) GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, c, p,
+         COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below_c
+  FROM per_score
+),
+agg AS (
+  SELECT g, CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+         SUM(p * (2 * below_c + c + 1)) AS s2
+  FROM cum GROUP BY g
+)
+SELECT g AS {group_col}, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(s2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE)
+       END AS auc
+FROM agg
+"""

@@ -222,10 +222,37 @@ def _mad_oracle() -> str:
     )
 
 
+def q_exact_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per event type: does the event's value predict a
+    high props.k? Mann-Whitney with midranks, all-integer until the
+    final division — the model-eval metric as a relational program."""
+    from gis_city_county_spark.operators.profile import exact_auc
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.get_json_object("props", "$.k").cast("long") >= 50).alias("label"),
+    )
+    return exact_auc(ev, "event_type", "value", "label")
+
+
+def _auc_oracle() -> str:
+    from gis_city_county_spark.operators.profile import exact_auc_sql
+
+    return exact_auc_sql(
+        "SELECT event_type, value, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) >= 50 AS label FROM events",
+        "event_type",
+        "value",
+        "label",
+    )
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("events_pattern_match", q_pattern_match, _PATTERN_ORACLE),
     QuerySpec("profile_mad_outliers", q_mad_outliers, _mad_oracle()),
+    QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
     QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),
