@@ -896,3 +896,142 @@ FROM (
 ) t
 WHERE rank <= {k}
 """
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """K-means Lloyd refinement as a relational program — the codebook
+    trainer that upgrades the deterministic seeds `ivf_ann_topk` /
+    `pq_adc_topk` start from: seed centroids are the vectors with
+    ``id < k``, then each iteration assigns every vector to its
+    nearest centroid (squared-L2 via the n2+cn2−2·dot identity,
+    centroid-id tiebreak) and recomputes per-dimension centroid means.
+
+    Engine-exact iteration: assignments compare bit-identical dots;
+    the new means go through the decimal-sum convention (exact,
+    order-independent) with one double division — so even after
+    ``iterations`` rounds both engines hold bit-equal centroids.
+
+    Scale shape per iteration: one broadcast of k centroid rows, one
+    argmin window per vector, one (cid, dim) aggregate (bounded by
+    k·dim rows out). The corpus is scanned ``iterations + 1`` times —
+    cache/checkpoint it in production.
+
+    Output: ``(cid, n_assigned, centroid: array<double>)``."""
+    e = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    cents = e.filter(F.col("__id") < k).select(
+        F.col("__id").alias("cid"), F.col("__v").alias("cv")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        d2 = (
+            dot_product(F.col("__v"), F.col("__v"))
+            + dot_product(F.col("cv"), F.col("cv"))
+            - 2 * dot_product(F.col("__v"), F.col("cv"))
+        )
+        w = Window.partitionBy("__id").orderBy(F.asc("__d2"), F.asc("cid"))
+        return (
+            e.crossJoin(F.broadcast(centroids))
+            .withColumn("__d2", d2)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("__id", "__v", "cid")
+        )
+
+    # Mean of full-precision doubles: the decimal(38,10) sum convention
+    # would round at 1e-10 (engines round the cast differently there),
+    # so instead fold the values in CANONICAL (sorted) order — both
+    # engines then run the identical IEEE addition sequence.
+    sorted_fold = F.aggregate(
+        F.array_sort(F.collect_list(F.col("val"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+    for _ in range(iterations):
+        assigned = assign(cents)
+        dims = assigned.select(
+            "cid", F.posexplode(F.col("__v")).alias("dim", "val")
+        )
+        means = dims.groupBy("cid", "dim").agg(
+            (sorted_fold / F.count("val")).alias("m")
+        )
+        cents = means.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), p -> p.m)"
+            ).alias("cv")
+        )
+
+    final = assign(cents)
+    counts = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    return (
+        counts.join(cents, "cid")
+        .select("cid", "n_assigned", F.col("cv").alias("centroid"))
+    )
+
+
+def kmeans_refine_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+) -> str:
+    """DuckDB oracle twin of :func:`kmeans_refine` (iterations
+    unrolled as CTE chains; identical decimal-mean convention)."""
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    # canonical-order fold (see kmeans_refine): sort, then left fold
+    dec_mean = (
+        "list_reduce(list_sort(list(val)), (a, b) -> a + b) / COUNT(val)"
+    )
+    ctes = [
+        f"e AS (SELECT {id_col} AS id, {vd} AS v FROM {table})",
+        f"c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < {k})",
+    ]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        ctes.append(
+            f"""a{it} AS (
+  SELECT id, v, cid FROM (
+    SELECT e.id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+             - 2 * list_dot_product(e.v, c.cv) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{p} c) t
+  WHERE rn = 1
+),
+m{it} AS (
+  SELECT cid, g.d - 1 AS dim, {dec_mean.replace('val', 'v[g.d]')} AS m
+  FROM a{it}, LATERAL UNNEST(generate_series(1, len(v))) AS g(d)
+  GROUP BY cid, g.d
+),
+c{it} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM m{it} GROUP BY cid
+)"""
+        )
+    last = iterations
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+fin AS (
+  SELECT id, cid FROM (
+    SELECT e.id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+             (list_dot_product(e.v, e.v) + list_dot_product(c.cv, c.cv))
+             - 2 * list_dot_product(e.v, c.cv) ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN c{last} c) t
+  WHERE rn = 1
+)
+SELECT fin.cid, COUNT(*) AS n_assigned, MAX(c{last}.cv) AS centroid
+FROM fin JOIN c{last} ON fin.cid = c{last}.cid
+GROUP BY fin.cid"""
+    )

@@ -12,6 +12,7 @@ from gis_city_county_spark.operators.similarity import (
     cosine_topk_sql,
     ivf_ann_topk,
     ivf_ann_topk_sql,
+    kmeans_refine_sql,
     lsh_ann_topk,
     lsh_ann_topk_sql,
     pq_adc_topk_sql,
@@ -56,6 +57,16 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5, m=4, ksub=8
     )
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the deterministic seed codebook
+    over the embeddings — iterative ML as a relational program with
+    bit-equal centroids on both engines (decimal-exact means)."""
+    from gis_city_county_spark.operators.similarity import kmeans_refine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_refine(emb, "vec_id", "embedding", k=8, iterations=2)
 
 
 def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +198,11 @@ SPECS = [
         pq_adc_topk_sql(
             "embeddings", "vec_id", "embedding", "e.id % 50 = 0", k=5, m=4, ksub=8
         ),
+    ),
+    QuerySpec(
+        "sim_kmeans_refine",
+        q_kmeans_refine,
+        kmeans_refine_sql("embeddings", "vec_id", "embedding", k=8, iterations=2),
     ),
     QuerySpec("func_vector_ops", q_vector_ops, _VECOPS_ORACLE),
     QuerySpec("sim_ann_recall", q_ann_recall, _RECALL_ORACLE),

@@ -119,6 +119,8 @@ _BNLJ_ALLOWED = {
     "tpch_q22_idle_customers",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_ann_topk",
+    # same shape as IVF assignment: corpus × k-row broadcast centroids
+    "sim_kmeans_refine",
     "search_tfidf_topk",
     "search_fuzzy_name_lookup",
     "pipeline_mixture_resample",
