@@ -667,3 +667,103 @@ SELECT g AS {group_col}, n_pos, n_neg,
        END AS auc
 FROM agg
 """
+
+
+def confusion_sweep(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """Threshold-sweep confusion matrices per group: one row per
+    (group, threshold) with TP/FP/FN/TN and exact rational
+    precision/recall — the operating-point picker run after
+    :func:`exact_auc`. ONE pass, one aggregate: every threshold is a
+    conditional count inside the same groupBy (no per-threshold scans
+    or joins), then a bounded explode to rows. All-integer until the
+    two final divisions."""
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col("__s") >= F.lit(float(t))
+        aggs += [
+            F.sum((pred & F.col("__y")).cast("long")).alias(f"tp{i}"),
+            F.sum((pred & ~F.col("__y")).cast("long")).alias(f"fp{i}"),
+            F.sum(((~pred) & F.col("__y")).cast("long")).alias(f"fn{i}"),
+            F.sum(((~pred) & ~F.col("__y")).cast("long")).alias(f"tn{i}"),
+        ]
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    )
+    wide = base.groupBy("__g").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(t)).alias("threshold"),
+                F.col(f"tp{i}").alias("tp"),
+                F.col(f"fp{i}").alias("fp"),
+                F.col(f"fn{i}").alias("fn"),
+                F.col(f"tn{i}").alias("tn"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    out = wide.select(F.col("__g").alias(group_col), F.explode(rows).alias("r"))
+    return out.select(
+        group_col,
+        "r.threshold",
+        "r.tp",
+        "r.fp",
+        "r.fn",
+        "r.tn",
+        F.when(
+            F.col("r.tp") + F.col("r.fp") > 0,
+            F.col("r.tp").cast("double")
+            / (F.col("r.tp") + F.col("r.fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("r.tp") + F.col("r.fn") > 0,
+            F.col("r.tp").cast("double")
+            / (F.col("r.tp") + F.col("r.fn")).cast("double"),
+        ).alias("recall"),
+    )
+
+
+def confusion_sweep_sql(
+    table_sql: str,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float],
+) -> str:
+    """DuckDB oracle twin of :func:`confusion_sweep`."""
+    blocks = []
+    for t in thresholds:
+        t = float(t)
+        blocks.append(
+            f"""SELECT g AS {group_col}, CAST({t!r} AS DOUBLE) AS threshold,
+       CAST(SUM(CASE WHEN s >= {t!r} AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN s >= {t!r} AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN s < {t!r} AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN s < {t!r} AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+FROM base GROUP BY g"""
+        )
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, CAST({score_col} AS DOUBLE) AS s,
+         CAST({label_col} AS BOOLEAN) AS y
+  FROM ({table_sql})
+),
+sweep AS (
+{union}
+)
+SELECT {group_col}, threshold, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+FROM sweep
+"""

@@ -248,11 +248,42 @@ def _auc_oracle() -> str:
     )
 
 
+_THRESHOLDS = [25.0, 50.0, 100.0, 200.0]
+
+
+def q_confusion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep: per event type, the full confusion
+    matrix + exact precision/recall at four value thresholds for
+    predicting a high props.k — one pass, one aggregate."""
+    from gis_city_county_spark.operators.profile import confusion_sweep
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.get_json_object("props", "$.k").cast("long") >= 50).alias("label"),
+    )
+    return confusion_sweep(ev, "event_type", "value", "label", _THRESHOLDS)
+
+
+def _confusion_oracle() -> str:
+    from gis_city_county_spark.operators.profile import confusion_sweep_sql
+
+    return confusion_sweep_sql(
+        "SELECT event_type, value, "
+        "CAST(json_extract(props, '$.k') AS BIGINT) >= 50 AS label FROM events",
+        "event_type",
+        "value",
+        "label",
+        _THRESHOLDS,
+    )
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("events_pattern_match", q_pattern_match, _PATTERN_ORACLE),
     QuerySpec("profile_mad_outliers", q_mad_outliers, _mad_oracle()),
     QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
+    QuerySpec("eval_confusion_sweep", q_confusion_sweep, _confusion_oracle()),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
     QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),
