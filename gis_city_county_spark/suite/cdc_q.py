@@ -191,8 +191,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_TRAVEL_T = "2024-01-15 00:00:00"
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: each user's state AS OF a
+    fixed instant (validity interval containing T), rolled up to
+    state populations — the 'what did the table look like last
+    Tuesday' query that SCD2 exists to answer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    hist = scd2_history(
+        ev, key_cols=["user_id"], ts_col="ts", attr_cols=["event_type"],
+        tiebreak="event_id",
+    )
+    t = F.lit(_TRAVEL_T).cast("timestamp")
+    at_t = hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+    return at_t.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_TRAVEL_ORACLE = f"""
+WITH hist AS ({scd2_history_sql(_EV_SQL, key_cols=["user_id"], ts_col="ts",
+                                attr_cols=["event_type"], tiebreak="event_id")})
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM hist
+WHERE valid_from <= TIMESTAMP '{_TRAVEL_T}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{_TRAVEL_T}')
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("cdc_merge_upsert", q_merge_upsert, _MERGE_ORACLE),
+    QuerySpec("cdc_time_travel", q_time_travel, _TRAVEL_ORACLE),
     QuerySpec("cdc_incremental_rollup", q_incremental_rollup, _INCR_ORACLE),
     QuerySpec("cdc_scd2_history", q_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_diff", q_snapshot_diff, _DIFF_ORACLE),

@@ -278,6 +278,79 @@ WHERE rank <= 3
 """
 
 
+def q_cell_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon rasterization to a density surface: per 10×10 grid
+    cell, how many of the deterministic rectangles touch it and how
+    much area they cover in it (rectilinear clip — exact: every
+    coordinate is an integer-valued double, so products and sums are
+    exact in IEEE regardless of order). The heatmap/zonal-statistics
+    shape: explode each polygon to its covering cells, clip, aggregate
+    by cell — no join against a point set at all."""
+    rects = spark.range(40).select(
+        F.col("id").alias("rect_id"),
+        ((F.col("id") * 37) % 90).cast("double").alias("x0"),
+        ((F.col("id") * 53) % 90).cast("double").alias("y0"),
+        (3 + F.col("id") % 7).cast("double").alias("w"),
+        (3 + F.col("id") % 5).cast("double").alias("h"),
+    )
+    cells = rects.select(
+        "*",
+        F.explode(
+            F.expr("sequence(CAST(floor(x0/10) AS BIGINT), CAST(floor((x0+w)/10) AS BIGINT))")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr("sequence(CAST(floor(y0/10) AS BIGINT), CAST(floor((y0+h)/10) AS BIGINT))")
+        ).alias("cy"),
+    )
+    ow = F.least(F.col("x0") + F.col("w"), (F.col("cx") + 1) * 10.0) - F.greatest(
+        F.col("x0"), F.col("cx") * 10.0
+    )
+    oh = F.least(F.col("y0") + F.col("h"), (F.col("cy") + 1) * 10.0) - F.greatest(
+        F.col("y0"), F.col("cy") * 10.0
+    )
+    return (
+        cells.withColumn("ov", ow * oh)
+        .filter(F.col("ov") > 0)
+        .groupBy("cx", "cy")
+        .agg(
+            F.count(F.lit(1)).alias("n_rects"),
+            F.sum("ov").alias("covered_area"),
+        )
+    )
+
+
+_CELL_COVERAGE_ORACLE = """
+WITH rects AS (
+  SELECT id AS rect_id,
+         CAST((id * 37) % 90 AS DOUBLE) AS x0,
+         CAST((id * 53) % 90 AS DOUBLE) AS y0,
+         CAST(3 + id % 7 AS DOUBLE) AS w,
+         CAST(3 + id % 5 AS DOUBLE) AS h
+  FROM range(40) t(id)
+),
+cells AS (
+  SELECT r.*, gx.cx, gy.cy
+  FROM rects r,
+       LATERAL UNNEST(generate_series(CAST(FLOOR(x0/10) AS BIGINT),
+                                      CAST(FLOOR((x0+w)/10) AS BIGINT))) AS gx(cx),
+       LATERAL UNNEST(generate_series(CAST(FLOOR(y0/10) AS BIGINT),
+                                      CAST(FLOOR((y0+h)/10) AS BIGINT))) AS gy(cy)
+),
+clipped AS (
+  SELECT cx, cy,
+         (least(x0 + w, (cx + 1) * 10.0) - greatest(x0, cx * 10.0))
+         * (least(y0 + h, (cy + 1) * 10.0) - greatest(y0, cy * 10.0)) AS ov
+  FROM cells
+)
+SELECT cx, cy, COUNT(*) AS n_rects,
+       CAST(SUM(ov) AS DOUBLE) AS covered_area
+FROM clipped WHERE ov > 0
+GROUP BY cx, cy
+"""
+
+
 def q_grid_refine_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spatial-join SCALE path, benchable: synthetic points derived
     from lineitem keys against 40 deterministic rectangles, joined in
@@ -443,6 +516,7 @@ FROM best GROUP BY 1 ORDER BY 1
 SPECS = [
     QuerySpec("geo_grid_refine_density", q_grid_refine_density, _grid_refine_oracle()),
     QuerySpec("geo_knn_join_grid", q_knn_join_grid, _KNN_JOIN_ORACLE),
+    QuerySpec("geo_cell_coverage", q_cell_coverage, _CELL_COVERAGE_ORACLE, bench=False),
     QuerySpec("geo_knn_assign", q_knn_assign, _KNN_ORACLE),
     QuerySpec("geo_a1_dissolve", q_geo_dissolve, _DISSOLVE_ORACLE, bench=False),
     QuerySpec("geo_j3_erase", q_geo_erase, _ERASE_ORACLE, bench=False),
