@@ -257,3 +257,49 @@ SELECT {id_col}, CAST(octet_length(encode({text_col})) AS INTEGER) AS n_bytes,
        CAST(length({text_col}) AS INTEGER) AS n_codepoints
 FROM ({table_sql})
 """
+
+
+def arrow_group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group stats via grouped ``applyInArrow`` — the fourth
+    Python escape hatch (whole group as Arrow record batches, no
+    pandas materialization), completing the witness set next to
+    applyInPandas / GROUPED_AGG / mapInArrow. Outputs are
+    order-independent kernels only (count, min, max, integer
+    floor-sum), so the result is engine-exact even though Arrow sums
+    each group in arrival order. Group-sized memory: each group must
+    fit one executor — same contract as any grouped-map API."""
+    import pyarrow as pa
+
+    def stats(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        g = tbl.column(group_col)
+        v = tbl.column(value_col)
+        return pa.Table.from_arrays(
+            [
+                pa.array([g[0].as_py()]),
+                pa.array([tbl.num_rows], type=pa.int64()),
+                pa.array([pc.min(v).as_py()], type=pa.float64()),
+                pa.array([pc.max(v).as_py()], type=pa.float64()),
+                pa.array(
+                    [pc.sum(pc.floor(v).cast(pa.int64())).as_py()],
+                    type=pa.int64(),
+                ),
+            ],
+            names=[group_col, "n", "min_value", "max_value", "sum_floor"],
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInArrow(
+        stats, f"{group_col} string, n long, min_value double, max_value double, sum_floor long"
+    )
+
+
+def arrow_group_stats_sql(table_sql: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle twin of :func:`arrow_group_stats`."""
+    return f"""
+SELECT {group_col}, COUNT(*) AS n,
+       CAST(MIN({value_col}) AS DOUBLE) AS min_value,
+       CAST(MAX({value_col}) AS DOUBLE) AS max_value,
+       CAST(SUM(CAST(FLOOR({value_col}) AS BIGINT)) AS BIGINT) AS sum_floor
+FROM ({table_sql}) GROUP BY {group_col}
+"""

@@ -682,8 +682,27 @@ FROM sessions GROUP BY user_id, sidx
 """
 
 
+def q_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow witness: per-type event-value stats
+    computed with pyarrow kernels on the whole group (no pandas),
+    restricted to order-independent outputs so the result is exact."""
+    from gis_city_county_spark.operators.pyapi import arrow_group_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return arrow_group_stats(ev, "event_type", "value")
+
+
+def _arrow_group_oracle() -> str:
+    from gis_city_county_spark.operators.pyapi import arrow_group_stats_sql
+
+    return arrow_group_stats_sql(
+        "SELECT event_type, value FROM events", "event_type", "value"
+    )
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
+    QuerySpec("pyapi_arrow_group_stats", q_arrow_group_stats, _arrow_group_oracle()),
     QuerySpec("events_hopping_window", q_hopping, _HOPPING_ORACLE),
     QuerySpec("events_session_window_native", q_session_window_native, _SESSION_NATIVE_ORACLE),
     QuerySpec("events_sessionize", q_sessionize, sessionize_sql(_EV_CTE, 1800)),
