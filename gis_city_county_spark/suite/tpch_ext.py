@@ -1514,6 +1514,76 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# Benford expected first-digit frequencies, parts-per-million
+# (⌊10⁶·log10(1+1/d)⌉ — literals, so no cross-engine log calls).
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the fraud/synthetic-data
+    screen: observed first-digit shares (exact integer ppm) against
+    the Benford expectation, per digit. The digit comes from the
+    integer part's string form (identical formatting on both engines;
+    no float→string scientific-notation hazards). One 9-row aggregate;
+    the total rides on an unpartitioned window over those 9 rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = F.sum("n_obs").over(Window.partitionBy())
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+        ),
+        F.col("digit"),
+    )
+    # `div` = exact integral division (twin of DuckDB `//`); decimal
+    # `/` would round at scale 6 before the long cast.
+    return (
+        counts.withColumn("__tot", total)
+        .withColumn(
+            "obs_ppm",
+            F.expr(
+                "(CAST(n_obs AS DECIMAL(38,0)) * 1000000) div __tot"
+            ).cast("long"),
+        )
+        .select(
+            "digit",
+            "n_obs",
+            "obs_ppm",
+            expected.alias("expected_ppm"),
+            (F.col("obs_ppm") - expected).alias("excess_ppm"),
+        )
+    )
+
+
+def _benford_oracle() -> str:
+    exp_case = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         COUNT(*) AS n_obs
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_obs) AS t FROM counts)
+SELECT digit, n_obs,
+       CAST(CAST(n_obs AS HUGEINT) * 1000000 // t AS BIGINT) AS obs_ppm,
+       CAST(CASE digit {exp_case} END AS INTEGER) AS expected_ppm,
+       CAST(CAST(n_obs AS HUGEINT) * 1000000 // t
+            - CASE digit {exp_case} END AS BIGINT) AS excess_ppm
+FROM counts CROSS JOIN tot
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis on the fact table's part key: the 10
     heaviest keys with exact parts-per-million share
@@ -1572,4 +1642,5 @@ SPECS = [
     QuerySpec("profile_skew_report", q_skew_report, _SKEW_ORACLE),
     QuerySpec("scale_bloom_prefilter_join", q_bloom_prefilter_join, _BLOOM_ORACLE),
     QuerySpec("scale_salted_join", q_salted_join, _SALTED_ORACLE),
+    QuerySpec("gate_benford_audit", q_benford_audit, _benford_oracle()),
 ]

@@ -304,3 +304,46 @@ def test_stateful_user_totals_tws_matches_batch(spark, events_snapshot):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, events_snapshot, tmp_path):
+    """Checkpoint recovery: a restarted query resumes from the commit
+    log and processes ONLY files that arrived after the first run —
+    no reprocessing, no duplicates in the downstream parquet sink."""
+    import os
+
+    path, schema = events_snapshot
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    full = spark.read.parquet(path)
+    n_total = full.count()
+    first, second = full.filter(F.col("event_id") % 2 == 0), full.filter(
+        F.col("event_id") % 2 == 1
+    )
+    first.write.parquet(src_dir + "/batch1")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == first.count()
+
+    second.write.parquet(src_dir + "/batch2")
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_total  # second run added ONLY the new files
+    assert out.select("event_id").distinct().count() == n_total  # no dupes
