@@ -767,3 +767,78 @@ SELECT {group_col}, threshold, tp, fp, fn, tn,
             THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
 FROM sweep
 """
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    trim_pct: int = 10,
+) -> DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    ``trim_pct`` percent of rows (k = ⌊n·pct/100⌋ each side, row set
+    made deterministic under value ties by the tiebreak column), then
+    decimal-exact mean of the keepers — the robust location estimate
+    between mean and median. One sort window per group + one
+    aggregate; holistic like every exact order statistic.
+
+    Output: ``(group, n, n_kept, trimmed_mean)``."""
+    from pyspark.sql import Window
+
+    from gis_city_county_spark.functions.numeric import dec_avg
+
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__v").asc(), F.col("__t").asc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(tiebreak_col).alias("__t"),
+    ).select(
+        "__g",
+        "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+    )
+    k = F.expr(f"(CAST(__n AS DECIMAL(38,0)) * {trim_pct}) div 100").cast("long")
+    kept = ranked.filter((F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k))
+    return (
+        kept.groupBy("__g")
+        .agg(
+            F.max("__n").alias("n"),
+            F.count(F.lit(1)).alias("n_kept"),
+            dec_avg(F.col("__v"), "trimmed_mean"),
+        )
+        .withColumnRenamed("__g", group_col)
+    )
+
+
+def trimmed_mean_sql(
+    table_sql: str,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    trim_pct: int = 10,
+) -> str:
+    """DuckDB oracle twin of :func:`trimmed_mean`."""
+    from gis_city_county_spark.functions.numeric import dec_avg_sql
+
+    return f"""
+WITH ranked AS (
+  SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+           ORDER BY CAST({value_col} AS DOUBLE) ASC, {tiebreak_col} ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM ({table_sql})
+),
+kept AS (
+  SELECT g, v, n FROM ranked
+  WHERE rn > (CAST(n AS HUGEINT) * {trim_pct}) // 100
+    AND rn <= n - (CAST(n AS HUGEINT) * {trim_pct}) // 100
+)
+SELECT g AS {group_col}, CAST(MAX(n) AS BIGINT) AS n,
+       COUNT(*) AS n_kept,
+       {dec_avg_sql("v", "trimmed_mean")}
+FROM kept GROUP BY g
+"""

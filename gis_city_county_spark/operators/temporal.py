@@ -898,3 +898,144 @@ SELECT {key_col} AS key,
            '{pattern}')) AS BIGINT) AS n_matches
 FROM ({table_sql}) GROUP BY {key_col}
 """
+
+
+def bounded_funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    class_col: str,
+    stages: list[str],
+    hop_seconds: int,
+) -> DataFrame:
+    """Conversion-window funnel: stage N+1 must occur AFTER the row's
+    stage-N event and within ``hop_seconds`` of it — the
+    product-analytics funnel where late conversions don't count
+    (``funnel_stages`` is its unbounded cousin). Each hop attaches the
+    FIRST qualifying next-stage event (min (ts, id) struct — exact and
+    tie-stable).
+
+    Plan shape per hop: equi-join on the key with the time bound as a
+    join condition, then a min-struct aggregate per current-stage
+    event. Per-key data only — at 100 TB the same join runs bucketed
+    by (key, time-bucket) exactly like ``range_join``; nothing is
+    global.
+
+    Output: ``(key, n_stage0, n_reached_1, ..., n_reached_k)`` — how
+    many stage-0 events converted through each subsequent hop within
+    every per-hop window."""
+    us = F.unix_micros(F.col(ts_col))
+    bound = hop_seconds * 1_000_000
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        us.alias("us"),
+        F.col(id_col).alias("id"),
+        F.col(class_col).alias("cls"),
+    )
+    cur = ev.filter(F.col("cls") == stages[0]).select(
+        "key", F.col("us").alias("us0"), F.col("id").alias("id0")
+    )
+    out_aggs = [
+        F.count(F.lit(1)).alias("n_stage0"),
+    ]
+    frames = [cur]
+    for i, stage in enumerate(stages[1:], start=1):
+        nxt = ev.filter(F.col("cls") == stage).select(
+            F.col("key").alias("__k"),
+            F.col("us").alias("__nus"),
+            F.col("id").alias("__nid"),
+        )
+        prev_us = f"us{i - 1}"
+        joined = frames[-1].join(
+            nxt,
+            (F.col("key") == F.col("__k"))
+            & (F.col("__nus") > F.col(prev_us))
+            & (F.col("__nus") <= F.col(prev_us) + bound),
+        )
+        first = (
+            joined.groupBy("key", *[f"us{j}" for j in range(i)],
+                           *[f"id{j}" for j in range(i)])
+            .agg(F.min(F.struct(F.col("__nus"), F.col("__nid"))).alias("__f"))
+            .select(
+                "key",
+                *[f"us{j}" for j in range(i)],
+                *[f"id{j}" for j in range(i)],
+                F.col("__f.__nus").alias(f"us{i}"),
+                F.col("__f.__nid").alias(f"id{i}"),
+            )
+        )
+        frames.append(first)
+    base = frames[0].groupBy("key").agg(F.count(F.lit(1)).alias("n_stage0"))
+    out = base
+    for i in range(1, len(stages)):
+        reached = frames[i].groupBy("key").agg(
+            F.count(F.lit(1)).alias(f"n_reached_{i}")
+        )
+        out = out.join(reached, "key", "left").fillna(0, [f"n_reached_{i}"])
+    return out.withColumnRenamed("key", key_col)
+
+
+def bounded_funnel_sql(
+    table_sql: str,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    class_col: str,
+    stages: list[str],
+    hop_seconds: int,
+) -> str:
+    """DuckDB oracle twin of :func:`bounded_funnel`."""
+    bound = hop_seconds * 1_000_000
+    ctes = [
+        f"""ev AS (
+  SELECT {key_col} AS key, epoch_us({ts_col}) AS us, {id_col} AS id,
+         {class_col} AS cls
+  FROM ({table_sql})
+)""",
+        f"s0 AS (SELECT key, us AS us0, id AS id0 FROM ev WHERE cls = '{stages[0]}')",
+    ]
+    for i, stage in enumerate(stages[1:], start=1):
+        prev_cols = ", ".join(
+            [f"us{j}" for j in range(i)] + [f"id{j}" for j in range(i)]
+        )
+        # partition by EVERY prior stage column: two distinct stage-0
+        # events may share the same first next-stage event and must
+        # each keep their own funnel row
+        part = ", ".join(
+            ["p.key"]
+            + [f"p.us{j}" for j in range(i)]
+            + [f"p.id{j}" for j in range(i)]
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT key, {prev_cols}, us{i}, id{i} FROM (
+    SELECT p.key, {', '.join(f'p.us{j}' for j in range(i))},
+           {', '.join(f'p.id{j}' for j in range(i))},
+           n.us AS us{i}, n.id AS id{i},
+           ROW_NUMBER() OVER (PARTITION BY {part}
+                              ORDER BY n.us, n.id) AS rn
+    FROM s{i - 1} p JOIN ev n
+      ON n.key = p.key AND n.cls = '{stage}'
+     AND n.us > p.us{i - 1} AND n.us <= p.us{i - 1} + {bound}) t
+  WHERE rn = 1
+)"""
+        )
+    reach_joins = "\n".join(
+        f"LEFT JOIN (SELECT key, COUNT(*) AS n_reached_{i} FROM s{i} GROUP BY key)"
+        f" r{i} USING (key)"
+        for i in range(1, len(stages))
+    )
+    reach_cols = ", ".join(
+        f"CAST(COALESCE(n_reached_{i}, 0) AS BIGINT) AS n_reached_{i}"
+        for i in range(1, len(stages))
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT key AS {key_col}, n_stage0, {reach_cols}
+FROM (SELECT key, COUNT(*) AS n_stage0 FROM s0 GROUP BY key) b
+{reach_joins}
+"""
+    )

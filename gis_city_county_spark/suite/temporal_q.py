@@ -248,6 +248,28 @@ def _auc_oracle() -> str:
     )
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event values per type (rank-deterministic
+    trim set, decimal-exact mean of the keepers) — the robust location
+    estimate between mean and median."""
+    from gis_city_county_spark.operators.profile import trimmed_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return trimmed_mean(ev, "event_type", "value", "event_id", trim_pct=10)
+
+
+def _trimmed_oracle() -> str:
+    from gis_city_county_spark.operators.profile import trimmed_mean_sql
+
+    return trimmed_mean_sql(
+        "SELECT event_type, value, event_id FROM events",
+        "event_type",
+        "value",
+        "event_id",
+        trim_pct=10,
+    )
+
+
 _THRESHOLDS = [25.0, 50.0, 100.0, 200.0]
 
 
@@ -278,12 +300,37 @@ def _confusion_oracle() -> str:
     )
 
 
+_FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def q_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: signup → first click within 2h →
+    first purchase within 2h of that click; per-user stage-0 volume
+    and per-hop converted counts (late conversions excluded)."""
+    from gis_city_county_spark.operators.temporal import bounded_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return bounded_funnel(
+        ev, "user_id", "ts", "event_id", "event_type", _FUNNEL_STAGES, 7200
+    )
+
+
+def _bounded_funnel_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import bounded_funnel_sql
+
+    return bounded_funnel_sql(
+        _EV_CTE, "user_id", "ts", "event_id", "event_type", _FUNNEL_STAGES, 7200
+    )
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
+    QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_pattern_match", q_pattern_match, _PATTERN_ORACLE),
     QuerySpec("profile_mad_outliers", q_mad_outliers, _mad_oracle()),
     QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
     QuerySpec("eval_confusion_sweep", q_confusion_sweep, _confusion_oracle()),
+    QuerySpec("profile_trimmed_mean", q_trimmed_mean, _trimmed_oracle()),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
     QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),
