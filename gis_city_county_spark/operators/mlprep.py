@@ -118,3 +118,98 @@ def one_hot_sql(col: str, categories: list[str], out: str = "onehot") -> str:
         for c in categories
     )
     return f"[{items}] AS {out}"
+
+
+def quantile_align(
+    df,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    reference: str,
+):
+    """Quantile normalization against a reference cohort: every
+    group's values are replaced by the reference group's value at the
+    equivalent quantile position — the batch-effect/domain-shift
+    aligner (classic quantile normalization, with a designated
+    reference instead of the pooled average so everything stays
+    discrete-exact).
+
+    Mapping: a row at rank r of n in its group takes the reference
+    value at index ``⌊(2r−1)·m/(2n)⌋ + 1`` (midpoint scaling into the
+    reference's m sorted values) — all integer arithmetic, attached by
+    an equi-join on the index against the broadcast reference ranks.
+    Windows partition by group; only the reference cohort (a bounded
+    calibration set by construction) is single-partition ranked.
+
+    Output: ``(group, tiebreak, value, aligned)`` row-level."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(tiebreak_col).alias("__t"),
+    )
+    wg = Window.partitionBy("__g").orderBy(F.col("__v").asc(), F.col("__t").asc())
+    ranked = base.select(
+        "__g", "__v", "__t",
+        F.row_number().over(wg).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
+    )
+    ref = (
+        base.filter(F.col("__g") == reference)
+        .select(
+            F.col("__v").alias("__refv"),
+            F.row_number()
+            .over(Window.orderBy(F.col("__v").asc(), F.col("__t").asc()))
+            .alias("__i"),
+        )
+    )
+    m = ref.groupBy().agg(F.count(F.lit(1)).alias("__m"))
+    idx = F.expr(
+        "CAST((CAST(2 * __r - 1 AS DECIMAL(38,0)) * __m) div (2 * __n) AS BIGINT) + 1"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .withColumn("__i", idx)
+        .join(F.broadcast(ref), "__i")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__t").alias(tiebreak_col),
+            F.col("__v").alias(value_col),
+            F.col("__refv").alias("aligned"),
+        )
+    )
+
+
+def quantile_align_sql(
+    table_sql: str,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    reference: str,
+) -> str:
+    """DuckDB oracle twin of :func:`quantile_align`."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v,
+         {tiebreak_col} AS t
+  FROM ({table_sql})
+),
+ranked AS (
+  SELECT g, v, t,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC, t ASC) AS r,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+ref AS (
+  SELECT v AS refv,
+         ROW_NUMBER() OVER (ORDER BY v ASC, t ASC) AS i
+  FROM base WHERE g = '{reference}'
+),
+m AS (SELECT COUNT(*) AS m FROM ref)
+SELECT ranked.g AS {group_col}, ranked.t AS {tiebreak_col},
+       ranked.v AS {value_col}, ref.refv AS aligned
+FROM ranked CROSS JOIN m
+JOIN ref ON ref.i = CAST((CAST(2 * ranked.r - 1 AS HUGEINT) * m.m)
+                         // (2 * ranked.n) AS BIGINT) + 1
+"""

@@ -270,6 +270,28 @@ def _trimmed_oracle() -> str:
     )
 
 
+def q_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of every event type's value distribution
+    onto the 'click' cohort's — the batch-effect aligner, all integer
+    rank arithmetic + broadcast reference join."""
+    from gis_city_county_spark.operators.mlprep import quantile_align
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_align(ev, "event_type", "value", "event_id", "click")
+
+
+def _qalign_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import quantile_align_sql
+
+    return quantile_align_sql(
+        "SELECT event_type, value, event_id FROM events",
+        "event_type",
+        "value",
+        "event_id",
+        "click",
+    )
+
+
 _THRESHOLDS = [25.0, 50.0, 100.0, 200.0]
 
 
@@ -331,6 +353,7 @@ SPECS = [
     QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
     QuerySpec("eval_confusion_sweep", q_confusion_sweep, _confusion_oracle()),
     QuerySpec("profile_trimmed_mean", q_trimmed_mean, _trimmed_oracle()),
+    QuerySpec("mlprep_quantile_align", q_quantile_align, _qalign_oracle()),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
     QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),

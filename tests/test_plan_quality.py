@@ -133,6 +133,7 @@ _BNLJ_ALLOWED = {
     "profile_skew_report",
     "corpus_pmi_pairs",
     "corpus_dsir_weights",
+    "mlprep_quantile_align",
     "scale_bloom_prefilter_join",
     "olap_basket_affinity",
     "profile_length_drift_chi2",
