@@ -161,3 +161,136 @@ def bloom_prefilter(
     return probe.filter(pred).drop(
         "__bloom_bits", *[f"__bp{i}" for i in range(n_hashes)]
     )
+
+
+def bloom_fpr_report(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Measured false-positive rate of the Bloom prefilter — the
+    sizing feedback loop for :func:`bloom_prefilter`: before relying
+    on a filter to cut a 100 TB shuffle, measure what fraction of
+    non-member keys it actually passes at this (n_bits, n_hashes,
+    |members|) operating point, exactly.
+
+    Fully relational twin of the bitset test (a key passes iff every
+    one of its md5-derived positions is set by ANY member): member
+    positions become a distinct broadcast relation, candidates explode
+    to their positions, and a counting semi-join finds keys with all
+    ``n_hashes`` positions present. Exact integers end-to-end.
+
+    Output: 1 row ``(n_candidates, n_members, n_pass, n_false_pos,
+    fpr_ppm)`` where fpr is over non-member candidates."""
+    mh = small.select(F.md5(F.col(key).cast("string")).alias("h")).distinct()
+    mpos = mh.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring("h", i * 8 + 1, 8), 16, 10).cast("long")
+                        % n_bits
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    cand = big.select(F.col(key).cast("string").alias("k")).distinct()
+    members = small.select(F.col(key).cast("string").alias("k")).distinct()
+    cpos = cand.withColumn("h", F.md5("k")).select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.conv(F.substring("h", i * 8 + 1, 8), 16, 10).cast("long")
+                        % n_bits
+                    )
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        cpos.join(F.broadcast(mpos), "pos")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("__n_set"))
+        .filter(F.col("__n_set") == n_hashes)
+        .select("k")
+    )
+    member_flag = members.withColumn("__m", F.lit(1))
+    agg = (
+        hits.join(member_flag, "k", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_pass"),
+            F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0)).alias(
+                "n_false_pos"
+            ),
+        )
+    )
+    totals = cand.agg(F.count(F.lit(1)).alias("n_candidates")).crossJoin(
+        members.agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    return totals.crossJoin(F.broadcast(agg)).select(
+        "n_candidates",
+        "n_members",
+        "n_pass",
+        "n_false_pos",
+        F.expr(
+            "(CAST(n_false_pos AS DECIMAL(38,0)) * 1000000)"
+            " div (n_candidates - n_members)"
+        )
+        .cast("long")
+        .alias("fpr_ppm"),
+    )
+
+
+def bloom_fpr_report_sql(
+    big_sql: str,
+    small_sql: str,
+    key: str,
+    n_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> str:
+    """DuckDB oracle twin of :func:`bloom_fpr_report`."""
+    mpos_rows = " UNION ".join(
+        f"SELECT ('0x' || substr(h, {i * 8 + 1}, 8))::BIGINT % {n_bits} AS pos FROM mh"
+        for i in range(n_hashes)
+    )
+    cpos_rows = " UNION ALL ".join(
+        f"SELECT k, ('0x' || substr(h, {i * 8 + 1}, 8))::BIGINT % {n_bits} AS pos FROM ch"
+        for i in range(n_hashes)
+    )
+    return f"""
+WITH mh AS (
+  SELECT DISTINCT md5(CAST({key} AS VARCHAR)) AS h FROM ({small_sql})
+),
+mpos AS ({mpos_rows}),
+cand AS (SELECT DISTINCT CAST({key} AS VARCHAR) AS k FROM ({big_sql})),
+members AS (SELECT DISTINCT CAST({key} AS VARCHAR) AS k FROM ({small_sql})),
+ch AS (SELECT k, md5(k) AS h FROM cand),
+cpos AS ({cpos_rows}),
+hits AS (
+  SELECT k FROM cpos JOIN mpos USING (pos)
+  GROUP BY k HAVING COUNT(*) = {n_hashes}
+),
+agg AS (
+  SELECT COUNT(*) AS n_pass,
+         CAST(SUM(CASE WHEN m.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos
+  FROM hits LEFT JOIN members m USING (k)
+),
+totals AS (
+  SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM members) AS n_members
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_pass AS BIGINT) AS n_pass, n_false_pos,
+       CAST(CAST(n_false_pos AS HUGEINT) * 1000000
+            // (n_candidates - n_members) AS BIGINT) AS fpr_ppm
+FROM totals CROSS JOIN agg
+"""

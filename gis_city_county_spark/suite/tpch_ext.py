@@ -1514,6 +1514,32 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom false-positive rate at the prefilter's operating
+    point (2^14 bits, 3 hashes, the %31 order subset as members) —
+    exact ppm over non-member candidates, via the relational twin of
+    the bitset membership test."""
+    from gis_city_county_spark.operators.scale import bloom_fpr_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    members = orders.filter(F.col("o_orderkey") % 31 == 0)
+    return bloom_fpr_report(
+        orders, members, "o_orderkey", n_bits=1 << 14, n_hashes=3
+    )
+
+
+def _bloom_fpr_oracle() -> str:
+    from gis_city_county_spark.operators.scale import bloom_fpr_report_sql
+
+    return bloom_fpr_report_sql(
+        "SELECT o_orderkey FROM orders",
+        "SELECT o_orderkey FROM orders WHERE o_orderkey % 31 = 0",
+        "o_orderkey",
+        n_bits=1 << 14,
+        n_hashes=3,
+    )
+
+
 # Benford expected first-digit frequencies, parts-per-million
 # (⌊10⁶·log10(1+1/d)⌉ — literals, so no cross-engine log calls).
 _BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
@@ -1643,4 +1669,5 @@ SPECS = [
     QuerySpec("scale_bloom_prefilter_join", q_bloom_prefilter_join, _BLOOM_ORACLE),
     QuerySpec("scale_salted_join", q_salted_join, _SALTED_ORACLE),
     QuerySpec("gate_benford_audit", q_benford_audit, _benford_oracle()),
+    QuerySpec("scale_bloom_fpr", q_bloom_fpr, _bloom_fpr_oracle()),
 ]

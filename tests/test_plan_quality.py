@@ -134,6 +134,7 @@ _BNLJ_ALLOWED = {
     "corpus_pmi_pairs",
     "corpus_dsir_weights",
     "mlprep_quantile_align",
+    "scale_bloom_fpr",
     "scale_bloom_prefilter_join",
     "olap_basket_affinity",
     "profile_length_drift_chi2",
