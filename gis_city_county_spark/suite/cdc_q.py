@@ -227,9 +227,48 @@ GROUP BY 1
 """
 
 
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view refresh: orders and customers each split
+    into a base and an insert delta; the view is maintained by the
+    delta rule (dA join B_new, A_old join dB) and rolled up per market
+    segment. The oracle is the full re-join — identical results, a
+    fraction of the work."""
+    from gis_city_county_spark.operators.cdc import incremental_join_view
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    a_old = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    a_delta = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+    b_old = cust.filter(F.col("o_custkey") % 10 < 8)
+    b_delta = cust.filter(F.col("o_custkey") % 10 >= 8)
+    view = incremental_join_view(a_old, a_delta, b_old, b_delta, ["o_custkey"])
+    from gis_city_county_spark.functions.numeric import dec_sum
+
+    return view.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "total_price"),
+    )
+
+
+def _incr_join_oracle() -> str:
+    from gis_city_county_spark.functions.numeric import dec_sum_sql
+
+    return f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {dec_sum_sql("o_totalprice", "total_price")}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("cdc_merge_upsert", q_merge_upsert, _MERGE_ORACLE),
     QuerySpec("cdc_time_travel", q_time_travel, _TRAVEL_ORACLE),
+    QuerySpec("cdc_incremental_join", q_incremental_join, _incr_join_oracle()),
     QuerySpec("cdc_incremental_rollup", q_incremental_rollup, _INCR_ORACLE),
     QuerySpec("cdc_scd2_history", q_scd2_history, _SCD2_ORACLE),
     QuerySpec("cdc_snapshot_diff", q_snapshot_diff, _DIFF_ORACLE),
