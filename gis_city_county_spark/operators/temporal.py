@@ -1039,3 +1039,90 @@ FROM (SELECT key, COUNT(*) AS n_stage0 FROM s0 GROUP BY key) b
 {reach_joins}
 """
     )
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    delta_col,
+) -> DataFrame:
+    """Running balance clamped at zero — inventory/credit semantics
+    (``b_t = max(0, b_{t−1} + Δ_t)``), which LOOKS like it needs
+    sequential state but reduces to two windows via the identity
+    ``b_t = prefix_t − min(0, min_{j≤t} prefix_j)``: the clamp only
+    ever "absorbs" the deepest deficit seen so far. Both engines
+    evaluate the cumulative sums over the identical total order
+    (ts, tiebreak), so even double arithmetic is engine-exact
+    (sequential left-to-right adds, same operands).
+
+    Output: per row ``(key, tiebreak, delta, balance)``.
+
+    NB: windowed SUM over doubles is NOT engine-exact (DuckDB's
+    segment-tree frames associate differently than Spark's running
+    accumulator), so the prefix runs in DECIMAL(38,10) — exact and
+    associative — and only the final balance drops to double."""
+    w = Window.partitionBy("__k").orderBy("__ts", "__t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    base = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__t"),
+        delta_col.cast("double").alias("__d"),
+    )
+    prefix = F.sum(F.col("__d").cast("decimal(38,10)")).over(w)
+    ranked = base.withColumn("__p", prefix).withColumn(
+        "__runmin", F.min("__p").over(w)
+    )
+    # Two DuckDB-compat constraints mirrored here: operands narrowed
+    # to DECIMAL(28,10) (a (38,10)−(38,10) difference overflows 38
+    # digits and silently promotes to DOUBLE), and the min(0, x) spelled
+    # as CASE (DuckDB's least() returns DOUBLE for decimal inputs).
+    neg_part = F.when(F.col("__runmin") < 0, F.col("__runmin")).otherwise(
+        F.lit(0)
+    ).cast("decimal(28,10)")
+    return ranked.select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(tiebreak_col),
+        F.col("__d").alias("delta"),
+        (F.col("__p").cast("decimal(28,10)") - neg_part)
+        .cast("double")
+        .alias("balance"),
+    )
+
+
+def clamped_running_balance_sql(
+    table_sql: str,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    delta_expr: str,
+) -> str:
+    """DuckDB oracle twin of :func:`clamped_running_balance`."""
+    return f"""
+WITH base AS (
+  SELECT {key_col} AS k, {ts_col} AS ts, {tiebreak_col} AS t,
+         CAST({delta_expr} AS DOUBLE) AS d
+  FROM ({table_sql})
+),
+pre AS (
+  SELECT k, ts, t, d,
+         SUM(CAST(d AS DECIMAL(38,10))) OVER (PARTITION BY k ORDER BY ts, t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM base
+),
+runm AS (
+  SELECT k, t, d, p,
+         MIN(p) OVER (PARTITION BY k ORDER BY ts, t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+  FROM pre
+)
+SELECT k AS {key_col}, t AS {tiebreak_col}, d AS delta,
+       CAST(CAST(CAST(p AS DECIMAL(28,10))
+                 - CAST(CASE WHEN runmin < 0 THEN runmin ELSE 0 END
+                        AS DECIMAL(28,10)) AS VARCHAR)
+            AS DOUBLE) AS balance
+FROM runm
+"""

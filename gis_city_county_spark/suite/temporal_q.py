@@ -292,6 +292,32 @@ def _qalign_oracle() -> str:
     )
 
 
+def q_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running balance per user (credits from purchases/
+    signups, debits otherwise): the sequential-looking inventory
+    update made relational via b = prefix − min(0, running-min
+    prefix) — two windows, no state."""
+    from gis_city_county_spark.operators.temporal import clamped_running_balance
+
+    ev = load_table(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.col("value")
+    ).otherwise(-F.col("value"))
+    return clamped_running_balance(ev, "user_id", "ts", "event_id", delta)
+
+
+def _clamped_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import clamped_running_balance_sql
+
+    return clamped_running_balance_sql(
+        _EV_CTE,
+        "user_id",
+        "ts",
+        "event_id",
+        "CASE WHEN event_type IN ('purchase', 'signup') THEN value ELSE -value END",
+    )
+
+
 _THRESHOLDS = [25.0, 50.0, 100.0, 200.0]
 
 
@@ -354,6 +380,7 @@ SPECS = [
     QuerySpec("eval_confusion_sweep", q_confusion_sweep, _confusion_oracle()),
     QuerySpec("profile_trimmed_mean", q_trimmed_mean, _trimmed_oracle()),
     QuerySpec("mlprep_quantile_align", q_quantile_align, _qalign_oracle()),
+    QuerySpec("events_clamped_balance", q_clamped_balance, _clamped_oracle()),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
     QuerySpec("events_gap_detection", q_gap_detection, _GAP_ORACLE),
     QuerySpec("events_interval_union", q_interval_union, _IUNION_ORACLE),
