@@ -316,6 +316,85 @@ def test_interval_union_matches_bruteforce(starts, dur):
         assert a.island_end_us - a.island_start_us == a.covered_us
 
 
+@settings(**EX)
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=20
+    )
+)
+def test_clamped_balance_matches_sequential(deltas):
+    """The two-window identity equals the sequential definition
+    b_t = max(0, b_{t-1} + d_t) exactly."""
+    from gis_city_county_spark.operators.temporal import clamped_running_balance
+
+    spark = test_clamped_balance_matches_sequential.spark
+    base = 1_700_000_000
+    rows = [(i, base + i, float(d)) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "i long, sec long, d double").select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        F.col("i"),
+        F.col("d"),
+    )
+    out = {
+        r.i: r.balance
+        for r in clamped_running_balance(df, "k", "ts", "i", F.col("d")).collect()
+    }
+    b = 0.0
+    for i, d in enumerate(deltas):
+        b = max(0.0, b + d)
+        assert out[i] == b
+
+
+@settings(**EX)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=30),
+)
+def test_bounded_funnel_matches_bruteforce(events, hop):
+    """Per-hop reach counts equal the brute-force first-within-bound
+    chase over the event list."""
+    from gis_city_county_spark.operators.temporal import bounded_funnel
+
+    spark = test_bounded_funnel_matches_bruteforce.spark
+    base = 1_700_000_000
+    rows = [(i, base + sec, cls) for i, (sec, cls) in enumerate(events)]
+    df = spark.createDataFrame(rows, "i long, sec long, cls string").select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.col("sec")).alias("ts"),
+        F.col("i"),
+        F.col("cls"),
+    )
+    got = bounded_funnel(df, "k", "ts", "i", "cls", ["a", "b", "c"], hop).collect()
+    evs = sorted(((base + s) * 1_000_000, i, c) for i, (s, c) in enumerate(events))
+    a_events = [(t, i) for t, i, c in evs if c == "a"]
+    n1 = n2 = 0
+    for t0, _ in a_events:
+        bs = [(t, i) for t, i, c in evs if c == "b" and t0 < t <= t0 + hop * 1_000_000]
+        if not bs:
+            continue
+        n1 += 1
+        t1 = min(bs)[0]
+        cs = [t for t, i, c in evs if c == "c" and t1 < t <= t1 + hop * 1_000_000]
+        if cs:
+            n2 += 1
+    if not a_events:
+        assert got == []
+    else:
+        (row,) = got
+        assert row.n_stage0 == len(a_events)
+        assert row.n_reached_1 == n1
+        assert row.n_reached_2 == n2
+
+
 def pytest_generate_tests(metafunc):
     pass
 
@@ -336,6 +415,8 @@ def _attach_spark(spark):
         test_peak_concurrency_matches_bruteforce,
         test_pair_merge_rounds_matches_bruteforce,
         test_interval_union_matches_bruteforce,
+        test_clamped_balance_matches_sequential,
+        test_bounded_funnel_matches_bruteforce,
     ):
         fn.spark = spark
     yield
