@@ -1158,3 +1158,118 @@ SELECT id AS {id_col}, COUNT(*) AS n_tokens,
 FROM toks JOIN ratios USING (bucket)
 GROUP BY id
 """
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    mask_rate_denom: int = 5,
+) -> DataFrame:
+    """T5-style denoising-objective preparation: deterministically
+    mask ~1/``mask_rate_denom`` of each document's tokens and emit the
+    (inputs, targets) pair — inputs with each masked token replaced by
+    a numbered sentinel, targets as the sentinel-prefixed masked
+    tokens. The pretraining-data transform that turns a cleaned corpus
+    into seq2seq examples.
+
+    Mask selection is hash-keyed (md5 of doc id × position), so it is
+    reproducible across runs/engines/partitionings — the property that
+    keeps a resumed or re-sharded preprocessing job from changing the
+    training examples. Sentinel numbering is the rank of the masked
+    position within the document (a windowless per-doc cumulative via
+    array operations — everything stays in one projection per doc).
+
+    Output: ``(id, n_tokens, n_masked, inputs, targets)``."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    masked = toks.withColumn(
+        "__m",
+        F.expr(
+            f"cast(conv(substring(md5(concat(cast(__id as string), ':', "
+            f"cast(pos as string))), 25, 8), 16, 10) as bigint) % {mask_rate_denom} = 0"
+        ),
+    )
+    w = Window.partitionBy("__id").orderBy("pos")
+    numbered = masked.withColumn(
+        "__sid",
+        F.sum(F.col("__m").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    sid_s = F.col("__sid").cast("string")
+    numbered = numbered.withColumn(
+        "piece_in",
+        F.when(
+            F.col("__m"), F.concat(F.lit("<extra_id_"), sid_s, F.lit(">"))
+        ).otherwise(F.col("tok")),
+    ).withColumn(
+        "piece_tgt",
+        F.when(
+            F.col("__m"),
+            F.concat(F.lit("<extra_id_"), sid_s, F.lit("> "), F.col("tok")),
+        ),
+    )
+    return (
+        numbered.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("__m").cast("long")).alias("n_masked"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, piece_in))),"
+                    " p -> p.piece_in)"
+                ),
+            ).alias("inputs"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, piece_tgt))),"
+                    " p -> p.piece_tgt)"
+                ),
+            ).alias("targets"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "n_masked",
+            "inputs",
+            "targets",
+        )
+    )
+
+
+def span_corruption_sql(
+    table_sql: str, id_col: str, text_col: str, mask_rate_denom: int = 5
+) -> str:
+    """DuckDB oracle twin of :func:`span_corruption`."""
+    return f"""
+WITH toks AS (
+  SELECT id, g.i - 1 AS pos, tl[g.i] AS tok
+  FROM (SELECT {id_col} AS id, {tokens_sql(text_col)} AS tl FROM ({table_sql})) s,
+       LATERAL UNNEST(generate_series(1, len(tl))) AS g(i)
+),
+masked AS (
+  SELECT id, pos, tok,
+         ('0x' || substr(md5(CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)),
+                         25, 8))::BIGINT % {mask_rate_denom} = 0 AS m
+  FROM toks
+),
+numbered AS (
+  SELECT id, pos, tok, m,
+         SUM(CASE WHEN m THEN 1 ELSE 0 END) OVER (PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM masked
+)
+SELECT id AS {id_col},
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       string_agg(CASE WHEN m THEN '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+                       ELSE tok END, ' ' ORDER BY pos) AS inputs,
+       string_agg(CASE WHEN m THEN '<extra_id_' || CAST(sid AS VARCHAR) || '> ' || tok
+                  END, ' ' ORDER BY pos) AS targets
+FROM numbered GROUP BY id
+"""

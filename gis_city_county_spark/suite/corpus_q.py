@@ -344,10 +344,27 @@ def _dsir_oracle() -> str:
     )
 
 
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style denoising prep: hash-deterministic ~20% token masking
+    with numbered sentinels, emitting (inputs, targets) seq2seq pairs
+    — reproducible across runs, engines, and partitionings."""
+    from gis_city_county_spark.operators.corpus import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption(docs, "doc_id", "text", mask_rate_denom=5)
+
+
+def _span_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import span_corruption_sql
+
+    return span_corruption_sql("SELECT * FROM documents", "doc_id", "text", 5)
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_bpe_encode", q_bpe_encode, _bpe_encode_oracle()),
     QuerySpec("corpus_dsir_weights", q_dsir_weights, _dsir_oracle()),
+    QuerySpec("corpus_span_corruption", q_span_corruption, _span_oracle()),
     QuerySpec("mlprep_hash_features", q_hash_features, _hash_features_oracle()),
     QuerySpec("mlprep_one_hot_segments", q_one_hot, _ONE_HOT_ORACLE),
     QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),

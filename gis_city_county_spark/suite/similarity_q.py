@@ -59,6 +59,56 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation eval: recall@5 of brute-force
+    search over the FIRST 16 dims against the full-64-dim ground
+    truth, per probe — the dimension-budget study run before shipping
+    truncated embeddings (4× memory/compute savings priced in lost
+    recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    probes_full = emb.filter(F.col("vec_id") % 50 == 0)
+    probes_trunc = trunc.filter(F.col("vec_id") % 50 == 0)
+    bf = cosine_topk(emb, probes_full, "vec_id", "embedding", k=5)
+    tr = cosine_topk(trunc, probes_trunc, "vec_id", "embedding", k=5)
+    hits = (
+        bf.join(tr, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        bf.select("probe_id")
+        .distinct()
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)
+            ).alias("recall"),
+        )
+    )
+
+
+_TRUNC_TABLE = "(SELECT vec_id, list_slice(embedding, 1, 16) AS embedding FROM embeddings)"
+
+_MATRYOSHKA_ORACLE = f"""
+WITH bf AS (SELECT * FROM ({cosine_topk_sql("embeddings", "vec_id", "embedding", "p.vec_id % 50 = 0", k=5)})),
+tr AS (SELECT * FROM ({cosine_topk_sql(_TRUNC_TABLE, "vec_id", "embedding", "p.vec_id % 50 = 0", k=5)})),
+hits AS (
+  SELECT bf.probe_id, COUNT(*) AS n_hits
+  FROM bf JOIN tr USING (probe_id, neighbor_id) GROUP BY bf.probe_id
+)
+SELECT p.probe_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+FROM (SELECT DISTINCT probe_id FROM bf) p
+LEFT JOIN hits h USING (probe_id)
+"""
+
+
 def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations refining the deterministic seed codebook
     over the embeddings — iterative ML as a relational program with
@@ -206,5 +256,6 @@ SPECS = [
     ),
     QuerySpec("func_vector_ops", q_vector_ops, _VECOPS_ORACLE),
     QuerySpec("sim_ann_recall", q_ann_recall, _RECALL_ORACLE),
+    QuerySpec("sim_matryoshka_recall", q_matryoshka_recall, _MATRYOSHKA_ORACLE),
     QuerySpec("sim_quantize_report", q_quantize_report, _QUANT_ORACLE),
 ]

@@ -126,6 +126,8 @@ _BNLJ_ALLOWED = {
     "pipeline_mixture_resample",
     "pipeline_mixture_upsample",
     "sim_ann_recall",
+    # same brute-force-baseline shape as sim_ann_recall, twice
+    "sim_matryoshka_recall",
     # 1-row broadcast scalar attachments (n_rows/n_docs totals, the
     # 16 KB bloom bitset): the "cross join" side is a single row by
     # construction, the canonical way to ride a global scalar along a
