@@ -142,8 +142,39 @@ def _bfs_oracle() -> str:
 _BFS_ORACLE = _bfs_oracle()
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution of the trade graph in powers-of-two
+    bands (plus exact min/max degree per band) — the structure scan
+    run before choosing partition/skew strategies for graph
+    algorithms; hubs live in the top bands."""
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    band = F.floor(F.log2("deg")).cast("long")
+    return (
+        deg.withColumn("band", band)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+    )
+
+
+# floor(log2(n)) over positive integers is exact in double for any
+# realistic degree, and both engines evaluate the identical log2.
+_DEGREE_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+SELECT CAST(FLOOR(log2(deg)) AS BIGINT) AS band,
+       COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+FROM deg GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
+    QuerySpec("graph_degree_histogram", q_degree_histogram, _DEGREE_ORACLE),
     QuerySpec("graph_triangle_count", q_triangle_count, _TRI_ORACLE),
     QuerySpec("graph_bfs_hops", q_bfs_hops, _BFS_ORACLE),
 ]

@@ -1514,6 +1514,58 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_PK_CANDIDATES = [
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
+    ("lineitem", ["l_orderkey"]),
+]
+
+
+def q_pk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key candidate audit: for each proposed key, row count,
+    distinct count, and how many key values collide — the constraint
+    checker engines without enforced PKs (Spark included) run before
+    trusting a key for joins/merges. One aggregate per candidate,
+    unioned; each is map-side combinable."""
+    frames = []
+    for table, cols in _PK_CANDIDATES:
+        df = load_table(spark, sf_dir, table)
+        per_key = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("__c"))
+        frames.append(
+            per_key.agg(
+                F.lit(table + ":" + "+".join(cols)).alias("candidate"),
+                F.sum("__c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias(
+                    "n_dup_keys"
+                ),
+                (F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)) == 0).alias(
+                    "is_unique"
+                ),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _pk_audit_oracle() -> str:
+    parts = []
+    for table, cols in _PK_CANDIDATES:
+        keys = ", ".join(cols)
+        name = table + ":" + "+".join(cols)
+        parts.append(
+            f"""SELECT '{name}' AS candidate,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS is_unique
+FROM (SELECT {keys}, COUNT(*) AS c FROM {table} GROUP BY {keys})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured Bloom false-positive rate at the prefilter's operating
     point (2^14 bits, 3 hashes, the %31 order subset as members) —
@@ -1670,4 +1722,5 @@ SPECS = [
     QuerySpec("scale_salted_join", q_salted_join, _SALTED_ORACLE),
     QuerySpec("gate_benford_audit", q_benford_audit, _benford_oracle()),
     QuerySpec("scale_bloom_fpr", q_bloom_fpr, _bloom_fpr_oracle()),
+    QuerySpec("gate_pk_audit", q_pk_audit, _pk_audit_oracle()),
 ]
