@@ -659,3 +659,54 @@ SELECT c.a_id, c.b_id, i.n_inter, c.n_a, c.n_b,
 FROM cand c JOIN inter i ON c.a_id = i.a_id AND c.b_id = i.b_id
 WHERE i.n_inter * {tau_den} >= (c.n_a + c.n_b - i.n_inter) * {tau_num}
 """
+
+
+def novelty_scores(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document novelty against everything *earlier* in the corpus
+    (ordered by id): the fraction of the document's distinct k-gram
+    shingles whose FIRST occurrence belongs to an earlier document —
+    the redundancy curve used to decide where dedup stops paying
+    (novelty → 0 means the tail is re-crawls and boilerplate).
+
+    Relational shape: the distinct shingle relation, a min-id
+    aggregate per shingle (first owner), and a join back — shuffle
+    keys are shingles only; exact integer ppm.
+
+    Output: ``(id, n_shingles, n_seen_before, novelty_ppm)``."""
+    sh = shingle_df(df, id_col, text_col, k)
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    joined = sh.join(first, "shingle")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("__first") < F.col(id_col)).cast("long")
+            ).alias("n_seen_before"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr(
+                "(CAST(n_shingles - n_seen_before AS DECIMAL(38,0)) * 1000000)"
+                " div n_shingles"
+            ).cast("long"),
+        )
+    )
+
+
+def novelty_scores_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    """DuckDB oracle twin of :func:`novelty_scores`."""
+    return f"""
+WITH sh AS ({shingle_sql(table, id_col, text_col, k)}),
+first AS (SELECT shingle, MIN({id_col}) AS first_id FROM sh GROUP BY shingle)
+SELECT sh.{id_col}, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN first.first_id < sh.{id_col} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen_before,
+       CAST(CAST((COUNT(*) - SUM(CASE WHEN first.first_id < sh.{id_col}
+                                      THEN 1 ELSE 0 END)) AS HUGEINT)
+            * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN first USING (shingle)
+GROUP BY sh.{id_col}
+"""

@@ -250,8 +250,25 @@ GROUP BY d.lang
 """
 
 
+def q_novelty(spark, sf_dir):
+    """Per-document novelty vs everything earlier (fraction of 3-gram
+    shingles first seen in an earlier doc) — the corpus redundancy
+    curve that tells you where dedup stops paying."""
+    from gis_city_county_spark.operators.dedup import novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_scores(docs, "doc_id", "text", k=3)
+
+
+def _novelty_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import novelty_scores_sql
+
+    return novelty_scores_sql("documents", "doc_id", "text", 3)
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
+    QuerySpec("corpus_novelty_scores", q_novelty, _novelty_oracle()),
     QuerySpec(
         "dedup_connected_components",
         q_components,
