@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.dedup import (
     dedup_components,
@@ -266,9 +267,71 @@ def _novelty_oracle() -> str:
     return novelty_scores_sql("documents", "doc_id", "text", 3)
 
 
+def q_source_similarity(spark, sf_dir):
+    """Exact Jaccard similarity matrix between SOURCES' 3-gram
+    shingle sets (one row per source pair) — the corpus-composition
+    scan that finds mirrored/overlapping feeds before per-document
+    dedup even starts. Shuffle keys are shingles; the matrix is
+    |sources|² bounded."""
+    from gis_city_county_spark.operators.dedup import shingle_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_df(
+        docs.select(F.col("source"), F.col("text")), "source", "text", k=3
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "shingle")
+    b = sh.select(F.col("source").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr(
+                "CAST((CAST(n_inter AS DECIMAL(38,0)) * 1000000)"
+                " div (n_a + n_b - n_inter) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def _source_sim_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import shingle_sql
+
+    return f"""
+WITH sh AS ({shingle_sql("(SELECT source, text FROM documents)", "source", "text", 3)}),
+sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+       CAST(CAST(n_inter AS HUGEINT) * 1000000
+            // (sa.n + sb.n - n_inter) AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
     QuerySpec("corpus_novelty_scores", q_novelty, _novelty_oracle()),
+    QuerySpec("corpus_source_similarity", q_source_similarity, _source_sim_oracle()),
     QuerySpec(
         "dedup_connected_components",
         q_components,

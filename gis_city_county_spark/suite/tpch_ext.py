@@ -1514,6 +1514,77 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by revenue,
+    cumulative revenue share in exact ppm (decimal-windowed cumsum —
+    windowed double sums are NOT engine-exact), classed A/B/C at
+    70%/90%. Output: per class, part count and revenue share bounds."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,10)"
+            )
+        ).alias("__rev")
+    )
+    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
+    total = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "__rev",
+        F.sum(F.col("__rev").cast("decimal(28,10)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__cum"),
+        F.sum(F.col("__rev").cast("decimal(28,10)")).over(total).alias("__tot"),
+    )
+    # scale the decimals to exact integers (×10^10) before the ppm
+    # division — casting a decimal straight to a big integer would
+    # floor away the fraction first
+    share_ppm = F.expr(
+        "CAST((CAST(__cum * 10000000000 AS DECIMAL(38,0)) * 1000000)"
+        " div CAST(__tot * 10000000000 AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    classed = ranked.withColumn("cum_ppm", share_ppm).withColumn(
+        "abc_class",
+        F.when(F.col("cum_ppm") <= 700000, "A")
+        .when(F.col("cum_ppm") <= 900000, "B")
+        .otherwise("C"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("cum_ppm").alias("min_cum_ppm"),
+        F.max("cum_ppm").alias("max_cum_ppm"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS r
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT l_partkey, r,
+         SUM(CAST(r AS DECIMAL(28,10))) OVER (ORDER BY r DESC, l_partkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(r AS DECIMAL(28,10))) OVER () AS tot
+  FROM rev
+),
+classed AS (
+  SELECT CAST(CAST(cum * 10000000000 AS HUGEINT) * 1000000
+              // CAST(tot * 10000000000 AS HUGEINT) AS BIGINT) AS cum_ppm
+  FROM ranked
+)
+SELECT CASE WHEN cum_ppm <= 700000 THEN 'A'
+            WHEN cum_ppm <= 900000 THEN 'B' ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       MIN(cum_ppm) AS min_cum_ppm, MAX(cum_ppm) AS max_cum_ppm
+FROM classed GROUP BY 1
+"""
+
+
 _PK_CANDIDATES = [
     ("orders", ["o_orderkey"]),
     ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
@@ -1723,4 +1794,5 @@ SPECS = [
     QuerySpec("gate_benford_audit", q_benford_audit, _benford_oracle()),
     QuerySpec("scale_bloom_fpr", q_bloom_fpr, _bloom_fpr_oracle()),
     QuerySpec("gate_pk_audit", q_pk_audit, _pk_audit_oracle()),
+    QuerySpec("olap_pareto_abc", q_pareto_abc, _PARETO_ORACLE),
 ]
