@@ -20,6 +20,7 @@ import re
 # Module-level so pandas-UDF type hints (stringized by the __future__
 # annotations import) resolve through this module's globals.
 import pandas as pd
+from collections.abc import Iterator  # noqa: F401  (pandas-UDF hints)
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -302,4 +303,38 @@ SELECT {group_col}, COUNT(*) AS n,
        CAST(MAX({value_col}) AS DOUBLE) AS max_value,
        CAST(SUM(CAST(FLOOR({value_col}) AS BIGINT)) AS BIGINT) AS sum_floor
 FROM ({table_sql}) GROUP BY {group_col}
+"""
+
+
+def scalar_iter_text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SCALAR_ITER pandas-UDF witness: per-row text features through
+    the iterator-batched scalar surface — the variant that amortizes
+    one-time setup (model load, tokenizer init) across every Arrow
+    batch of a partition instead of paying it per batch. The stand-in
+    'model' here is a closure-initialized vowel table; outputs are
+    exact integers."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def vowel_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        vowels = set("aeiou")  # "expensive setup", once per partition
+        for s in batches:
+            yield s.map(lambda t: sum(1 for ch in t if ch in vowels))
+
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        vowel_count(F.col(text_col)).alias("n_vowels"),
+    )
+
+
+def scalar_iter_text_stats_sql(table_sql: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle twin of :func:`scalar_iter_text_stats`."""
+    return f"""
+SELECT {id_col},
+       CAST(length({text_col}) AS BIGINT) AS n_chars,
+       CAST(length({text_col})
+            - length(regexp_replace({text_col}, '[aeiou]', '', 'g')) AS BIGINT)
+         AS n_vowels
+FROM ({table_sql})
 """

@@ -344,6 +344,22 @@ def _dsir_oracle() -> str:
     )
 
 
+def q_scalar_iter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas-UDF witness: iterator-batched per-row text
+    features with closure-amortized setup (the model-loading surface
+    of the pandas-UDF family)."""
+    from gis_city_county_spark.operators.pyapi import scalar_iter_text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scalar_iter_text_stats(docs, "doc_id", "text")
+
+
+def _scalar_iter_oracle() -> str:
+    from gis_city_county_spark.operators.pyapi import scalar_iter_text_stats_sql
+
+    return scalar_iter_text_stats_sql("SELECT * FROM documents", "doc_id", "text")
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style denoising prep: hash-deterministic ~20% token masking
     with numbered sentinels, emitting (inputs, targets) seq2seq pairs
@@ -365,6 +381,7 @@ SPECS = [
     QuerySpec("corpus_bpe_encode", q_bpe_encode, _bpe_encode_oracle()),
     QuerySpec("corpus_dsir_weights", q_dsir_weights, _dsir_oracle()),
     QuerySpec("corpus_span_corruption", q_span_corruption, _span_oracle()),
+    QuerySpec("pyapi_scalar_iter_stats", q_scalar_iter_stats, _scalar_iter_oracle()),
     QuerySpec("mlprep_hash_features", q_hash_features, _hash_features_oracle()),
     QuerySpec("mlprep_one_hot_segments", q_one_hot, _ONE_HOT_ORACLE),
     QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),

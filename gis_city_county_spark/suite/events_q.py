@@ -700,8 +700,64 @@ def _arrow_group_oracle() -> str:
     )
 
 
+def q_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split 50/50 into control/
+    treatment (md5 — assignment survives reruns and re-partitioning),
+    per-event-type decimal-exact means per arm and the uplift
+    difference. The experimentation primitive every product pipeline
+    ships."""
+    from gis_city_county_spark.functions.numeric import dec_avg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "arm",
+        F.expr(
+            "CASE WHEN cast(conv(substring(md5(cast(user_id as string)), 25, 8),"
+            " 16, 10) as bigint) % 2 = 0 THEN 'control' ELSE 'treatment' END"
+        ),
+    )
+    per_arm = ev.groupBy("event_type", "arm").agg(
+        F.count(F.lit(1)).alias("n"), dec_avg(F.col("value"), "mean_value")
+    )
+    c = per_arm.filter(F.col("arm") == "control").select(
+        "event_type",
+        F.col("n").alias("n_control"),
+        F.col("mean_value").alias("mean_control"),
+    )
+    t = per_arm.filter(F.col("arm") == "treatment").select(
+        "event_type",
+        F.col("n").alias("n_treatment"),
+        F.col("mean_value").alias("mean_treatment"),
+    )
+    return c.join(t, "event_type").withColumn(
+        "uplift", F.col("mean_treatment") - F.col("mean_control")
+    )
+
+
+def _ab_uplift_oracle() -> str:
+    from gis_city_county_spark.functions.numeric import dec_avg_sql
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 25, 8))::BIGINT
+                   % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+  FROM events
+),
+per_arm AS (
+  SELECT event_type, arm, COUNT(*) AS n, {dec_avg_sql("value", "mean_value")}
+  FROM ev GROUP BY 1, 2
+)
+SELECT c.event_type, c.n AS n_control, c.mean_value AS mean_control,
+       t.n AS n_treatment, t.mean_value AS mean_treatment,
+       t.mean_value - c.mean_value AS uplift
+FROM per_arm c JOIN per_arm t USING (event_type)
+WHERE c.arm = 'control' AND t.arm = 'treatment'
+"""
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
+    QuerySpec("eval_ab_uplift", q_ab_uplift, _ab_uplift_oracle()),
     QuerySpec("pyapi_arrow_group_stats", q_arrow_group_stats, _arrow_group_oracle()),
     QuerySpec("events_hopping_window", q_hopping, _HOPPING_ORACLE),
     QuerySpec("events_session_window_native", q_session_window_native, _SESSION_NATIVE_ORACLE),
