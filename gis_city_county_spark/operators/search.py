@@ -443,3 +443,90 @@ SELECT id AS {id_col}, COUNT(*) AS n_hits
 FROM m GROUP BY 1
 ORDER BY n_hits DESC, id ASC LIMIT {k}
 """
+
+
+def proximity_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    term_a: str,
+    term_b: str,
+    within: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Proximity search: documents where ``term_a`` and ``term_b``
+    occur within ``within`` token positions of each other (either
+    order), ranked by pair count then closest distance — the NEAR/k
+    operator between conjunctive AND (no position constraint) and
+    exact phrase (distance exactly 1, fixed order).
+
+    Same positional-postings shape as :func:`phrase_search`: each
+    term's postings are a thin pre-filtered relation and the pairing
+    is an equi-join on the doc id with the distance bound as a join
+    condition — never a corpus-wide product. Exact integers.
+
+    Output: ``(id, n_pairs, min_dist, rank)``."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    a = toks.filter(F.col("tok") == term_a).select("__id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("tok") == term_b).select(
+        F.col("__id").alias("__idb"), F.col("pos").alias("pb")
+    )
+    dist = F.abs(F.col("pa") - F.col("pb"))
+    pairs = a.join(
+        b,
+        (F.col("__id") == F.col("__idb")) & (dist <= within) & (dist >= 1),
+    )
+    w_rank = F.row_number().over(
+        Window.orderBy(
+            F.col("n_pairs").desc(), F.col("min_dist").asc(), F.col(id_col).asc()
+        )
+    )
+    agg = (
+        pairs.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_dist"),
+        )
+        .select(F.col("__id").alias(id_col), "n_pairs", "min_dist")
+        .orderBy(F.col("n_pairs").desc(), F.col("min_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return agg.withColumn("rank", w_rank)
+
+
+def proximity_search_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    term_a: str,
+    term_b: str,
+    within: int = 3,
+    k: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`proximity_search`."""
+    qa = "'" + term_a.replace("'", "''") + "'"
+    qb = "'" + term_b.replace("'", "''") + "'"
+    return f"""
+WITH s AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS tl FROM ({table_sql})),
+toks AS (
+  SELECT id, g.i - 1 AS pos, tl[g.i] AS tok
+  FROM s, LATERAL UNNEST(generate_series(1, len(tl))) AS g(i)
+),
+pairs AS (
+  SELECT a.id, abs(a.pos - b.pos) AS dist
+  FROM (SELECT id, pos FROM toks WHERE tok = {qa}) a
+  JOIN (SELECT id, pos FROM toks WHERE tok = {qb}) b
+    ON b.id = a.id AND abs(a.pos - b.pos) BETWEEN 1 AND {within}
+)
+SELECT id AS {id_col}, n_pairs, min_dist,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, min_dist ASC, id ASC)
+            AS INTEGER) AS rank
+FROM (
+  SELECT id, COUNT(*) AS n_pairs, CAST(MIN(dist) AS BIGINT) AS min_dist
+  FROM pairs GROUP BY id
+  ORDER BY n_pairs DESC, min_dist ASC, id ASC LIMIT {k}
+) t
+"""

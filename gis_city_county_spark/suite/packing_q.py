@@ -138,12 +138,31 @@ _PHRASE_ORACLE = phrase_search_sql(
 )
 
 
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/3 proximity search: documents where 'spark' and 'join'
+    occur within 3 tokens (either order), ranked by pair count then
+    closest distance — the operator between AND and exact phrase."""
+    from gis_city_county_spark.operators.search import proximity_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return proximity_search(docs, "doc_id", "text", "spark", "join", within=3, k=20)
+
+
+def _proximity_oracle() -> str:
+    from gis_city_county_spark.operators.search import proximity_search_sql
+
+    return proximity_search_sql(
+        "SELECT * FROM documents", "doc_id", "text", "spark", "join", 3, 20
+    )
+
+
 SPECS = [
     QuerySpec("pipeline_quota_sample", q_quota, _QUOTA_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pack, _PACK_ORACLE),
     QuerySpec("search_tfidf_topk", q_tfidf, _TFIDF_ORACLE),
     QuerySpec("search_conjunctive", q_conjunctive, _CONJ_ORACLE),
     QuerySpec("search_phrase", q_phrase, _PHRASE_ORACLE),
+    QuerySpec("search_proximity", q_proximity, _proximity_oracle()),
     QuerySpec("search_fuzzy_name_lookup", q_fuzzy, _FUZZY_ORACLE),
     QuerySpec("search_fuzzy_join_blocked", q_fuzzy_blocked, _FUZZY_BLOCKED_ORACLE),
 ]
