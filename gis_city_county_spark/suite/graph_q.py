@@ -172,9 +172,75 @@ FROM deg GROUP BY 1
 """
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction between sampled supplier
+    pairs: suppliers sharing many customers are likely future trade
+    partners. Scores = shared-customer count and exact neighborhood
+    Jaccard (ppm) for every sampled supplier pair with ≥1 shared
+    customer — all via one self-join on the shared-neighbor key, the
+    standard CN/Jaccard link-prediction program."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+        .filter(F.col("s") % 20 == 0)
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = edges.select(F.col("s").alias("sa"), "c")
+    b = edges.select(F.col("s").alias("sb"), "c")
+    cn = (
+        a.join(b, "c")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("n").alias("n_a"))
+    db = deg.select(F.col("s").alias("sb"), F.col("n").alias("n_b"))
+    return (
+        cn.join(da, "sa")
+        .join(db, "sb")
+        .select(
+            "sa",
+            "sb",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((CAST(n_common AS DECIMAL(38,0)) * 1000000)"
+                " div (n_a + n_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+_LINKPRED_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 20 = 0
+),
+deg AS (SELECT s, COUNT(*) AS n FROM edges GROUP BY s),
+cn AS (
+  SELECT a.s AS sa, b.s AS sb, COUNT(*) AS n_common
+  FROM edges a JOIN edges b USING (c)
+  WHERE a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT sa, sb, n_common, da.n AS n_a, db.n AS n_b,
+       CAST(CAST(n_common AS HUGEINT) * 1000000
+            // (da.n + db.n - n_common) AS BIGINT) AS jaccard_ppm
+FROM cn
+JOIN deg da ON da.s = sa
+JOIN deg db ON db.s = sb
+"""
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
     QuerySpec("graph_degree_histogram", q_degree_histogram, _DEGREE_ORACLE),
+    QuerySpec("graph_link_prediction", q_link_prediction, _LINKPRED_ORACLE),
     QuerySpec("graph_triangle_count", q_triangle_count, _TRI_ORACLE),
     QuerySpec("graph_bfs_hops", q_bfs_hops, _BFS_ORACLE),
 ]
