@@ -1514,6 +1514,70 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period rank movement: parts ranked by revenue in
+    1995 vs 1996, joined on part, biggest climbers by rank delta
+    (ties → lowest part key). Two windowed rankings + one join — the
+    'top movers' BI report, exact integers throughout."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def year_rank(year: str):
+        rev = (
+            li.filter(
+                (F.col("l_shipdate") >= f"{year}-01-01")
+                & (F.col("l_shipdate") < f"{int(year) + 1}-01-01")
+            )
+            .groupBy("l_partkey")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,10)"
+                    )
+                ).alias("__rev")
+            )
+        )
+        w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
+        return rev.select(
+            "l_partkey", F.row_number().over(w).alias(f"rank_{year}")
+        )
+
+    joined = year_rank("1995").join(year_rank("1996"), "l_partkey")
+    return (
+        joined.withColumn("rank_delta", F.col("rank_1995") - F.col("rank_1996"))
+        .orderBy(F.col("rank_delta").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+_TOP_MOVERS_ORACLE = """
+WITH r95 AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,10))) DESC, l_partkey ASC) AS rank_1995
+  FROM lineitem
+  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+  GROUP BY l_partkey
+),
+r96 AS (
+  SELECT l_partkey,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,10))) DESC, l_partkey ASC) AS rank_1996
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(rank_1995 AS INTEGER) AS rank_1995,
+       CAST(rank_1996 AS INTEGER) AS rank_1996,
+       CAST(rank_1995 - rank_1996 AS INTEGER) AS rank_delta
+FROM r95 JOIN r96 USING (l_partkey)
+ORDER BY rank_delta DESC, l_partkey ASC LIMIT 20
+"""
+
+
 def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC inventory classification: parts ranked by revenue,
     cumulative revenue share in exact ppm (decimal-windowed cumsum —
@@ -1795,4 +1859,5 @@ SPECS = [
     QuerySpec("scale_bloom_fpr", q_bloom_fpr, _bloom_fpr_oracle()),
     QuerySpec("gate_pk_audit", q_pk_audit, _pk_audit_oracle()),
     QuerySpec("olap_pareto_abc", q_pareto_abc, _PARETO_ORACLE),
+    QuerySpec("olap_top_movers", q_top_movers, _TOP_MOVERS_ORACLE),
 ]
