@@ -59,6 +59,68 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe, the
+    3 highest-cosine vectors with a DIFFERENT label — near the anchor
+    in embedding space but semantically wrong, exactly the negatives
+    that make a retriever train (random negatives are too easy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    from gis_city_county_spark.operators.similarity import dot_product
+
+    from pyspark.sql import Window
+
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("__cv"),
+    ).withColumn("__cn2", dot_product(F.col("__cv"), F.col("__cv")))
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("embedding").alias("__pv"),
+    ).withColumn("__pn2", dot_product(F.col("__pv"), F.col("__pv")))
+    cos = dot_product(F.col("__cv"), F.col("__pv")) / (
+        F.sqrt("__pn2") * F.sqrt("__cn2")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("n_label") != F.col("p_label"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "p_label", "neighbor_id", "n_label", "rank", "cosine")
+    )
+
+
+_HARD_NEG_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS n2 FROM e),
+scored AS (
+  SELECT p.vec_id AS probe_id, p.label AS p_label,
+         c.vec_id AS neighbor_id, c.label AS n_label,
+         list_dot_product(c.v, p.v) / (sqrt(p.n2) * sqrt(c.n2)) AS cosine
+  FROM n c, n p
+  WHERE p.vec_id % 50 = 0 AND c.label != p.label
+)
+SELECT probe_id, p_label, neighbor_id, n_label,
+       CAST(rank AS INTEGER) AS rank, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) t
+WHERE rank <= 3
+"""
+
+
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation eval: recall@5 of brute-force
     search over the FIRST 16 dims against the full-64-dim ground
@@ -257,5 +319,6 @@ SPECS = [
     QuerySpec("func_vector_ops", q_vector_ops, _VECOPS_ORACLE),
     QuerySpec("sim_ann_recall", q_ann_recall, _RECALL_ORACLE),
     QuerySpec("sim_matryoshka_recall", q_matryoshka_recall, _MATRYOSHKA_ORACLE),
+    QuerySpec("pipeline_hard_negatives", q_hard_negatives, _HARD_NEG_ORACLE),
     QuerySpec("sim_quantize_report", q_quantize_report, _QUANT_ORACLE),
 ]

@@ -128,6 +128,9 @@ _BNLJ_ALLOWED = {
     "sim_ann_recall",
     # same brute-force-baseline shape as sim_ann_recall, twice
     "sim_matryoshka_recall",
+    # brute-force probe × corpus scan IS hard-negative mining's
+    # baseline (the LSH-bucketed path applies unchanged when needed)
+    "pipeline_hard_negatives",
     # 1-row broadcast scalar attachments (n_rows/n_docs totals, the
     # 16 KB bloom bitset): the "cross join" side is a single row by
     # construction, the canonical way to ride a global scalar along a
