@@ -348,6 +348,68 @@ def _confusion_oracle() -> str:
     )
 
 
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase credits the
+    user's most recent click/view within the 1-day lookback (as-of
+    join with tolerance); purchases with no touch fall in 'none'.
+    Output: per channel, attributed purchase count + decimal-exact
+    revenue."""
+    from gis_city_county_spark.functions.numeric import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    marketing = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", F.col("event_type").alias("channel")
+    )
+    attributed = asof_join(
+        purchases,
+        marketing,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["channel", "event_id"],
+        right_tiebreak="event_id",
+        tolerance_seconds=86400.0,
+    )
+    return attributed.groupBy(
+        F.coalesce(F.col("channel_r"), F.lit("none")).alias("channel")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dec_sum(F.col("value"), "revenue"),
+    )
+
+
+def _last_touch_oracle() -> str:
+    from gis_city_county_spark.functions.numeric import dec_sum_sql
+
+    return """
+WITH p AS (
+  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts,
+         event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+cand AS (
+  SELECT p.event_id, m.channel,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY m.ts DESC, m.event_id DESC) AS rn
+  FROM p JOIN m ON m.user_id = p.user_id AND m.ts <= p.ts
+   AND epoch_us(m.ts) >= epoch_us(p.ts) - 86400000000
+),
+best AS (SELECT event_id, channel FROM cand WHERE rn = 1)
+SELECT COALESCE(best.channel, 'none') AS channel,
+       COUNT(*) AS n_purchases,
+       """ + dec_sum_sql("p.value", "revenue") + """
+FROM p LEFT JOIN best USING (event_id)
+GROUP BY 1
+"""
+
+
 _FUNNEL_STAGES = ["signup", "click", "purchase"]
 
 
@@ -374,6 +436,7 @@ def _bounded_funnel_oracle() -> str:
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
+    QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_pattern_match", q_pattern_match, _PATTERN_ORACLE),
     QuerySpec("profile_mad_outliers", q_mad_outliers, _mad_oracle()),
     QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
