@@ -1269,7 +1269,8 @@ SELECT id AS {id_col},
        CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
        string_agg(CASE WHEN m THEN '<extra_id_' || CAST(sid AS VARCHAR) || '>'
                        ELSE tok END, ' ' ORDER BY pos) AS inputs,
-       string_agg(CASE WHEN m THEN '<extra_id_' || CAST(sid AS VARCHAR) || '> ' || tok
-                  END, ' ' ORDER BY pos) AS targets
+       COALESCE(string_agg(
+           CASE WHEN m THEN '<extra_id_' || CAST(sid AS VARCHAR) || '> ' || tok END,
+           ' ' ORDER BY pos), '') AS targets
 FROM numbered GROUP BY id
 """
