@@ -417,6 +417,79 @@ def _attach_spark(spark):
         test_interval_union_matches_bruteforce,
         test_clamped_balance_matches_sequential,
         test_bounded_funnel_matches_bruteforce,
+        test_grid_knn_neighbor_cells_complete,
     ):
         fn.spark = spark
     yield
+
+
+@settings(**EX)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+def test_grid_knn_neighbor_cells_complete(a_pts, b_pts):
+    """The 3×3 neighbor-cell equi-join finds EXACTLY the within-radius
+    pairs brute force finds (cell size = radius guarantees coverage),
+    and per-probe ranks follow (dist², id)."""
+    from pyspark.sql import Window
+
+    spark = test_grid_knn_neighbor_cells_complete.spark
+    r = 7.0
+    a = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(a_pts)],
+        "aid long, ax double, ay double",
+    )
+    b = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(b_pts)],
+        "bid long, bx double, by double",
+    )
+    bc = b.withColumns(
+        {
+            "cx": F.floor(F.col("bx") / r).cast("long"),
+            "cy": F.floor(F.col("by") / r).cast("long"),
+        }
+    )
+    probes = a.select(
+        "aid", "ax", "ay",
+        F.explode(
+            F.expr(f"sequence(CAST(floor(ax/{r}) AS BIGINT) - 1, CAST(floor(ax/{r}) AS BIGINT) + 1)")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(CAST(floor(ay/{r}) AS BIGINT) - 1, CAST(floor(ay/{r}) AS BIGINT) + 1)")
+        ).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    got = {
+        (row.aid, row.bid)
+        for row in probes.join(bc, ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= r * r)
+        .select("aid", "bid")
+        .collect()
+    }
+    want = {
+        (i, j)
+        for i, (x1, y1) in enumerate(a_pts)
+        for j, (x2, y2) in enumerate(b_pts)
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
+    }
+    assert got == want
