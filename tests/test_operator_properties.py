@@ -418,6 +418,7 @@ def _attach_spark(spark):
         test_clamped_balance_matches_sequential,
         test_bounded_funnel_matches_bruteforce,
         test_grid_knn_neighbor_cells_complete,
+        test_bitmap_distinct_exact_and_partition_independent,
     ):
         fn.spark = spark
     yield
@@ -493,3 +494,36 @@ def test_grid_knn_neighbor_cells_complete(a_pts, b_pts):
         if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
     }
     assert got == want
+
+
+@settings(**EX)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bitmap_distinct_exact_and_partition_independent(rows):
+    """Bitmap popcount distinct equals countDistinct on any data and
+    any physical partitioning."""
+    from gis_city_county_spark.operators.sketch import bitmap_distinct
+
+    spark = test_bitmap_distinct_exact_and_partition_independent.spark
+    df = spark.createDataFrame(rows, "g string, id long")
+    got = {
+        r.g: r.n_distinct
+        for r in bitmap_distinct(df, ["g"], "id").collect()
+    }
+    got_re = {
+        r.g: r.n_distinct
+        for r in bitmap_distinct(df.repartition(7), ["g"], "id").collect()
+    }
+    want = {}
+    for g, i in rows:
+        want.setdefault(g, set()).add(i)
+    want = {g: len(s) for g, s in want.items()}
+    assert got == want == got_re

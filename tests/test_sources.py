@@ -337,3 +337,17 @@ def test_expect_schema_contract(spark):
         expect_schema(df, "id int, name string")
     with pytest.raises(GateError, match="unexpected column name"):
         expect_schema(df, "id bigint")
+
+
+def test_feature_service_pages_abort_cleans_staging(spark, tmp_path):
+    """A failing write aborts: no committed pages, no staged residue."""
+    from gis_city_county_spark.sources.feature_service import FeatureServicePages
+
+    spark.dataSource.register(FeatureServicePages)
+    dest = str(tmp_path / "abort_pages")
+    # bytes are not JSON-serializable -> every task raises in write()
+    bad = spark.range(4).selectExpr("CAST('x' AS BINARY) AS payload")
+    with pytest.raises(Exception):
+        bad.write.format("feature_service_pages").option("path", dest).save()
+    leftover = os.listdir(dest) if os.path.exists(dest) else []
+    assert not [f for f in leftover if f.endswith(".json") and not f.startswith(".")]
