@@ -1126,3 +1126,127 @@ SELECT k AS {key_col}, t AS {tiebreak_col}, d AS delta,
             AS DOUBLE) AS balance
 FROM runm
 """
+
+
+def km_survival(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    class_col: str,
+    terminal_class: str,
+    cohort_col,
+) -> DataFrame:
+    """Kaplan-Meier final survival probability per cohort — survival
+    analysis as a relational program: each key's duration runs from
+    its first to its last event; the last event being
+    ``terminal_class`` marks the event observed, anything else is
+    right-censored. S = ∏(1 − dᵢ/nᵢ) over event times, with the
+    product evaluated as a canonical (sorted) fold so both engines
+    multiply the identical IEEE sequence — the multiplicative sibling
+    of the sorted-sum convention.
+
+    Shape: one per-key reduce, one (cohort, duration) aggregate, one
+    cumulative window for the at-risk counts, one fold per cohort —
+    everything partitioned by cohort.
+
+    Output: ``(cohort, n_keys, n_observed, final_survival)``."""
+    us = F.unix_micros(F.col(ts_col))
+    per_key = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            cohort_col.alias("cohort"),
+            us.alias("__us"),
+            F.col(class_col).alias("__cls"),
+        )
+        .groupBy("__k", "cohort")
+        .agg(
+            ((F.max("__us") - F.min("__us")) / 1_000_000).cast("long").alias("dur"),
+            F.max(F.struct(F.col("__us"), F.col("__cls")))["__cls"].alias("__last"),
+        )
+        .withColumn("obs", (F.col("__last") == terminal_class).cast("long"))
+    )
+    cnt = per_key.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("obs").alias("n_obs")
+    )
+    w = Window.partitionBy("cohort").orderBy("dur")
+    risk = cnt.withColumn(
+        "__before",
+        F.coalesce(
+            F.sum("n_all").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "__n_total", F.sum("n_all").over(Window.partitionBy("cohort"))
+    )
+    at_risk = F.col("__n_total") - F.col("__before")
+    factored = risk.withColumn(
+        "factor",
+        F.when(
+            F.col("n_obs") > 0,
+            (at_risk - F.col("n_obs")).cast("double") / at_risk.cast("double"),
+        ),
+    )
+    folded = factored.groupBy("cohort").agg(
+        F.max("__n_total").alias("n_keys"),
+        F.sum("n_obs").alias("n_observed"),
+        F.aggregate(
+            F.concat(
+                F.array_sort(
+                    F.filter(F.collect_list("factor"), lambda x: x.isNotNull())
+                ),
+                F.array(F.lit(1.0)),
+            ),
+            F.lit(1.0),
+            lambda a, x: a * x,
+        ).alias("final_survival"),
+    )
+    return folded
+
+
+def km_survival_sql(
+    table_sql: str,
+    key_col: str,
+    ts_col: str,
+    class_col: str,
+    terminal_class: str,
+    cohort_expr: str,
+) -> str:
+    """DuckDB oracle twin of :func:`km_survival`."""
+    return f"""
+WITH base AS (
+  SELECT {key_col} AS k, {cohort_expr} AS cohort, epoch_us({ts_col}) AS us,
+         {class_col} AS cls
+  FROM ({table_sql})
+),
+per_key AS (
+  SELECT k, cohort,
+         CAST((MAX(us) - MIN(us)) / 1000000 AS BIGINT) AS dur,
+         CASE WHEN MAX(struct_pack(us := us, cls := cls)).cls = '{terminal_class}'
+              THEN 1 ELSE 0 END AS obs
+  FROM base GROUP BY k, cohort
+),
+cnt AS (
+  SELECT cohort, dur, COUNT(*) AS n_all, SUM(obs) AS n_obs
+  FROM per_key GROUP BY cohort, dur
+),
+risk AS (
+  SELECT cohort, dur, n_all, n_obs,
+         COALESCE(SUM(n_all) OVER (PARTITION BY cohort ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before_n,
+         SUM(n_all) OVER (PARTITION BY cohort) AS n_total
+  FROM cnt
+),
+factored AS (
+  SELECT cohort, n_total, n_obs,
+         CASE WHEN n_obs > 0
+              THEN CAST(n_total - before_n - n_obs AS DOUBLE)
+                   / CAST(n_total - before_n AS DOUBLE) END AS factor
+  FROM risk
+)
+SELECT cohort, CAST(MAX(n_total) AS BIGINT) AS n_keys,
+       CAST(SUM(n_obs) AS BIGINT) AS n_observed,
+       list_reduce(
+         list_append(list_sort(list(factor) FILTER (WHERE factor IS NOT NULL)), 1.0),
+         (a, b) -> a * b) AS final_survival
+FROM factored GROUP BY cohort
+"""

@@ -410,6 +410,28 @@ GROUP BY 1
 """
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier final survival per user cohort: a user 'survives'
+    if their last event isn't a purchase (right-censored); the product
+    of (1 − dᵢ/nᵢ) over event durations runs as a canonical sorted
+    fold — bit-equal across engines."""
+    from gis_city_county_spark.operators.temporal import km_survival
+
+    ev = load_table(spark, sf_dir, "events")
+    return km_survival(
+        ev, "user_id", "ts", "event_type", "purchase",
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long"),
+    )
+
+
+def _km_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import km_survival_sql
+
+    return km_survival_sql(
+        _EV_CTE, "user_id", "ts", "event_type", "purchase", "user_id % 4"
+    )
+
+
 _FUNNEL_STAGES = ["signup", "click", "purchase"]
 
 
@@ -437,6 +459,7 @@ SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
+    QuerySpec("events_km_survival", q_km_survival, _km_oracle()),
     QuerySpec("events_pattern_match", q_pattern_match, _PATTERN_ORACLE),
     QuerySpec("profile_mad_outliers", q_mad_outliers, _mad_oracle()),
     QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
