@@ -1514,6 +1514,49 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit on the order-key space: the 20 widest
+    missing-id ranges (lead over sorted distinct keys → holes) — the
+    completeness check for ingest pipelines fed by sequential ids;
+    a sudden wide gap means a dropped extract.
+
+    Scale note: the global-order window is single-partition here; at
+    100 TB partition the id space into fixed ranges (``key div B``),
+    find gaps within each range with a partitioned window, and handle
+    the B−1 range boundaries with a tiny per-range min/max frame —
+    same results, no global sort."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
+    w = Window.orderBy("o_orderkey")
+    gaps = (
+        orders.withColumn("__next", F.lead("o_orderkey").over(w))
+        .filter(F.col("__next") > F.col("o_orderkey") + 1)
+        .select(
+            (F.col("o_orderkey") + 1).alias("gap_start"),
+            (F.col("__next") - 1).alias("gap_end"),
+            (F.col("__next") - F.col("o_orderkey") - 1).alias("gap_len"),
+        )
+    )
+    return gaps.orderBy(F.col("gap_len").desc(), F.col("gap_start").asc()).limit(20)
+
+
+_SEQ_GAPS_ORACLE = """
+WITH k AS (SELECT DISTINCT o_orderkey FROM orders),
+gaps AS (
+  SELECT o_orderkey + 1 AS gap_start,
+         next_k - 1 AS gap_end,
+         next_k - o_orderkey - 1 AS gap_len
+  FROM (SELECT o_orderkey,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_k
+        FROM k)
+  WHERE next_k > o_orderkey + 1
+)
+SELECT gap_start, gap_end, gap_len
+FROM gaps ORDER BY gap_len DESC, gap_start ASC LIMIT 20
+"""
+
+
 def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period rank movement: parts ranked by revenue in
     1995 vs 1996, joined on part, biggest climbers by rank delta
@@ -1860,4 +1903,5 @@ SPECS = [
     QuerySpec("gate_pk_audit", q_pk_audit, _pk_audit_oracle()),
     QuerySpec("olap_pareto_abc", q_pareto_abc, _PARETO_ORACLE),
     QuerySpec("olap_top_movers", q_top_movers, _TOP_MOVERS_ORACLE),
+    QuerySpec("gate_sequence_gaps", q_sequence_gaps, _SEQ_GAPS_ORACLE),
 ]
