@@ -344,6 +344,49 @@ def _dsir_oracle() -> str:
     )
 
 
+def q_array_set_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra battery over token arrays: sorted distinct /
+    union / intersect / except against a fixed vocabulary, plus
+    contains/overlap flags — the nested-type surface a document
+    pipeline leans on (tag algebra, field merging). Results sorted so
+    both engines' set-op orderings normalize."""
+    from gis_city_county_spark.operators.textstats import tokens
+
+    vocab = F.array(*[F.lit(t) for t in ["table", "join", "scan", "vector"]])
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(tokens("text"), 1, 8)
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(toks)).alias("distinct_toks"),
+        F.array_sort(F.array_distinct(F.array_union(toks, vocab))).alias("union_v"),
+        F.array_sort(F.array_distinct(F.array_intersect(toks, vocab))).alias("inter_v"),
+        F.array_sort(F.array_distinct(F.array_except(toks, vocab))).alias("except_v"),
+        F.array_contains(toks, "table").alias("has_table"),
+        F.arrays_overlap(toks, vocab).alias("overlaps_v"),
+    )
+
+
+def _array_set_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_slice({tokens_sql("text")}, 1, 8) AS toks,
+         ['table', 'join', 'scan', 'vector'] AS vocab
+  FROM documents
+)
+SELECT doc_id,
+       list_sort(list_distinct(toks)) AS distinct_toks,
+       list_sort(list_distinct(list_concat(toks, vocab))) AS union_v,
+       list_sort(list_distinct(list_intersect(toks, vocab))) AS inter_v,
+       list_sort(list_distinct(list_filter(toks, x -> NOT list_contains(vocab, x))))
+         AS except_v,
+       list_contains(toks, 'table') AS has_table,
+       list_has_any(toks, vocab) AS overlaps_v
+FROM t
+"""
+
+
+
 def q_scalar_iter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALAR_ITER pandas-UDF witness: iterator-batched per-row text
     features with closure-amortized setup (the model-loading surface
@@ -382,6 +425,7 @@ SPECS = [
     QuerySpec("corpus_dsir_weights", q_dsir_weights, _dsir_oracle()),
     QuerySpec("corpus_span_corruption", q_span_corruption, _span_oracle()),
     QuerySpec("pyapi_scalar_iter_stats", q_scalar_iter_stats, _scalar_iter_oracle()),
+    QuerySpec("func_array_set_battery", q_array_set_battery, _array_set_oracle()),
     QuerySpec("mlprep_hash_features", q_hash_features, _hash_features_oracle()),
     QuerySpec("mlprep_one_hot_segments", q_one_hot, _ONE_HOT_ORACLE),
     QuerySpec("corpus_pmi_pairs", q_pmi_pairs, _PMI_ORACLE),
