@@ -59,6 +59,74 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation: vectors assigned to the
+    deterministic seed centroids (id < 8, nearest by cosine), each
+    cluster scored by its majority-label share in exact ppm — the
+    unsupervised-vs-labels sanity check run after any clustering."""
+    from pyspark.sql import Window
+
+    from gis_city_county_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    assigned = ivf_assign(emb, cents, "vec_id", "embedding")
+    labeled = assigned.join(
+        emb.select(F.col("vec_id").alias("__id"), "label"), "__id"
+    )
+    per_label = labeled.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        per_label.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__tot", F.sum("n").over(Window.partitionBy("cid")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cid",
+            F.col("__tot").alias("n_members"),
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            F.expr(
+                "CAST((CAST(n AS DECIMAL(38,0)) * 1000000) div __tot AS BIGINT)"
+            ).alias("purity_ppm"),
+        )
+    )
+
+
+_PURITY_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (SELECT vec_id, label, v, list_dot_product(v, v) AS n2 FROM e),
+cent AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM n WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, label, cid FROM (
+    SELECT n.vec_id, n.label, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.v, c.cv) / (sqrt(n.n2) * sqrt(c.cn2)) DESC,
+             c.cid ASC) AS rn
+    FROM n CROSS JOIN cent c) t
+  WHERE rn = 1
+),
+per_label AS (
+  SELECT cid, label, COUNT(*) AS cnt FROM assigned GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cid, label, cnt,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cnt DESC, label ASC) AS rn,
+         SUM(cnt) OVER (PARTITION BY cid) AS tot
+  FROM per_label
+)
+SELECT cid, CAST(tot AS BIGINT) AS n_members, label AS majority_label,
+       cnt AS n_majority,
+       CAST(CAST(cnt AS HUGEINT) * 1000000 // tot AS BIGINT) AS purity_ppm
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per probe, the
     3 highest-cosine vectors with a DIFFERENT label — near the anchor
@@ -320,5 +388,6 @@ SPECS = [
     QuerySpec("sim_ann_recall", q_ann_recall, _RECALL_ORACLE),
     QuerySpec("sim_matryoshka_recall", q_matryoshka_recall, _MATRYOSHKA_ORACLE),
     QuerySpec("pipeline_hard_negatives", q_hard_negatives, _HARD_NEG_ORACLE),
+    QuerySpec("sim_cluster_purity", q_cluster_purity, _PURITY_ORACLE),
     QuerySpec("sim_quantize_report", q_quantize_report, _QUANT_ORACLE),
 ]

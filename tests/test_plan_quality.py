@@ -121,6 +121,7 @@ _BNLJ_ALLOWED = {
     "sim_ivf_ann_topk",
     # same shape as IVF assignment: corpus × k-row broadcast centroids
     "sim_kmeans_refine",
+    "sim_cluster_purity",
     "search_tfidf_topk",
     "search_fuzzy_name_lookup",
     "pipeline_mixture_resample",
