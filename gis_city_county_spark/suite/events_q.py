@@ -755,8 +755,55 @@ WHERE c.arm = 'control' AND t.arm = 'treatment'
 """
 
 
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (the
+    engagement metric): distinct active days → islands via the
+    day − row_number trick → max island length, plus total active
+    days. All integer arithmetic, windows partitioned by user."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000).cast("long").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.col("day") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+_STREAK_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+days AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM ev
+),
+islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM islands GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM streaks GROUP BY user_id
+"""
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
+    QuerySpec("events_activity_streaks", q_activity_streaks, _STREAK_ORACLE),
     QuerySpec("eval_ab_uplift", q_ab_uplift, _ab_uplift_oracle()),
     QuerySpec("pyapi_arrow_group_stats", q_arrow_group_stats, _arrow_group_oracle()),
     QuerySpec("events_hopping_window", q_hopping, _HOPPING_ORACLE),
