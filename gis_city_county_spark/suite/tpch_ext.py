@@ -1514,6 +1514,67 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per customer ('share of wallet'): each
+    customer's total spend, their top supplier, and that supplier's
+    exact ppm share — the dependency/concentration scan (a customer
+    above ~500000 ppm is single-sourced). Two keyed aggregates and a
+    per-customer argmax window; spend sums decimal-exact."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spend = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("__s")
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("__s").desc(), F.col("l_suppkey").asc()
+    )
+    tot = Window.partitionBy("o_custkey")
+    return (
+        spend.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__tot", F.sum(F.col("__s").cast("decimal(28,10)")).over(tot))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("l_suppkey").alias("top_suppkey"),
+            F.expr(
+                "CAST((CAST(__s * 10000000000 AS DECIMAL(38,0)) * 1000000)"
+                " div CAST(__tot * 10000000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("top_share_ppm"),
+        )
+    )
+
+
+_WALLET_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_custkey, l_suppkey, s,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY s DESC, l_suppkey ASC) AS rn,
+         SUM(CAST(s AS DECIMAL(28,10))) OVER (PARTITION BY o_custkey) AS tot
+  FROM spend
+)
+SELECT o_custkey, l_suppkey AS top_suppkey,
+       CAST(CAST(s * 10000000000 AS HUGEINT) * 1000000
+            // CAST(tot * 10000000000 AS HUGEINT) AS BIGINT) AS top_share_ppm
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-gap audit on the order-key space: the 20 widest
     missing-id ranges (lead over sorted distinct keys → holes) — the
@@ -1904,4 +1965,5 @@ SPECS = [
     QuerySpec("olap_pareto_abc", q_pareto_abc, _PARETO_ORACLE),
     QuerySpec("olap_top_movers", q_top_movers, _TOP_MOVERS_ORACLE),
     QuerySpec("gate_sequence_gaps", q_sequence_gaps, _SEQ_GAPS_ORACLE),
+    QuerySpec("olap_share_of_wallet", q_share_of_wallet, _WALLET_ORACLE),
 ]
