@@ -328,8 +328,71 @@ JOIN sizes sb ON sb.source = src_b
 """
 
 
+def q_source_keywords(spark, sf_dir):
+    """Per-source keyword extraction: the 5 most source-characteristic
+    tokens by group-level TF-IDF (term count in the source × inverse
+    source-frequency, exact rational score, fixed tiebreak) — the
+    'what is this feed about' summary. Two bounded aggregates keyed on
+    tokens; no per-document state."""
+    from pyspark.sql import Window
+
+    from gis_city_county_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("sf"))
+    # source count rides along as a 1-row broadcast (no driver collect)
+    n = docs.agg(
+        F.countDistinct("source").cast("double").alias("__ns")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("tok")
+    )
+    return (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.col("__ns") / F.col("sf").cast("double")),
+        )
+        .drop("__ns")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "tok", "tf", "sf", "score")
+    )
+
+
+def _source_keywords_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import tokens_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source, t.tok
+  FROM (SELECT source, {tokens_sql("text")} AS tl FROM documents) s,
+       LATERAL UNNEST(s.tl) AS t(tok)
+),
+tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+sfreq AS (SELECT tok, COUNT(*) AS sf FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS ns FROM documents)
+SELECT source, CAST(rank AS INTEGER) AS rank, tok, tf, sf, score
+FROM (
+  SELECT tf.source, tf.tok, tf.tf, sfreq.sf,
+         CAST(tf.tf AS DOUBLE) * (n.ns / CAST(sfreq.sf AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.source
+                            ORDER BY CAST(tf.tf AS DOUBLE)
+                                     * (n.ns / CAST(sfreq.sf AS DOUBLE)) DESC,
+                                     tf.tok ASC) AS rank
+  FROM tf JOIN sfreq USING (tok) CROSS JOIN n
+) t
+WHERE rank <= 5
+"""
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
+    QuerySpec("corpus_source_keywords", q_source_keywords, _source_keywords_oracle()),
     QuerySpec("corpus_novelty_scores", q_novelty, _novelty_oracle()),
     QuerySpec("corpus_source_similarity", q_source_similarity, _source_sim_oracle()),
     QuerySpec(

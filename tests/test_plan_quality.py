@@ -141,6 +141,7 @@ _BNLJ_ALLOWED = {
     "corpus_dsir_weights",
     "mlprep_quantile_align",
     "scale_bloom_fpr",
+    "corpus_source_keywords",
     "scale_bloom_prefilter_join",
     "olap_basket_affinity",
     "profile_length_drift_chi2",
