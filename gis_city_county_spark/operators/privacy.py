@@ -162,3 +162,49 @@ SELECT {keys}, COUNT(*) AS group_size,
        COUNT(DISTINCT {sensitive_expr}) < {l} AS violates_l
 FROM ({source_sql}) GROUP BY {keys}
 """
+
+
+def suppress_small_cells(
+    df: DataFrame,
+    qid_cols: list[str],
+    sensitive_qid: str,
+    k: int = 5,
+) -> DataFrame:
+    """The release step :func:`k_anonymity` audits for: rows whose
+    full quasi-identifier combination has fewer than ``k`` members get
+    their finest-grained QI column (``sensitive_qid``) suppressed to
+    NULL — generalization-by-suppression, the minimal fix that makes
+    every released cell k-anonymous at one column's cost.
+
+    One group-size aggregate joined back on the QI key (broadcast —
+    bounded by QI cardinality); pure projection otherwise. Re-run the
+    audit on the output to confirm the release."""
+    keys = [*qid_cols, sensitive_qid]
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__gs"))
+    return (
+        df.join(F.broadcast(sizes), keys)
+        .withColumn(
+            sensitive_qid,
+            F.when(F.col("__gs") >= k, F.col(sensitive_qid)),
+        )
+        .drop("__gs")
+    )
+
+
+def suppress_small_cells_sql(
+    source_sql: str, qid_cols: list[str], sensitive_qid: str, k: int = 5
+) -> str:
+    """DuckDB twin (QI columns + the suppressed column only — callers
+    aggregate the release)."""
+    keys = ", ".join([*qid_cols, sensitive_qid])
+    on = " AND ".join(
+        f"s.{c} IS NOT DISTINCT FROM d.{c}" for c in [*qid_cols, sensitive_qid]
+    )
+    cols = ", ".join(f"d.{c}" for c in qid_cols)
+    return f"""
+SELECT {cols},
+       CASE WHEN s.gs >= {k} THEN d.{sensitive_qid} END AS {sensitive_qid}
+FROM ({source_sql}) d
+JOIN (SELECT {keys}, COUNT(*) AS gs FROM ({source_sql}) GROUP BY {keys}) s
+  ON {on}
+"""

@@ -700,6 +700,57 @@ def _arrow_group_oracle() -> str:
     )
 
 
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: consecutive
+    gaps (lag over the total (ts, event_id) order per type) bucketed
+    into power-of-two second bands — the traffic-shape scan behind
+    capacity models and anomaly baselines. All integer arithmetic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("event_type", "ts", "event_id")
+        .withColumn("__us", F.unix_micros("ts"))
+        .withColumn("__prev", F.lag("__us").over(w))
+        # integer div: `/` would go through double and Spark/DuckDB
+        # round the long cast differently
+        .withColumn("__gap_s", F.expr("(__us - __prev) div 1000000"))
+        .filter(F.col("__gap_s").isNotNull())
+    )
+    band = F.when(F.col("__gap_s") <= 0, -1).otherwise(
+        F.floor(F.log2("__gap_s")).cast("long")
+    )
+    return (
+        gaps.withColumn("band", band)
+        .groupBy("event_type", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("__gap_s").alias("min_gap_s"),
+            F.max("__gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+_INTERARRIVAL_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id)) // 1000000
+           AS gap_s
+  FROM ev
+)
+SELECT event_type,
+       CASE WHEN gap_s <= 0 THEN -1
+            ELSE CAST(FLOOR(log2(gap_s)) AS BIGINT) END AS band,
+       COUNT(*) AS n_gaps,
+       MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users hash-split 50/50 into control/
     treatment (md5 — assignment survives reruns and re-partitioning),
@@ -804,6 +855,7 @@ FROM streaks GROUP BY user_id
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_activity_streaks", q_activity_streaks, _STREAK_ORACLE),
+    QuerySpec("events_interarrival_histogram", q_interarrival, _INTERARRIVAL_ORACLE),
     QuerySpec("eval_ab_uplift", q_ab_uplift, _ab_uplift_oracle()),
     QuerySpec("pyapi_arrow_group_stats", q_arrow_group_stats, _arrow_group_oracle()),
     QuerySpec("events_hopping_window", q_hopping, _HOPPING_ORACLE),

@@ -141,9 +141,49 @@ _LDIV_ORACLE = l_diversity_sql(
 )
 
 
+def q_suppressed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymized release: customers whose (nation, segment, band)
+    cell holds < 5 rows get the band suppressed to NULL, then the
+    released counts per cell — every non-NULL cell in the output is
+    k-anonymous by construction (the audit's apply step)."""
+    from gis_city_county_spark.operators.privacy import suppress_small_cells
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    )
+    released = suppress_small_cells(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", k=5
+    )
+    return released.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _suppress_oracle() -> str:
+    from gis_city_county_spark.operators.privacy import suppress_small_cells_sql
+
+    inner = suppress_small_cells_sql(
+        "SELECT c_nationkey, c_mktsegment, "
+        "CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band FROM customer",
+        ["c_nationkey", "c_mktsegment"],
+        "bal_band",
+        k=5,
+    )
+    return f"""
+SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS n_rows
+FROM ({inner}) GROUP BY 1, 2, 3
+"""
+
+
+_SUPPRESS_ORACLE = _suppress_oracle()
+
+
 SPECS = [
     QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
     QuerySpec("pipeline_blocklist_filter", q_blocklist_filter, _BLOCK_ORACLE),
     QuerySpec("privacy_k_anonymity", q_k_anonymity, _KANON_ORACLE),
     QuerySpec("privacy_l_diversity", q_l_diversity, _LDIV_ORACLE),
+    QuerySpec("privacy_suppressed_release", q_suppressed_release, _SUPPRESS_ORACLE),
 ]
