@@ -842,3 +842,82 @@ SELECT g AS {group_col}, CAST(MAX(n) AS BIGINT) AS n,
        {dec_avg_sql("v", "trimmed_mean")}
 FROM kept GROUP BY g
 """
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group weighted lower median: the first value (in (value,
+    tiebreak) order) whose running weight reaches half the group's
+    total — the cost-weighted center ('the price at which half the
+    QUANTITY trades', not half the rows). Weights go through exact
+    integer/decimal cumulative sums, the crossing test is
+    ``2·cum ≥ total`` in integers — no floating point anywhere.
+
+    One sort window per group + one pick; holistic like every exact
+    order statistic."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(weight_col).cast("decimal(28,10)").alias("__w"),
+        F.col(tiebreak_col).alias("__t"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__v").asc(), F.col("__t").asc())
+    cum = base.select(
+        "__g",
+        "__v",
+        F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("__cum"),
+        F.sum("__w").over(Window.partitionBy("__g")).alias("__tot"),
+        F.row_number().over(w).alias("__rn"),
+    )
+    crossed = cum.filter(2 * F.col("__cum") >= F.col("__tot"))
+    pick = Window.partitionBy("__g").orderBy(F.asc("__rn"))
+    return (
+        crossed.withColumn("__p", F.row_number().over(pick))
+        .filter(F.col("__p") == 1)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__tot").cast("double").alias("total_weight"),
+            F.col("__v").alias("weighted_median"),
+        )
+    )
+
+
+def weighted_median_sql(
+    table_sql: str,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak_col: str,
+) -> str:
+    """DuckDB oracle twin of :func:`weighted_median`."""
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, CAST({value_col} AS DOUBLE) AS v,
+         CAST({weight_col} AS DECIMAL(28,10)) AS w, {tiebreak_col} AS t
+  FROM ({table_sql})
+),
+cum AS (
+  SELECT g, v,
+         SUM(w) OVER (PARTITION BY g ORDER BY v, t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY g) AS tot,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, t) AS rn
+  FROM base
+)
+SELECT g AS {group_col},
+       CAST(CAST(MAX(tot) AS VARCHAR) AS DOUBLE) AS total_weight,
+       MAX(CASE WHEN pick = 1 THEN v END) AS weighted_median
+FROM (
+  SELECT g, v, tot,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY rn) AS pick
+  FROM cum WHERE 2 * cw >= tot
+) t
+GROUP BY g
+"""

@@ -318,6 +318,30 @@ def _clamped_oracle() -> str:
     )
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the price at
+    which half the QUANTITY trades (not half the rows) — weighted
+    order statistics with exact decimal cumulative weights."""
+    from gis_city_county_spark.operators.profile import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey"
+    )
+
+
+def _wmedian_oracle() -> str:
+    from gis_city_county_spark.operators.profile import weighted_median_sql
+
+    return weighted_median_sql(
+        "SELECT l_returnflag, l_extendedprice, l_quantity, l_orderkey FROM lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        "l_quantity",
+        "l_orderkey",
+    )
+
+
 _THRESHOLDS = [25.0, 50.0, 100.0, 200.0]
 
 
@@ -465,6 +489,7 @@ SPECS = [
     QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
     QuerySpec("eval_confusion_sweep", q_confusion_sweep, _confusion_oracle()),
     QuerySpec("profile_trimmed_mean", q_trimmed_mean, _trimmed_oracle()),
+    QuerySpec("profile_weighted_median", q_weighted_median, _wmedian_oracle()),
     QuerySpec("mlprep_quantile_align", q_quantile_align, _qalign_oracle()),
     QuerySpec("events_clamped_balance", q_clamped_balance, _clamped_oracle()),
     QuerySpec("events_range_join", q_range, _RANGE_ORACLE),
