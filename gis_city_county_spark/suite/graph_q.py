@@ -237,8 +237,104 @@ JOIN deg db ON db.s = sb
 """
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the (undirected)
+    supplier–customer trade graph: Q = Σᵢ (eᵢ/m − (aᵢ/2m)²) — how much
+    more within-nation trade exists than a random wiring predicts. All
+    inputs are exact integer edge/degree counts; Q is a fixed-order
+    double fold over ≤25 communities (sorted by community id)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("s_nationkey").alias("na"), F.col("c_nationkey").alias("nb")
+        )
+    )
+    m = edges.groupBy().agg(F.count(F.lit(1)).alias("m"))
+    # per-community degree = edges touching the community (each edge
+    # contributes 1 to each endpoint's community)
+    deg = (
+        edges.select(F.col("na").alias("c"))
+        .unionAll(edges.select(F.col("nb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    # per-community term e_i/m − (a/2m)²; folded in sorted community
+    # order for a fixed double-summation sequence
+    e_within_c = (
+        edges.filter(F.col("na") == F.col("nb"))
+        .groupBy(F.col("na").alias("c"))
+        .agg(F.count(F.lit(1)).alias("e_i"))
+    )
+    terms = (
+        deg.join(e_within_c, "c", "left")
+        .fillna(0, ["e_i"])
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "term",
+            F.col("e_i").cast("double") / F.col("m").cast("double")
+            - (
+                F.col("a").cast("double")
+                / (2 * F.col("m")).cast("double")
+            )
+            * (
+                F.col("a").cast("double")
+                / (2 * F.col("m")).cast("double")
+            ),
+        )
+    )
+    return terms.groupBy().agg(
+        F.max("m").alias("m_edges"),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.aggregate(
+            F.expr("transform(array_sort(collect_list(struct(c, term))), p -> p.term)"),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("modularity"),
+    )
+
+
+_MODULARITY_ORACLE = """
+WITH edges AS (
+  SELECT DISTINCT s.s_nationkey AS na, c.c_nationkey AS nb
+                  , l.l_suppkey, o.o_custkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+e2 AS (SELECT na, nb FROM (SELECT DISTINCT l_suppkey, o_custkey, na, nb FROM edges) t),
+m AS (SELECT COUNT(*) AS m FROM e2),
+deg AS (
+  SELECT c, COUNT(*) AS a FROM (
+    SELECT na AS c FROM e2 UNION ALL SELECT nb AS c FROM e2) t GROUP BY c
+),
+ew AS (SELECT na AS c, COUNT(*) AS e_i FROM e2 WHERE na = nb GROUP BY na),
+terms AS (
+  SELECT deg.c,
+         CAST(COALESCE(ew.e_i, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+         - (CAST(deg.a AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+           * (CAST(deg.a AS DOUBLE) / CAST(2 * m.m AS DOUBLE)) AS term
+  FROM deg LEFT JOIN ew USING (c) CROSS JOIN m
+)
+SELECT (SELECT CAST(m AS BIGINT) FROM m) AS m_edges,
+       COUNT(*) AS n_communities,
+       list_reduce(list_prepend(0.0, list(term ORDER BY c)), (x, y) -> x + y)
+         AS modularity
+FROM terms
+"""
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
+    QuerySpec("graph_modularity_nations", q_modularity, _MODULARITY_ORACLE),
     QuerySpec("graph_degree_histogram", q_degree_histogram, _DEGREE_ORACLE),
     QuerySpec("graph_link_prediction", q_link_prediction, _LINKPRED_ORACLE),
     QuerySpec("graph_triangle_count", q_triangle_count, _TRI_ORACLE),

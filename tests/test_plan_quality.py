@@ -142,6 +142,7 @@ _BNLJ_ALLOWED = {
     "mlprep_quantile_align",
     "scale_bloom_fpr",
     "corpus_source_keywords",
+    "graph_modularity_nations",
     "scale_bloom_prefilter_join",
     "olap_basket_affinity",
     "profile_length_drift_chi2",
