@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.multimodal import (
     audio_window_energy,
@@ -80,8 +81,46 @@ FROM samples GROUP BY 1, 2
 """
 
 
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over sampled frames: consecutive frame
+    hashes that differ mark a cut; per payload, frame count and cut
+    count — the scene-segmentation shape (a real pipeline swaps the
+    byte-slice hash for a perceptual frame distance, same plumbing)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = to_binary_payload(docs, "text")
+    frames = sample_frames(payloads, "doc_id", "payload", frame_size=256, stride=512)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    flagged = frames.withColumn("__prev", F.lag("frame_hash").over(w))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            (
+                F.col("__prev").isNotNull()
+                & (F.col("frame_hash") != F.col("__prev"))
+            ).cast("long")
+        ).alias("n_cuts"),
+    )
+
+
+_SHOT_ORACLE = f"""
+WITH frames AS ({_FRAME_ORACLE}),
+flagged AS (
+  SELECT doc_id, frame_hash,
+         LAG(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM frames
+)
+SELECT doc_id, COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND frame_hash != prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+FROM flagged GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
     QuerySpec("mm_frame_sample", q_frame_sample, _FRAME_ORACLE),
     QuerySpec("mm_audio_windows", q_audio_windows, _AUDIO_ORACLE),
+    QuerySpec("mm_shot_boundaries", q_shot_boundaries, _SHOT_ORACLE),
 ]
