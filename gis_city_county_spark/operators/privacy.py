@@ -181,8 +181,21 @@ def suppress_small_cells(
     audit on the output to confirm the release."""
     keys = [*qid_cols, sensitive_qid]
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__gs"))
+    # Null-safe equality on every key: a plain equi-join drops rows with
+    # a NULL QI value from the release entirely (NULL != NULL) — for a
+    # privacy operator, LOSING rows is worse than suppressing them, and
+    # groupBy treats NULL as a regular key so the sizes side has a
+    # matching row. Matches the SQL twin's IS NOT DISTINCT FROM.
+    sizes_r = sizes.select(
+        *[F.col(c).alias(f"__r_{c}") for c in keys], "__gs"
+    )
+    cond = None
+    for c in keys:
+        eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        cond = eq if cond is None else cond & eq
     return (
-        df.join(F.broadcast(sizes), keys)
+        df.join(F.broadcast(sizes_r), cond)
+        .drop(*[f"__r_{c}" for c in keys])
         .withColumn(
             sensitive_qid,
             F.when(F.col("__gs") >= k, F.col(sensitive_qid)),

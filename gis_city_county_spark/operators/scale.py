@@ -231,20 +231,32 @@ def bloom_fpr_report(
             ),
         )
     )
-    totals = cand.agg(F.count(F.lit(1)).alias("n_candidates")).crossJoin(
-        members.agg(F.count(F.lit(1)).alias("n_members"))
+    # FPR denominator = the ACTUAL count of non-member candidates
+    # (candidates anti-joined to members), not n_candidates - n_members:
+    # the subtraction only equals it when members ⊆ candidates, and a
+    # zero difference with differing sets would divide by zero.
+    totals = (
+        cand.join(member_flag, "k", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0)).alias(
+                "n_nonmember"
+            ),
+        )
+        .crossJoin(members.agg(F.count(F.lit(1)).alias("n_members")))
     )
     return totals.crossJoin(F.broadcast(agg)).select(
         "n_candidates",
         "n_members",
         "n_pass",
         "n_false_pos",
-        F.expr(
-            "(CAST(n_false_pos AS DECIMAL(38,0)) * 1000000)"
-            " div (n_candidates - n_members)"
-        )
-        .cast("long")
-        .alias("fpr_ppm"),
+        F.when(
+            F.col("n_nonmember") > 0,
+            F.expr(
+                "(CAST(n_false_pos AS DECIMAL(38,0)) * 1000000)"
+                " div n_nonmember"
+            ).cast("long"),
+        ).alias("fpr_ppm"),
     )
 
 
@@ -285,12 +297,15 @@ agg AS (
 ),
 totals AS (
   SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
-         (SELECT COUNT(*) FROM members) AS n_members
+         (SELECT COUNT(*) FROM members) AS n_members,
+         (SELECT COUNT(*) FROM cand c LEFT JOIN members m USING (k)
+          WHERE m.k IS NULL) AS n_nonmember
 )
 SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
        CAST(n_members AS BIGINT) AS n_members,
        CAST(n_pass AS BIGINT) AS n_pass, n_false_pos,
-       CAST(CAST(n_false_pos AS HUGEINT) * 1000000
-            // (n_candidates - n_members) AS BIGINT) AS fpr_ppm
+       CASE WHEN n_nonmember > 0 THEN
+         CAST(CAST(n_false_pos AS HUGEINT) * 1000000
+              // n_nonmember AS BIGINT) END AS fpr_ppm
 FROM totals CROSS JOIN agg
 """

@@ -1160,7 +1160,11 @@ def km_survival(
         )
         .groupBy("__k", "cohort")
         .agg(
-            ((F.max("__us") - F.min("__us")) / 1_000_000).cast("long").alias("dur"),
+            # Exact integer division (`div`): double-divide-then-cast
+            # truncates while DuckDB's BIGINT cast rounds-to-nearest, so
+            # per-key durations with >=0.5s fractional residue would
+            # differ between engines (same hazard as q_interarrival).
+            F.expr("(max(__us) - min(__us)) div 1000000").alias("dur"),
             F.max(F.struct(F.col("__us"), F.col("__cls")))["__cls"].alias("__last"),
         )
         .withColumn("obs", (F.col("__last") == terminal_class).cast("long"))
@@ -1220,7 +1224,7 @@ WITH base AS (
 ),
 per_key AS (
   SELECT k, cohort,
-         CAST((MAX(us) - MIN(us)) / 1000000 AS BIGINT) AS dur,
+         (MAX(us) - MIN(us)) // 1000000 AS dur,
          CASE WHEN MAX(struct_pack(us := us, cls := cls)).cls = '{terminal_class}'
               THEN 1 ELSE 0 END AS obs
   FROM base GROUP BY k, cohort

@@ -260,8 +260,16 @@ def finalize(
     fixes: Sequence[tuple[str, str, str, str]] = (),
 ) -> DataFrame:
     """Reference ``bunny.py:400-424, 469-531``: point fixes, area in
-    EPSG:3310 mi², GlobalIDs, reprojection to EPSG:3310."""
+    EPSG:3310 mi², GlobalIDs, reprojection to EPSG:3310. Also adds the
+    reference's two placeholder fields (run right after the point fixes,
+    as at ``bunny.py:466-467``): ``PRIMARY_DOMAIN`` (text, 255 — length
+    limits have no Spark equivalent; ``primary_domain.py:15``) and
+    ``CENSUS_POPULATION`` (long; ``census_population.py:15``), both NULL
+    until their retrieval steps exist upstream."""
     out = fix_individual(merged, fixes) if fixes else merged
+    out = out.withColumn(
+        "PRIMARY_DOMAIN", F.lit(None).cast("string")
+    ).withColumn("CENSUS_POPULATION", F.lit(None).cast("long"))
     out = out.withColumn(
         "AREA_SQMI",
         st_area("geometry", "EPSG:4326", "EPSG:3310") * F.lit(SQMI_PER_M2),

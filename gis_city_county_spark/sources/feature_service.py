@@ -143,10 +143,17 @@ class _PagesWriter(DataSourceWriter):
     def write(self, iterator) -> _PageCommit:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Stage per-ATTEMPT, not per-partition: a speculative or retried
+        # attempt of the same task must not write the same staged file
+        # concurrently (interleaved json.dump would corrupt it — the
+        # FileOutputCommitter contract this mirrors uses per-attempt
+        # paths). The driver renames only the winning attempt's file.
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.dir, exist_ok=True)
         final = f"page_{pid:05d}.json"
-        staged = os.path.join(self.dir, f".staged-{final}")
+        staged = os.path.join(self.dir, f".staged-{final}.attempt-{attempt}")
         feats = [{"attributes": row.asDict()} for row in iterator]
         with open(staged, "w") as fh:
             json.dump({"features": feats}, fh)
@@ -159,8 +166,17 @@ class _PagesWriter(DataSourceWriter):
                     os.remove(os.path.join(self.dir, f))
         for m in messages:
             os.replace(m.staged, m.final)
+        # Losing speculative attempts' staged files were never in
+        # `messages`; sweep them so the dir holds only committed pages.
+        for f in os.listdir(self.dir):
+            if f.startswith(".staged-"):
+                os.remove(os.path.join(self.dir, f))
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.staged):
                 os.remove(m.staged)
+        if os.path.isdir(self.dir):
+            for f in os.listdir(self.dir):
+                if f.startswith(".staged-"):
+                    os.remove(os.path.join(self.dir, f))

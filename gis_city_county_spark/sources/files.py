@@ -410,26 +410,32 @@ def read_fixed_width(
     is a single codegen'd stage with no Python in the loop; malformed
     numerics become NULL via try-semantics rather than failing the
     scan."""
-    lines = spark.read.text(path)
     if skip_header_lines:
-        # Numbering lines needs a per-file ordering (one shuffle on the
-        # file name); prefer headerless exports at scale — skip=0 keeps
-        # the read a pure narrow scan.
-        from pyspark.sql.window import Window
-
-        lines = (
-            lines.withColumn(
-                "__file", F.input_file_name()
-            )
-            .withColumn(
-                "__line",
-                F.row_number().over(
-                    Window.partitionBy("__file").orderBy(F.monotonically_increasing_id())
-                ),
-            )
-            .filter(F.col("__line") > skip_header_lines)
-            .drop("__file", "__line")
+        # Header skipping needs the file's BYTE order, which a split
+        # multi-partition text scan does not guarantee (partition index
+        # dominates monotonically_increasing_id, and split order need
+        # not follow byte order). Read wholetext — one task per file,
+        # order exact — then explode lines and drop the first N per
+        # file. Correct by construction; prefer headerless exports at
+        # scale, where skip=0 keeps the read a narrow splittable scan.
+        whole = spark.read.text(path, wholetext=True)
+        # Split keeps a trailing "" element for newline-terminated
+        # files (which the line-mode reader would not emit); slice it
+        # off along with the first `skip` lines, keeping any genuine
+        # mid-file blank lines — exactly what line-mode yields.
+        lines = whole.select(
+            F.explode(
+                F.expr(
+                    "slice(split(value, '\\r?\\n'),"
+                    f" {skip_header_lines + 1},"
+                    " size(split(value, '\\r?\\n'))"
+                    f" - {skip_header_lines}"
+                    " - if(element_at(split(value, '\\r?\\n'), -1) = '', 1, 0))"
+                )
+            ).alias("value")
         )
+    else:
+        lines = spark.read.text(path)
     cols = []
     for name, start, width, dtype in fields:
         c = F.trim(F.substring(F.col("value"), start, width))

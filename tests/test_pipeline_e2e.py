@@ -176,6 +176,12 @@ def test_flow_end_to_end(spark, sources):
     # -------- finalize: GlobalIDs unique, geometry reprojected (meters)
     gids = [r["GlobalID"] for r in rows]
     assert len(set(gids)) == len(gids)
+    # Placeholder fields from the reference (primary_domain.py:15,
+    # census_population.py:15): present, typed, all-NULL.
+    assert dict(out.dtypes)["PRIMARY_DOMAIN"] == "string"
+    assert dict(out.dtypes)["CENSUS_POPULATION"] == "bigint"
+    assert all(r["PRIMARY_DOMAIN"] is None for r in rows)
+    assert all(r["CENSUS_POPULATION"] is None for r in rows)
     g = K.from_wkb(cities["Alameda"]["geometry"])
     xs = [abs(x) for ring, _ in g for x, y in ring]
     assert max(xs) > 1000.0                      # EPSG:3310 meters, not degrees
