@@ -16,15 +16,25 @@ CRS transforms use the published projection formulas:
   false northing -4,000,000)
 - EPSG:3857 spherical Web Mercator
 
-Boolean ops (union/intersection/difference) and the predicates built
-on them are EXACT for rectilinear (axis-parallel-edged) polygons via
-coordinate compression: overlay both operands on the grid of their
-combined x/y coordinates, classify cells by even-odd membership, and
-re-trace result rings from the cell grid. Rectilinear covers the
-engine's golden fixtures and QA suite; swapping in a full clipping
-backend (JTS via Sedona) changes no operator signatures. Degenerate
-contact (shared edges — exactly what `touches`/sliver-fix need) is
-handled exactly, which float-based general clippers get wrong.
+Boolean ops (union/intersection/difference) work on GENERAL polygons
+via planar-arrangement overlay: split every ring edge of every operand
+at its pairwise intersections (including collinear-overlap endpoints),
+classify each resulting edge by even-odd membership of the two points
+just left/right of its midpoint w.r.t. each original operand, keep the
+edges where the boolean verdict differs across sides (directed so the
+result interior lies on the left), and stitch them into rings. Shared
+and overlapping boundary segments — exactly what `touches` and the
+sliver fix exercise — subdivide into single edges whose two sides are
+classified independently, so degenerate contact resolves without
+special-casing. Axis-parallel crossings are computed exactly (the
+crossing reuses the parallel segment's own coordinate), so on integer
+rectilinear inputs all results — and the algebraic identities the
+property suite asserts — remain bit-exact, while rotated/irregular
+polygons now clip correctly too. Complexity is O(S² + E·V) per call
+(S input segments, E result edges, V operand vertices): geometries are
+per-row values; scale-out belongs to the grid-partitioned spatial
+joins in ``geo/ops.py``, the kernel only ever sees one feature
+pair/group.
 """
 
 from __future__ import annotations
@@ -319,7 +329,7 @@ def transform(mp: MultiPolygon, src: str, dst: str) -> MultiPolygon:
     ]
 
 
-# ------------------------------------------------- rectilinear boolean ops
+# --------------------------------------------- general boolean ops (overlay)
 
 def _edges(mp: MultiPolygon):
     for outer, holes in mp:
@@ -340,90 +350,137 @@ def _point_in(mp: MultiPolygon, x: float, y: float) -> bool:
     return inside
 
 
-def _grid(a: MultiPolygon, b: MultiPolygon):
-    xs = sorted({p[0] for g in (a, b) for outer, holes in g for r in [outer, *holes] for p in r})
-    ys = sorted({p[1] for g in (a, b) for outer, holes in g for r in [outer, *holes] for p in r})
-    return xs, ys
+def _snap_factory(tol: float):
+    """Point registry: coordinates within ``tol`` of an already-seen
+    point snap to it, so intersection points computed from different
+    segment pairs (which can differ in the last ulp) coincide."""
+    grid: dict[tuple[int, int], tuple[float, float]] = {}
+
+    def snap(p: tuple[float, float]) -> tuple[float, float]:
+        x, y = p
+        ix, iy = round(x / tol), round(y / tol)
+        for dx in (0, -1, 1):
+            for dy in (0, -1, 1):
+                q = grid.get((ix + dx, iy + dy))
+                if q is not None and abs(q[0] - x) <= tol and abs(q[1] - y) <= tol:
+                    return q
+        grid[(ix, iy)] = (x, y)
+        return (x, y)
+
+    return snap
 
 
-def _membership(mp: MultiPolygon, xs: list[float], ys: list[float]) -> list[list[bool]]:
-    return [
-        [
-            bool(mp) and _point_in(mp, (xs[i] + xs[i + 1]) / 2, (ys[j] + ys[j + 1]) / 2)
-            for j in range(len(ys) - 1)
-        ]
-        for i in range(len(xs) - 1)
-    ]
+def _seg_points(p1, p2, q1, q2) -> list[tuple[float, float]]:
+    """Points where segment p1-p2 meets segment q1-q2: [] if none,
+    one point for a proper crossing or endpoint contact, up to four
+    for a collinear overlap (the endpoints of each segment that lie
+    within the other's span)."""
+    d1x, d1y = p2[0] - p1[0], p2[1] - p1[1]
+    d2x, d2y = q2[0] - q1[0], q2[1] - q1[1]
+    l1, l2 = math.hypot(d1x, d1y), math.hypot(d2x, d2y)
+    if l1 == 0.0 or l2 == 0.0:
+        return []
+    ex, ey = q1[0] - p1[0], q1[1] - p1[1]
+    denom = d1x * d2y - d1y * d2x
+    if abs(denom) > 1e-12 * l1 * l2:
+        t = (ex * d2y - ey * d2x) / denom
+        u = (ex * d1y - ey * d1x) / denom
+        if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+            x, y = p1[0] + t * d1x, p1[1] + t * d1y
+            # Axis-parallel operands pin the crossing exactly — keeps
+            # integer-grid rectilinear results (and the exact algebraic
+            # identities the property suite asserts) bit-precise.
+            if d1x == 0.0:
+                x = p1[0]
+            elif d2x == 0.0:
+                x = q1[0]
+            if d1y == 0.0:
+                y = p1[1]
+            elif d2y == 0.0:
+                y = q1[1]
+            return [(x, y)]
+        return []
+    # parallel: collinear only if q1 sits on p's carrier line
+    if abs(ex * d1y - ey * d1x) > 1e-12 * l1 * (math.hypot(ex, ey) + l2):
+        return []
+    out = []
+    ll = l1 * l1
+    for q in (q1, q2):
+        t = ((q[0] - p1[0]) * d1x + (q[1] - p1[1]) * d1y) / ll
+        if -1e-12 <= t <= 1 + 1e-12:
+            out.append(q)
+    mm = l2 * l2
+    for p in (p1, p2):
+        u = ((p[0] - q1[0]) * d2x + (p[1] - q1[1]) * d2y) / mm
+        if -1e-12 <= u <= 1 + 1e-12:
+            out.append(p)
+    return out
 
 
-def _cells_to_multipolygon(
-    cells: list[list[bool]], xs: list[float], ys: list[float]
-) -> MultiPolygon:
-    """Trace result rings from an in/out cell grid.
+def _merge_collinear(r: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    out: list[tuple[float, float]] = []
+    n = len(r)
+    for i in range(n):
+        prev, cur, nxt = r[i - 1], r[i], r[(i + 1) % n]
+        v1 = (cur[0] - prev[0], cur[1] - prev[1])
+        v2 = (nxt[0] - cur[0], nxt[1] - cur[1])
+        cross = v1[0] * v2[1] - v1[1] * v2[0]
+        if abs(cross) > 1e-12 * math.hypot(*v1) * math.hypot(*v2):
+            out.append(cur)
+    return out
 
-    Emits directed boundary edges with interior on the LEFT, stitches
-    them into rings (right-turn preference at 4-way vertices keeps
-    diagonally-touching regions separate), merges collinear runs, and
-    assigns CW rings (holes) to their containing CCW outer."""
-    nx, ny = len(xs) - 1, len(ys) - 1
 
-    def inside(i: int, j: int) -> bool:
-        return 0 <= i < nx and 0 <= j < ny and cells[i][j]
-
-    edges: dict[tuple[float, float], list[tuple[float, float]]] = {}
-    edge_set: set[tuple[tuple[float, float], tuple[float, float]]] = set()
-
-    def emit(p1, p2):
-        edges.setdefault(p1, []).append(p2)
-        edge_set.add((p1, p2))
-
-    for i in range(nx):
-        for j in range(ny):
-            if not cells[i][j]:
-                continue
-            x0, x1 = xs[i], xs[i + 1]
-            y0, y1 = ys[j], ys[j + 1]
-            if not inside(i, j - 1):
-                emit((x0, y0), (x1, y0))  # bottom, left->right
-            if not inside(i + 1, j):
-                emit((x1, y0), (x1, y1))  # right, up
-            if not inside(i, j + 1):
-                emit((x1, y1), (x0, y1))  # top, right->left
-            if not inside(i - 1, j):
-                emit((x0, y1), (x0, y0))  # left, down
-    rings: list[list[tuple[float, float]]] = []
+def _stitch(directed: list[tuple[tuple[float, float], tuple[float, float]]]):
+    """Stitch directed edges (result interior on the LEFT) into rings.
+    At junction vertices prefer the sharpest RIGHT turn relative to the
+    incoming direction — the general-angle analogue of the previous
+    rectilinear kernel's preference, so pinch-vertex behavior (e.g.
+    diagonally-touching squares union into one self-touching ring) is
+    unchanged."""
+    out_map: dict[tuple[float, float], list[tuple[float, float]]] = {}
+    for p, q in directed:
+        out_map.setdefault(p, []).append(q)
     used: set[tuple[tuple[float, float], tuple[float, float]]] = set()
-    for start_edge in sorted(edge_set):
-        if start_edge in used:
+    rings: list[list[tuple[float, float]]] = []
+    for e0 in sorted(directed):
+        if e0 in used:
             continue
-        ring = [start_edge[0]]
-        cur = start_edge
+        ring = [e0[0]]
+        cur = e0
         while True:
             used.add(cur)
-            p1, p2 = cur
-            ring.append(p2)
-            cands = [q for q in edges[p2] if (p2, q) not in used]
+            p, q = cur
+            ring.append(q)
+            cands = [r for r in out_map.get(q, ()) if (q, r) not in used]
             if not cands:
                 break
             if len(cands) == 1:
                 nxt = cands[0]
             else:
-                # right-turn preference relative to incoming direction
-                dx, dy = p2[0] - p1[0], p2[1] - p1[1]
+                dx, dy = q[0] - p[0], q[1] - p[1]
 
-                def turn(q):
-                    qx, qy = q[0] - p2[0], q[1] - p2[1]
-                    return dx * qy - dy * qx  # cross: <0 right turn
+                def ang(r):
+                    rx, ry = r[0] - q[0], r[1] - q[1]
+                    # atan2(cross, dot): most negative = sharpest right
+                    # turn; a u-turn lands at +pi = least preferred.
+                    return math.atan2(dx * ry - dy * rx, dx * rx + dy * ry)
 
-                nxt = min(cands, key=turn)
-            cur = (p2, nxt)
-            if cur == start_edge:
+                nxt = min(cands, key=ang)
+            cur = (q, nxt)
+            if cur == e0:
                 break
         if ring[0] == ring[-1]:
             ring.pop()
-        if len(ring) >= 4:
-            rings.append(_merge_collinear(ring))
+        ring = _merge_collinear(ring)
+        if len(ring) >= 3:
+            rings.append(ring)
+    return rings
 
+
+def _assemble(rings: list[list[tuple[float, float]]]) -> MultiPolygon:
+    """CCW rings are outers, CW rings are holes of their smallest
+    containing outer (representative point just right of the hole's
+    first directed edge, which has result-interior on the left)."""
     outers: list[tuple[list[tuple[float, float]], float]] = []
     holes: list[list[tuple[float, float]]] = []
     for r in rings:
@@ -434,8 +491,6 @@ def _cells_to_multipolygon(
             holes.append(r)
     result: MultiPolygon = [(r, []) for r, _ in outers]
     for h in holes:
-        # representative point strictly inside the hole: just right of
-        # the first directed edge (which has interior on the left)
         (hx1, hy1), (hx2, hy2) = h[0], h[1]
         mx, my = (hx1 + hx2) / 2, (hy1 + hy2) / 2
         dx, dy = hx2 - hx1, hy2 - hy1
@@ -452,73 +507,111 @@ def _cells_to_multipolygon(
     return result
 
 
-def _merge_collinear(r: list[tuple[float, float]]) -> list[tuple[float, float]]:
-    out: list[tuple[float, float]] = []
-    n = len(r)
+def _overlay(operands: Sequence[MultiPolygon], keep) -> MultiPolygon:
+    """Planar-arrangement overlay: ``keep(memberships) -> bool`` maps a
+    per-operand membership vector to result membership; the result
+    boundary is exactly the set of subdivided edges whose two sides
+    disagree."""
+    pts_all = [
+        p
+        for g in operands
+        for outer, hs in g
+        for r in [outer, *hs]
+        for p in r
+    ]
+    if not pts_all:
+        return []
+    xs = [p[0] for p in pts_all]
+    ys = [p[1] for p in pts_all]
+    scale = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+    tol = scale * 1e-9
+    snap = _snap_factory(tol)
+
+    segs: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    for g in operands:
+        for p1, p2 in _edges(g):
+            a, b = snap(p1), snap(p2)
+            if a != b:
+                segs.append((a, b))
+
+    n = len(segs)
+    splits: list[set[tuple[float, float]]] = [set() for _ in range(n)]
+    boxes = [
+        (
+            min(p1[0], p2[0]) - tol,
+            min(p1[1], p2[1]) - tol,
+            max(p1[0], p2[0]) + tol,
+            max(p1[1], p2[1]) + tol,
+        )
+        for p1, p2 in segs
+    ]
     for i in range(n):
-        prev, cur, nxt = r[i - 1], r[i], r[(i + 1) % n]
-        v1 = (cur[0] - prev[0], cur[1] - prev[1])
-        v2 = (nxt[0] - cur[0], nxt[1] - cur[1])
-        if v1[0] * v2[1] - v1[1] * v2[0] != 0:
-            out.append(cur)
-    return out
+        p1, p2 = segs[i]
+        bx1, by1, bx2, by2 = boxes[i]
+        for j in range(i + 1, n):
+            cx1, cy1, cx2, cy2 = boxes[j]
+            if cx1 > bx2 or cx2 < bx1 or cy1 > by2 or cy2 < by1:
+                continue
+            q1, q2 = segs[j]
+            for pt in _seg_points(p1, p2, q1, q2):
+                s = snap(pt)
+                if s != p1 and s != p2:
+                    splits[i].add(s)
+                if s != q1 and s != q2:
+                    splits[j].add(s)
 
+    edges: set[tuple[tuple[float, float], tuple[float, float]]] = set()
+    for (p1, p2), sp in zip(segs, splits):
+        chain = [
+            p1,
+            *sorted(sp, key=lambda p: (p[0] - p1[0]) ** 2 + (p[1] - p1[1]) ** 2),
+            p2,
+        ]
+        for a, b in zip(chain, chain[1:]):
+            if a != b:
+                edges.add((a, b) if a <= b else (b, a))
 
-def _boolean(a: MultiPolygon, b: MultiPolygon, op: str) -> MultiPolygon:
-    if is_empty(a) and is_empty(b):
+    eps = scale * 1e-7
+    directed: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    for a, b in edges:
+        mx, my = (a[0] + b[0]) / 2, (a[1] + b[1]) / 2
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        ln = math.hypot(dx, dy)
+        ox, oy = -dy / ln * eps, dx / ln * eps  # left-side offset
+        kl = keep([_point_in(g, mx + ox, my + oy) for g in operands])
+        kr = keep([_point_in(g, mx - ox, my - oy) for g in operands])
+        if kl and not kr:
+            directed.append((a, b))
+        elif kr and not kl:
+            directed.append((b, a))
+    if not directed:
         return []
-    xs, ys = _grid(a, b)
-    if len(xs) < 2 or len(ys) < 2:
-        return []
-    ma = _membership(a, xs, ys)
-    mb = _membership(b, xs, ys)
-    nx, ny = len(xs) - 1, len(ys) - 1
-    combine = {
-        "union": lambda p, q: p or q,
-        "intersection": lambda p, q: p and q,
-        "difference": lambda p, q: p and not q,
-        "symdiff": lambda p, q: p != q,
-    }[op]
-    cells = [[combine(ma[i][j], mb[i][j]) for j in range(ny)] for i in range(nx)]
-    return _cells_to_multipolygon(cells, xs, ys)
+    return _assemble(_stitch(directed))
 
 
 def union(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
     """G8 geometry union (reference ``coastline.py:145-146``)."""
-    return _boolean(a, b, "union")
+    return _overlay([a, b], any)
 
 
 def intersection(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
-    return _boolean(a, b, "intersection")
+    return _overlay([a, b], all)
 
 
 def difference(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:
     """G9 geometry difference (reference ``coastline.py:147``)."""
-    return _boolean(a, b, "difference")
+    return _overlay([a, b], lambda m: m[0] and not m[1])
 
 
 def union_all(geoms: Sequence[MultiPolygon]) -> MultiPolygon:
-    """n-ary union for dissolve — one grid pass over all operands
-    (cheaper and more robust than a fold of binary unions)."""
+    """n-ary union for dissolve — one arrangement pass over all
+    operands (cheaper and more robust than a fold of binary unions)."""
     geoms = [g for g in geoms if not is_empty(g)]
     if not geoms:
         return []
     if len(geoms) == 1:
         return make_valid(list(geoms[0]))
-    xs = sorted({p[0] for g in geoms for outer, holes in g for r in [outer, *holes] for p in r})
-    ys = sorted({p[1] for g in geoms for outer, holes in g for r in [outer, *holes] for p in r})
-    if len(xs) < 2 or len(ys) < 2:
-        return []
-    nx, ny = len(xs) - 1, len(ys) - 1
-    cells = [[False] * ny for _ in range(nx)]
-    for g in geoms:
-        m = _membership(g, xs, ys)
-        for i in range(nx):
-            row = cells[i]
-            mi = m[i]
-            for j in range(ny):
-                row[j] = row[j] or mi[j]
-    return _cells_to_multipolygon(cells, xs, ys)
+    return _overlay(geoms, any)
 
 
 # ------------------------------------------------------------------ predicates
@@ -539,16 +632,9 @@ def _shared_boundary(a: MultiPolygon, b: MultiPolygon) -> bool:
 
 
 def _segments_touch(p1, p2, q1, q2) -> bool:
-    """Axis-parallel segment contact: collinear overlap or endpoint-on-
-    segment (sufficient for the rectilinear domain)."""
-    def on_seg(p, a, b):
-        if a[0] == b[0]:  # vertical
-            return p[0] == a[0] and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
-        if a[1] == b[1]:  # horizontal
-            return p[1] == a[1] and min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
-        return False
-
-    return on_seg(q1, p1, p2) or on_seg(q2, p1, p2) or on_seg(p1, q1, q2) or on_seg(p2, q1, q2)
+    """Any point contact between two segments — proper crossing,
+    endpoint contact, or collinear overlap (general orientation)."""
+    return bool(_seg_points(p1, p2, q1, q2))
 
 
 def intersects(a: MultiPolygon, b: MultiPolygon) -> bool:

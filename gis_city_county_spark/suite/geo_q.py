@@ -187,6 +187,108 @@ SELECT * FROM (VALUES
 """
 
 
+def q_geo_rotated_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-rectilinear goldens for the general clipping kernel: the
+    same A1/J2/J3/§2.8 operators exercised by the axis-parallel
+    fixtures, on 45°-rotated polygons with hand-computed areas.
+
+    - dissolve: two unit diamonds sharing a full diagonal edge
+      ((2,0),(4,2),(2,4),(0,2)) + ((4,2),(6,4),(4,6),(2,4)) → one part,
+      area 8 + 8 = 16.
+    - erase (J3): right triangle (0,0),(10,0),(0,10) (area 50) minus a
+      strictly-interior diamond (3,1),(5,3),(3,5),(1,3) (area 8) →
+      one part with a hole, area 42.
+    - union overlay (J2): diamond (2,0),(4,2),(2,4),(0,2) (area 8) ×
+      square [2,4]×[0,2] (area 4); intersection is the triangle
+      (2,0),(4,2),(2,2) = 2, remainders 6 and 2.
+    - sliver fix (§2.8): land = rotated square (0,100),(100,0),
+      (200,100),(100,200) (area 20000); bay = big triangle
+      (200,100),(300,0),(300,200) (area 10000) + a 400 m² sliver
+      triangle glued to the seaward side of land's x+y=300 edge
+      ((160,140),(140,160),(170,170)) → sliver moves to land:
+      20400 / 10000.
+
+    All vertices are integers and every crossing lies on a vertex or
+    an axis-parallel/45° lattice point, so the areas are exact doubles
+    and the oracle is a literal VALUES table."""
+
+    def mp(*pts):
+        return K.to_wkb([([tuple(map(float, p)) for p in pts], [])])
+
+    d1 = mp((2, 0), (4, 2), (2, 4), (0, 2))
+    d2 = mp((4, 2), (6, 4), (4, 6), (2, 4))
+    dis = dissolve(
+        spark.createDataFrame(
+            [("d", d1), ("d", d2)], ["k", "geometry"]
+        ),
+        ["k"],
+    ).select(
+        F.concat(F.lit("dissolve_"), F.col("k")).alias("case_name"),
+        st_area("geometry").alias("area"),
+        st_num_parts("geometry").alias("n_parts"),
+    )
+
+    tri = mp((0, 0), (10, 0), (0, 10))
+    inner = mp((3, 1), (5, 3), (3, 5), (1, 3))
+    er = erase(
+        spark.createDataFrame([(1, tri)], ["eid", "geometry"]),
+        spark.createDataFrame([(2, inner)], ["eid", "geometry"]),
+        "eid",
+        cell=16.0,
+    ).select(
+        F.lit("erase_tri").alias("case_name"),
+        st_area("geometry").alias("area"),
+        st_num_parts("geometry").alias("n_parts"),
+    )
+
+    juris = spark.createDataFrame([(1, d1)], ["jid", "geometry"])
+    ocean = spark.createDataFrame(
+        [(101, mp((2, 0), (4, 0), (4, 2), (2, 2)))], ["oid", "geometry"]
+    )
+    ov = union_overlay(juris, ocean, "jid", "oid", cell=16.0).select(
+        F.concat(
+            F.lit("overlay_"),
+            F.when(F.col("FID_a").isNotNull() & F.col("FID_b").isNotNull(), "both")
+            .when(F.col("FID_a").isNotNull(), "a_only")
+            .otherwise("b_only"),
+        ).alias("case_name"),
+        st_area("geometry").alias("area"),
+        st_num_parts("geometry").alias("n_parts"),
+    )
+
+    land = mp((0, 100), (100, 0), (200, 100), (100, 200))
+    bay_big = [([(200.0, 100.0), (300.0, 0.0), (300.0, 200.0)], [])]
+    sliver = [([(160.0, 140.0), (140.0, 160.0), (170.0, 170.0)], [])]
+    bay = K.to_wkb(K.make_valid(bay_big + sliver))
+    sl = fix_slivers(
+        spark.createDataFrame(
+            [(1, "SF", land), (2, "SF", bay)], ["rid", "GNIS_PLACE_NAME", "geometry"]
+        ),
+        "GNIS_PLACE_NAME",
+        "rid",
+        threshold_m2=1000.0,
+    ).select(
+        F.concat(F.lit("sliver_"), F.col("rid")).alias("case_name"),
+        st_area("geometry").alias("area"),
+        st_num_parts("geometry").alias("n_parts"),
+    )
+
+    return dis.unionByName(er).unionByName(ov).unionByName(sl)
+
+
+_ROTATED_ORACLE = """
+SELECT * FROM (VALUES
+  ('dissolve_d', 16.0, 1),
+  ('erase_tri', 42.0, 1),
+  ('overlay_both', 2.0, 1),
+  ('overlay_a_only', 6.0, 1),
+  ('overlay_b_only', 2.0, 1),
+  ('sliver_1', 20400.0, 1),
+  ('sliver_2', 10000.0, 1)
+) AS t(case_name, area, n_parts)
+"""
+
+
 def q_knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Big-BIG spatial kNN join — the variant broadcast can't save:
     customer points find their 3 nearest order points within radius 2
@@ -523,4 +625,5 @@ SPECS = [
     QuerySpec("geo_sliver_fix", q_geo_sliver_fix, _SLIVER_ORACLE, bench=False),
     QuerySpec("geo_j2_union_overlay", q_geo_union_overlay, _OVERLAY_ORACLE, bench=False),
     QuerySpec("geo_g3_area_crs", q_geo_area_crs, _AREA_ORACLE, bench=False),
+    QuerySpec("geo_rotated_ops", q_geo_rotated_ops, _ROTATED_ORACLE, bench=False),
 ]

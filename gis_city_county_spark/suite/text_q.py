@@ -586,11 +586,13 @@ ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
 
 
 SPECS = [
-    QuerySpec("text_url_canonicalize", q_url_canonicalize, _url_canonicalize_oracle()),
-    QuerySpec("olap_keyset_page", q_keyset_page, _KEYSET_ORACLE),
+    # Order matters: the token/lang/quality core must stay inside the
+    # driver's first-50 correctness window (tests/test_contract_shapes).
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
     QuerySpec("text_quality_score", q_quality, _QUALITY_ORACLE),
+    QuerySpec("text_url_canonicalize", q_url_canonicalize, _url_canonicalize_oracle()),
+    QuerySpec("olap_keyset_page", q_keyset_page, _KEYSET_ORACLE),
     QuerySpec("text_fingerprint", q_fingerprint, _FP_ORACLE),
     QuerySpec("pipeline_training_data", q_training_data_pipeline, _PIPELINE_ORACLE),
     QuerySpec("profile_documents", q_profile_documents, _profile_oracle()),

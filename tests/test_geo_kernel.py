@@ -170,3 +170,68 @@ def test_boolean_ops_l_shapes(op, expected_area):
         assert K.area(got) == 12.0
     else:  # b - a: the notch
         assert K.area(got) == 4.0
+
+
+# ---------------------------------------------- non-rectilinear (general)
+
+def diamond(cx, cy, r):
+    """Square rotated 45°: |x-cx| + |y-cy| <= r, area 2r²."""
+    return [([(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)], [])]
+
+
+def test_rotated_union_shared_diagonal_edge():
+    # two diamonds sharing a full 45° edge merge into one part
+    a, b = diamond(2, 2, 2), diamond(4, 4, 2)
+    u = K.union(a, b)
+    assert len(u) == 1
+    assert K.area(u) == 16.0
+    assert K.touches(a, b)
+
+
+def test_rotated_intersection_with_square():
+    # diamond |x-2|+|y-2|<=2 vs square [2,4]x[0,2]: the quadrant
+    # triangle (2,0),(4,2),(2,2) of area 2
+    d = diamond(2, 2, 2)
+    s = rect(2, 0, 4, 2)
+    assert K.area(K.intersection(d, s)) == 2.0
+    assert K.area(K.union(d, s)) == 10.0
+    assert K.area(K.difference(d, s)) == 6.0
+    assert K.area(K.difference(s, d)) == 2.0
+
+
+def test_triangle_overlap():
+    t1 = [([(0.0, 0.0), (6.0, 0.0), (0.0, 6.0)], [])]
+    t2 = [([(2.0, 2.0), (8.0, 2.0), (2.0, 8.0)], [])]
+    # overlap: x>=2, y>=2, x+y<=6 -> triangle legs 2 -> area 2
+    assert K.area(K.intersection(t1, t2)) == 2.0
+    assert K.area(K.union(t1, t2)) == 34.0
+
+
+def test_rotated_hole():
+    # diamond hole strictly inside a triangle -> one part, one hole
+    tri = [([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)], [])]
+    d = K.difference(tri, diamond(3, 3, 2))
+    assert len(d) == 1 and len(d[0][1]) == 1
+    assert K.area(d) == 50.0 - 8.0
+
+
+def test_general_touches_point_and_edge():
+    a = diamond(2, 2, 2)
+    vertex_neighbor = diamond(6, 2, 2)          # shares vertex (4,2)
+    edge_neighbor = diamond(4, 4, 2)            # shares 45° edge
+    crossing = rect(3, 1, 7, 3)                 # interiors overlap
+    assert K.touches(a, vertex_neighbor)
+    assert K.touches(a, edge_neighbor)
+    assert not K.touches(a, crossing)
+    assert K.intersects(a, crossing)
+
+
+def test_partial_collinear_edge_overlap():
+    # b's bottom edge covers only the middle of a's top edge
+    a = rect(0, 0, 10, 2)
+    b = rect(3, 2, 7, 4)
+    u = K.union(a, b)
+    assert len(u) == 1 and K.area(u) == 28.0
+    assert K.touches(a, b)
+    inter = K.intersection(a, b)
+    assert K.area(inter) == 0.0
