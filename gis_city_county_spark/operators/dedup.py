@@ -122,15 +122,31 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
     """Self-join within (band_idx, band_hash) buckets → distinct
     candidate pairs (a < b) with the number of matching bands.
 
     Scale: the join key is the band hash, so the shuffle groups only
-    same-bucket rows; hot buckets (boilerplate text) are the classic
-    skew case — AQE skew-join splitting handles moderate skew, and a
-    production run would cap bucket size first (count per bucket,
-    drop pathological ones)."""
+    same-bucket rows; hot buckets (boilerplate/constant text) are the
+    classic skew case — a bucket of n rows emits n² join rows, so one
+    pathological bucket can dominate the whole stage. AQE skew-join
+    splitting handles moderate skew; for adversarial corpora pass
+    ``max_bucket`` to drop buckets larger than it before the self-join
+    (candidate generation stays bounded at ``max_bucket²`` per bucket;
+    near-dups inside a dropped bucket can still pair via their other,
+    less-common bands). Audit the dropped mass with
+    :func:`lsh_skew_report` — the gate-style companion."""
+    if max_bucket is not None:
+        sizes = bands_df.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        bands_df = (
+            bands_df.join(sizes, ["band_idx", "band_hash"])
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
     a = bands_df.select(
         F.col(id_col).alias("a_id"), "band_idx", "band_hash"
     )
@@ -142,6 +158,27 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
         .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def lsh_skew_report(bands_df: DataFrame, max_bucket: int) -> DataFrame:
+    """Dropped-mass audit for the ``max_bucket`` cap in
+    :func:`lsh_candidate_pairs`: one row with the bucket count, how
+    many buckets exceed the cap, and how many (id, band) rows they
+    hold — the log()-style gate a production dedup run records so a
+    silent recall loss (boilerplate flood) is visible, in the same
+    spirit as the reference's count gates (``bunny.py:228-229``)."""
+    sizes = bands_df.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("__bn") > max_bucket).cast("long")).alias(
+            "n_buckets_dropped"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("__bn") > max_bucket, F.col("__bn"))), F.lit(0)
+        ).alias("n_rows_dropped"),
     )
 
 

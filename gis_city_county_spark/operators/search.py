@@ -136,6 +136,7 @@ def fuzzy_lookup(
     name_col: str,
     k: int = 3,
     max_dist: int | None = None,
+    max_probes: int | None = 10_000,
 ) -> DataFrame:
     """Top-k nearest names by Levenshtein distance for each probe —
     the fuzzy crosswalk the reference maintains by hand as a
@@ -148,7 +149,20 @@ def fuzzy_lookup(
     broadcast (crosswalks are small); the corpus streams through one
     scan and only (probe, candidate, dist) survivors reach the
     per-probe top-k window. Ties break on candidate id.
+
+    Work is |corpus|×|probes|: the ``max_probes`` guard fails loudly on
+    an oversized probe side — the scale path is
+    :func:`fuzzy_join_blocked` (length-band blocking keeps candidate
+    generation bucket-local). ``max_probes=None`` overrides.
     """
+    if max_probes is not None:
+        if probes.limit(max_probes + 1).count() > max_probes:
+            raise ValueError(
+                f"fuzzy_lookup probe side exceeds max_probes={max_probes}: "
+                "the distance scan is |corpus|x|probes| — use "
+                "fuzzy_join_blocked for large probe sets, or pass "
+                "max_probes=None to override"
+            )
     # The distance scan is CPU-bound at |corpus|×|probes| rows; a
     # single-split corpus file would serialize it on one slot.
     c = rebalance_for_fanout(

@@ -37,14 +37,32 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
+    max_probes: int | None = 10_000,
 ) -> DataFrame:
     """Top-k cosine neighbors per probe (self-matches excluded).
 
     ``probes`` must be small (it is broadcast); the corpus streams
     through one pass — no shuffle until the per-probe top-k window,
     which partitions by probe id. Norms are computed once per side,
-    not per pair."""
+    not per pair.
+
+    This is the exact SMALL-PROBE baseline: work is |corpus|×|probes|.
+    The ``max_probes`` guard fails loudly when the probe side exceeds
+    it (a bounded ``limit().count()`` probe, same barrier class as the
+    reference's count gates) — at scale use :func:`lsh_ann_topk` /
+    :func:`ivf_ann_topk`, whose candidate generation is bucket-local.
+    Pass ``max_probes=None`` only when the caller has already bounded
+    the probe side."""
     from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    if max_probes is not None:
+        if probes.limit(max_probes + 1).count() > max_probes:
+            raise ValueError(
+                f"cosine_topk probe side exceeds max_probes={max_probes}: "
+                "brute-force scoring is |corpus|x|probes| — use "
+                "lsh_ann_topk/ivf_ann_topk for large probe sets, or pass "
+                "max_probes=None to override"
+            )
 
     # Each corpus row is scored against every probe — row work scales
     # with |probes|, so a narrow scan must be spread across slots.

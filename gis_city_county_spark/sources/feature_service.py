@@ -107,6 +107,68 @@ class FeatureServicePages(DataSource):
         return _PagesWriter(self.options, overwrite)
 
 
+def fetch_feature_pages(
+    url: str,
+    dest_dir: str,
+    page_size: int = 1000,
+    where: str = "1=1",
+    out_fields: str = "*",
+    fetch=None,
+) -> int:
+    """Driver-side fetcher that pages a LIVE feature-service ``/query``
+    endpoint into a snapshot directory readable by
+    :class:`FeatureServicePages` (mirrors the reference's
+    ``FeatureLayer(url).query()`` pull, ``bunny.py:211-219`` /
+    ``coastline.py:36-42``, but keeps the paged layout so the
+    subsequent scan is distributed).
+
+    Paging protocol: ``resultOffset``/``resultRecordCount`` with the
+    standard ArcGIS REST parameters; stops when a page comes back empty
+    or the server stops setting ``exceededTransferLimit``. Each page is
+    written to a temp name and atomically renamed, so a concurrent
+    reader of ``dest_dir`` never sees a half-written page; stale pages
+    from a previous snapshot are cleared first.
+
+    ``fetch`` (params -> parsed JSON dict) is injectable for tests; the
+    default GETs ``url`` with ``requests``. Control-plane only — no
+    Spark involvement; the distributed half is the DSv2 scan."""
+    if fetch is None:
+        import requests
+
+        def fetch(params):  # pragma: no cover - exercised via injection
+            resp = requests.get(url, params=params, timeout=60)
+            resp.raise_for_status()
+            return resp.json()
+
+    os.makedirs(dest_dir, exist_ok=True)
+    for f in os.listdir(dest_dir):
+        if f.endswith(".json"):
+            os.remove(os.path.join(dest_dir, f))
+    offset = page_no = 0
+    while True:
+        page = fetch(
+            {
+                "where": where,
+                "outFields": out_fields,
+                "f": "json",
+                "resultOffset": offset,
+                "resultRecordCount": page_size,
+            }
+        )
+        feats = page.get("features", [])
+        if not feats:
+            break
+        tmp = os.path.join(dest_dir, f".tmp-page_{page_no:05d}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"features": feats}, fh)
+        os.replace(tmp, os.path.join(dest_dir, f"page_{page_no:05d}.json"))
+        page_no += 1
+        offset += len(feats)
+        if not page.get("exceededTransferLimit", len(feats) == page_size):
+            break
+    return page_no
+
+
 def write_pages(rows: list[dict], dest_dir: str, page_size: int = 1000) -> int:
     """Helper for the snapshot-fetcher side: split attribute rows into
     ArcGIS-shaped page files. Returns the page count."""

@@ -118,9 +118,146 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def _fixture_bmps(spark: SparkSession) -> DataFrame:
+    """Deterministic BMP fixtures: image i is (4 + i%3)×(3 + i%2) with
+    pixel value (i*31 + y*7 + x*3 + c*11) % 256 at channel c — the
+    formula is re-derivable in pure SQL, so the oracle independently
+    checks that decode inverts encode."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import encode_bmp
+
+    rows = []
+    for i in range(8):
+        w, h = 4 + i % 3, 3 + i % 2
+        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+        img = ((i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+        rows.append((i, bytearray(encode_bmp(img))))
+    return spark.createDataFrame(rows, "img_id long, payload binary")
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: BMP fixtures round-trip through
+    encode_bmp → executor-side decode_image → per-channel sums."""
+    from gis_city_county_spark.operators.multimodal import image_stats
+
+    return image_stats(_fixture_bmps(spark), "img_id", "payload")
+
+
+_IMAGE_DECODE_ORACLE = """
+WITH g AS (
+  SELECT i, 4 + i % 3 AS w, 3 + i % 2 AS h
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+),
+px AS (
+  SELECT g.i, g.w, g.h, y.y, x.x
+  FROM g,
+       LATERAL UNNEST(generate_series(0, g.h - 1)) y(y),
+       LATERAL UNNEST(generate_series(0, g.w - 1)) x(x)
+)
+SELECT i AS img_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(SUM((i*31 + y*7 + x*3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((i*31 + y*7 + x*3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((i*31 + y*7 + x*3 + 22) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize: 8×8 formula BMPs nearest-neighbor downsampled to
+    4×4 in the executors (mapInPandas over resize_image), then decoded
+    stats — resized pixel (y,x) must equal source pixel (2y,2x), which
+    the oracle recomputes arithmetically."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import encode_bmp, image_stats
+
+    rows = []
+    for i in range(6):
+        y, x, c = np.ogrid[0:8, 0:8, 0:3]
+        img = ((i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
+        rows.append((i, bytearray(encode_bmp(img))))
+    src = spark.createDataFrame(rows, "img_id long, payload binary")
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from gis_city_county_spark.operators.multimodal import resize_image
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "img_id": pdf["img_id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: resize_image(bytes(b), 4, 4)
+                    ),
+                }
+            )
+
+    schema = T.StructType(
+        [T.StructField("img_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    resized = src.mapInPandas(do_resize, schema)
+    return image_stats(resized, "img_id", "payload")
+
+
+_IMAGE_RESIZE_ORACLE = """
+WITH px AS (
+  SELECT g.i, y.y, x.x
+  FROM (SELECT unnest(generate_series(0, 5)) AS i) g,
+       LATERAL UNNEST(generate_series(0, 3)) y(y),
+       LATERAL UNNEST(generate_series(0, 3)) x(x)
+)
+SELECT i AS img_id, CAST(4 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(SUM((i*31 + (y*2)*7 + (x*2)*3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((i*31 + (y*2)*7 + (x*2)*3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((i*31 + (y*2)*7 + (x*2)*3 + 22) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY 1
+"""
+
+
+def q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: PCM WAV fixtures (16-bit mono, formulaic
+    samples) round-trip through encode_wav → executor-side
+    decode_audio → integer amplitude stats."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import audio_stats, encode_wav
+
+    rows = []
+    for i in range(8):
+        n = 50 + 10 * (i % 4)
+        j = np.arange(n)
+        samples = ((i * 13 + j * 7) % 200) - 100
+        rows.append((i, bytearray(encode_wav(samples, 8000 + 100 * i, bits=16))))
+    clips = spark.createDataFrame(rows, "clip_id long, payload binary")
+    return audio_stats(clips, "clip_id", "payload")
+
+
+_AUDIO_DECODE_ORACLE = """
+WITH g AS (SELECT unnest(generate_series(0, 7)) AS i),
+s AS (
+  SELECT g.i, ((g.i*13 + j.j*7) % 200) - 100 AS v
+  FROM g, LATERAL UNNEST(generate_series(0, 50 + 10*(g.i%4) - 1)) j(j)
+)
+SELECT i AS clip_id,
+       CAST(50 + 10*(i%4) AS BIGINT) AS n_samples,
+       CAST(8000 + 100*i AS INTEGER) AS sample_rate,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM s GROUP BY 1, 2, 3
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
     QuerySpec("mm_frame_sample", q_frame_sample, _FRAME_ORACLE),
     QuerySpec("mm_audio_windows", q_audio_windows, _AUDIO_ORACLE),
     QuerySpec("mm_shot_boundaries", q_shot_boundaries, _SHOT_ORACLE),
+    QuerySpec("mm_image_decode_stats", q_image_decode_stats, _IMAGE_DECODE_ORACLE, bench=False),
+    QuerySpec("mm_image_resize_stats", q_image_resize_stats, _IMAGE_RESIZE_ORACLE, bench=False),
+    QuerySpec("mm_audio_decode_stats", q_audio_decode_stats, _AUDIO_DECODE_ORACLE, bench=False),
 ]

@@ -419,6 +419,7 @@ def _attach_spark(spark):
         test_bounded_funnel_matches_bruteforce,
         test_grid_knn_neighbor_cells_complete,
         test_bitmap_distinct_exact_and_partition_independent,
+        test_lsh_bucket_cap_bounds_adversarial_corpus,
     ):
         fn.spark = spark
     yield
@@ -527,3 +528,68 @@ def test_bitmap_distinct_exact_and_partition_independent(rows):
         want.setdefault(g, set()).add(i)
     want = {g: len(s) for g, s in want.items()}
     assert got == want == got_re
+
+
+@settings(**EX)
+@given(
+    st.integers(min_value=4, max_value=12),   # constant-text block size
+    st.integers(min_value=0, max_value=6),    # unique-text docs
+)
+def test_lsh_bucket_cap_bounds_adversarial_corpus(n_const, n_uniq):
+    """Adversarial constant-text corpus: every duplicate doc lands in
+    ONE band bucket per band, so the uncapped self-join emits
+    C(n,2)·bands rows — quadratic in the boilerplate flood. The
+    max_bucket cap must (a) drop exactly the pathological buckets,
+    (b) keep pairs among docs outside them, and (c) report the dropped
+    mass."""
+    from gis_city_county_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        lsh_skew_report,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    spark = test_lsh_bucket_cap_bounds_adversarial_corpus.spark
+    const_text = "the same boilerplate text repeated everywhere again"
+    uniq = [
+        f"document number {i} talks about entirely distinct topic {i * 7}"
+        for i in range(n_uniq)
+    ]
+    rows = [(i, const_text) for i in range(n_const)] + [
+        (1000 + i, t) for i, t in enumerate(uniq)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    bands = lsh_bands(
+        minhash_signatures(shingle_df(df, "doc_id", "body"), "doc_id"), "doc_id"
+    ).cache()
+
+    # Uncapped: the constant block pairs completely (4 matching bands).
+    full = lsh_candidate_pairs(bands, "doc_id")
+    const_pairs = full.filter(F.col("b_id") < 1000)
+    assert const_pairs.count() == n_const * (n_const - 1) // 2
+
+    # Cap below the block size: its buckets drop, so no constant-block
+    # pair survives; everything NOT in a hot bucket is untouched.
+    cap = n_const - 1
+    capped = lsh_candidate_pairs(bands, "doc_id", max_bucket=cap)
+    assert capped.filter(F.col("b_id") < 1000).count() == 0
+    uncapped_rest = {
+        (r.a_id, r.b_id, r.n_bands)
+        for r in full.filter(F.col("b_id") >= 1000).collect()
+    }
+    capped_rest = {
+        (r.a_id, r.b_id, r.n_bands)
+        for r in capped.filter(F.col("b_id") >= 1000).collect()
+    }
+    assert capped_rest == uncapped_rest
+
+    # The report accounts for the dropped mass: 4 bands' worth of the
+    # constant block (its docs share identical signatures).
+    rep = lsh_skew_report(bands, cap).collect()[0]
+    assert rep.n_buckets_dropped == 4
+    assert rep.n_rows_dropped == 4 * n_const
+    # a cap nothing exceeds drops nothing
+    rep2 = lsh_skew_report(bands, n_const).collect()[0]
+    assert rep2.n_buckets_dropped == 0 and rep2.n_rows_dropped == 0
+    bands.unpersist()

@@ -80,3 +80,29 @@ def test_bloom_prefilter_predicate_is_jvm_side(spark, sf_dir):
     ).select(F.col("o_orderkey").alias("l_orderkey"))
     plan = bloom_prefilter(li, dim, "l_orderkey")._jdf.queryExecution().executedPlan().toString()
     assert "pythonUDF" not in plan  # pure Catalyst expressions
+
+
+def test_bruteforce_probe_guards_fail_loud(spark, sf_dir):
+    """cosine_topk / fuzzy_lookup are |corpus|x|probes| brute force;
+    the default max_probes guard must fail loudly over the threshold
+    (pointing at the bucketed scale path) and stay silent under it or
+    when overridden."""
+    import pytest
+
+    from gis_city_county_spark.operators.search import fuzzy_lookup
+    from gis_city_county_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        cosine_topk(emb, emb, "vec_id", "embedding", k=2, max_probes=10)
+    # under the threshold and explicit override both pass
+    assert cosine_topk(emb, emb.limit(5), "vec_id", "embedding", k=2).count() > 0
+    assert (
+        cosine_topk(emb, emb, "vec_id", "embedding", k=2, max_probes=None).count()
+        > 0
+    )
+
+    part = load_table(spark, sf_dir, "part").limit(20).select("p_partkey", "p_name")
+    with pytest.raises(ValueError, match="fuzzy_join_blocked"):
+        fuzzy_lookup(part, part, "p_partkey", "p_name", k=2, max_probes=10)
+    assert fuzzy_lookup(part, part.limit(5), "p_partkey", "p_name", k=2).count() > 0

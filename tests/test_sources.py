@@ -69,6 +69,79 @@ def test_feature_service_pages_datasource(spark, tmp_path):
     assert {r["CITY"] for r in got} == {f"city{i}" for i in range(25) if i % 3 == 1}
 
 
+def test_feature_service_live_pager_roundtrip(spark, tmp_path):
+    """S1 live half: fetch_feature_pages pages an HTTP /query endpoint
+    (resultOffset paging, ArcGIS wire shape — reference
+    ``bunny.py:211-219``) into a snapshot dir, then the DSv2 source
+    scans it. Served by a real local HTTP server."""
+    import threading
+    import urllib.parse
+    import urllib.request
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from gis_city_county_spark.sources.feature_service import (
+        FeatureServicePages,
+        fetch_feature_pages,
+    )
+
+    all_rows = [{"CITY": f"c{i}", "POP": 100 + i} for i in range(23)]
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            off = int(q["resultOffset"][0])
+            n = int(q["resultRecordCount"][0])
+            feats = [{"attributes": r} for r in all_rows[off : off + n]]
+            body = json.dumps(
+                {
+                    "features": feats,
+                    "exceededTransferLimit": off + n < len(all_rows),
+                }
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/query"
+
+        def fetch(params):
+            full = url + "?" + urllib.parse.urlencode(params)
+            with urllib.request.urlopen(full, timeout=10) as resp:
+                return json.loads(resp.read())
+
+        dest = str(tmp_path / "live_pages")
+        # stale page from a previous snapshot must be cleared
+        os.makedirs(dest)
+        with open(os.path.join(dest, "page_99999.json"), "w") as fh:
+            json.dump({"features": [{"attributes": {"CITY": "stale", "POP": 0}}]}, fh)
+        n_pages = fetch_feature_pages(url, dest, page_size=10, fetch=fetch)
+        assert n_pages == 3
+        assert sorted(os.listdir(dest)) == [
+            "page_00000.json", "page_00001.json", "page_00002.json",
+        ]
+
+        spark.dataSource.register(FeatureServicePages)
+        df = (
+            spark.read.format("feature_service_pages")
+            .schema("CITY string, POP long")
+            .option("path", dest)
+            .load()
+        )
+        got = {(r["CITY"], r["POP"]) for r in df.collect()}
+        assert got == {(f"c{i}", 100 + i) for i in range(23)}
+    finally:
+        srv.shutdown()
+
+
 def test_feature_service_pages_write_roundtrip(spark, tmp_path):
     """DataSourceWriter two-phase commit: staged files promote on
     commit, rows round-trip, and no staging residue survives."""
