@@ -1274,3 +1274,141 @@ SELECT id AS {id_col},
            ' ' ORDER BY pos), '') AS targets
 FROM numbered GROUP BY id
 """
+
+
+# ------------------------------------------------- n-gram precision eval
+
+def ngram_precision_eval(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """BLEU-style modified n-gram precision per (candidate, reference)
+    pair — the eval-harness metric a training-data pipeline runs to
+    measure overlap between generated/derived text and its source (and
+    the exact machinery eval-set decontamination audits reuse).
+
+    For each n ≤ ``max_n``: clipped matches = Σ over candidate n-grams
+    of min(count_cand, count_ref); total = candidate n-gram count.
+    All-integer counts (engine-exact); the precision ships as
+    ``precision_ppm = clipped·10⁶ div total`` per the integral-score
+    convention. Long output, one row per (id, n):
+    ``(id, n, cand_len, ref_len, clipped, total, precision_ppm)``.
+
+    Plan shape per n: two explode→count aggregates (map-side
+    combinable), one (id, gram) equi-join, one per-id reduce — shuffle
+    keys are (id, gram), so the fanout collapses before any wide
+    exchange and the plan survives corpus-scale inputs."""
+    base = df.select(
+        F.col(id_col),
+        tokens(cand_col).alias("__ct"),
+        tokens(ref_col).alias("__rt"),
+    )
+
+    def grams(col: str, n: int):
+        return F.expr(
+            f"CASE WHEN size({col}) >= {n} THEN "
+            f"transform(sequence(1, size({col}) - {n - 1}),"
+            f" i -> concat_ws(' ', slice({col}, i, {n}))) "
+            f"ELSE array() END"
+        )
+
+    out = None
+    for n in range(1, max_n + 1):
+        c = (
+            base.select(
+                id_col,
+                F.size("__ct").alias("cand_len"),
+                F.size("__rt").alias("ref_len"),
+                F.explode_outer(grams("__ct", n)).alias("gram"),
+            )
+            .groupBy(id_col, "cand_len", "ref_len", "gram")
+            .agg(F.count(F.when(F.col("gram").isNotNull(), 1)).alias("__c"))
+        )
+        r = (
+            base.select(id_col, F.explode(grams("__rt", n)).alias("gram"))
+            .groupBy(id_col, "gram")
+            .agg(F.count(F.lit(1)).alias("__r"))
+        )
+        agg = (
+            c.join(r, [id_col, "gram"], "left")
+            .groupBy(id_col, "cand_len", "ref_len")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("gram").isNotNull(),
+                        F.least(F.col("__c"), F.coalesce(F.col("__r"), F.lit(0))),
+                    ).otherwise(0)
+                ).alias("clipped"),
+                F.sum(
+                    F.when(F.col("gram").isNotNull(), F.col("__c")).otherwise(0)
+                ).alias("total"),
+            )
+        )
+        res = agg.select(
+            F.col(id_col),
+            F.lit(n).cast("int").alias("n"),
+            F.col("cand_len").cast("long").alias("cand_len"),
+            F.col("ref_len").cast("long").alias("ref_len"),
+            F.col("clipped").cast("long").alias("clipped"),
+            F.col("total").cast("long").alias("total"),
+            F.when(
+                F.col("total") > 0,
+                F.expr("clipped * 1000000 div total"),
+            ).alias("precision_ppm"),
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+def ngram_precision_eval_sql(
+    source_sql: str,
+    id_col: str,
+    cand_expr: str,
+    ref_expr: str,
+    max_n: int = 4,
+) -> str:
+    """DuckDB oracle twin of :func:`ngram_precision_eval`."""
+    parts = []
+    for n in range(1, max_n + 1):
+        gram = " || ' ' || ".join(f"tl[i + {j}]" for j in range(n))
+        parts.append(f"""
+SELECT id AS {id_col}, {n} AS n, cand_len, ref_len,
+       CAST(COALESCE(SUM(LEAST(c, r)), 0) AS BIGINT) AS clipped,
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total,
+       CASE WHEN COALESCE(SUM(c), 0) > 0
+            THEN CAST(COALESCE(SUM(LEAST(c, r)), 0) AS BIGINT) * 1000000
+                 // CAST(SUM(c) AS BIGINT) END AS precision_ppm
+FROM (
+  SELECT b.id, b.cand_len, b.ref_len, cg.gram, cg.c,
+         COALESCE(rg.r, 0) AS r
+  FROM base{n} b
+  LEFT JOIN (
+    SELECT id, {gram.replace('tl[', 'ctl[')} AS gram, COUNT(*) AS c
+    FROM (SELECT id, ctl FROM toks) t,
+         LATERAL UNNEST(generate_series(1, len(ctl) - {n - 1})) g(i)
+    GROUP BY 1, 2
+  ) cg ON b.id = cg.id
+  LEFT JOIN (
+    SELECT id, {gram.replace('tl[', 'rtl[')} AS gram, COUNT(*) AS r
+    FROM (SELECT id, rtl FROM toks) t,
+         LATERAL UNNEST(generate_series(1, len(rtl) - {n - 1})) g(i)
+    GROUP BY 1, 2
+  ) rg ON cg.id = rg.id AND cg.gram = rg.gram
+) j
+GROUP BY 1, 2, 3, 4""")
+        parts[-1] = parts[-1].replace(f"base{n}", "base")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH src AS (SELECT {id_col} AS id, {cand_expr} AS cand, {ref_expr} AS ref
+             FROM ({source_sql})),
+toks AS (
+  SELECT id, {tokens_sql('cand')} AS ctl, {tokens_sql('ref')} AS rtl FROM src
+),
+base AS (
+  SELECT id, len(ctl) AS cand_len, len(rtl) AS ref_len FROM toks
+)
+{union}
+"""

@@ -126,6 +126,136 @@ QUALIFY rank <= {k}
 """
 
 
+# ------------------------------------------------------------- BM25
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 over ``terms`` — the production
+    ranker TF-IDF approximates. Same one-pass plan shape as
+    :func:`tfidf_topk` (explode → conditional tf aggregate → 1-row
+    broadcast df/avgdl frame → score, TakeOrdered top-k), plus the
+    document-length normalization BM25 adds: dl = full token count per
+    doc, avgdl = corpus mean.
+
+    Determinism: the idf is the RATIONAL ``n_docs / df`` (one IEEE
+    division — libm ``ln`` is not bit-identical across engines; the
+    damping constant +0.5s are dropped with it), and every double op
+    appears in a fixed order mirrored exactly by :func:`bm25_topk_sql`,
+    so scores are engine-bit-equal. Output: (id, dl, score, rank)."""
+    from gis_city_county_spark.operators.textstats import token_count
+
+    toks = (
+        rebalance_for_fanout(df, multiplier=64.0)
+        .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+    )
+    tf = toks.groupBy("__id").agg(
+        *[
+            F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    dls = df.select(
+        F.col(id_col).alias("__id"), token_count(text_col).alias("dl")
+    )
+    stats = dls.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        tf.join(dls, "__id")
+        .crossJoin(F.broadcast(toks.groupBy().agg(
+            *[
+                F.countDistinct(F.when(F.col("tok") == t, F.col("__id"))).alias(f"df_{t}")
+                for t in terms
+            ]
+        )))
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for t in terms:
+        tf_d = F.col(f"tf_{t}").cast("double")
+        idf = F.col("n_docs").cast("double") / F.col(f"df_{t}").cast("double")
+        denom = tf_d + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+        )
+        term_score = idf * ((tf_d * F.lit(k1 + 1.0)) / denom)
+        score = term_score if score is None else score + term_score
+    topk = (
+        scored.withColumn("score", score)
+        .select(F.col("__id").alias(id_col), "dl", "score")
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def bm25_topk_sql(
+    table_sql: str,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` — operand-order-exact."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_aggs = ",\n         ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in terms
+    )
+    df_aggs = ",\n         ".join(
+        f"COUNT(DISTINCT CASE WHEN tok = '{t}' THEN id END) AS df_{t}" for t in terms
+    )
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    score = " + ".join(
+        f"((CAST(n_docs AS DOUBLE) / CAST(df_{t} AS DOUBLE))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf_{t} AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
+        f" + {b!r} * (CAST(dl AS DOUBLE) / {avgdl})))))"
+        for t in terms
+    )
+    from gis_city_county_spark.operators.textstats import tokens_sql as _tok
+
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {text_col} AS txt FROM ({table_sql})),
+toks AS (
+  SELECT id, t.tok
+  FROM (SELECT id, {_tok('txt')} AS tl FROM base) s,
+       LATERAL UNNEST(s.tl) AS t(tok)
+  WHERE t.tok IN ({in_list})
+),
+tf AS (
+  SELECT id,
+         {tf_aggs}
+  FROM toks GROUP BY id
+),
+dfs AS (
+  SELECT {df_aggs}
+  FROM toks
+),
+dls AS (SELECT id, len({_tok('txt')}) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+scored AS (
+  SELECT tf.id, dls.dl, {score} AS score
+  FROM tf JOIN dls USING (id) CROSS JOIN dfs CROSS JOIN stats
+)
+SELECT id AS {id_col}, CAST(dl AS BIGINT) AS dl, score,
+       ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 # ------------------------------------------------------- fuzzy lookup
 
 

@@ -419,8 +419,38 @@ def _span_oracle() -> str:
     return span_corruption_sql("SELECT * FROM documents", "doc_id", "text", 5)
 
 
+def q_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style modified n-gram precision (n=1..4): each document's
+    first-40-token 'summary' as candidate against its full text as
+    reference — the overlap-eval harness shape."""
+    from gis_city_county_spark.operators.corpus import ngram_precision_eval
+    from gis_city_county_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(F.slice(tokens("text"), 1, 40), " ").alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    return ngram_precision_eval(pairs, "doc_id", "cand", "ref", max_n=4)
+
+
+def _ngram_precision_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import ngram_precision_eval_sql
+    from gis_city_county_spark.operators.textstats import tokens_sql
+
+    return ngram_precision_eval_sql(
+        "SELECT * FROM documents",
+        "doc_id",
+        f"array_to_string(list_slice({tokens_sql('text')}, 1, 40), ' ')",
+        "text",
+        max_n=4,
+    )
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_ngram_precision_eval", q_ngram_precision, _ngram_precision_oracle()),
     QuerySpec("corpus_bpe_encode", q_bpe_encode, _bpe_encode_oracle()),
     QuerySpec("corpus_dsir_weights", q_dsir_weights, _dsir_oracle()),
     QuerySpec("corpus_span_corruption", q_span_corruption, _span_oracle()),

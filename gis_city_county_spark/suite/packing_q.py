@@ -62,6 +62,22 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = tfidf_topk_sql("SELECT * FROM documents", "doc_id", "text", _TERMS, 20)
 
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by Okapi BM25 (rational idf, k1=1.2, b=0.75)
+    for the same keyword set — the length-normalized ranker TF-IDF
+    approximates."""
+    from gis_city_county_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _TERMS, k=20)
+
+
+def _bm25_oracle() -> str:
+    from gis_city_county_spark.operators.search import bm25_topk_sql
+
+    return bm25_topk_sql("SELECT * FROM documents", "doc_id", "text", _TERMS, 20)
+
 _CONJ_TERMS = ["spark", "join"]
 
 
@@ -160,6 +176,7 @@ SPECS = [
     QuerySpec("pipeline_quota_sample", q_quota, _QUOTA_ORACLE),
     QuerySpec("pipeline_pack_sequences", q_pack, _PACK_ORACLE),
     QuerySpec("search_tfidf_topk", q_tfidf, _TFIDF_ORACLE),
+    QuerySpec("search_bm25_topk", q_bm25, _bm25_oracle()),
     QuerySpec("search_conjunctive", q_conjunctive, _CONJ_ORACLE),
     QuerySpec("search_phrase", q_phrase, _PHRASE_ORACLE),
     QuerySpec("search_proximity", q_proximity, _proximity_oracle()),
