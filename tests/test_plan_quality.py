@@ -123,6 +123,8 @@ _BNLJ_ALLOWED = {
     "sim_kmeans_refine",
     "sim_cluster_purity",
     "search_tfidf_topk",
+    # same 1-row broadcast df/avgdl frames as tfidf, plus the dl join
+    "search_bm25_topk",
     "search_fuzzy_name_lookup",
     "pipeline_mixture_resample",
     "pipeline_mixture_upsample",
