@@ -545,20 +545,38 @@ def _overlay(operands: Sequence[MultiPolygon], keep) -> MultiPolygon:
         )
         for p1, p2 in segs
     ]
-    for i in range(n):
-        p1, p2 = segs[i]
-        bx1, by1, bx2, by2 = boxes[i]
-        for j in range(i + 1, n):
-            cx1, cy1, cx2, cy2 = boxes[j]
-            if cx1 > bx2 or cx2 < bx1 or cy1 > by2 or cy2 < by1:
-                continue
-            q1, q2 = segs[j]
-            for pt in _seg_points(p1, p2, q1, q2):
-                s = snap(pt)
-                if s != p1 and s != p2:
-                    splits[i].add(s)
-                if s != q1 and s != q2:
-                    splits[j].add(s)
+    # Candidate pairs via a uniform grid hash on segment bboxes —
+    # O(S²) pair enumeration only survives inside shared cells, so a
+    # dissolve over many mutually-disjoint parts stays near-linear.
+    cell = max(scale / max(int(math.sqrt(n)) + 1, 8), tol * 16)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (bx1, by1, bx2, by2) in enumerate(boxes):
+        for gx in range(int(bx1 // cell), int(bx2 // cell) + 1):
+            for gy in range(int(by1 // cell), int(by2 // cell) + 1):
+                buckets.setdefault((gx, gy), []).append(i)
+    seen_pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        m = len(members)
+        for a_i in range(m):
+            i = members[a_i]
+            bx1, by1, bx2, by2 = boxes[i]
+            p1, p2 = segs[i]
+            for b_i in range(a_i + 1, m):
+                j = members[b_i]
+                pair = (i, j) if i < j else (j, i)
+                if pair in seen_pairs:
+                    continue
+                seen_pairs.add(pair)
+                cx1, cy1, cx2, cy2 = boxes[j]
+                if cx1 > bx2 or cx2 < bx1 or cy1 > by2 or cy2 < by1:
+                    continue
+                q1, q2 = segs[j]
+                for pt in _seg_points(p1, p2, q1, q2):
+                    s = snap(pt)
+                    if s != p1 and s != p2:
+                        splits[i].add(s)
+                    if s != q1 and s != q2:
+                        splits[j].add(s)
 
     edges: set[tuple[tuple[float, float], tuple[float, float]]] = set()
     for (p1, p2), sp in zip(segs, splits):
@@ -572,14 +590,41 @@ def _overlay(operands: Sequence[MultiPolygon], keep) -> MultiPolygon:
                 edges.add((a, b) if a <= b else (b, a))
 
     eps = scale * 1e-7
+    # Operand bbox quick-reject: a point outside an operand's bbox is
+    # outside the operand — skips the O(V) crossing test for every
+    # (edge, far-away operand) combination in a many-operand union.
+    op_boxes = []
+    for g in operands:
+        pts = [p for outer, hs in g for r in [outer, *hs] for p in r]
+        if pts:
+            op_boxes.append(
+                (
+                    min(p[0] for p in pts) - eps * 2,
+                    min(p[1] for p in pts) - eps * 2,
+                    max(p[0] for p in pts) + eps * 2,
+                    max(p[1] for p in pts) + eps * 2,
+                )
+            )
+        else:
+            op_boxes.append(None)
+
+    def memberships(px: float, py: float) -> list[bool]:
+        out = []
+        for g, bb in zip(operands, op_boxes):
+            if bb is None or not (bb[0] <= px <= bb[2] and bb[1] <= py <= bb[3]):
+                out.append(False)
+            else:
+                out.append(_point_in(g, px, py))
+        return out
+
     directed: list[tuple[tuple[float, float], tuple[float, float]]] = []
     for a, b in edges:
         mx, my = (a[0] + b[0]) / 2, (a[1] + b[1]) / 2
         dx, dy = b[0] - a[0], b[1] - a[1]
         ln = math.hypot(dx, dy)
         ox, oy = -dy / ln * eps, dx / ln * eps  # left-side offset
-        kl = keep([_point_in(g, mx + ox, my + oy) for g in operands])
-        kr = keep([_point_in(g, mx - ox, my - oy) for g in operands])
+        kl = keep(memberships(mx + ox, my + oy))
+        kr = keep(memberships(mx - ox, my - oy))
         if kl and not kr:
             directed.append((a, b))
         elif kr and not kl:
