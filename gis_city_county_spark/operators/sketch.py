@@ -305,3 +305,112 @@ WITH words AS (
 SELECT {keys}, CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct
 FROM words GROUP BY {keys}
 """
+
+
+# ------------------------------------------------------ count-min sketch
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min sketch frequency estimation, evaluated against exact
+    counts for the top-k heavy hitters — the bounded-memory frequency
+    structure a 100 TB stream/batch pipeline keeps per node when exact
+    per-key counts don't fit.
+
+    Build: each row hashes into ``depth`` buckets (md5 seeded per
+    row-of-sketch); the sketch is a (d, w)-keyed count relation built
+    in ONE map-side-combinable aggregate over an explode-by-depth —
+    d·w cells max, independent of key cardinality. Estimate for a key
+    = min over its d buckets (over-count only, never under).
+
+    Output per top-k exact key: ``(key, exact_cnt, est_cnt,
+    overcount)`` — overcount = est − exact ≥ 0 by construction, and
+    the whole computation is md5-deterministic, so the DuckDB twin
+    matches bit-for-bit."""
+    key = F.col(key_col).cast("string")
+    rows = df.select(key.alias("__k"))
+    hashed = rows.select(
+        "__k",
+        F.posexplode(
+            F.array(
+                *[
+                    (_h60(F.concat(F.lit(f"{d}|"), F.col("__k"))) % width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__d", "__b"),
+    )
+    sketch = hashed.groupBy("__d", "__b").agg(F.count(F.lit(1)).alias("__cell"))
+
+    exact = rows.groupBy("__k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    topk = exact.orderBy(F.desc("exact_cnt"), F.asc("__k")).limit(k)
+    probes = topk.select(
+        "__k",
+        "exact_cnt",
+        F.posexplode(
+            F.array(
+                *[
+                    (_h60(F.concat(F.lit(f"{d}|"), F.col("__k"))) % width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__d", "__b"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["__d", "__b"])
+        .groupBy("__k", "exact_cnt")
+        .agg(F.min("__cell").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("__k").alias(key_col),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+def countmin_heavy_hitters_sql(
+    source_sql: str,
+    key_expr: str,
+    key_name: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    k: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`countmin_heavy_hitters`."""
+    bucket_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT k, {d} AS d, {_h60_sql(repr(f'{d}|') + ' || k')} % {width} AS b"
+        " FROM keys"
+        for d in range(depth)
+    )
+    return f"""
+WITH keys AS (SELECT CAST({key_expr} AS VARCHAR) AS k FROM ({source_sql})),
+hashed AS (
+  {bucket_rows}
+),
+sketch AS (
+  SELECT d, b, COUNT(*) AS cell FROM hashed GROUP BY d, b
+),
+exact AS (SELECT k, COUNT(*) AS exact_cnt FROM keys GROUP BY k),
+topk AS (
+  SELECT k, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, k ASC LIMIT {k}
+),
+probes AS (
+  {bucket_rows.replace("FROM keys", "FROM (SELECT DISTINCT k FROM topk)")}
+),
+est AS (
+  SELECT p.k, MIN(s.cell) AS est_cnt
+  FROM probes p JOIN sketch s ON p.d = s.d AND p.b = s.b
+  GROUP BY p.k
+)
+SELECT t.k AS {key_name},
+       CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(e.est_cnt AS BIGINT) AS est_cnt,
+       CAST(e.est_cnt - t.exact_cnt AS BIGINT) AS overcount
+FROM topk t JOIN est e ON t.k = e.k
+"""

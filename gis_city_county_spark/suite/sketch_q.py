@@ -211,7 +211,29 @@ SELECT bm.*, exact.n_exact FROM bm JOIN exact USING (event_type)
 """
 
 
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream: top-20 tokens' exact
+    vs sketch-estimated frequencies with the (always ≥0) overcount —
+    the bounded-memory frequency structure, error-audited."""
+    from gis_city_county_spark.operators.sketch import countmin_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return countmin_heavy_hitters(toks, "tok", width=1 << 10, depth=4, k=20)
+
+
+def _countmin_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import countmin_heavy_hitters_sql
+
+    src = (
+        f"SELECT t.tok FROM (SELECT {tokens_sql('text')} AS tl FROM documents) s,"
+        " LATERAL UNNEST(s.tl) AS t(tok)"
+    )
+    return countmin_heavy_hitters_sql(src, "tok", "tok", width=1 << 10, depth=4, k=20)
+
+
 SPECS = [
+    QuerySpec("sketch_countmin_heavy_hitters", q_countmin_tokens, _countmin_oracle()),
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
     QuerySpec("olap_bitmap_distinct", q_bitmap_distinct, _bitmap_oracle()),
     QuerySpec("sketch_exact_n_sample", q_exact_n_sample, _EXACT_N_ORACLE),
