@@ -362,6 +362,89 @@ def ivf_ann_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    nlist: int = 32,
+) -> None:
+    """Materialize the IVF index on disk: inverted lists hive-
+    partitioned by centroid id (``<path>/lists/cid=N/``) plus the
+    centroid table (``<path>/centroids``). Pay the assignment pass
+    once at build; every subsequent probe reads only its ``nprobe``
+    list DIRECTORIES — partition pruning, the on-disk form of
+    bucket-local ANN. Same deterministic quantizer as
+    :func:`ivf_ann_topk` (centroids = vectors with id < nlist), so
+    query results are identical to the in-memory path."""
+    from gis_city_county_spark.sources.layout import write_partitioned
+
+    cents = corpus.filter(F.col(id_col) < nlist)
+    lists = ivf_assign(corpus, cents, id_col, vec_col)
+    write_partitioned(lists, f"{path}/lists", ["cid"])
+    cents.select(id_col, vec_col).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    probe_pred: Column,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a :func:`build_ivf_index` index. The probe→list routing
+    (probes × broadcast centroids) yields at most ``nlist`` distinct
+    list ids; collecting them (a bounded, metadata-scale driver hop —
+    same class as dynamic partition pruning) turns the corpus scan
+    into a literal ``cid IN (...)`` partition filter, so only the
+    probed list directories are read no matter how large the corpus
+    grows."""
+    from pyspark.sql import SparkSession as _S  # noqa: F401 (signature doc)
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    c = cents.select(
+        F.col(id_col).alias("pcid"), F.col(vec_col).alias("__pcv")
+    ).withColumn("__pcn2", dot_product(F.col("__pcv"), F.col("__pcv")))
+
+    lists_all = spark.read.parquet(f"{path}/lists")
+    probes = lists_all.filter(probe_pred).select(
+        F.col("__id").alias("probe_id"),
+        F.col("__v").alias("p_v"),
+        F.col("__n2").alias("p_n2"),
+    )
+    pcos = dot_product(F.col("p_v"), F.col("__pcv")) / (
+        F.sqrt("p_n2") * F.sqrt("__pcn2")
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("__pcos"), F.asc("pcid"))
+    probe_lists = (
+        probes.crossJoin(F.broadcast(c))
+        .withColumn("__pcos", pcos)
+        .withColumn("__prn", F.row_number().over(wp))
+        .filter(F.col("__prn") <= nprobe)
+        .select("probe_id", "p_v", "p_n2", F.col("pcid").alias("cid"))
+    )
+    needed = [r[0] for r in probe_lists.select("cid").distinct().collect()]
+    pruned = spark.read.parquet(f"{path}/lists").filter(
+        F.col("cid").isin(needed or [-1])
+    )
+    cos = dot_product(F.col("__v"), F.col("p_v")) / (
+        F.sqrt("p_n2") * F.sqrt("__n2")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("__id"))
+    return (
+        probe_lists.join(pruned, "cid")
+        .filter(F.col("__id") != F.col("probe_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("__id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
 def ivf_ann_topk_sql(
     table: str,
     id_col: str,

@@ -47,6 +47,36 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the index MATERIALIZED: inverted lists written
+    hive-partitioned by centroid id, then queried back with a literal
+    ``cid IN (...)`` partition filter so only the probed list
+    directories are scanned — the on-disk ANN-index lifecycle
+    (build once, prune forever). Results are identical to
+    ``sim_ivf_ann_topk``."""
+    import shutil
+    import tempfile
+
+    from gis_city_county_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="sgraft_ivf_")
+    try:
+        build_ivf_index(emb, "vec_id", "embedding", path, nlist=32)
+        out = ivf_index_topk(
+            spark, path, "vec_id", "embedding", F.col("__id") % 50 == 0,
+            k=5, nprobe=4,
+        )
+        # materialize before the temp index dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: vectors compressed to 4 codebook ids,
     probes rank the whole corpus through a per-probe ADC lookup table
@@ -390,4 +420,13 @@ SPECS = [
     QuerySpec("pipeline_hard_negatives", q_hard_negatives, _HARD_NEG_ORACLE),
     QuerySpec("sim_cluster_purity", q_cluster_purity, _PURITY_ORACLE),
     QuerySpec("sim_quantize_report", q_quantize_report, _QUANT_ORACLE),
+    QuerySpec(
+        "sim_ivf_index_persisted",
+        q_ivf_index_persisted,
+        # identical results to the in-memory IVF path by construction —
+        # the index round-trip changes the scan, not the math
+        ivf_ann_topk_sql(
+            "embeddings", "vec_id", "embedding", "p.id % 50 = 0", k=5, nlist=32, nprobe=4
+        ),
+    ),
 ]

@@ -236,3 +236,39 @@ def test_overwrite_partitions_is_selective(spark, sf_dir, tmp_path):
     assert after.filter(F.col("o_orderpriority") == "1-URGENT").count() == n_replacement
     # the static default would have truncated the sibling partitions
     assert after.count() == n_total - n_urgent + n_replacement
+
+
+def test_ivf_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The persisted IVF index must turn probe routing into a literal
+    cid partition filter: only the probed list directories are
+    scanned, and results equal the in-memory IVF path exactly."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        ivf_index_topk,
+    )
+    from gis_city_county_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "embedding", path, nlist=32)
+
+    pred = F.col("__id") % 50 == 0
+    out = ivf_index_topk(spark, path, "vec_id", "embedding", pred, k=5, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side scan carries the cid partition filter
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):][:400]
+    assert "cid" in seg
+
+    mem = ivf_ann_topk(emb, "vec_id", "embedding", pred, k=5, nlist=32, nprobe=4)
+    key = lambda r: (r["probe_id"], r["rank"])
+    got = sorted(
+        [(r["probe_id"], r["rank"], r["neighbor_id"]) for r in out.collect()]
+    )
+    want = sorted(
+        [(r["probe_id"], r["rank"], r["neighbor_id"]) for r in mem.collect()]
+    )
+    assert got == want
