@@ -349,6 +349,91 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col("__id").alias(id_col), sim.cast("long").alias("simhash"))
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs at scale via the pigeonhole banded
+    join (the classic web-scale simhash dedup): split the 16-bit
+    signature into ``bands`` equal bands — any pair within Hamming
+    distance ``max_hamming`` < ``bands`` must agree EXACTLY on at
+    least one band — self-join on (band_idx, band_value) buckets, then
+    verify with the exact distance ``bit_count(a XOR b)``. Candidate
+    generation is bucket-local (shuffle keys are band values), never
+    all-pairs; same scale shape as MinHash LSH banding.
+
+    Output: ``(a_id, b_id, hamming)`` with a < b."""
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    sig = simhash16(df, id_col, text_col)
+    width = 16 // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {b * width}) & {mask}")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("__id").alias("a_id"), F.col("simhash").alias("a_sig"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("__id").alias("b_id"), F.col("simhash").alias("b_sig"),
+        "band_idx", "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id",
+            F.expr("bit_count(a_sig ^ b_sig)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_near_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> str:
+    """DuckDB oracle twin of :func:`simhash_near_pairs`."""
+    width = 16 // bands
+    mask = (1 << width) - 1
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {id_col} AS id, simhash, {b} AS band_idx,"
+        f" (simhash >> {b * width}) & {mask} AS band_val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sig AS ({simhash16_sql(table, id_col, text_col)}),
+banded AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+         CAST(bit_count(CAST(xor(a.simhash, b.simhash) AS BIGINT)) AS INTEGER)
+           AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.id < b.id
+)
+SELECT a_id, b_id, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
 def simhash16_sql(table: str, id_col: str, text_col: str) -> str:
     votes = ",\n         ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"

@@ -419,6 +419,23 @@ def _span_oracle() -> str:
     return span_corruption_sql("SELECT * FROM documents", "doc_id", "text", 5)
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole banded hamming join
+    (bucket-local candidate generation — never all-pairs). Registered
+    here because the dedup_* window block is full; same family as
+    ``dedup_simhash``."""
+    from gis_city_county_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
+def _simhash_pairs_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import simhash_near_pairs_sql
+
+    return simhash_near_pairs_sql("documents", "doc_id", "text", max_hamming=3, bands=4)
+
+
 def q_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLEU-style modified n-gram precision (n=1..4): each document's
     first-40-token 'summary' as candidate against its full text as
@@ -451,6 +468,7 @@ def _ngram_precision_oracle() -> str:
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_ngram_precision_eval", q_ngram_precision, _ngram_precision_oracle()),
+    QuerySpec("corpus_simhash_near_pairs", q_simhash_near_pairs, _simhash_pairs_oracle()),
     QuerySpec("corpus_bpe_encode", q_bpe_encode, _bpe_encode_oracle()),
     QuerySpec("corpus_dsir_weights", q_dsir_weights, _dsir_oracle()),
     QuerySpec("corpus_span_corruption", q_span_corruption, _span_oracle()),
