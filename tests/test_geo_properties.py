@@ -97,3 +97,58 @@ def test_predicates_consistent_with_areas(a, b):
 @given(shapes)
 def test_make_valid_idempotent_on_valid(a):
     assert K.make_valid(a) == K.make_valid(K.make_valid(a))
+
+
+# ---------------------------------------------- general (rotated) domain
+
+import math
+
+
+def _rot_rect(x0: int, y0: int, w: int, h: int, deg: int) -> K.MultiPolygon:
+    """Rectangle rotated about its corner by deg degrees (integer
+    params, float vertices)."""
+    c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
+    pts = [(0.0, 0.0), (float(w), 0.0), (float(w), float(h)), (0.0, float(h))]
+    return [([(x0 + x * c - y * s, y0 + x * s + y * c) for x, y in pts], [])]
+
+
+rot_rects = st.builds(
+    _rot_rect,
+    st.integers(min_value=-15, max_value=15),
+    st.integers(min_value=-15, max_value=15),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=359),
+)
+
+rot_shapes = st.lists(rot_rects, min_size=1, max_size=3).map(K.union_all)
+
+
+def _close(a: float, b: float, tol: float = 1e-6) -> bool:
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(rot_shapes, rot_shapes)
+def test_general_inclusion_exclusion(a, b):
+    """area(a∪b) + area(a∩b) == area(a) + area(b) on arbitrarily
+    rotated operands (float tolerance — intersections are inexact off
+    the integer grid)."""
+    lhs = K.area(K.union(a, b)) + K.area(K.intersection(a, b))
+    assert _close(lhs, K.area(a) + K.area(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(rot_shapes, rot_shapes)
+def test_general_difference_partition(a, b):
+    diff, inter = K.difference(a, b), K.intersection(a, b)
+    assert _close(K.area(diff) + K.area(inter), K.area(a))
+
+
+@settings(max_examples=40, deadline=None)
+@given(rot_shapes)
+def test_general_self_identities(a):
+    assert _close(K.area(K.union(a, a)), K.area(a))
+    assert _close(K.area(K.intersection(a, a)), K.area(a))
+    d = K.difference(a, a)
+    assert K.is_empty(d) or _close(K.area(d), 0.0, 1e-9)
