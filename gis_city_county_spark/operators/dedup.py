@@ -349,6 +349,54 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col("__id").alias(id_col), sim.cast("long").alias("simhash"))
 
 
+def simhash32_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """32-bit SimHash over distinct k-token shingles. Shingles, not
+    raw tokens: on small-vocabulary corpora token-SET similarity
+    saturates (most documents share most tokens), while shingle sets
+    keep near-dup selectivity sane; 32 bits keeps random collisions
+    out of birthday range for warehouse-scale corpora. Same one-pass
+    vote aggregate as :func:`simhash16`."""
+    sh = shingle_df(df, id_col, text_col, k).withColumn(
+        "h", _md5_int(F.col("shingle"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    agg = sh.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash32_shingles_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32)
+    )
+    return f"""
+SELECT {id_col}, CAST({sim} AS BIGINT) AS simhash
+FROM (
+  SELECT {id_col},
+         {votes}
+  FROM (
+    SELECT {id_col},
+           CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+    FROM ({shingle_sql(table, id_col, text_col, k)})
+  ) h GROUP BY {id_col}
+) v
+"""
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -357,18 +405,18 @@ def simhash_near_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """SimHash near-duplicate pairs at scale via the pigeonhole banded
-    join (the classic web-scale simhash dedup): split the 16-bit
-    signature into ``bands`` equal bands — any pair within Hamming
-    distance ``max_hamming`` < ``bands`` must agree EXACTLY on at
-    least one band — self-join on (band_idx, band_value) buckets, then
-    verify with the exact distance ``bit_count(a XOR b)``. Candidate
-    generation is bucket-local (shuffle keys are band values), never
-    all-pairs; same scale shape as MinHash LSH banding.
+    join (the classic web-scale simhash dedup): split the 32-bit
+    shingle signature into ``bands`` equal bands — any pair within
+    Hamming distance ``max_hamming`` < ``bands`` must agree EXACTLY on
+    at least one band — self-join on (band_idx, band_value) buckets,
+    then verify with the exact distance ``bit_count(a XOR b)``.
+    Candidate generation is bucket-local (shuffle keys are band
+    values), never all-pairs; same scale shape as MinHash LSH banding.
 
     Output: ``(a_id, b_id, hamming)`` with a < b."""
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
-    sig = simhash16(df, id_col, text_col)
-    width = 16 // bands
+    sig = simhash32_shingles(df, id_col, text_col)
+    width = 32 // bands
     mask = (1 << width) - 1
     banded = sig.select(
         F.col(id_col).alias("__id"),
@@ -410,7 +458,7 @@ def simhash_near_pairs_sql(
     bands: int = 4,
 ) -> str:
     """DuckDB oracle twin of :func:`simhash_near_pairs`."""
-    width = 16 // bands
+    width = 32 // bands
     mask = (1 << width) - 1
     band_rows = "\n  UNION ALL\n  ".join(
         f"SELECT {id_col} AS id, simhash, {b} AS band_idx,"
@@ -418,7 +466,7 @@ def simhash_near_pairs_sql(
         for b in range(bands)
     )
     return f"""
-WITH sig AS ({simhash16_sql(table, id_col, text_col)}),
+WITH sig AS ({simhash32_shingles_sql(table, id_col, text_col)}),
 banded AS (
   {band_rows}
 ),
