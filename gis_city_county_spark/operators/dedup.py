@@ -173,9 +173,9 @@ def lsh_skew_report(bands_df: DataFrame, max_bucket: int) -> DataFrame:
     )
     return sizes.agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum((F.col("__bn") > max_bucket).cast("long")).alias(
-            "n_buckets_dropped"
-        ),
+        F.coalesce(
+            F.sum((F.col("__bn") > max_bucket).cast("long")), F.lit(0)
+        ).alias("n_buckets_dropped"),
         F.coalesce(
             F.sum(F.when(F.col("__bn") > max_bucket, F.col("__bn"))), F.lit(0)
         ).alias("n_rows_dropped"),
@@ -414,7 +414,13 @@ def simhash_near_pairs(
     values), never all-pairs; same scale shape as MinHash LSH banding.
 
     Output: ``(a_id, b_id, hamming)`` with a < b."""
-    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    if max_hamming >= bands:
+        # not an assert: stripped under -O, and the failure mode is a
+        # silent recall loss (pairs differing in every band missed)
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
     sig = simhash32_shingles(df, id_col, text_col)
     width = 32 // bands
     mask = (1 << width) - 1

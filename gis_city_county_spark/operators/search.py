@@ -187,7 +187,11 @@ def bm25_topk(
         denom = tf_d + F.lit(k1) * (
             F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl)
         )
-        term_score = idf * ((tf_d * F.lit(k1 + 1.0)) / denom)
+        # df = 0 (term absent from the corpus): contribute 0 instead of
+        # dividing by zero (ANSI mode raises; DuckDB would yield NaN).
+        term_score = F.when(
+            F.col(f"df_{t}") > 0, idf * ((tf_d * F.lit(k1 + 1.0)) / denom)
+        ).otherwise(F.lit(0.0))
         score = term_score if score is None else score + term_score
     topk = (
         scored.withColumn("score", score)
@@ -218,10 +222,12 @@ def bm25_topk_sql(
     )
     avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
     score = " + ".join(
-        f"((CAST(n_docs AS DOUBLE) / CAST(df_{t} AS DOUBLE))"
+        f"(CASE WHEN df_{t} > 0 THEN"
+        f" ((CAST(n_docs AS DOUBLE) / CAST(df_{t} AS DOUBLE))"
         f" * ((CAST(tf_{t} AS DOUBLE) * {k1 + 1.0!r})"
         f" / (CAST(tf_{t} AS DOUBLE) + {k1!r} * ({1.0 - b!r}"
         f" + {b!r} * (CAST(dl AS DOUBLE) / {avgdl})))))"
+        f" ELSE CAST(0.0 AS DOUBLE) END)"
         for t in terms
     )
     from gis_city_county_spark.operators.textstats import tokens_sql as _tok

@@ -140,9 +140,15 @@ def fetch_feature_pages(
             resp.raise_for_status()
             return resp.json()
 
+    import re as _re
+
     os.makedirs(dest_dir, exist_ok=True)
+    # Clear only OUR page files — the snapshot layout stores other
+    # .json artifacts (e.g. the .metadata.json sidecar) in the same
+    # directory; a blanket *.json sweep would delete them.
+    page_pat = _re.compile(r"^(\.tmp-)?page_\d+\.json$")
     for f in os.listdir(dest_dir):
-        if f.endswith(".json"):
+        if page_pat.match(f):
             os.remove(os.path.join(dest_dir, f))
     offset = page_no = 0
     while True:
@@ -164,7 +170,12 @@ def fetch_feature_pages(
         os.replace(tmp, os.path.join(dest_dir, f"page_{page_no:05d}.json"))
         page_no += 1
         offset += len(feats)
-        if not page.get("exceededTransferLimit", len(feats) == page_size):
+        # Stop ONLY on an explicit exceededTransferLimit=false. When
+        # the server omits the flag, keep paging until an empty page:
+        # a server capped below the requested resultRecordCount (ArcGIS
+        # maxRecordCount) returns short-but-full pages, and a
+        # len == page_size heuristic would silently truncate the pull.
+        if not page.get("exceededTransferLimit", True):
             break
     return page_no
 

@@ -423,14 +423,16 @@ def read_fixed_width(
         # files (which the line-mode reader would not emit); slice it
         # off along with the first `skip` lines, keeping any genuine
         # mid-file blank lines — exactly what line-mode yields.
+        # greatest(0, …): a header-only or truncated file would
+        # otherwise produce a negative slice length and fail the scan.
         lines = whole.select(
             F.explode(
                 F.expr(
                     "slice(split(value, '\\r?\\n'),"
                     f" {skip_header_lines + 1},"
-                    " size(split(value, '\\r?\\n'))"
+                    " greatest(0, size(split(value, '\\r?\\n'))"
                     f" - {skip_header_lines}"
-                    " - if(element_at(split(value, '\\r?\\n'), -1) = '', 1, 0))"
+                    " - if(element_at(split(value, '\\r?\\n'), -1) = '', 1, 0)))"
                 )
             ).alias("value")
         )

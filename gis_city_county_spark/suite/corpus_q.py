@@ -456,10 +456,12 @@ def _ngram_precision_oracle() -> str:
     from gis_city_county_spark.operators.corpus import ngram_precision_eval_sql
     from gis_city_county_spark.operators.textstats import tokens_sql
 
+    # COALESCE: DuckDB array_to_string([], ' ') is NULL where Spark's
+    # array_join gives '' — diverges on zero-token documents.
     return ngram_precision_eval_sql(
         "SELECT * FROM documents",
         "doc_id",
-        f"array_to_string(list_slice({tokens_sql('text')}, 1, 40), ' ')",
+        f"COALESCE(array_to_string(list_slice({tokens_sql('text')}, 1, 40), ' '), '')",
         "text",
         max_n=4,
     )

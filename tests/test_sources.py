@@ -119,16 +119,36 @@ def test_feature_service_live_pager_roundtrip(spark, tmp_path):
                 return json.loads(resp.read())
 
         dest = str(tmp_path / "live_pages")
-        # stale page from a previous snapshot must be cleared
+        # stale page from a previous snapshot must be cleared; the
+        # snapshot's metadata sidecar must NOT be (only page files are
+        # the pager's to manage)
         os.makedirs(dest)
         with open(os.path.join(dest, "page_99999.json"), "w") as fh:
             json.dump({"features": [{"attributes": {"CITY": "stale", "POP": 0}}]}, fh)
+        with open(os.path.join(dest, ".metadata.json"), "w") as fh:
+            json.dump({"title": "keepme"}, fh)
         n_pages = fetch_feature_pages(url, dest, page_size=10, fetch=fetch)
         assert n_pages == 3
         assert sorted(os.listdir(dest)) == [
+            ".metadata.json",
             "page_00000.json", "page_00001.json", "page_00002.json",
         ]
 
+        # A server capped below the requested page size that also omits
+        # exceededTransferLimit must still be fully paged (terminate on
+        # the empty page, never on a short-page heuristic).
+        def capped_fetch(params):
+            p = dict(params)
+            p["resultRecordCount"] = min(int(p["resultRecordCount"]), 10)
+            body = fetch(p)
+            body.pop("exceededTransferLimit", None)
+            return body
+
+        dest2 = str(tmp_path / "capped_pages")
+        n2 = fetch_feature_pages(url, dest2, page_size=25, fetch=capped_fetch)
+        assert n2 == 3  # 10 + 10 + 3, then one empty probe
+
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(FeatureServicePages)
         df = (
             spark.read.format("feature_service_pages")
