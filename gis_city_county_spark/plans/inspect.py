@@ -77,3 +77,42 @@ def codegen_stage_count(df: DataFrame) -> int:
     """Distinct WholeStageCodegen spans — fewer spans over the same
     ops = wider fusion."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+
+
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimate of the relation's size (parquet footers ×
+    filter selectivity heuristics) — the same number the planner uses
+    for broadcast decisions. Cheap (no job)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def recommended_shuffle_partitions(
+    df: DataFrame,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    min_partitions: int = 1,
+    max_partitions: int = 200_000,
+) -> int:
+    """Spill-aware shuffle-partition count: size the shuffle so one
+    partition ≈ ``target_partition_bytes`` (default 128 MB — small
+    enough to sort/aggregate in an executor core's working memory,
+    large enough to amortize task overhead). This is the number to
+    pass to ``repartition``/``spark.sql.shuffle.partitions`` before a
+    wide stage over ``df`` at any scale — it grows with the data
+    instead of being a fixed constant that spills at 100× the test
+    SF. AQE's runtime coalesce then trims over-provisioning for free;
+    it cannot SPLIT an under-provisioned partition that already
+    spilled, which is why sizing up front still matters."""
+    est = estimated_size_bytes(df)
+    n = max(min_partitions, -(-est // max(target_partition_bytes, 1)))
+    return int(min(n, max_partitions))
+
+
+def sized_repartition(df: DataFrame, *cols: str, target_partition_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """``repartition`` on ``cols`` with a data-derived partition count
+    (see :func:`recommended_shuffle_partitions`)."""
+    from pyspark.sql import functions as F
+
+    n = recommended_shuffle_partitions(df, target_partition_bytes)
+    return df.repartition(n, *[F.col(c) for c in cols])

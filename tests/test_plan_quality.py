@@ -220,3 +220,31 @@ def test_rarity_score_broadcasts_rank_table(spark, sf_dir):
     df = q_rarity_score(spark, sf_dir)
     assert has_broadcast_join(df)
     assert not has_cartesian_or_bnlj(df)
+
+
+def test_recommended_shuffle_partitions_scales_with_data(spark, sf_dir):
+    """The spill-aware partition sizing must grow with relation size,
+    honor bounds, and derive from the same stats the planner uses."""
+    from gis_city_county_spark.plans.inspect import (
+        estimated_size_bytes,
+        recommended_shuffle_partitions,
+        sized_repartition,
+    )
+    from gis_city_county_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    region = load_table(spark, sf_dir, "region")
+    assert estimated_size_bytes(li) > estimated_size_bytes(region)
+
+    # monotone in data size, inverse-monotone in target size
+    n_small_target = recommended_shuffle_partitions(li, target_partition_bytes=1024)
+    n_big_target = recommended_shuffle_partitions(li, target_partition_bytes=1 << 30)
+    assert n_small_target > n_big_target
+    assert n_big_target >= 1
+    assert recommended_shuffle_partitions(li, target_partition_bytes=1024) >= \
+        recommended_shuffle_partitions(region, target_partition_bytes=1024)
+
+    out = sized_repartition(li, "l_orderkey", target_partition_bytes=1 << 20)
+    assert out.rdd.getNumPartitions() == recommended_shuffle_partitions(
+        li, target_partition_bytes=1 << 20
+    )
