@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "sim_lsh_ann_topk",
     "text_token_stats",
+    "geo_grid_refine_density",
 ]
 
 

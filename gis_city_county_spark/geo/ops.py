@@ -16,8 +16,9 @@ Scale design:
   then the exact predicate runs only on bucket-mates — the standard
   distributed spatial-join shape (same as Sedona's partitioned join),
   expressed in plain DataFrame ops so it scales horizontally.
-- The exact predicates/boolean ops come from ``geo.kernel`` and are
-  exact for rectilinear geometry (see kernel docstring).
+- The exact predicates/boolean ops come from ``geo.kernel``'s
+  general planar-overlay clipper (arbitrary polygons; bit-exact on
+  integer rectilinear inputs — see kernel docstring).
 """
 
 from __future__ import annotations
