@@ -53,6 +53,7 @@ GNIS_ADJUSTMENTS = {
     "El Paso de Robles": "Paso Robles",
     "San Buenaventura": "Ventura",
     "Saint Helena": "St. Helena",
+    "California City": "California",
 }
 CENSUS_ADJUSTMENTS = {
     "El Paso de Robles (Paso Robles)": "Paso Robles",
@@ -68,26 +69,35 @@ SF_FIXES = [
 # ------------------------------------------------------------------ GNIS
 
 def process_gnis(gnis: DataFrame) -> DataFrame:
-    """Reference ``process_gnis`` (``bunny.py:26-104``): filter to CA
-    civil H1/C1 places, derive the join name (C1 drops the leading
-    "City of"/"Town of"), apply the adjustment dictionary, keep id."""
+    """Reference ``process_gnis`` (``bunny.py:26-104``), semantics
+    reproduced exactly:
+
+    - filter to CA civil H1/C1 places (``bunny.py:38``; note San
+      Francisco County is class H6 and therefore absent — the
+      reference patches SF downstream via ``fix_individual``);
+    - ``LEGAL_PLACE_NAME`` = the FULL ``feature_name``
+      (``bunny.py:63-67`` copies it verbatim — "City of Alameda",
+      "Alameda County");
+    - ``GNIS_JOIN_NAME`` = ``split_name`` (``bunny.py:45-61``): C1
+      drops the first two words ("City of X" → "X"), H1 keeps the
+      full name ("Alameda County") — so bare city keys can never
+      collide with county rows;
+    - adjustment dictionary applied to the join name (F3)."""
     filtered = gnis.filter(
         (F.col("state_name") == "California")
         & (F.col("feature_class") == "Civil")
         & F.col("census_class_code").isin("H1", "C1")
     )
     named = filtered.withColumn(
-        "LEGAL_PLACE_NAME",
-        F.when(
-            F.col("census_class_code") == "C1", drop_first_words("feature_name", 2)
-        ).otherwise(F.col("feature_name")),
+        "LEGAL_PLACE_NAME", F.col("feature_name")
     ).withColumn("GNIS_ID", F.col("feature_id").cast("long"))
     adjusted = value_map(
         named.withColumn(
             "GNIS_JOIN_NAME",
             F.when(
-                F.col("census_class_code") == "H1", drop_last_word("feature_name")
-            ).otherwise(F.col("LEGAL_PLACE_NAME")),
+                F.col("census_class_code") == "C1",
+                drop_first_words("feature_name", 2),
+            ).otherwise(F.col("feature_name")),
         ),
         "GNIS_JOIN_NAME",
         GNIS_ADJUSTMENTS,
@@ -267,6 +277,19 @@ def finalize(
     ``CENSUS_POPULATION`` (long; ``census_population.py:15``), both NULL
     until their retrieval steps exist upstream."""
     out = fix_individual(merged, fixes) if fixes else merged
+    # F7 CDT_NAME_SHORT (reference add_cdt_name_field, bunny.py:405-420)
+    # runs AFTER the point fixes, so SF's short name derives from its
+    # fixed legal name — reproducing the reference's chained-replace
+    # output exactly (including its " County"-strip quirk).
+    if "LEGAL_PLACE_NAME" in out.columns:
+        from gis_city_county_spark.functions.text import strip_tokens
+
+        out = out.withColumn(
+            "CDT_NAME_SHORT",
+            strip_tokens(
+                "LEGAL_PLACE_NAME", ["City of ", "Town of ", " County"]
+            ),
+        )
     out = out.withColumn(
         "PRIMARY_DOMAIN", F.lit(None).cast("string")
     ).withColumn("CENSUS_POPULATION", F.lit(None).cast("long"))
@@ -312,8 +335,17 @@ def flow(
     counties = run_joins(
         counties, c, g, dla,
         census_name=F.concat(F.col("CDTFA_COUNTY"), F.lit(" County")),
-        gnis_name=F.col("CDTFA_COUNTY"),
+        # H1 join names keep the full "<name> County" form (reference
+        # split_name) — join counties by the same form. (The reference
+        # keys this join on its bare place_name, which can only hit C1
+        # city rows; we keep the SURVEY-documented sane-join reading,
+        # consistent with the census key above.)
+        gnis_name=F.concat(F.col("CDTFA_COUNTY"), F.lit(" County")),
     )
+
+    # Reference bunny.py:391: counties drop the city-abbreviation
+    # column before the merge (it only means something for cities).
+    counties = counties.drop("PLACE_ABBR")
 
     if coastline is not None:
         cities = cities.withColumn("jid", F.xxhash64("CDTFA_CITY")).withColumn(

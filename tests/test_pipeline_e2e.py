@@ -113,10 +113,13 @@ def test_process_gnis_filters_and_adjusts(spark, sources):
     assert "Paso Robles" in names            # adjustment applied
     assert "Alameda" in names and "San Francisco" in names
     assert not any(r["GNIS_JOIN_NAME"] == "Reno" for r in out)      # non-CA dropped
-    # C1 drops the "City of" prefix; H1 keeps the full legal name
+    # LEGAL_PLACE_NAME is the FULL feature name (reference copies it
+    # verbatim); the JOIN name strips C1 prefixes and keeps H1 full
     by_id = {r["GNIS_ID"]: r for r in out}
-    assert by_id[100]["LEGAL_PLACE_NAME"] == "Alameda"
+    assert by_id[100]["LEGAL_PLACE_NAME"] == "City of Alameda"
+    assert by_id[100]["GNIS_JOIN_NAME"] == "Alameda"
     assert by_id[101]["LEGAL_PLACE_NAME"] == "Alameda County"
+    assert by_id[101]["GNIS_JOIN_NAME"] == "Alameda County"
 
 
 def test_process_census_gate_and_geoid(spark, sources):
@@ -151,15 +154,23 @@ def test_flow_end_to_end(spark, sources):
     # -------- attribute attach (first-match + adjustments)
     al = cities["Alameda"]
     assert al["GEOID"] == "0600562"
-    assert al["LEGAL_PLACE_NAME"] == "Alameda"
+    assert al["LEGAL_PLACE_NAME"] == "City of Alameda"
+    assert al["CDT_NAME_SHORT"] == "Alameda"     # F7 strip_extra
     assert al["PLACE_ABBR"] == "ALAM" and al["CNTY_ABBR"] == "ALA"
     sf = cities["San Francisco"]
     assert sf["GNIS_ID"] == 102                  # duplicate key -> lowest id wins
     assert counties["Alameda"]["GEOID"] == "06001"
+    assert counties["Alameda"]["LEGAL_PLACE_NAME"] == "Alameda County"
+    assert counties["Alameda"]["CDT_NAME_SHORT"] == "Alameda"
+    # reference bunny.py:391 drops the city abbreviation from counties
+    assert counties["Alameda"]["PLACE_ABBR"] is None
 
     # -------- SF point fixes (F8)
     assert sf["CDTFA_COPRI"] == "38000"
     assert sf["LEGAL_PLACE_NAME"] == "City and County of San Francisco"
+    # F7 runs after the fix; the reference's chained replace strips the
+    # " County" substring mid-name — reproduce its exact output
+    assert sf["CDT_NAME_SHORT"] == "City and of San Francisco"
 
     # -------- coastal cut: sliver returned to the city, so SF keeps
     # its full 0.1 x 0.1 deg footprint (~37.8 mi^2 at this latitude)
