@@ -348,12 +348,23 @@ def flow(
     counties = counties.drop("PLACE_ABBR")
 
     if coastline is not None:
-        cities = cities.withColumn("jid", F.xxhash64("CDTFA_CITY")).withColumn(
-            "GNIS_PLACE_NAME", F.coalesce("LEGAL_PLACE_NAME", "CDTFA_CITY")
-        )
-        cities = coastal_cut(
-            cities, coastline, sliver_threshold_m2, keep_list, cell=cell, id_col="jid"
-        ).drop("jid", "row_id", "FID_a", "FID_b", "cid", "OFFSHORE", "GNIS_PLACE_NAME")
+        # Reference add_fields_and_reproject_both: the coastal cut runs
+        # on BOTH layers (cities and counties, each with its exclusion
+        # list — both ("ocean","bay") in config.py:56-57).
+        def cut(layer: DataFrame, name_col: str) -> DataFrame:
+            layer = layer.withColumn("jid", F.xxhash64(name_col)).withColumn(
+                "GNIS_PLACE_NAME", F.coalesce("LEGAL_PLACE_NAME", name_col)
+            )
+            return coastal_cut(
+                layer, coastline, sliver_threshold_m2, keep_list,
+                cell=cell, id_col="jid",
+            ).drop(
+                "jid", "row_id", "FID_a", "FID_b", "cid", "OFFSHORE",
+                "GNIS_PLACE_NAME",
+            )
+
+        cities = cut(cities, "CDTFA_CITY")
+        counties = cut(counties, "CDTFA_COUNTY")
 
     unincorporated = derive_unincorporated(counties, cities, cell=cell)
     merged = merge_by_name(cities, counties, unincorporated)
