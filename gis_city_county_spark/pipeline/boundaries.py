@@ -60,9 +60,14 @@ CENSUS_ADJUSTMENTS = {
     "San Buenaventura (Ventura)": "Ventura",
 }
 CDTFA_FIELD_MAP = {"COPRI": "CDTFA_COPRI", "COUNTY": "CDTFA_COUNTY", "CITY": "CDTFA_CITY"}
+# Reference CDTFA_ADJUST (config.py:91-99), verbatim: San Francisco
+# County is GNIS class H6 (excluded by the H1/C1 filter), so its COPRI
+# and legal name are patched in by rule, keyed on the census join name.
+# Rules run per-layer right after the joins (bunny.py:462-464) —
+# BEFORE the coastal cut, whose sliver grouping uses the legal name.
 SF_FIXES = [
-    ("CDTFA_COPRI", "38000", "CDTFA_CITY", "San Francisco"),
-    ("LEGAL_PLACE_NAME", "City and County of San Francisco", "CDTFA_CITY", "San Francisco"),
+    ("CDTFA_COPRI", "38000", "CENSUS_PLACE_NAME", "San Francisco County"),
+    ("LEGAL_PLACE_NAME", "San Francisco County", "CENSUS_PLACE_NAME", "San Francisco County"),
 ]
 
 
@@ -343,6 +348,12 @@ def flow(
         gnis_name=F.concat(F.col("CDTFA_COUNTY"), F.lit(" County")),
     )
 
+    # Point fixes run per-layer right after the joins (reference
+    # bunny.py:462-464) so the patched SF legal name participates in
+    # the coastal cut's sliver grouping below.
+    cities = fix_individual(cities, SF_FIXES)
+    counties = fix_individual(counties, SF_FIXES)
+
     # Reference bunny.py:391: counties drop the city-abbreviation
     # column before the merge (it only means something for cities).
     counties = counties.drop("PLACE_ABBR")
@@ -368,7 +379,9 @@ def flow(
 
     unincorporated = derive_unincorporated(counties, cities, cell=cell)
     merged = merge_by_name(cities, counties, unincorporated)
-    out = finalize(merged, fixes=SF_FIXES)
+    # fixes already applied per-layer above (reference order); finalize
+    # handles name_short / placeholders / area / GUIDs / reprojection.
+    out = finalize(merged)
     if report is not None:
         report.check(
             "final_layer_min_rows", expect_min_count, out, min_boundary_rows, "final"

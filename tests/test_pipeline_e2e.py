@@ -165,12 +165,18 @@ def test_flow_end_to_end(spark, sources):
     # reference bunny.py:391 drops the city abbreviation from counties
     assert counties["Alameda"]["PLACE_ABBR"] is None
 
-    # -------- SF point fixes (F8)
-    assert sf["CDTFA_COPRI"] == "38000"
-    assert sf["LEGAL_PLACE_NAME"] == "City and County of San Francisco"
-    # F7 runs after the fix; the reference's chained replace strips the
-    # " County" substring mid-name — reproduce its exact output
-    assert sf["CDT_NAME_SHORT"] == "City and of San Francisco"
+    # -------- SF point fixes (F8): the reference's CDTFA_ADJUST keys
+    # on CENSUS_PLACE_NAME == "San Francisco County", i.e. the COUNTY
+    # row (SF County is GNIS class H6, so its legal name/COPRI can only
+    # arrive by rule — SF has no unincorporated rows to dissolve a
+    # COPRI from). The CITY row is untouched.
+    assert sf["CDTFA_COPRI"] == "38999"
+    assert sf["LEGAL_PLACE_NAME"] == "City of San Francisco"
+    assert sf["CDT_NAME_SHORT"] == "San Francisco"
+    sfc = counties["San Francisco"]
+    assert sfc["CDTFA_COPRI"] == "38000"
+    assert sfc["LEGAL_PLACE_NAME"] == "San Francisco County"
+    assert sfc["CDT_NAME_SHORT"] == "San Francisco"
 
     # -------- coastal cut: sliver returned to the city, so SF keeps
     # its full 0.1 x 0.1 deg footprint (~37.8 mi^2 at this latitude)
