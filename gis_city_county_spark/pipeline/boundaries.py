@@ -55,9 +55,14 @@ GNIS_ADJUSTMENTS = {
     "Saint Helena": "St. Helena",
     "California City": "California",
 }
+# Reference config.py:140-148, verbatim: applied to the raw Area_Name
+# BEFORE type/name derivation (retrieve.py:122-127). Includes the
+# mojibake repair some Census workbook vintages need.
 CENSUS_ADJUSTMENTS = {
-    "El Paso de Robles (Paso Robles)": "Paso Robles",
-    "San Buenaventura (Ventura)": "Ventura",
+    "La Ca±ada Flintridge city": "La Cañada Flintridge city",
+    "El Paso de Robles (Paso Robles) city": "Paso Robles city",
+    "San Buenaventura (Ventura) city": "Ventura city",
+    "California City city": "California city",
 }
 CDTFA_FIELD_MAP = {"COPRI": "CDTFA_COPRI", "COUNTY": "CDTFA_COUNTY", "CITY": "CDTFA_CITY"}
 # Reference CDTFA_ADJUST (config.py:91-99), verbatim: San Francisco
@@ -126,6 +131,10 @@ def process_census(census: DataFrame, max_missing: int = 5) -> DataFrame:
         name="census geocodes",
     )
     rows = gated.filter(F.col("Area_Name") != "California")
+    # adjustments hit the raw Area_Name BEFORE derivation (reference
+    # retrieve.py:122-127) — e.g. "California City city" normalizes to
+    # "California city" so the derived place name matches CDTFA's.
+    rows = value_map(rows, "Area_Name", CENSUS_ADJUSTMENTS)
     typed = rows.withColumn("CENSUS_PLACE_TYPE", last_word_title("Area_Name"))
     named = typed.withColumn(
         "CENSUS_PLACE_NAME",
@@ -133,7 +142,6 @@ def process_census(census: DataFrame, max_missing: int = 5) -> DataFrame:
             drop_last_word("Area_Name")
         ),
     )
-    named = value_map(named, "CENSUS_PLACE_NAME", CENSUS_ADJUSTMENTS)
     geoid = named.withColumn(
         "GEOID",
         F.when(

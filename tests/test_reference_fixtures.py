@@ -92,6 +92,12 @@ def test_census_reference_fixture(census_out):
     assert got["Alameda County"] == "06001"
     assert got["Alameda"] == "0600562"
     assert got["San Francisco"].startswith("06")
+    # CENSUS_ADJUSTMENTS on the raw Area_Name: the workbook's
+    # "California City city" / parenthesized names normalize to the
+    # CDTFA-joinable forms
+    assert "California" in got and "California City" not in got
+    assert "Paso Robles" in got and "Ventura" in got
+    assert not any("(" in k for k in got)
 
 
 def test_run_joins_on_reference_fixtures(spark, gnis_out, census_out):
