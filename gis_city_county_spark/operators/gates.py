@@ -41,8 +41,14 @@ def expect_max_missing(
     df: DataFrame, cols: Sequence[str], max_missing: int, name: str = "input"
 ) -> DataFrame:
     """Reference A3 (``retrieve.py:112-116``): reject the source if
-    more than ``max_missing`` rows have all of ``cols`` NULL."""
-    missing = df.filter(F.coalesce(*[F.col(c) for c in cols]).isNull()).count()
+    more than ``max_missing`` rows have all of ``cols`` empty. "Empty"
+    mirrors the reference's pandas ``.any(axis=1)`` truthiness: NULL
+    and ``''`` both count as missing (empty string is falsy)."""
+    all_empty = None
+    for c in cols:
+        e = F.col(c).isNull() | (F.col(c) == "")
+        all_empty = e if all_empty is None else (all_empty & e)
+    missing = df.filter(all_empty).count()
     if missing > max_missing:
         raise GateError(f"{name}: {missing} rows missing all of {cols} > {max_missing}")
     return df

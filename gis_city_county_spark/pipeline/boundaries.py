@@ -124,11 +124,20 @@ def process_census(census: DataFrame, max_missing: int = 5) -> DataFrame:
     (``bunny.py:106-159``): CA rows only, missing-geocode gate, drop
     the statewide row, derive type/name/GEOID with zero-padded FIPS."""
     ca = census.filter(F.col("State_FIPS_Code") == "06")
+    # the reference's has_data check spans all FOUR code columns
+    # (retrieve.py:112) — tolerate their absence in narrower fixtures
+    code_cols = [
+        c
+        for c in (
+            "County_FIPS_Code",
+            "County_Subdivision_FIPS_Code",
+            "Place_FIPS_Code",
+            "Consolidated_City_FIPS_Code",
+        )
+        if c in ca.columns
+    ]
     gated = expect_max_missing(
-        ca,
-        ["County_FIPS_Code", "Place_FIPS_Code"],
-        max_missing,
-        name="census geocodes",
+        ca, code_cols, max_missing, name="census geocodes"
     )
     rows = gated.filter(F.col("Area_Name") != "California")
     # adjustments hit the raw Area_Name BEFORE derivation (reference
