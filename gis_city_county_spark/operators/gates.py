@@ -37,18 +37,34 @@ def expect_min_count(df: DataFrame, min_rows: int, name: str = "input") -> DataF
     return df
 
 
+def _all_empty(df: DataFrame, cols: Sequence[str]):
+    """Predicate: every listed column is NULL (or, for strings, '') —
+    the shared definition of "missing" for both A3 gate forms. Raises
+    loudly on an empty column list rather than silently passing."""
+    if not cols:
+        raise ValueError(
+            "missing-gate needs at least one column to check (none of the "
+            "expected columns are present in the input)"
+        )
+    dtypes = dict(df.dtypes)
+    all_empty = None
+    for c in cols:
+        e = F.col(c).isNull()
+        if dtypes.get(c) == "string":
+            e = e | (F.col(c) == "")
+        all_empty = e if all_empty is None else (all_empty & e)
+    return all_empty
+
+
 def expect_max_missing(
     df: DataFrame, cols: Sequence[str], max_missing: int, name: str = "input"
 ) -> DataFrame:
     """Reference A3 (``retrieve.py:112-116``): reject the source if
     more than ``max_missing`` rows have all of ``cols`` empty. "Empty"
     mirrors the reference's pandas ``.any(axis=1)`` truthiness: NULL
-    and ``''`` both count as missing (empty string is falsy)."""
-    all_empty = None
-    for c in cols:
-        e = F.col(c).isNull() | (F.col(c) == "")
-        all_empty = e if all_empty is None else (all_empty & e)
-    missing = df.filter(all_empty).count()
+    always counts as missing, and for string columns ``''`` does too
+    (empty string is falsy)."""
+    missing = df.filter(_all_empty(df, cols)).count()
     if missing > max_missing:
         raise GateError(f"{name}: {missing} rows missing all of {cols} > {max_missing}")
     return df
@@ -64,9 +80,11 @@ def count_gate_df(df: DataFrame, min_rows: int) -> DataFrame:
 
 
 def missing_gate_df(df: DataFrame, cols: Sequence[str], max_missing: int) -> DataFrame:
-    """Declarative form of A3: one row with the missing count + flag."""
+    """Declarative form of A3: one row with the missing count + flag.
+    Same "empty" definition as :func:`expect_max_missing` (NULL, or
+    ``''`` for string columns), so the two gate forms always agree."""
     miss = F.sum(
-        F.when(F.coalesce(*[F.col(c) for c in cols]).isNull(), 1).otherwise(0)
+        F.when(_all_empty(df, cols), 1).otherwise(0)
     ).cast("long")
     return df.agg(
         miss.alias("n_missing"),

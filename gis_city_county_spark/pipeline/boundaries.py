@@ -26,6 +26,7 @@ from gis_city_county_spark.functions.text import (
     drop_last_word,
     last_word_title,
     nullif_empty,
+    strip_tokens,
     zero_pad_concat,
 )
 from gis_city_county_spark.geo.ops import (
@@ -304,8 +305,6 @@ def finalize(
     # fixed legal name — reproducing the reference's chained-replace
     # output exactly (including its " County"-strip quirk).
     if "LEGAL_PLACE_NAME" in out.columns:
-        from gis_city_county_spark.functions.text import strip_tokens
-
         out = out.withColumn(
             "CDT_NAME_SHORT",
             strip_tokens(
@@ -379,8 +378,14 @@ def flow(
         # Reference add_fields_and_reproject_both: the coastal cut runs
         # on BOTH layers (cities and counties, each with its exclusion
         # list — both ("ocean","bay") in config.py:56-57).
-        def cut(layer: DataFrame, name_col: str) -> DataFrame:
-            layer = layer.withColumn("jid", F.xxhash64(name_col)).withColumn(
+        def cut(layer: DataFrame, name_col: str, *key_cols: str) -> DataFrame:
+            # jid must be unique per FEATURE, not per name: cities
+            # dissolve on (CITY, COPRI), so a city spanning counties
+            # yields several rows per name — hash the full dissolve key
+            # or the overlay would conflate their geometry.
+            layer = layer.withColumn(
+                "jid", F.xxhash64(*key_cols)
+            ).withColumn(
                 "GNIS_PLACE_NAME", F.coalesce("LEGAL_PLACE_NAME", name_col)
             )
             return coastal_cut(
@@ -391,8 +396,8 @@ def flow(
                 "GNIS_PLACE_NAME",
             )
 
-        cities = cut(cities, "CDTFA_CITY")
-        counties = cut(counties, "CDTFA_COUNTY")
+        cities = cut(cities, "CDTFA_CITY", "CDTFA_CITY", "CDTFA_COPRI")
+        counties = cut(counties, "CDTFA_COUNTY", "CDTFA_COUNTY")
 
     unincorporated = derive_unincorporated(counties, cities, cell=cell)
     merged = merge_by_name(cities, counties, unincorporated)

@@ -14,6 +14,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _explain(df: DataFrame, mode: str) -> str:
@@ -105,6 +106,12 @@ def recommended_shuffle_partitions(
     it cannot SPLIT an under-provisioned partition that already
     spilled, which is why sizing up front still matters."""
     est = estimated_size_bytes(df)
+    # Relations without stats (JDBC/RDD-backed/DSv2 leaves) report
+    # spark.sql.defaultSizeInBytes = Long.MaxValue — sizing from the
+    # sentinel would emit a max_partitions-task shuffle for a tiny
+    # table. Fall back to the session's configured shuffle parallelism.
+    if est >= (1 << 62):
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     n = max(min_partitions, -(-est // max(target_partition_bytes, 1)))
     return int(min(n, max_partitions))
 
@@ -112,7 +119,5 @@ def recommended_shuffle_partitions(
 def sized_repartition(df: DataFrame, *cols: str, target_partition_bytes: int = 128 * 1024 * 1024) -> DataFrame:
     """``repartition`` on ``cols`` with a data-derived partition count
     (see :func:`recommended_shuffle_partitions`)."""
-    from pyspark.sql import functions as F
-
     n = recommended_shuffle_partitions(df, target_partition_bytes)
     return df.repartition(n, *[F.col(c) for c in cols])
