@@ -48,8 +48,8 @@ from gis_city_county_spark.operators.relational import (
 
 SQMI_PER_M2 = 1.0 / 2_589_988.110336
 
-# Reference config.py:115-123 / config.py:140-148 (same semantics,
-# fixture-scale dictionaries).
+# Reference GNIS_ADJUSTMENTS (config.py:115-123), verbatim — applied
+# to GNIS_JOIN_NAME after derivation.
 GNIS_ADJUSTMENTS = {
     "El Paso de Robles": "Paso Robles",
     "San Buenaventura": "Ventura",
@@ -212,9 +212,10 @@ def run_joins(
     """Reference ``bunny.py:436-461``: three first-match attribute
     attaches (Census GEOID/type, GNIS legal name/id, DLA abbrs).
     ``census_name``/``gnis_name`` are Column expressions deriving each
-    join key (cities join by city name on both; counties join Census
-    by the full "<name> County" form but GNIS by the bare name —
-    reference F2 column copies)."""
+    join key: cities join by the bare city name on both (matching the
+    census city rows and the C1 stripped GNIS join names); counties
+    join both by the full "<name> County" form (matching the census
+    county rows and the H1 full GNIS join names)."""
     out = layer.withColumn("CENSUS_PLACE_NAME", census_name)
     out = join_field(
         out,
