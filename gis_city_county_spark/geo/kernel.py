@@ -350,6 +350,60 @@ def _point_in(mp: MultiPolygon, x: float, y: float) -> bool:
     return inside
 
 
+def _pip_tester(g: MultiPolygon, pad: float):
+    """Build a fast even-odd point-in-polygon test for one operand:
+    bbox quick-reject + y-bucketed edge index. Falls back to the plain
+    scan for tiny rings."""
+    edges = list(_edges(g))
+    if not edges:
+        return lambda x, y: False
+    xs = [p[0] for e in edges for p in e]
+    ys = [p[1] for e in edges for p in e]
+    bx1, by1 = min(xs) - 2 * pad, min(ys) - 2 * pad
+    bx2, by2 = max(xs) + 2 * pad, max(ys) + 2 * pad
+    if len(edges) < 24:
+        def small(x: float, y: float) -> bool:
+            if not (bx1 <= x <= bx2 and by1 <= y <= by2):
+                return False
+            inside = False
+            for (x1, y1), (x2, y2) in edges:
+                if (y1 > y) != (y2 > y):
+                    xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                    if x < xi:
+                        inside = not inside
+            return inside
+
+        return small
+
+    nb = max(int(math.isqrt(len(edges))), 4)
+    span = (by2 - by1) or 1.0
+    buckets: list[list[tuple[tuple[float, float], tuple[float, float]]]] = [
+        [] for _ in range(nb)
+    ]
+    for e in edges:
+        (x1, y1), (x2, y2) = e
+        lo = int((min(y1, y2) - by1) / span * nb)
+        hi = int((max(y1, y2) - by1) / span * nb)
+        for b in range(max(lo, 0), min(hi, nb - 1) + 1):
+            buckets[b].append(e)
+
+    def fast(x: float, y: float) -> bool:
+        if not (bx1 <= x <= bx2 and by1 <= y <= by2):
+            return False
+        b = int((y - by1) / span * nb)
+        if b < 0 or b >= nb:
+            return False
+        inside = False
+        for (x1, y1), (x2, y2) in buckets[b]:
+            if (y1 > y) != (y2 > y):
+                xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if x < xi:
+                    inside = not inside
+        return inside
+
+    return fast
+
+
 def _snap_factory(tol: float):
     """Point registry: coordinates within ``tol`` of an already-seen
     point snap to it, so intersection points computed from different
@@ -590,32 +644,15 @@ def _overlay(operands: Sequence[MultiPolygon], keep) -> MultiPolygon:
                 edges.add((a, b) if a <= b else (b, a))
 
     eps = scale * 1e-7
-    # Operand bbox quick-reject: a point outside an operand's bbox is
-    # outside the operand — skips the O(V) crossing test for every
-    # (edge, far-away operand) combination in a many-operand union.
-    op_boxes = []
-    for g in operands:
-        pts = [p for outer, hs in g for r in [outer, *hs] for p in r]
-        if pts:
-            op_boxes.append(
-                (
-                    min(p[0] for p in pts) - eps * 2,
-                    min(p[1] for p in pts) - eps * 2,
-                    max(p[0] for p in pts) + eps * 2,
-                    max(p[1] for p in pts) + eps * 2,
-                )
-            )
-        else:
-            op_boxes.append(None)
+    # Per-operand point-in-polygon testers: bbox quick-reject plus a
+    # y-bucketed edge index (crossing tests only touch edges whose
+    # y-span covers the query y — identical arithmetic on the identical
+    # edge subset, so results are bit-equal to the naive scan; edges
+    # not spanning y can never satisfy the crossing condition).
+    testers = [_pip_tester(g, eps) for g in operands]
 
     def memberships(px: float, py: float) -> list[bool]:
-        out = []
-        for g, bb in zip(operands, op_boxes):
-            if bb is None or not (bb[0] <= px <= bb[2] and bb[1] <= py <= bb[3]):
-                out.append(False)
-            else:
-                out.append(_point_in(g, px, py))
-        return out
+        return [t(px, py) for t in testers]
 
     directed: list[tuple[tuple[float, float], tuple[float, float]]] = []
     for a, b in edges:
