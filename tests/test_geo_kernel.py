@@ -235,3 +235,21 @@ def test_partial_collinear_edge_overlap():
     assert K.touches(a, b)
     inter = K.intersection(a, b)
     assert K.area(inter) == 0.0
+
+
+def test_high_vertex_count_against_analytic_area():
+    """Two 400-gon circles: the clipped lens area must match the
+    closed-form circle-overlap formula (within polygonal
+    discretization error ~ O(n^-2))."""
+    n, r, d = 400, 10.0, 8.0
+    def circle(cx):
+        return [([(cx + r * math.cos(2 * math.pi * i / n),
+                   r * math.sin(2 * math.pi * i / n)) for i in range(n)], [])]
+    a, b = circle(0.0), circle(d)
+    lens = 2 * r * r * math.acos(d / (2 * r)) - (d / 2) * math.sqrt(4 * r * r - d * d)
+    got = K.area(K.intersection(a, b))
+    assert abs(got - lens) / lens < 1e-3
+    # inclusion-exclusion holds on the same operands
+    union_area = K.area(K.union(a, b))
+    poly_area = K.area(a)  # polygonal circle area (slightly under pi r^2)
+    assert abs(union_area + got - 2 * poly_area) < 1e-6 * poly_area
