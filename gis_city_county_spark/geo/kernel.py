@@ -339,10 +339,13 @@ def _edges(mp: MultiPolygon):
                 yield r[i], r[(i + 1) % n]
 
 
-def _point_in(mp: MultiPolygon, x: float, y: float) -> bool:
-    """Even-odd crossing test (point assumed off all edges)."""
+def _crossings_parity(edges, x: float, y: float) -> bool:
+    """Even-odd crossing parity of the ray from (x, y) toward +x over
+    an edge list — the ONE implementation of the crossing rule, shared
+    by every point-in-polygon path so cached testers can never
+    desynchronize from the naive scan."""
     inside = False
-    for (x1, y1), (x2, y2) in _edges(mp):
+    for (x1, y1), (x2, y2) in edges:
         if (y1 > y) != (y2 > y):
             xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
             if x < xi:
@@ -350,28 +353,30 @@ def _point_in(mp: MultiPolygon, x: float, y: float) -> bool:
     return inside
 
 
+def _point_in(mp: MultiPolygon, x: float, y: float) -> bool:
+    """Even-odd crossing test (point assumed off all edges)."""
+    return _crossings_parity(_edges(mp), x, y)
+
+
 def _pip_tester(g: MultiPolygon, pad: float):
     """Build a fast even-odd point-in-polygon test for one operand:
     bbox quick-reject + y-bucketed edge index. Falls back to the plain
-    scan for tiny rings."""
+    scan for tiny rings. Bit-equal to :func:`_point_in` by
+    construction: identical crossing rule over an edge subset that
+    provably contains every edge spanning the query y."""
     edges = list(_edges(g))
     if not edges:
         return lambda x, y: False
-    xs = [p[0] for e in edges for p in e]
-    ys = [p[1] for e in edges for p in e]
-    bx1, by1 = min(xs) - 2 * pad, min(ys) - 2 * pad
-    bx2, by2 = max(xs) + 2 * pad, max(ys) + 2 * pad
+    pts = [p for outer, hs in g for r in [outer, *hs] for p in r]
+    bx1 = min(p[0] for p in pts) - 2 * pad
+    by1 = min(p[1] for p in pts) - 2 * pad
+    bx2 = max(p[0] for p in pts) + 2 * pad
+    by2 = max(p[1] for p in pts) + 2 * pad
     if len(edges) < 24:
         def small(x: float, y: float) -> bool:
             if not (bx1 <= x <= bx2 and by1 <= y <= by2):
                 return False
-            inside = False
-            for (x1, y1), (x2, y2) in edges:
-                if (y1 > y) != (y2 > y):
-                    xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
-                    if x < xi:
-                        inside = not inside
-            return inside
+            return _crossings_parity(edges, x, y)
 
         return small
 
@@ -393,13 +398,7 @@ def _pip_tester(g: MultiPolygon, pad: float):
         b = int((y - by1) / span * nb)
         if b < 0 or b >= nb:
             return False
-        inside = False
-        for (x1, y1), (x2, y2) in buckets[b]:
-            if (y1 > y) != (y2 > y):
-                xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
-                if x < xi:
-                    inside = not inside
-        return inside
+        return _crossings_parity(buckets[b], x, y)
 
     return fast
 
