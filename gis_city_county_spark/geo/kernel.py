@@ -731,7 +731,15 @@ def intersects(a: MultiPolygon, b: MultiPolygon) -> bool:
 
 def touches(a: MultiPolygon, b: MultiPolygon) -> bool:
     """G6 ``touches`` (reference ``coastline.py:141``): boundaries
-    meet, interiors don't."""
+    meet, interiors don't. Bbox reject first — the overlay-based
+    interior test is the expensive half, and sliver-fix pairing calls
+    this across every within-group part pair."""
+    if is_empty(a) or is_empty(b):
+        return False
+    x1, y1, x2, y2 = bbox(a)
+    u1, v1, u2, v2 = bbox(b)
+    if x2 < u1 or u2 < x1 or y2 < v1 or v2 < y1:
+        return False
     if area(intersection(a, b)) > 0:
         return False
     return _shared_boundary(a, b)
