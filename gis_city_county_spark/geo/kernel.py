@@ -195,27 +195,147 @@ def is_empty(mp: MultiPolygon) -> bool:
 # ------------------------------------------------------------------ validity
 
 def make_valid(mp: MultiPolygon) -> MultiPolygon:
-    """G1 RepairGeometry-equivalent cleanup for the kernel's domain:
-    drop consecutive duplicate vertices, degenerate (<3 pt / zero
-    area) rings, and normalize orientation (outer CCW, holes CW).
-    (Reference ``bunny.py:221-226``.)"""
+    """G1 RepairGeometry-equivalent cleanup for the kernel's domain
+    (reference ``bunny.py:221-226``):
+
+    * drop consecutive duplicate vertices and degenerate (<3 pt /
+      zero-area) rings; normalize orientation (outer CCW, holes CW);
+    * **split self-intersecting rings** (r3): a part whose rings cross
+      themselves or each other — a bowtie, a figure-eight pinched at a
+      shared vertex, a hole crossing its outer — is re-run through the
+      planar-overlay arrangement with an identity keep-rule, i.e. the
+      even-odd interior of the part's own edge set.  A bowtie thereby
+      becomes a valid two-part multipolygon, matching arcpy
+      ``RepairGeometry``.  Parts are repaired independently
+      (overlapping *parts* of one multipolygon are not dissolved)."""
     out: MultiPolygon = []
     for outer, holes in mp:
         o = _dedupe(outer)
-        if len(o) < 3 or ring_signed_area(o) == 0.0:
+        if len(o) < 3:
+            continue
+        hs = [hh for hh in (_dedupe(h) for h in holes) if len(hh) >= 3]
+        if _part_self_intersects(o, hs):
+            # Even-odd interior of the outer's own edge set, minus the
+            # even-odd interior of the holes — a bowtie's lobes (whose
+            # SIGNED areas cancel to zero) come back as separate valid
+            # parts; a hole crossing its outer clips to the overlap
+            # (structure-style repair, like arcpy not GEOS-linework).
+            shell = [(o, [])]
+            if hs:
+                hole_mp: MultiPolygon = [(h, []) for h in hs]
+                repaired = _overlay(
+                    [shell, hole_mp], lambda m: m[0] and not m[1]
+                )
+            else:
+                repaired = _overlay([shell], lambda m: m[0])
+            out.extend(_split_pinched_parts(repaired))
+            continue
+        # simple ring: degenerate drop + orientation normalization
+        if ring_signed_area(o) == 0.0:
             continue
         if ring_signed_area(o) < 0:
             o = list(reversed(o))
-        hs = []
-        for h in holes:
-            hh = _dedupe(h)
-            if len(hh) < 3 or ring_signed_area(hh) == 0.0:
+        hs2 = []
+        for hh in hs:
+            if ring_signed_area(hh) == 0.0:
                 continue
             if ring_signed_area(hh) > 0:
                 hh = list(reversed(hh))
-            hs.append(hh)
-        out.append((o, hs))
+            hs2.append(hh)
+        out.append((o, hs2))
     return out
+
+
+def _split_ring_at_repeats(r: Ring) -> list[Ring]:
+    """Loop extraction: a ring that revisits a vertex (a pinch point —
+    the overlay stitcher can emit a figure-eight as ONE ring through
+    the shared vertex) splits into its constituent simple loops."""
+    out: list[Ring] = []
+    stack: list[tuple[float, float]] = []
+    pos: dict[tuple[float, float], int] = {}
+    for p in r:
+        if p in pos:
+            i = pos[p]
+            loop = stack[i:]
+            if len(loop) >= 3:
+                out.append(loop)
+            for q in stack[i:]:
+                pos.pop(q, None)
+            del stack[i:]
+        stack.append(p)
+        pos[p] = len(stack) - 1
+    if len(stack) >= 3:
+        out.append(stack)
+    return out
+
+
+def _split_pinched_parts(mp: MultiPolygon) -> MultiPolygon:
+    """Apply loop extraction to every outer ring, reattaching each
+    hole to the loop that contains it."""
+    out: MultiPolygon = []
+    for outer, holes in mp:
+        loops = _split_ring_at_repeats(outer)
+        if not loops:  # every extracted loop degenerate — drop the part
+            continue
+        if len(loops) == 1:
+            out.append((loops[0], holes))
+            continue
+        parts = [(lp, []) for lp in loops]
+        for h in holes:
+            hx, hy = h[0]
+            for lp, lp_holes in parts:
+                if _point_in([(lp, [])], hx, hy):
+                    lp_holes.append(h)
+                    break
+        out.extend(parts)
+    return out
+
+
+def _part_self_intersects(outer: Ring, holes: list[Ring]) -> bool:
+    """True when a part's rings cross themselves / each other anywhere
+    other than a shared endpoint, or revisit a vertex (pinch point).
+    Pairwise segment scan with bbox quick-reject — fine at feature
+    scale (the overlay itself is the heavy machinery)."""
+    rings = [outer, *holes]
+    for r in rings:
+        if len(set(r)) < len(r):  # pinched (repeated vertex) ring
+            return True
+    segs = [
+        (r[i], r[(i + 1) % len(r)]) for r in rings for i in range(len(r))
+    ]
+    xs = [p[0] for s in segs for p in s]
+    ys = [p[1] for s in segs for p in s]
+    scale = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+    tol = scale * 1e-9
+
+    def near(p, q) -> bool:
+        return abs(p[0] - q[0]) <= tol and abs(p[1] - q[1]) <= tol
+
+    boxes = [
+        (
+            min(p1[0], p2[0]) - tol,
+            min(p1[1], p2[1]) - tol,
+            max(p1[0], p2[0]) + tol,
+            max(p1[1], p2[1]) + tol,
+        )
+        for p1, p2 in segs
+    ]
+    m = len(segs)
+    for i in range(m):
+        p1, p2 = segs[i]
+        bx1, by1, bx2, by2 = boxes[i]
+        for j in range(i + 1, m):
+            cx1, cy1, cx2, cy2 = boxes[j]
+            if cx1 > bx2 or cx2 < bx1 or cy1 > by2 or cy2 < by1:
+                continue
+            q1, q2 = segs[j]
+            for pt in _seg_points(p1, p2, q1, q2):
+                if not (
+                    (near(pt, p1) or near(pt, p2))
+                    and (near(pt, q1) or near(pt, q2))
+                ):
+                    return True
+    return False
 
 
 def _dedupe(r: Ring) -> list[tuple[float, float]]:

@@ -252,11 +252,23 @@ def dissolve(
     keys: Sequence[str],
     geom: str = "geometry",
     carry: Sequence[str] = (),
+    n_salt: int | None = None,
 ) -> DataFrame:
     """A1 Dissolve (reference ``bunny.py:264-270, 312-324``): merge all
     features sharing ``keys`` into one multipart feature via n-ary
     geometric union. ``carry`` columns take the group's first value in
-    key order (ArcGIS FIRST statistic). One shuffle on the keys."""
+    key order (ArcGIS FIRST statistic). One shuffle on the keys.
+
+    ``n_salt`` (r3, VERDICT 7): hierarchical skew-safe mode — every
+    row gets a deterministic content salt (xxhash64 of the geometry
+    bytes, stable under plan re-evaluation), a first stage unions each
+    ``(keys, salt)`` slice in parallel, and a second stage merges the
+    ≤ ``n_salt`` partial unions per key.  A hot key holding millions
+    of features then costs ``n_salt`` bounded tasks plus one tiny
+    merge instead of funneling everything through one
+    ``applyInPandas`` task.  Geometric union is associative and
+    commutative, so the result equals the single-stage dissolve
+    (property-tested in test_geo_ops)."""
     out_fields = [df.schema[k] for k in keys]
     out_fields += [df.schema[c] for c in carry]
     out_fields.append(T.StructField(geom, T.BinaryType()))
@@ -273,7 +285,31 @@ def dissolve(
         row[geom] = [merged]
         return pd.DataFrame(row)
 
-    return df.groupBy(*key_list).applyInPandas(merge, out_schema)
+    if not n_salt:
+        return df.groupBy(*key_list).applyInPandas(merge, out_schema)
+
+    partial_schema = T.StructType(
+        [*out_fields[:-1], T.StructField("__salt", T.LongType()),
+         T.StructField(geom, T.BinaryType())]
+    )
+
+    def merge_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        geoms = [K.from_wkb(b) for b in pdf[geom] if b]
+        merged = K.to_wkb(K.union_all(geoms))
+        row = {k: [pdf[k].iloc[0]] for k in key_list}
+        for c in carry_list:
+            row[c] = [pdf[c].iloc[0]]
+        row["__salt"] = [pdf["__salt"].iloc[0]]
+        row[geom] = [merged]
+        return pd.DataFrame(row)
+
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(geom)), F.lit(n_salt))
+    )
+    partial = salted.groupBy(*key_list, "__salt").applyInPandas(
+        merge_partial, partial_schema
+    )
+    return partial.groupBy(*key_list).applyInPandas(merge, out_schema)
 
 
 # ------------------------------------------------------------------ erase

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -309,3 +309,186 @@ SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
               // n_nonmember AS BIGINT) END AS fpr_ppm
 FROM totals CROSS JOIN agg
 """
+
+
+# --------------------------------------------------------------------
+# Two-phase global sorts: rank / cumsum / sequence gaps without a
+# single-partition WindowExec.  A `Window.orderBy(...)` with no
+# partition spec funnels the ENTIRE input through one task — the r2
+# bench log's "WindowExec: No Partition Defined" warnings and the
+# classic 100 TB scale-killer.  These helpers split the sort order
+# into contiguous range buckets, do the windowed work per bucket in
+# parallel, and stitch buckets together with a driver-bounded
+# (≤ n_ranges rows — same convention as the IVF nlist collect)
+# prefix pass.
+
+
+def _range_buckets(df: DataFrame, primary: str, n_ranges: int, descending: bool):
+    """Deterministic contiguous bucketing of ``df`` along ``primary``.
+
+    Cut points come from one bounded `percentile_approx` job and are
+    injected as LITERALS, so every later job assigns identical buckets
+    (re-sampling per subtree — the failure mode of repartitionByRange
+    feeding two branches — cannot happen).  Ties on ``primary`` always
+    share a bucket; bucket index increases along the sort direction."""
+    pdbl = F.col(primary).cast("double")
+    qs = [i / n_ranges for i in range(1, n_ranges)]
+    if not qs:
+        return df.withColumn("__bkt", F.lit(0))
+    row = df.select(F.percentile_approx(pdbl, qs, 10000).alias("c")).first()
+    cuts = sorted({c for c in (row["c"] or []) if c is not None})
+    if not cuts:
+        return df.withColumn("__bkt", F.lit(0))
+    arr = F.array(*[F.lit(c) for c in cuts])
+    if descending:
+        bucket = F.size(F.filter(arr, lambda c: pdbl < c))
+        # Spark's desc() orders NULLS LAST — NULL primary must land in
+        # the final bucket, not fall through to bucket 0 (the top).
+        null_bkt = len(cuts)
+    else:
+        bucket = F.size(F.filter(arr, lambda c: c < pdbl))
+        null_bkt = 0  # asc() orders NULLS FIRST → first bucket
+    bucket = F.when(F.col(primary).isNull(), F.lit(null_bkt)).otherwise(bucket)
+    return df.withColumn("__bkt", bucket.cast("int"))
+
+
+def ranged_rank(
+    df: DataFrame,
+    primary: str,
+    tiebreak: str,
+    rank_col: str = "rank",
+    descending: bool = True,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() over (order by primary, tiebreak)`` as a
+    two-phase partitioned plan: bucket the sort domain (literal cut
+    points), rank within each bucket in parallel, then add each
+    bucket's exclusive prefix count (≤ ``n_ranges`` rows, summed on
+    the driver).  Exactly equals the single-window rank because
+    ``(primary, tiebreak)`` is a strict total order and buckets are
+    contiguous in it.
+
+    The input lineage is evaluated by three jobs (cuts, counts, rank)
+    — persist ``df`` first when it is expensive to recompute."""
+    spark = df.sparkSession
+    n = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = _range_buckets(df, primary, n, descending)
+    order = [
+        F.col(primary).desc() if descending else F.col(primary).asc(),
+        F.col(tiebreak).asc(),
+    ]
+    w = Window.partitionBy("__bkt").orderBy(*order)
+    local = b.withColumn("__lr", F.row_number().over(w))
+    counts = sorted(
+        (r["__bkt"], r["n"])
+        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    off, acc = {}, 0
+    for bkt, cnt in counts:
+        off[bkt] = acc
+        acc += cnt
+    off_df = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in off.items()], "__bkt int, __off bigint"
+    )
+    out = local.join(F.broadcast(off_df), "__bkt").withColumn(
+        rank_col, (F.col("__lr") + F.col("__off")).cast("long")
+    )
+    return out.drop("__bkt", "__lr", "__off")
+
+
+def ranged_cumsum(
+    df: DataFrame,
+    primary: str,
+    tiebreak: str,
+    value_col: str,
+    cum_col: str = "cum",
+    total_col: str | None = "total",
+    descending: bool = True,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` along ``(primary,
+    tiebreak)`` order, two-phase: per-bucket windowed cumsum in
+    parallel + driver-computed exclusive bucket prefix totals
+    (``decimal``-exact — Python :class:`~decimal.Decimal` addition on
+    ≤ ``n_ranges`` collected subtotals).  Also emits the grand total
+    (sum of bucket totals) so callers avoid the other single-partition
+    pattern, ``SUM(...) OVER ()``."""
+    from decimal import Decimal
+
+    spark = df.sparkSession
+    n = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = _range_buckets(df, primary, n, descending)
+    order = [
+        F.col(primary).desc() if descending else F.col(primary).asc(),
+        F.col(tiebreak).asc(),
+    ]
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__lc", F.sum(F.col(value_col)).over(w))
+    rows = sorted(
+        (r["__bkt"], r["t"])
+        for r in b.groupBy("__bkt").agg(F.sum(F.col(value_col)).alias("t")).collect()
+    )
+    dec_ty = local.schema["__lc"].dataType.simpleString()
+    off, acc = {}, Decimal(0)
+    for bkt, t in rows:
+        off[bkt] = acc
+        acc += Decimal(str(t)) if t is not None else Decimal(0)
+    off_df = spark.createDataFrame(
+        [(int(k), v) for k, v in off.items()], f"__bkt int, __off {dec_ty}"
+    )
+    out = (
+        local.join(F.broadcast(off_df), "__bkt")
+        .withColumn(cum_col, (F.col("__lc") + F.col("__off")).cast(dec_ty))
+        .drop("__bkt", "__lr", "__lc", "__off")
+    )
+    if total_col:
+        out = out.withColumn(total_col, F.lit(acc).cast(dec_ty))
+    return out
+
+
+def ranged_gaps(
+    df: DataFrame,
+    key: str,
+    bucket_width: int = 8192,
+) -> DataFrame:
+    """Missing-id ranges over a sparse integer key space without a
+    global-sort window: keys bucket by ``key div bucket_width``
+    (static — no sampling, no collects), `lead` finds gaps inside each
+    bucket in parallel, and the bucket boundary gaps come from a
+    per-bucket min/max table of n/bucket_width rows.  That boundary
+    table's own lead window is unpartitioned but provably small; at
+    extreme key ranges apply the same bucketing to it recursively.
+
+    Output: ``(gap_start, gap_end, gap_len)`` — every maximal run of
+    missing keys strictly inside [min(key), max(key)]."""
+    k = df.select(F.col(key).alias("__k")).distinct().withColumn(
+        "__bkt", F.expr(f"__k div {int(bucket_width)}")
+    )
+    wi = Window.partitionBy("__bkt").orderBy("__k")
+    inner = (
+        k.withColumn("__next", F.lead("__k").over(wi))
+        .filter(F.col("__next") > F.col("__k") + 1)
+        .select(
+            (F.col("__k") + 1).alias("gap_start"),
+            (F.col("__next") - 1).alias("gap_end"),
+            (F.col("__next") - F.col("__k") - 1).alias("gap_len"),
+        )
+    )
+    mm = k.groupBy("__bkt").agg(
+        F.min("__k").alias("__mn"), F.max("__k").alias("__mx")
+    )
+    wb = Window.orderBy("__bkt")  # one row per OCCUPIED bucket — bounded
+    boundary = (
+        mm.withColumn("__next_mn", F.lead("__mn").over(wb))
+        .filter(F.col("__next_mn") > F.col("__mx") + 1)
+        .select(
+            (F.col("__mx") + 1).alias("gap_start"),
+            (F.col("__next_mn") - 1).alias("gap_end"),
+            (F.col("__next_mn") - F.col("__mx") - 1).alias("gap_len"),
+        )
+    )
+    return inner.unionByName(boundary)

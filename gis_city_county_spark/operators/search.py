@@ -85,8 +85,11 @@ def tfidf_topk_sql(
     table_sql: str, id_col: str, text_col: str, terms: list[str], k: int = 20
 ) -> str:
     in_list = ", ".join(f"'{t}'" for t in terms)
+    # BIGINT cast: DuckDB SUM(int) is HUGEINT → pandas float64, which
+    # the driver's type-sensitive hash rejects against Spark's long.
     tf_aggs = ",\n         ".join(
-        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}" for t in terms
+        f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in terms
     )
     df_aggs = ",\n         ".join(
         f"COUNT(DISTINCT CASE WHEN tok = '{t}' THEN id END) AS df_{t}" for t in terms

@@ -534,7 +534,7 @@ agg AS (
 ),
 n AS (SELECT {key_col} AS key, COUNT(*) AS n_events FROM ({table_sql}) GROUP BY 1)
 SELECT n.key AS {key_col}, n.n_events,
-       COALESCE(agg.total_us, 0) AS total_us,
+       CAST(COALESCE(agg.total_us, 0) AS BIGINT) AS total_us,
        CASE WHEN agg.total_us > 0 THEN agg.ws / CAST(agg.total_us AS DOUBLE) END AS twa
 FROM n LEFT JOIN agg ON n.key = agg.key
 """

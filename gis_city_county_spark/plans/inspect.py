@@ -74,6 +74,15 @@ def has_cartesian_or_bnlj(df: DataFrame) -> bool:
     return "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
 
 
+def num_single_partition_exchanges(df: DataFrame) -> int:
+    """`Exchange SinglePartition` nodes — each funnels its entire
+    input through ONE task (the plan shape behind the
+    "WindowExec: No Partition Defined" warning). Zero is the target
+    for full-data paths; a bounded aggregate (e.g. a per-bucket
+    boundary table) may legitimately contribute one."""
+    return formatted_plan(df).count("Exchange SinglePartition")
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct WholeStageCodegen spans — fewer spans over the same
     ops = wider fusion."""

@@ -306,6 +306,52 @@ def publish_snapshot(
     return target
 
 
+def update_service_definition(
+    service_url: str,
+    service_description: str,
+    metadata: str,
+    post: Callable[[str, Mapping[str, str]], object] | None = None,
+):
+    """K2 remote half: POST an ArcGIS-REST-shaped ``updateDefinition``
+    to a service's admin endpoint (reference
+    ``scripts/update_service_definitions.py:44-52``):
+
+    * the admin URL is the service URL with ``rest/services`` →
+      ``rest/admin/services`` plus ``/updateDefinition``;
+    * the form field ``updateDefinition`` carries a JSON string of
+      ``{serviceDescription, description, editingInfo.lastEditDate:
+      null}`` — the lastEditDate null-out is load-bearing (the server
+      rejects updates carrying a stale edit stamp).
+
+    ``post`` (url, form_dict) is injectable; the default form-POSTs
+    with ``requests``.  Control-plane only — this is the out-of-engine
+    publisher step (SURVEY §2.9), exercised against a local HTTP stub
+    in tests. Returns ``(admin_url, form)`` for callers that log the
+    sync."""
+    import json
+
+    update = {
+        "serviceDescription": service_description,
+        "description": metadata,
+        "editingInfo": {"lastEditDate": None},
+    }
+    admin_url = (
+        service_url.replace("rest/services", "rest/admin/services")
+        + "/updateDefinition"
+    )
+    form = {"updateDefinition": json.dumps(update)}
+    if post is None:  # pragma: no cover - exercised via the stub test
+        import requests
+
+        def post(url, data):
+            resp = requests.post(url, data=data, timeout=60)
+            resp.raise_for_status()
+            return resp
+
+    post(admin_url, form)
+    return admin_url, form
+
+
 def read_published_metadata(base_dir: str, name: str) -> dict:
     """Resolve CURRENT and read its ``.metadata.json`` sidecar."""
     import json

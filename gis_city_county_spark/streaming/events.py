@@ -108,7 +108,7 @@ sessions AS (
            AS session_idx
   FROM flagged
 )
-SELECT user_id, session_idx, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
        CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
          AS session_value,
        (MAX(us) - MIN(us)) / 1000000.0 AS duration_sec

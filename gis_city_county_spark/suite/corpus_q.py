@@ -261,17 +261,36 @@ _MERGES_ORACLE = pair_merge_rounds_sql(
 def q_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick featurization of every document into a 128-dim
     sparse vector (sorted indices/counts arrays) — stateless
-    vocabulary-free encoding, explode + two bounded aggregates."""
+    vocabulary-free encoding, explode + two bounded aggregates.
+
+    The operator's natural output is parallel arrays; the suite emits
+    them CSV-serialized because the driver canonicalizer can't sort
+    list cells (same constraint as ``sim_kmeans_refine``, r2)."""
     from gis_city_county_spark.operators.mlprep import hash_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return hash_features(docs, "doc_id", "text", n_buckets=128)
+    hf = hash_features(docs, "doc_id", "text", n_buckets=128)
+    return hf.select(
+        "doc_id",
+        "n_tokens",
+        "n_active",
+        F.concat_ws(",", F.col("indices").cast("array<string>")).alias("indices_csv"),
+        F.concat_ws(",", F.col("counts").cast("array<string>")).alias("counts_csv"),
+    )
 
 
 def _hash_features_oracle() -> str:
     from gis_city_county_spark.operators.mlprep import hash_features_sql
 
-    return hash_features_sql("SELECT * FROM documents", "doc_id", "text", 128)
+    inner = hash_features_sql("SELECT * FROM documents", "doc_id", "text", 128)
+    return f"""
+SELECT doc_id, n_tokens, n_active,
+       COALESCE(array_to_string(list_transform(indices, x -> CAST(x AS VARCHAR)), ','), '')
+         AS indices_csv,
+       COALESCE(array_to_string(list_transform(counts, x -> CAST(x AS VARCHAR)), ','), '')
+         AS counts_csv
+FROM ({inner}) t
+"""
 
 
 def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,18 +368,24 @@ def q_array_set_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     union / intersect / except against a fixed vocabulary, plus
     contains/overlap flags — the nested-type surface a document
     pipeline leans on (tag algebra, field merging). Results sorted so
-    both engines' set-op orderings normalize."""
+    both engines' set-op orderings normalize, then '|'-joined to the
+    driver-safe scalar shape (the canonicalizer can't sort list
+    cells)."""
     from gis_city_county_spark.operators.textstats import tokens
 
     vocab = F.array(*[F.lit(t) for t in ["table", "join", "scan", "vector"]])
     docs = load_table(spark, sf_dir, "documents")
     toks = F.slice(tokens("text"), 1, 8)
+
+    def joined(arr):
+        return F.concat_ws("|", F.array_sort(F.array_distinct(arr)))
+
     return docs.select(
         "doc_id",
-        F.array_sort(F.array_distinct(toks)).alias("distinct_toks"),
-        F.array_sort(F.array_distinct(F.array_union(toks, vocab))).alias("union_v"),
-        F.array_sort(F.array_distinct(F.array_intersect(toks, vocab))).alias("inter_v"),
-        F.array_sort(F.array_distinct(F.array_except(toks, vocab))).alias("except_v"),
+        joined(toks).alias("distinct_toks"),
+        joined(F.array_union(toks, vocab)).alias("union_v"),
+        joined(F.array_intersect(toks, vocab)).alias("inter_v"),
+        joined(F.array_except(toks, vocab)).alias("except_v"),
         F.array_contains(toks, "table").alias("has_table"),
         F.arrays_overlap(toks, vocab).alias("overlaps_v"),
     )
@@ -375,11 +400,14 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       list_sort(list_distinct(toks)) AS distinct_toks,
-       list_sort(list_distinct(list_concat(toks, vocab))) AS union_v,
-       list_sort(list_distinct(list_intersect(toks, vocab))) AS inter_v,
-       list_sort(list_distinct(list_filter(toks, x -> NOT list_contains(vocab, x))))
-         AS except_v,
+       COALESCE(array_to_string(list_sort(list_distinct(toks)), '|'), '') AS distinct_toks,
+       COALESCE(array_to_string(list_sort(list_distinct(list_concat(toks, vocab))), '|'), '')
+         AS union_v,
+       COALESCE(array_to_string(list_sort(list_distinct(list_intersect(toks, vocab))), '|'), '')
+         AS inter_v,
+       COALESCE(array_to_string(
+         list_sort(list_distinct(list_filter(toks, x -> NOT list_contains(vocab, x)))),
+         '|'), '') AS except_v,
        list_contains(toks, 'table') AS has_table,
        list_has_any(toks, vocab) AS overlaps_v
 FROM t

@@ -241,8 +241,8 @@ def q_nullif_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NULLIF_ORACLE = """
 SELECT lang,
-       SUM(CASE WHEN offshore = '' THEN 1 ELSE 0 END) AS n_empty,
-       SUM(CASE WHEN nullif(offshore, '') IS NULL THEN 1 ELSE 0 END) AS n_null_after,
+       CAST(SUM(CASE WHEN offshore = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(SUM(CASE WHEN nullif(offshore, '') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_after,
        COUNT(*) AS n_rows
 FROM (
   SELECT lang, CASE WHEN source = 'src0' THEN '' ELSE source END AS offshore
@@ -278,7 +278,7 @@ def q_missing_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MISSING_GATE_ORACLE = """
-SELECT SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_missing,
+SELECT CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
        CAST(100 AS BIGINT) AS max_missing,
        SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) <= 100 AS passed
 FROM (SELECT CASE WHEN value < 10.0 THEN NULL ELSE value END AS v FROM events) t

@@ -272,11 +272,31 @@ LEFT JOIN hits h USING (probe_id)
 def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations refining the deterministic seed codebook
     over the embeddings — iterative ML as a relational program with
-    bit-equal centroids on both engines (decimal-exact means)."""
+    bit-equal centroids on both engines (canonical-order fold means).
+
+    The operator returns ``centroid: array<double>``, but the driver's
+    canonicalizer (pandas ``sort_values`` over every column) cannot
+    sort list cells, so the suite query emits the driver-safe exploded
+    form ``(cid, n_assigned, dim, val)`` — one row per centroid
+    component (r2 VERDICT item 3)."""
     from gis_city_county_spark.operators.similarity import kmeans_refine
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_refine(emb, "vec_id", "embedding", k=8, iterations=2)
+    km = kmeans_refine(emb, "vec_id", "embedding", k=8, iterations=2)
+    return km.select(
+        "cid",
+        "n_assigned",
+        F.posexplode("centroid").alias("dim", "val"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+
+
+def kmeans_refine_exploded_sql(inner: str) -> str:
+    """Wrap :func:`kmeans_refine_sql` into the driver-safe exploded
+    shape (no top-level list column)."""
+    return f"""
+SELECT cid, n_assigned, CAST(g.d - 1 AS BIGINT) AS dim, centroid[g.d] AS val
+FROM ({inner}) t, LATERAL UNNEST(generate_series(1, len(centroid))) AS g(d)
+"""
 
 
 def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +341,7 @@ WITH per_vec AS (
          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs
   FROM embeddings
 )
-SELECT label, COUNT(*) AS n_vecs, SUM(n_pos) AS total_pos,
+SELECT label, COUNT(*) AS n_vecs, CAST(SUM(n_pos) AS BIGINT) AS total_pos,
        MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
        MAX(max_abs) AS max_abs_comp
 FROM per_vec GROUP BY label
@@ -412,7 +432,9 @@ SPECS = [
     QuerySpec(
         "sim_kmeans_refine",
         q_kmeans_refine,
-        kmeans_refine_sql("embeddings", "vec_id", "embedding", k=8, iterations=2),
+        kmeans_refine_exploded_sql(
+            kmeans_refine_sql("embeddings", "vec_id", "embedding", k=8, iterations=2)
+        ),
     ),
     QuerySpec("func_vector_ops", q_vector_ops, _VECOPS_ORACLE),
     QuerySpec("sim_ann_recall", q_ann_recall, _RECALL_ORACLE),

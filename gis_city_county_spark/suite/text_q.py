@@ -129,8 +129,8 @@ WITH toks AS (
 ),
 rolled AS (
   SELECT doc_id,
-         SUM((CAST('0x' || substr(md5(list_extract(t, i)), 1, 15) AS BIGINT) % 1000003)
-             * i) % 2147483647 AS rolling_fp
+         CAST(SUM((CAST('0x' || substr(md5(list_extract(t, i)), 1, 15) AS BIGINT) % 1000003)
+             * i) % 2147483647 AS BIGINT) AS rolling_fp
   FROM toks, LATERAL UNNEST(generate_series(1, len(t))) AS g(i)
   GROUP BY doc_id
 )
@@ -398,7 +398,7 @@ SELECT source, COUNT(*) AS n_docs,
        COUNT(DISTINCT fp) AS n_unique,
        CAST((CAST(COUNT(*) - COUNT(DISTINCT fp) AS HUGEINT) * 1000000)
             // COUNT(*) AS BIGINT) AS dup_ppm,
-       SUM(toks) AS total_tokens
+       CAST(SUM(toks) AS BIGINT) AS total_tokens
 FROM scored GROUP BY source ORDER BY source
 """
 

@@ -1577,29 +1577,23 @@ FROM ranked WHERE rn = 1
 
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-gap audit on the order-key space: the 20 widest
-    missing-id ranges (lead over sorted distinct keys → holes) — the
-    completeness check for ingest pipelines fed by sequential ids;
-    a sudden wide gap means a dropped extract.
+    missing-id ranges — the completeness check for ingest pipelines
+    fed by sequential ids; a sudden wide gap means a dropped extract.
 
-    Scale note: the global-order window is single-partition here; at
-    100 TB partition the id space into fixed ranges (``key div B``),
-    find gaps within each range with a partitioned window, and handle
-    the B−1 range boundaries with a tiny per-range min/max frame —
-    same results, no global sort."""
-    from pyspark.sql import Window
+    Scale-safe plan (r3): ``operators.scale.ranged_gaps`` buckets the
+    id space by ``key div 8192``, finds gaps inside each bucket with a
+    PARTITIONED lead window, and stitches bucket boundaries through a
+    bounded per-bucket min/max table — no full-data single-partition
+    WindowExec (pinned by test_plan_quality)."""
+    from gis_city_county_spark.operators.scale import ranged_gaps
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey").distinct()
-    w = Window.orderBy("o_orderkey")
-    gaps = (
-        orders.withColumn("__next", F.lead("o_orderkey").over(w))
-        .filter(F.col("__next") > F.col("o_orderkey") + 1)
-        .select(
-            (F.col("o_orderkey") + 1).alias("gap_start"),
-            (F.col("__next") - 1).alias("gap_end"),
-            (F.col("__next") - F.col("o_orderkey") - 1).alias("gap_len"),
-        )
-    )
-    return gaps.orderBy(F.col("gap_len").desc(), F.col("gap_start").asc()).limit(20)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    gaps = ranged_gaps(orders, "o_orderkey", bucket_width=8192)
+    return gaps.select(
+        "gap_start",
+        "gap_end",
+        "gap_len",
+    ).orderBy(F.col("gap_len").desc(), F.col("gap_start").asc()).limit(20)
 
 
 _SEQ_GAPS_ORACLE = """
@@ -1621,9 +1615,16 @@ FROM gaps ORDER BY gap_len DESC, gap_start ASC LIMIT 20
 def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period rank movement: parts ranked by revenue in
     1995 vs 1996, joined on part, biggest climbers by rank delta
-    (ties → lowest part key). Two windowed rankings + one join — the
-    'top movers' BI report, exact integers throughout."""
-    from pyspark.sql import Window
+    (ties → lowest part key). Two global rankings + one join — the
+    'top movers' BI report, exact integers throughout.
+
+    Scale-safe plan (r3): each year's ranking runs through
+    ``operators.scale.ranged_rank`` — range-bucketed parallel
+    row_number + driver-bounded prefix offsets — instead of a
+    single-partition ``Window.orderBy`` (pinned by
+    test_plan_quality). The per-part revenue table is persisted so
+    the rank helper's bounded cut/count jobs don't rescan lineitem."""
+    from gis_city_county_spark.operators.scale import ranged_rank
 
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -1641,10 +1642,14 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("__rev")
             )
+        ).persist()
+        ranked = ranged_rank(
+            rev, "__rev", "l_partkey", rank_col=f"rank_{year}", descending=True
         )
-        w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
-        return rev.select(
-            "l_partkey", F.row_number().over(w).alias(f"rank_{year}")
+        # the operator ranks in BIGINT (no wrap at >2.1B rows); the
+        # report casts to the oracle's INTEGER shape
+        return ranked.select(
+            "l_partkey", F.col(f"rank_{year}").cast("int").alias(f"rank_{year}")
         )
 
     joined = year_rank("1995").join(year_rank("1996"), "l_partkey")
@@ -1686,26 +1691,36 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC inventory classification: parts ranked by revenue,
     cumulative revenue share in exact ppm (decimal-windowed cumsum —
     windowed double sums are NOT engine-exact), classed A/B/C at
-    70%/90%. Output: per class, part count and revenue share bounds."""
-    from pyspark.sql import Window
+    70%/90%. Output: per class, part count and revenue share bounds.
+
+    Scale-safe plan (r3): the global cumulative sum runs through
+    ``operators.scale.ranged_cumsum`` — per-bucket decimal-exact
+    windowed cumsum + driver-bounded (Decimal-exact) bucket prefix
+    offsets — replacing both single-partition patterns the r1 version
+    had (the global-order running sum AND ``SUM(...) OVER ()``)."""
+    from gis_city_county_spark.operators.scale import ranged_cumsum
 
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(38,10)"
-            )
-        ).alias("__rev")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,10)"
+                )
+            ).alias("__rev")
+        )
+        .withColumn("__v", F.col("__rev").cast("decimal(28,10)"))
+        .persist()
     )
-    w = Window.orderBy(F.col("__rev").desc(), F.col("l_partkey").asc())
-    total = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
+    ranked = ranged_cumsum(
+        rev,
         "__rev",
-        F.sum(F.col("__rev").cast("decimal(28,10)"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("__cum"),
-        F.sum(F.col("__rev").cast("decimal(28,10)")).over(total).alias("__tot"),
+        "l_partkey",
+        "__v",
+        cum_col="__cum",
+        total_col="__tot",
+        descending=True,
     )
     # scale the decimals to exact integers (×10^10) before the ppm
     # division — casting a decimal straight to a big integer would

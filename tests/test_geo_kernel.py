@@ -253,3 +253,59 @@ def test_high_vertex_count_against_analytic_area():
     union_area = K.area(K.union(a, b))
     poly_area = K.area(a)  # polygonal circle area (slightly under pi r^2)
     assert abs(union_area + got - 2 * poly_area) < 1e-6 * poly_area
+
+
+# ------------------------- G1 self-intersection repair (r3, VERDICT 6)
+# arcpy RepairGeometry splits invalid rings into valid multipolygons
+# (reference bunny.py:221-226); the kernel routes dirty parts through
+# the planar overlay with an identity keep-rule.
+
+
+def test_make_valid_splits_bowtie():
+    # (0,0)→(2,2)→(2,0)→(0,2) crosses itself at (1,1); its SIGNED area
+    # is exactly 0, so the pre-r3 cleanup silently dropped it.
+    bow = [([(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)], [])]
+    v = K.make_valid(bow)
+    assert len(v) == 2
+    assert K.area(v) == pytest.approx(2.0)
+    # both lobes are simple triangles, outer-CCW
+    for outer, holes in v:
+        assert len(outer) == 3 and not holes
+        assert K.ring_signed_area(outer) > 0
+
+
+def test_make_valid_splits_pinched_figure_eight():
+    f8 = [([(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0),
+            (0.0, 0.0), (-1.0, 0.0), (-1.0, -1.0), (0.0, -1.0)], [])]
+    v = K.make_valid(f8)
+    assert len(v) == 2
+    assert K.area(v) == pytest.approx(2.0)
+
+
+def test_make_valid_clips_hole_crossing_outer():
+    # hole [3,5]x[1,3] sticks outside the [0,4]^2 outer: structure-style
+    # repair keeps outer − (hole ∩ outer) and discards the overhang
+    hx = [([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)],
+           [[(3.0, 1.0), (5.0, 1.0), (5.0, 3.0), (3.0, 3.0)]])]
+    v = K.make_valid(hx)
+    assert K.area(v) == pytest.approx(14.0)
+
+
+def test_make_valid_keeps_valid_geometry_untouched():
+    donut = [([(0.0, 0.0), (6.0, 0.0), (6.0, 6.0), (0.0, 6.0)],
+              [[(2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0)]])]
+    assert K.make_valid(donut) == donut
+
+
+def test_repaired_bowtie_flows_through_union_and_difference():
+    bow = K.make_valid(
+        [([(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)], [])]
+    )
+    # union with a square covering the right lobe only
+    sq = rect(1, 0, 2, 2)
+    u = K.union(bow, sq)
+    assert K.area(u) == pytest.approx(K.area(bow) + 2.0 - 1.0)
+    # erase the right lobe: difference leaves exactly the left lobe
+    d = K.difference(bow, sq)
+    assert K.area(d) == pytest.approx(1.0)
+    assert K.intersects(d, rect(0, 0, 0.5, 2)) is True

@@ -196,3 +196,36 @@ def test_geojson_to_wkb(spark):
     df = spark.createDataFrame([(1, gj)], ["id", "geometry_json"])
     row = df.withColumn("geometry", geojson_to_wkb("geometry_json")).collect()[0]
     assert K.area(K.from_wkb(row["geometry"])) == 4.0
+
+
+def test_dissolve_salted_equals_unsalted(spark):
+    """Hierarchical (skew-safe) dissolve must agree with the single-
+    stage dissolve: geometric union is associative/commutative, so
+    partial-union-per-salt then merge is the same set of points."""
+    rows = [
+        # hot key: 12 touching unit squares in a strip + 1 detached
+        *[(i, "HOT", rect_wkb(i, 0, i + 1, 1)) for i in range(12)],
+        (100, "HOT", rect_wkb(50, 50, 51, 51)),
+        # small key: two disjoint squares
+        (200, "COLD", rect_wkb(0, 10, 1, 11)),
+        (201, "COLD", rect_wkb(5, 10, 6, 11)),
+    ]
+    schema = T.StructType([
+        T.StructField("OBJECTID", T.LongType()),
+        T.StructField("KEY", T.StringType()),
+        T.StructField("geometry", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    plain = {r["KEY"]: K.from_wkb(r["geometry"])
+             for r in dissolve(df, ["KEY"]).collect()}
+    salted = {r["KEY"]: K.from_wkb(r["geometry"])
+              for r in dissolve(df, ["KEY"], n_salt=4).collect()}
+    assert set(plain) == set(salted) == {"HOT", "COLD"}
+    for key in plain:
+        a, b = plain[key], salted[key]
+        assert K.area(a) == pytest.approx(K.area(b))
+        # semantic equality: symmetric difference is empty
+        assert K.area(K.difference(a, b)) == pytest.approx(0.0, abs=1e-9)
+        assert K.area(K.difference(b, a)) == pytest.approx(0.0, abs=1e-9)
+    # the HOT strip fuses into one 12x1 part plus the detached square
+    assert K.area(salted["HOT"]) == pytest.approx(13.0)

@@ -248,3 +248,26 @@ def test_recommended_shuffle_partitions_scales_with_data(spark, sf_dir):
     assert out.rdd.getNumPartitions() == recommended_shuffle_partitions(
         li, target_partition_bytes=1 << 20
     )
+
+
+def test_ranked_reports_have_no_single_partition_windows(spark, sf_dir):
+    """r2 VERDICT scale-killers: gate_sequence_gaps / olap_top_movers /
+    olap_pareto_abc ran their global sorts through a single-partition
+    WindowExec. The r3 rewrite (operators.scale.ranged_*) must keep
+    the full-data path bucket-partitioned: zero SinglePartition
+    exchanges for the rank/cumsum plans, and at most the bounded
+    boundary-table pass for the gaps plan."""
+    from gis_city_county_spark.plans.inspect import (
+        num_single_partition_exchanges,
+    )
+    from gis_city_county_spark.suite.tpch_ext import (
+        q_pareto_abc,
+        q_sequence_gaps,
+        q_top_movers,
+    )
+
+    assert num_single_partition_exchanges(q_top_movers(spark, sf_dir)) == 0
+    assert num_single_partition_exchanges(q_pareto_abc(spark, sf_dir)) == 0
+    # the one allowed exchange feeds the per-bucket min/max boundary
+    # table (n / bucket_width rows), not the raw key stream
+    assert num_single_partition_exchanges(q_sequence_gaps(spark, sf_dir)) <= 1

@@ -106,3 +106,88 @@ def test_bruteforce_probe_guards_fail_loud(spark, sf_dir):
     with pytest.raises(ValueError, match="fuzzy_join_blocked"):
         fuzzy_lookup(part, part, "p_partkey", "p_name", k=2, max_probes=10)
     assert fuzzy_lookup(part, part.limit(5), "p_partkey", "p_name", k=2).count() > 0
+
+
+def test_ranged_rank_matches_global_window_including_nulls(spark):
+    """Two-phase ranged_rank must exactly reproduce the single-window
+    global row_number — including NULL primaries (desc → NULLS LAST,
+    asc → NULLS FIRST) and ties broken by the tiebreak column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    vals = [5.0, 3.0, None, 8.0, 1.0, None, 7.0, 2.0, 6.0, 4.0] * 5
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v double"
+    )
+    for descending in (True, False):
+        got = {
+            r["k"]: int(r["rnk"])
+            for r in ranged_rank(
+                df, "v", "k", rank_col="rnk", descending=descending, n_ranges=4
+            ).collect()
+        }
+        order = F.col("v").desc() if descending else F.col("v").asc()
+        w = Window.orderBy(order, F.col("k").asc())
+        want = {
+            r["k"]: int(r["rnk"])
+            for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+        }
+        assert got == want
+
+
+def test_ranged_cumsum_matches_global_window(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.scale import ranged_cumsum
+
+    df = spark.createDataFrame(
+        [(i, Decimal(v)) for i, v in enumerate([7, 1, 5, 3, 9, 2, 8, 4, 6, 0] * 3)],
+        "k long, v decimal(28,10)",
+    )
+    got = {
+        r["k"]: (r["cum"], r["total"])
+        for r in ranged_cumsum(
+            df, "v", "k", "v", cum_col="cum", total_col="total",
+            descending=True, n_ranges=4,
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("v").desc(), F.col("k").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = df.withColumn("cum", F.sum("v").over(w)).withColumn(
+        "total", F.sum("v").over(Window.partitionBy())
+    )
+    want = {r["k"]: (r["cum"], r["total"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_ranged_gaps_matches_global_lead(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.scale import ranged_gaps
+
+    keys = [1, 2, 3, 7, 8, 20, 21, 22, 40, 9000, 9001, 9005, 17000]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in ranged_gaps(df, "k", bucket_width=16).collect()
+    )
+    w = Window.orderBy("k")
+    ref = (
+        df.withColumn("nxt", F.lead("k").over(w))
+        .filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("s"),
+            (F.col("nxt") - 1).alias("e"),
+            (F.col("nxt") - F.col("k") - 1).alias("l"),
+        )
+    )
+    want = sorted((r["s"], r["e"], r["l"]) for r in ref.collect())
+    assert got == want

@@ -444,3 +444,132 @@ def test_feature_service_pages_abort_cleans_staging(spark, tmp_path):
         bad.write.format("feature_service_pages").option("path", dest).save()
     leftover = os.listdir(dest) if os.path.exists(dest) else []
     assert not [f for f in leftover if f.endswith(".json") and not f.startswith(".")]
+
+
+# ----------------- r3 (VERDICT 8): live halves against a REAL local
+# HTTP stub — no injected fetchers, the actual requests/urllib paths.
+
+
+class _ArcgisStub:
+    """Minimal ArcGIS-REST-shaped server: pages a fixed feature set
+    through /query (resultOffset protocol) and records any
+    updateDefinition POST."""
+
+    def __init__(self, rows, page_cap=7):
+        import http.server
+        import json
+        import threading
+        import urllib.parse
+
+        stub = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # silence
+                pass
+
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                qs = urllib.parse.parse_qs(parsed.query)
+                off = int(qs.get("resultOffset", ["0"])[0])
+                want = int(qs.get("resultRecordCount", ["1000"])[0])
+                n = min(want, page_cap)  # server-side maxRecordCount
+                feats = [
+                    {"attributes": r} for r in rows[off : off + n]
+                ]
+                body = {"features": feats}
+                if off + n < len(rows) and feats:
+                    body["exceededTransferLimit"] = True
+                else:
+                    body["exceededTransferLimit"] = False
+                data = json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(length).decode()
+                stub.posts.append((self.path, urllib.parse.parse_qs(raw)))
+                data = b'{"success": true}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self.posts = []
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.port = self.server.server_address[1]
+        self.thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.server.shutdown()
+        self.server.server_close()
+
+
+def test_fetch_feature_pages_against_live_http_stub(spark, tmp_path):
+    """S1 live half end-to-end: the DEFAULT requests-backed fetcher
+    pages a real (local) /query endpoint — including the server-side
+    maxRecordCount cap returning short-but-full pages — and the DSv2
+    scan reads the snapshot back complete."""
+    from gis_city_county_spark.sources.feature_service import (
+        FeatureServicePages,
+        fetch_feature_pages,
+    )
+
+    rows = [{"CITY": f"c{i}", "POP": i * 10} for i in range(23)]
+    stub = _ArcgisStub(rows, page_cap=7)
+    try:
+        dest = str(tmp_path / "snap")
+        n_pages = fetch_feature_pages(
+            f"http://127.0.0.1:{stub.port}/arcgis/rest/services/x/FeatureServer/0/query",
+            dest,
+            page_size=10,  # server caps to 7 → short-but-full pages
+        )
+        assert n_pages == 4  # ceil(23 / 7)
+        spark.dataSource.register(FeatureServicePages)
+        df = (
+            spark.read.format("feature_service_pages")
+            .schema("CITY string, POP bigint")
+            .option("path", dest)
+            .load()
+        )
+        got = {(r["CITY"], r["POP"]) for r in df.collect()}
+        assert got == {(f"c{i}", i * 10) for i in range(23)}
+    finally:
+        stub.close()
+
+
+def test_update_service_definition_against_live_http_stub():
+    """K2 remote half: the REST-shaped updateDefinition POST hits the
+    admin endpoint with the reference's exact payload contract
+    (scripts/update_service_definitions.py:44-52): rest/services →
+    rest/admin/services URL transform, form field updateDefinition
+    carrying JSON with the lastEditDate null-out."""
+    import json
+
+    from gis_city_county_spark.sources.files import update_service_definition
+
+    stub = _ArcgisStub([])
+    try:
+        service_url = (
+            f"http://127.0.0.1:{stub.port}/arcgis/rest/services/CityCounty/FeatureServer"
+        )
+        admin_url, form = update_service_definition(
+            service_url, "City boundaries", "<b>html metadata</b>"
+        )
+        assert admin_url.endswith(
+            "/arcgis/rest/admin/services/CityCounty/FeatureServer/updateDefinition"
+        )
+        assert len(stub.posts) == 1
+        path, body = stub.posts[0]
+        assert path.endswith("/rest/admin/services/CityCounty/FeatureServer/updateDefinition")
+        payload = json.loads(body["updateDefinition"][0])
+        assert payload["serviceDescription"] == "City boundaries"
+        assert payload["description"] == "<b>html metadata</b>"
+        assert payload["editingInfo"] == {"lastEditDate": None}
+    finally:
+        stub.close()
