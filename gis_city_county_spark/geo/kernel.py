@@ -269,12 +269,47 @@ def _split_ring_at_repeats(r: Ring) -> list[Ring]:
     return out
 
 
+def _renode_vertex_on_edge(r: Ring) -> Ring:
+    """Insert any ring vertex that lies in the interior of another of
+    the ring's edges into that edge, so a vertex-on-edge pinch (which
+    ``_merge_collinear`` can hide by dropping the collinear inserted
+    node) becomes a repeated-vertex pinch that loop extraction can
+    split."""
+    xs = [p[0] for p in r]
+    ys = [p[1] for p in r]
+    scale = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+    tol = scale * 1e-9
+    verts = set(r)
+    out: list[tuple[float, float]] = []
+    n = len(r)
+    for i in range(n):
+        a, b = r[i], r[(i + 1) % n]
+        out.append(a)
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        ln2 = dx * dx + dy * dy
+        if ln2 == 0.0:
+            continue
+        hits = []
+        for v in verts:
+            if v == a or v == b:
+                continue
+            t = ((v[0] - a[0]) * dx + (v[1] - a[1]) * dy) / ln2
+            if t <= 0.0 or t >= 1.0:
+                continue
+            px, py = a[0] + t * dx, a[1] + t * dy
+            if abs(px - v[0]) <= tol and abs(py - v[1]) <= tol:
+                hits.append((t, v))
+        for _, v in sorted(hits):
+            out.append(v)
+    return out
+
+
 def _split_pinched_parts(mp: MultiPolygon) -> MultiPolygon:
     """Apply loop extraction to every outer ring, reattaching each
     hole to the loop that contains it."""
     out: MultiPolygon = []
     for outer, holes in mp:
-        loops = _split_ring_at_repeats(outer)
+        loops = _split_ring_at_repeats(_renode_vertex_on_edge(outer))
         if not loops:  # every extracted loop degenerate — drop the part
             continue
         if len(loops) == 1:

@@ -1038,13 +1038,20 @@ def kmeans_refine(
             + dot_product(F.col("cv"), F.col("cv"))
             - 2 * dot_product(F.col("__v"), F.col("cv"))
         )
-        w = Window.partitionBy("__id").orderBy(F.asc("__d2"), F.asc("cid"))
+        # argmin via lexicographic struct-min — identical (d2 ASC, cid
+        # ASC) tie semantics as a row_number window, but map-side
+        # combinable: the shuffle carries one partially-reduced row per
+        # (partition, vector) instead of sorting the k-times-expanded
+        # join output.
         return (
             e.crossJoin(F.broadcast(centroids))
             .withColumn("__d2", d2)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("__id", "__v", "cid")
+            .groupBy("__id")
+            .agg(
+                F.min(F.struct("__d2", "cid")).alias("__m"),
+                F.first("__v").alias("__v"),
+            )
+            .select("__id", "__v", F.col("__m.cid").alias("cid"))
         )
 
     # Mean of full-precision doubles: the decimal(38,10) sum convention

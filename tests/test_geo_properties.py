@@ -152,3 +152,69 @@ def test_general_self_identities(a):
     assert _close(K.area(K.intersection(a, a)), K.area(a))
     d = K.difference(a, a)
     assert K.is_empty(d) or _close(K.area(d), 0.0, 1e-9)
+
+
+# ---------------- r3: make_valid self-intersection repair properties
+
+ring_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ),
+    min_size=3,
+    max_size=8,
+    unique=True,
+)
+
+
+def _has_proper_crossing(outer, holes):
+    """True when any two boundary segments cross through each other's
+    INTERIOR. Tangential contact (shared vertices, collinear shared
+    edges, vertex-on-edge pinches between rings) is allowed — that is
+    the Esri/arcpy validity model the repair targets, and weakly-
+    simple output is what GEOS buffer(0) produces too."""
+    rings = [outer, *holes]
+    segs = [
+        (r[i], r[(i + 1) % len(r)]) for r in rings for i in range(len(r))
+    ]
+    xs = [p[0] for s_ in segs for p in s_]
+    ys = [p[1] for s_ in segs for p in s_]
+    scale = max(max(xs) - min(xs), max(ys) - min(ys), 1.0)
+    tol = scale * 1e-9
+
+    def interior(pt, a, b):
+        return (
+            max(abs(pt[0] - a[0]), abs(pt[1] - a[1])) > tol
+            and max(abs(pt[0] - b[0]), abs(pt[1] - b[1])) > tol
+        )
+
+    for i in range(len(segs)):
+        p1, p2 = segs[i]
+        for j in range(i + 1, len(segs)):
+            q1, q2 = segs[j]
+            for pt in K._seg_points(p1, p2, q1, q2):
+                if interior(pt, p1, p2) and interior(pt, q1, q2):
+                    return True
+    return False
+
+
+@settings(max_examples=80, deadline=None)
+@given(ring_pts)
+def test_make_valid_output_has_no_proper_crossings(pts):
+    """Any vertex sequence — including wildly self-crossing ones —
+    must repair to parts whose boundaries never cross through each
+    other (tangential touches allowed, per the Esri validity model),
+    with CCW outers."""
+    mp = [([(float(x), float(y)) for x, y in pts], [])]
+    for outer, holes in K.make_valid(mp):
+        assert K.ring_signed_area(outer) > 0
+        assert not _has_proper_crossing(outer, holes)
+
+
+@settings(max_examples=80, deadline=None)
+@given(ring_pts)
+def test_make_valid_is_idempotent(pts):
+    mp = [([(float(x), float(y)) for x, y in pts], [])]
+    once = K.make_valid(mp)
+    twice = K.make_valid(once)
+    assert math.isclose(K.area(twice), K.area(once), rel_tol=1e-9, abs_tol=1e-9)
