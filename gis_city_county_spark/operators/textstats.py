@@ -178,22 +178,23 @@ def rarity_score(df, id_col: str, text_col: str):
     bit-deterministic.
 
     Plan shape: one explode + token count (shuffle on token), a
-    vocabulary-sized global rank window (the vocabulary is orders of
-    magnitude smaller than the corpus even at 100 TB — and if it ever
-    isn't, the window becomes a two-stage range rank), then a
-    broadcast-sized join of ranks back onto the token stream and one
-    aggregate keyed on the document."""
-    from pyspark.sql import DataFrame, Window
+    two-phase range rank over the vocabulary (``scale.ranged_rank`` —
+    no single-partition window even when the vocabulary itself is
+    large), then a broadcast-sized join of ranks back onto the token
+    stream and one aggregate keyed on the document."""
+    from pyspark.sql import DataFrame
 
     from gis_city_county_spark.functions.numeric import dec_avg
+    from gis_city_county_spark.operators.scale import ranged_rank
 
     assert isinstance(df, DataFrame)
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    ranked = counts.withColumn("rank", F.row_number().over(w).cast("long"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    ranked = ranged_rank(
+        counts, "cnt", "tok", rank_col="rank", descending=True
+    )
     return (
         toks.join(F.broadcast(ranked.select("tok", "rank")), "tok")
         .groupBy(id_col)

@@ -75,12 +75,16 @@ def has_cartesian_or_bnlj(df: DataFrame) -> bool:
 
 
 def num_single_partition_exchanges(df: DataFrame) -> int:
-    """`Exchange SinglePartition` nodes — each funnels its entire
-    input through ONE task (the plan shape behind the
-    "WindowExec: No Partition Defined" warning). Zero is the target
-    for full-data paths; a bounded aggregate (e.g. a per-bucket
-    boundary table) may legitimately contribute one."""
-    return formatted_plan(df).count("Exchange SinglePartition")
+    """SinglePartition exchanges — each funnels its entire input
+    through ONE task (the plan shape behind the "WindowExec: No
+    Partition Defined" warning). Zero is the target for full-data
+    paths; a bounded aggregate (e.g. a per-bucket boundary table) may
+    legitimately contribute one.
+
+    Counted from the formatted plan's Exchange detail lines
+    (``Arguments: SinglePartition, ...``) — the simple-plan spelling
+    ``Exchange SinglePartition`` does not appear in formatted mode."""
+    return len(re.findall(r"Arguments: SinglePartition", formatted_plan(df)))
 
 
 def codegen_stage_count(df: DataFrame) -> int:

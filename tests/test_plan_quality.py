@@ -271,3 +271,65 @@ def test_ranked_reports_have_no_single_partition_windows(spark, sf_dir):
     # the one allowed exchange feeds the per-bucket min/max boundary
     # table (n / bucket_width rows), not the raw key stream
     assert num_single_partition_exchanges(q_sequence_gaps(spark, sf_dir)) <= 1
+
+
+# Suite-wide single-partition-exchange budget. A SinglePartition
+# exchange is only acceptable when its INPUT is already bounded —
+# partial-aggregate rows (a global scalar's final merge receives one
+# row per map partition), a calibration cohort, or a per-bucket
+# boundary table. Full-data global sorts/windows are 100 TB killers
+# and must go through operators.scale.ranged_* instead (audited r3:
+# every entry below was traced to its feeding node).
+_SINGLE_PARTITION_ALLOWED = {
+    # final merges of partial global aggregates (input = per-partition
+    # partial rows, bounded by task count)
+    "ref_a2_count_gate": 1,
+    "ref_a3_missing_gate": 1,
+    "profile_documents": 1,        # one wide global profile row
+    "graph_modularity_nations": 2,  # global modularity scalars
+    "corpus_dsir_weights": 1,
+    "corpus_pmi_pairs": 1,
+    "corpus_source_keywords": 1,
+    "events_hourly_anomalies": 1,
+    "events_lateness_audit": 1,
+    "profile_length_drift_chi2": 1,
+    "profile_skew_report": 1,
+    "gate_benford_audit": 1,
+    "pipeline_mixture_resample": 1,
+    "pipeline_mixture_upsample": 1,
+    "tpch_q6_revenue_forecast": 1,
+    "tpch_q11_important_stock": 1,
+    "tpch_q14_promo_effect": 1,
+    "tpch_q15_top_supplier": 1,
+    "tpch_q17_small_qty_revenue": 1,
+    "tpch_q19_disjunctive": 1,
+    "tpch_q22_idle_customers": 1,
+    "olap_basket_affinity": 1,
+    "gate_fk_orphans": 4,   # four scalar audit counts
+    "gate_pk_audit": 3,     # three scalar audit counts
+    "scale_bloom_fpr": 3,   # pass/fpr scalar counts
+    "search_tfidf_topk": 2,  # corpus df-count scalars + rank of k≤20 rows
+    "search_bm25_topk": 2,   # corpus stats scalar + rank of k≤20 rows
+    # bounded non-aggregate inputs, documented in their docstrings
+    "olap_ntile_deciles": 1,       # sorts only the supplier dimension
+    "mlprep_quantile_align": 2,    # reference calibration cohort rank
+    "events_wow_report": 1,        # lag over per-week aggregate rows
+    "gate_sequence_gaps": 1,       # per-bucket min/max boundary table
+}
+
+
+def test_single_partition_exchanges_suite_wide(spark, sf_dir):
+    from gis_city_county_spark.plans.inspect import (
+        num_single_partition_exchanges,
+    )
+    from gis_city_county_spark.suite import all_specs
+
+    over = []
+    for s in all_specs():
+        n = num_single_partition_exchanges(s.fn(spark, sf_dir))
+        if n > _SINGLE_PARTITION_ALLOWED.get(s.name, 0):
+            over.append(f"{s.name}={n}")
+    assert not over, (
+        "plans gained single-partition exchanges beyond the audited "
+        f"bounded set: {over}"
+    )
