@@ -229,3 +229,32 @@ def test_dissolve_salted_equals_unsalted(spark):
         assert K.area(K.difference(b, a)) == pytest.approx(0.0, abs=1e-9)
     # the HOT strip fuses into one 12x1 part plus the detached square
     assert K.area(salted["HOT"]) == pytest.approx(13.0)
+
+
+def test_bowtie_feature_flows_through_repair_dissolve_erase(spark):
+    """G1 integration: a source feature arriving with a self-crossing
+    (bowtie) ring — the exact malformation arcpy RepairGeometry exists
+    for (reference bunny.py:221-226) — must flow through the Spark
+    pipeline's repair → dissolve → erase chain with correct areas
+    instead of undefined clipper behavior."""
+    bowtie = K.to_wkb(
+        [([(0.0, 0.0), (20.0, 20.0), (20.0, 0.0), (0.0, 20.0)], [])]
+    )
+    county = rect_wkb(-10, -10, 30, 30)
+    cities = spark.createDataFrame(
+        [(1, "Alameda", "Bowtie City", "001", bowtie)], SCHEMA
+    ).withColumn("geometry", st_make_valid(F.col("geometry")))
+    counties = spark.createDataFrame(
+        [(2, "Alameda", None, "001", county)], SCHEMA
+    )
+    # repaired bowtie = two triangular lobes, total area 200
+    repaired = K.from_wkb(cities.collect()[0]["geometry"])
+    assert len(repaired) == 2
+    assert K.area(repaired) == pytest.approx(200.0)
+    d = dissolve(cities, ["CITY"], carry=["COUNTY"])
+    merged = K.from_wkb(d.collect()[0]["geometry"])
+    assert K.area(merged) == pytest.approx(200.0)
+    # unincorporated = county minus the repaired city lobes
+    un = erase(counties, d.select("CITY", "geometry"), "OBJECTID", cell=40.0)
+    un_geom = K.from_wkb(un.collect()[0]["geometry"])
+    assert K.area(un_geom) == pytest.approx(40.0 * 40.0 - 200.0)
