@@ -312,6 +312,57 @@ def dissolve(
     return partial.groupBy(*key_list).applyInPandas(merge, out_schema)
 
 
+# ---------------------------------------------------- grouped union
+
+def _grouped_union(
+    pairs: DataFrame,
+    key_field: T.StructField,
+    wkb_col: str,
+    out_name: str,
+    n_salt: int | None = None,
+) -> DataFrame:
+    """Union all ``wkb_col`` geometries per key into one geometry —
+    the shared aggregation under erase / union-overlay coverage and
+    (structurally) dissolve. ``n_salt`` enables the same hierarchical
+    skew-safe two-stage union as :func:`dissolve`: a county matched by
+    millions of coastal polygons otherwise funnels them all through
+    one ``applyInPandas`` task."""
+    key = key_field.name
+    schema = T.StructType([key_field, T.StructField(out_name, T.BinaryType())])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        geoms = [K.from_wkb(b) for b in pdf[wkb_col] if b]
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], out_name: [K.to_wkb(K.union_all(geoms))]}
+        )
+
+    if not n_salt:
+        return pairs.groupBy(key).applyInPandas(merge, schema)
+
+    mid_schema = T.StructType(
+        [key_field, T.StructField("__salt", T.LongType()),
+         T.StructField(wkb_col, T.BinaryType())]
+    )
+
+    def merge_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        geoms = [K.from_wkb(b) for b in pdf[wkb_col] if b]
+        return pd.DataFrame(
+            {
+                key: [pdf[key].iloc[0]],
+                "__salt": [pdf["__salt"].iloc[0]],
+                wkb_col: [K.to_wkb(K.union_all(geoms))],
+            }
+        )
+
+    salted = pairs.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(wkb_col)), F.lit(n_salt))
+    )
+    partial = salted.groupBy(key, "__salt").applyInPandas(
+        merge_partial, mid_schema
+    )
+    return partial.groupBy(key).applyInPandas(merge, schema)
+
+
 # ------------------------------------------------------------------ erase
 
 def erase(
@@ -320,15 +371,17 @@ def erase(
     left_id: str,
     cell: float,
     geom: str = "geometry",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """J3 Erase (reference ``bunny.py:393-396``): subtract the union of
     all intersecting ``right`` coverage from each ``left`` feature
     (counties minus cities → unincorporated).
 
     Relational form: bucket-join candidates → exact intersects filter
-    → per-left union of matching right geometries → one difference per
-    left row; unmatched left rows pass through whole. Empty results
-    (fully covered) are dropped, matching ArcGIS.
+    → per-left union of matching right geometries (``n_salt`` opts
+    into the hierarchical skew-safe union, see :func:`_grouped_union`)
+    → one difference per left row; unmatched left rows pass through
+    whole. Empty results (fully covered) are dropped, matching ArcGIS.
 
     ``left_id`` MUST be deterministic under plan re-evaluation (a real
     key or a content hash — NOT monotonically_increasing_id): the plan
@@ -339,17 +392,9 @@ def erase(
         cell, left_id, "__rid", geom,
     ).filter(_intersects(F.col("__ag"), F.col("__bg")))
 
-    cover_schema = T.StructType(
-        [left.schema[left_id], T.StructField("__cover", T.BinaryType())]
+    covers = _grouped_union(
+        cand, left.schema[left_id], "__bg", "__cover", n_salt
     )
-
-    def union_cover(pdf: pd.DataFrame) -> pd.DataFrame:
-        geoms = [K.from_wkb(b) for b in pdf["__bg"] if b]
-        return pd.DataFrame(
-            {left_id: [pdf[left_id].iloc[0]], "__cover": [K.to_wkb(K.union_all(geoms))]}
-        )
-
-    covers = cand.groupBy(left_id).applyInPandas(union_cover, cover_schema)
     joined = left.join(covers, left_id, "left")
     erased = joined.withColumn(
         geom,
@@ -369,6 +414,7 @@ def union_overlay(
     b_id: str,
     cell: float,
     geom: str = "geometry",
+    n_salt: int | None = None,
 ) -> DataFrame:
     """J2 Union overlay (reference ``coastline.py:49-52``): output =
     all pairwise intersections + each input's remainder after
@@ -400,17 +446,9 @@ def union_overlay(
 
     def remainder(side: DataFrame, side_id: str, own: str, other: str) -> DataFrame:
         hits = inter.select(side_id, F.col(other).alias("__og"))
-        cover_schema = T.StructType(
-            [side.schema[side_id], T.StructField("__cover", T.BinaryType())]
+        covers = _grouped_union(
+            hits, side.schema[side_id], "__og", "__cover", n_salt
         )
-
-        def union_cover(pdf: pd.DataFrame) -> pd.DataFrame:
-            geoms = [K.from_wkb(x) for x in pdf["__og"] if x]
-            return pd.DataFrame(
-                {side_id: [pdf[side_id].iloc[0]], "__cover": [K.to_wkb(K.union_all(geoms))]}
-            )
-
-        covers = hits.groupBy(side_id).applyInPandas(union_cover, cover_schema)
         rem = side.join(covers, side_id, "left").withColumn(
             geom,
             F.when(F.col("__cover").isNull(), F.col(geom)).otherwise(

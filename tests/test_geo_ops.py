@@ -258,3 +258,41 @@ def test_bowtie_feature_flows_through_repair_dissolve_erase(spark):
     un = erase(counties, d.select("CITY", "geometry"), "OBJECTID", cell=40.0)
     un_geom = K.from_wkb(un.collect()[0]["geometry"])
     assert K.area(un_geom) == pytest.approx(40.0 * 40.0 - 200.0)
+
+
+def test_erase_and_overlay_salted_equal_unsalted(spark):
+    """The shared grouped-union under erase/union-overlay must give
+    identical results in hierarchical (n_salt) mode."""
+    counties = spark.createDataFrame(
+        [(1, "A", None, "001", rect_wkb(0, 0, 40, 40))], SCHEMA
+    )
+    cities = spark.createDataFrame(
+        [(10 + i, "A", f"c{i}", "001", rect_wkb(i * 3, 0, i * 3 + 2, 2))
+         for i in range(10)],
+        SCHEMA,
+    )
+    plain = erase(counties, cities, "OBJECTID", cell=20.0).collect()
+    salted = erase(counties, cities, "OBJECTID", cell=20.0, n_salt=4).collect()
+    assert len(plain) == len(salted) == 1
+    g0, g1 = K.from_wkb(plain[0]["geometry"]), K.from_wkb(salted[0]["geometry"])
+    assert K.area(g0) == pytest.approx(K.area(g1))
+    assert K.area(K.difference(g0, g1)) == pytest.approx(0.0, abs=1e-9)
+
+    ov_plain = union_overlay(
+        counties.selectExpr("OBJECTID AS aid", "geometry"),
+        cities.selectExpr("OBJECTID AS bid", "geometry"),
+        "aid", "bid", cell=20.0,
+    )
+    ov_salted = union_overlay(
+        counties.selectExpr("OBJECTID AS aid", "geometry"),
+        cities.selectExpr("OBJECTID AS bid", "geometry"),
+        "aid", "bid", cell=20.0, n_salt=4,
+    )
+    def canon(df):
+        rows = [
+            (r["FID_a"], r["FID_b"], round(K.area(K.from_wkb(r["geometry"])), 9))
+            for r in df.collect()
+        ]
+        return sorted(rows, key=lambda t: tuple((x is None, x) for x in t))
+
+    assert canon(ov_plain) == canon(ov_salted)
