@@ -39,6 +39,15 @@ HEADLINE = [
     "sim_lsh_ann_topk",
     "text_token_stats",
     "geo_grid_refine_density",
+    # r3: one representative per previously headline-less family, so
+    # cross-round bench deltas are visible for the rotated driver
+    # window's surfaces too.
+    "mm_binary_features",
+    "corpus_bpe_encode",
+    "sketch_countmin_heavy_hitters",
+    "graph_pagerank_trade",
+    "cdc_merge_upsert",
+    "events_sessionize",
 ]
 
 
