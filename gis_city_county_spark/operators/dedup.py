@@ -886,3 +886,61 @@ SELECT sh.{id_col}, COUNT(*) AS n_shingles,
 FROM sh JOIN first USING (shingle)
 GROUP BY sh.{id_col}
 """
+
+
+# ------------------------------------------- row-local minhash bands
+
+def minhash_bands_rowlocal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band_idx, band_hash) computed entirely row-locally — pure
+    projections, no explode/groupBy — producing bit-identical band
+    hashes to the relational ``shingle_df → minhash_signatures →
+    lsh_bands`` chain (pinned by a pytest invariant).
+
+    This is the STREAMING-SAFE form: a Structured Streaming source
+    cannot run the explode+groupBy signature aggregation in append
+    mode, but it can run per-row expressions, which is all MinHash
+    actually needs (min over a doc's own shingles). Rows too short to
+    yield a shingle produce no output, matching the relational chain.
+    At batch scale the relational form is preferred — the explode
+    feeds several downstream consumers once; row-local recomputes
+    per use."""
+    rows = num_hashes // bands
+    toks = tokens(text_col)
+    sh = F.when(
+        F.size(F.col("tl")) >= k,
+        F.expr(
+            f"transform(sequence(1, size(tl) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(tl, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("tl")).select(
+        id_col, sh.alias("sh")
+    )
+    def _mh(seed: int):
+        # NB: the lambda must be unary — Spark gives a 2-arg lambda
+        # (element, index), so a `lambda x, s=seed` default-arg closure
+        # would silently receive the array INDEX as the seed.
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda x: F.md5(F.concat(F.lit(f"{seed}|"), x)),
+            )
+        )
+
+    mh = [_mh(s).alias(f"mh{s}") for s in range(num_hashes)]
+    sigs = base.filter(F.size("sh") > 0).select(id_col, *mh)
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+    )

@@ -1,0 +1,109 @@
+"""Streaming near-duplicate detection: stateful LSH over a document
+stream.
+
+The batch near-dup pipeline (``operators.dedup``: shingle → MinHash →
+banded LSH → bucket self-join) assumes the whole corpus is present.
+An ingestion pipeline wants the ONLINE form: as documents arrive,
+which earlier documents is each one a near-dup candidate of?  That is
+a custom stateful operator — exactly the
+``applyInPandasWithState`` escape hatch:
+
+* the signature/band computation uses
+  :func:`operators.dedup.minhash_bands_rowlocal` — pure per-row
+  projections (streaming-legal; bit-identical band hashes to the
+  batch chain, pinned by ``tests/test_streaming.py``);
+* state is keyed by ``(band_idx, band_hash)`` — the LSH bucket — and
+  holds the ids seen in that bucket so far, so each arriving document
+  pairs ONLY against its bucket-mates, never the whole history (the
+  same no-all-pairs property as the batch bucket join, carried over
+  to the stream);
+* every unordered candidate pair is emitted exactly once: when its
+  later member arrives (intra-batch arrivals are ordered by id).
+
+Scale: state shards by bucket hash across executors; per-bucket state
+is a bounded id list in well-behaved corpora, and a hot bucket
+(boilerplate text) should be capped exactly like the batch path's
+``max_bucket`` — pass ``max_state`` to stop growing (and stop
+emitting from) pathological buckets.
+
+Run-to-completion equivalence with the batch pipeline
+(``lsh_candidate_pairs``) is asserted in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from gis_city_county_spark.operators.dedup import minhash_bands_rowlocal
+
+
+def streaming_near_dup_pairs(
+    spark,
+    schema,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_state: int | None = None,
+):
+    """Stream of documents → append-mode stream of candidate pairs
+    ``(a_id, b_id, band_idx, band_hash)`` with ``a_id < b_id``; a pair
+    appears once per band collision (distinct-aggregate downstream if
+    pair-level counts are wanted, mirroring batch
+    ``lsh_candidate_pairs``)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_hash", T.StringType()),
+        ]
+    )
+    # ids are kept comma-joined in one string cell: state schemas are
+    # Arrow-encoded tuples and a flat string survives every Spark
+    # version's state codec.
+    state_schema = T.StructType([T.StructField("ids", T.StringType())])
+
+    def update(key, pdfs, state: GroupState):
+        prev: list[int] = []
+        if state.exists:
+            raw = state.get[0]
+            prev = [int(x) for x in raw.split(",")] if raw else []
+        capped = max_state is not None and len(prev) >= max_state
+        a_ids: list[int] = []
+        b_ids: list[int] = []
+        arrivals: list[int] = []
+        for pdf in pdfs:
+            arrivals.extend(int(v) for v in pdf[id_col])
+        for i in sorted(arrivals):
+            if not capped:
+                for p in prev:
+                    a_ids.append(min(i, p))
+                    b_ids.append(max(i, p))
+            prev.append(i)
+            if max_state is not None and len(prev) >= max_state:
+                capped = True
+        if max_state is not None:
+            prev = prev[:max_state]
+        state.update((",".join(str(x) for x in prev),))
+        if a_ids:
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids,
+                    "b_id": b_ids,
+                    "band_idx": [key[0]] * len(a_ids),
+                    "band_hash": [key[1]] * len(a_ids),
+                }
+            )
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    bands_df = minhash_bands_rowlocal(
+        stream, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands
+    )
+    return bands_df.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        update, out_schema, state_schema, "Append", GroupStateTimeout.NoTimeout
+    )

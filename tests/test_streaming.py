@@ -347,3 +347,87 @@ def test_streaming_checkpoint_restart_exactly_once(spark, events_snapshot, tmp_p
     out = spark.read.parquet(out_dir)
     assert out.count() == n_total  # second run added ONLY the new files
     assert out.select("event_id").distinct().count() == n_total  # no dupes
+
+
+# --------------------- r3: streaming near-dup (stateful LSH buckets)
+
+
+@pytest.fixture(scope="module")
+def docs_stream_snapshot(spark, sf_dir, tmp_path_factory):
+    """Documents subset written as TWO parquet files so the file
+    source (maxFilesPerTrigger=1) delivers two ordered micro-batches —
+    candidate pairs must then span batches through GroupState."""
+    root = tmp_path_factory.mktemp("stream") / "docs"
+    path = str(root)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    early = docs.filter(F.col("doc_id") % 2 == 0)
+    late = docs.filter(F.col("doc_id") % 2 == 1)
+    early.coalesce(1).write.parquet(path)
+    late.coalesce(1).write.mode("append").parquet(path)
+    return path, spark.read.parquet(path).schema
+
+
+def test_rowlocal_bands_match_relational_chain(spark, sf_dir):
+    """The streaming-safe per-row MinHash banding must produce
+    bit-identical (id, band_idx, band_hash) rows to the batch
+    shingle → signature → bands chain."""
+    from gis_city_county_spark.operators.dedup import (
+        lsh_bands,
+        minhash_bands_rowlocal,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rel = lsh_bands(
+        minhash_signatures(shingle_df(docs, "doc_id", "text", 3), "doc_id", 16),
+        "doc_id", 16, 4,
+    )
+    row = minhash_bands_rowlocal(docs, "doc_id", "text", 3, 16, 4)
+    assert {tuple(r) for r in rel.collect()} == {tuple(r) for r in row.collect()}
+
+
+def test_streaming_near_dup_pairs_match_batch_lsh(spark, docs_stream_snapshot):
+    """Run-to-completion equivalence: the stateful streaming LSH must
+    produce exactly the batch pipeline's candidate pairs (each with
+    its per-pair band-collision count), regardless of which micro-
+    batch each document arrived in."""
+    from gis_city_county_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+    from gis_city_county_spark.streaming.dedup import streaming_near_dup_pairs
+
+    path, schema = docs_stream_snapshot
+    stream_df = streaming_near_dup_pairs(spark, schema, path)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("near_dup")
+        .outputMode("append")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["a_id"], r["b_id"], r["n_bands"])
+        for r in spark.sql(
+            "SELECT a_id, b_id, COUNT(DISTINCT band_idx) AS n_bands"
+            " FROM near_dup GROUP BY a_id, b_id"
+        ).collect()
+    }
+    docs = spark.read.parquet(path)
+    batch = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signatures(shingle_df(docs, "doc_id", "text", 3), "doc_id", 16),
+            "doc_id", 16, 4,
+        ),
+        "doc_id",
+    )
+    cols = [c for c in batch.columns]
+    nb = "n_bands" if "n_bands" in cols else cols[2]
+    want = {(r["a_id"], r["b_id"], r[nb]) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
