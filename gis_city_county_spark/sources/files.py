@@ -495,3 +495,20 @@ def read_fixed_width(
             )
         cols.append(c.alias(name))
     return lines.select(*cols)
+
+
+# --------------------------------------------------- ORC / fixed-width
+
+def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
+    """ORC reader (Spark-native vectorized scan, same pushdown/pruning
+    machinery as parquet — a warehouse migrating from Hive hands us
+    ORC files and nothing should change downstream). ``columns`` is an
+    optional early projection so pruning reaches the scan even when
+    the caller composes lazily."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc_snapshot(df: DataFrame, path: str) -> None:
+    """ORC staging sink (snappy, the Spark default)."""
+    df.write.mode("overwrite").orc(path)

@@ -573,3 +573,16 @@ def test_update_service_definition_against_live_http_stub():
         assert payload["editingInfo"] == {"lastEditDate": None}
     finally:
         stub.close()
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from gis_city_county_spark.sources.files import read_orc, write_orc_snapshot
+    from gis_city_county_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc_snapshot(nation, path)
+    back = read_orc(spark, path, columns=["n_nationkey", "n_name"])
+    assert back.columns == ["n_nationkey", "n_name"]
+    want = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
+    assert {tuple(r) for r in back.collect()} == want
