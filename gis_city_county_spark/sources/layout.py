@@ -239,3 +239,48 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_file_bytes`` each, optionally re-sorted for clustering.
+
+    Streaming sinks and incremental batch appends leave thousands of
+    KB-scale files per partition; at 100 TB the resulting task-per-file
+    scan schedule and footer-read storm dominate query latency long
+    before the data does. Compaction is the standard maintenance pass:
+    size the output by the dataset's actual on-disk bytes (file-status
+    sum — metadata only, no extra data scan), `repartition` to that
+    count (or `repartitionByRange` over ``sort_cols`` so the rewrite
+    also restores clustering for data-skipping), and rewrite.
+
+    Returns the output file count. Write lands in ``dest`` — pair with
+    :func:`gis_city_county_spark.sources.files.publish_snapshot` for
+    an atomic pointer swap over the live copy."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(src)
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dest)
+    written = [
+        f for f in os.listdir(dest) if f.endswith(".parquet")
+    ]
+    return len(written)

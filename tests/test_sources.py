@@ -586,3 +586,30 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert back.columns == ["n_nationkey", "n_name"]
     want = {(r["n_nationkey"], r["n_name"]) for r in nation.collect()}
     assert {tuple(r) for r in back.collect()} == want
+
+
+def test_compact_snapshot_merges_small_files(spark, sf_dir, tmp_path):
+    from gis_city_county_spark.sources.layout import compact_snapshot
+    from gis_city_county_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    src = str(tmp_path / "fragmented")
+    li.repartition(64).write.parquet(src)  # 64 tiny files
+    import os
+    n_src = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src >= 32
+    dest = str(tmp_path / "compacted")
+    n_out = compact_snapshot(spark, src, dest, target_file_bytes=64 * 1024 * 1024)
+    assert n_out < n_src
+    # content preserved exactly
+    a = spark.read.parquet(src).count()
+    b = spark.read.parquet(dest).count()
+    assert a == b == 2000
+    # clustered rewrite keeps row count and sorts within files
+    dest2 = str(tmp_path / "clustered")
+    n2 = compact_snapshot(
+        spark, src, dest2, target_file_bytes=64 * 1024 * 1024,
+        sort_cols=["l_orderkey"],
+    )
+    assert n2 >= 1
+    assert spark.read.parquet(dest2).count() == 2000
