@@ -329,8 +329,12 @@ def _split_pinched_parts(mp: MultiPolygon) -> MultiPolygon:
 def _part_self_intersects(outer: Ring, holes: list[Ring]) -> bool:
     """True when a part's rings cross themselves / each other anywhere
     other than a shared endpoint, or revisit a vertex (pinch point).
-    Pairwise segment scan with bbox quick-reject — fine at feature
-    scale (the overlay itself is the heavy machinery)."""
+
+    Candidate segment pairs come from the same uniform grid hash the
+    overlay uses — this runs for EVERY part on the ``make_valid`` hot
+    path (including the common valid case), so an all-pairs scan
+    would cost O(n²) per 10k-vertex coastline ring; grid bucketing
+    keeps it near-linear for well-separated segments."""
     rings = [outer, *holes]
     for r in rings:
         if len(set(r)) < len(r):  # pinched (repeated vertex) ring
@@ -355,21 +359,36 @@ def _part_self_intersects(outer: Ring, holes: list[Ring]) -> bool:
         )
         for p1, p2 in segs
     ]
-    m = len(segs)
-    for i in range(m):
-        p1, p2 = segs[i]
-        bx1, by1, bx2, by2 = boxes[i]
-        for j in range(i + 1, m):
-            cx1, cy1, cx2, cy2 = boxes[j]
-            if cx1 > bx2 or cx2 < bx1 or cy1 > by2 or cy2 < by1:
-                continue
-            q1, q2 = segs[j]
-            for pt in _seg_points(p1, p2, q1, q2):
-                if not (
-                    (near(pt, p1) or near(pt, p2))
-                    and (near(pt, q1) or near(pt, q2))
-                ):
-                    return True
+    n = len(segs)
+    cell = max(scale / max(int(math.sqrt(n)) + 1, 8), tol * 16)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, (bx1, by1, bx2, by2) in enumerate(boxes):
+        for gx in range(int(bx1 // cell), int(bx2 // cell) + 1):
+            for gy in range(int(by1 // cell), int(by2 // cell) + 1):
+                buckets.setdefault((gx, gy), []).append(i)
+    seen: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        m = len(members)
+        for a_i in range(m):
+            i = members[a_i]
+            p1, p2 = segs[i]
+            bx1, by1, bx2, by2 = boxes[i]
+            for b_i in range(a_i + 1, m):
+                j = members[b_i]
+                pair = (i, j) if i < j else (j, i)
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                cx1, cy1, cx2, cy2 = boxes[j]
+                if cx1 > bx2 or cx2 < bx1 or cy1 > by2 or cy2 < by1:
+                    continue
+                q1, q2 = segs[j]
+                for pt in _seg_points(p1, p2, q1, q2):
+                    if not (
+                        (near(pt, p1) or near(pt, p2))
+                        and (near(pt, q1) or near(pt, q2))
+                    ):
+                        return True
     return False
 
 

@@ -911,7 +911,6 @@ def minhash_bands_rowlocal(
     At batch scale the relational form is preferred — the explode
     feeds several downstream consumers once; row-local recomputes
     per use."""
-    rows = num_hashes // bands
     toks = tokens(text_col)
     sh = F.when(
         F.size(F.col("tl")) >= k,
@@ -936,11 +935,7 @@ def minhash_bands_rowlocal(
 
     mh = [_mh(s).alias(f"mh{s}") for s in range(num_hashes)]
     sigs = base.filter(F.size("sh") > 0).select(id_col, *mh)
-    band_cols = [
-        F.md5(F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]))
-        for b in range(bands)
-    ]
-    return sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
-    )
+    # sigs has exactly the (id, mh0..mhN) shape lsh_bands expects —
+    # reuse it so the band hashing lives in ONE place and the
+    # streaming/batch parity invariant can't silently fork.
+    return lsh_bands(sigs, id_col, num_hashes, bands)

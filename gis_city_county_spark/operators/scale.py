@@ -408,11 +408,17 @@ def ranged_cumsum(
 ) -> DataFrame:
     """Global running sum of ``value_col`` along ``(primary,
     tiebreak)`` order, two-phase: per-bucket windowed cumsum in
-    parallel + driver-computed exclusive bucket prefix totals
-    (``decimal``-exact — Python :class:`~decimal.Decimal` addition on
-    ≤ ``n_ranges`` collected subtotals).  Also emits the grand total
+    parallel + driver-computed exclusive bucket prefix totals on
+    ≤ ``n_ranges`` collected subtotals.  Also emits the grand total
     (sum of bucket totals) so callers avoid the other single-partition
-    pattern, ``SUM(...) OVER ()``."""
+    pattern, ``SUM(...) OVER ()``.
+
+    Prefix arithmetic follows the sum's type: decimal sums fold in
+    Python :class:`~decimal.Decimal` (exact — bit-equal to the
+    single-window form), integer sums in Python int (exact), double
+    sums in float (subject to the same non-associativity as any
+    double accumulation — route through decimal upstream when
+    engine-exactness matters, per the repo convention)."""
     from decimal import Decimal
 
     spark = df.sparkSession
@@ -432,11 +438,19 @@ def ranged_cumsum(
         (r["__bkt"], r["t"])
         for r in b.groupBy("__bkt").agg(F.sum(F.col(value_col)).alias("t")).collect()
     )
-    dec_ty = local.schema["__lc"].dataType.simpleString()
-    off, acc = {}, Decimal(0)
+    sum_type = local.schema["__lc"].dataType
+    dec_ty = sum_type.simpleString()
+    if dec_ty.startswith("decimal"):
+        zero, conv = Decimal(0), lambda t: Decimal(str(t))
+    elif dec_ty in ("bigint", "int", "smallint", "tinyint", "long"):
+        zero, conv = 0, int
+    else:
+        zero, conv = 0.0, float
+    off, acc = {}, zero
     for bkt, t in rows:
         off[bkt] = acc
-        acc += Decimal(str(t)) if t is not None else Decimal(0)
+        if t is not None:
+            acc += conv(t)
     off_df = spark.createDataFrame(
         [(int(k), v) for k, v in off.items()], f"__bkt int, __off {dec_ty}"
     )

@@ -191,6 +191,9 @@ def rarity_score(df, id_col: str, text_col: str):
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
+    # persisted (never unpersisted: the returned plan depends on the
+    # cache) so ranged_rank's bounded cuts/counts jobs reuse it; the
+    # vocabulary-sized entry is LRU-evictable and accepted per call.
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
     ranked = ranged_rank(
         counts, "cnt", "tok", rank_col="rank", descending=True

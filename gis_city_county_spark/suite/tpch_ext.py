@@ -1642,7 +1642,7 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("__rev")
             )
-        ).persist()
+        ).persist()  # small per-part table; LRU-evictable, not unpersisted
         ranked = ranged_rank(
             rev, "__rev", "l_partkey", rank_col=f"rank_{year}", descending=True
         )
@@ -1711,7 +1711,7 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__rev")
         )
         .withColumn("__v", F.col("__rev").cast("decimal(28,10)"))
-        .persist()
+        .persist()  # small per-part table; LRU-evictable, not unpersisted
     )
     ranked = ranged_cumsum(
         rev,
