@@ -512,3 +512,34 @@ def read_orc(spark: SparkSession, path: str, columns: Sequence[str] | None = Non
 def write_orc_snapshot(df: DataFrame, path: str) -> None:
     """ORC staging sink (snappy, the Spark default)."""
     df.write.mode("overwrite").orc(path)
+
+
+# ----------------------------------------------- binary asset ingest
+
+def read_binary_assets(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Multimodal asset ingest: scan a directory tree of opaque files
+    (images/audio/video) with Spark's built-in ``binaryFile`` source —
+    ``(path, modificationTime, length, content)``, one row per file,
+    distributed and splittable at file granularity.
+
+    This is the on-ramp into the multimodal operator family: the
+    ``content`` column is exactly the opaque ``binary`` payload
+    ``operators.multimodal`` decodes/features via Arrow-batched
+    ``mapInPandas``. ``glob`` filters by filename pattern at PLANNING
+    time (``pathGlobFilter`` — non-matching files are never opened);
+    ``max_bytes`` guards the scan against the classic failure mode of
+    binary ingestion, one 50 GB stray video materializing in a task
+    heap (the LENGTH predicate prunes on file status, before content
+    is read)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

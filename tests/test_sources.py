@@ -613,3 +613,33 @@ def test_compact_snapshot_merges_small_files(spark, sf_dir, tmp_path):
     )
     assert n2 >= 1
     assert spark.read.parquet(dest2).count() == 2000
+
+
+def test_read_binary_assets_feeds_multimodal_features(spark, tmp_path):
+    """binaryFile ingest → multimodal feature pass end-to-end: the
+    content column is the opaque payload the mm operators expect;
+    glob and size-guard predicates prune at file-status level."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.multimodal import binary_features
+    from gis_city_county_spark.sources.files import read_binary_assets
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    (d / "a.bmp").write_bytes(b"BM" + bytes(range(64)))
+    (d / "b.bmp").write_bytes(b"BM" + bytes(range(128)))
+    (d / "big.bmp").write_bytes(b"BM" + bytes(300))
+    (d / "notes.txt").write_text("not an asset")
+
+    assets = read_binary_assets(spark, str(d), glob="*.bmp", max_bytes=200)
+    rows = assets.select("path", "length").collect()
+    names = {r["path"].rsplit("/", 1)[-1] for r in rows}
+    assert names == {"a.bmp", "b.bmp"}  # txt globbed out, big size-guarded
+
+    payloads = assets.select(
+        F.monotonically_increasing_id().alias("asset_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = binary_features(payloads, "asset_id", "payload")
+    got = {r["n_bytes"] for r in feats.collect()}
+    assert got == {66, 130}
