@@ -643,3 +643,33 @@ def test_read_binary_assets_feeds_multimodal_features(spark, tmp_path):
     feats = binary_features(payloads, "asset_id", "payload")
     got = {r["n_bytes"] for r in feats.collect()}
     assert got == {66, 130}
+
+
+def test_zipped_delimited_distributed(spark, tmp_path):
+    """Distributed zip-corpus parse: many archives → one task each →
+    member-pattern selection + declared string columns + provenance."""
+    import zipfile
+
+    from gis_city_county_spark.sources.files import (
+        read_zipped_delimited_distributed,
+    )
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i in range(3):
+        with zipfile.ZipFile(d / f"batch{i}.zip", "w") as zf:
+            zf.writestr(
+                f"data/codes_{i}.txt",
+                "code|name\n" + "\n".join(f"0{i}{j}|place{i}{j}" for j in range(4)),
+            )
+            zf.writestr("README.txt", "decoy member, must be skipped")
+    df = read_zipped_delimited_distributed(
+        spark, str(d), r"data/codes_\d+\.txt", ["code", "name"], sep="|"
+    )
+    rows = df.collect()
+    assert len(rows) == 12
+    # leading zeros survive (declared strings, never inferred)
+    assert all(r["code"].startswith("0") for r in rows)
+    # provenance points back into the right archive member
+    assert all("!data/codes_" in r["source_member"] for r in rows)
+    assert df.schema["code"].dataType.simpleString() == "string"
