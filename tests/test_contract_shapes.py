@@ -80,3 +80,26 @@ def test_oracle_outputs_are_flat(spark, sf_dir) -> None:
         "oracle-checked queries with nested output columns (driver "
         f"canonicalizer cannot sort these): {offenders}"
     )
+
+
+def test_rotation_planner_orders_red_then_unchecked(tmp_path) -> None:
+    import json as _json
+
+    from gis_city_county_spark.suite.rotation import propose_window
+
+    specs = [s.name for s in all_specs()]
+    red1, red2 = specs[10], specs[60]
+    green = specs[5]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({
+        red1: {"rows_match": True, "schema_match": True, "hash_match": False},
+        red2: {"rows_match": True, "schema_match": True, "hash_match": True,
+               "err": "driver crash"},
+        green: {"rows_match": True, "schema_match": True, "hash_match": True},
+    }))
+    win = propose_window(tmp_path, size=10)
+    assert win[:2] == [n for n in specs if n in (red1, red2)][:2]
+    assert green not in win  # greens only re-confirm after unchecked run out
+    assert len(win) == 10
+    # everything else in the window is driver-unchecked, in order
+    unchecked = [n for n in specs if n not in (red1, red2, green)]
+    assert win[2:] == unchecked[:8]
