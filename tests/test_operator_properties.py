@@ -593,3 +593,70 @@ def test_lsh_bucket_cap_bounds_adversarial_corpus(n_const, n_uniq):
     rep2 = lsh_skew_report(bands, n_const).collect()[0]
     assert rep2.n_buckets_dropped == 0 and rep2.n_rows_dropped == 0
     bands.unpersist()
+
+
+# ----------------- r3: two-phase global-order helpers (scale.ranged_*)
+
+rank_values = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**EX)
+@given(rank_values, st.integers(min_value=1, max_value=6))
+def test_ranged_rank_fuzz_matches_global_window(vals, n_ranges):
+    """Any value multiset (duplicates, negatives, NULLs) and any
+    bucket count must reproduce the single-window global rank."""
+    from pyspark.sql import SparkSession, Window
+
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in enumerate(vals)],
+        "k long, v double",
+    )
+    got = {
+        r["k"]: int(r["rnk"])
+        for r in ranged_rank(
+            df, "v", "k", rank_col="rnk", descending=True, n_ranges=n_ranges
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("k").asc())
+    want = {
+        r["k"]: int(r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+key_sets = st.sets(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=40)
+
+
+@settings(**EX)
+@given(key_sets, st.integers(min_value=2, max_value=64))
+def test_ranged_gaps_fuzz_matches_global_lead(keys, width):
+    from pyspark.sql import SparkSession, Window
+
+    from gis_city_county_spark.operators.scale import ranged_gaps
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in ranged_gaps(df, "k", bucket_width=width).collect()
+    )
+    w = Window.orderBy("k")
+    ref = (
+        df.withColumn("nxt", F.lead("k").over(w))
+        .filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("s"),
+            (F.col("nxt") - 1).alias("e"),
+            (F.col("nxt") - F.col("k") - 1).alias("l"),
+        )
+    )
+    want = sorted((r["s"], r["e"], r["l"]) for r in ref.collect())
+    assert got == want
