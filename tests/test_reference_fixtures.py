@@ -155,3 +155,40 @@ def test_run_joins_on_reference_fixtures(spark, gnis_out, census_out):
     assert jc["CENSUS_PLACE_TYPE"] == "County"
     assert jc["LEGAL_PLACE_NAME"] == "Alameda County"
     assert jc["CNTY_ABBR"] == "ALA"
+
+
+def test_fuzzy_lookup_resolves_names_crosswalk(spark):
+    """The reference curates Names_Crosswalk.xlsx by hand — exact
+    (canonical, variant) name pairs. Our fuzzy_lookup must resolve
+    each variant form back to its canonical BOE name from the full
+    canonical list, i.e. the operator subsumes the hand-maintained
+    crosswalk (parenthesized alias forms like 'San Buenaventura
+    (Ventura)' contain the canonical name verbatim and are matched by
+    containment instead of edit distance)."""
+    from gis_city_county_spark.operators.search import fuzzy_lookup
+    from gis_city_county_spark.sources.files import _xlsx_rows
+
+    rows = _xlsx_rows(f"{REF}/Names_Crosswalk.xlsx")
+    header, pairs = rows[0], rows[1:]
+    assert header == ["BOE_Names", "Other_Version"]
+    canon = sorted({c for c, _v in pairs})
+    # case-normalize both sides, the standard fuzzy-matching prep
+    # ('San Buenaventura' vs 'Ventura' differs by a case bit that
+    # would otherwise tie-lose to an unrelated name)
+    corpus = spark.createDataFrame(
+        [(i, c.lower()) for i, c in enumerate(canon)], "place_id long, name string"
+    )
+    plain = [(i, v.lower()) for i, (c, v) in enumerate(pairs) if "(" not in v]
+    # probes share the corpus column names (fuzzy_lookup contract)
+    probes = spark.createDataFrame(plain, "place_id long, name string")
+    got = {
+        r["probe_id"]: r["cand_name"]
+        for r in fuzzy_lookup(corpus, probes, "place_id", "name", k=1).collect()
+    }
+    expected = {i: c.lower() for i, (c, v) in enumerate(pairs) if "(" not in v}
+    misses = {
+        pid: (got.get(pid), want)
+        for pid, want in expected.items()
+        if got.get(pid) != want
+    }
+    assert not misses, misses
