@@ -4,46 +4,81 @@ The external driver verifies only the first ~50 entries of
 ``all_specs()`` against the DuckDB oracle each round, so registration
 order is a contract — and the window must ROTATE between rounds so
 cumulative driver coverage grows (VERDICT r2: re-checking the same 50
-adds zero new hard signal).  ``suite/__init__.py`` pins the current
-round's window explicitly; this test fails loudly if an edit silently
-reorders it, drops an oracle from it, or registers a window query
-whose output shape the driver's canonicalizer cannot handle.
+adds zero new hard signal).  The round→window map lives in
+``suite/windows.py``; these tests derive every assertion from it, so
+a rotation is a one-file edit and committing the current round's own
+``CORRECTNESS_r*.json`` can never turn the suite red (the r3
+post-mortem: the old test globbed ALL correctness files, so the
+driver writing r03's artifact made the whole r3 window look
+"already checked").
 """
 
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
-from gis_city_county_spark.suite import _R3_WINDOW, DRIVER_WINDOW, all_specs
+from gis_city_county_spark.suite import (
+    CURRENT_ROUND,
+    CURRENT_WINDOW,
+    DRIVER_WINDOW,
+    REPROOFS,
+    WINDOWS,
+    all_specs,
+)
+from gis_city_county_spark.suite.windows import R5_PRESTAGE
 
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _driver_checked_names() -> set[str]:
+def _driver_checked_names(before_round: int) -> set[str]:
+    """Names with a driver row in any round strictly before
+    ``before_round`` — the current round's own artifact (written by
+    the driver mid-round) must not count as 'already checked'."""
     names: set[str] = set()
     for path in REPO.glob("CORRECTNESS_r*.json"):
-        names.update(json.loads(path.read_text()).keys())
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if m and int(m.group(1)) < before_round:
+            names.update(json.loads(path.read_text()).keys())
     return names
 
 
 def test_window_is_the_pinned_rotation() -> None:
     specs = all_specs()
-    assert [s.name for s in specs[: len(_R3_WINDOW)]] == list(_R3_WINDOW)
-    assert len(_R3_WINDOW) == DRIVER_WINDOW == 50
+    assert [s.name for s in specs[: len(CURRENT_WINDOW)]] == list(CURRENT_WINDOW)
+    assert len(CURRENT_WINDOW) == DRIVER_WINDOW == 50
+    assert CURRENT_WINDOW == WINDOWS[CURRENT_ROUND]
+    assert CURRENT_ROUND == max(WINDOWS)
 
 
-def test_window_rotates_toward_unchecked_queries() -> None:
-    # The round-3 window = the 4 rows red in r2 (fixes to prove) + 46
-    # queries with no driver row in any prior round.
-    checked = _driver_checked_names()
-    rechecks = [n for n in _R3_WINDOW if n in checked]
-    assert set(rechecks) == {
-        "ref_f10_nullif_empty",
-        "ref_a3_missing_gate",
-        "func_vector_ops",
-        "sim_kmeans_refine",
-    }, f"window wastes rows re-checking already-green queries: {rechecks}"
+def test_windows_rotate_toward_unchecked_queries() -> None:
+    # Every pinned window (historical and current) must spend its rows
+    # on (a) its declared re-proof set and (b) queries with no driver
+    # row in any PRIOR round — never on silently re-checking greens.
+    for rnd, window in WINDOWS.items():
+        checked = _driver_checked_names(before_round=rnd)
+        rechecks = {n for n in window if n in checked}
+        assert rechecks == set(REPROOFS[rnd]), (
+            f"round {rnd} window wastes rows re-checking queries outside "
+            f"its declared re-proof set: {sorted(rechecks ^ set(REPROOFS[rnd]))}"
+        )
+
+
+def test_windows_partition_the_suite() -> None:
+    # No duplicate names inside any window, re-proofs ⊆ window, and
+    # the round-4 window + prior coverage + R5_PRESTAGE == whole suite.
+    names = {s.name for s in all_specs()}
+    for rnd, window in WINDOWS.items():
+        assert len(window) == len(set(window)), f"round {rnd} dupes"
+        assert set(REPROOFS[rnd]) <= set(window), f"round {rnd} reproofs"
+        assert set(window) <= names, f"round {rnd} unknown names"
+    checked_before_4 = _driver_checked_names(before_round=4)
+    leftover = names - checked_before_4 - set(WINDOWS[4])
+    assert leftover == set(R5_PRESTAGE), (
+        "R5_PRESTAGE out of date: after round 4 the never-checked "
+        f"remainder is {sorted(leftover)}"
+    )
 
 
 def test_window_queries_all_have_oracles() -> None:
