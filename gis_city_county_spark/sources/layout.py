@@ -262,16 +262,13 @@ def compact_snapshot(
 
     Returns the output file count. Write lands in ``dest`` — pair with
     :func:`gis_city_county_spark.sources.files.publish_snapshot` for
-    an atomic pointer swap over the live copy."""
-    import os
+    an atomic pointer swap over the live copy.
 
-    total = 0
-    for root, _dirs, files in os.walk(src):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
+    Sizing and the returned count go through the Hadoop FileSystem API
+    (recursive), so any scheme Spark can read works — local, HDFS,
+    s3a:// — and partitioned (subdirectory) layouts are counted fully;
+    an os.walk version silently sized non-local paths as 0."""
+    total = _parquet_bytes_and_files(spark, src)[0]
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(src)
     if sort_cols:
@@ -280,7 +277,21 @@ def compact_snapshot(
     else:
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(dest)
-    written = [
-        f for f in os.listdir(dest) if f.endswith(".parquet")
-    ]
-    return len(written)
+    return _parquet_bytes_and_files(spark, dest)[1]
+
+
+def _parquet_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(total bytes, file count) of all ``*.parquet`` under ``path``,
+    recursively, via the Hadoop FileSystem API — metadata-only (list
+    calls, no data scan) and scheme-agnostic."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = n = 0
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total += st.getLen()
+            n += 1
+    return total, n

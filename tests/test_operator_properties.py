@@ -598,7 +598,11 @@ def test_lsh_bucket_cap_bounds_adversarial_corpus(n_const, n_uniq):
 # ----------------- r3: two-phase global-order helpers (scale.ranged_*)
 
 rank_values = st.lists(
-    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    st.one_of(
+        st.none(),
+        st.just(float("nan")),
+        st.integers(min_value=-50, max_value=50),
+    ),
     min_size=1,
     max_size=30,
 )
@@ -615,7 +619,7 @@ def test_ranged_rank_fuzz_matches_global_window(vals, n_ranges):
 
     spark = SparkSession.getActiveSession()
     df = spark.createDataFrame(
-        [(i, float(v) if v is not None else None) for i, v in enumerate(vals)],
+        [(i, None if v is None else float(v)) for i, v in enumerate(vals)],
         "k long, v double",
     )
     got = {

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from gis_city_county_spark.operators.scale import salted_count_distinct, salted_join
+from gis_city_county_spark.operators.scale import salted_join, two_phase_count_distinct
 from gis_city_county_spark.sources.tables import load_table
 
 
@@ -38,13 +38,13 @@ def test_salted_left_join_keeps_unmatched(spark, sf_dir):
     assert _sorted_rows(salted, cols) == _sorted_rows(plain, cols)
 
 
-def test_salted_count_distinct_matches_plain(spark, sf_dir):
+def test_two_phase_count_distinct_matches_plain(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     plain = (
         li.groupBy("l_returnflag")
         .agg(F.countDistinct("l_orderkey").alias("n_distinct"))
     )
-    two_phase = salted_count_distinct(li, "l_returnflag", "l_orderkey")
+    two_phase = two_phase_count_distinct(li, "l_returnflag", "l_orderkey")
     cols = ["l_returnflag", "n_distinct"]
     assert _sorted_rows(two_phase, cols) == _sorted_rows(plain, cols)
 
@@ -220,3 +220,59 @@ def test_ranged_cumsum_handles_nondecimal_sums(spark):
         got = {r["k"]: (r["cum"], r["tot"]) for r in out.collect()}
         want = {r["k"]: (r["cum"], r["tot"]) for r in ref.collect()}
         assert got == want, typ
+
+
+def test_ranged_rank_routes_nan_like_the_global_window(spark):
+    """NaN primaries: Spark sorts NaN greater than every number (desc
+    → first, asc → last-before-nothing; NULLs still first/last per
+    direction). The bucket assignment must agree in BOTH directions —
+    the asc path used to drop NaN into bucket 0 (ADVICE r3)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    nan = float("nan")
+    vals = [5.0, nan, 3.0, None, 8.0, 1.0, nan, None, 7.0, 2.0] * 4
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v double"
+    )
+    for descending in (True, False):
+        got = {
+            r["k"]: int(r["rnk"])
+            for r in ranged_rank(
+                df, "v", "k", rank_col="rnk", descending=descending, n_ranges=4
+            ).collect()
+        }
+        order = F.col("v").desc() if descending else F.col("v").asc()
+        w = Window.orderBy(order, F.col("k").asc())
+        want = {
+            r["k"]: int(r["rnk"])
+            for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+        }
+        assert got == want, f"descending={descending}"
+
+
+def test_ranged_multipass_truncates_expensive_lineage_only(spark, sf_dir):
+    """ranged_rank/cumsum evaluate their input in three jobs; a
+    join/agg input must be localCheckpoint-truncated once (plan shows
+    an RDD scan), while a plain scan+filter input must NOT pay a
+    checkpoint (pushdown survives)."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+    from gis_city_county_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cheap = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    assert _materialize_for_multipass(cheap) is cheap
+
+    expensive = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    )
+    out = _materialize_for_multipass(expensive)
+    assert out is not expensive
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan

@@ -673,3 +673,43 @@ def test_zipped_delimited_distributed(spark, tmp_path):
     # provenance points back into the right archive member
     assert all("!data/codes_" in r["source_member"] for r in rows)
     assert df.schema["code"].dataType.simpleString() == "string"
+
+
+def test_update_service_definition_rewrites_only_first_rest_services():
+    """A service NAME containing 'rest/services' must survive the
+    admin-URL transform untouched (ADVICE r3: str.replace rewrote
+    every occurrence)."""
+    from gis_city_county_spark.sources.files import update_service_definition
+
+    posts = []
+    admin_url, _form = update_service_definition(
+        "http://host/arcgis/rest/services/rest/services_mirror/FeatureServer",
+        "d", "m", post=lambda url, data: posts.append((url, data)),
+    )
+    assert admin_url == (
+        "http://host/arcgis/rest/admin/services/rest/services_mirror"
+        "/FeatureServer/updateDefinition"
+    )
+    assert posts[0][0] == admin_url
+
+
+def test_compact_snapshot_counts_partitioned_output_recursively(
+    spark, sf_dir, tmp_path
+):
+    """Hive-partitioned (subdirectory) output must be counted fully —
+    the os.listdir version saw only top-level files (ADVICE r3)."""
+    from gis_city_county_spark.sources.layout import (
+        _parquet_bytes_and_files,
+        compact_snapshot,
+    )
+    from gis_city_county_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    src = str(tmp_path / "part_src")
+    nation.write.partitionBy("n_regionkey").parquet(src)
+    total, n = _parquet_bytes_and_files(spark, src)
+    assert total > 0 and n >= 5  # one+ file per region subdirectory
+    dest = str(tmp_path / "part_dest")
+    n_out = compact_snapshot(spark, src, dest)
+    assert n_out >= 1
+    assert spark.read.parquet(dest).count() == nation.count()
