@@ -247,6 +247,36 @@ def spatial_candidate_pairs(
 
 # ------------------------------------------------------------------ dissolve
 
+#: Auto-salt slice size: groups above this feature count trigger the
+#: hierarchical two-stage union.  The reference's own cities dissolve
+#: (~500 features per CDTFA key, bunny.py:264-270) is exactly the
+#: skewed shape this catches.
+_AUTO_SALT_SLICE = 256
+
+
+def _auto_n_salt(max_group_n: int | None) -> int | None:
+    """Salt count so hot groups union in ~``_AUTO_SALT_SLICE``-feature
+    slices; None (single-stage) when no group is hot.  Capped at 64 —
+    past that the second-stage merge of partials dominates."""
+    if not max_group_n or max_group_n <= _AUTO_SALT_SLICE:
+        return None
+    return min(64, -(-max_group_n // _AUTO_SALT_SLICE))
+
+
+def _max_group_count(df: DataFrame, keys: Sequence[str]) -> int | None:
+    """Largest per-key feature count — one map-side-combinable
+    pre-count job whose shuffle carries a single row per group, then a
+    scalar max.  This is the 'cheap pre-count' skew probe: its cost is
+    group-cardinality, not data volume."""
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__m"))
+        .first()
+    )
+    return row["__m"] if row else None
+
+
 def dissolve(
     df: DataFrame,
     keys: Sequence[str],
@@ -259,16 +289,34 @@ def dissolve(
     geometric union. ``carry`` columns take the group's first value in
     key order (ArcGIS FIRST statistic). One shuffle on the keys.
 
-    ``n_salt`` (r3, VERDICT 7): hierarchical skew-safe mode — every
-    row gets a deterministic content salt (xxhash64 of the geometry
-    bytes, stable under plan re-evaluation), a first stage unions each
+    ``n_salt``: hierarchical skew-safe mode — every row gets a
+    deterministic content salt (xxhash64 of the geometry bytes, stable
+    under plan re-evaluation), a first stage unions each
     ``(keys, salt)`` slice in parallel, and a second stage merges the
     ≤ ``n_salt`` partial unions per key.  A hot key holding millions
     of features then costs ``n_salt`` bounded tasks plus one tiny
     merge instead of funneling everything through one
     ``applyInPandas`` task.  Geometric union is associative and
     commutative, so the result equals the single-stage dissolve
-    (property-tested in test_geo_ops)."""
+    (property-tested in test_geo_ops).
+
+    ``n_salt=None`` (the default, r4) AUTO-DETECTS: a cheap pre-count
+    (one row per group shuffled, map-side combined) finds the largest
+    group; groups beyond ``_AUTO_SALT_SLICE`` features switch the plan
+    to the hierarchical mode sized so each first-stage slice unions
+    ~``_AUTO_SALT_SLICE`` geometries.  Pass ``n_salt=1`` to force the
+    single-stage plan, or an explicit count to skip the probe.
+    Expensive input lineage is checkpoint-truncated first so the probe
+    job and the union job don't recompute it."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    if n_salt is None:
+        df = _materialize_for_multipass(df)
+        n_salt = _auto_n_salt(_max_group_count(df, keys))
+    if n_salt is not None and n_salt <= 1:
+        n_salt = None
     out_fields = [df.schema[k] for k in keys]
     out_fields += [df.schema[c] for c in carry]
     out_fields.append(T.StructField(geom, T.BinaryType()))
@@ -326,8 +374,22 @@ def _grouped_union(
     (structurally) dissolve. ``n_salt`` enables the same hierarchical
     skew-safe two-stage union as :func:`dissolve`: a county matched by
     millions of coastal polygons otherwise funnels them all through
-    one ``applyInPandas`` task."""
+    one ``applyInPandas`` task.
+
+    ``n_salt=None`` auto-detects skew like :func:`dissolve`; since
+    ``pairs`` is normally a candidate join, auto mode checkpoint-
+    truncates it first so the probe and the union reuse one
+    materialization.  ``n_salt=1`` forces single-stage."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     key = key_field.name
+    if n_salt is None:
+        pairs = _materialize_for_multipass(pairs)
+        n_salt = _auto_n_salt(_max_group_count(pairs, [key]))
+    if n_salt is not None and n_salt <= 1:
+        n_salt = None
     schema = T.StructType([key_field, T.StructField(out_name, T.BinaryType())])
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:

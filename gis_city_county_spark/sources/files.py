@@ -560,14 +560,21 @@ def read_zipped_delimited_distributed(
     driver-side unzip can't take when the input is a directory of
     thousands of archives rather than one config-scale file.
 
-    Shape: a ``binaryFile`` scan yields one row per archive (archives
-    aren't splittable, but the corpus parallelizes across archives —
-    one task per file); an Arrow-batched ``mapInPandas`` opens each
-    archive in-memory, selects members matching ``member_pattern``
-    (full match), and parses them with pandas into the declared
-    ``columns`` — all values land as strings (the S4 declared-dtype
-    convention: cast downstream, never infer, so leading-zero codes
-    survive).  A ``source_member`` column records provenance."""
+    Shape (r4): distribute archive PATHS, not archive bytes — a
+    driver-side metadata listing (Hadoop FileSystem, no data read)
+    yields one row per archive, round-robin repartitioned from a
+    single partition so EXACTLY one archive lands per task (a
+    ``binaryFile`` scan packs small archives many-per-task via
+    maxPartitionBytes/openCost and caps any archive at a 2 GB row);
+    each task then opens its archive itself (pyarrow FS — file/hdfs/
+    s3), selects members matching ``member_pattern`` (full match), and
+    parses them with pandas into the declared ``columns`` — all values
+    land as strings (the S4 declared-dtype convention: cast
+    downstream, never infer, so leading-zero codes survive).  A
+    ``source_member`` column records provenance.  Archives aren't
+    splittable, so per-archive tasks are the parallelism ceiling; at
+    corpus scale there are thousands of archives and the stage is
+    embarrassingly parallel."""
     import re as _re
 
     out_fields = [T.StructField(c, T.StringType()) for c in columns] + [
@@ -585,8 +592,8 @@ def read_zipped_delimited_distributed(
 
         rx = _re.compile(pat)
         for pdf in batches:
-            for content, src in zip(pdf["content"], pdf["path"]):
-                with _zf.ZipFile(io.BytesIO(bytes(content))) as zf:
+            for src in pdf["path"]:
+                with _zf.ZipFile(io.BytesIO(_read_all_bytes(src))) as zf:
                     for name in zf.namelist():
                         if not rx.fullmatch(name):
                             continue
@@ -604,5 +611,52 @@ def read_zipped_delimited_distributed(
                         out["source_member"] = f"{src}!{name}"
                         yield out
 
-    zips = spark.read.format("binaryFile").load(path)
-    return zips.select("path", "content").mapInPandas(parse, out_schema)
+    paths = _list_data_files(spark, path)
+    if not paths:
+        return spark.createDataFrame([], out_schema)
+    # sc.parallelize with numSlices == len(paths) places exactly one
+    # archive per partition — the one guaranteed-exact placement
+    # (coalesce(1).repartition(N) does NOT work: Catalyst's
+    # CollapseRepartition removes the coalesce and per-partition
+    # round-robin starts collide).  mapInPandas is narrow, so the
+    # 1:1 task:archive layout survives into the parse stage.
+    rdd = spark.sparkContext.parallelize([(p,) for p in paths], len(paths))
+    archives = spark.createDataFrame(rdd, "path string")
+    return archives.mapInPandas(parse, out_schema)
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Non-recursive metadata listing of the plain files under
+    ``path`` (or ``path`` itself when it is a file) via the Hadoop
+    FileSystem API — scheme-agnostic, no data read.  Sorted for
+    deterministic task assignment."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.isFile(jpath):
+        return [jpath.toString()]
+    return sorted(
+        st.getPath().toString()
+        for st in fs.listStatus(jpath)
+        if st.isFile()
+    )
+
+
+def _read_all_bytes(uri: str) -> bytes:
+    """Read a whole file by URI inside a task.  Local paths (bare or
+    file:) use plain open; other schemes go through pyarrow's
+    filesystem layer (hdfs://, s3://...).  Zip needs random access to
+    the central directory, so the archive is buffered fully — the
+    per-task memory bound is one archive, which is also the unit of
+    parallelism."""
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(uri)
+    if u.scheme in ("", "file"):
+        with open(unquote(u.path) if u.scheme else uri, "rb") as f:
+            return f.read()
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(uri)
+    with fs.open_input_stream(rel) as f:
+        return f.read()
