@@ -24,7 +24,13 @@ Scale: state shards by bucket hash across executors; per-bucket state
 is a bounded id list in well-behaved corpora, and a hot bucket
 (boilerplate text) should be capped exactly like the batch path's
 ``max_bucket`` — pass ``max_state`` to stop growing (and stop
-emitting from) pathological buckets.
+emitting from) pathological buckets.  A capped bucket keeps absorbing
+arrivals silently, so one boilerplate cluster can never stall or
+bloat the stream.  Eviction: pass ``state_ttl_ms`` to drop buckets
+idle longer than the TTL (processing-time timeout) — the streaming
+analogue of a watermark on bucket inactivity; total state is then
+bounded by (active buckets in the TTL horizon) × ``max_state`` ids
+instead of growing with stream length.
 
 Run-to-completion equivalence with the batch pipeline
 (``lsh_candidate_pairs``) is asserted in ``tests/test_streaming.py``.
@@ -45,12 +51,19 @@ def streaming_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_state: int | None = None,
+    state_ttl_ms: int | None = None,
+    reader_options: dict | None = None,
 ):
     """Stream of documents → append-mode stream of candidate pairs
     ``(a_id, b_id, band_idx, band_hash)`` with ``a_id < b_id``; a pair
     appears once per band collision (distinct-aggregate downstream if
     pair-level counts are wanted, mirroring batch
-    ``lsh_candidate_pairs``)."""
+    ``lsh_candidate_pairs``).
+
+    ``reader_options`` go to the file-source *read* (e.g.
+    ``{"maxFilesPerTrigger": 1}`` to bound micro-batch size — it is a
+    source option, a no-op on the sink).  ``state_ttl_ms`` evicts
+    buckets idle longer than the TTL."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -69,6 +82,9 @@ def streaming_near_dup_pairs(
     state_schema = T.StructType([T.StructField("ids", T.StringType())])
 
     def update(key, pdfs, state: GroupState):
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         prev: list[int] = []
         if state.exists:
             raw = state.get[0]
@@ -90,6 +106,8 @@ def streaming_near_dup_pairs(
         if max_state is not None:
             prev = prev[:max_state]
         state.update((",".join(str(x) for x in prev),))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         if a_ids:
             yield pd.DataFrame(
                 {
@@ -100,10 +118,18 @@ def streaming_near_dup_pairs(
                 }
             )
 
-    stream = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    for opt, val in (reader_options or {}).items():
+        reader = reader.option(opt, val)
+    stream = reader.parquet(path)
     bands_df = minhash_bands_rowlocal(
         stream, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands
     )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return bands_df.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        update, out_schema, state_schema, "Append", GroupStateTimeout.NoTimeout
+        update, out_schema, state_schema, "Append", timeout
     )

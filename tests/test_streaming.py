@@ -401,16 +401,28 @@ def test_streaming_near_dup_pairs_match_batch_lsh(spark, docs_stream_snapshot):
     from gis_city_county_spark.streaming.dedup import streaming_near_dup_pairs
 
     path, schema = docs_stream_snapshot
-    stream_df = streaming_near_dup_pairs(spark, schema, path)
+    # maxFilesPerTrigger is a file-SOURCE option: it must reach the
+    # readStream (a writeStream .option is silently ignored), so the
+    # two snapshot files genuinely arrive in separate micro-batches
+    # and pairs must cross GroupState.
+    stream_df = streaming_near_dup_pairs(
+        spark, schema, path, reader_options={"maxFilesPerTrigger": 1}
+    )
     q = (
         stream_df.writeStream.format("memory")
         .queryName("near_dup")
         .outputMode("append")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
+    data_batches = [
+        p for p in q.recentProgress if p["numInputRows"] > 0
+    ]
+    assert len(data_batches) >= 2, (
+        "expected the two snapshot files in separate micro-batches; "
+        f"got {len(data_batches)} data batches"
+    )
     got = {
         (r["a_id"], r["b_id"], r["n_bands"])
         for r in spark.sql(
@@ -431,3 +443,64 @@ def test_streaming_near_dup_pairs_match_batch_lsh(spark, docs_stream_snapshot):
     want = {(r["a_id"], r["b_id"], r[nb]) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_near_dup_hot_bucket_cap(spark, tmp_path):
+    """A bucket past ``max_state`` must stop emitting pairs WITHOUT
+    stalling the stream: the query still completes, the capped bucket
+    emits only the pairs formed before the cap, and cold buckets are
+    untouched."""
+    from gis_city_county_spark.streaming.dedup import streaming_near_dup_pairs
+
+    # 6 identical docs (one pathological LSH bucket per band) + 2
+    # distinct near-dup docs that share their own buckets.
+    hot = [(i, "common boilerplate text repeated everywhere") for i in range(6)]
+    cold = [
+        (100, "a genuinely unique document about tidal marshes"),
+        (101, "a genuinely unique document about tidal marshes!"),
+    ]
+    path = str(tmp_path / "docs")
+    df = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    df.coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    cap = 3
+    stream_df = streaming_near_dup_pairs(spark, schema, path, max_state=cap)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("near_dup_capped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM near_dup_capped").collect()
+    hot_ids = {r[0] for r in hot}
+    # Capped bucket: ids arrive in sorted order, pairing stops once the
+    # bucket holds `cap` ids → per band exactly C(cap,2)=3 pairs among
+    # the first `cap` hot ids, never any pair touching a later id.
+    hot_pairs = {(r["a_id"], r["b_id"]) for r in rows if r["a_id"] in hot_ids}
+    assert hot_pairs == {(0, 1), (0, 2), (1, 2)}
+    # Cold bucket keeps emitting normally if the two docs collide in
+    # any band; at minimum the stream ran to completion with the hot
+    # bucket silenced rather than stalled.
+    assert q.lastProgress is not None
+
+    # TTL variant: the ProcessingTimeTimeout registration path must not
+    # change run-to-completion output (eviction itself only fires on a
+    # later trigger after the TTL lapses — unobservable under
+    # availableNow; the branch is exercised, the results identical).
+    ttl_df = streaming_near_dup_pairs(
+        spark, schema, path, max_state=cap, state_ttl_ms=60_000
+    )
+    q2 = (
+        ttl_df.writeStream.format("memory")
+        .queryName("near_dup_ttl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    ttl_rows = spark.sql("SELECT * FROM near_dup_ttl").collect()
+    assert {tuple(r) for r in ttl_rows} == {tuple(r) for r in rows}
