@@ -1412,3 +1412,100 @@ base AS (
 )
 {union}
 """
+
+
+# ------------------------------------------------------ vocab coverage
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    ppm: int = 1000,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage per ``group_col``: the vocabulary
+    is every token whose corpus occurrence share is at least
+    ``ppm``/1e6 (the integer test ``cnt * 1_000_000 >= ppm * total``
+    — exact, scale-invariant, no global sort and no magic absolute
+    count), and each group reports how much of its token mass that
+    vocabulary covers plus how many of its documents are fully
+    in-vocabulary.  This is the "will a fixed tokenizer OOV-blow-up
+    on this feed" check run before committing a vocab.
+
+    Scale: one token aggregate (map-side combinable), the vocabulary
+    is by construction ≤ 1e6/``ppm`` entries so the membership join
+    broadcasts, and the two roll-ups shuffle one row per (doc) then
+    per (group).  Ratios are single IEEE divisions of exact BIGINTs —
+    bit-identical on any engine.
+    """
+    toks = rebalance_for_fanout(df, multiplier=16.0).select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    vocab = (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(1_000_000) >= F.lit(ppm) * F.col("__total"))
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__inv", F.lit(1))), "tok", "left"
+    )
+    per_doc = flagged.groupBy("__grp", "__id").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.sum(F.coalesce(F.col("__inv"), F.lit(0)).cast("bigint")).alias("n_cov"),
+    )
+    return (
+        per_doc.groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_occ").alias("total_occ"),
+            F.sum("n_cov").alias("covered_occ"),
+            F.sum((F.col("n_cov") == F.col("n_occ")).cast("bigint")).alias(
+                "n_docs_fully_covered"
+            ),
+        )
+        .withColumn(
+            "coverage",
+            F.col("covered_occ").cast("double") / F.col("total_occ").cast("double"),
+        )
+        .withColumnRenamed("__grp", group_col)
+    )
+
+
+def vocab_coverage_sql(
+    table: str, id_col: str, text_col: str, group_col: str, ppm: int = 1000
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, {group_col} AS grp, t.tok
+  FROM (SELECT {id_col}, {group_col}, {tokens_sql(text_col)} AS tl FROM {table}) s,
+       LATERAL UNNEST(s.tl) AS t(tok)
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+vocab AS (
+  SELECT tok FROM counts CROSS JOIN total
+  WHERE cnt * 1000000 >= {ppm} * total
+),
+per_doc AS (
+  SELECT t.grp, t.id,
+         COUNT(*) AS n_occ,
+         CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+  GROUP BY t.grp, t.id
+)
+SELECT grp AS {group_col},
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_occ) AS BIGINT) AS total_occ,
+       CAST(SUM(n_cov) AS BIGINT) AS covered_occ,
+       CAST(SUM(CASE WHEN n_cov = n_occ THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_fully_covered,
+       CAST(CAST(SUM(n_cov) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(n_occ) AS BIGINT) AS DOUBLE) AS coverage
+FROM per_doc
+GROUP BY grp
+"""

@@ -939,3 +939,140 @@ def minhash_bands_rowlocal(
     # reuse it so the band hashing lives in ONE place and the
     # streaming/batch parity invariant can't silently fork.
     return lsh_bands(sigs, id_col, num_hashes, bands)
+
+
+# ------------------------------------------- cluster-quality keeper
+
+
+def cluster_quality_keeper(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Quality-aware keeper for NEAR-duplicate clusters: the retention
+    policy a curation pipeline actually wants is "keep the BEST
+    document of each duplicate group", not the arbitrary min-id that
+    the component label happens to be.  Pipeline: MinHash-LSH pairs →
+    connected components (transitive closure) → join each member's
+    composite quality score → argmax per component (quality desc,
+    id asc tiebreak).
+
+    Scale: the component window partitions by ``component`` — cluster
+    sizes, not corpus size, bound each task; the quality score is a
+    pure projection on the scan side of the join.
+
+    Returns (id, component, component_size, quality, keep).
+    """
+    from gis_city_county_spark.operators.textstats import quality_score
+
+    comp = dedup_components(df, id_col, text_col, k, num_hashes, bands)
+    scored = df.select(F.col(id_col), quality_score(text_col).alias("quality"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col(id_col).asc()
+    )
+    return (
+        comp.join(scored, id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            id_col,
+            "component",
+            "component_size",
+            "quality",
+            (F.col("__rk") == 1).alias("keep"),
+        )
+    )
+
+
+def cluster_quality_keeper_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    from gis_city_county_spark.operators.textstats import quality_score_sql
+
+    comp = dedup_components_sql(table, id_col, text_col, k, num_hashes, bands)
+    return f"""
+WITH comp AS ({comp}),
+scored AS (SELECT {id_col}, {quality_score_sql(text_col)} AS quality FROM {table})
+SELECT c.{id_col}, c.component, c.component_size, s.quality,
+       ROW_NUMBER() OVER (PARTITION BY c.component
+                          ORDER BY s.quality DESC, c.{id_col} ASC) = 1 AS keep
+FROM comp c JOIN scored s ON s.{id_col} = c.{id_col}
+"""
+
+
+# ------------------------------------------------- dedup yield report
+
+
+def dedup_yield_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Per-``group_col`` dedup funnel: how many documents each source
+    contributes, and how many survive exact dedup (min-id keeper per
+    normalized-text fingerprint) and near-dup dedup (component
+    keeper).  The report a corpus build publishes per feed so a
+    regression in one upstream source (suddenly 90% dupes) is visible
+    the day it happens.
+
+    All three counts are exact integers — no floating point anywhere
+    — so the report is bit-stable across engines and partitionings.
+    """
+    comp = dedup_components(df, id_col, text_col, k, num_hashes, bands)
+    wfp = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    exact = (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("__fp"))
+        .withColumn("__ek", F.row_number().over(wfp) == 1)
+        .select(id_col, "__ek")
+    )
+    return (
+        df.select(F.col(id_col), F.col(group_col))
+        .join(exact, id_col)
+        .join(comp.select(id_col, "is_keeper"), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__ek").cast("bigint")).alias("n_exact_keepers"),
+            F.sum(F.col("is_keeper").cast("bigint")).alias("n_near_keepers"),
+        )
+    )
+
+
+def dedup_yield_report_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    comp = dedup_components_sql(table, id_col, text_col, k, num_hashes, bands)
+    return f"""
+WITH comp AS ({comp}),
+exact AS (
+  SELECT {id_col},
+         ROW_NUMBER() OVER (PARTITION BY md5({normalized_text_sql(text_col)})
+                            ORDER BY {id_col} ASC) = 1 AS ek
+  FROM {table}
+)
+SELECT t.{group_col},
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(e.ek AS BIGINT)) AS BIGINT) AS n_exact_keepers,
+       CAST(SUM(CAST(c.is_keeper AS BIGINT)) AS BIGINT) AS n_near_keepers
+FROM {table} t
+JOIN exact e ON e.{id_col} = t.{id_col}
+JOIN comp c ON c.{id_col} = t.{id_col}
+GROUP BY t.{group_col}
+"""

@@ -213,3 +213,198 @@ FROM ranked CROSS JOIN m
 JOIN ref ON ref.i = CAST((CAST(2 * ranked.r - 1 AS HUGEINT) * m.m)
                          // (2 * ranked.n) AS BIGINT) + 1
 """
+
+
+# ------------------------------------------------------ target encoding
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    m: float = 10.0,
+) -> DataFrame:
+    """m-estimate (smoothed) target encoding: each category's encoded
+    value is ``(sum_y + m·prior) / (n + m)`` where ``prior`` is the
+    global target mean — the shrinkage that keeps a 3-row category
+    from memorizing its targets.  The classic leakage-aware
+    categorical feature for tabular models.
+
+    Determinism: ``sum_y`` and the prior's numerator are exact
+    DECIMAL(38,10) sums emitted as correctly-rounded doubles, and the
+    remaining arithmetic is a fixed-order chain of single IEEE ops —
+    bit-identical on any engine and any partitioning.
+
+    Scale: one map-side-combinable aggregate per category plus a
+    1-row global aggregate broadcast onto it; no windows, no sort.
+
+    Returns (cat_col, n, sum_y, prior, encoded).
+    """
+    from gis_city_county_spark.functions.numeric import dec_sum
+
+    per_cat = df.groupBy(cat_col).agg(
+        F.count(target_col).alias("n"),
+        dec_sum(F.col(target_col), "sum_y"),
+    )
+    prior = df.agg(
+        (
+            F.sum(F.col(target_col).cast("decimal(38,10)")).cast("double")
+            / F.count(target_col)
+        ).alias("prior")
+    )
+    enc = (
+        (F.col("sum_y") + F.lit(float(m)) * F.col("prior"))
+        / (F.col("n").cast("double") + F.lit(float(m)))
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(prior))
+        .withColumn("encoded", enc)
+        .select(cat_col, "n", "sum_y", "prior", "encoded")
+    )
+
+
+def target_encode_sql(
+    table: str, cat_col: str, target_col: str, m: float = 10.0
+) -> str:
+    from gis_city_county_spark.functions.numeric import dec_sum_sql
+
+    dec = f"CAST(CAST(SUM(CAST(({target_col}) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH per_cat AS (
+  SELECT {cat_col}, COUNT({target_col}) AS n, {dec_sum_sql(target_col, 'sum_y')}
+  FROM {table} GROUP BY {cat_col}
+),
+prior AS (SELECT {dec} / COUNT({target_col}) AS prior FROM {table})
+SELECT {cat_col}, n, sum_y, prior,
+       (sum_y + {float(m)} * prior) / (CAST(n AS DOUBLE) + {float(m)}) AS encoded
+FROM per_cat CROSS JOIN prior
+"""
+
+
+# --------------------------------------------------- curriculum phases
+
+
+def curriculum_phases(
+    df: DataFrame,
+    key_col: str,
+    difficulty_col: str,
+    n_phases: int = 4,
+) -> DataFrame:
+    """Curriculum-learning phase assignment summarized per phase:
+    rows rank by ``(difficulty asc, key asc)`` — a strict total order
+    — and phase ``p`` of ``n_phases`` is ``(rank-1)·n_phases div N``,
+    so phases are equal-width rank bands (easiest band first), the
+    deterministic "train on easy docs first" schedule.
+
+    Scale: the global rank runs through the two-phase range-bucketed
+    :func:`operators.scale.ranged_rank` (no single-partition window
+    anywhere); N rides along as a 1-row broadcast.
+
+    Returns per phase: (phase, n_rows, min/max difficulty).
+    """
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    ranked = ranged_rank(
+        df.select(F.col(key_col), F.col(difficulty_col)),
+        primary=difficulty_col,
+        tiebreak=key_col,
+        rank_col="__rk",
+        descending=False,
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    # Integer `div`, never double-divide-then-cast: Spark's double→
+    # bigint cast truncates but DuckDB's rounds, so a boundary rank
+    # would land in different phases on the two engines.
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "phase",
+            F.expr(f"((__rk - 1) * {int(n_phases)}) div __n"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(difficulty_col).alias("min_difficulty"),
+            F.max(difficulty_col).alias("max_difficulty"),
+        )
+    )
+
+
+def curriculum_phases_sql(
+    table: str, key_col: str, difficulty_col: str, n_phases: int = 4
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {key_col}, {difficulty_col},
+         ROW_NUMBER() OVER (ORDER BY {difficulty_col} ASC, {key_col} ASC) AS rk
+  FROM {table}
+),
+n AS (SELECT COUNT(*) AS n FROM ranked)
+SELECT CAST((rk - 1) * {n_phases} // n AS BIGINT) AS phase,
+       COUNT(*) AS n_rows,
+       MIN({difficulty_col}) AS min_difficulty,
+       MAX({difficulty_col}) AS max_difficulty
+FROM ranked CROSS JOIN n
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------- calibration bins
+
+
+def calibration_bins(
+    df: DataFrame,
+    pred_milli_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a classifier score: predictions
+    arrive as exact MILLI-units (0..999 integers — the engine-portable
+    way to carry probabilities), bin ``b = pred_milli·n_bins div
+    1000``, and each bin reports its mean prediction vs. observed
+    positive rate plus the absolute gap (the per-bin term of expected
+    calibration error).
+
+    Everything before the final three divisions is exact integer
+    arithmetic; the divisions are single IEEE ops on exact BIGINTs —
+    bit-identical on any engine.
+
+    Returns (bin, n, avg_pred, frac_pos, abs_gap).
+    """
+    binned = df.withColumn(
+        "bin",
+        F.expr(f"(({pred_milli_col} * {int(n_bins)}) div 1000)"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pred_milli_col).alias("__sp"),
+        F.sum(F.col(label_col).cast("bigint")).alias("__pos"),
+    )
+    avg_pred = F.col("__sp").cast("double") / F.lit(1000.0) / F.col("n").cast("double")
+    frac_pos = F.col("__pos").cast("double") / F.col("n").cast("double")
+    return (
+        agg.withColumn("avg_pred", avg_pred)
+        .withColumn("frac_pos", frac_pos)
+        .withColumn("abs_gap", F.abs(F.col("avg_pred") - F.col("frac_pos")))
+        .select("bin", "n", "avg_pred", "frac_pos", "abs_gap")
+    )
+
+
+def calibration_bins_sql(
+    table: str, pred_milli_col: str, label_col: str, n_bins: int = 10
+) -> str:
+    return f"""
+WITH agg AS (
+  SELECT CAST(({pred_milli_col} * {n_bins}) // 1000 AS BIGINT) AS bin,
+         COUNT(*) AS n,
+         CAST(SUM({pred_milli_col}) AS BIGINT) AS sp,
+         CAST(SUM(CAST({label_col} AS BIGINT)) AS BIGINT) AS pos
+  FROM {table} GROUP BY 1
+)
+SELECT bin, n,
+       CAST(sp AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE) AS avg_pred,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+       abs(CAST(sp AS DOUBLE) / 1000.0 / CAST(n AS DOUBLE)
+           - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+FROM agg
+"""

@@ -30,6 +30,12 @@ from gis_city_county_spark.operators.corpus import (
     shard_assign_sql,
     split_assign,
     split_case_sql,
+    vocab_coverage,
+    vocab_coverage_sql,
+)
+from gis_city_county_spark.operators.mlprep import (
+    curriculum_phases,
+    curriculum_phases_sql,
 )
 from gis_city_county_spark.operators.textstats import token_count, tokens_sql
 from gis_city_county_spark.sources.tables import load_table
@@ -495,8 +501,36 @@ def _ngram_precision_oracle() -> str:
     )
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage per source: vocabulary = tokens with
+    ≥ 1000 ppm of corpus occurrences; report each source's covered
+    token mass and fully-in-vocab document count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "doc_id", "text", "source", ppm=1000)
+
+
+_VOCAB_COV_ORACLE = vocab_coverage_sql(
+    "documents", "doc_id", "text", "source", ppm=1000
+)
+
+
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: documents ranked easy→hard by length
+    (n_chars asc, doc_id tiebreak) via the two-phase ranged rank and
+    banded into 4 equal-width phases."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_phases(docs, "doc_id", "n_chars", n_phases=4)
+
+
+_CURRICULUM_ORACLE = curriculum_phases_sql(
+    "(SELECT doc_id, n_chars FROM documents)", "doc_id", "n_chars", n_phases=4
+)
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_vocab_coverage", q_vocab_coverage, _VOCAB_COV_ORACLE),
+    QuerySpec("mlprep_curriculum_phases", q_curriculum_phases, _CURRICULUM_ORACLE),
     QuerySpec("corpus_ngram_precision_eval", q_ngram_precision, _ngram_precision_oracle()),
     QuerySpec("corpus_simhash_near_pairs", q_simhash_near_pairs, _simhash_pairs_oracle()),
     QuerySpec("corpus_bpe_encode", q_bpe_encode, _bpe_encode_oracle()),

@@ -6,8 +6,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.dedup import (
+    cluster_quality_keeper,
+    cluster_quality_keeper_sql,
     dedup_components,
     dedup_components_sql,
+    dedup_yield_report,
+    dedup_yield_report_sql,
     exact_dedup,
     exact_dedup_sql,
     minhash_lsh_pairs,
@@ -60,6 +64,23 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_join(
         docs, "doc_id", "text", tau_num=4, tau_den=5, shingle_k=3
     )
+
+
+def q_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup retention policy: MinHash-LSH clusters keep their
+    highest-quality member (quality desc, id asc tiebreak) — the
+    transitive-closure upgrade of pipeline_quality_keeper's
+    exact-fingerprint groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_quality_keeper(docs, "doc_id", "text")
+
+
+def q_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup funnel report: documents contributed vs.
+    surviving exact dedup vs. surviving near-dup dedup — all-integer,
+    the per-feed regression dashboard of a corpus build."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_yield_report(docs, "doc_id", "text", "source")
 
 
 def q_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,6 +438,16 @@ SPECS = [
         embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4),
     ),
     QuerySpec("dedup_prefix_jaccard_join", q_prefix_jaccard, _PREFIX_JACCARD_ORACLE),
+    QuerySpec(
+        "dedup_cluster_keeper",
+        q_cluster_keeper,
+        cluster_quality_keeper_sql("documents", "doc_id", "text"),
+    ),
+    QuerySpec(
+        "pipeline_dedup_yield",
+        q_dedup_yield,
+        dedup_yield_report_sql("documents", "doc_id", "text", "source"),
+    ),
     QuerySpec("pipeline_quality_keeper", q_quality_keeper, _KEEPER_ORACLE),
     QuerySpec("pipeline_semantic_dedup", q_semantic_dedup, _SEMANTIC_ORACLE),
     QuerySpec("pipeline_incremental_dedup", q_incremental_dedup, _incremental_oracle()),

@@ -7,6 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gis_city_county_spark.operators.mlprep import (
+    calibration_bins,
+    calibration_bins_sql,
+    target_encode,
+    target_encode_sql,
+)
 from gis_city_county_spark.operators.profile import gini_impurity, gini_impurity_sql
 from gis_city_county_spark.operators.temporal import (
     asof_join,
@@ -219,6 +225,54 @@ def _mad_oracle() -> str:
 
     return mad_outliers_sql(
         "SELECT event_type, value FROM events", "event_type", "value", k=3.0
+    )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-estimate target encoding of the customer market segment by
+    mean order value: the smoothed categorical feature (m=10 pulls
+    thin segments toward the global prior). One shuffle join to
+    attach the segment, one aggregate per side."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    ).select("c_mktsegment", "o_totalprice")
+    return target_encode(joined, "c_mktsegment", "o_totalprice", m=10.0)
+
+
+def _target_encode_oracle() -> str:
+    return target_encode_sql(
+        "(SELECT c_mktsegment, o_totalprice"
+        " FROM orders JOIN customer ON o_custkey = c_custkey)",
+        "c_mktsegment",
+        "o_totalprice",
+        m=10.0,
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a deterministic pseudo-score: md5-tail
+    milli-probability of the order key vs. the order-is-finished
+    label, binned into deciles with per-bin calibration gap."""
+    from gis_city_county_spark.operators.sketch import _h60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (_h60(F.col("o_orderkey").cast("string")) % 1000).alias("pred_milli"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return calibration_bins(orders, "pred_milli", "label", n_bins=10)
+
+
+def _calibration_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    pred = f"{_h60_sql('CAST(o_orderkey AS VARCHAR)')} % 1000"
+    return calibration_bins_sql(
+        f"(SELECT {pred} AS pred_milli, o_orderstatus = 'F' AS label FROM orders)",
+        "pred_milli",
+        "label",
+        n_bins=10,
     )
 
 
@@ -488,6 +542,8 @@ SPECS = [
     QuerySpec("profile_mad_outliers", q_mad_outliers, _mad_oracle()),
     QuerySpec("eval_exact_auc", q_exact_auc, _auc_oracle()),
     QuerySpec("eval_confusion_sweep", q_confusion_sweep, _confusion_oracle()),
+    QuerySpec("eval_calibration_bins", q_calibration_bins, _calibration_oracle()),
+    QuerySpec("mlprep_target_encode", q_target_encode, _target_encode_oracle()),
     QuerySpec("profile_trimmed_mean", q_trimmed_mean, _trimmed_oracle()),
     QuerySpec("profile_weighted_median", q_weighted_median, _wmedian_oracle()),
     QuerySpec("mlprep_quantile_align", q_quantile_align, _qalign_oracle()),

@@ -208,6 +208,14 @@ R5_PRESTAGE: tuple[str, ...] = (
     "search_fuzzy_name_lookup",
     "layout_zorder_key_hist",
     "func_map_roundtrip",
+    # r4 additions (implemented after the r4 window was pinned, so
+    # their first driver check is round 5 by construction).
+    "dedup_cluster_keeper",
+    "pipeline_dedup_yield",
+    "corpus_vocab_coverage",
+    "mlprep_curriculum_phases",
+    "mlprep_target_encode",
+    "eval_calibration_bins",
 )
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

@@ -149,6 +149,12 @@ _BNLJ_ALLOWED = {
     "olap_basket_affinity",
     "profile_length_drift_chi2",
     "events_hourly_anomalies",
+    # 1-row broadcast scalars again: corpus token total (vocab ppm
+    # threshold), corpus row count N (phase = rank·k div N), global
+    # target prior (m-estimate shrinkage)
+    "corpus_vocab_coverage",
+    "mlprep_curriculum_phases",
+    "mlprep_target_encode",
     # the ×40 broadcast-site fanout IS the algorithm (IVF-style
     # nearest-site assignment; partial-agg argmin collapses it)
     "geo_knn_assign",
@@ -290,6 +296,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "corpus_dsir_weights": 1,
     "corpus_pmi_pairs": 1,
     "corpus_source_keywords": 1,
+    "corpus_vocab_coverage": 1,     # corpus token-total scalar
+    "mlprep_curriculum_phases": 1,  # corpus row-count scalar
+    "mlprep_target_encode": 1,      # global target-prior scalar
     "events_hourly_anomalies": 1,
     "events_lateness_audit": 1,
     "profile_length_drift_chi2": 1,
