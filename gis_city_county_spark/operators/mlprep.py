@@ -408,3 +408,60 @@ SELECT bin, n,
            - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
 FROM agg
 """
+
+
+# ------------------------------------------------ stratified k-fold
+
+
+def kfold_stratified(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    target_col: str,
+    n_folds: int = 5,
+) -> DataFrame:
+    """Deterministic k-fold assignment with a per-(stratum, fold)
+    balance report: fold = md5-tail(key) mod k — stable across runs,
+    engines, and corpus rebuilds, the same property as the train/val/
+    test split — and the report (row count + decimal-exact target
+    mean per cell) is how you VERIFY the stratification held: every
+    stratum's folds should agree on n within sampling noise and on
+    the target mean.
+
+    Scale: a pure projection then one map-side-combinable aggregate;
+    no windows, no sort, no driver state.
+
+    Returns (stratum_col, fold, n, mean_target).
+    """
+    from gis_city_county_spark.functions.numeric import dec_avg
+    from gis_city_county_spark.operators.sketch import _h60
+
+    fold = (_h60(F.col(key_col).cast("string")) % n_folds).alias("fold")
+    return (
+        df.select(F.col(stratum_col), fold, F.col(target_col))
+        .groupBy(stratum_col, "fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_avg(F.col(target_col), "mean_target"),
+        )
+    )
+
+
+def kfold_stratified_sql(
+    table: str,
+    key_col: str,
+    stratum_col: str,
+    target_col: str,
+    n_folds: int = 5,
+) -> str:
+    from gis_city_county_spark.functions.numeric import dec_avg_sql
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    fold = f"{_h60_sql(f'CAST({key_col} AS VARCHAR)')} % {n_folds}"
+    return f"""
+SELECT {stratum_col}, {fold} AS fold,
+       COUNT(*) AS n,
+       {dec_avg_sql(target_col, 'mean_target')}
+FROM {table}
+GROUP BY 1, 2
+"""

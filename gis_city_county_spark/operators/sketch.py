@@ -309,6 +309,29 @@ FROM words GROUP BY {keys}
 
 # ------------------------------------------------------ count-min sketch
 
+def countmin_cells(
+    rows: DataFrame, key_col: str, width: int, depth: int
+) -> DataFrame:
+    """The (d, b) → cell-count relation of a count-min sketch: each
+    key hashes into ``depth`` buckets (md5 seeded per sketch row) and
+    the counts aggregate map-side — ≤ d·w cells regardless of key
+    cardinality.  Pure projections + one groupBy count, so the SAME
+    code path builds the sketch from a batch DataFrame or a streaming
+    one (``streaming.sketch.streaming_countmin_cells``) — the batch/
+    stream counters are identical by construction."""
+    hashed = rows.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (_h60(F.concat(F.lit(f"{d}|"), F.col(key_col))) % width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__d", "__b"),
+    )
+    return hashed.groupBy("__d", "__b").agg(F.count(F.lit(1)).alias("__cell"))
+
+
 def countmin_heavy_hitters(
     df: DataFrame,
     key_col: str,
@@ -333,18 +356,7 @@ def countmin_heavy_hitters(
     matches bit-for-bit."""
     key = F.col(key_col).cast("string")
     rows = df.select(key.alias("__k"))
-    hashed = rows.select(
-        "__k",
-        F.posexplode(
-            F.array(
-                *[
-                    (_h60(F.concat(F.lit(f"{d}|"), F.col("__k"))) % width)
-                    for d in range(depth)
-                ]
-            )
-        ).alias("__d", "__b"),
-    )
-    sketch = hashed.groupBy("__d", "__b").agg(F.count(F.lit(1)).alias("__cell"))
+    sketch = countmin_cells(rows, "__k", width, depth)
 
     exact = rows.groupBy("__k").agg(F.count(F.lit(1)).alias("exact_cnt"))
     topk = exact.orderBy(F.desc("exact_cnt"), F.asc("__k")).limit(k)

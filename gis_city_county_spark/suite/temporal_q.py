@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 from gis_city_county_spark.operators.mlprep import (
     calibration_bins,
     calibration_bins_sql,
+    kfold_stratified,
+    kfold_stratified_sql,
     target_encode,
     target_encode_sql,
 )
@@ -273,6 +275,25 @@ def _calibration_oracle() -> str:
         "pred_milli",
         "label",
         n_bins=10,
+    )
+
+
+def q_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment keyed on the
+    order key, with the per-(priority-stratum, fold) balance report
+    (count + decimal-exact mean order value) that verifies the folds
+    are exchangeable."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return kfold_stratified(
+        orders, "o_orderkey", "o_orderpriority", "o_totalprice", n_folds=5
+    )
+
+
+def _kfold_oracle() -> str:
+    return kfold_stratified_sql(
+        "orders", "o_orderkey", "o_orderpriority", "o_totalprice", n_folds=5
     )
 
 
@@ -544,6 +565,7 @@ SPECS = [
     QuerySpec("eval_confusion_sweep", q_confusion_sweep, _confusion_oracle()),
     QuerySpec("eval_calibration_bins", q_calibration_bins, _calibration_oracle()),
     QuerySpec("mlprep_target_encode", q_target_encode, _target_encode_oracle()),
+    QuerySpec("mlprep_kfold_stratified", q_kfold_stratified, _kfold_oracle()),
     QuerySpec("profile_trimmed_mean", q_trimmed_mean, _trimmed_oracle()),
     QuerySpec("profile_weighted_median", q_weighted_median, _wmedian_oracle()),
     QuerySpec("mlprep_quantile_align", q_quantile_align, _qalign_oracle()),

@@ -216,6 +216,7 @@ R5_PRESTAGE: tuple[str, ...] = (
     "mlprep_curriculum_phases",
     "mlprep_target_encode",
     "eval_calibration_bins",
+    "mlprep_kfold_stratified",
 )
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

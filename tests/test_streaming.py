@@ -504,3 +504,47 @@ def test_streaming_near_dup_hot_bucket_cap(spark, tmp_path):
     q2.awaitTermination(120)
     ttl_rows = spark.sql("SELECT * FROM near_dup_ttl").collect()
     assert {tuple(r) for r in ttl_rows} == {tuple(r) for r in rows}
+
+
+def test_streaming_countmin_cells_match_batch(spark, sf_dir, tmp_path):
+    """The streaming count-min counters must be BIT-equal to the batch
+    sketch cells after run-to-completion — same md5 bucket hashing,
+    same aggregation, state bounded at depth x width regardless of key
+    cardinality."""
+    from gis_city_county_spark.operators.sketch import countmin_cells
+    from gis_city_county_spark.streaming.sketch import streaming_countmin_cells
+    from gis_city_county_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    # two files so the counters genuinely accumulate across micro-batches
+    path = str(tmp_path / "ev")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(path)
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    width, depth = 1 << 8, 4
+    cells = streaming_countmin_cells(
+        spark, schema, path, "user_id", width, depth,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cm_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["__d"], r["__b"]): r["__cell"]
+        for r in spark.sql("SELECT * FROM cm_cells").collect()
+    }
+    batch = countmin_cells(
+        spark.read.parquet(path).select(F.col("user_id").cast("string").alias("__k")),
+        "__k", width, depth,
+    )
+    want = {(r["__d"], r["__b"]): r["__cell"] for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
+    # the sketch stayed bounded
+    assert len(got) <= depth * width
