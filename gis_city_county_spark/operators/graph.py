@@ -185,3 +185,78 @@ def bfs_hops_sql(edges_sql: str, source: int, max_hops: int) -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, hops FROM v{max_hops} ORDER BY hops, node"
     )
+
+
+# ------------------------------------------------------------- k-core
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling over a symmetric edge list: repeatedly delete
+    every node with degree < ``k`` (and its edges) until fixpoint —
+    the standard "dense enough to matter" subgraph extraction (spam
+    rings, co-purchase cores, collaboration cliques).
+
+    Each round is one degree aggregate (map-side combinable) + two
+    anti-joins against the (small, shrinking) low-degree node set;
+    ``localCheckpoint`` truncates lineage per round and the loop
+    early-exits the moment no node falls below ``k``.  ``rounds``
+    bounds the peel for the unrolled-CTE oracle — rounds past the
+    fixpoint are no-ops on BOTH engines, so the bound never breaks
+    equivalence, it only caps worst-case work (full peeling of a
+    pathological chain needs depth rounds; re-run with a higher bound
+    if the final round still peeled).
+
+    Returns surviving ``(node, deg)`` — degree within the core.
+    """
+    cur = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        # Materialize the (small) low-degree node set once per round:
+        # the emptiness probe and both anti-joins read it, and lazily
+        # it would re-run the degree aggregate for each.
+        low = (
+            deg.filter(F.col("__deg") < k)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        if low.isEmpty():
+            break
+        cur = (
+            cur.join(low, "src", "left_anti")
+            .join(low.withColumnRenamed("src", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+
+
+def kcore_sql(edges_sql: str, k: int, rounds: int = 6) -> str:
+    """DuckDB oracle twin of :func:`kcore`: the peel unrolled into
+    ``rounds`` keep-set CTEs (no-ops after the fixpoint, exactly like
+    the early-exiting loop)."""
+    ctes = [f"e0 AS ({edges_sql})"]
+    for r in range(rounds):
+        ctes.append(
+            f"keep{r} AS (SELECT src FROM e{r} GROUP BY src"
+            f" HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e"
+            f" JOIN keep{r} a ON e.src = a.src"
+            f" JOIN keep{r} b ON e.dst = b.src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS node, COUNT(*) AS deg FROM e{rounds} GROUP BY src"
+    )

@@ -221,3 +221,95 @@ FROM ({source_sql}) d
 JOIN (SELECT {keys}, COUNT(*) AS gs FROM ({source_sql}) GROUP BY {keys}) s
   ON {on}
 """
+
+
+# ------------------------------------------------- randomized response
+
+
+def randomized_response(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    bit_col: str,
+    flip_den: int = 4,
+) -> DataFrame:
+    """Warner randomized response over a sensitive bit: each row
+    reports its TRUE bit with probability 1 − 1/``flip_den`` and the
+    FLIPPED bit otherwise, and the per-group release carries the
+    debiased estimate of the true count — the local-DP mechanism that
+    lets a collector estimate aggregates without ever holding any
+    individual's real answer.
+
+    The "coin" is an md5-derived residue of the row key, so the whole
+    mechanism is a pure deterministic projection — reproducible across
+    engines and reruns (a production deployment would swap in a
+    per-release secret salt; the relational shape is identical).
+    Debias: with flip probability q = 1/``flip_den``,
+    ``E[obs] = true·(1−q) + (n−true)·q``, so
+    ``true = (den·obs − n) / (den − 2)`` — kept in exact integer
+    numerators; the single closing division is one IEEE op.
+
+    Returns per group: (group, n, true_cnt, observed_cnt, est_cnt,
+    est_err) — ``true_cnt`` is included for the calibration report;
+    a real release would drop it.
+    """
+    from gis_city_county_spark.operators.sketch import _h60
+
+    flip = (
+        _h60(F.concat(F.lit("rr|"), F.col(key_col).cast("string"))) % flip_den
+    ) == 0
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(bit_col).cast("boolean").alias("__b"),
+        flip.alias("__f"),
+    )
+    obs = F.when(F.col("__f"), ~F.col("__b")).otherwise(F.col("__b"))
+    agg = base.withColumn("__o", obs).groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__b").cast("bigint")).alias("true_cnt"),
+        F.sum(F.col("__o").cast("bigint")).alias("observed_cnt"),
+    )
+    est = (
+        (F.col("observed_cnt") * F.lit(flip_den) - F.col("n")).cast("double")
+        / F.lit(float(flip_den - 2))
+    )
+    return (
+        agg.withColumn("est_cnt", est)
+        .withColumn(
+            "est_err", F.col("est_cnt") - F.col("true_cnt").cast("double")
+        )
+        .withColumnRenamed("__g", group_col)
+    )
+
+
+def randomized_response_sql(
+    table: str,
+    key_col: str,
+    group_col: str,
+    bit_col: str,
+    flip_den: int = 4,
+) -> str:
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    coin = _h60_sql(f"'rr|' || CAST({key_col} AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g,
+         CAST({bit_col} AS BOOLEAN) AS b,
+         ({coin}) % {flip_den} = 0 AS f
+  FROM {table}
+),
+agg AS (
+  SELECT g, COUNT(*) AS n,
+         CAST(SUM(CAST(b AS BIGINT)) AS BIGINT) AS true_cnt,
+         CAST(SUM(CAST(CASE WHEN f THEN NOT b ELSE b END AS BIGINT)) AS BIGINT)
+           AS observed_cnt
+  FROM base GROUP BY g
+)
+SELECT g AS {group_col}, n, true_cnt, observed_cnt,
+       CAST(observed_cnt * {flip_den} - n AS DOUBLE) / {float(flip_den - 2)}
+         AS est_cnt,
+       CAST(observed_cnt * {flip_den} - n AS DOUBLE) / {float(flip_den - 2)}
+         - CAST(true_cnt AS DOUBLE) AS est_err
+FROM agg
+"""

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gis_city_county_spark.operators.graph import pagerank, pagerank_sql
+from gis_city_county_spark.operators.graph import (
+    kcore,
+    kcore_sql,
+    pagerank,
+    pagerank_sql,
+)
 from gis_city_county_spark.sources.tables import load_table
 from gis_city_county_spark.suite import QuerySpec
 
@@ -332,8 +337,21 @@ FROM terms
 """
 
 
+_KCORE_K, _KCORE_ROUNDS = 8, 6
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-core of the trade graph: iterative peel of nodes with fewer
+    than 8 distinct trading partners — the dense trading backbone."""
+    return kcore(_trade_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+_KCORE_ORACLE = kcore_sql(_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
+    QuerySpec("graph_kcore_trade", q_kcore, _KCORE_ORACLE),
     QuerySpec("graph_modularity_nations", q_modularity, _MODULARITY_ORACLE),
     QuerySpec("graph_degree_histogram", q_degree_histogram, _DEGREE_ORACLE),
     QuerySpec("graph_link_prediction", q_link_prediction, _LINKPRED_ORACLE),

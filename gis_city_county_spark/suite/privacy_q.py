@@ -180,7 +180,37 @@ FROM ({inner}) GROUP BY 1, 2, 3
 _SUPPRESS_ORACLE = _suppress_oracle()
 
 
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP randomized response on the order-is-finished bit per
+    priority class, with the debiased estimate and its calibration
+    error (md5 coins — deterministic, engine-portable)."""
+    from gis_city_county_spark.operators.privacy import randomized_response
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+    )
+    return randomized_response(
+        orders, "o_orderkey", "o_orderpriority", "is_final", flip_den=4
+    )
+
+
+def _rr_oracle() -> str:
+    from gis_city_county_spark.operators.privacy import randomized_response_sql
+
+    return randomized_response_sql(
+        "(SELECT o_orderkey, o_orderpriority,"
+        " o_orderstatus = 'F' AS is_final FROM orders)",
+        "o_orderkey",
+        "o_orderpriority",
+        "is_final",
+        flip_den=4,
+    )
+
+
 SPECS = [
+    QuerySpec("privacy_randomized_response", q_randomized_response, _rr_oracle()),
     QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
     QuerySpec("pipeline_blocklist_filter", q_blocklist_filter, _BLOCK_ORACLE),
     QuerySpec("privacy_k_anonymity", q_k_anonymity, _KANON_ORACLE),

@@ -217,6 +217,8 @@ R5_PRESTAGE: tuple[str, ...] = (
     "mlprep_target_encode",
     "eval_calibration_bins",
     "mlprep_kfold_stratified",
+    "graph_kcore_trade",
+    "privacy_randomized_response",
 )
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]
