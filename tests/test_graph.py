@@ -27,3 +27,56 @@ def test_pagerank_dangling_mass_not_redistributed(spark):
     out = {r["node"]: r["rank"] for r in pagerank(edges, iters=1, scale=1000).collect()}
     # A receives nothing: 150. B receives all of A's 1000: 150+850.
     assert out == {1: 150, 2: 1000}
+
+
+def _py_kcore(edges: set[tuple[int, int]], k: int, rounds: int) -> dict[int, int]:
+    """Reference peel: drop nodes with degree < k, round-synchronous,
+    at most `rounds` rounds (mirrors the bounded distributed peel)."""
+    cur = set(edges)
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for s, _d in cur:
+            deg[s] = deg.get(s, 0) + 1
+        low = {n for n, d in deg.items() if d < k}
+        if not low:
+            break
+        cur = {(s, d) for s, d in cur if s not in low and d not in low}
+    out: dict[int, int] = {}
+    for s, _d in cur:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def test_kcore_matches_reference_peel_on_random_graphs(spark):
+    """Property: the distributed peel equals the round-synchronous
+    Python reference on seeded random symmetric graphs, for several
+    (n, p, k) shapes including ones that peel to empty and ones that
+    early-exit."""
+    import random
+
+    from gis_city_county_spark.operators.graph import kcore
+
+    for seed, n, p, k in [(1, 20, 0.2, 3), (2, 30, 0.15, 4),
+                          (3, 25, 0.5, 9), (4, 15, 0.1, 5)]:
+        rng = random.Random(seed)
+        und = {(a, b) for a in range(n) for b in range(a + 1, n)
+               if rng.random() < p}
+        edges = {(a, b) for a, b in und} | {(b, a) for a, b in und}
+        if not edges:
+            continue
+        want = _py_kcore(edges, k, rounds=6)
+        df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        got = {r["node"]: r["deg"] for r in kcore(df, k, rounds=6).collect()}
+        assert got == want, f"seed={seed} n={n} p={p} k={k}"
+
+
+def test_kcore_hand_computed(spark):
+    # triangle {1,2,3} plus pendant 4-1: 2-core = the triangle.
+    und = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    from gis_city_county_spark.operators.graph import kcore
+
+    out = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=6).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
