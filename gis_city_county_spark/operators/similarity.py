@@ -1143,3 +1143,108 @@ SELECT fin.cid, COUNT(*) AS n_assigned, MAX(c{last}.cv) AS centroid
 FROM fin JOIN c{last} ON fin.cid = c{last}.cid
 GROUP BY fin.cid"""
     )
+
+
+# -------------------------------------------- PQ shortlist + re-rank
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_pred: Column,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving pattern: the
+    compressed PQ-ADC index nominates a ``shortlist`` of candidates
+    per probe (RAM-resident codes, never touching raw vectors), then
+    ONLY those ``shortlist × probes`` pairs fetch their raw vectors
+    for an exact squared-L2 re-rank to the final ``k``.  Recall comes
+    from the shortlist width, precision from the exact stage, and the
+    raw-vector I/O is proportional to the shortlist — not the corpus —
+    which is the whole economics of a 100 TB embedding store.
+
+    Relational shape: stage 1 is :func:`pq_adc_topk` (all joins
+    broadcast, codes scanned once); stage 2 is two id-equi-joins of
+    the (probes × shortlist) pair relation against the vector table
+    and a per-probe window over ≤ ``shortlist`` rows.
+
+    Output: ``(probe_id, neighbor_id, rank, dist2, dist2_adc)`` —
+    exact distance plus the stage-1 estimate, so the calibration gap
+    of the quantizer is visible in the result itself.
+    """
+    coarse = pq_adc_topk(
+        corpus, id_col, vec_col, probe_pred, k=shortlist, m=m, ksub=ksub, dim=dim
+    ).select("probe_id", "neighbor_id", F.col("dist2").alias("dist2_adc"))
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vv"),
+    )
+    paired = (
+        coarse.join(
+            vecs.select(
+                F.col("__vid").alias("__pidv"), F.col("__vv").alias("__pv")
+            ),
+            F.col("probe_id") == F.col("__pidv"),
+        )
+        .join(
+            vecs.select(
+                F.col("__vid").alias("__nidv"), F.col("__vv").alias("__nv")
+            ),
+            F.col("neighbor_id") == F.col("__nidv"),
+        )
+    )
+    exact = (
+        dot_product(F.col("__pv"), F.col("__pv"))
+        + dot_product(F.col("__nv"), F.col("__nv"))
+        - 2 * dot_product(F.col("__pv"), F.col("__nv"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("dist2"), F.asc("neighbor_id")
+    )
+    return (
+        paired.withColumn("dist2", exact)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "rank", "dist2", "dist2_adc")
+    )
+
+
+def pq_rerank_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    probe_filter: str,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 4,
+    ksub: int = 8,
+    dim: int = 64,
+) -> str:
+    coarse = pq_adc_topk_sql(
+        table, id_col, vec_col, probe_filter, k=shortlist, m=m, ksub=ksub, dim=dim
+    )
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH coarse AS ({coarse}),
+vx AS (SELECT {id_col} AS vid, {vd} AS vv FROM {table})
+SELECT probe_id, neighbor_id, CAST(rank AS INTEGER) AS rank, dist2, dist2_adc
+FROM (
+  SELECT c.probe_id, c.neighbor_id, c.dist2 AS dist2_adc,
+         (list_dot_product(p.vv, p.vv) + list_dot_product(n.vv, n.vv))
+         - 2 * list_dot_product(p.vv, n.vv) AS dist2,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.probe_id
+           ORDER BY (list_dot_product(p.vv, p.vv) + list_dot_product(n.vv, n.vv))
+                    - 2 * list_dot_product(p.vv, n.vv) ASC,
+                    c.neighbor_id ASC) AS rank
+  FROM coarse c
+  JOIN vx p ON p.vid = c.probe_id
+  JOIN vx n ON n.vid = c.neighbor_id
+) t
+WHERE rank <= {k}
+"""

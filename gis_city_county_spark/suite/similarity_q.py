@@ -16,6 +16,8 @@ from gis_city_county_spark.operators.similarity import (
     lsh_ann_topk,
     lsh_ann_topk_sql,
     pq_adc_topk_sql,
+    pq_rerank_topk,
+    pq_rerank_topk_sql,
     quantize_report,
     quantize_report_sql,
 )
@@ -86,6 +88,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(
         emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5, m=4, ksub=8
+    )
+
+
+def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC nominates a 20-wide shortlist per
+    probe from compressed codes, then only those pairs fetch raw
+    vectors for the exact top-5 re-rank — raw-vector I/O scales with
+    the shortlist, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_rerank_topk(
+        emb, "vec_id", "embedding", F.col("__id") % 50 == 0,
+        k=5, shortlist=20, m=4, ksub=8,
     )
 
 
@@ -427,6 +441,14 @@ SPECS = [
         q_pq_adc_topk,
         pq_adc_topk_sql(
             "embeddings", "vec_id", "embedding", "e.id % 50 = 0", k=5, m=4, ksub=8
+        ),
+    ),
+    QuerySpec(
+        "sim_pq_rerank_topk",
+        q_pq_rerank,
+        pq_rerank_topk_sql(
+            "embeddings", "vec_id", "embedding", "e.id % 50 = 0",
+            k=5, shortlist=20, m=4, ksub=8,
         ),
     ),
     QuerySpec(

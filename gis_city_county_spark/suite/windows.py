@@ -219,6 +219,7 @@ R5_PRESTAGE: tuple[str, ...] = (
     "mlprep_kfold_stratified",
     "graph_kcore_trade",
     "privacy_randomized_response",
+    "sim_pq_rerank_topk",
 )
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

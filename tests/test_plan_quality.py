@@ -163,6 +163,9 @@ _BNLJ_ALLOWED = {
     # scan that replaces the raw-vector cross join (codes are ~100×
     # smaller; the raw-vector joins all stay broadcast equi-joins)
     "sim_pq_adc_topk",
+    # stage 1 IS sim_pq_adc_topk (same compressed-domain scan); stage
+    # 2 adds only id-equi-joins over the shortlist pairs
+    "sim_pq_rerank_topk",
 }
 
 
