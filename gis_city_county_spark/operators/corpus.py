@@ -1444,7 +1444,14 @@ def vocab_coverage(
         F.col(group_col).alias("__grp"),
         F.explode(tokens(text_col)).alias("tok"),
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts is bounded by the vocabulary (small); materialize it once
+    # so the total scalar and the vocab filter don't each re-run the
+    # corpus-wide tokenize+explode+aggregate as separate subtrees.
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("cnt").alias("__total"))
     vocab = (
         counts.crossJoin(F.broadcast(total))

@@ -336,7 +336,8 @@ def curriculum_phases_sql(
     return f"""
 WITH ranked AS (
   SELECT {key_col}, {difficulty_col},
-         ROW_NUMBER() OVER (ORDER BY {difficulty_col} ASC, {key_col} ASC) AS rk
+         ROW_NUMBER() OVER (ORDER BY {difficulty_col} ASC NULLS FIRST,
+                            {key_col} ASC) AS rk
   FROM {table}
 ),
 n AS (SELECT COUNT(*) AS n FROM ranked)

@@ -255,6 +255,13 @@ def randomized_response(
     """
     from gis_city_county_spark.operators.sketch import _h60
 
+    if flip_den <= 2:
+        raise ValueError(
+            "flip_den must be > 2: flip probability 1/2 carries no "
+            "information (debias denominator is zero) and 1/1 inverts "
+            f"every answer; got flip_den={flip_den}"
+        )
+
     flip = (
         _h60(F.concat(F.lit("rr|"), F.col(key_col).cast("string"))) % flip_den
     ) == 0

@@ -626,29 +626,48 @@ def read_zipped_delimited_distributed(
 
 
 def _list_data_files(spark: SparkSession, path: str) -> list[str]:
-    """Non-recursive metadata listing of the plain files under
-    ``path`` (or ``path`` itself when it is a file) via the Hadoop
-    FileSystem API — scheme-agnostic, no data read.  Sorted for
-    deterministic task assignment."""
+    """Non-recursive metadata listing of the plain DATA files under
+    ``path`` (or ``path`` itself when it is a file; glob patterns
+    expand via ``globStatus``) through the Hadoop FileSystem API —
+    scheme-agnostic, no data read.  Hidden/metadata files (basenames
+    starting with ``_`` or ``.`` — ``_SUCCESS``, ``.crc``,
+    ``.DS_Store``) are skipped, matching the filter Spark's own file
+    sources apply.  Sorted for deterministic task assignment."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def is_data(st) -> bool:
+        name = st.getPath().getName()
+        return st.isFile() and not name.startswith(("_", "."))
+
+    if any(c in path for c in "*?[{"):
+        statuses = fs.globStatus(jpath) or []
+        return sorted(
+            st.getPath().toString() for st in statuses if is_data(st)
+        )
     if fs.isFile(jpath):
         return [jpath.toString()]
     return sorted(
-        st.getPath().toString()
-        for st in fs.listStatus(jpath)
-        if st.isFile()
+        st.getPath().toString() for st in fs.listStatus(jpath) if is_data(st)
     )
+
+
+# Hadoop URI schemes whose object stores pyarrow reaches under a
+# different scheme name (Spark's S3 connector is s3a://; pyarrow's is
+# s3://).  Schemes pyarrow has no driver for at all (abfs, wasb,
+# viewfs) fail loudly below — use the driver-side
+# ``read_zipped_delimited`` or mount-level access for those.
+_PYARROW_SCHEME_MAP = {"s3a": "s3", "s3n": "s3"}
 
 
 def _read_all_bytes(uri: str) -> bytes:
     """Read a whole file by URI inside a task.  Local paths (bare or
     file:) use plain open; other schemes go through pyarrow's
-    filesystem layer (hdfs://, s3://...).  Zip needs random access to
-    the central directory, so the archive is buffered fully — the
-    per-task memory bound is one archive, which is also the unit of
-    parallelism."""
+    filesystem layer (hdfs://, s3://..., with s3a/s3n translated to
+    pyarrow's s3).  Zip needs random access to the central directory,
+    so the archive is buffered fully — the per-task memory bound is
+    one archive, which is also the unit of parallelism."""
     from urllib.parse import unquote, urlparse
 
     u = urlparse(uri)
@@ -657,6 +676,17 @@ def _read_all_bytes(uri: str) -> bytes:
             return f.read()
     import pyarrow.fs as pafs
 
-    fs, rel = pafs.FileSystem.from_uri(uri)
+    mapped = _PYARROW_SCHEME_MAP.get(u.scheme)
+    if mapped:
+        uri = f"{mapped}:{uri.split(':', 1)[1]}"
+    try:
+        fs, rel = pafs.FileSystem.from_uri(uri)
+    except Exception as exc:  # pragma: no cover - scheme-dependent
+        raise ValueError(
+            f"no task-side reader for scheme {u.scheme!r} ({uri}): pyarrow "
+            "supports file/hdfs/s3/gs (s3a/s3n are translated); for other "
+            "Hadoop schemes use read_zipped_delimited (driver-side) or a "
+            "mounted path"
+        ) from exc
     with fs.open_input_stream(rel) as f:
         return f.read()

@@ -664,3 +664,34 @@ def test_ranged_gaps_fuzz_matches_global_lead(keys, width):
     )
     want = sorted((r["s"], r["e"], r["l"]) for r in ref.collect())
     assert got == want
+
+
+def test_curriculum_phases_null_difficulty_matches_duckdb(spark):
+    """NULL difficulties: Spark asc ranks NULLS FIRST and ranged_rank
+    routes NULL to the first bucket; the oracle must say NULLS FIRST
+    explicitly because DuckDB's ASC default is NULLS LAST (review
+    finding r4)."""
+    import duckdb
+    import pandas as pd
+
+    from gis_city_county_spark.operators.mlprep import (
+        curriculum_phases,
+        curriculum_phases_sql,
+    )
+
+    rows = [(1, 10), (2, None), (3, 30), (4, 20), (5, None), (6, 40)]
+    df = spark.createDataFrame(rows, "id long, diff long")
+    got = {
+        (r["phase"], r["n_rows"], r["min_difficulty"], r["max_difficulty"])
+        for r in curriculum_phases(df, "id", "diff", n_phases=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["id", "diff"]))
+    sql = curriculum_phases_sql("t", "id", "diff", n_phases=3)
+    want = {
+        (r[0], r[1], r[2], r[3]) for r in con.execute(sql).fetchall()
+    }
+    assert got == want
+    # the two NULLs land in the FIRST phase on both engines
+    first = [t for t in got if t[0] == 0]
+    assert first and first[0][1] == 2 and first[0][2] is None

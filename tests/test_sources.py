@@ -742,3 +742,33 @@ def test_zipped_distributed_one_task_per_archive(spark, tmp_path):
     # every task parsed exactly one archive
     per_part = df.rdd.glom().map(len).collect()
     assert per_part == [1] * n_archives
+
+
+def test_zipped_distributed_skips_hidden_and_expands_globs(spark, tmp_path):
+    """Hidden/metadata files (_SUCCESS, .crc) in the archive dir must
+    be skipped — Spark's own file sources filter them, and ZipFile on
+    a marker file would fail the whole job — and glob paths must
+    expand like every Spark file source."""
+    import zipfile
+
+    from gis_city_county_spark.sources.files import (
+        read_zipped_delimited_distributed,
+    )
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    for i in range(3):
+        with zipfile.ZipFile(d / f"a{i}.zip", "w") as zf:
+            zf.writestr(f"m_{i}.csv", "code|name\n" + f"{i:04d}|p{i}")
+    (d / "_SUCCESS").write_text("")
+    (d / ".a0.zip.crc").write_text("not a zip")
+
+    df = read_zipped_delimited_distributed(
+        spark, str(d), r"m_\d+\.csv", ["code", "name"], sep="|"
+    )
+    assert {r["code"] for r in df.collect()} == {"0000", "0001", "0002"}
+
+    globbed = read_zipped_delimited_distributed(
+        spark, str(d / "a[01].zip"), r"m_\d+\.csv", ["code", "name"], sep="|"
+    )
+    assert {r["code"] for r in globbed.collect()} == {"0000", "0001"}
