@@ -48,6 +48,12 @@ HEADLINE = [
     "graph_pagerank_trade",
     "cdc_merge_upsert",
     "events_sessionize",
+    # r4: representatives for the families added this round
+    "dedup_cluster_keeper",
+    "mlprep_target_encode",
+    "privacy_randomized_response",
+    "graph_kcore_trade",
+    "sim_pq_rerank_topk",
 ]
 
 
