@@ -548,3 +548,40 @@ def test_streaming_countmin_cells_match_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0
     # the sketch stayed bounded
     assert len(got) <= depth * width
+
+
+def test_streaming_monitor_reports_throughput_and_bounded_state(spark, tmp_path):
+    """The progress reducer must surface per-batch throughput and the
+    state-store row count, and the count-min twin's state must respect
+    its designed depth x width bound."""
+    from gis_city_county_spark.streaming.monitor import batch_reports, summarize
+    from gis_city_county_spark.streaming.sketch import streaming_countmin_cells
+
+    path = str(tmp_path / "docs")
+    df = spark.range(0, 400).selectExpr("id AS user_id")
+    df.filter("user_id % 2 = 0").coalesce(1).write.parquet(path)
+    df.filter("user_id % 2 = 1").coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    width, depth = 1 << 6, 4
+    cells = streaming_countmin_cells(
+        spark, schema, path, "user_id", width, depth,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cm_mon")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    reports = batch_reports(q)
+    s = summarize(q)
+    assert s["n_data_batches"] >= 2
+    assert s["total_input_rows"] == 400
+    data = [r for r in reports if r["input_rows"]]
+    assert all(r["rows_per_sec"] and r["rows_per_sec"] > 0 for r in data)
+    # boundedness: streaming-agg state is the sketch itself
+    assert 0 < s["final_state_rows"] <= depth * width
