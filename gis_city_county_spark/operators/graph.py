@@ -169,18 +169,25 @@ def bfs_hops_sql(edges_sql: str, source: int, max_hops: int) -> str:
     level-synchronous CTEs (frontier k = distinct neighbors of
     frontier k−1 minus all visited) — a naive recursive CTE would
     enumerate every walk, exponential on a dense graph."""
+    # AS MATERIALIZED throughout: v{k-1} and n{k} are each referenced
+    # twice per level, so DuckDB's default CTE inlining would expand
+    # the plan ~2^hops copies of the edge scan (the kcore oracle hit
+    # exactly this and spilled tens of GB before materialization).
     ctes = [
-        "e AS (" + edges_sql + ")",
+        "e AS MATERIALIZED (" + edges_sql + ")",
         f"v0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS hops)",
         "f0 AS (SELECT node FROM v0)",
     ]
     for k in range(1, max_hops + 1):
         ctes.append(
-            f"n{k} AS (SELECT c.node, CAST({k} AS BIGINT) AS hops FROM "
+            f"n{k} AS MATERIALIZED (SELECT c.node, CAST({k} AS BIGINT) AS hops FROM "
             f"(SELECT DISTINCT e.dst AS node FROM f{k-1} JOIN e ON f{k-1}.node = e.src) c "
             f"WHERE c.node NOT IN (SELECT node FROM v{k-1}))"
         )
-        ctes.append(f"v{k} AS (SELECT * FROM v{k-1} UNION ALL SELECT * FROM n{k})")
+        ctes.append(
+            f"v{k} AS MATERIALIZED "
+            f"(SELECT * FROM v{k-1} UNION ALL SELECT * FROM n{k})"
+        )
         ctes.append(f"f{k} AS (SELECT node FROM n{k})")
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, hops FROM v{max_hops} ORDER BY hops, node"
@@ -244,15 +251,22 @@ def kcore(
 def kcore_sql(edges_sql: str, k: int, rounds: int = 6) -> str:
     """DuckDB oracle twin of :func:`kcore`: the peel unrolled into
     ``rounds`` keep-set CTEs (no-ops after the fixpoint, exactly like
-    the early-exiting loop)."""
-    ctes = [f"e0 AS ({edges_sql})"]
+    the early-exiting loop).
+
+    Every chained CTE is ``AS MATERIALIZED``: each round references
+    the previous edge set three times (the keep-set derivation plus
+    both join sides), so DuckDB's default CTE *inlining* would expand
+    the plan ~3^rounds — it spilled tens of GB at sf0.1 before
+    evaluating anything.  Materialization makes each round linear,
+    mirroring the loop's per-round ``localCheckpoint``."""
+    ctes = [f"e0 AS MATERIALIZED ({edges_sql})"]
     for r in range(rounds):
         ctes.append(
-            f"keep{r} AS (SELECT src FROM e{r} GROUP BY src"
+            f"keep{r} AS MATERIALIZED (SELECT src FROM e{r} GROUP BY src"
             f" HAVING COUNT(*) >= {k})"
         )
         ctes.append(
-            f"e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e"
+            f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e"
             f" JOIN keep{r} a ON e.src = a.src"
             f" JOIN keep{r} b ON e.dst = b.src)"
         )
