@@ -695,3 +695,113 @@ def test_curriculum_phases_null_difficulty_matches_duckdb(spark):
     # the two NULLs land in the FIRST phase on both engines
     first = [t for t in got if t[0] == 0]
     assert first and first[0][1] == 2 and first[0][2] is None
+
+
+def test_target_encode_shrinkage_invariants(spark):
+    """m-estimate algebra: every encoded value lies between the raw
+    category mean and the global prior (shrinkage never overshoots),
+    and grows toward the prior as m grows."""
+    from gis_city_county_spark.operators.mlprep import target_encode
+
+    rows = [("a", 10.0), ("a", 20.0), ("b", 100.0),
+            ("c", 1.0), ("c", 2.0), ("c", 3.0)]
+    df = spark.createDataFrame(rows, "cat string, y double")
+    prior = sum(v for _, v in rows) / len(rows)
+    for m in (1.0, 10.0, 1000.0):
+        out = {r["cat"]: r for r in target_encode(df, "cat", "y", m=m).collect()}
+        for cat, r in out.items():
+            raw_mean = r["sum_y"] / r["n"]
+            lo, hi = sorted((raw_mean, prior))
+            assert lo - 1e-9 <= r["encoded"] <= hi + 1e-9, (cat, m)
+            assert abs(r["prior"] - prior) < 1e-9
+    big = {r["cat"]: r["encoded"]
+           for r in target_encode(df, "cat", "y", m=1e9).collect()}
+    assert all(abs(v - prior) < 1e-3 for v in big.values())
+
+
+def test_calibration_bins_partition_and_bounds(spark):
+    """Bins partition the rows (counts sum to n), avg_pred stays inside
+    its bin's milli-range, and frac_pos is within [0, 1]."""
+    from gis_city_county_spark.operators.mlprep import calibration_bins
+
+    rows = [(i * 37 % 1000, i % 3 == 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "pred_milli long, label boolean")
+    out = calibration_bins(df, "pred_milli", "label", n_bins=10).collect()
+    assert sum(r["n"] for r in out) == 500
+    for r in out:
+        lo, hi = r["bin"] * 100 / 1000.0, (r["bin"] + 1) * 100 / 1000.0
+        assert lo - 1e-9 <= r["avg_pred"] < hi + 1e-9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert abs(r["abs_gap"] - abs(r["avg_pred"] - r["frac_pos"])) < 1e-12
+
+
+def test_kfold_stratified_partitions_and_is_stable(spark):
+    """Fold cells partition each stratum, folds land in [0, k), and
+    the assignment is identical across recomputation (md5-keyed, no
+    RNG state)."""
+    from gis_city_county_spark.operators.mlprep import kfold_stratified
+
+    rows = [(i, ["x", "y", "z"][i % 3], float(i)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string, y double")
+    a = kfold_stratified(df, "id", "s", "y", n_folds=5).collect()
+    b = kfold_stratified(df, "id", "s", "y", n_folds=5).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    per_stratum: dict[str, int] = {}
+    for r in a:
+        assert 0 <= r["fold"] < 5
+        per_stratum[r["s"]] = per_stratum.get(r["s"], 0) + r["n"]
+    assert per_stratum == {"x": 100, "y": 100, "z": 100}
+
+
+def test_vocab_coverage_bounds_and_ppm_monotonicity(spark):
+    """coverage ∈ [0,1], covered ≤ total, and raising the ppm
+    threshold (smaller vocabulary) never increases any group's
+    coverage."""
+    from gis_city_county_spark.operators.corpus import vocab_coverage
+
+    rows = [(i, "common words everywhere" if i % 2 else f"rare{i} token{i}",
+             ["g1", "g2"][i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string, grp string")
+
+    def cov(ppm):
+        return {
+            r["grp"]: (r["coverage"], r["covered_occ"], r["total_occ"])
+            for r in vocab_coverage(df, "id", "text", "grp", ppm=ppm).collect()
+        }
+
+    loose, tight = cov(1000), cov(200000)
+    for got in (loose, tight):
+        for c, covd, tot in got.values():
+            assert 0.0 <= c <= 1.0 and 0 <= covd <= tot
+    for g in loose:
+        assert tight[g][0] <= loose[g][0] + 1e-12
+
+
+def test_randomized_response_debias_is_exact_inverse(spark):
+    """With the deterministic md5 coins, the debiased estimate applied
+    to the *expected* observation identity must recover a value whose
+    error equals (den·flips_diff)/(den−2) — i.e. est_err is exactly
+    determined by how many coins flipped each way; verify via direct
+    recomputation."""
+    from gis_city_county_spark.operators.privacy import randomized_response
+    from gis_city_county_spark.operators.sketch import _h60
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "g", i % 4 == 0) for i in range(200)], "id long, g string, b boolean"
+    )
+    out = randomized_response(df, "id", "g", "b", flip_den=4).collect()[0]
+    flips = df.select(
+        (
+            (_h60(F.concat(F.lit("rr|"), F.col("id").cast("string"))) % 4) == 0
+        ).alias("f"),
+        "b",
+    ).collect()
+    obs = sum((not r["b"]) if r["f"] else r["b"] for r in flips)
+    n, true = len(flips), sum(r["b"] for r in flips)
+    assert out["n"] == n and out["true_cnt"] == true and out["observed_cnt"] == obs
+    assert abs(out["est_cnt"] - (4 * obs - n) / 2.0) < 1e-12
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        randomized_response(df, "id", "g", "b", flip_den=2)
