@@ -554,6 +554,8 @@ def read_zipped_delimited_distributed(
     columns: Sequence[str],
     sep: str = "|",
     header: bool = True,
+    max_archive_bytes: int | None = None,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """S3 at corpus scale: parse delimited members out of MANY zip
     archives fully distributed — the path :func:`read_delimited`'s
@@ -574,7 +576,15 @@ def read_zipped_delimited_distributed(
     ``source_member`` column records provenance.  Archives aren't
     splittable, so per-archive tasks are the parallelism ceiling; at
     corpus scale there are thousands of archives and the stage is
-    embarrassingly parallel."""
+    embarrassingly parallel.
+
+    ``max_archive_bytes`` guards the per-task memory bound (each task
+    buffers one whole archive): oversize archives are detected at
+    PLANNING time from the same metadata listing — no data read — and
+    either fail loudly with the offending paths (``on_oversize=
+    'error'``, the default: silent data loss is worse than a retry
+    with a raised bound) or are skipped (``'skip'``, for
+    quarantine-and-continue ingest)."""
     import re as _re
 
     out_fields = [T.StructField(c, T.StringType()) for c in columns] + [
@@ -611,7 +621,18 @@ def read_zipped_delimited_distributed(
                         out["source_member"] = f"{src}!{name}"
                         yield out
 
-    paths = _list_data_files(spark, path)
+    sized = _list_data_file_statuses(spark, path)
+    if max_archive_bytes is not None:
+        over = [(p, n) for p, n in sized if n > max_archive_bytes]
+        if over and on_oversize == "error":
+            listing = ", ".join(f"{p} ({n} B)" for p, n in over[:10])
+            raise ValueError(
+                f"{len(over)} archive(s) exceed max_archive_bytes="
+                f"{max_archive_bytes} (each task buffers one whole "
+                f"archive): {listing}"
+            )
+        sized = [(p, n) for p, n in sized if n <= max_archive_bytes]
+    paths = [p for p, _ in sized]
     if not paths:
         return spark.createDataFrame([], out_schema)
     # sc.parallelize with numSlices == len(paths) places exactly one
@@ -625,14 +646,17 @@ def read_zipped_delimited_distributed(
     return archives.mapInPandas(parse, out_schema)
 
 
-def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+def _list_data_file_statuses(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int]]:
     """Non-recursive metadata listing of the plain DATA files under
     ``path`` (or ``path`` itself when it is a file; glob patterns
     expand via ``globStatus``) through the Hadoop FileSystem API —
-    scheme-agnostic, no data read.  Hidden/metadata files (basenames
-    starting with ``_`` or ``.`` — ``_SUCCESS``, ``.crc``,
-    ``.DS_Store``) are skipped, matching the filter Spark's own file
-    sources apply.  Sorted for deterministic task assignment."""
+    scheme-agnostic, no data read.  Returns ``(uri, size_bytes)``
+    pairs.  Hidden/metadata files (basenames starting with ``_`` or
+    ``.`` — ``_SUCCESS``, ``.crc``, ``.DS_Store``) are skipped,
+    matching the filter Spark's own file sources apply.  Sorted for
+    deterministic task assignment."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -643,14 +667,22 @@ def _list_data_files(spark: SparkSession, path: str) -> list[str]:
 
     if any(c in path for c in "*?[{"):
         statuses = fs.globStatus(jpath) or []
-        return sorted(
-            st.getPath().toString() for st in statuses if is_data(st)
-        )
-    if fs.isFile(jpath):
-        return [jpath.toString()]
+    elif fs.isFile(jpath):
+        # An explicitly-named file is always honored, hidden or not —
+        # the filter exists to skip markers during DIRECTORY listing.
+        st = fs.getFileStatus(jpath)
+        return [(st.getPath().toString(), st.getLen())]
+    else:
+        statuses = list(fs.listStatus(jpath))
     return sorted(
-        st.getPath().toString() for st in fs.listStatus(jpath) if is_data(st)
+        (st.getPath().toString(), st.getLen())
+        for st in statuses
+        if is_data(st)
     )
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    return [p for p, _ in _list_data_file_statuses(spark, path)]
 
 
 # Hadoop URI schemes whose object stores pyarrow reaches under a

@@ -772,3 +772,37 @@ def test_zipped_distributed_skips_hidden_and_expands_globs(spark, tmp_path):
         spark, str(d / "a[01].zip"), r"m_\d+\.csv", ["code", "name"], sep="|"
     )
     assert {r["code"] for r in globbed.collect()} == {"0000", "0001"}
+
+
+def test_zipped_distributed_oversize_guard(spark, tmp_path):
+    """Planning-time per-task memory guard: oversize archives fail
+    loudly by default (naming the offenders) or are skipped with
+    on_oversize='skip'; no archive bytes are read either way."""
+    import zipfile
+
+    import pytest
+
+    from gis_city_county_spark.sources.files import (
+        read_zipped_delimited_distributed,
+    )
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    with zipfile.ZipFile(d / "small.zip", "w") as zf:
+        zf.writestr("m_0.csv", "code|name\n0001|a")
+    with zipfile.ZipFile(d / "big.zip", "w") as zf:
+        zf.writestr("m_1.csv", "code|name\n" + "\n".join(
+            f"{i:04d}|{'x' * 200}" for i in range(2000)
+        ))
+    cap = (d / "small.zip").stat().st_size + 10
+
+    with pytest.raises(ValueError, match="big.zip"):
+        read_zipped_delimited_distributed(
+            spark, str(d), r"m_\d+\.csv", ["code", "name"], sep="|",
+            max_archive_bytes=cap,
+        )
+    kept = read_zipped_delimited_distributed(
+        spark, str(d), r"m_\d+\.csv", ["code", "name"], sep="|",
+        max_archive_bytes=cap, on_oversize="skip",
+    )
+    assert {r["code"] for r in kept.collect()} == {"0001"}
