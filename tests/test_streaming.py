@@ -585,3 +585,33 @@ def test_streaming_monitor_reports_throughput_and_bounded_state(spark, tmp_path)
     assert all(r["rows_per_sec"] and r["rows_per_sec"] > 0 for r in data)
     # boundedness: streaming-agg state is the sketch itself
     assert 0 < s["final_state_rows"] <= depth * width
+
+
+def test_streaming_near_dup_state_bound_via_monitor(spark, tmp_path):
+    """Operational proof of the LSH dedup scale story: GroupState rows
+    never exceed active buckets (= distinct (band_idx, band_hash)
+    groups), the bound SCALE.md claims."""
+    from gis_city_county_spark.streaming.dedup import streaming_near_dup_pairs
+    from gis_city_county_spark.streaming.monitor import summarize
+
+    docs = [(i, f"document number {i} about topic {i % 7} with words")
+            for i in range(40)]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)\
+        .write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    stream_df = streaming_near_dup_pairs(spark, schema, path, max_state=8)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("nd_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    s = summarize(q)
+    # one state row per active bucket; 40 docs x 4 bands bounds the
+    # distinct buckets at 160
+    assert 0 < s["final_state_rows"] <= 160
+    assert s["total_input_rows"] == 40
