@@ -235,29 +235,28 @@ def target_encode(
     remaining arithmetic is a fixed-order chain of single IEEE ops —
     bit-identical on any engine and any partitioning.
 
-    Scale: one map-side-combinable aggregate per category plus a
-    1-row global aggregate broadcast onto it; no windows, no sort.
+    Scale: ONE pass over the input — the per-category aggregate keeps
+    its decimal sums, and the global prior folds those ≤ |categories|
+    decimals again (decimal addition is exact and associative, so the
+    two-level sum equals a direct global sum bit-for-bit); the input
+    is never re-scanned for the prior.  No windows, no sort.
 
     Returns (cat_col, n, sum_y, prior, encoded).
     """
-    from gis_city_county_spark.functions.numeric import dec_sum
-
     per_cat = df.groupBy(cat_col).agg(
         F.count(target_col).alias("n"),
-        dec_sum(F.col(target_col), "sum_y"),
+        F.sum(F.col(target_col).cast("decimal(38,10)")).alias("__sy_dec"),
     )
-    prior = df.agg(
-        (
-            F.sum(F.col(target_col).cast("decimal(38,10)")).cast("double")
-            / F.count(target_col)
-        ).alias("prior")
+    prior = per_cat.agg(
+        (F.sum("__sy_dec").cast("double") / F.sum("n")).alias("prior")
     )
     enc = (
         (F.col("sum_y") + F.lit(float(m)) * F.col("prior"))
         / (F.col("n").cast("double") + F.lit(float(m)))
     )
     return (
-        per_cat.crossJoin(F.broadcast(prior))
+        per_cat.withColumn("sum_y", F.col("__sy_dec").cast("double"))
+        .crossJoin(F.broadcast(prior))
         .withColumn("encoded", enc)
         .select(cat_col, "n", "sum_y", "prior", "encoded")
     )
