@@ -274,3 +274,96 @@ def kcore_sql(edges_sql: str, k: int, rounds: int = 6) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT src AS node, COUNT(*) AS deg FROM e{rounds} GROUP BY src"
     )
+
+
+# -------------------------------------------------- label propagation
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own community; each round every node adopts the most
+    frequent label among its in-neighbors (ties → smallest label;
+    isolated nodes keep their label).  ``rounds`` is part of the
+    contract: synchronous LPA can oscillate on bipartite structure, so
+    the result is defined as "the labeling after exactly R rounds" —
+    deterministic on any engine, which is what the unrolled-CTE oracle
+    replays.
+
+    Per round: one edge⋈labels shuffle join, one (node, label) count
+    aggregate (map-side combinable), one argmax-by-min-struct per node
+    (no window), one left join back for isolated nodes —
+    ``localCheckpoint`` truncates lineage, so cost is linear in
+    rounds, never in history.
+
+    Returns (node, label) — nodes sharing a label after R rounds are
+    one community.
+    """
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax (c desc, label asc) as a map-side-combinable min over
+        # (-c, label) structs — no per-node window, no sort.
+        best = votes.groupBy("n").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b")
+        ).select(F.col("n").alias("node"), F.col("b.label").alias("new_label"))
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_sql(edges_sql: str, rounds: int = 4) -> str:
+    """DuckDB oracle twin: the synchronous rounds unrolled, every
+    chained CTE ``AS MATERIALIZED`` (each round references the
+    previous labeling twice — inlining would expand ~2^rounds)."""
+    ctes = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION ALL SELECT dst FROM e))",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"v{r} AS MATERIALIZED ("
+            f"SELECT e.dst AS n, l.label, COUNT(*) AS c "
+            f"FROM e JOIN l{r} l ON e.src = l.node GROUP BY e.dst, l.label)"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED ("
+            f"SELECT n AS node, label AS new_label FROM ("
+            f"SELECT n, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY n ORDER BY c DESC, label ASC) AS rk FROM v{r}) t "
+            f"WHERE rk = 1)"
+        )
+        ctes.append(
+            f"l{r + 1} AS MATERIALIZED ("
+            f"SELECT l.node, COALESCE(b.new_label, l.label) AS label "
+            f"FROM l{r} l LEFT JOIN b{r} b ON b.node = l.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{rounds}"
+    )

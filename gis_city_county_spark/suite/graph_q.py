@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from gis_city_county_spark.operators.graph import (
     kcore,
     kcore_sql,
+    label_propagation,
+    label_propagation_sql,
     pagerank,
     pagerank_sql,
 )
@@ -348,10 +350,22 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_ORACLE = kcore_sql(_EDGES_SQL, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
+_LPA_ROUNDS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 synchronous label-propagation rounds over the trade graph —
+    deterministic fixed-round communities (min-label tiebreak)."""
+    return label_propagation(_trade_edges(spark, sf_dir), rounds=_LPA_ROUNDS)
+
+
+_LPA_ORACLE = label_propagation_sql(_EDGES_SQL, rounds=_LPA_ROUNDS)
+
 
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
     QuerySpec("graph_kcore_trade", q_kcore, _KCORE_ORACLE),
+    QuerySpec("graph_label_propagation", q_label_propagation, _LPA_ORACLE),
     QuerySpec("graph_modularity_nations", q_modularity, _MODULARITY_ORACLE),
     QuerySpec("graph_degree_histogram", q_degree_histogram, _DEGREE_ORACLE),
     QuerySpec("graph_link_prediction", q_link_prediction, _LINKPRED_ORACLE),

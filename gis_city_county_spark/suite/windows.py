@@ -220,6 +220,7 @@ R5_PRESTAGE: tuple[str, ...] = (
     "graph_kcore_trade",
     "privacy_randomized_response",
     "sim_pq_rerank_topk",
+    "graph_label_propagation",
 )
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

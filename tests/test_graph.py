@@ -80,3 +80,22 @@ def test_kcore_hand_computed(spark):
 
     out = {r["node"]: r["deg"] for r in kcore(edges, k=2, rounds=6).collect()}
     assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_label_propagation_hand_computed(spark):
+    # path 1-2-3 plus isolated pair 10-11 (all edges symmetric).
+    und = [(1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    from gis_city_county_spark.operators.graph import label_propagation
+
+    # round 1: 1<-{2}=2, 2<-{1,3}->min label 1, 3<-{2}=2; 10<->11 swap
+    # to min 10... (10 adopts 11? neighbors of 10 = {11} -> 11; 11 -> 10)
+    out1 = {r["node"]: r["label"]
+            for r in label_propagation(edges, rounds=1).collect()}
+    assert out1 == {1: 2, 2: 1, 3: 2, 10: 11, 11: 10}
+    # round 2: 1<-{2:1}=1, 2<-{1:2,3:2}=2, 3<-{2:1}=1; pair swaps back
+    out2 = {r["node"]: r["label"]
+            for r in label_propagation(edges, rounds=2).collect()}
+    assert out2 == {1: 1, 2: 2, 3: 1, 10: 10, 11: 11}
