@@ -2,7 +2,7 @@
 
 The external driver verifies only the first ``DRIVER_WINDOW`` entries
 of ``all_specs()`` against the DuckDB oracle each round (observed in
-CORRECTNESS_r01..r03: keys == all_specs()[:50]).  Registration order
+CORRECTNESS_r01..r04: keys == all_specs()[:50]).  Registration order
 is therefore a CONTRACT, and the window must ROTATE between rounds so
 cumulative driver coverage grows instead of re-checking the same 50.
 
@@ -15,9 +15,12 @@ Everything round-shaped lives HERE so a rotation is one edit:
   test asserts the window re-checks exactly these and nothing else.
 * ``CURRENT_ROUND`` — the round whose window registers first in
   ``all_specs()``.
-* ``R5_PRESTAGE`` — the never-checked remainder after round 4; round
-  5's window = these 30 + any round-4 reds + green re-confirms chosen
-  by ``rotation.propose_window`` at rotation time.
+* ``PRESTAGE[r]`` — the queries that will still be driver-unchecked
+  going INTO round ``r``'s rotation: the never-checked remainder of
+  earlier rounds plus any queries added during round ``r - 1`` (a new
+  QuerySpec's first possible driver row is the round after the one
+  that added it).  Round ``r``'s window is built from ``PRESTAGE[r]``
+  + re-proof slots.
 
 ``tests/test_contract_shapes.py`` derives its assertions from this
 map (checked-set scoped to CORRECTNESS files of rounds strictly
@@ -29,7 +32,80 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 4
+CURRENT_ROUND = 5
+
+# Round 5: 9 re-proofs + all 41 R5_PRESTAGE names — this window closes
+# driver coverage at 233/233 (every query in the round-4 suite will
+# have a driver row, and every latest row was green going in).
+#
+# The re-proofs are r2-green queries whose PHYSICAL PLANS changed
+# since their last driver hash:
+#   * the five geo queries that flow through dissolve/erase/overlay —
+#     r4 made dissolve's skew-salting automatic (geo/ops.py:257
+#     ``_auto_n_salt`` probe), so the dissolve users' plans now carry
+#     the pre-count; the erase/overlay/sliver plans absorbed the r3/r4
+#     kernel repairs (pinched-ring split, even-odd identity keep);
+#   * the two heaviest long-unchecked r2 rows (``dedup_minhash_lsh_pairs``
+#     banding/no-BNLJ sweep, ``sim_lsh_ann_topk``);
+#   * ``sim_ivf_index_persisted`` — r5 splits the harness into
+#     build-once/probe-only and drops the collect(), changing the
+#     benched plan (VERDICT r4 item 4);
+#   * ``dedup_exact`` — the oldest dedup green, cheap reconfirm.
+_R5_WINDOW: tuple[str, ...] = (
+    # Re-proofs (r2-green, plans since rewritten).
+    "ref_a1_dissolve_attach",
+    "geo_a1_dissolve",
+    "geo_j2_union_overlay",
+    "geo_j3_erase",
+    "geo_sliver_fix",
+    "dedup_minhash_lsh_pairs",
+    "sim_lsh_ann_topk",
+    "sim_ivf_index_persisted",
+    "dedup_exact",
+    # The full 41-entry never-checked remainder after round 4
+    # (R5_PRESTAGE), in its pinned order.
+    "text_url_canonicalize",
+    "olap_keyset_page",
+    "text_fingerprint",
+    "pipeline_training_data",
+    "text_zscore_nchars",
+    "text_rarity_score",
+    "eval_lang_id_confusion",
+    "func_array_set_battery",
+    "mlprep_hash_features",
+    "mlprep_one_hot_segments",
+    "pipeline_shard_assign",
+    "pipeline_mixture_resample",
+    "pipeline_mixture_upsample",
+    "olap_bitmap_distinct",
+    "text_redact_pii",
+    "pipeline_blocklist_filter",
+    "eval_ab_uplift",
+    "eval_exact_auc",
+    "eval_confusion_sweep",
+    "mlprep_quantile_align",
+    "events_range_join",
+    "events_gap_detection",
+    "events_interval_union",
+    "pipeline_quota_sample",
+    "search_tfidf_topk",
+    "search_conjunctive",
+    "search_proximity",
+    "search_fuzzy_name_lookup",
+    "layout_zorder_key_hist",
+    "func_map_roundtrip",
+    "dedup_cluster_keeper",
+    "pipeline_dedup_yield",
+    "corpus_vocab_coverage",
+    "mlprep_curriculum_phases",
+    "mlprep_target_encode",
+    "eval_calibration_bins",
+    "mlprep_kfold_stratified",
+    "graph_kcore_trade",
+    "privacy_randomized_response",
+    "sim_pq_rerank_topk",
+    "graph_label_propagation",
+)
 
 # Round 4: 3 re-proofs + 47 first-ever driver rows.
 #
@@ -39,8 +115,9 @@ CURRENT_ROUND = 4
 # ranged_cumsum / ranged_gaps); the driver has never hashed the new
 # plans (VERDICT r3 item 5).  The 47 new rows are all remaining
 # profile_* (10), pyapi_* (6), 26 of the 29 remaining events_*, and
-# the 5 scalar-function batteries — leaving exactly R5_PRESTAGE (30)
-# never-checked for the final rotation.
+# the 5 scalar-function batteries — leaving exactly R5_PRESTAGE (41
+# entries: 30 pre-existing + the 11 queries added during round 4)
+# never-checked for the round-5 rotation.
 _R4_WINDOW: tuple[str, ...] = (
     # Re-proofs: r3-rewritten two-phase plans (green in r1 on the old
     # single-window plans).
@@ -156,6 +233,7 @@ _R3_WINDOW: tuple[str, ...] = (
 WINDOWS: dict[int, tuple[str, ...]] = {
     3: _R3_WINDOW,
     4: _R4_WINDOW,
+    5: _R5_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -172,11 +250,25 @@ REPROOFS: dict[int, frozenset[str]] = {
         "olap_top_movers",
         "olap_pareto_abc",
     }),
+    # r2-green queries whose plans changed since (dissolve auto-salt,
+    # kernel repairs, IVF build/probe split) + the heaviest old greens.
+    5: frozenset({
+        "ref_a1_dissolve_attach",
+        "geo_a1_dissolve",
+        "geo_j2_union_overlay",
+        "geo_j3_erase",
+        "geo_sliver_fix",
+        "dedup_minhash_lsh_pairs",
+        "sim_lsh_ann_topk",
+        "sim_ivf_index_persisted",
+        "dedup_exact",
+    }),
 }
 
-# The 30 queries that will still be driver-unchecked after round 4 —
-# round 5's window starts from exactly these (plus any r4 reds, plus
-# green re-confirms to fill the 50).
+# The 41 queries that were still driver-unchecked after round 4
+# (30 pre-existing + the 11 QuerySpecs added during round 4) — all of
+# them are in WINDOWS[5], which closes driver coverage for the
+# round-4 suite at 233/233.
 R5_PRESTAGE: tuple[str, ...] = (
     "text_url_canonicalize",
     "olap_keyset_page",
@@ -222,5 +314,17 @@ R5_PRESTAGE: tuple[str, ...] = (
     "sim_pq_rerank_topk",
     "graph_label_propagation",
 )
+
+# Queries ADDED during round 5 (after WINDOWS[5] was pinned): their
+# first possible driver check is round 6.  Every new QuerySpec must be
+# appended here — ``tests/test_contract_shapes.py`` asserts that the
+# suite minus prior coverage minus WINDOWS[5] equals exactly this set.
+R6_PRESTAGE: tuple[str, ...] = (
+)
+
+PRESTAGE: dict[int, tuple[str, ...]] = {
+    5: R5_PRESTAGE,
+    6: R6_PRESTAGE,
+}
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

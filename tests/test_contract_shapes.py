@@ -27,7 +27,7 @@ from gis_city_county_spark.suite import (
     WINDOWS,
     all_specs,
 )
-from gis_city_county_spark.suite.windows import R5_PRESTAGE
+from gis_city_county_spark.suite.windows import PRESTAGE, R5_PRESTAGE
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -67,17 +67,30 @@ def test_windows_rotate_toward_unchecked_queries() -> None:
 
 def test_windows_partition_the_suite() -> None:
     # No duplicate names inside any window, re-proofs ⊆ window, and
-    # the round-4 window + prior coverage + R5_PRESTAGE == whole suite.
+    # the current window + prior coverage + next round's prestage ==
+    # whole suite (so a new QuerySpec added mid-round MUST be staged).
     names = {s.name for s in all_specs()}
     for rnd, window in WINDOWS.items():
         assert len(window) == len(set(window)), f"round {rnd} dupes"
         assert set(REPROOFS[rnd]) <= set(window), f"round {rnd} reproofs"
         assert set(window) <= names, f"round {rnd} unknown names"
+    # Historical invariant: R5_PRESTAGE == the never-checked remainder
+    # after round 4 (it was built that way and WINDOWS[5] consumes it).
     checked_before_4 = _driver_checked_names(before_round=4)
-    leftover = names - checked_before_4 - set(WINDOWS[4])
-    assert leftover == set(R5_PRESTAGE), (
+    r4_suite_names = names - set(PRESTAGE.get(CURRENT_ROUND + 1, ()))
+    leftover_after_4 = r4_suite_names - checked_before_4 - set(WINDOWS[4])
+    assert leftover_after_4 == set(R5_PRESTAGE), (
         "R5_PRESTAGE out of date: after round 4 the never-checked "
-        f"remainder is {sorted(leftover)}"
+        f"remainder is {sorted(leftover_after_4)}"
+    )
+    assert set(R5_PRESTAGE) <= set(WINDOWS[5]), "R5_PRESTAGE not fully windowed"
+    # Live invariant: everything outside prior coverage and the current
+    # window must be staged for the NEXT round's rotation.
+    checked_before_now = _driver_checked_names(before_round=CURRENT_ROUND)
+    leftover_now = names - checked_before_now - set(WINDOWS[CURRENT_ROUND])
+    assert leftover_now == set(PRESTAGE.get(CURRENT_ROUND + 1, ())), (
+        f"PRESTAGE[{CURRENT_ROUND + 1}] out of date: the never-checked "
+        f"remainder after round {CURRENT_ROUND} is {sorted(leftover_now)}"
     )
 
 

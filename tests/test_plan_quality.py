@@ -119,6 +119,9 @@ _BNLJ_ALLOWED = {
     "tpch_q22_idle_customers",
     "sim_bruteforce_cosine_topk",
     "sim_ivf_ann_topk",
+    # probe-only twin of the above: probes × nlist-row broadcast
+    # centroids (the corpus side is the pruned partition read)
+    "sim_ivf_index_persisted",
     # same shape as IVF assignment: corpus × k-row broadcast centroids
     "sim_kmeans_refine",
     "sim_cluster_purity",
