@@ -1433,37 +1433,45 @@ def vocab_coverage(
     in-vocabulary.  This is the "will a fixed tokenizer OOV-blow-up
     on this feed" check run before committing a vocab.
 
-    Scale: one token aggregate (map-side combinable), the vocabulary
-    is by construction ≤ 1e6/``ppm`` entries so the membership join
-    broadcasts, and the two roll-ups shuffle one row per (doc) then
-    per (group).  Ratios are single IEEE divisions of exact BIGINTs —
-    bit-identical on any engine.
+    Scale: the corpus is tokenized ONCE into a per-(doc, token)
+    occurrence aggregate (map-side combinable explode→count) that is
+    materialized and feeds every later pass — the global token counts,
+    the vocabulary filter, and the membership join all read it, so no
+    subtree re-runs the corpus-wide tokenize.  The vocabulary is by
+    construction ≤ 1e6/``ppm`` entries so the membership join
+    broadcasts, and it joins the DEDUPED doc-token pairs rather than
+    raw occurrences.  Ratios are single IEEE divisions of exact
+    BIGINTs — bit-identical on any engine.
     """
-    toks = rebalance_for_fanout(df, multiplier=16.0).select(
-        F.col(id_col).alias("__id"),
-        F.col(group_col).alias("__grp"),
-        F.explode(tokens(text_col)).alias("tok"),
-    )
-    # counts is bounded by the vocabulary (small); materialize it once
-    # so the total scalar and the vocab filter don't each re-run the
-    # corpus-wide tokenize+explode+aggregate as separate subtrees.
-    counts = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    doc_tok = (
+        rebalance_for_fanout(df, multiplier=16.0)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__grp"),
+            F.explode(tokens(text_col)).alias("tok"),
+        )
+        .groupBy("__grp", "__id", "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # one materialization shields every downstream pass (counts,
+        # vocab, membership join) from re-running the tokenize; its
+        # size is distinct doc-token pairs, far below raw occurrences.
         .localCheckpoint(eager=False)
     )
+    counts = doc_tok.groupBy("tok").agg(F.sum("__c").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("__total"))
     vocab = (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * F.lit(1_000_000) >= F.lit(ppm) * F.col("__total"))
         .select("tok")
     )
-    flagged = toks.join(
+    flagged = doc_tok.join(
         F.broadcast(vocab.withColumn("__inv", F.lit(1))), "tok", "left"
     )
     per_doc = flagged.groupBy("__grp", "__id").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.sum(F.coalesce(F.col("__inv"), F.lit(0)).cast("bigint")).alias("n_cov"),
+        F.sum("__c").alias("n_occ"),
+        F.sum(
+            (F.col("__c") * F.coalesce(F.col("__inv"), F.lit(0))).cast("bigint")
+        ).alias("n_cov"),
     )
     return (
         per_doc.groupBy("__grp")

@@ -216,14 +216,19 @@ def kcore(
     bounds the peel for the unrolled-CTE oracle — rounds past the
     fixpoint are no-ops on BOTH engines, so the bound never breaks
     equivalence, it only caps worst-case work (full peeling of a
-    pathological chain needs depth rounds; re-run with a higher bound
-    if the final round still peeled).
+    pathological chain needs depth rounds).
 
-    Returns surviving ``(node, deg)`` — degree within the core.
+    Returns surviving ``(node, deg, converged)`` — degree within the
+    core, plus a constant ``converged`` flag that is False when the
+    bounded peel exhausted ``rounds`` with low-degree nodes still
+    present (the result is then a supergraph of the true k-core:
+    re-run with a higher bound).  The flag makes an under-sized bound
+    visible IN the result instead of silently wrong-by-omission.
     """
     cur = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
         # Materialize the (small) low-degree node set once per round:
@@ -235,16 +240,31 @@ def kcore(
             .localCheckpoint(eager=True)
         )
         if low.isEmpty():
+            converged = True
             break
         cur = (
             cur.join(low, "src", "left_anti")
             .join(low.withColumnRenamed("src", "dst"), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+    if not converged:
+        # The loop exhausted its bound with the final round still
+        # peeling — one more (cheap, core-sized) degree probe decides
+        # whether that last peel happened to land on the fixpoint.
+        converged = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") < k)
+            .isEmpty()
+        )
     return (
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .select(F.col("src").alias("node"), "deg")
+        .select(
+            F.col("src").alias("node"),
+            "deg",
+            F.lit(converged).alias("converged"),
+        )
     )
 
 
@@ -258,7 +278,10 @@ def kcore_sql(edges_sql: str, k: int, rounds: int = 6) -> str:
     both join sides), so DuckDB's default CTE *inlining* would expand
     the plan ~3^rounds — it spilled tens of GB at sf0.1 before
     evaluating anything.  Materialization makes each round linear,
-    mirroring the loop's per-round ``localCheckpoint``."""
+    mirroring the loop's per-round ``localCheckpoint``.
+
+    Mirrors the engine's ``converged`` flag as a scalar subquery over
+    the final edge set (no node below ``k`` remains)."""
     ctes = [f"e0 AS MATERIALIZED ({edges_sql})"]
     for r in range(rounds):
         ctes.append(
@@ -272,7 +295,10 @@ def kcore_sql(edges_sql: str, k: int, rounds: int = 6) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT src AS node, COUNT(*) AS deg FROM e{rounds} GROUP BY src"
+        + f"\nSELECT src AS node, COUNT(*) AS deg,"
+        + f" (SELECT COUNT(*) FROM (SELECT src FROM e{rounds}"
+        + f" GROUP BY src HAVING COUNT(*) < {k})) = 0 AS converged"
+        + f" FROM e{rounds} GROUP BY src"
     )
 
 

@@ -587,6 +587,11 @@ def read_zipped_delimited_distributed(
     quarantine-and-continue ingest)."""
     import re as _re
 
+    if on_oversize not in ("error", "skip"):
+        raise ValueError(
+            f"on_oversize must be 'error' or 'skip', got {on_oversize!r}"
+            " (a typo here would silently drop oversize archives)"
+        )
     out_fields = [T.StructField(c, T.StringType()) for c in columns] + [
         T.StructField("source_member", T.StringType())
     ]
@@ -655,8 +660,10 @@ def _list_data_file_statuses(
     scheme-agnostic, no data read.  Returns ``(uri, size_bytes)``
     pairs.  Hidden/metadata files (basenames starting with ``_`` or
     ``.`` — ``_SUCCESS``, ``.crc``, ``.DS_Store``) are skipped,
-    matching the filter Spark's own file sources apply.  Sorted for
-    deterministic task assignment."""
+    matching the filter Spark's own file sources apply.  A glob that
+    matches DIRECTORIES (e.g. ``base/*`` over partition dirs) lists
+    one level inside each match, like Spark's file sources do.
+    Sorted for deterministic task assignment."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -665,8 +672,19 @@ def _list_data_file_statuses(
         name = st.getPath().getName()
         return st.isFile() and not name.startswith(("_", "."))
 
+    def not_hidden(st) -> bool:
+        return not st.getPath().getName().startswith(("_", "."))
+
     if any(c in path for c in "*?[{"):
-        statuses = fs.globStatus(jpath) or []
+        statuses = []
+        for st in fs.globStatus(jpath) or []:
+            if st.isDirectory() and not_hidden(st):
+                # Spark glob semantics: a matched directory stands for
+                # the files directly inside it (one level, same
+                # hidden-file filter) — not zero archives.
+                statuses.extend(fs.listStatus(st.getPath()))
+            else:
+                statuses.append(st)
     elif fs.isFile(jpath):
         # An explicitly-named file is always honored, hidden or not —
         # the filter exists to skip markers during DIRECTORY listing.

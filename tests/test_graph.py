@@ -82,6 +82,32 @@ def test_kcore_hand_computed(spark):
     assert out == {1: 2, 2: 2, 3: 2}
 
 
+def test_kcore_converged_flag_on_deep_chain(spark):
+    """A path graph peels one node per end per round, so full 2-core
+    peeling of a 12-node chain needs ~6 rounds: an under-sized bound
+    must say converged=False (the result is a supergraph of the true
+    empty core), a sufficient bound converged=True."""
+    from gis_city_county_spark.operators.graph import kcore
+
+    und = [(i, i + 1) for i in range(11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    shallow = kcore(edges, k=2, rounds=2).collect()
+    assert shallow, "2 rounds cannot finish peeling a 12-chain"
+    assert all(r["converged"] is False for r in shallow)
+    deep = kcore(edges, k=2, rounds=12).collect()
+    assert deep == []  # true 2-core of a path is empty
+    # triangle core: early exit, flag True
+    tri = [(1, 2), (2, 3), (1, 3)]
+    tri_df = spark.createDataFrame(
+        tri + [(b, a) for a, b in tri], ["src", "dst"]
+    )
+    out = kcore(tri_df, k=2, rounds=6).collect()
+    assert {r["node"] for r in out} == {1, 2, 3}
+    assert all(r["converged"] is True for r in out)
+
+
 def test_label_propagation_hand_computed(spark):
     # path 1-2-3 plus isolated pair 10-11 (all edges symmetric).
     und = [(1, 2), (2, 3), (10, 11)]

@@ -774,6 +774,46 @@ def test_zipped_distributed_skips_hidden_and_expands_globs(spark, tmp_path):
     assert {r["code"] for r in globbed.collect()} == {"0000", "0001"}
 
 
+def test_zipped_distributed_glob_over_directories(spark, tmp_path):
+    """A glob that matches DIRECTORIES (e.g. base/* over partition
+    dirs) must list one level inside each match — Spark file-source
+    semantics — not silently yield zero archives."""
+    import zipfile
+
+    from gis_city_county_spark.sources.files import (
+        read_zipped_delimited_distributed,
+    )
+
+    base = tmp_path / "base"
+    for part in ("p=0", "p=1"):
+        d = base / part
+        d.mkdir(parents=True)
+        i = int(part[-1])
+        with zipfile.ZipFile(d / f"a{i}.zip", "w") as zf:
+            zf.writestr(f"m_{i}.csv", "code|name\n" + f"{i:04d}|x")
+        (d / "_SUCCESS").write_text("")
+    (base / ".hidden_dir").mkdir()
+
+    df = read_zipped_delimited_distributed(
+        spark, str(base / "*"), r"m_\d+\.csv", ["code", "name"], sep="|"
+    )
+    assert {r["code"] for r in df.collect()} == {"0000", "0001"}
+
+
+def test_zipped_distributed_rejects_bad_on_oversize(spark, tmp_path):
+    import pytest
+
+    from gis_city_county_spark.sources.files import (
+        read_zipped_delimited_distributed,
+    )
+
+    with pytest.raises(ValueError, match="on_oversize"):
+        read_zipped_delimited_distributed(
+            spark, str(tmp_path), r".*", ["c"], max_archive_bytes=1,
+            on_oversize="raise",
+        )
+
+
 def test_zipped_distributed_oversize_guard(spark, tmp_path):
     """Planning-time per-task memory guard: oversize archives fail
     loudly by default (naming the offenders) or are skipped with
