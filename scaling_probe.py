@@ -1,0 +1,216 @@
+"""Scaling probe: do the most expensive suite queries scale linearly?
+
+Every "designed for 100 TB" claim in COVERAGE.md rests on plans whose
+work grows ~linearly with input (bucketed joins, bounded shortlists,
+map-combinable aggregates).  The cheapest honest test of that is to
+run the top-N most expensive queries at sf0.1 AND at a synthetic
+``factor``× replica and assert wall-clock grows at most
+``SLACK × factor`` (a super-linear query has a hidden all-pairs or
+global-sort term that 100 TB would expose).
+
+The replica is built from sf0.1 itself — key columns are shifted by a
+per-copy offset so entity cardinality scales with the data (duplicated
+keys would warp join/group fan-in), document tokens get a per-copy
+suffix so cross-copy texts are NOT near-duplicates (identical texts
+would grow candidate pairs quadratically — a data artifact, not a plan
+flaw), and timestamps are left alone (event density grows at fixed
+horizon, like real traffic).  Nation/region are fixed dimensions at
+every SF and are copied verbatim.
+
+Usage::
+
+    python scaling_probe.py [--factor 8] [--passes 2] [--top N]
+
+Writes ``BENCH_SCALING.json`` next to this script;
+``tests/test_scale.py::test_scaling_probe_artifact`` flags any
+super-linear query whenever the artifact is present.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The queries whose absolute cost dominates the bench (BENCH_DETAIL
+# top slice): iterative graph ops, the persisted-IVF probe, BPE merge
+# induction, the dedup keeper/yield chain, semantic dedup, prefix
+# Jaccard, and the PQ re-rank.  Keep in sync with VERDICT r4 item 3.
+PROBE_QUERIES = [
+    "graph_label_propagation",
+    "sim_ivf_index_persisted",
+    "graph_bfs_hops",
+    "graph_pagerank_trade",
+    "corpus_pair_merges",
+    "graph_kcore_trade",
+    "pipeline_semantic_dedup",
+    "dedup_cluster_keeper",
+    "pipeline_dedup_yield",
+    "dedup_prefix_jaccard_join",
+    "dedup_connected_components",
+    "sim_pq_rerank_topk",
+]
+
+# Wall-clock at factor F may legitimately exceed F× (more shuffle
+# waves per fixed core count, deeper reduce trees); 1.5× linear is the
+# VERDICT-agreed budget separating "fine" from "hidden quadratic".
+SLACK = 1.5
+
+# Per-copy key offsets, comfortably above each table's max key at any
+# test SF so shifted copies never collide.
+_OFFSET = 100_000_000
+
+
+def _scaled_copy(src: str, dst: str, factor: int) -> None:
+    """Write a ``factor``× key-shifted replica of every table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    shifts = {
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "nation": [],
+        "region": [],
+    }
+    os.makedirs(dst, exist_ok=True)
+    for table, keys in shifts.items():
+        t = pq.read_table(os.path.join(src, f"{table}.parquet"))
+        if not keys:  # fixed dimension: same at every SF
+            pq.write_table(t, os.path.join(dst, f"{table}.parquet"))
+            continue
+        copies = []
+        for i in range(factor):
+            c = t
+            for k in keys:
+                col = c.column(k)
+                shifted = pc.add(col, pa.scalar(i * _OFFSET, type=col.type))
+                c = c.set_column(c.schema.get_field_index(k), k, shifted)
+            if table == "embeddings" and i > 0:
+                # Cyclic roll per copy: identical vectors across copies
+                # would be cosine-1.0 near-dups of each other, growing
+                # semantic-dedup pair counts quadratically with factor.
+                # A roll preserves norms and the value distribution but
+                # decorrelates copies.
+                import numpy as np
+
+                mat = np.asarray(c.column("embedding").to_pylist(),
+                                 dtype=np.float32)
+                rolled = np.roll(mat, i, axis=1)
+                c = c.set_column(
+                    c.schema.get_field_index("embedding"),
+                    "embedding",
+                    pa.array(list(rolled), type=pa.list_(pa.float32())),
+                )
+            if table == "documents" and i > 0:
+                # Per-copy token suffix: copies must not be
+                # near-duplicates of each other or candidate pairs grow
+                # quadratically with factor by construction.
+                texts = c.column("text").to_pylist()
+                tagged = [
+                    " ".join(f"{w}x{i}" for w in (s or "").split())
+                    for s in texts
+                ]
+                c = c.set_column(
+                    c.schema.get_field_index("text"),
+                    "text",
+                    pa.array(tagged, type=pa.string()),
+                )
+            copies.append(c)
+        pq.write_table(
+            pa.concat_tables(copies), os.path.join(dst, f"{table}.parquet")
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=8)
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--top", type=int, default=len(PROBE_QUERIES))
+    args = ap.parse_args()
+
+    from gis_city_county_spark.session import get_spark
+    from gis_city_county_spark.suite import all_specs
+
+    scaled_dir = f"/tmp/sgraft_scale/x{args.factor}"
+    marker = os.path.join(scaled_dir, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+        print(f"# building {args.factor}x replica at {scaled_dir}",
+              file=sys.stderr)
+        _scaled_copy(BASE_SF, scaled_dir, args.factor)
+        open(marker, "w").close()
+
+    spark = get_spark(app_name="gis-city-county-spark-scaling")
+    spark.range(1).count()
+    slots = spark.sparkContext.defaultParallelism
+    spark.range(slots, numPartitions=slots).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    specs = {s.name: s for s in all_specs()}
+    names = [n for n in PROBE_QUERIES[: args.top] if n in specs]
+
+    def best(name: str, sf_dir: str) -> float:
+        t_best = float("inf")
+        for p in range(args.passes):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).count()
+            t_best = min(t_best, time.perf_counter() - t0)
+        return t_best
+
+    results = {}
+    for name in names:
+        t1 = best(name, BASE_SF)
+        tn = best(name, scaled_dir)
+        ratio = tn / max(t1, 1e-9)
+        lin = ratio / args.factor
+        results[name] = {
+            "base_sec": round(t1, 3),
+            "scaled_sec": round(tn, 3),
+            "ratio": round(ratio, 3),
+            "x_linear": round(lin, 3),
+            "super_linear": lin > SLACK,
+        }
+        print(
+            f"# {name}: {t1:.2f}s -> {tn:.2f}s at {args.factor}x "
+            f"= {lin:.2f}x linear{' **SUPER-LINEAR**' if lin > SLACK else ''}",
+            file=sys.stderr,
+        )
+
+    out = {
+        "factor": args.factor,
+        "slack": SLACK,
+        "base_sf_dir": BASE_SF,
+        "queries": results,
+        "super_linear": sorted(
+            n for n, r in results.items() if r["super_linear"]
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": "scaling_probe",
+        "factor": args.factor,
+        "n_queries": len(results),
+        "super_linear": out["super_linear"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

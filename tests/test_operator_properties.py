@@ -805,3 +805,39 @@ def test_randomized_response_debias_is_exact_inverse(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         randomized_response(df, "id", "g", "b", flip_den=2)
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer-jumping must make rounds O(log diameter): a 200-node
+    path (diameter 199) exceeds any plausible plain-propagation cap,
+    and every node must still land on the component minimum."""
+    from gis_city_county_spark.operators.dedup import connected_components
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    out = connected_components(nodes, pairs, "doc_id", max_iters=12).collect()
+    assert len(out) == n
+    assert all(r["component"] == 0 for r in out)
+    assert sum(r["is_keeper"] for r in out) == 1
+    assert all(r["component_size"] == n for r in out)
+
+
+def test_connected_components_multi_component(spark):
+    """Two separate clusters plus singletons: keepers are per-cluster
+    minima and singletons keep themselves."""
+    from gis_city_county_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 8)], "a_id long, b_id long"
+    )
+    got = {r["doc_id"]: (r["component"], r["component_size"], r["is_keeper"])
+           for r in connected_components(nodes, pairs, "doc_id").collect()}
+    assert got[1] == (1, 3, True) and got[3] == (1, 3, False)
+    assert got[5] == (1, 3, False)
+    assert got[6] == (6, 2, True) and got[8] == (6, 2, False)
+    for s in (0, 2, 4, 7, 9):
+        assert got[s] == (s, 1, True)

@@ -276,3 +276,28 @@ def test_ranged_multipass_truncates_expensive_lineage_only(spark, sf_dir):
     assert out is not expensive
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_scaling_probe_artifact_has_no_super_linear_query():
+    """Gate on the scaling-probe artifact (``python scaling_probe.py``
+    writes it): every probed query's wall-clock at factor× data must
+    stay within SLACK × linear — a super-linear entry means a hidden
+    all-pairs or global-sort term that 100 TB would expose.  Skips
+    when the artifact hasn't been generated on this checkout."""
+    import json
+    from pathlib import Path
+
+    import pytest
+
+    path = Path(__file__).resolve().parent.parent / "BENCH_SCALING.json"
+    if not path.exists():
+        pytest.skip("run `python scaling_probe.py` to generate BENCH_SCALING.json")
+    art = json.loads(path.read_text())
+    assert art["factor"] >= 4, "probe factor too small to expose scaling"
+    offenders = {
+        n: r["x_linear"]
+        for n, r in art["queries"].items()
+        if r["super_linear"]
+    }
+    assert not offenders, f"super-linear queries at {art['factor']}x: {offenders}"
+    assert art["super_linear"] == sorted(offenders)
