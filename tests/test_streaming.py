@@ -615,3 +615,87 @@ def test_streaming_near_dup_state_bound_via_monitor(spark, tmp_path):
     # distinct buckets at 160
     assert 0 < s["final_state_rows"] <= 160
     assert s["total_input_rows"] == 40
+
+
+def test_streaming_near_dup_recovers_state_from_checkpoint(spark, sf_dir, tmp_path):
+    """Crash recovery for the stateful LSH dedup: stop the query after
+    the first micro-batch, start a NEW query from the same checkpoint
+    with more files present, and the final pair set must equal the
+    uninterrupted batch pipeline's — cross-restart pairs exist only if
+    the bucket GroupState was genuinely restored from the state store,
+    not recomputed from scratch."""
+    import os
+
+    from gis_city_county_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+    from gis_city_county_spark.streaming.dedup import streaming_near_dup_pairs
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    early = docs.filter(F.col("doc_id") % 2 == 0)
+    late = docs.filter(F.col("doc_id") % 2 == 1)
+    early.coalesce(1).write.parquet(src + "/batch1")
+    schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+    )
+
+    def run_once():
+        q = (
+            streaming_near_dup_pairs(
+                spark, schema, src,
+                reader_options={
+                    "maxFilesPerTrigger": 1,
+                    "recursiveFileLookup": "true",
+                },
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # first life: only the early docs exist
+    n_first = spark.read.parquet(out).count()
+
+    late.coalesce(1).write.parquet(src + "/batch2")
+    run_once()  # second life: new query object, same checkpoint
+
+    got = {
+        (r["a_id"], r["b_id"], r["n_bands"])
+        for r in spark.read.parquet(out)
+        .groupBy("a_id", "b_id")
+        .agg(F.countDistinct("band_idx").alias("n_bands"))
+        .collect()
+    }
+    batch = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signatures(
+                shingle_df(
+                    spark.read.option("recursiveFileLookup", "true").parquet(src),
+                    "doc_id", "text", 3,
+                ),
+                "doc_id", 16,
+            ),
+            "doc_id", 16, 4,
+        ),
+        "doc_id",
+    )
+    nb = "n_bands" if "n_bands" in batch.columns else batch.columns[2]
+    want = {(r["a_id"], r["b_id"], r[nb]) for r in batch.collect()}
+    assert got == want
+    # the restart must have CONTRIBUTED pairs (early-late cross pairs
+    # emitted by the recovered state), not just replayed the first run
+    cross = [(a, b) for a, b, _ in got if (a % 2) != (b % 2)]
+    assert cross, "no cross-restart pairs — state was not recovered"
+    assert spark.read.parquet(out).count() > n_first
