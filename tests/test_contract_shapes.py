@@ -145,9 +145,56 @@ def test_rotation_planner_orders_red_then_unchecked(tmp_path) -> None:
         green: {"rows_match": True, "schema_match": True, "hash_match": True},
     }))
     win = propose_window(tmp_path, size=10)
-    assert win[:2] == [n for n in specs if n in (red1, red2)][:2]
-    assert green not in win  # greens only re-confirm after unchecked run out
+    names = [t[0] for t in win]
+    kinds = {t[0]: t[1] for t in win}
+    assert names[:2] == [n for n in specs if n in (red1, red2)][:2]
+    assert all(kinds[n] == "red" for n in names[:2])
+    assert green not in names  # greens only re-confirm after unchecked run out
     assert len(win) == 10
     # everything else in the window is driver-unchecked, in order
     unchecked = [n for n in specs if n not in (red1, red2, green)]
-    assert win[2:] == unchecked[:8]
+    assert names[2:] == unchecked[:8]
+    assert all(kinds[n] == "new" for n in names[2:])
+
+
+def test_rotation_planner_flags_plan_changes_as_reproofs(tmp_path) -> None:
+    """A green query whose plan fingerprint differs from the snapshot
+    at its last green round must propose itself for re-proof, with the
+    evidence in the reason string."""
+    import json as _json
+
+    from gis_city_county_spark.suite.rotation import propose_window
+
+    specs = [s.name for s in all_specs()]
+    changed, stable = specs[3], specs[7]
+    rows = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in specs  # everything green in r1 → no 'new' entries
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps(rows))
+    (tmp_path / "PLAN_HASHES.json").write_text(_json.dumps({
+        "1": {changed: "aaaa", stable: "bbbb"},
+    }))
+    current = {changed: "cccc", stable: "bbbb"}
+    win = propose_window(tmp_path, size=5, current_hashes=current)
+    assert win[0][0] == changed and win[0][1] == "reproof"
+    assert "aaaa" in win[0][2] and "cccc" in win[0][2]
+    # the rest are stale-green re-confirms; the stable query is not
+    # flagged as a re-proof
+    assert all(k == "reconfirm" for _, k, _ in win[1:])
+
+
+def test_plan_normalizer_strips_volatile_tokens() -> None:
+    from gis_city_county_spark.suite.rotation import normalize_plan
+
+    a = normalize_plan(
+        "Project [l_orderkey#123L], Exchange hashpartitioning(x#45, 32) "
+        "[plan_id=77] FileScan parquet [x] Location: file:/tmp/abc123/t "
+        "Statistics(sizeInBytes=1.2 KiB)"
+    )
+    b = normalize_plan(
+        "Project [l_orderkey#9L], Exchange hashpartitioning(x#2, 32) "
+        "[plan_id=5] FileScan parquet [x] Location: file:/tmp/zz9/t "
+        "Statistics(sizeInBytes=3.4 MiB)"
+    )
+    assert a == b
