@@ -841,3 +841,79 @@ def test_connected_components_multi_component(spark):
     assert got[6] == (6, 2, True) and got[8] == (6, 2, False)
     for s in (0, 2, 4, 7, 9):
         assert got[s] == (s, 1, True)
+
+
+def test_cluster_keeper_keeps_best_member_of_planted_clusters(spark):
+    """Recall fixture with KNOWN ground truth: planted near-duplicate
+    families (shared long boilerplate; one member truncated, i.e.
+    genuinely lower quality) plus unrelated singletons. The keeper
+    must (a) recover exactly the planted clusters, (b) keep the
+    HIGHEST-quality member of each — not the min id — and (c) keep
+    every singleton."""
+    from gis_city_county_spark.operators.dedup import cluster_quality_keeper
+    from gis_city_county_spark.operators.textstats import quality_score
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays on and the crowd watches the game in the warm summer "
+        "evening near the old stone bridge by the river as the vendors "
+        "sell roasted chestnuts to the children walking home from the "
+        "school with their heavy bags full of books and papers"
+    )
+    rows = []
+    # family A (ids 10..12): id 11 is a TRUNCATED copy (lower length
+    # component -> lower quality); 10 vs 12 decide by quality then id.
+    rows.append((10, base + " alpha edition"))
+    rows.append((11, " ".join(base.split()[:-12])))
+    rows.append((12, base + " alpha print"))
+    # family B (ids 20..21): its own boilerplate (disjoint from A's);
+    # 21 longer and richer (higher quality).
+    base_b = (
+        "when the committee convened on tuesday the minutes recorded a "
+        "long discussion about the harbor dredging schedule and the "
+        "allocation of funds for the lighthouse repairs next spring"
+    )
+    rows.append((20, base_b + " beta"))
+    rows.append((21, base_b + " beta with an extra careful closing sentence"))
+    # singletons with disjoint vocabularies (no shared shingles)
+    rows.append((30, "completely different short text about volcanoes erupting basalt"))
+    rows.append((31, "unrelated quarterly report revenue margins guidance outlook numbers"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = cluster_quality_keeper(df, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert set(by_id) == {r[0] for r in rows}
+
+    # (a) exact planted clusters
+    comp_members: dict[int, set[int]] = {}
+    for r in out:
+        comp_members.setdefault(r["component"], set()).add(r["doc_id"])
+    clusters = {frozenset(m) for m in comp_members.values()}
+    assert clusters == {
+        frozenset({10, 11, 12}),
+        frozenset({20, 21}),
+        frozenset({30}),
+        frozenset({31}),
+    }
+
+    # (b) keeper is the quality argmax (id tiebreak), recomputed
+    # independently from the same score the operator uses
+    q = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    for members in (frozenset({10, 11, 12}), frozenset({20, 21})):
+        best = min(members, key=lambda i: (-q[i], i))
+        for i in members:
+            assert by_id[i]["keep"] == (i == best), (members, best, q)
+        assert by_id[best]["component_size"] == len(members)
+    # the truncated member is strictly lower quality -> never the keeper
+    assert q[11] < min(q[10], q[12])
+    assert not by_id[11]["keep"]
+    # and the fixture is non-trivial: the quality argmax of family B is
+    # NOT its min id (a min-id keeper would get this wrong)
+    assert q[21] > q[20]
+    assert by_id[21]["keep"] and not by_id[20]["keep"]
+
+    # (c) singletons keep themselves
+    assert by_id[30]["keep"] and by_id[31]["keep"]
