@@ -1524,3 +1524,103 @@ SELECT grp AS {group_col},
 FROM per_doc
 GROUP BY grp
 """
+
+
+# ------------------------------------------------- temperature mixture
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-corpus
+    rebalancing rule from mT5/XLM-R): a group with raw share ``p_g``
+    samples with probability ∝ ``p_g**alpha`` — ``alpha < 1`` flattens
+    the mix so head languages stop drowning the tail.
+
+    Engine-exact without libm pow: ``alpha`` must be a dyadic rational
+    in {0.25, 0.5, 0.75}, implemented as compositions of ``sqrt`` and
+    one multiply — every step is a correctly-rounded IEEE op on
+    identical operands, so any engine reproduces it bit-for-bit.  The
+    normalizer folds the (≤ |groups|) raw weights in canonical sorted
+    order, the same pattern as the k-means mean.
+
+    Scale: one map-combinable aggregate to |groups| rows, one 1-row
+    broadcast total, a |groups|-row sorted fold — the corpus itself is
+    never reshuffled.
+
+    Returns (group, weight_total, p_raw, w_alpha, w_norm,
+    expected_budget) — ``expected_budget`` = ``w_norm * budget``
+    documents/tokens to draw from the group.
+    """
+    powers = {0.5: "s1", 0.25: "s2", 0.75: "s1 * s2"}
+    if alpha not in powers:
+        raise ValueError(
+            f"alpha must be one of {sorted(powers)} (dyadic rationals "
+            f"compute via sqrt chains, bit-portable); got {alpha}"
+        )
+    stats = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("weight_total")
+    )
+    total = stats.agg(F.sum("weight_total").alias("__total"))
+    scored = (
+        stats.crossJoin(F.broadcast(total))
+        .withColumn(
+            "p_raw", F.col("weight_total").cast("double") / F.col("__total").cast("double")
+        )
+        .withColumn("s1", F.sqrt("p_raw"))
+        .withColumn("s2", F.sqrt("s1"))
+        .withColumn("w_alpha", F.expr(powers[alpha]))
+    )
+    z = scored.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("w_alpha")), F.lit(0.0), lambda a, x: a + x
+        ).alias("__z")
+    )
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .withColumn("w_norm", F.col("w_alpha") / F.col("__z"))
+        .select(
+            group_col,
+            "weight_total",
+            "p_raw",
+            "w_alpha",
+            "w_norm",
+            (F.col("w_norm") * F.lit(float(budget))).alias("expected_budget"),
+        )
+    )
+
+
+def temperature_mixture_sql(
+    table: str,
+    group_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    budget: int = 1_000_000,
+) -> str:
+    powers = {0.5: "s1", 0.25: "s2", 0.75: "s1 * s2"}
+    return f"""
+WITH stats AS (
+  SELECT {group_col}, CAST(SUM(CAST({weight_col} AS BIGINT)) AS BIGINT) AS weight_total
+  FROM {table} GROUP BY {group_col}
+),
+tot AS (SELECT CAST(SUM(weight_total) AS BIGINT) AS total FROM stats),
+scored AS (
+  SELECT {group_col}, weight_total,
+         CAST(weight_total AS DOUBLE) / CAST(total AS DOUBLE) AS p_raw,
+         sqrt(CAST(weight_total AS DOUBLE) / CAST(total AS DOUBLE)) AS s1,
+         sqrt(sqrt(CAST(weight_total AS DOUBLE) / CAST(total AS DOUBLE))) AS s2
+  FROM stats CROSS JOIN tot
+),
+z AS (
+  SELECT list_reduce(list_sort(list({powers[alpha]})), (a, b) -> a + b) AS z
+  FROM scored
+)
+SELECT {group_col}, weight_total, p_raw, {powers[alpha]} AS w_alpha,
+       ({powers[alpha]}) / z AS w_norm,
+       (({powers[alpha]}) / z) * {float(budget)!r} AS expected_budget
+FROM scored CROSS JOIN z
+"""

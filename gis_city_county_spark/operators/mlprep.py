@@ -465,3 +465,254 @@ SELECT {stratum_col}, {fold} AS fold,
 FROM {table}
 GROUP BY 1, 2
 """
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> DataFrame:
+    """Per-group winsorized summary: clamp ``value_col`` at the exact
+    ``lo_pct``/``hi_pct`` rank values (k = ceil(n·pct/100), total
+    order (value, id) so ties are deterministic) and report the
+    clamped mean — the outlier-robust feature scaling a training
+    pipeline applies before normalization, with engine-exact cut
+    points instead of interpolated percentiles.
+
+    Scale: every window partitions BY THE GROUP (task work bounded by
+    group size, no global sort); the cut values reduce to |groups|
+    rows that broadcast back; integer ceil via ``div`` keeps the rank
+    arithmetic exact on both engines; the mean is one IEEE division of
+    exact BIGINT sums.
+
+    Returns (group, n, lo_cut, hi_cut, win_sum, win_mean).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__v").asc(), F.col("__id").asc()
+    )
+    ranked = df.select(
+        group_col,
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(id_col).alias("__id"),
+    ).withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    )
+    k_lo = F.expr(f"(__n * {lo_pct} + 99) div 100")
+    k_hi = F.expr(f"(__n * {hi_pct} + 99) div 100")
+    cuts = (
+        ranked.withColumn("__klo", k_lo)
+        .withColumn("__khi", k_hi)
+        .groupBy(group_col)
+        .agg(
+            F.min(F.when(F.col("__rn") == F.col("__klo"), F.col("__v"))).alias(
+                "lo_cut"
+            ),
+            F.min(F.when(F.col("__rn") == F.col("__khi"), F.col("__v"))).alias(
+                "hi_cut"
+            ),
+            F.max("__n").alias("n"),
+        )
+    )
+    clamped = ranked.join(F.broadcast(cuts), group_col).select(
+        group_col,
+        "n",
+        "lo_cut",
+        "hi_cut",
+        F.greatest(F.col("lo_cut"), F.least(F.col("hi_cut"), F.col("__v"))).alias(
+            "__w"
+        ),
+    )
+    return (
+        clamped.groupBy(group_col, "n", "lo_cut", "hi_cut")
+        .agg(F.sum("__w").alias("win_sum"))
+        .select(
+            group_col,
+            F.col("n").cast("bigint").alias("n"),
+            "lo_cut",
+            "hi_cut",
+            F.col("win_sum").cast("bigint").alias("win_sum"),
+            (
+                F.col("win_sum").cast("double") / F.col("n").cast("double")
+            ).alias("win_mean"),
+        )
+    )
+
+
+def winsorize_stats_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {group_col},
+         CAST({value_col} AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY {value_col} ASC, {id_col} ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {table}
+),
+cuts AS (
+  SELECT {group_col},
+         MIN(CASE WHEN rn = (n * {lo_pct} + 99) // 100 THEN v END) AS lo_cut,
+         MIN(CASE WHEN rn = (n * {hi_pct} + 99) // 100 THEN v END) AS hi_cut,
+         MAX(n) AS n
+  FROM ranked GROUP BY {group_col}
+)
+SELECT r.{group_col},
+       CAST(c.n AS BIGINT) AS n,
+       c.lo_cut, c.hi_cut,
+       CAST(SUM(GREATEST(c.lo_cut, LEAST(c.hi_cut, r.v))) AS BIGINT) AS win_sum,
+       CAST(CAST(SUM(GREATEST(c.lo_cut, LEAST(c.hi_cut, r.v))) AS BIGINT) AS DOUBLE)
+         / CAST(c.n AS DOUBLE) AS win_mean
+FROM ranked r JOIN cuts c ON r.{group_col} = c.{group_col}
+GROUP BY r.{group_col}, c.n, c.lo_cut, c.hi_cut
+"""
+
+
+def brier_decomposition(
+    df: DataFrame,
+    pred_milli_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score over reliability bins:
+    ``brier = reliability - resolution + uncertainty`` — the one-row
+    health report that says whether a classifier's error comes from
+    MIScalibration (reliability), from failing to separate classes
+    (low resolution), or is irreducible class noise (uncertainty).
+
+    Engine-exact recipe: predictions arrive as exact milli-units, so
+    every per-bin numerator ((sp_b - 1000·pos_b), pos_b, n_b) is an
+    exact BIGINT; each per-bin term is then a FIXED chain of
+    correctly-rounded IEEE ops on those exact operands, and the ≤
+    ``n_bins`` per-bin terms fold in canonical sorted order (the
+    k-means pattern), so both engines run the identical float
+    program.  One corpus aggregate to n_bins rows; nothing else
+    touches the data.
+
+    Returns one row: (n, pos, base_rate, uncertainty, reliability,
+    resolution, brier).
+    """
+    binned = df.withColumn(
+        "__bin", F.expr(f"(({pred_milli_col} * {int(n_bins)}) div 1000)")
+    )
+    bins = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(pred_milli_col).cast("bigint").alias("__sp"),
+        F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("__pos"),
+    )
+    # grand totals via an unpartitioned window over the ≤ n_bins bin
+    # rows — bounded input, one corpus pass total, and no
+    # shared-lineage self-join for Spark's ambiguity detector to trip
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    tot_n = F.sum("__n").over(wall).cast("bigint")
+    tot_pos = F.sum("__pos").over(wall).cast("bigint")
+    terms = bins.select(
+        "__bin", "__n", "__sp", "__pos",
+        tot_n.alias("__totn"), tot_pos.alias("__totpos"),
+    ).select(
+        "__totn",
+        "__totpos",
+        (
+            F.col("__sp").cast("double") - F.lit(1000.0) * F.col("__pos").cast("double")
+        ).alias("__d"),
+        (F.col("__pos").cast("double") / F.col("__n").cast("double")).alias("__ob"),
+        (F.col("__totpos").cast("double") / F.col("__totn").cast("double")).alias("__obar"),
+        F.col("__n").cast("double").alias("__nd"),
+    ).select(
+        "__totn",
+        "__totpos",
+        (F.col("__d") * F.col("__d") / F.lit(1000000.0) / F.col("__nd")).alias(
+            "__rel_term"
+        ),
+        (
+            F.col("__nd")
+            * ((F.col("__ob") - F.col("__obar")) * (F.col("__ob") - F.col("__obar")))
+        ).alias("__res_term"),
+    )
+
+    def _fold(col: str):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.col(col))), F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    out = terms.groupBy("__totn", "__totpos").agg(
+        _fold("__rel_term").alias("__rel_sum"),
+        _fold("__res_term").alias("__res_sum"),
+    )
+    base = F.col("__totpos").cast("double") / F.col("__totn").cast("double")
+    unc = base * (
+        (F.col("__totn") - F.col("__totpos")).cast("double") / F.col("__totn").cast("double")
+    )
+    rel = F.col("__rel_sum") / F.col("__totn").cast("double")
+    res = F.col("__res_sum") / F.col("__totn").cast("double")
+    return out.select(
+        F.col("__totn").alias("n"),
+        F.col("__totpos").alias("pos"),
+        base.alias("base_rate"),
+        unc.alias("uncertainty"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        (rel - res + unc).alias("brier"),
+    )
+
+
+def brier_decomposition_sql(
+    table: str, pred_milli_col: str, label_col: str, n_bins: int = 10
+) -> str:
+    return f"""
+WITH binned AS (
+  SELECT ({pred_milli_col} * {n_bins}) // 1000 AS bin,
+         {pred_milli_col} AS pm, CAST({label_col} AS BIGINT) AS lab
+  FROM {table}
+),
+bins AS (
+  SELECT bin, COUNT(*) AS n, CAST(SUM(pm) AS BIGINT) AS sp,
+         CAST(SUM(lab) AS BIGINT) AS pos
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS totn, CAST(SUM(pos) AS BIGINT) AS totpos
+  FROM bins
+),
+terms AS (
+  SELECT totn, totpos,
+         (CAST(sp AS DOUBLE) - 1000.0 * CAST(pos AS DOUBLE))
+           * (CAST(sp AS DOUBLE) - 1000.0 * CAST(pos AS DOUBLE))
+           / 1000000.0 / CAST(n AS DOUBLE) AS rel_term,
+         CAST(n AS DOUBLE)
+           * ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(totpos AS DOUBLE) / CAST(totn AS DOUBLE))
+              * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(totpos AS DOUBLE) / CAST(totn AS DOUBLE))) AS res_term
+  FROM bins CROSS JOIN tot
+),
+folded AS (
+  SELECT totn, totpos,
+         list_reduce(list_sort(list(rel_term)), (a, b) -> a + b) AS rel_sum,
+         list_reduce(list_sort(list(res_term)), (a, b) -> a + b) AS res_sum
+  FROM terms GROUP BY totn, totpos
+)
+SELECT totn AS n, totpos AS pos,
+       CAST(totpos AS DOUBLE) / CAST(totn AS DOUBLE) AS base_rate,
+       (CAST(totpos AS DOUBLE) / CAST(totn AS DOUBLE))
+         * (CAST(totn - totpos AS DOUBLE) / CAST(totn AS DOUBLE)) AS uncertainty,
+       rel_sum / CAST(totn AS DOUBLE) AS reliability,
+       res_sum / CAST(totn AS DOUBLE) AS resolution,
+       rel_sum / CAST(totn AS DOUBLE) - res_sum / CAST(totn AS DOUBLE)
+         + (CAST(totpos AS DOUBLE) / CAST(totn AS DOUBLE))
+           * (CAST(totn - totpos AS DOUBLE) / CAST(totn AS DOUBLE)) AS brier
+FROM folded
+"""

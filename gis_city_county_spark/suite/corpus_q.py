@@ -527,8 +527,30 @@ _CURRICULUM_ORACLE = curriculum_phases_sql(
 )
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source mixture over the corpus
+    character mass: the mT5-style flattening that keeps tail sources
+    represented in the training mix; one aggregate to |sources| rows,
+    sqrt-chain weights, canonical-order normalizer."""
+    from gis_city_county_spark.operators.corpus import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(docs, "source", "n_chars", alpha=0.5,
+                               budget=1_000_000)
+
+
+def _temperature_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import temperature_mixture_sql
+
+    return temperature_mixture_sql(
+        "documents", "source", "n_chars", alpha=0.5, budget=1_000_000
+    )
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("pipeline_temperature_mixture", q_temperature_mixture,
+              _temperature_oracle()),
     QuerySpec("corpus_vocab_coverage", q_vocab_coverage, _VOCAB_COV_ORACLE),
     QuerySpec("mlprep_curriculum_phases", q_curriculum_phases, _CURRICULUM_ORACLE),
     QuerySpec("corpus_ngram_precision_eval", q_ngram_precision, _ngram_precision_oracle()),

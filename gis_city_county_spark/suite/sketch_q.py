@@ -232,8 +232,38 @@ def _countmin_oracle() -> str:
     return countmin_heavy_hitters_sql(src, "tok", "tok", width=1 << 10, depth=4, k=20)
 
 
+def q_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order-priority: deterministic HyperLogLog (p=8) raw
+    estimate of distinct customers next to the exact count — the
+    bounded-memory (m=256 registers/group) structure a 100 TB
+    distinct-count rollup uses, made engine-reproducible by md5
+    hashing and an exact integer register sum."""
+    from gis_city_county_spark.operators.sketch import hll_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = hll_distinct(orders, ["o_orderpriority"], "o_custkey", p=8)
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return est.join(exact, "o_orderpriority")
+
+
+def _hll_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import hll_distinct_sql
+
+    return f"""
+WITH est AS ({hll_distinct_sql("SELECT * FROM orders", ["o_orderpriority"], "o_custkey", p=8)}),
+exact AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+  FROM orders GROUP BY 1
+)
+SELECT est.*, exact.n_exact FROM est JOIN exact USING (o_orderpriority)
+"""
+
+
 SPECS = [
     QuerySpec("sketch_countmin_heavy_hitters", q_countmin_tokens, _countmin_oracle()),
+    QuerySpec("sketch_hll_distinct", q_hll, _hll_oracle()),
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
     QuerySpec("olap_bitmap_distinct", q_bitmap_distinct, _bitmap_oracle()),
     QuerySpec("sketch_exact_n_sample", q_exact_n_sample, _EXACT_N_ORACLE),

@@ -554,8 +554,53 @@ def _bounded_funnel_oracle() -> str:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized document-length stats: values clamped
+    at the exact p5/p95 rank cut points ((value, id) total order) —
+    outlier-robust scaling with engine-exact cuts, group-partitioned
+    windows only."""
+    from gis_city_county_spark.operators.mlprep import winsorize_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winsorize_stats(docs, "lang", "n_chars", "doc_id")
+
+
+def _winsorize_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import winsorize_stats_sql
+
+    return winsorize_stats_sql("documents", "lang", "n_chars", "doc_id")
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the same
+    deterministic pseudo-score as the calibration bins: one row of
+    reliability / resolution / uncertainty with exact integer
+    numerators and canonical-order folds."""
+    from gis_city_county_spark.operators.mlprep import brier_decomposition
+    from gis_city_county_spark.operators.sketch import _h60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (_h60(F.col("o_orderkey").cast("string")) % 1000).alias("pred_milli"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return brier_decomposition(orders, "pred_milli", "label", n_bins=10)
+
+
+def _brier_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import brier_decomposition_sql
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    src = (
+        f"SELECT ({_h60_sql('CAST(o_orderkey AS VARCHAR)')}) % 1000 AS pred_milli,"
+        " o_orderstatus = 'F' AS label FROM orders"
+    )
+    return brier_decomposition_sql(f"({src})", "pred_milli", "label", n_bins=10)
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
+    QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
+    QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

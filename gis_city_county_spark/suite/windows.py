@@ -320,6 +320,10 @@ R5_PRESTAGE: tuple[str, ...] = (
 # appended here — ``tests/test_contract_shapes.py`` asserts that the
 # suite minus prior coverage minus WINDOWS[5] equals exactly this set.
 R6_PRESTAGE: tuple[str, ...] = (
+    "sketch_hll_distinct",
+    "pipeline_temperature_mixture",
+    "mlprep_winsorize",
+    "eval_brier_decomposition",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

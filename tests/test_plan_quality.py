@@ -158,6 +158,9 @@ _BNLJ_ALLOWED = {
     "corpus_vocab_coverage",
     "mlprep_curriculum_phases",
     "mlprep_target_encode",
+    # two 1-row broadcast scalars (corpus char total, the sorted-fold
+    # normalizer) riding along a |sources|-row aggregate
+    "pipeline_temperature_mixture",
     # the ×40 broadcast-site fanout IS the algorithm (IVF-style
     # nearest-site assignment; partial-agg argmin collapses it)
     "geo_knn_assign",
@@ -312,6 +315,12 @@ _SINGLE_PARTITION_ALLOWED = {
     "gate_benford_audit": 1,
     "pipeline_mixture_resample": 1,
     "pipeline_mixture_upsample": 1,
+    # global char-total scalar + the two |sources|-row folds (collect
+    # + canonical-order normalizer) — every input bounded by |sources|
+    "pipeline_temperature_mixture": 3,
+    # one unpartitioned window over the <= n_bins bin-aggregate rows
+    # (grand totals ride along the 10-row frame, not the corpus)
+    "eval_brier_decomposition": 1,
     "tpch_q6_revenue_forecast": 1,
     "tpch_q11_important_stock": 1,
     "tpch_q14_promo_effect": 1,
