@@ -1097,3 +1097,212 @@ JOIN exact e ON e.{id_col} = t.{id_col}
 JOIN comp c ON c.{id_col} = t.{id_col}
 GROUP BY t.{group_col}
 """
+
+
+# ---------------------------------------------- containment (subset) dup
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold_ppm: int = 600_000,
+    max_shingle_df: int = 8,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment(a,b) =
+    |A∩B| / min(|A|,|B|) over k-token shingle sets — catches a short
+    document EMBEDDED in a longer one (quote farms, scraped mirrors
+    with boilerplate wrappers), which symmetric Jaccard misses because
+    the union is dominated by the longer side.
+
+    Candidates: pairs sharing at least one RARE shingle (document
+    frequency ≤ ``max_shingle_df``) — the same df-capped blocking idea
+    as the prefix filter; a hot boilerplate shingle never fans out a
+    bucket join.  Guarantee: any contained doc owning ≥ 1 rare
+    shingle is found (a doc made ENTIRELY of ubiquitous shingles has
+    no discriminative content to block on — raise the cap for that
+    corpus).  Verification is exact: full shared-shingle count per
+    candidate pair, integer ppm threshold test, no floats anywhere.
+
+    Returns (a_id, b_id, n_inter, n_a, n_b, containment_ppm).
+    """
+    sh = shingle_df(df, id_col, text_col, k).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_shingle_df)
+        .select("shingle")
+    )
+    rsh = sh.join(rare, "shingle")
+    cand = (
+        rsh.select(F.col(id_col).alias("a_id"), "shingle")
+        .join(rsh.select(F.col(id_col).alias("b_id"), "shingle"), "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "containment_ppm",
+            F.expr("(n_inter * CAST(1000000 AS BIGINT)) div least(n_a, n_b)"),
+        )
+        .filter(
+            F.col("n_inter") * F.lit(1_000_000)
+            >= F.lit(threshold_ppm) * F.least("n_a", "n_b")
+        )
+        .select("a_id", "b_id", "n_inter", "n_a", "n_b", "containment_ppm")
+    )
+
+
+def containment_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold_ppm: int = 600_000,
+    max_shingle_df: int = 8,
+) -> str:
+    return f"""
+WITH sh AS ({shingle_sql(table, id_col, text_col, k)}),
+sizes AS (SELECT {id_col}, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_shingle_df}
+),
+rsh AS (SELECT s.{id_col}, s.shingle FROM sh s JOIN rare r ON s.shingle = r.shingle),
+cand AS (
+  SELECT DISTINCT a.{id_col} AS a_id, b.{id_col} AS b_id
+  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.{id_col} = c.a_id
+  JOIN sh b ON b.{id_col} = c.b_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.a_id, i.b_id, i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST((i.n_inter * CAST(1000000 AS BIGINT)) // LEAST(sa.n_sh, sb.n_sh)
+            AS BIGINT) AS containment_ppm
+FROM inter i
+JOIN sizes sa ON sa.{id_col} = i.a_id
+JOIN sizes sb ON sb.{id_col} = i.b_id
+WHERE i.n_inter * 1000000 >= {threshold_ppm} * LEAST(sa.n_sh, sb.n_sh)
+"""
+
+
+# ----------------------------------------------- incremental ingest dedup
+
+
+def incremental_dedup_report(
+    base: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-``group_col`` ingest funnel for an INCREMENTAL corpus build:
+    of the incoming batch, how many documents' exact fingerprints
+    already exist in the accumulated base (skip), how many collide
+    within the batch itself (keep the min-id), and how many actually
+    ingest — the report each nightly feed drop publishes, turning a
+    suddenly-90%-duplicate upstream into a same-day alarm.
+
+    Scale: fingerprints are md5 of normalized text (pure projection);
+    "already in base" is a left-semi/anti join on the fingerprint —
+    at 100 TB the base side is the accumulated FINGERPRINT TABLE (one
+    slim column), not the corpus, and the join shuffles only the
+    incoming batch against it.  All counts exact integers.
+
+    Returns (group, n_incoming, n_dup_vs_base, n_dup_in_batch,
+    n_ingested).
+    """
+    from pyspark.sql import Window
+
+    from gis_city_county_spark.operators.textstats import fingerprint_md5
+
+    base_fp = base.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+    inc = incoming.select(
+        F.col(group_col).alias("__grp"),
+        F.col(id_col).alias("__id"),
+        fingerprint_md5(text_col).alias("__fp"),
+    )
+    fresh = inc.join(base_fp, "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col("__id").asc())
+    kept = fresh.withColumn("__rk", F.row_number().over(w))
+    per_group = (
+        inc.groupBy("__grp").agg(F.count(F.lit(1)).alias("n_incoming"))
+        .join(
+            fresh.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n_fresh")),
+            "__grp",
+            "left",
+        )
+        .join(
+            kept.filter(F.col("__rk") == 1)
+            .groupBy("__grp")
+            .agg(F.count(F.lit(1)).alias("__n_kept")),
+            "__grp",
+            "left",
+        )
+    )
+    return per_group.select(
+        F.col("__grp").alias(group_col),
+        "n_incoming",
+        (F.col("n_incoming") - F.coalesce(F.col("__n_fresh"), F.lit(0))).alias(
+            "n_dup_vs_base"
+        ),
+        (
+            F.coalesce(F.col("__n_fresh"), F.lit(0))
+            - F.coalesce(F.col("__n_kept"), F.lit(0))
+        ).alias("n_dup_in_batch"),
+        F.coalesce(F.col("__n_kept"), F.lit(0)).alias("n_ingested"),
+    )
+
+
+def incremental_dedup_report_sql(
+    base_sql: str,
+    incoming_sql: str,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> str:
+    from gis_city_county_spark.operators.textstats import normalized_text_sql
+
+    fp = f"md5({normalized_text_sql(text_col)})"
+    return f"""
+WITH base_fp AS (SELECT DISTINCT {fp} AS fp FROM ({base_sql})),
+inc AS (
+  SELECT {group_col} AS grp, {id_col} AS id, {fp} AS fp FROM ({incoming_sql})
+),
+fresh AS (
+  SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM base_fp)
+),
+kept AS (
+  SELECT grp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY id ASC) AS rk
+  FROM fresh
+)
+SELECT i.grp AS {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_incoming,
+       CAST(COUNT(*) - COALESCE(MAX(f.nf), 0) AS BIGINT) AS n_dup_vs_base,
+       CAST(COALESCE(MAX(f.nf), 0) - COALESCE(MAX(k.nk), 0) AS BIGINT)
+         AS n_dup_in_batch,
+       CAST(COALESCE(MAX(k.nk), 0) AS BIGINT) AS n_ingested
+FROM inc i
+LEFT JOIN (SELECT grp, COUNT(*) AS nf FROM fresh GROUP BY grp) f ON f.grp = i.grp
+LEFT JOIN (SELECT grp, COUNT(*) AS nk FROM kept WHERE rk = 1 GROUP BY grp) k
+       ON k.grp = i.grp
+GROUP BY i.grp
+"""

@@ -393,3 +393,66 @@ def label_propagation_sql(edges_sql: str, rounds: int = 4) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT node, label FROM l{rounds}"
     )
+
+
+# ------------------------------------------------- resource allocation
+
+
+def resource_allocation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Resource-Allocation link-prediction index over a bipartite
+    src→dst edge list: RA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z) — like
+    Adamic-Adar but with a plain reciprocal instead of 1/log(deg), so
+    the whole score is EXACT integer arithmetic (per-neighbor term =
+    ``scale div deg(z)``, summed as BIGINTs) — no libm, engine-exact.
+
+    Plan: one neighbor-degree aggregate (map-combinable), the standard
+    shared-neighbor self-join keyed on the neighbor (same shuffle
+    shape as common-neighbors — a pair appears once per shared
+    neighbor, so the join output is Σ_z deg(z)², which is why callers
+    pre-filter the src side to a candidate sample at corpus scale),
+    then one (a,b) sum.
+
+    Returns (sa, sb, n_common, ra_scaled) with sa < sb.
+    """
+    deg = edges.groupBy(dst_col).agg(F.count(F.lit(1)).alias("__deg"))
+    e = edges.join(deg, dst_col).select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__z"),
+        F.expr(f"CAST({scale} AS BIGINT) div __deg").alias("__term"),
+    )
+    a = e.select(F.col("__s").alias("sa"), "__z", "__term")
+    b = e.select(F.col("__s").alias("sb"), "__z")
+    return (
+        a.join(b, "__z")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("__term").alias("ra_scaled"),
+        )
+    )
+
+
+def resource_allocation_sql(
+    edges_sql: str, scale: int = 1_000_000_000_000
+) -> str:
+    """DuckDB twin of :func:`resource_allocation` (edge relation must
+    expose ``src``/``dst``)."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+deg AS (SELECT dst, COUNT(*) AS d FROM e0 GROUP BY dst),
+e AS (
+  SELECT e0.src AS s, e0.dst AS z, CAST({scale} AS BIGINT) // deg.d AS term
+  FROM e0 JOIN deg ON e0.dst = deg.dst
+)
+SELECT a.s AS sa, b.s AS sb,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       CAST(SUM(a.term) AS BIGINT) AS ra_scaled
+FROM e a JOIN e b ON a.z = b.z AND a.s < b.s
+GROUP BY 1, 2
+"""

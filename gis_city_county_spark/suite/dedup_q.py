@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from gis_city_county_spark.operators.dedup import (
     cluster_quality_keeper,
     cluster_quality_keeper_sql,
+    containment_pairs_sql,
     dedup_components,
     dedup_components_sql,
     dedup_yield_report,
@@ -411,8 +412,49 @@ WHERE rank <= 5
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/min) over rare-shingle
+    blocked candidates — the subset-duplicate detector symmetric
+    Jaccard misses."""
+    from gis_city_county_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "doc_id", "text")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest funnel: the doc_id%2==0 half arrives as the
+    incoming batch against a doc_id%3!=0 accumulated base; per source,
+    exact-fingerprint dups vs base, dups within the batch, and net
+    ingested."""
+    from gis_city_county_spark.operators.dedup import incremental_dedup_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 0)
+    return incremental_dedup_report(base, incoming, "doc_id", "text", "source")
+
+
+def _incremental_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import (
+        incremental_dedup_report_sql,
+    )
+
+    return incremental_dedup_report_sql(
+        "SELECT * FROM documents WHERE doc_id % 3 != 0",
+        "SELECT * FROM documents WHERE doc_id % 2 = 0",
+        "doc_id", "text", "source",
+    )
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
+    QuerySpec(
+        "dedup_containment_pairs",
+        q_containment,
+        containment_pairs_sql("documents", "doc_id", "text"),
+    ),
+    QuerySpec("cdc_incremental_dedup", q_incremental_dedup, _incremental_oracle()),
     QuerySpec("corpus_source_keywords", q_source_keywords, _source_keywords_oracle()),
     QuerySpec("corpus_novelty_scores", q_novelty, _novelty_oracle()),
     QuerySpec("corpus_source_similarity", q_source_similarity, _source_sim_oracle()),

@@ -362,8 +362,37 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LPA_ORACLE = label_propagation_sql(_EDGES_SQL, rounds=_LPA_ROUNDS)
 
 
+def q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction between sampled supplier
+    pairs (Σ 1/deg over shared customers, exact `scale div deg`
+    integer terms — the no-libm Adamic-Adar) over the same sampled
+    trade graph as graph_link_prediction."""
+    from gis_city_county_spark.operators.graph import resource_allocation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+        .filter(F.col("src") % 20 == 0)
+    )
+    return resource_allocation(edges)
+
+
+def _ra_oracle() -> str:
+    from gis_city_county_spark.operators.graph import resource_allocation_sql
+
+    return resource_allocation_sql("""
+  SELECT DISTINCT l_suppkey AS src, o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_suppkey % 20 = 0
+""")
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
+    QuerySpec("graph_resource_allocation", q_resource_allocation, _ra_oracle()),
     QuerySpec("graph_kcore_trade", q_kcore, _KCORE_ORACLE),
     QuerySpec("graph_label_propagation", q_label_propagation, _LPA_ORACLE),
     QuerySpec("graph_modularity_nations", q_modularity, _MODULARITY_ORACLE),

@@ -324,6 +324,9 @@ R6_PRESTAGE: tuple[str, ...] = (
     "pipeline_temperature_mixture",
     "mlprep_winsorize",
     "eval_brier_decomposition",
+    "graph_resource_allocation",
+    "dedup_containment_pairs",
+    "cdc_incremental_dedup",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
