@@ -1562,8 +1562,10 @@ def temperature_mixture(
             f"alpha must be one of {sorted(powers)} (dyadic rationals "
             f"compute via sqrt chains, bit-portable); got {alpha}"
         )
+    # floor, not a bare bigint cast: Spark's cast truncates but
+    # DuckDB's rounds half-even, so fractional weights would diverge
     stats = df.groupBy(group_col).agg(
-        F.sum(F.col(weight_col).cast("bigint")).alias("weight_total")
+        F.sum(F.floor(F.col(weight_col)).cast("bigint")).alias("weight_total")
     )
     total = stats.agg(F.sum("weight_total").alias("__total"))
     scored = (
@@ -1604,7 +1606,8 @@ def temperature_mixture_sql(
     powers = {0.5: "s1", 0.25: "s2", 0.75: "s1 * s2"}
     return f"""
 WITH stats AS (
-  SELECT {group_col}, CAST(SUM(CAST({weight_col} AS BIGINT)) AS BIGINT) AS weight_total
+  SELECT {group_col},
+         CAST(SUM(CAST(FLOOR({weight_col}) AS BIGINT)) AS BIGINT) AS weight_total
   FROM {table} GROUP BY {group_col}
 ),
 tot AS (SELECT CAST(SUM(weight_total) AS BIGINT) AS total FROM stats),

@@ -1288,7 +1288,13 @@ inc AS (
   SELECT {group_col} AS grp, {id_col} AS id, {fp} AS fp FROM ({incoming_sql})
 ),
 fresh AS (
-  SELECT * FROM inc WHERE fp NOT IN (SELECT fp FROM base_fp)
+  -- LEFT JOIN ... IS NULL, not NOT IN: a single NULL fingerprint in
+  -- the base would make NOT IN return zero rows, and NULL-fp incoming
+  -- rows must stay (Spark's left_anti keeps them: NULL matches
+  -- nothing), so the join-based spelling is the exact anti-join twin.
+  SELECT i.grp, i.id, i.fp FROM inc i
+  LEFT JOIN base_fp b ON i.fp = b.fp
+  WHERE b.fp IS NULL
 ),
 kept AS (
   SELECT grp, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY id ASC) AS rk

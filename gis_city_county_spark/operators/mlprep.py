@@ -492,13 +492,19 @@ def winsorize_stats(
     """
     from pyspark.sql import Window
 
+    # Rank by the RAW value (both engines order doubles identically)
+    # and clamp the FLOORED value: floor matches on every engine,
+    # whereas a bare bigint cast truncates in Spark but rounds
+    # half-even in DuckDB (5.7 -> 5 vs 6).
     w = Window.partitionBy(group_col).orderBy(
-        F.col("__v").asc(), F.col("__id").asc()
+        F.col("__vraw").asc(), F.col("__id").asc()
     )
     ranked = df.select(
         group_col,
-        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(value_col).alias("__vraw"),
         F.col(id_col).alias("__id"),
+    ).withColumn(
+        "__v", F.floor("__vraw").cast("bigint")
     ).withColumn("__rn", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(group_col))
     )
@@ -554,7 +560,7 @@ def winsorize_stats_sql(
     return f"""
 WITH ranked AS (
   SELECT {group_col},
-         CAST({value_col} AS BIGINT) AS v,
+         CAST(FLOOR({value_col}) AS BIGINT) AS v,
          ROW_NUMBER() OVER (PARTITION BY {group_col}
                             ORDER BY {value_col} ASC, {id_col} ASC) AS rn,
          COUNT(*) OVER (PARTITION BY {group_col}) AS n

@@ -60,15 +60,28 @@ _IVF_INDEX_DIRS: dict[str, str] = {}
 
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir not in _IVF_INDEX_DIRS:
-        import atexit
         import hashlib
+        import os
         import shutil
         import tempfile
         from pathlib import Path
 
         from gis_city_county_spark.operators.similarity import build_ivf_index
 
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        # Key the cache on the SOURCE CONTENT (path + mtime + size of
+        # the embeddings parquet), not just the path: regenerated
+        # testdata must invalidate a survivor from a crashed run, or a
+        # stale index would silently serve wrong neighbors.  No atexit
+        # cleanup — a concurrent session may still be probing the same
+        # dir (the index is ~MBs under /tmp; the content key orphans
+        # stale dirs and the OS reaps /tmp).
+        src = os.path.join(sf_dir, "embeddings.parquet")
+        try:
+            st = os.stat(src)
+            content = f"{src}|{st.st_mtime_ns}|{st.st_size}"
+        except OSError:  # non-local sf_dir: fall back to the path key
+            content = src
+        tag = hashlib.md5(content.encode()).hexdigest()[:12]
         path = Path(tempfile.gettempdir()) / "sgraft_ivf_cache" / tag
         marker = path / "_BUILT"
         if not marker.exists():
@@ -76,7 +89,6 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             emb = load_table(spark, sf_dir, "embeddings")
             build_ivf_index(emb, "vec_id", "embedding", str(path), nlist=32)
             marker.touch()
-            atexit.register(shutil.rmtree, str(path), True)
         _IVF_INDEX_DIRS[sf_dir] = str(path)
     return _IVF_INDEX_DIRS[sf_dir]
 

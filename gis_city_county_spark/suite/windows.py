@@ -50,7 +50,12 @@ CURRENT_ROUND = 5
 #   * ``sim_ivf_index_persisted`` — r5 splits the harness into
 #     build-once/probe-only and drops the collect(), changing the
 #     benched plan (VERDICT r4 item 4);
-#   * ``dedup_exact`` — the oldest dedup green, cheap reconfirm.
+#   * ``dedup_connected_components`` / ``pipeline_semantic_dedup`` —
+#     r5 added the pointer-jumping step to connected_components
+#     (plans rewritten mid-round, AFTER the first PLAN_HASHES
+#     snapshot, so the fingerprint mechanism can't flag them — they
+#     take the slots originally penciled for stale-green reconfirms
+#     (dedup_exact, sim_lsh_ann_topk): plan-changed beats stale).
 _R5_WINDOW: tuple[str, ...] = (
     # Re-proofs (r2-green, plans since rewritten).
     "ref_a1_dissolve_attach",
@@ -59,9 +64,9 @@ _R5_WINDOW: tuple[str, ...] = (
     "geo_j3_erase",
     "geo_sliver_fix",
     "dedup_minhash_lsh_pairs",
-    "sim_lsh_ann_topk",
+    "dedup_connected_components",
     "sim_ivf_index_persisted",
-    "dedup_exact",
+    "pipeline_semantic_dedup",
     # The full 41-entry never-checked remainder after round 4
     # (R5_PRESTAGE), in its pinned order.
     "text_url_canonicalize",
@@ -251,7 +256,8 @@ REPROOFS: dict[int, frozenset[str]] = {
         "olap_pareto_abc",
     }),
     # r2-green queries whose plans changed since (dissolve auto-salt,
-    # kernel repairs, IVF build/probe split) + the heaviest old greens.
+    # kernel repairs, IVF build/probe split, CC pointer-jumping) + the
+    # heaviest old green (minhash banding sweep).
     5: frozenset({
         "ref_a1_dissolve_attach",
         "geo_a1_dissolve",
@@ -259,9 +265,9 @@ REPROOFS: dict[int, frozenset[str]] = {
         "geo_j3_erase",
         "geo_sliver_fix",
         "dedup_minhash_lsh_pairs",
-        "sim_lsh_ann_topk",
+        "dedup_connected_components",
         "sim_ivf_index_persisted",
-        "dedup_exact",
+        "pipeline_semantic_dedup",
     }),
 }
 

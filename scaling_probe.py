@@ -146,7 +146,21 @@ def main() -> None:
     from gis_city_county_spark.session import get_spark
     from gis_city_county_spark.suite import all_specs
 
-    scaled_dir = f"/tmp/sgraft_scale/x{args.factor}"
+    # Cache key includes the BASE dataset identity (path + mtime +
+    # size of the largest table), not just the factor — otherwise a
+    # changed SPARK_GRAFT_SF_DIR or regenerated testdata would reuse a
+    # replica built from different data and every ratio would be
+    # meaningless.
+    import hashlib
+
+    li = os.path.join(BASE_SF, "lineitem.parquet")
+    try:
+        st = os.stat(li)
+        base_key = f"{BASE_SF}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        base_key = BASE_SF
+    tag = hashlib.md5(base_key.encode()).hexdigest()[:10]
+    scaled_dir = f"/tmp/sgraft_scale/{tag}_x{args.factor}"
     marker = os.path.join(scaled_dir, "_BUILT")
     if not os.path.exists(marker):
         shutil.rmtree(scaled_dir, ignore_errors=True)

@@ -76,8 +76,16 @@ def test_windows_partition_the_suite() -> None:
         assert set(window) <= names, f"round {rnd} unknown names"
     # Historical invariant: R5_PRESTAGE == the never-checked remainder
     # after round 4 (it was built that way and WINDOWS[5] consumes it).
+    # The round-4 suite is the current suite minus everything added in
+    # round 5 or later — i.e. minus the union of ALL prestage sets for
+    # rounds > 5 (a fixed historical fact, NOT relative to
+    # CURRENT_ROUND, which advances every rotation).
     checked_before_4 = _driver_checked_names(before_round=4)
-    r4_suite_names = names - set(PRESTAGE.get(CURRENT_ROUND + 1, ()))
+    added_after_r4: set[str] = set()
+    for rnd, staged in PRESTAGE.items():
+        if rnd > 5:
+            added_after_r4 |= set(staged)
+    r4_suite_names = names - added_after_r4
     leftover_after_4 = r4_suite_names - checked_before_4 - set(WINDOWS[4])
     assert leftover_after_4 == set(R5_PRESTAGE), (
         "R5_PRESTAGE out of date: after round 4 the never-checked "

@@ -917,3 +917,48 @@ def test_cluster_keeper_keeps_best_member_of_planted_clusters(spark):
 
     # (c) singletons keep themselves
     assert by_id[30]["keep"] and by_id[31]["keep"]
+
+
+def test_incremental_dedup_survives_null_fingerprints(spark):
+    """A NULL text (NULL md5 fingerprint) in the base must not poison
+    the oracle (NOT IN semantics would return zero 'fresh' rows) and
+    NULL-fp incoming rows behave like Spark's left_anti: kept as
+    fresh.  Engine and DuckDB twin must agree cell-for-cell."""
+    import duckdb
+
+    from gis_city_county_spark.operators.dedup import (
+        incremental_dedup_report,
+        incremental_dedup_report_sql,
+    )
+
+    base_rows = [(1, "g", "alpha beta"), (2, "g", None)]
+    inc_rows = [
+        (10, "g", "alpha beta"),   # dup vs base
+        (11, "g", None),           # NULL fp: fresh (anti-join keeps)
+        (12, "g", None),           # second NULL fp: also fresh/kept
+        (13, "g", "gamma delta"),  # genuinely new
+        (14, "g", "gamma delta"),  # in-batch dup of 13
+    ]
+    schema = "doc_id long, source string, text string"
+    base = spark.createDataFrame(base_rows, schema)
+    inc = spark.createDataFrame(inc_rows, schema)
+    got = incremental_dedup_report(base, inc, "doc_id", "text", "source").collect()
+    assert len(got) == 1
+    r = got[0]
+    # NULL fps: row_number partitions NULLs together on both engines,
+    # so of 11/12 one is the keeper; 13 keeps, 14 in-batch dup.
+    assert r["n_incoming"] == 5
+    assert r["n_dup_vs_base"] == 1
+    assert r["n_dup_in_batch"] == 2
+    assert r["n_ingested"] == 2
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.execute("CREATE TABLE i (doc_id BIGINT, source VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO b VALUES (?, ?, ?)", base_rows)
+    con.executemany("INSERT INTO i VALUES (?, ?, ?)", inc_rows)
+    sql = incremental_dedup_report_sql(
+        "SELECT * FROM b", "SELECT * FROM i", "doc_id", "text", "source"
+    )
+    want = con.execute(sql).fetchall()
+    assert want == [("g", 5, 1, 2, 2)]
