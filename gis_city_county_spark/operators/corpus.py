@@ -1627,3 +1627,106 @@ SELECT {group_col}, weight_total, p_raw, {powers[alpha]} AS w_alpha,
        (({powers[alpha]}) / z) * {float(budget)!r} AS expected_budget
 FROM scored CROSS JOIN z
 """
+
+
+# ------------------------------------------------- bigram LM scoring
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document corpus-LM fluency score — the perplexity-filter
+    stage of a data pipeline (KenLM-style) made engine-exact: each
+    bigram scores Laplace-smoothed ``P(w2|w1)`` in integer ppm,
+    ``((c(w1,w2) + 1) · 1e6) div (c(w1,·) + V)``, and a document
+    reports the exact ppm sum and its mean (ONE IEEE division).  No
+    logarithms anywhere, so any engine reproduces it bit-for-bit;
+    ranking by mean-ppm is order-equivalent to ranking by the
+    geometric-mean-free additive score.
+
+    Scale: bigram/prefix counts are map-combinable aggregates; the
+    score join shuffles doc-bigram instances against the count tables
+    (both keyed on the bigram / prefix).  At 100 TB you'd freeze the
+    LM: write the count tables once, prune to the top-K bigrams, and
+    broadcast — the scoring join's shape is unchanged, which is why
+    the operator takes the corpus itself as its own LM here.
+
+    Returns (id, n_bigrams, sum_ppm, mean_ppm) for docs with ≥ 1
+    bigram.
+    """
+    base = rebalance_for_fanout(df, multiplier=16.0).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    bg = base.filter(F.size("__toks") >= 2).select(
+        "__id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> struct(element_at(__toks, i) AS w1,"
+                " concat_ws(' ', element_at(__toks, i),"
+                " element_at(__toks, i + 1)) AS bg))"
+            )
+        ).alias("__p"),
+    ).select("__id", F.col("__p.w1").alias("__w1"), F.col("__p.bg").alias("__bg"))
+    c2 = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab_n = bg.select(F.col("__w1").alias("__w")).distinct().agg(
+        F.count(F.lit(1)).alias("__v")
+    )
+    scored = (
+        bg.join(c2, "__bg")
+        .join(c1, "__w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "__id",
+            F.expr(
+                "((__c2 + 1) * CAST(1000000 AS BIGINT)) div (__c1 + __v)"
+            ).alias("__ppm"),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__ppm").cast("bigint").alias("sum_ppm"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_bigrams",
+            "sum_ppm",
+            (
+                F.col("sum_ppm").cast("double") / F.col("n_bigrams").cast("double")
+            ).alias("mean_ppm"),
+        )
+    )
+
+
+def bigram_lm_score_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM {table}
+),
+bg AS (
+  SELECT id,
+         list_extract(t, i) AS w1,
+         list_extract(t, i) || ' ' || list_extract(t, i + 1) AS b
+  FROM base, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT b, COUNT(*) AS c2 FROM bg GROUP BY b),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM bg),
+scored AS (
+  SELECT bg.id,
+         ((c2.c2 + 1) * CAST(1000000 AS BIGINT)) // (c1.c1 + v.v) AS ppm
+  FROM bg JOIN c2 ON bg.b = c2.b JOIN c1 ON bg.w1 = c1.w1 CROSS JOIN v
+)
+SELECT id AS {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+       CAST(SUM(ppm) AS BIGINT)::DOUBLE / CAST(COUNT(*) AS BIGINT)::DOUBLE
+         AS mean_ppm
+FROM scored GROUP BY id
+"""

@@ -290,3 +290,72 @@ def canonical_url_sql(expr: str) -> str:
         f"'https://' || {host} || {path} || "
         f"CASE WHEN {kept} != '' THEN '?' || {kept} ELSE '' END"
     )
+
+
+def char_gini(
+    df, id_col: str, text_col: str
+):
+    """Per-document character-distribution Gini impurity:
+    ``1 − Σ_c (cnt_c/n)²`` — the no-logarithm entropy proxy (low value
+    = one character dominates = repetition/garbage; high = diverse
+    text).  A standard cheap quality signal next to length/stopword
+    ratios, chosen over Shannon entropy because libm ``log`` is not
+    bit-portable across engines while ``Σ cnt²`` is exact integer
+    arithmetic with ONE final IEEE division.
+
+    Plan: split-to-chars explode (scan-side array op), a per-(doc,
+    char) count — map-combinable, shuffle rows bounded by |alphabet|
+    per doc — then one per-doc roll-up.
+
+    Returns (id, n_chars_counted, sum_sq, gini) where
+    ``gini = 1 − sum_sq/n²`` via exact BIGINTs.
+    """
+    from pyspark.sql import functions as F
+
+    chars = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(_c(text_col), "")).alias("__ch"),
+    ).filter(F.col("__ch") != "")
+    per_char = chars.groupBy("__id", "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_char.groupBy("__id")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_chars_counted"),
+            F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("sum_sq"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_chars_counted",
+            "sum_sq",
+            (
+                F.lit(1.0)
+                - F.col("sum_sq").cast("double")
+                / (F.col("n_chars_counted") * F.col("n_chars_counted")).cast(
+                    "double"
+                )
+            ).alias("gini"),
+        )
+    )
+
+
+def char_gini_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin: string_split_regex('') spells char explosion."""
+    return f"""
+WITH chars AS (
+  SELECT {id_col} AS id, c.ch
+  FROM (SELECT {id_col}, string_split_regex({text_col}, '') AS cl FROM {table}) s,
+       LATERAL UNNEST(s.cl) AS c(ch)
+  WHERE c.ch != ''
+),
+per_char AS (
+  SELECT id, ch, COUNT(*) AS c FROM chars GROUP BY id, ch
+)
+SELECT id AS {id_col},
+       CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       1.0 - CAST(SUM(c * c) AS BIGINT)::DOUBLE
+           / (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT))::DOUBLE AS gini
+FROM per_char GROUP BY id
+"""

@@ -547,8 +547,24 @@ def _temperature_oracle() -> str:
     )
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-LM fluency score (Laplace-smoothed bigram ppm,
+    no logs) — the engine-exact perplexity-filter stage."""
+    from gis_city_county_spark.operators.corpus import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "doc_id", "text")
+
+
+def _bigram_lm_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import bigram_lm_score_sql
+
+    return bigram_lm_score_sql("documents", "doc_id", "text")
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_bigram_lm_score", q_bigram_lm_score, _bigram_lm_oracle()),
     QuerySpec("pipeline_temperature_mixture", q_temperature_mixture,
               _temperature_oracle()),
     QuerySpec("corpus_vocab_coverage", q_vocab_coverage, _VOCAB_COV_ORACLE),

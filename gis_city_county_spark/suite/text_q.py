@@ -585,9 +585,26 @@ ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
 """
 
 
+def q_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Gini impurity — the
+    no-logarithm entropy proxy for repetition/garbage detection
+    (exact Σcnt² integers, one IEEE division)."""
+    from gis_city_county_spark.operators.textstats import char_gini
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_gini(docs, "doc_id", "text")
+
+
+def _char_gini_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import char_gini_sql
+
+    return char_gini_sql("documents", "doc_id", "text")
+
+
 SPECS = [
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
+    QuerySpec("text_char_gini", q_char_gini, _char_gini_oracle()),
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
     QuerySpec("text_quality_score", q_quality, _QUALITY_ORACLE),

@@ -333,6 +333,8 @@ R6_PRESTAGE: tuple[str, ...] = (
     "graph_resource_allocation",
     "dedup_containment_pairs",
     "cdc_incremental_dedup",
+    "text_char_gini",
+    "corpus_bigram_lm_score",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

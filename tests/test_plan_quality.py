@@ -161,6 +161,8 @@ _BNLJ_ALLOWED = {
     # two 1-row broadcast scalars (corpus char total, the sorted-fold
     # normalizer) riding along a |sources|-row aggregate
     "pipeline_temperature_mixture",
+    # 1-row broadcast vocabulary-size scalar riding the scoring join
+    "corpus_bigram_lm_score",
     # the ×40 broadcast-site fanout IS the algorithm (IVF-style
     # nearest-site assignment; partial-agg argmin collapses it)
     "geo_knn_assign",
@@ -321,6 +323,8 @@ _SINGLE_PARTITION_ALLOWED = {
     # one unpartitioned window over the <= n_bins bin-aggregate rows
     # (grand totals ride along the 10-row frame, not the corpus)
     "eval_brier_decomposition": 1,
+    # vocabulary-size scalar: final merge of partial distinct counts
+    "corpus_bigram_lm_score": 1,
     "tpch_q6_revenue_forecast": 1,
     "tpch_q11_important_stock": 1,
     "tpch_q14_promo_effect": 1,
