@@ -471,9 +471,21 @@ def hll_distinct(
 
     Returns (group..., register_sum, n_zero_registers, hll_raw_est).
     """
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_estimate_from_registers(regs, group_cols, p)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int = 8
+) -> DataFrame:
+    """The (group..., __reg, __m) register relation of
+    :func:`hll_distinct` — one projection + one map-combinable MAX
+    aggregate, both streaming-legal, so the SAME code path builds the
+    registers from a batch DataFrame or a ``readStream`` one
+    (``streaming.sketch.streaming_hll_registers``); state is ≤
+    2**p rows per group on an unbounded stream."""
     m = 1 << p
     kbits = 60 - p + 1
-    alpha = _hll_alpha(m)
     h = _h60(F.col(value_col).cast("string"))
     # m is a power of two: register/rest split via exact bit ops (a
     # double division of a 60-bit value would lose bits past 2^53)
@@ -481,7 +493,7 @@ def hll_distinct(
     rho = F.when(
         w > 0, F.lit(60 - p) - F.length(F.bin(w)) + F.lit(1)
     ).otherwise(F.lit(kbits))
-    regs = (
+    return (
         df.select(
             *group_cols,
             h.bitwiseAND(F.lit(m - 1)).alias("__reg"),
@@ -490,6 +502,19 @@ def hll_distinct(
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("__m"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Roll a register relation (from :func:`hll_registers` — batch,
+    or a snapshot of the streaming state) into the per-group estimate
+    row.  Separated from the build so the streaming form can aggregate
+    registers continuously and apply this tiny roll-up per snapshot
+    (``foreachBatch``)."""
+    m = 1 << p
+    kbits = 60 - p + 1
+    alpha = _hll_alpha(m)
     # shiftleft(1, K - M) is exact for M in [1, K]
     return (
         regs.groupBy(*group_cols)

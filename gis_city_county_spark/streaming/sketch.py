@@ -48,3 +48,37 @@ def streaming_countmin_cells(
     stream = reader.parquet(path)
     rows = stream.select(F.col(key_col).cast("string").alias("__k"))
     return countmin_cells(rows, "__k", width, depth)
+
+
+def streaming_hll_registers(
+    spark,
+    schema,
+    path: str,
+    key_col: str,
+    group_col: str | None = None,
+    p: int = 8,
+    reader_options: dict | None = None,
+):
+    """File-source stream → live HyperLogLog register relation
+    (same build path as batch ``operators.sketch.hll_registers``, so
+    the registers are bit-equal run-to-completion).
+
+    A register MAX is a streaming-legal aggregate; state is bounded
+    at (groups × 2**p) rows no matter how many distinct keys the
+    stream carries — the distinct-count analogue of the count-min
+    bound above.  The estimate roll-up
+    (``hll_estimate_from_registers``) runs batch-side on each
+    snapshot (``foreachBatch`` at scale)."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.sketch import hll_registers
+
+    reader = spark.readStream.schema(schema)
+    for opt, val in (reader_options or {}).items():
+        reader = reader.option(opt, val)
+    stream = reader.parquet(path)
+    groups = [group_col] if group_col else []
+    rows = stream.select(
+        *groups, F.col(key_col).cast("string").alias("__k")
+    )
+    return hll_registers(rows, groups, "__k", p)

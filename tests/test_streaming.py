@@ -699,3 +699,64 @@ def test_streaming_near_dup_recovers_state_from_checkpoint(spark, sf_dir, tmp_pa
     cross = [(a, b) for a, b, _ in got if (a % 2) != (b % 2)]
     assert cross, "no cross-restart pairs — state was not recovered"
     assert spark.read.parquet(out).count() > n_first
+
+
+def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """The streaming HLL registers must be BIT-equal to the batch
+    build after run-to-completion (same md5 hash, same rho), state
+    bounded at groups x 2^p, and the estimate roll-up applied to the
+    final streaming snapshot must equal the batch hll_distinct row."""
+    from gis_city_county_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+    )
+    from gis_city_county_spark.sources.tables import load_table
+    from gis_city_county_spark.streaming.sketch import streaming_hll_registers
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    path = str(tmp_path / "ev")
+    ev.filter(F.col("user_id") % 2 == 0).coalesce(1).write.parquet(path)
+    ev.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    p = 6
+    regs = streaming_hll_registers(
+        spark, schema, path, "user_id", group_col="event_type", p=p,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snapshot = spark.sql("SELECT * FROM hll_regs")
+    got = {
+        (r["event_type"], r["__reg"]): r["__m"] for r in snapshot.collect()
+    }
+    batch = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("__k")
+    )
+    from gis_city_county_spark.operators.sketch import hll_registers
+
+    want = {
+        (r["event_type"], r["__reg"]): r["__m"]
+        for r in hll_registers(batch, ["event_type"], "__k", p).collect()
+    }
+    assert got == want and len(got) > 0
+    n_groups = len({g for g, _ in got})
+    assert len(got) <= n_groups * (1 << p)  # bounded state
+
+    est_stream = {
+        r["event_type"]: (r["register_sum"], r["hll_raw_est"])
+        for r in hll_estimate_from_registers(
+            snapshot, ["event_type"], p
+        ).collect()
+    }
+    est_batch = {
+        r["event_type"]: (r["register_sum"], r["hll_raw_est"])
+        for r in hll_distinct(batch, ["event_type"], "__k", p).collect()
+    }
+    assert est_stream == est_batch
