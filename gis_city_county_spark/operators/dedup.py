@@ -584,7 +584,7 @@ def connected_components(
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = _label_sum(labels)
-    for _ in range(max_iters):
+    for it in range(max_iters):
         msgs = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("comp")
         )
@@ -595,20 +595,22 @@ def connected_components(
         # label table (labels only ever move to the id of a reachable
         # node), so following one level of indirection — take your
         # label's label — halves the remaining distance to the
-        # component minimum every round.
-        hop = merged.select(
-            F.col("id").alias("__hid"), F.col("comp").alias("__hcomp")
-        )
-        labels = (
-            merged.join(hop, merged.comp == hop.__hid, "left")
-            .select(
+        # component minimum.  Skipped for the first two rounds: dense
+        # near-dup clusters (diameter 2-4, the overwhelmingly common
+        # case) reach fixpoint on plain propagation and never pay the
+        # extra join; a pathological chain component still converges
+        # in 2 + O(log diameter) rounds once the jump engages.
+        if it >= 2:
+            hop = merged.select(
+                F.col("id").alias("__hid"), F.col("comp").alias("__hcomp")
+            )
+            merged = merged.join(hop, merged.comp == hop.__hid, "left").select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("__hcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
-        )
+        labels = merged.localCheckpoint()
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break

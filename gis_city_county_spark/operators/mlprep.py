@@ -475,12 +475,14 @@ def winsorize_stats(
     lo_pct: int = 5,
     hi_pct: int = 95,
 ) -> DataFrame:
-    """Per-group winsorized summary: clamp ``value_col`` at the exact
-    ``lo_pct``/``hi_pct`` rank values (k = ceil(n·pct/100), total
-    order (value, id) so ties are deterministic) and report the
-    clamped mean — the outlier-robust feature scaling a training
-    pipeline applies before normalization, with engine-exact cut
-    points instead of interpolated percentiles.
+    """Per-group winsorized summary: rows rank by the RAW value with
+    (value, id) total order, the ``lo_pct``/``hi_pct`` cut rows are
+    the exact k = ceil(n·pct/100) ranks, and the FLOORED integer
+    values clamp to those cuts (floor, not a bare bigint cast — Spark
+    truncates but DuckDB rounds half-even, so fractional inputs would
+    diverge) — the outlier-robust feature scaling a training pipeline
+    applies before normalization, with engine-exact cut points
+    instead of interpolated percentiles.
 
     Scale: every window partitions BY THE GROUP (task work bounded by
     group size, no global sort); the cut values reduce to |groups|
