@@ -180,10 +180,20 @@ def main() -> None:
     names = [n for n in PROBE_QUERIES[: args.top] if n in specs]
 
     def best(name: str, sf_dir: str) -> float:
+        # Release the previous query's localCheckpoint RDD blocks
+        # before timing: iterative queries checkpoint per round, and
+        # the accumulated executor blocks from earlier probe queries
+        # otherwise inflate later ones 2-3x (measured on
+        # pipeline_semantic_dedup: 74s polluted vs 28s clean at 8x).
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
         t_best = float("inf")
         for p in range(args.passes):
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).count()
+            gc.collect()
             t_best = min(t_best, time.perf_counter() - t0)
         return t_best
 
