@@ -1730,3 +1730,107 @@ SELECT id AS {id_col},
          AS mean_ppm
 FROM scored GROUP BY id
 """
+
+
+# -------------------------------------------- repeated chunks (inter-doc)
+
+
+def repeated_chunk_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Inter-document repeated-chunk audit — the corpus-wide
+    "memorized boilerplate" detector (Lee et al., *Deduplicating
+    Training Data Makes Language Models Better*: repeated ≥ k-token
+    spans are the memorization vector): every document reports how
+    much of it is built from chunks that also occur in OTHER
+    documents.
+
+    Chunks are ``chunk_tokens``-token windows at ``stride`` spacing
+    (stride < k overlaps windows so a repeat crossing a boundary is
+    still caught; stride=1 is exact substring coverage at k× the
+    fanout — the knob is documented, not hidden).  A chunk is
+    "repeated" when it appears in ≥ 2 DISTINCT documents.  All counts
+    exact integers; the coverage ratio is integer ppm.
+
+    Scale: the chunk explode fans out ~n_tokens/stride rows per doc;
+    the cross-doc count is one map-combinable distinct aggregate keyed
+    on the chunk hash (uniform md5 — never skewed); the doc join keys
+    on the same hash.  No pairwise stage anywhere — cost is linear in
+    corpus tokens, unlike suffix-array substring dedup.
+
+    Returns (id, n_chunks, n_repeated, repeated_ppm) for docs with ≥ 1
+    chunk.
+    """
+    base = rebalance_for_fanout(df, multiplier=16.0).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    chunks = base.filter(F.size("__toks") >= chunk_tokens).select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {chunk_tokens - 1},"
+                f" {stride}), i -> md5(concat_ws(' ',"
+                f" slice(__toks, i, {chunk_tokens}))))"
+            )
+        ).alias("__ch"),
+    )
+    cross = chunks.groupBy("__ch").agg(
+        F.countDistinct("__id").alias("__ndocs")
+    )
+    flagged = chunks.join(cross, "__ch").select(
+        "__id", (F.col("__ndocs") >= 2).cast("bigint").alias("__rep")
+    )
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("__rep").cast("bigint").alias("n_repeated"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_chunks",
+            "n_repeated",
+            F.expr(
+                "(n_repeated * CAST(1000000 AS BIGINT)) div n_chunks"
+            ).alias("repeated_ppm"),
+        )
+    )
+
+
+def repeated_chunk_report_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 8,
+    stride: int = 4,
+) -> str:
+    parts = " || ' ' || ".join(
+        f"list_extract(t, i + {j})" for j in range(chunk_tokens)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM {table}
+),
+chunks AS (
+  SELECT id, md5({parts}) AS ch
+  FROM base,
+       LATERAL UNNEST(generate_series(1, len(t) - {chunk_tokens - 1}, {stride}))
+         AS g(i)
+  WHERE len(t) >= {chunk_tokens}
+),
+cross_doc AS (
+  SELECT ch, COUNT(DISTINCT id) AS ndocs FROM chunks GROUP BY ch
+)
+SELECT c.id AS {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CAST(x.ndocs >= 2 AS BIGINT)) AS BIGINT) AS n_repeated,
+       CAST((CAST(SUM(CAST(x.ndocs >= 2 AS BIGINT)) AS BIGINT)
+             * CAST(1000000 AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS BIGINT)
+         AS repeated_ppm
+FROM chunks c JOIN cross_doc x ON c.ch = x.ch
+GROUP BY c.id
+"""

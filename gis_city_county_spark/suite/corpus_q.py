@@ -562,8 +562,26 @@ def _bigram_lm_oracle() -> str:
     return bigram_lm_score_sql("documents", "doc_id", "text")
 
 
+def q_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc inter-document repeated-chunk coverage (8-token
+    windows, stride 4) — the memorized-boilerplate audit; linear in
+    corpus tokens, no pairwise stage."""
+    from gis_city_county_spark.operators.corpus import repeated_chunk_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_chunk_report(docs, "doc_id", "text")
+
+
+def _repeated_chunks_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import repeated_chunk_report_sql
+
+    return repeated_chunk_report_sql("documents", "doc_id", "text")
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_repeated_chunks", q_repeated_chunks,
+              _repeated_chunks_oracle()),
     QuerySpec("corpus_bigram_lm_score", q_bigram_lm_score, _bigram_lm_oracle()),
     QuerySpec("pipeline_temperature_mixture", q_temperature_mixture,
               _temperature_oracle()),

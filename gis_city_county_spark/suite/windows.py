@@ -335,6 +335,7 @@ R6_PRESTAGE: tuple[str, ...] = (
     "cdc_incremental_dedup",
     "text_char_gini",
     "corpus_bigram_lm_score",
+    "corpus_repeated_chunks",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
