@@ -724,3 +724,90 @@ SELECT totn AS n, totpos AS pos,
            * (CAST(totn - totpos AS DOUBLE) / CAST(totn AS DOUBLE)) AS brier
 FROM folded
 """
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact Average Precision (area under the precision-recall
+    curve, step interpolation): AP = mean over positives of
+    precision@k at each positive's rank — the ranking-eval companion
+    to ``exact_auc`` for imbalanced labels, where ROC-AUC flatters.
+
+    Engine-exact: the global rank and the running positive count both
+    run through the two-phase range-bucketed plans (``ranged_rank`` /
+    ``ranged_cumsum`` — no single-partition window over the corpus);
+    precision@k is integer ppm (``cum_pos·1e6 div k``), summed as
+    BIGINTs, and AP is ONE final IEEE division.
+
+    Returns one row: (n, n_pos, sum_prec_ppm, ap_ppm, ap).
+    """
+    from gis_city_county_spark.operators.scale import (
+        ranged_cumsum,
+        ranged_rank,
+    )
+
+    base = df.select(
+        F.col(score_col).alias("__score"),
+        F.col(label_col).cast("bigint").alias("__lab"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    ranked = ranged_rank(
+        base, "__score", "__tb", rank_col="__k", descending=True
+    )
+    cum = ranged_cumsum(
+        base, "__score", "__tb", "__lab", cum_col="__cum",
+        total_col=None, descending=True,
+    ).select(F.col("__tb").alias("__tb2"), "__cum")
+    prec = ranked.join(cum, ranked.__tb == cum.__tb2).select(
+        "__lab",
+        F.expr("(__cum * CAST(1000000 AS BIGINT)) div __k").alias("__p_ppm"),
+    )
+    return prec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__lab").cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("__lab") == 1, F.col("__p_ppm"))).cast("bigint")
+        .alias("sum_prec_ppm"),
+    ).select(
+        "n",
+        "n_pos",
+        "sum_prec_ppm",
+        F.expr("sum_prec_ppm div n_pos").alias("ap_ppm"),
+        (
+            F.col("sum_prec_ppm").cast("double") / F.col("n_pos").cast("double")
+        ).alias("ap"),
+    )
+
+
+def average_precision_sql(
+    table: str, score_col: str, label_col: str, tiebreak_col: str
+) -> str:
+    return f"""
+WITH scored AS (
+  SELECT {score_col} AS s, CAST({label_col} AS BIGINT) AS lab,
+         {tiebreak_col} AS tb
+  FROM {table}
+),
+r AS (
+  SELECT lab,
+         ROW_NUMBER() OVER (ORDER BY s DESC, tb ASC) AS k,
+         CAST(SUM(lab) OVER (ORDER BY s DESC, tb ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM scored
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(lab) AS BIGINT) AS n_pos,
+         CAST(SUM(CASE WHEN lab = 1
+                       THEN (cum * CAST(1000000 AS BIGINT)) // k END)
+              AS BIGINT) AS sum_prec_ppm
+  FROM r
+)
+SELECT n, n_pos, sum_prec_ppm,
+       CAST(sum_prec_ppm // n_pos AS BIGINT) AS ap_ppm,
+       CAST(sum_prec_ppm AS DOUBLE) / CAST(n_pos AS DOUBLE) AS ap
+FROM agg
+"""

@@ -597,10 +597,37 @@ def _brier_oracle() -> str:
     return brier_decomposition_sql(f"({src})", "pred_milli", "label", n_bins=10)
 
 
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Average Precision of event value as a predictor of high
+    props.k — precision@k in integer ppm at each positive's global
+    rank (two-phase ranged rank/cumsum, no single-partition window),
+    one final IEEE division."""
+    from gis_city_county_spark.operators.mlprep import average_precision
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "value",
+        "event_id",
+        (F.get_json_object("props", "$.k").cast("long") >= 50).alias("label"),
+    )
+    return average_precision(ev, "value", "label", "event_id")
+
+
+def _ap_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import average_precision_sql
+
+    src = (
+        "SELECT value, event_id,"
+        " CAST(json_extract(props, '$.k') AS BIGINT) >= 50 AS label"
+        " FROM events"
+    )
+    return average_precision_sql(f"({src})", "value", "label", "event_id")
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),
+    QuerySpec("eval_average_precision", q_average_precision, _ap_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

@@ -336,6 +336,7 @@ R6_PRESTAGE: tuple[str, ...] = (
     "text_char_gini",
     "corpus_bigram_lm_score",
     "corpus_repeated_chunks",
+    "eval_average_precision",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -325,6 +325,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_brier_decomposition": 1,
     # vocabulary-size scalar: final merge of partial distinct counts
     "corpus_bigram_lm_score": 1,
+    # one-row final merge of the AP partial aggregates
+    "eval_average_precision": 1,
     "tpch_q6_revenue_forecast": 1,
     "tpch_q11_important_stock": 1,
     "tpch_q14_promo_effect": 1,
