@@ -811,3 +811,96 @@ SELECT n, n_pos, sum_prec_ppm,
        CAST(sum_prec_ppm AS DOUBLE) / CAST(n_pos AS DOUBLE) AS ap
 FROM agg
 """
+
+
+def mean_reciprocal_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Exact Mean Reciprocal Rank: within each query group, rank by
+    score (desc, tiebreak asc) and take the reciprocal rank of the
+    FIRST relevant item — the standard first-hit retrieval metric,
+    chosen over NDCG because the log2 discount is not bit-portable
+    while ``1e6 div rank`` is exact integer arithmetic.
+
+    Scale: the rank window partitions BY THE QUERY GROUP (task work
+    bounded by group size), the first-positive reduce is one
+    map-combinable MIN, and the final roll-up is exact BIGINT sums
+    with two single IEEE divisions (MRR over answered queries, and
+    over all queries with misses scored 0).
+
+    Returns one row: (n_queries, n_answered, sum_rr_ppm,
+    mrr_answered, mrr_all).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("boolean").alias("__lab"),
+        F.col(tiebreak_col).alias("__tb"),
+    )
+    w = Window.partitionBy("__g").orderBy(
+        F.col("__s").desc(), F.col("__tb").asc()
+    )
+    ranked = base.withColumn("__k", F.row_number().over(w))
+    first_pos = (
+        ranked.filter(F.col("__lab"))
+        .groupBy("__g")
+        .agg(F.min("__k").alias("__fk"))
+        .select(F.expr("CAST(1000000 AS BIGINT) div __fk").alias("__rr_ppm"))
+    )
+    totals = base.select("__g").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries")
+    )
+    hits = first_pos.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_answered"),
+        F.sum("__rr_ppm").cast("bigint").alias("sum_rr_ppm"),
+    )
+    return totals.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        "n_answered",
+        "sum_rr_ppm",
+        (
+            F.col("sum_rr_ppm").cast("double") / F.col("n_answered").cast("double")
+        ).alias("mrr_answered"),
+        (
+            F.col("sum_rr_ppm").cast("double") / F.col("n_queries").cast("double")
+        ).alias("mrr_all"),
+    )
+
+
+def mean_reciprocal_rank_sql(
+    table: str,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {group_col} AS g, CAST({label_col} AS BOOLEAN) AS lab,
+         ROW_NUMBER() OVER (PARTITION BY {group_col}
+                            ORDER BY {score_col} DESC, {tiebreak_col} ASC) AS k
+  FROM {table}
+),
+first_pos AS (
+  SELECT CAST(1000000 AS BIGINT) // MIN(k) AS rr_ppm
+  FROM ranked WHERE lab GROUP BY g
+),
+totals AS (
+  SELECT CAST(COUNT(DISTINCT {group_col}) AS BIGINT) AS n_queries FROM {table}
+),
+hits AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_answered,
+         CAST(SUM(rr_ppm) AS BIGINT) AS sum_rr_ppm
+  FROM first_pos
+)
+SELECT n_queries, n_answered, sum_rr_ppm,
+       CAST(sum_rr_ppm AS DOUBLE) / CAST(n_answered AS DOUBLE) AS mrr_answered,
+       CAST(sum_rr_ppm AS DOUBLE) / CAST(n_queries AS DOUBLE) AS mrr_all
+FROM totals CROSS JOIN hits
+"""

@@ -623,11 +623,40 @@ def _ap_oracle() -> str:
     return average_precision_sql(f"({src})", "value", "label", "event_id")
 
 
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MRR: per user (query group), reciprocal rank of the first
+    high-props.k event under a value-desc ranking — integer-ppm
+    reciprocals, group-partitioned windows only."""
+    from gis_city_county_spark.operators.mlprep import mean_reciprocal_rank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "event_id",
+        (F.get_json_object("props", "$.k").cast("long") >= 80).alias("label"),
+    )
+    return mean_reciprocal_rank(ev, "user_id", "value", "label", "event_id")
+
+
+def _mrr_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import mean_reciprocal_rank_sql
+
+    src = (
+        "SELECT user_id, value, event_id,"
+        " CAST(json_extract(props, '$.k') AS BIGINT) >= 80 AS label"
+        " FROM events"
+    )
+    return mean_reciprocal_rank_sql(
+        f"({src})", "user_id", "value", "label", "event_id"
+    )
+
+
 SPECS = [
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),
     QuerySpec("eval_average_precision", q_average_precision, _ap_oracle()),
+    QuerySpec("eval_mrr", q_mrr, _mrr_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

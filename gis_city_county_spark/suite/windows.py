@@ -337,6 +337,7 @@ R6_PRESTAGE: tuple[str, ...] = (
     "corpus_bigram_lm_score",
     "corpus_repeated_chunks",
     "eval_average_precision",
+    "eval_mrr",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

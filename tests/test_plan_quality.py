@@ -163,6 +163,8 @@ _BNLJ_ALLOWED = {
     "pipeline_temperature_mixture",
     # 1-row broadcast vocabulary-size scalar riding the scoring join
     "corpus_bigram_lm_score",
+    # 1-row x 1-row scalar merge (query count x hit roll-up)
+    "eval_mrr",
     # the ×40 broadcast-site fanout IS the algorithm (IVF-style
     # nearest-site assignment; partial-agg argmin collapses it)
     "geo_knn_assign",
@@ -327,6 +329,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "corpus_bigram_lm_score": 1,
     # one-row final merge of the AP partial aggregates
     "eval_average_precision": 1,
+    # two 1-row merges: distinct-query count + the first-hit roll-up
+    "eval_mrr": 2,
     "tpch_q6_revenue_forecast": 1,
     "tpch_q11_important_stock": 1,
     "tpch_q14_promo_effect": 1,
