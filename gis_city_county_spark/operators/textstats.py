@@ -359,3 +359,56 @@ SELECT id AS {id_col},
            / (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT))::DOUBLE AS gini
 FROM per_char GROUP BY id
 """
+
+
+def tokenizer_fertility(df, group_col: str, text_col: str):
+    """Per-group tokenizer fertility: subword tokens emitted per
+    whitespace word (the standard "how expensive is this language for
+    the tokenizer" metric — fertility ≫ 1 flags scripts the vocab
+    underserves, the signal behind per-language vocab budgeting).
+
+    One map-combinable aggregate of two exact BIGINT token counts
+    (BPE-regex subwords over whitespace words), fertility = one IEEE
+    division — engine-exact, no shuffle beyond the group aggregate.
+
+    Returns (group, n_docs, n_words, n_subwords, fertility_ppm,
+    fertility).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(token_count(text_col)).cast("bigint").alias("n_words"),
+            F.sum(bpe_token_count(text_col)).cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.expr(
+                "(n_subwords * CAST(1000000 AS BIGINT)) div n_words"
+            ).alias("fertility_ppm"),
+            (
+                F.col("n_subwords").cast("double") / F.col("n_words").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
+def tokenizer_fertility_sql(table: str, group_col: str, text_col: str) -> str:
+    words = f"len({tokens_sql(text_col)})"
+    return f"""
+SELECT {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({words}) AS BIGINT) AS n_words,
+       CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT) AS n_subwords,
+       CAST((CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)
+             * CAST(1000000 AS BIGINT))
+            // CAST(SUM({words}) AS BIGINT) AS BIGINT) AS fertility_ppm,
+       CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)::DOUBLE
+         / CAST(SUM({words}) AS BIGINT)::DOUBLE AS fertility
+FROM {table} GROUP BY {group_col}
+"""

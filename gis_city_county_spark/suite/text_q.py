@@ -601,10 +601,30 @@ def _char_gini_oracle() -> str:
     return char_gini_sql("documents", "doc_id", "text")
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE subwords per whitespace
+    word) — the per-script vocab-budget signal; exact integer counts,
+    one division."""
+    from gis_city_county_spark.operators.textstats import tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, "lang", "text")
+
+
+def _fertility_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import (
+        tokenizer_fertility_sql,
+    )
+
+    return tokenizer_fertility_sql("documents", "lang", "text")
+
+
 SPECS = [
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
     QuerySpec("text_char_gini", q_char_gini, _char_gini_oracle()),
+    QuerySpec("text_tokenizer_fertility", q_tokenizer_fertility,
+              _fertility_oracle()),
     QuerySpec("text_token_stats", q_token_stats, _TOKEN_ORACLE),
     QuerySpec("text_lang_id", q_lang_id, _LANG_ORACLE),
     QuerySpec("text_quality_score", q_quality, _QUALITY_ORACLE),

@@ -338,6 +338,7 @@ R6_PRESTAGE: tuple[str, ...] = (
     "corpus_repeated_chunks",
     "eval_average_precision",
     "eval_mrr",
+    "text_tokenizer_fertility",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
