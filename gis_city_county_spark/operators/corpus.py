@@ -1669,7 +1669,11 @@ def bigram_lm_score(
                 " element_at(__toks, i + 1)) AS bg))"
             )
         ).alias("__p"),
-    ).select("__id", F.col("__p.w1").alias("__w1"), F.col("__p.bg").alias("__bg"))
+    ).select(
+        "__id", F.col("__p.w1").alias("__w1"), F.col("__p.bg").alias("__bg")
+    ).localCheckpoint(eager=False)
+    # ^ four consumers (c2, c1, vocab, the scoring join) would each
+    # re-run the tokenize+explode subtree without the materialization
     c2 = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__c2"))
     c1 = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
     vocab_n = bg.select(F.col("__w1").alias("__w")).distinct().agg(
@@ -1777,7 +1781,9 @@ def repeated_chunk_report(
                 f" slice(__toks, i, {chunk_tokens}))))"
             )
         ).alias("__ch"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ both the cross-doc count and the flag join read the chunk
+    # explode; materialize it once
     cross = chunks.groupBy("__ch").agg(
         F.countDistinct("__id").alias("__ndocs")
     )

@@ -755,14 +755,20 @@ def average_precision(
         F.col(label_col).cast("bigint").alias("__lab"),
         F.col(tiebreak_col).alias("__tb"),
     )
+    # Rank first, then cumsum ON THE RANKED FRAME (ranged_cumsum
+    # passes every input column through) — recombining two separate
+    # two-phase passes with an equi-join on the tiebreak would
+    # silently require the tiebreak to be globally unique and
+    # non-NULL, a stronger contract than the (score, tiebreak) strict
+    # total order the ranged helpers actually need.
     ranked = ranged_rank(
         base, "__score", "__tb", rank_col="__k", descending=True
     )
     cum = ranged_cumsum(
-        base, "__score", "__tb", "__lab", cum_col="__cum",
+        ranked, "__score", "__tb", "__lab", cum_col="__cum",
         total_col=None, descending=True,
-    ).select(F.col("__tb").alias("__tb2"), "__cum")
-    prec = ranked.join(cum, ranked.__tb == cum.__tb2).select(
+    )
+    prec = cum.select(
         "__lab",
         F.expr("(__cum * CAST(1000000 AS BIGINT)) div __k").alias("__p_ppm"),
     )
@@ -837,7 +843,11 @@ def mean_reciprocal_rank(
     """
     from pyspark.sql import Window
 
-    base = df.select(
+    # NULL query groups are excluded on BOTH engines: Spark's
+    # distinct() would keep a NULL row while SQL COUNT(DISTINCT)
+    # drops it — filtering up front makes the semantics explicit and
+    # engine-identical.
+    base = df.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("__g"),
         F.col(score_col).alias("__s"),
         F.col(label_col).cast("boolean").alias("__lab"),
@@ -885,7 +895,7 @@ WITH ranked AS (
   SELECT {group_col} AS g, CAST({label_col} AS BOOLEAN) AS lab,
          ROW_NUMBER() OVER (PARTITION BY {group_col}
                             ORDER BY {score_col} DESC, {tiebreak_col} ASC) AS k
-  FROM {table}
+  FROM {table} WHERE {group_col} IS NOT NULL
 ),
 first_pos AS (
   SELECT CAST(1000000 AS BIGINT) // MIN(k) AS rr_ppm

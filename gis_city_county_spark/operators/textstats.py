@@ -312,7 +312,12 @@ def char_gini(
     """
     from pyspark.sql import functions as F
 
-    chars = df.select(
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    # per-CHARACTER explode is the largest fanout in the suite —
+    # spread the narrow doc scan across slots first, like every other
+    # text/corpus explode operator
+    chars = rebalance_for_fanout(df, multiplier=64.0).select(
         F.col(id_col).alias("__id"),
         F.explode(F.split(_c(text_col), "")).alias("__ch"),
     ).filter(F.col("__ch") != "")
