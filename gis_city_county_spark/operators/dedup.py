@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gis_city_county_spark.operators.scale import rebalance_for_fanout
+from gis_city_county_spark.operators.scale import (
+    checkpoint_eager,
+    checkpoint_lazy,
+    rebalance_for_fanout,
+)
 from gis_city_county_spark.operators.textstats import (
     fingerprint_md5,
     normalized_text_sql,
@@ -258,7 +262,7 @@ def ngram_jaccard_pairs(
     # caching pays serialization without truncating the plan). At
     # corpus scale, checkpoint to the cluster store instead
     # (executor-local blocks don't survive executor loss).
-    sh = shingle_df(df, id_col, text_col, k).localCheckpoint()
+    sh = shingle_df(df, id_col, text_col, k).transform(checkpoint_eager)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -560,7 +564,7 @@ def connected_components(
         .unionByName(
             pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
         )
-        .localCheckpoint()
+        .transform(checkpoint_eager)
     )
     # Propagate labels only over nodes incident to at least one edge.
     # In a near-dup corpus the overwhelming majority of documents are
@@ -573,7 +577,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
+        .transform(checkpoint_eager)
     )
 
     def _label_sum(df: DataFrame) -> object:
@@ -610,7 +614,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("__hcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-        labels = merged.localCheckpoint()
+        labels = merged.transform(checkpoint_eager)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
@@ -1129,7 +1133,7 @@ def containment_pairs(
 
     Returns (a_id, b_id, n_inter, n_a, n_b, containment_ppm).
     """
-    sh = shingle_df(df, id_col, text_col, k).localCheckpoint()
+    sh = shingle_df(df, id_col, text_col, k).transform(checkpoint_eager)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
         sh.groupBy("shingle")

@@ -30,6 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gis_city_county_spark.operators.scale import (
+    checkpoint_eager,
+    checkpoint_lazy,
+)
+
 DAMP_NUM, DAMP_DEN = 85, 100
 
 
@@ -53,12 +58,12 @@ def pagerank(
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = e.join(outdeg, "src").localCheckpoint(eager=False)
+    ed = e.join(outdeg, "src").transform(checkpoint_lazy)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(checkpoint_lazy)
     )
     base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
@@ -77,7 +82,7 @@ def pagerank(
             ).cast("long").alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(checkpoint_lazy)
     return ranks
 
 
@@ -137,7 +142,7 @@ def bfs_hops(
     # Materialize the edge list once — every round's frontier join and
     # emptiness probe would otherwise re-derive it from its full
     # upstream lineage (scans + joins) on each action.
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(checkpoint_eager)
     seed = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, hops long"
     )
@@ -155,7 +160,7 @@ def bfs_hops(
         new = (
             candidates.join(visited, "node", "left_anti")
             .withColumn("hops", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_eager)
         )
         if new.isEmpty():
             break
@@ -227,7 +232,7 @@ def kcore(
     """
     cur = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_eager)
     converged = False
     for _ in range(rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
@@ -237,7 +242,7 @@ def kcore(
         low = (
             deg.filter(F.col("__deg") < k)
             .select("src")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_eager)
         )
         if low.isEmpty():
             converged = True
@@ -245,7 +250,7 @@ def kcore(
         cur = (
             cur.join(low, "src", "left_anti")
             .join(low.withColumnRenamed("src", "dst"), "dst", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_eager)
         )
     if not converged:
         # The loop exhausted its bound with the final round still
@@ -331,12 +336,12 @@ def label_propagation(
     """
     edges = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_eager)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_eager)
     )
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(rounds):
@@ -356,7 +361,7 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_eager)
         )
     return labels
 

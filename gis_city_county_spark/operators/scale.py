@@ -567,3 +567,35 @@ def ranged_gaps(
         )
     )
     return inner.unionByName(boundary)
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage truncation that survives executor loss when it can:
+    plain ``localCheckpoint`` stores blocks on executors (gone with
+    the executor — fine on local[n], fatal for an hours-long iterative
+    job on a real cluster), so when the session has a RELIABLE
+    checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir(...)``) this uses
+    ``checkpoint()`` to that store instead.  Iterative operators
+    (connected components, PageRank, BFS, k-core, label propagation)
+    route every per-round truncation through here, so a cluster
+    deployment opts into durability with ONE session-level call and
+    zero operator-signature changes."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+    except Exception:  # introspection is best-effort; default local
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def checkpoint_eager(df: DataFrame) -> DataFrame:
+    """``df.transform``-ready shim for :func:`truncate_lineage`."""
+    return truncate_lineage(df, eager=True)
+
+
+def checkpoint_lazy(df: DataFrame) -> DataFrame:
+    """``df.transform``-ready shim for :func:`truncate_lineage`."""
+    return truncate_lineage(df, eager=False)

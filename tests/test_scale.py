@@ -301,3 +301,56 @@ def test_scaling_probe_artifact_has_no_super_linear_query():
     }
     assert not offenders, f"super-linear queries at {art['factor']}x: {offenders}"
     assert art["super_linear"] == sorted(offenders)
+
+
+def test_iterative_ops_use_reliable_checkpoint_when_configured(spark, tmp_path):
+    """With a session checkpoint dir set (the one-call cluster opt-in),
+    the iterative operators must (a) produce identical results and
+    (b) actually write reliable checkpoints to the dir — the
+    executor-loss-durable replacement for localCheckpoint."""
+    import os
+
+    from gis_city_county_spark.operators.dedup import connected_components
+    from gis_city_county_spark.operators.graph import kcore
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)] + [(9, 10)], "a_id long, b_id long"
+    )
+    und = [(i, i + 1) for i in range(6)] + [(0, 2), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+
+    plain_cc = sorted(
+        (r["doc_id"], r["component"], r["is_keeper"])
+        for r in connected_components(nodes, pairs, "doc_id").collect()
+    )
+    plain_core = sorted(
+        (r["node"], r["deg"]) for r in kcore(edges, k=2, rounds=8).collect()
+    )
+
+    ckpt = str(tmp_path / "reliable")
+    sc = spark.sparkContext
+    sc.setCheckpointDir(ckpt)
+    try:
+        durable_cc = sorted(
+            (r["doc_id"], r["component"], r["is_keeper"])
+            for r in connected_components(nodes, pairs, "doc_id").collect()
+        )
+        durable_core = sorted(
+            (r["node"], r["deg"]) for r in kcore(edges, k=2, rounds=8).collect()
+        )
+        assert durable_cc == plain_cc
+        assert durable_core == plain_core
+        written = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        # unset so the shared session doesn't silently slow every
+        # later test with durable checkpoints
+        jsc = sc._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
