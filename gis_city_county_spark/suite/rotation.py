@@ -79,6 +79,11 @@ _VOLATILE = [
     (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
     (re.compile(r"\[id=#?\d*\]"), "[id]"),
     (re.compile(r"cachedrdd-\d+"), "cachedrdd"),
+    # Spark's higher-order-function lambda variables are numbered by a
+    # session-global counter (x_1, x_2, ...) — the SAME query gets
+    # different numbers depending on how many lambda-using plans were
+    # built before it in the session.
+    (re.compile(r"\bx_\d+#"), "x_#"),
 ]
 
 
