@@ -1248,3 +1248,109 @@ FROM (
 ) t
 WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------- bitext mining
+
+
+def bitext_mining_top1(
+    emb: DataFrame,
+    meta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    meta_id_col: str,
+    lang_col: str,
+    src_lang: str,
+    tgt_lang: str,
+    probe_mod: int = 10,
+) -> DataFrame:
+    """Cross-lingual sentence/document alignment (bitext mining, the
+    margin-based criterion of Artetxe & Schwenk): for each sampled
+    source-language probe, the best target-language neighbor by
+    cosine plus the MARGIN ``cos1/cos2`` (best over runner-up) — the
+    standard confidence score that filters false alignments before a
+    translation corpus admits a pair.
+
+    Engine-exact: cosines use the sequential left-to-right dot-product
+    fold (bit-equal to ``list_dot_product``), the margin is one IEEE
+    division of two such values.
+
+    Scale: the corpus side is ONLY the target language's vectors (a
+    scan-side filter); probes broadcast (sampled by ``probe_mod``, the
+    same guard convention as the brute-force baseline — the LSH/IVF
+    bucketed variants apply unchanged when the probe side grows).
+
+    Returns (probe_id, best_id, cos1, cos2, margin).
+    """
+    langs = meta.select(
+        F.col(meta_id_col).alias("__mid"), F.col(lang_col).alias("__lang")
+    )
+    tagged = emb.join(
+        langs, emb[id_col] == F.col("__mid")
+    ).select(id_col, vec_col, "__lang")
+    corpus = tagged.filter(F.col("__lang") == tgt_lang)
+    probes = tagged.filter(
+        (F.col("__lang") == src_lang) & (F.col(id_col) % probe_mod == 0)
+    )
+    top2 = cosine_topk(corpus, probes, id_col, vec_col, k=2)
+    return (
+        top2.groupBy("probe_id")
+        .agg(
+            F.min(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
+                "best_id"
+            ),
+            F.min(F.when(F.col("rank") == 1, F.col("cosine"))).alias("cos1"),
+            F.min(F.when(F.col("rank") == 2, F.col("cosine"))).alias("cos2"),
+        )
+        .filter(F.col("cos2").isNotNull())
+        .select(
+            "probe_id",
+            "best_id",
+            "cos1",
+            "cos2",
+            (F.col("cos1") / F.col("cos2")).alias("margin"),
+        )
+    )
+
+
+def bitext_mining_top1_sql(
+    emb_table: str,
+    meta_table: str,
+    id_col: str,
+    vec_col: str,
+    meta_id_col: str,
+    lang_col: str,
+    src_lang: str,
+    tgt_lang: str,
+    probe_mod: int = 10,
+) -> str:
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH tagged AS (
+  SELECT e.{id_col}, {vd} AS v,
+         list_dot_product({vd}, {vd}) AS norm2, m.{lang_col} AS lang
+  FROM {emb_table} e JOIN {meta_table} m ON e.{id_col} = m.{meta_id_col}
+),
+scored AS (
+  SELECT p.{id_col} AS probe_id, c.{id_col} AS neighbor_id,
+         list_dot_product(c.v, p.v) / (sqrt(p.norm2) * sqrt(c.norm2)) AS cosine
+  FROM tagged c, tagged p
+  WHERE c.lang = '{tgt_lang}' AND p.lang = '{src_lang}'
+    AND p.{id_col} % {probe_mod} = 0 AND c.{id_col} != p.{id_col}
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+piv AS (
+  SELECT probe_id,
+         MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS best_id,
+         MIN(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+         MIN(CASE WHEN rank = 2 THEN cosine END) AS cos2
+  FROM ranked WHERE rank <= 2 GROUP BY probe_id
+)
+SELECT probe_id, best_id, cos1, cos2, cos1 / cos2 AS margin
+FROM piv WHERE cos2 IS NOT NULL
+"""

@@ -444,7 +444,33 @@ _QUANT_ORACLE = quantize_report_sql(
 )
 
 
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining: sampled de-language probes aligned
+    to their best en-language embedding neighbor with the cos1/cos2
+    confidence margin."""
+    from gis_city_county_spark.operators.similarity import bitext_mining_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return bitext_mining_top1(
+        emb, docs, "vec_id", "embedding", "doc_id", "lang", "de", "en",
+        probe_mod=10,
+    )
+
+
+def _bitext_oracle() -> str:
+    from gis_city_county_spark.operators.similarity import (
+        bitext_mining_top1_sql,
+    )
+
+    return bitext_mining_top1_sql(
+        "embeddings", "documents", "vec_id", "embedding", "doc_id", "lang",
+        "de", "en", probe_mod=10,
+    )
+
+
 SPECS = [
+    QuerySpec("sim_bitext_mining", q_bitext_mining, _bitext_oracle()),
     QuerySpec(
         "sim_centroid_outliers",
         q_centroid_outliers,

@@ -339,6 +339,7 @@ R6_PRESTAGE: tuple[str, ...] = (
     "eval_average_precision",
     "eval_mrr",
     "text_tokenizer_fertility",
+    "sim_bitext_mining",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

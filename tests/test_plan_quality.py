@@ -132,6 +132,10 @@ _BNLJ_ALLOWED = {
     "pipeline_mixture_resample",
     "pipeline_mixture_upsample",
     "sim_ann_recall",
+    # bitext mining reuses the brute-force baseline: sampled probes x
+    # target-language corpus broadcast cross join (bucketed variants
+    # apply unchanged when the probe side grows)
+    "sim_bitext_mining",
     # same brute-force-baseline shape as sim_ann_recall, twice
     "sim_matryoshka_recall",
     # brute-force probe × corpus scan IS hard-negative mining's
