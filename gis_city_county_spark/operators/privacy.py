@@ -320,3 +320,152 @@ SELECT g AS {group_col}, n, true_cnt, observed_cnt,
          - CAST(true_cnt AS DOUBLE) AS est_err
 FROM agg
 """
+
+
+def t_closeness(
+    df: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    t_ppm_max: int = 200_000,
+) -> DataFrame:
+    """T-closeness audit — the third leg of the classic anonymity
+    trio (k-anonymity: groups big enough; l-diversity: enough distinct
+    sensitive values; t-closeness: the group's sensitive DISTRIBUTION
+    must stay close to the population's, or group membership itself
+    leaks the attribute).  Distance is the Earth Mover's Distance for
+    an ORDERED sensitive attribute: mean absolute difference of the
+    cumulative distributions over the m ordered values.
+
+    Engine-exact: with cum_g/cum the integer cumulative counts,
+    ``t = Σ_j |cum_g(j)·N − cum(j)·n_g| / (n_g·N·(m−1))`` — every
+    numerator is exact (DECIMAL(38,0) products; HUGEINT on the
+    oracle), one integer ppm division at the end.
+
+    Scale: one (QI, value) count aggregate; the per-group cumulative
+    runs over the dense group × m grid with windows PARTITIONED BY
+    GROUP (m = distinct sensitive values, bounded by construction —
+    an unbounded-cardinality sensitive column should be banded
+    first); only the m-row value ordering and the m-row population
+    cumulative are single-partition, both bounded by m.
+
+    Returns (qid..., group_size, t_ppm, violates_t).
+    """
+    from pyspark.sql import Window
+
+    vals = (
+        df.select(F.col(sensitive_col).alias("__v"))
+        .distinct()
+        .withColumn(
+            "__vi", F.row_number().over(Window.orderBy(F.col("__v").asc()))
+        )
+    )
+    m_row = vals.agg(F.count(F.lit(1)).cast("bigint").alias("__m"))
+    groups = df.groupBy(*qid_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    cnt = df.groupBy(*qid_cols, F.col(sensitive_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    grid = (
+        groups.join(F.broadcast(vals), how="cross")
+        .join(cnt, [*qid_cols, "__v"], "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
+    )
+    wg = (
+        Window.partitionBy(*qid_cols)
+        .orderBy("__vi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_g = grid.withColumn("__cum_g", F.sum("__c").over(wg))
+    glob = (
+        df.groupBy(F.col(sensitive_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__gc"))
+        .join(F.broadcast(vals), "__v")
+    )
+    wall = Window.orderBy("__vi").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob_cum = glob.withColumn("__cum", F.sum("__gc").over(wall)).select(
+        "__vi", "__cum",
+        F.sum("__gc").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__N"),
+    )
+    joined = cum_g.join(F.broadcast(glob_cum), "__vi").select(
+        *qid_cols,
+        "group_size",
+        F.expr(
+            "abs(CAST(__cum_g AS DECIMAL(38,0)) * __N"
+            " - CAST(__cum AS DECIMAL(38,0)) * group_size)"
+        ).alias("__num"),
+        "__N",
+    )
+    out = joined.groupBy(*qid_cols, "group_size", "__N").agg(
+        F.sum("__num").alias("__sum_num")
+    )
+    return (
+        out.crossJoin(F.broadcast(m_row))
+        .select(
+            *qid_cols,
+            "group_size",
+            F.expr(
+                "CAST((CAST(__sum_num AS DECIMAL(38,0))"
+                " * CAST(1000000 AS DECIMAL(38,0)))"
+                " div (CAST(group_size AS DECIMAL(38,0)) * __N * (__m - 1))"
+                " AS BIGINT)"
+            ).alias("t_ppm"),
+        )
+        .withColumn("violates_t", F.col("t_ppm") > t_ppm_max)
+    )
+
+
+def t_closeness_sql(
+    source_sql: str,
+    qid_cols: list[str],
+    sensitive_expr: str,
+    t_ppm_max: int = 200_000,
+) -> str:
+    keys = ", ".join(qid_cols)
+    return f"""
+WITH src AS (SELECT {keys}, {sensitive_expr} AS v FROM ({source_sql})),
+vals AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) AS vi
+  FROM (SELECT DISTINCT v FROM src)
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM vals),
+groups AS (
+  SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS group_size FROM src GROUP BY {keys}
+),
+cnt AS (SELECT {keys}, v, COUNT(*) AS c FROM src GROUP BY {keys}, v),
+grid AS (
+  SELECT g.*, vals.v, vals.vi, COALESCE(cnt.c, 0) AS c
+  FROM groups g CROSS JOIN vals
+  LEFT JOIN cnt ON cnt.v = vals.v AND {" AND ".join(f"cnt.{k} = g.{k}" for k in qid_cols)}
+),
+cum_g AS (
+  SELECT *, SUM(c) OVER (PARTITION BY {keys} ORDER BY vi
+                         ROWS UNBOUNDED PRECEDING) AS cumg
+  FROM grid
+),
+gpop AS (
+  SELECT vals.vi,
+         SUM(gc) OVER (ORDER BY vals.vi ROWS UNBOUNDED PRECEDING) AS cum,
+         CAST(SUM(gc) OVER () AS BIGINT) AS N
+  FROM (SELECT v, COUNT(*) AS gc FROM src GROUP BY v) t JOIN vals ON t.v = vals.v
+)
+SELECT c.{keys.replace(", ", ", c.")}, c.group_size,
+       CAST((CAST(SUM(ABS(CAST(c.cumg AS HUGEINT) * g.N
+                          - CAST(g.cum AS HUGEINT) * c.group_size))
+                  AS HUGEINT) * 1000000)
+            // (CAST(c.group_size AS HUGEINT) * ANY_VALUE(g.N)
+                * (SELECT m - 1 FROM m)) AS BIGINT) AS t_ppm,
+       CAST((CAST(SUM(ABS(CAST(c.cumg AS HUGEINT) * g.N
+                          - CAST(g.cum AS HUGEINT) * c.group_size))
+                  AS HUGEINT) * 1000000)
+            // (CAST(c.group_size AS HUGEINT) * ANY_VALUE(g.N)
+                * (SELECT m - 1 FROM m)) AS BIGINT) > {t_ppm_max} AS violates_t
+FROM cum_g c JOIN gpop g ON c.vi = g.vi
+GROUP BY c.{keys.replace(", ", ", c.")}, c.group_size
+"""

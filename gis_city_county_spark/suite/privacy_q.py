@@ -209,7 +209,32 @@ def _rr_oracle() -> str:
     )
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness audit of customers: per market segment, the ordered
+    EMD between the group's balance-band distribution and the
+    population's, in exact integer ppm."""
+    from gis_city_county_spark.operators.privacy import t_closeness
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    )
+    return t_closeness(cust, ["c_mktsegment"], "bal_band", t_ppm_max=20_000)
+
+
+def _tclose_oracle() -> str:
+    from gis_city_county_spark.operators.privacy import t_closeness_sql
+
+    return t_closeness_sql(
+        "SELECT c_mktsegment,"
+        " CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band"
+        " FROM customer",
+        ["c_mktsegment"], "bal_band", t_ppm_max=20_000,
+    )
+
+
 SPECS = [
+    QuerySpec("privacy_t_closeness", q_t_closeness, _tclose_oracle()),
     QuerySpec("privacy_randomized_response", q_randomized_response, _rr_oracle()),
     QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
     QuerySpec("pipeline_blocklist_filter", q_blocklist_filter, _BLOCK_ORACLE),

@@ -340,6 +340,7 @@ R6_PRESTAGE: tuple[str, ...] = (
     "eval_mrr",
     "text_tokenizer_fertility",
     "sim_bitext_mining",
+    "privacy_t_closeness",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

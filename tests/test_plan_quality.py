@@ -169,6 +169,9 @@ _BNLJ_ALLOWED = {
     "corpus_bigram_lm_score",
     # 1-row x 1-row scalar merge (query count x hit roll-up)
     "eval_mrr",
+    # m-row broadcast value ordering + 1-row m scalar (m = distinct
+    # sensitive values, bounded by construction)
+    "privacy_t_closeness",
     # the ×40 broadcast-site fanout IS the algorithm (IVF-style
     # nearest-site assignment; partial-agg argmin collapses it)
     "geo_knn_assign",
@@ -335,6 +338,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_average_precision": 1,
     # two 1-row merges: distinct-query count + the first-hit roll-up
     "eval_mrr": 2,
+    # all bounded by m = distinct sensitive values: the value ordering
+    # window, the population cumulative + its grand total, the m scalar
+    "privacy_t_closeness": 4,
     "tpch_q6_revenue_forecast": 1,
     "tpch_q11_important_stock": 1,
     "tpch_q14_promo_effect": 1,
