@@ -1840,3 +1840,101 @@ SELECT c.id AS {id_col},
 FROM chunks c JOIN cross_doc x ON c.ch = x.ch
 GROUP BY c.id
 """
+
+
+# ----------------------------------------------------- dataset card
+
+
+def dataset_card(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+) -> DataFrame:
+    """The one-row dataset card a corpus build publishes alongside the
+    data: volume (docs, chars, whitespace + BPE tokens), provenance
+    breadth (languages, sources), exact-duplicate rate, and the
+    quality-score distribution — every number exact or a fixed IEEE
+    chain, so two builds of the same data publish byte-identical
+    cards (the property that makes a card diffable across runs).
+
+    Scale: ONE aggregate pass (map-combinable counts/sums +
+    two-phase distinct counts); the quality mean rides as an exact
+    integer milli-sum (floor(q·1000) per doc — floor is portable,
+    a decimal cast of full-precision doubles is not).
+
+    Returns one row: (n_docs, n_langs, n_sources, total_chars,
+    total_words, total_subwords, n_distinct_fp, exact_dup_ppm,
+    mean_quality_milli).
+    """
+    from gis_city_county_spark.operators.textstats import (
+        bpe_token_count,
+        fingerprint_md5,
+        quality_score,
+        token_count,
+    )
+
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(lang_col).cast("bigint").alias("n_langs"),
+        F.countDistinct(source_col).cast("bigint").alias("n_sources"),
+        F.sum(F.length(text_col)).cast("bigint").alias("total_chars"),
+        F.sum(token_count(text_col)).cast("bigint").alias("total_words"),
+        F.sum(bpe_token_count(text_col)).cast("bigint").alias("total_subwords"),
+        F.countDistinct(fingerprint_md5(text_col)).cast("bigint").alias(
+            "n_distinct_fp"
+        ),
+        F.sum(
+            F.floor(quality_score(text_col) * F.lit(1000.0)).cast("bigint")
+        ).cast("bigint").alias("__q_milli_sum"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_chars",
+        "total_words",
+        "total_subwords",
+        "n_distinct_fp",
+        F.expr(
+            "((n_docs - n_distinct_fp) * CAST(1000000 AS BIGINT)) div n_docs"
+        ).alias("exact_dup_ppm"),
+        (
+            F.col("__q_milli_sum").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_quality_milli"),
+    )
+
+
+def dataset_card_sql(
+    table: str, id_col: str, text_col: str, lang_col: str, source_col: str
+) -> str:
+    from gis_city_county_spark.operators.textstats import (
+        bpe_token_count_sql,
+        normalized_text_sql,
+        quality_score_sql,
+        tokens_sql,
+    )
+
+    fp = f"md5({normalized_text_sql(text_col)})"
+    return f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT {lang_col}) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT {source_col}) AS BIGINT) AS n_sources,
+         CAST(SUM(length({text_col})) AS BIGINT) AS total_chars,
+         CAST(SUM(len({tokens_sql(text_col)})) AS BIGINT) AS total_words,
+         CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT) AS total_subwords,
+         CAST(COUNT(DISTINCT {fp}) AS BIGINT) AS n_distinct_fp,
+         CAST(SUM(CAST(FLOOR(({quality_score_sql(text_col)}) * 1000.0)
+                       AS BIGINT)) AS BIGINT) AS q_milli_sum
+  FROM {table}
+)
+SELECT n_docs, n_langs, n_sources, total_chars, total_words,
+       total_subwords, n_distinct_fp,
+       CAST(((n_docs - n_distinct_fp) * CAST(1000000 AS BIGINT)) // n_docs
+            AS BIGINT) AS exact_dup_ppm,
+       CAST(q_milli_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         AS mean_quality_milli
+FROM agg
+"""

@@ -578,8 +578,25 @@ def _repeated_chunks_oracle() -> str:
     return repeated_chunk_report_sql("documents", "doc_id", "text")
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row publishable dataset card: volume, provenance breadth,
+    exact-dup rate, quality distribution — byte-identical across
+    builds of the same data."""
+    from gis_city_county_spark.operators.corpus import dataset_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_card(docs, "doc_id", "text", "lang", "source")
+
+
+def _dataset_card_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import dataset_card_sql
+
+    return dataset_card_sql("documents", "doc_id", "text", "lang", "source")
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("pipeline_dataset_card", q_dataset_card, _dataset_card_oracle()),
     QuerySpec("corpus_repeated_chunks", q_repeated_chunks,
               _repeated_chunks_oracle()),
     QuerySpec("corpus_bigram_lm_score", q_bigram_lm_score, _bigram_lm_oracle()),

@@ -341,6 +341,7 @@ R6_PRESTAGE: tuple[str, ...] = (
     "text_tokenizer_fertility",
     "sim_bitext_mining",
     "privacy_t_closeness",
+    "pipeline_dataset_card",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

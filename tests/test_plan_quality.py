@@ -341,6 +341,8 @@ _SINGLE_PARTITION_ALLOWED = {
     # all bounded by m = distinct sensitive values: the value ordering
     # window, the population cumulative + its grand total, the m scalar
     "privacy_t_closeness": 4,
+    # one-row final merge of the card's partial global aggregates
+    "pipeline_dataset_card": 1,
     "tpch_q6_revenue_forecast": 1,
     "tpch_q11_important_stock": 1,
     "tpch_q14_promo_effect": 1,
