@@ -32,7 +32,71 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 5
+CURRENT_ROUND = 6
+
+# Round 6: all 16 R6_PRESTAGE names (the queries added during round 5,
+# first driver-checkable now) + 34 reconfirm slots.  ``rotation.py``'s
+# mechanized proposal found ZERO plan-changed re-proof candidates (the
+# round-5 PLAN_HASHES snapshot matches every current analyzed plan), so
+# per VERDICT r5 directive 1 the re-proof budget goes to priority (b):
+# the 34 STALEST still-r1-stamped green rows — the TPC-H 22, the OLAP
+# window/rollup battery, and the window/sql_api singletons, none
+# re-hashed since round 1.  This window re-closes cumulative driver
+# coverage at 249/249.
+_R6_WINDOW: tuple[str, ...] = (
+    # The 16 round-5 additions (R6_PRESTAGE), never driver-checked.
+    "dedup_containment_pairs",
+    "cdc_incremental_dedup",
+    "sim_bitext_mining",
+    "text_char_gini",
+    "text_tokenizer_fertility",
+    "pipeline_dataset_card",
+    "corpus_repeated_chunks",
+    "corpus_bigram_lm_score",
+    "pipeline_temperature_mixture",
+    "sketch_hll_distinct",
+    "privacy_t_closeness",
+    "graph_resource_allocation",
+    "mlprep_winsorize",
+    "eval_brier_decomposition",
+    "eval_average_precision",
+    "eval_mrr",
+    # Reconfirms: green since round 1, never re-hashed (stalest rows).
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_lateness_classes",
+    "tpch_q13_order_counts",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    "window_topk_per_group",
+    "window_running_total",
+    "olap_pivot_event_matrix",
+    "olap_melt_lineitem_metrics",
+    "olap_rollup_region_nation",
+    "olap_cube_region_segment",
+    "olap_grouping_sets",
+    "olap_ntile_deciles",
+    "olap_window_battery",
+    "sql_api_supplier_revenue",
+    "olap_setops_customer_activity",
+    "olap_distinct_agg",
+)
 
 # Round 5: 9 re-proofs + all 41 R5_PRESTAGE names — this window closes
 # driver coverage at 233/233 (every query in the round-4 suite will
@@ -239,6 +303,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     3: _R3_WINDOW,
     4: _R4_WINDOW,
     5: _R5_WINDOW,
+    6: _R6_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -268,6 +333,45 @@ REPROOFS: dict[int, frozenset[str]] = {
         "dedup_connected_components",
         "sim_ivf_index_persisted",
         "pipeline_semantic_dedup",
+    }),
+    # Round 6: zero plan-changed candidates (r5 PLAN_HASHES snapshot ==
+    # current plans), so the whole 34-slot budget reconfirms the
+    # stalest r1-green rows.
+    6: frozenset({
+        "tpch_q1_pricing_summary",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q6_revenue_forecast",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_lateness_classes",
+        "tpch_q13_order_counts",
+        "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_counts",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q18_large_orders",
+        "tpch_q19_disjunctive",
+        "tpch_q20_excess_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_idle_customers",
+        "window_topk_per_group",
+        "window_running_total",
+        "olap_pivot_event_matrix",
+        "olap_melt_lineitem_metrics",
+        "olap_rollup_region_nation",
+        "olap_cube_region_segment",
+        "olap_grouping_sets",
+        "olap_ntile_deciles",
+        "olap_window_battery",
+        "sql_api_supplier_revenue",
+        "olap_setops_customer_activity",
+        "olap_distinct_agg",
     }),
 }
 
@@ -344,9 +448,15 @@ R6_PRESTAGE: tuple[str, ...] = (
     "pipeline_dataset_card",
 )
 
+# Queries ADDED during round 6 (after WINDOWS[6] was pinned): their
+# first possible driver check is round 7.  Every new QuerySpec must be
+# appended here — the contract test derives the invariant.
+R7_PRESTAGE: tuple[str, ...] = ()
+
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
     6: R6_PRESTAGE,
+    7: R7_PRESTAGE,
 }
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]
