@@ -80,6 +80,15 @@ def main() -> None:
     spark.range(slots, numPartitions=slots).mapInPandas(
         lambda it: it, "id long"
     ).count()
+    # One UNTIMED real query before the first timed pass: the trivial
+    # warmups above don't exercise whole-stage codegen over a parquet
+    # scan + hash aggregate, so whichever query ran first (tpch_q1)
+    # carried a one-off 6x JIT spread that polluted the headline
+    # comparison (VERDICT r5 nit 3c).  q1's shape (scan lineitem →
+    # filter → agg) is exactly the path that needs compiling.
+    first = names[0]
+    specs[first].fn(spark, sf_dir).count()
+    print(f"# warmup {first}: untimed", file=sys.stderr)
 
     # Fastest-of-N per query: JIT/codegen warm-up and host noise on
     # this box swing single runs by 2-5x, and the steady-state number
@@ -112,6 +121,19 @@ def main() -> None:
     total = sum(timings.values())
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Headline spread guard: with the untimed codegen warmup in place,
+    # a headline key whose passes still spread >= 2x signals host
+    # noise (or a real nondeterministic plan) — name it loudly so a
+    # cross-round delta on that key is adjudicated as noise instead of
+    # being read as a regression.  Soft report, not a hard assert: the
+    # bench must still produce its JSON line on a noisy box.
+    spread_alert = sorted(
+        n for n in HEADLINE if n in spread and spread[n] >= 2.0
+    )
+    if spread_alert:
+        print(f"# SPREAD ALERT (>=2x across passes): {spread_alert}",
+              file=sys.stderr)
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -141,6 +163,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: timings[n] for n in HEADLINE if n in timings},
                 "spread": {n: spread[n] for n in HEADLINE if n in spread},
+                "spread_alert": spread_alert,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,

@@ -1555,6 +1555,12 @@ def temperature_mixture(
     Returns (group, weight_total, p_raw, w_alpha, w_norm,
     expected_budget) — ``expected_budget`` = ``w_norm * budget``
     documents/tokens to draw from the group.
+
+    Degenerate input: if the corpus-wide ``weight_total`` sum is 0
+    (all weights floor to zero) the mixture is undefined and every
+    derived column comes back NULL — identically on both engines
+    (Spark and DuckDB both NULL a zero-divisor division, and the
+    NULL ``w_alpha`` propagates through the normalizer fold).
     """
     powers = {0.5: "s1", 0.25: "s2", 0.75: "s1 * s2"}
     if alpha not in powers:

@@ -1249,20 +1249,25 @@ def incremental_dedup_report(
     fresh = inc.join(base_fp, "__fp", "left_anti")
     w = Window.partitionBy("__fp").orderBy(F.col("__id").asc())
     kept = fresh.withColumn("__rk", F.row_number().over(w))
+    # Null-safe group joins (eqNullSafe / IS NOT DISTINCT FROM in the
+    # twin): rows with a NULL group form a real "NULL" group, and a
+    # plain equi-join would never match it — every NULL-group incoming
+    # row would then be misreported as a base-dup with n_ingested = 0.
+    fresh_g = (
+        fresh.groupBy("__grp")
+        .agg(F.count(F.lit(1)).alias("__n_fresh"))
+        .withColumnRenamed("__grp", "__grp_f")
+    )
+    kept_g = (
+        kept.filter(F.col("__rk") == 1)
+        .groupBy("__grp")
+        .agg(F.count(F.lit(1)).alias("__n_kept"))
+        .withColumnRenamed("__grp", "__grp_k")
+    )
     per_group = (
         inc.groupBy("__grp").agg(F.count(F.lit(1)).alias("n_incoming"))
-        .join(
-            fresh.groupBy("__grp").agg(F.count(F.lit(1)).alias("__n_fresh")),
-            "__grp",
-            "left",
-        )
-        .join(
-            kept.filter(F.col("__rk") == 1)
-            .groupBy("__grp")
-            .agg(F.count(F.lit(1)).alias("__n_kept")),
-            "__grp",
-            "left",
-        )
+        .join(fresh_g, F.col("__grp").eqNullSafe(F.col("__grp_f")), "left")
+        .join(kept_g, F.col("__grp").eqNullSafe(F.col("__grp_k")), "left")
     )
     return per_group.select(
         F.col("__grp").alias(group_col),
@@ -1313,8 +1318,9 @@ SELECT i.grp AS {group_col},
          AS n_dup_in_batch,
        CAST(COALESCE(MAX(k.nk), 0) AS BIGINT) AS n_ingested
 FROM inc i
-LEFT JOIN (SELECT grp, COUNT(*) AS nf FROM fresh GROUP BY grp) f ON f.grp = i.grp
+LEFT JOIN (SELECT grp, COUNT(*) AS nf FROM fresh GROUP BY grp) f
+       ON f.grp IS NOT DISTINCT FROM i.grp
 LEFT JOIN (SELECT grp, COUNT(*) AS nk FROM kept WHERE rk = 1 GROUP BY grp) k
-       ON k.grp = i.grp
+       ON k.grp IS NOT DISTINCT FROM i.grp
 GROUP BY i.grp
 """

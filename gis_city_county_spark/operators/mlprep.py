@@ -490,6 +490,13 @@ def winsorize_stats(
     arithmetic exact on both engines; the mean is one IEEE division of
     exact BIGINT sums.
 
+    NULL values are dropped up front on BOTH engines (the contract is
+    stats over the NON-NULL values): without the filter Spark's
+    default ascending sort puts NULLS FIRST while DuckDB's puts them
+    LAST, shifting the p5/p95 cut ranks differently per engine — and
+    NULL rows would still inflate n while contributing nothing to the
+    sum.
+
     Returns (group, n, lo_cut, hi_cut, win_sum, win_mean).
     """
     from pyspark.sql import Window
@@ -501,7 +508,7 @@ def winsorize_stats(
     w = Window.partitionBy(group_col).orderBy(
         F.col("__vraw").asc(), F.col("__id").asc()
     )
-    ranked = df.select(
+    ranked = df.filter(F.col(value_col).isNotNull()).select(
         group_col,
         F.col(value_col).alias("__vraw"),
         F.col(id_col).alias("__id"),
@@ -561,12 +568,16 @@ def winsorize_stats_sql(
 ) -> str:
     return f"""
 WITH ranked AS (
+  -- NULL values dropped (matches the engine): Spark sorts NULLS FIRST
+  -- ascending, DuckDB NULLS LAST — unfiltered NULLs would shift the
+  -- cut ranks differently per engine.
   SELECT {group_col},
          CAST(FLOOR({value_col}) AS BIGINT) AS v,
          ROW_NUMBER() OVER (PARTITION BY {group_col}
                             ORDER BY {value_col} ASC, {id_col} ASC) AS rn,
          COUNT(*) OVER (PARTITION BY {group_col}) AS n
   FROM {table}
+  WHERE {value_col} IS NOT NULL
 ),
 cuts AS (
   SELECT {group_col},
@@ -607,11 +618,23 @@ def brier_decomposition(
     program.  One corpus aggregate to n_bins rows; nothing else
     touches the data.
 
+    Input contract: ``pred_milli_col`` is a probability in exact
+    milli-units, i.e. an integer in **[0, 1000]**.  The bin id is
+    clamped to ``[0, n_bins - 1]`` on BOTH engines, so the boundary
+    value 1000 (probability exactly 1.0) lands in the top bin instead
+    of an 11th out-of-range bin, and out-of-contract negatives cannot
+    diverge cross-engine (Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors — the clamp collapses both to bin 0).
+
     Returns one row: (n, pos, base_rate, uncertainty, reliability,
     resolution, brier).
     """
     binned = df.withColumn(
-        "__bin", F.expr(f"(({pred_milli_col} * {int(n_bins)}) div 1000)")
+        "__bin",
+        F.expr(
+            f"least(greatest(({pred_milli_col} * {int(n_bins)}) div 1000,"
+            f" 0), {int(n_bins) - 1})"
+        ),
     )
     bins = binned.groupBy("__bin").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -682,7 +705,8 @@ def brier_decomposition_sql(
 ) -> str:
     return f"""
 WITH binned AS (
-  SELECT ({pred_milli_col} * {n_bins}) // 1000 AS bin,
+  SELECT LEAST(GREATEST(({pred_milli_col} * {n_bins}) // 1000, 0),
+               {int(n_bins) - 1}) AS bin,
          {pred_milli_col} AS pm, CAST({label_col} AS BIGINT) AS lab
   FROM {table}
 ),

@@ -348,6 +348,12 @@ def t_closeness(
     first); only the m-row value ordering and the m-row population
     cumulative are single-partition, both bounded by m.
 
+    Degenerate input: with fewer than two distinct sensitive values
+    (m < 2) the EMD denominator (m − 1) is zero and t-closeness is
+    undefined — both engines emit ``t_ppm = NULL`` (and a NULL
+    ``violates_t``) rather than diverging (Spark's ``div`` NULLs on a
+    zero divisor while DuckDB's ``//`` raises).
+
     Returns (qid..., group_size, t_ppm, violates_t).
     """
     from pyspark.sql import Window
@@ -411,10 +417,11 @@ def t_closeness(
             *qid_cols,
             "group_size",
             F.expr(
-                "CAST((CAST(__sum_num AS DECIMAL(38,0))"
+                "CASE WHEN __m < 2 THEN CAST(NULL AS BIGINT) ELSE"
+                " CAST((CAST(__sum_num AS DECIMAL(38,0))"
                 " * CAST(1000000 AS DECIMAL(38,0)))"
                 " div (CAST(group_size AS DECIMAL(38,0)) * __N * (__m - 1))"
-                " AS BIGINT)"
+                " AS BIGINT) END"
             ).alias("t_ppm"),
         )
         .withColumn("violates_t", F.col("t_ppm") > t_ppm_max)
@@ -456,16 +463,18 @@ gpop AS (
   FROM (SELECT v, COUNT(*) AS gc FROM src GROUP BY v) t JOIN vals ON t.v = vals.v
 )
 SELECT c.{keys.replace(", ", ", c.")}, c.group_size,
+       CASE WHEN (SELECT m FROM m) < 2 THEN CAST(NULL AS BIGINT) ELSE
        CAST((CAST(SUM(ABS(CAST(c.cumg AS HUGEINT) * g.N
                           - CAST(g.cum AS HUGEINT) * c.group_size))
                   AS HUGEINT) * 1000000)
             // (CAST(c.group_size AS HUGEINT) * ANY_VALUE(g.N)
-                * (SELECT m - 1 FROM m)) AS BIGINT) AS t_ppm,
+                * (SELECT m - 1 FROM m)) AS BIGINT) END AS t_ppm,
+       CASE WHEN (SELECT m FROM m) < 2 THEN CAST(NULL AS BIGINT) ELSE
        CAST((CAST(SUM(ABS(CAST(c.cumg AS HUGEINT) * g.N
                           - CAST(g.cum AS HUGEINT) * c.group_size))
                   AS HUGEINT) * 1000000)
             // (CAST(c.group_size AS HUGEINT) * ANY_VALUE(g.N)
-                * (SELECT m - 1 FROM m)) AS BIGINT) > {t_ppm_max} AS violates_t
+                * (SELECT m - 1 FROM m)) AS BIGINT) END > {t_ppm_max} AS violates_t
 FROM cum_g c JOIN gpop g ON c.vi = g.vi
 GROUP BY c.{keys.replace(", ", ", c.")}, c.group_size
 """

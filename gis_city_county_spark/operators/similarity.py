@@ -1354,3 +1354,161 @@ piv AS (
 SELECT probe_id, best_id, cos1, cos2, cos1 / cos2 AS margin
 FROM piv WHERE cos2 IS NOT NULL
 """
+
+
+def bitext_mining_top1_lsh(
+    emb: DataFrame,
+    meta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    meta_id_col: str,
+    lang_col: str,
+    src_lang: str,
+    tgt_lang: str,
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed bitext mining — the FULL-CORPUS scale path for the
+    margin criterion of :func:`bitext_mining_top1`: every
+    source-language row is a probe (no ``probe_mod`` sampling), and
+    candidate generation is the sign-LSH band join of
+    :func:`lsh_ann_topk` instead of a broadcast brute-force scan, so
+    probe-side growth costs a bucket join, not probes × corpus
+    cosines.
+
+    Per probe: exact cosine over the same-band target-language
+    candidates, top-2 by (cosine DESC, id ASC), margin = cos1/cos2;
+    probes with fewer than two same-band target candidates drop (the
+    brute-force operator's ``cos2 IS NOT NULL`` rule applied to the
+    bucketed candidate set).
+
+    Scale: band signatures are one vectorized Arrow pass over the
+    tagged corpus; the candidate join is an equi-join on
+    (band_idx, band_val) restricted scan-side to src-lang probes and
+    tgt-lang candidates; exact scoring touches only candidate pairs.
+    This is the composition the brute-force docstring promised — with
+    LSH recall semantics: a true best pair sharing no band is missed,
+    the standard ANN trade (recall rises with ``bands``).
+
+    Returns (probe_id, best_id, cos1, cos2, margin).
+    """
+    langs = meta.select(
+        F.col(meta_id_col).alias("__mid"), F.col(lang_col).alias("__lang")
+    )
+    tagged = emb.join(langs, emb[id_col] == F.col("__mid")).select(
+        id_col, vec_col, "__lang"
+    )
+    planes = hyperplanes(dim, n_planes)
+    bd = rp_lsh_bands(tagged, id_col, vec_col, planes, bands)
+    ids = tagged.select(F.col(id_col).alias("__id"), "__lang")
+    thin = bd.join(ids, "__id")
+    probes = thin.filter(F.col("__lang") == src_lang).select(
+        F.col("__id").alias("probe_id"), "band_idx", "band_val"
+    )
+    cand = thin.filter(F.col("__lang") == tgt_lang).select(
+        F.col("__id").alias("neighbor_id"), "band_idx", "band_val"
+    )
+    pairs = (
+        probes.join(cand, ["band_idx", "band_val"])
+        .select("probe_id", "neighbor_id")
+        .dropDuplicates(["probe_id", "neighbor_id"])
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        dot_product(F.col(vec_col), F.col(vec_col)).alias("__n2"),
+    )
+    pv = vecs.select(
+        F.col("__vid").alias("probe_id"), F.col("__v").alias("p_v"),
+        F.col("__n2").alias("p_n2"),
+    )
+    cv = vecs.select(
+        F.col("__vid").alias("neighbor_id"), F.col("__v").alias("c_v"),
+        F.col("__n2").alias("c_n2"),
+    )
+    cos = dot_product(F.col("c_v"), F.col("p_v")) / (
+        F.sqrt("p_n2") * F.sqrt("c_n2")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    top2 = (
+        pairs.join(pv, "probe_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+    )
+    return (
+        top2.groupBy("probe_id")
+        .agg(
+            F.min(F.when(F.col("rank") == 1, F.col("neighbor_id"))).alias(
+                "best_id"
+            ),
+            F.min(F.when(F.col("rank") == 1, F.col("cosine"))).alias("cos1"),
+            F.min(F.when(F.col("rank") == 2, F.col("cosine"))).alias("cos2"),
+        )
+        .filter(F.col("cos2").isNotNull())
+        .select(
+            "probe_id",
+            "best_id",
+            "cos1",
+            "cos2",
+            (F.col("cos1") / F.col("cos2")).alias("margin"),
+        )
+    )
+
+
+def bitext_mining_top1_lsh_sql(
+    emb_table: str,
+    meta_table: str,
+    id_col: str,
+    vec_col: str,
+    meta_id_col: str,
+    lang_col: str,
+    src_lang: str,
+    tgt_lang: str,
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin replaying the identical banding (same hyperplanes,
+    same sequential dot-product fold, so band values — and therefore
+    the candidate set — are bit-identical to the Spark side)."""
+    ctes = _bands_cte_sql(emb_table, id_col, vec_col, n_planes, bands, dim)
+    return f"""
+WITH {ctes},
+lang AS (
+  SELECT {meta_id_col} AS mid, {lang_col} AS lng FROM {meta_table}
+),
+cand AS (
+  SELECT DISTINCT p.id AS probe_id, c.id AS neighbor_id
+  FROM bands p JOIN bands c
+    ON p.band_idx = c.band_idx AND p.band_val = c.band_val
+  WHERE p.id IN (SELECT mid FROM lang WHERE lng = '{src_lang}')
+    AND c.id IN (SELECT mid FROM lang WHERE lng = '{tgt_lang}')
+),
+scored AS (
+  SELECT cd.probe_id, cd.neighbor_id,
+         list_dot_product(ec.v, ep.v) / (sqrt(ep.n2) * sqrt(ec.n2)) AS cosine
+  FROM cand cd
+  JOIN e ep ON ep.id = cd.probe_id
+  JOIN e ec ON ec.id = cd.neighbor_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+piv AS (
+  SELECT probe_id,
+         MIN(CASE WHEN rank = 1 THEN neighbor_id END) AS best_id,
+         MIN(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+         MIN(CASE WHEN rank = 2 THEN cosine END) AS cos2
+  FROM ranked WHERE rank <= 2 GROUP BY probe_id
+)
+SELECT probe_id, best_id, cos1, cos2, cos1 / cos2 AS margin
+FROM piv WHERE cos2 IS NOT NULL
+"""

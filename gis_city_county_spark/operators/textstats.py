@@ -376,6 +376,11 @@ def tokenizer_fertility(df, group_col: str, text_col: str):
     (BPE-regex subwords over whitespace words), fertility = one IEEE
     division — engine-exact, no shuffle beyond the group aggregate.
 
+    Degenerate input: a group whose docs contain zero whitespace words
+    (n_words = 0) has undefined fertility — both engines emit NULL for
+    ``fertility_ppm``/``fertility`` (Spark's ``div`` NULLs on a zero
+    divisor while DuckDB's ``//`` raises, so the guard is explicit).
+
     Returns (group, n_docs, n_words, n_subwords, fertility_ppm,
     fertility).
     """
@@ -394,9 +399,12 @@ def tokenizer_fertility(df, group_col: str, text_col: str):
             "n_words",
             "n_subwords",
             F.expr(
-                "(n_subwords * CAST(1000000 AS BIGINT)) div n_words"
+                "CASE WHEN n_words = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                " (n_subwords * CAST(1000000 AS BIGINT)) div n_words END"
             ).alias("fertility_ppm"),
-            (
+            F.when(
+                F.col("n_words") == 0, F.lit(None).cast("double")
+            ).otherwise(
                 F.col("n_subwords").cast("double") / F.col("n_words").cast("double")
             ).alias("fertility"),
         )
@@ -410,10 +418,12 @@ SELECT {group_col},
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM({words}) AS BIGINT) AS n_words,
        CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT) AS n_subwords,
-       CAST((CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)
+       CASE WHEN CAST(SUM({words}) AS BIGINT) = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)
              * CAST(1000000 AS BIGINT))
-            // CAST(SUM({words}) AS BIGINT) AS BIGINT) AS fertility_ppm,
-       CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)::DOUBLE
-         / CAST(SUM({words}) AS BIGINT)::DOUBLE AS fertility
+            // CAST(SUM({words}) AS BIGINT) AS BIGINT) END AS fertility_ppm,
+       CASE WHEN CAST(SUM({words}) AS BIGINT) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)::DOUBLE
+         / CAST(SUM({words}) AS BIGINT)::DOUBLE END AS fertility
 FROM {table} GROUP BY {group_col}
 """

@@ -83,12 +83,26 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             content = src
         tag = hashlib.md5(content.encode()).hexdigest()[:12]
         path = Path(tempfile.gettempdir()) / "sgraft_ivf_cache" / tag
-        marker = path / "_BUILT"
-        if not marker.exists():
-            shutil.rmtree(path, ignore_errors=True)
+        if not path.exists():
+            # Cross-process safe: build into a UNIQUE scratch dir and
+            # os.rename() it into place — rename is atomic and fails
+            # if the target appeared meanwhile, so the first builder
+            # wins and nobody ever observes (or rmtree's) a
+            # half-built index.  The final path's existence IS the
+            # built marker; no separate _BUILT file, no deletion of a
+            # shared dir another session may be probing.
+            import uuid
+
+            path.parent.mkdir(parents=True, exist_ok=True)
+            scratch = path.parent / f"{tag}.build-{uuid.uuid4().hex}"
             emb = load_table(spark, sf_dir, "embeddings")
-            build_ivf_index(emb, "vec_id", "embedding", str(path), nlist=32)
-            marker.touch()
+            build_ivf_index(emb, "vec_id", "embedding", str(scratch), nlist=32)
+            try:
+                os.rename(scratch, path)
+            except OSError:
+                # A concurrent session renamed its build first — use
+                # theirs, discard ours.
+                shutil.rmtree(scratch, ignore_errors=True)
         _IVF_INDEX_DIRS[sf_dir] = str(path)
     return _IVF_INDEX_DIRS[sf_dir]
 
@@ -469,8 +483,37 @@ def _bitext_oracle() -> str:
     )
 
 
+def q_bitext_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus bucketed bitext mining: EVERY de-language row is a
+    probe (no sampling), candidates come from the sign-LSH band join,
+    and only same-band en-language pairs pay an exact cosine — the
+    scale path the brute-force variant's ``probe_mod`` sampling stood
+    in for."""
+    from gis_city_county_spark.operators.similarity import (
+        bitext_mining_top1_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return bitext_mining_top1_lsh(
+        emb, docs, "vec_id", "embedding", "doc_id", "lang", "de", "en"
+    )
+
+
+def _bitext_lsh_oracle() -> str:
+    from gis_city_county_spark.operators.similarity import (
+        bitext_mining_top1_lsh_sql,
+    )
+
+    return bitext_mining_top1_lsh_sql(
+        "embeddings", "documents", "vec_id", "embedding", "doc_id", "lang",
+        "de", "en",
+    )
+
+
 SPECS = [
     QuerySpec("sim_bitext_mining", q_bitext_mining, _bitext_oracle()),
+    QuerySpec("sim_bitext_mining_lsh", q_bitext_mining_lsh, _bitext_lsh_oracle()),
     QuerySpec(
         "sim_centroid_outliers",
         q_centroid_outliers,

@@ -451,7 +451,9 @@ R6_PRESTAGE: tuple[str, ...] = (
 # Queries ADDED during round 6 (after WINDOWS[6] was pinned): their
 # first possible driver check is round 7.  Every new QuerySpec must be
 # appended here — the contract test derives the invariant.
-R7_PRESTAGE: tuple[str, ...] = ()
+R7_PRESTAGE: tuple[str, ...] = (
+    "sim_bitext_mining_lsh",
+)
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
