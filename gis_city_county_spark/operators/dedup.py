@@ -1236,11 +1236,31 @@ def incremental_dedup_report(
     Returns (group, n_incoming, n_dup_vs_base, n_dup_in_batch,
     n_ingested).
     """
+    from gis_city_county_spark.operators.textstats import fingerprint_md5
+
+    base_fp = base.select(fingerprint_md5(text_col).alias("__fp")).distinct()
+    return incremental_dedup_report_from_fps(
+        base_fp, incoming, id_col, text_col, group_col
+    )
+
+
+def incremental_dedup_report_from_fps(
+    base_fp: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Core of :func:`incremental_dedup_report` taking the accumulated
+    base as its slim FINGERPRINT table (one distinct ``__fp`` string
+    column) — the representation a 100 TB incremental build actually
+    persists between feed drops, and the one the streaming twin
+    (:func:`streaming.dedup.streaming_incremental_dedup`) accumulates
+    across micro-batches."""
     from pyspark.sql import Window
 
     from gis_city_county_spark.operators.textstats import fingerprint_md5
 
-    base_fp = base.select(fingerprint_md5(text_col).alias("__fp")).distinct()
     inc = incoming.select(
         F.col(group_col).alias("__grp"),
         F.col(id_col).alias("__id"),

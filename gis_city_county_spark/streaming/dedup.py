@@ -133,3 +133,69 @@ def streaming_near_dup_pairs(
     return bands_df.groupBy("band_idx", "band_hash").applyInPandasWithState(
         update, out_schema, state_schema, "Append", timeout
     )
+
+
+def streaming_incremental_dedup(
+    spark,
+    schema,
+    incoming_path: str,
+    base_dir: str,
+    report_dir: str,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of
+    :func:`operators.dedup.incremental_dedup_report`: each arriving
+    micro-batch of documents runs the SAME fingerprint anti-join
+    funnel against the fingerprint base accumulated from every
+    earlier batch, appends its per-group funnel report (tagged with
+    ``batch_id``), and folds its newly-ingested fingerprints into the
+    base — the continuous form of the nightly feed-drop audit, via
+    ``foreachBatch``.
+
+    State is the slim on-disk fingerprint table (one distinct string
+    column under ``base_dir``), NOT the corpus: per batch the work is
+    one anti-join of the batch against it, identical to the batch
+    operator — so per-(batch, group) funnel counts are BIT-EQUAL to
+    replaying the batches sequentially through
+    ``incremental_dedup_report`` (asserted in
+    ``tests/test_streaming.py``).  The ingested-fingerprint append is
+    the only state write; a replayed batch re-reports but re-ingests
+    nothing (its fingerprints are already in the base), the same
+    idempotence as the CDC apply twin.
+
+    Returns a ``DataStreamWriter`` — caller ``.start()``s it.
+    """
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.dedup import (
+        incremental_dedup_report_from_fps,
+    )
+    from gis_city_county_spark.operators.textstats import fingerprint_md5
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sess = batch_df.sparkSession
+        try:
+            base_fp = sess.read.parquet(base_dir)
+        except Exception:  # first batch: no base yet
+            base_fp = sess.createDataFrame([], "__fp string")
+        report = incremental_dedup_report_from_fps(
+            base_fp, batch_df, id_col, text_col, group_col
+        ).withColumn("batch_id", F.lit(batch_id))
+        report.write.mode("append").parquet(report_dir)
+        inc_fp = batch_df.select(
+            fingerprint_md5(text_col).alias("__fp")
+        ).distinct()
+        new_fps = inc_fp.join(base_fp, "__fp", "left_anti")
+        new_fps.write.mode("append").parquet(base_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(incoming_path)
+    )
+    return stream.writeStream.foreachBatch(apply_batch).outputMode("update")

@@ -760,3 +760,102 @@ def test_streaming_hll_registers_match_batch(spark, sf_dir, tmp_path):
         for r in hll_distinct(batch, ["event_type"], "__k", p).collect()
     }
     assert est_stream == est_batch
+
+
+def test_streaming_incremental_dedup_matches_sequential_batch(spark, tmp_path):
+    """Three ordered arrival batches through the foreachBatch funnel
+    produce per-(batch, group) counts bit-equal to replaying the same
+    batches sequentially through the batch operator with an
+    accumulated base — including a NULL-group batch (the null-safe
+    join) and a cross-batch duplicate (ingested once, then a base-dup
+    forever)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.dedup import incremental_dedup_report
+    from gis_city_county_spark.streaming.dedup import (
+        streaming_incremental_dedup,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "seed document", "s")], "id long, body string, src string"
+    )
+    batches = [
+        spark.createDataFrame(
+            [(1, "alpha text", "a"), (2, "alpha text", "a"),
+             (3, "seed document", "b")],
+            "id long, body string, src string",
+        ),
+        spark.createDataFrame(
+            # cross-batch dup of batch 1's "alpha text" + a NULL group
+            [(4, "alpha text", "a"), (5, "beta text", None)],
+            "id long, body string, src string",
+        ),
+        spark.createDataFrame(
+            [(6, "beta text", None), (7, "gamma text", "a")],
+            "id long, body string, src string",
+        ),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    base_dir = str(tmp_path / "base_fp")
+    report_dir = str(tmp_path / "reports")
+    # Seed the fingerprint base from the seed corpus (what a nightly
+    # build persists): fingerprints of the seed docs.
+    from gis_city_county_spark.operators.textstats import fingerprint_md5
+
+    seed.select(fingerprint_md5("body").alias("__fp")).distinct().write.parquet(
+        base_dir
+    )
+
+    q = (
+        streaming_incremental_dedup(
+            spark, batches[0].schema, str(incoming), base_dir, report_dir,
+            "id", "body", "src",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["batch_id"], r["src"]): (
+            r["n_incoming"], r["n_dup_vs_base"], r["n_dup_in_batch"],
+            r["n_ingested"],
+        )
+        for r in spark.read.parquet(report_dir).collect()
+    }
+
+    # Sequential batch replay: base grows by each batch's KEPT docs.
+    base_docs = seed
+    want = {}
+    for bid, b in enumerate(batches):
+        rep = incremental_dedup_report(base_docs, b, "id", "body", "src")
+        for r in rep.collect():
+            want[(bid, r["src"])] = (
+                r["n_incoming"], r["n_dup_vs_base"], r["n_dup_in_batch"],
+                r["n_ingested"],
+            )
+        base_docs = base_docs.unionByName(b)
+
+    assert got == want
+    # Idempotence of the state: the accumulated fingerprint table holds
+    # exactly the distinct corpus fingerprints (seed + ingested).
+    n_fp = spark.read.parquet(base_dir).distinct().count()
+    assert n_fp == 4  # seed, alpha, beta, gamma — no dup ever re-ingested
+    # No duplicate fingerprint rows either: the anti-join append keeps
+    # the base table itself distinct, not merely distinct-on-read.
+    assert spark.read.parquet(base_dir).count() == 4
