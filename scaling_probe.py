@@ -44,19 +44,29 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # top slice): iterative graph ops, the persisted-IVF probe, BPE merge
 # induction, the dedup keeper/yield chain, semantic dedup, prefix
 # Jaccard, and the PQ re-rank.  Keep in sync with VERDICT r4 item 3.
+# Synced to the BENCH_DETAIL top slice each round (VERDICT r5 item 5):
+# the 14 most expensive benched queries, plus the two standing watch
+# items (persisted IVF; PQ re-rank, whose new max_probe_batch cap this
+# probe must re-measure) and the round-6 bucketed bitext miner (its
+# first scaling row).
 PROBE_QUERIES = [
     "graph_label_propagation",
-    "sim_ivf_index_persisted",
-    "graph_bfs_hops",
+    "dedup_containment_pairs",
     "graph_pagerank_trade",
+    "graph_bfs_hops",
+    "pipeline_semantic_dedup",
     "corpus_pair_merges",
     "graph_kcore_trade",
-    "pipeline_semantic_dedup",
+    "dedup_ngram_jaccard",
+    "sim_kmeans_refine",
     "dedup_cluster_keeper",
     "pipeline_dedup_yield",
-    "dedup_prefix_jaccard_join",
+    "eval_average_precision",
     "dedup_connected_components",
+    "dedup_prefix_jaccard_join",
+    "sim_ivf_index_persisted",
     "sim_pq_rerank_topk",
+    "sim_bitext_mining_lsh",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
