@@ -938,3 +938,134 @@ SELECT n_queries, n_answered, sum_rr_ppm,
        CAST(sum_rr_ppm AS DOUBLE) / CAST(n_queries AS DOUBLE) AS mrr_all
 FROM totals CROSS JOIN hits
 """
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-query NDCG@k — the graded-relevance ranking metric a
+    retrieval/rerank training pipeline reports next to MRR and AP:
+    DCG@k over the model ordering divided by the ideal ordering's
+    DCG@k.
+
+    Engine-exact without libm: the k log2 discounts are precomputed in
+    PYTHON and embedded as identical decimal literals in both plans
+    (``repr`` round-trips a double exactly, and both engines parse a
+    literal to the nearest double — the same one), each per-rank term
+    is one IEEE multiply of an exact integer gain by that literal, and
+    the ≤ k terms fold LEFT-TO-RIGHT IN RANK ORDER on both engines
+    (Spark ``aggregate(array_sort(collect_list(struct(rank, term))))``
+    == DuckDB ``list_reduce(list(term ORDER BY rank))`` — the k-means
+    fold pattern with rank as the canonical order).
+
+    Scale: both rankings are windows PARTITIONED BY THE QUERY GROUP
+    (task work bounded by group size); no global sort anywhere.
+    NULL relevance rows are dropped up front (documented contract —
+    the winsorize NULL rule).
+
+    Returns (group, n_items, dcg, idcg, ndcg) with ndcg NULL when the
+    group has no positive relevance in its ideal top-k (idcg = 0).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    disc = {r: 1.0 / math.log2(r + 1) for r in range(1, k + 1)}
+    disc_expr = "CASE " + " ".join(
+        f"WHEN __rn = {r} THEN {disc[r]!r}" for r in range(1, k + 1)
+    ) + " END"
+
+    base = df.filter(F.col(rel_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.col(score_col).alias("__s"),
+        F.col(rel_col).cast("bigint").alias("__rel"),
+        F.col(id_col).alias("__id"),
+    )
+    wm = Window.partitionBy("__g").orderBy(F.desc("__s"), F.asc("__id"))
+    wi = Window.partitionBy("__g").orderBy(F.desc("__rel"), F.asc("__id"))
+
+    def _dcg(w, out: str) -> DataFrame:
+        terms = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .withColumn(
+                "__term", F.col("__rel").cast("double") * F.expr(disc_expr)
+            )
+        )
+        return terms.groupBy("__g").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("__rn", "__term"))),
+                F.lit(0.0),
+                lambda a, x: a + x["__term"],
+            ).alias(out)
+        )
+
+    n_items = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+    return (
+        n_items.join(_dcg(wm, "dcg"), "__g")
+        .join(_dcg(wi, "idcg"), "__g")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_items",
+            "dcg",
+            "idcg",
+            F.when(F.col("idcg") == 0.0, F.lit(None).cast("double"))
+            .otherwise(F.col("dcg") / F.col("idcg"))
+            .alias("ndcg"),
+        )
+    )
+
+
+def ndcg_at_k_sql(
+    source_sql: str,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> str:
+    import math
+
+    disc = {r: 1.0 / math.log2(r + 1) for r in range(1, k + 1)}
+    disc_expr = "CASE " + " ".join(
+        f"WHEN rn = {r} THEN {disc[r]!r}" for r in range(1, k + 1)
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, {score_col} AS s,
+         CAST({rel_col} AS BIGINT) AS rel, {id_col} AS id
+  FROM ({source_sql}) WHERE {rel_col} IS NOT NULL
+),
+model AS (
+  SELECT g, rel,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY s DESC, id ASC) AS rn
+  FROM base
+),
+ideal AS (
+  SELECT g, rel,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY rel DESC, id ASC) AS rn
+  FROM base
+),
+dcg AS (
+  SELECT g, list_reduce(list(CAST(rel AS DOUBLE) * ({disc_expr})
+                             ORDER BY rn), (a, b) -> a + b) AS dcg
+  FROM model WHERE rn <= {k} GROUP BY g
+),
+idcg AS (
+  SELECT g, list_reduce(list(CAST(rel AS DOUBLE) * ({disc_expr})
+                             ORDER BY rn), (a, b) -> a + b) AS idcg
+  FROM ideal WHERE rn <= {k} GROUP BY g
+),
+n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_items FROM base GROUP BY g)
+SELECT n.g AS {group_col}, n.n_items, dcg.dcg, idcg.idcg,
+       CASE WHEN idcg.idcg = 0.0 THEN CAST(NULL AS DOUBLE)
+            ELSE dcg.dcg / idcg.idcg END AS ndcg
+FROM n JOIN dcg ON n.g = dcg.g JOIN idcg ON n.g = idcg.g
+"""

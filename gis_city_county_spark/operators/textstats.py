@@ -427,3 +427,162 @@ SELECT {group_col},
          / CAST(SUM({words}) AS BIGINT)::DOUBLE END AS fertility
 FROM {table} GROUP BY {group_col}
 """
+
+
+def hapax_stats(df, group_col: str, text_col: str):
+    """Per-group lexical-richness report: token/type/hapax counts and
+    their exact ppm ratios — hapax legomena (types occurring exactly
+    once in the group's corpus) are the standard vocabulary-richness /
+    OCR-noise signal a data pipeline tracks per source (a noisy
+    scanned source shows a hapax explosion of garbled types; a
+    boilerplate farm shows the opposite collapse).
+
+    Relational shape: one explode to (group, token) instances, one
+    map-combinable (group, token) count, one group rollup — shuffle
+    volume is the distinct (group, token) pairs, never the corpus.
+    All counts exact BIGINTs; ratios are integer-ppm ``div`` (NULL on
+    an empty group's zero denominator, both engines).
+
+    Returns (group, n_tokens, n_types, n_hapax, hapax_per_type_ppm,
+    ttr_ppm) — ttr = types/tokens.
+    """
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    tok = rebalance_for_fanout(
+        df.select(F.col(group_col).alias("__g"), tokens(text_col).alias("__t")),
+        multiplier=16.0,
+    ).select("__g", F.explode("__t").alias("__tok"))
+    per_type = tok.groupBy("__g", "__tok").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_type.groupBy("__g")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr(
+                "CASE WHEN n_types = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                " (n_hapax * CAST(1000000 AS BIGINT)) div n_types END"
+            ).alias("hapax_per_type_ppm"),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                " (n_types * CAST(1000000 AS BIGINT)) div n_tokens END"
+            ).alias("ttr_ppm"),
+        )
+    )
+
+
+def hapax_stats_sql(table: str, group_col: str, text_col: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT {group_col} AS g, unnest({tokens_sql(text_col)}) AS tok
+  FROM {table}
+),
+per_type AS (SELECT g, tok, COUNT(*) AS c FROM tok GROUP BY g, tok),
+agg AS (
+  SELECT g,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+  FROM per_type GROUP BY g
+)
+SELECT g AS {group_col}, n_tokens, n_types, n_hapax,
+       CASE WHEN n_types = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((n_hapax * CAST(1000000 AS BIGINT)) // n_types
+                      AS BIGINT) END AS hapax_per_type_ppm,
+       CASE WHEN n_tokens = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((n_types * CAST(1000000 AS BIGINT)) // n_tokens
+                      AS BIGINT) END AS ttr_ppm
+FROM agg
+"""
+
+
+def ttr_curve(df, group_col: str, text_col: str, prefixes=(16, 64, 256)):
+    """Type-token-ratio curve at fixed per-document prefix lengths —
+    the length-controlled vocabulary-diversity probe (raw TTR falls
+    with document length, so pipelines compare TTR at FIXED prefix
+    sizes; a flat curve across prefixes flags template/boilerplate
+    sources, a steep one natural text).
+
+    Per document: distinct-type count within the first ``N`` tokens
+    for each N in ``prefixes`` — pure scan-side array expressions
+    (slice + array_distinct), no explode, no shuffle beyond the final
+    group rollup of exact integer sums.  Per group it reports, for
+    each N, Σ types-in-prefix and Σ min(tokens, N), and their ppm
+    ratio — a micro-averaged TTR@N.
+
+    Returns (group, n_docs, then per N: tokens_atN, types_atN,
+    ttr_atN_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(group_col).alias("__g"), tokens(text_col).alias("__t")
+    )
+    cols = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for n in prefixes:
+        cols.append(
+            F.sum(F.least(F.size("__t"), F.lit(n)))
+            .cast("bigint")
+            .alias(f"tokens_at{n}")
+        )
+        cols.append(
+            F.sum(F.size(F.array_distinct(F.slice("__t", 1, n))))
+            .cast("bigint")
+            .alias(f"types_at{n}")
+        )
+    out = base.groupBy("__g").agg(*cols)
+    sel = [F.col("__g").alias(group_col), "n_docs"]
+    for n in prefixes:
+        sel += [
+            f"tokens_at{n}",
+            f"types_at{n}",
+            F.expr(
+                f"CASE WHEN tokens_at{n} = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                f" (types_at{n} * CAST(1000000 AS BIGINT)) div tokens_at{n} END"
+            ).alias(f"ttr_at{n}_ppm"),
+        ]
+    return out.select(*sel)
+
+
+def ttr_curve_sql(
+    table: str, group_col: str, text_col: str, prefixes=(16, 64, 256)
+) -> str:
+    t = tokens_sql(text_col)
+    aggs = []
+    outs = []
+    for n in prefixes:
+        aggs.append(
+            f"CAST(SUM(LEAST(len(tl), {n})) AS BIGINT) AS tokens_at{n}"
+        )
+        aggs.append(
+            "CAST(SUM(len(list_distinct(list_slice(tl, 1, "
+            f"{n})))) AS BIGINT) AS types_at{n}"
+        )
+        outs.append(f"tokens_at{n}")
+        outs.append(f"types_at{n}")
+        outs.append(
+            f"CASE WHEN tokens_at{n} = 0 THEN CAST(NULL AS BIGINT)"
+            f" ELSE CAST((types_at{n} * CAST(1000000 AS BIGINT))"
+            f" // tokens_at{n} AS BIGINT) END AS ttr_at{n}_ppm"
+        )
+    return f"""
+WITH base AS (SELECT {group_col} AS g, {t} AS tl FROM {table}),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs, {", ".join(aggs)}
+  FROM base GROUP BY g
+)
+SELECT g AS {group_col}, n_docs, {", ".join(outs)}
+FROM agg
+"""

@@ -619,9 +619,43 @@ def _fertility_oracle() -> str:
     return tokenizer_fertility_sql("documents", "lang", "text")
 
 
+def q_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language lexical-richness report: token/type/hapax counts
+    with exact ppm ratios — hapax explosions flag OCR noise, hapax
+    collapse flags boilerplate farms."""
+    from gis_city_county_spark.operators.textstats import hapax_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hapax_stats(docs, "lang", "text")
+
+
+def _hapax_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import hapax_stats_sql
+
+    return hapax_stats_sql("documents", "lang", "text")
+
+
+def q_ttr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-controlled vocabulary diversity: micro-averaged
+    type-token ratio at fixed 16/64/256-token document prefixes, per
+    language — scan-side array expressions only."""
+    from gis_city_county_spark.operators.textstats import ttr_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ttr_curve(docs, "lang", "text")
+
+
+def _ttr_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import ttr_curve_sql
+
+    return ttr_curve_sql("documents", "lang", "text")
+
+
 SPECS = [
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
+    QuerySpec("text_hapax_stats", q_hapax_stats, _hapax_oracle()),
+    QuerySpec("text_ttr_curve", q_ttr_curve, _ttr_oracle()),
     QuerySpec("text_char_gini", q_char_gini, _char_gini_oracle()),
     QuerySpec("text_tokenizer_fertility", q_tokenizer_fertility,
               _fertility_oracle()),
