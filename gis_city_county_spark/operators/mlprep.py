@@ -976,8 +976,13 @@ def ndcg_at_k(
     from pyspark.sql import Window
 
     disc = {r: 1.0 / math.log2(r + 1) for r in range(1, k + 1)}
+    # VARCHAR→DOUBLE, not a bare decimal literal: both engines parse
+    # strings with correctly-rounded strtod, while DuckDB types a bare
+    # literal DECIMAL and its DECIMAL→DOUBLE cast is incorrectly
+    # rounded (1-ulp divergence seen at sf0.01).
     disc_expr = "CASE " + " ".join(
-        f"WHEN __rn = {r} THEN {disc[r]!r}" for r in range(1, k + 1)
+        f"WHEN __rn = {r} THEN CAST('{disc[r]!r}' AS DOUBLE)"
+        for r in range(1, k + 1)
     ) + " END"
 
     base = df.filter(F.col(rel_col).isNotNull()).select(
@@ -1034,8 +1039,11 @@ def ndcg_at_k_sql(
     import math
 
     disc = {r: 1.0 / math.log2(r + 1) for r in range(1, k + 1)}
+    # CAST('…' AS DOUBLE): see the engine twin — bare decimal literals
+    # go through DuckDB's incorrectly-rounded DECIMAL→DOUBLE cast.
     disc_expr = "CASE " + " ".join(
-        f"WHEN rn = {r} THEN {disc[r]!r}" for r in range(1, k + 1)
+        f"WHEN rn = {r} THEN CAST('{disc[r]!r}' AS DOUBLE)"
+        for r in range(1, k + 1)
     ) + " END"
     return f"""
 WITH base AS (

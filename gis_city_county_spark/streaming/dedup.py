@@ -38,6 +38,8 @@ Run-to-completion equivalence with the batch pipeline
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
+
 from gis_city_county_spark.operators.dedup import minhash_bands_rowlocal
 
 
@@ -181,7 +183,15 @@ def streaming_incremental_dedup(
         sess = batch_df.sparkSession
         try:
             base_fp = sess.read.parquet(base_dir)
-        except Exception:  # first batch: no base yet
+        except AnalysisException as exc:
+            # Only a missing base means "first batch".  Any other
+            # analysis failure (corrupt footer, partial write) must
+            # fail the stream loudly — silently treating it as empty
+            # would re-ingest duplicate fingerprints and misreport
+            # n_dup_vs_base for the batch.
+            msg = str(exc)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             base_fp = sess.createDataFrame([], "__fp string")
         report = incremental_dedup_report_from_fps(
             base_fp, batch_df, id_col, text_col, group_col

@@ -83,7 +83,24 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             content = src
         tag = hashlib.md5(content.encode()).hexdigest()[:12]
         path = Path(tempfile.gettempdir()) / "sgraft_ivf_cache" / tag
-        if not path.exists():
+        # A COMPLETE index always ends with the centroids commit
+        # marker (centroids is written last in build_ivf_index), so
+        # its absence means a crashed in-place build from the old
+        # marker scheme — rebuild rather than trust bare existence.
+        built = (path / "centroids" / "_SUCCESS").exists()
+        if path.parent.exists():
+            # Sweep orphaned scratch dirs from crashed builds.  Only
+            # STALE ones (>1 h old): a fresh scratch dir may be a
+            # concurrent session's live build.
+            import time
+
+            for orphan in path.parent.glob("*.build-*"):
+                try:
+                    if time.time() - orphan.stat().st_mtime > 3600:
+                        shutil.rmtree(orphan, ignore_errors=True)
+                except OSError:
+                    pass
+        if not built:
             # Cross-process safe: build into a UNIQUE scratch dir and
             # os.rename() it into place — rename is atomic and fails
             # if the target appeared meanwhile, so the first builder
@@ -97,6 +114,16 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
             scratch = path.parent / f"{tag}.build-{uuid.uuid4().hex}"
             emb = load_table(spark, sf_dir, "embeddings")
             build_ivf_index(emb, "vec_id", "embedding", str(scratch), nlist=32)
+            if path.exists() and not (path / "centroids" / "_SUCCESS").exists():
+                # Crashed in-place build from the old marker scheme:
+                # nobody can be legitimately probing an incomplete
+                # index, so move it aside (atomic) and reap it.
+                stale = path.parent / f"{tag}.stale-{uuid.uuid4().hex}"
+                try:
+                    os.rename(path, stale)
+                    shutil.rmtree(stale, ignore_errors=True)
+                except OSError:
+                    pass  # a concurrent session already replaced it
             try:
                 os.rename(scratch, path)
             except OSError:

@@ -638,6 +638,41 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_reciprocal_rank(ev, "user_id", "value", "label", "event_id")
 
 
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact NDCG@10 per user: graded relevance (0–3 from props.k
+    bands) under a value-desc ranking vs the ideal ordering —
+    completes the retrieval-metric family next to AP and MRR.
+    Group-partitioned windows only; the log2 discounts are shared
+    decimal literals folded in rank order on both engines, so the
+    quotient is bit-portable."""
+    from gis_city_county_spark.operators.mlprep import ndcg_at_k
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        "event_id",
+        F.when(F.get_json_object("props", "$.k").cast("long") >= 90, 3)
+        .when(F.get_json_object("props", "$.k").cast("long") >= 70, 2)
+        .when(F.get_json_object("props", "$.k").cast("long") >= 50, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ndcg_at_k(ev, "user_id", "value", "rel", "event_id", k=10)
+
+
+def _ndcg_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import ndcg_at_k_sql
+
+    src = (
+        "SELECT user_id, value, event_id,"
+        " CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 90 THEN 3"
+        " WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 70 THEN 2"
+        " WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50 THEN 1"
+        " ELSE 0 END AS rel FROM events"
+    )
+    return ndcg_at_k_sql(f"({src})", "user_id", "value", "rel", "event_id", k=10)
+
+
 def _mrr_oracle() -> str:
     from gis_city_county_spark.operators.mlprep import mean_reciprocal_rank_sql
 
@@ -657,6 +692,7 @@ SPECS = [
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),
     QuerySpec("eval_average_precision", q_average_precision, _ap_oracle()),
     QuerySpec("eval_mrr", q_mrr, _mrr_oracle()),
+    QuerySpec("eval_ndcg_at_k", q_ndcg_at_k, _ndcg_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

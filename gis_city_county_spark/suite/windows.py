@@ -32,7 +32,7 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 # Round 6: all 16 R6_PRESTAGE names (the queries added during round 5,
 # first driver-checkable now) + 34 reconfirm slots.  ``rotation.py``'s
@@ -299,11 +299,85 @@ _R3_WINDOW: tuple[str, ...] = (
     "search_fuzzy_join_blocked",
 )
 
+# Round 7: the 4 never-checked queries (3 added during round 6 +
+# ``eval_ndcg_at_k``, whose operator landed in r6 but was only
+# registered at the start of r7) + 26 evidence-driven re-proofs + 20
+# stalest reconfirms.  Round 6 never ran ``rotation --snapshot``, so
+# the re-proof proposal compares against the ROUND-5 fingerprints:
+# every plan the r6 hardening/bitext/streaming work touched proposes
+# itself.  The seven r6-GREEN rows in that set (cdc_incremental_dedup
+# … eval_brier_decomposition) were driver-checked AFTER the hardening
+# landed, so re-proving them is belt-and-braces per VERDICT r6
+# directive 1 ("prioritize every query whose plan absorbed the r6
+# hardening"); the r2/r3-green similarity/func rows are genuine
+# never-rehashed plan changes.  This window closes cumulative driver
+# coverage at 253/253.
+_R7_WINDOW: tuple[str, ...] = (
+    # Never driver-checked (R7_PRESTAGE).
+    "sim_bitext_mining_lsh",
+    "text_hapax_stats",
+    "text_ttr_curve",
+    "eval_ndcg_at_k",
+    # Re-proofs: plans changed since the round-5 fingerprint snapshot
+    # (r6 hardening batch — driver-green in r6 on the current plans).
+    "cdc_incremental_dedup",
+    "sim_bitext_mining",
+    "text_tokenizer_fertility",
+    "pipeline_temperature_mixture",
+    "privacy_t_closeness",
+    "mlprep_winsorize",
+    "eval_brier_decomposition",
+    # Re-proofs: r2/r3/r4/r5-green rows whose plans changed since
+    # their last driver hash (similarity shared-helper rewrites, the
+    # PQ probe-batch cap, BPE/vector/func plumbing).
+    "dedup_embedding_cosine",
+    "pipeline_incremental_dedup",
+    "sim_centroid_outliers",
+    "sim_bruteforce_cosine_topk",
+    "sim_lsh_ann_topk",
+    "sim_ivf_ann_topk",
+    "sim_pq_adc_topk",
+    "sim_pq_rerank_topk",
+    "sim_kmeans_refine",
+    "func_vector_ops",
+    "sim_ann_recall",
+    "sim_matryoshka_recall",
+    "pipeline_hard_negatives",
+    "sim_cluster_purity",
+    "sim_ivf_index_persisted",
+    "corpus_bpe_encode",
+    "graph_modularity_nations",
+    "events_km_survival",
+    "func_map_roundtrip",
+    # Reconfirms: the stalest remaining r1/r2-green rows.
+    "olap_percentiles",
+    "func_json_props",
+    "func_variant_props",
+    "olap_basket_affinity",
+    "gate_fk_orphans",
+    "profile_skew_report",
+    "scale_bloom_prefilter_join",
+    "scale_salted_join",
+    "gate_benford_audit",
+    "scale_bloom_fpr",
+    "gate_pk_audit",
+    "olap_share_of_wallet",
+    "ref_p1_filter_compound",
+    "ref_f_scalar_surface",
+    "ref_f3_value_map",
+    "ref_j1_join_field_first_match",
+    "ref_u1_merge_by_name",
+    "ref_f8_fix_individual",
+    "ref_a2_count_gate",
+    "ref_pipeline_flagship",
+)
+
 WINDOWS: dict[int, tuple[str, ...]] = {
     3: _R3_WINDOW,
     4: _R4_WINDOW,
     5: _R5_WINDOW,
     6: _R6_WINDOW,
+    7: _R7_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -373,6 +447,59 @@ REPROOFS: dict[int, frozenset[str]] = {
         "olap_setops_customer_activity",
         "olap_distinct_agg",
     }),
+    # Round 7: everything in the window except the 4 never-checked
+    # queries already has a driver row (26 plan-changed re-proofs +
+    # 20 stalest reconfirms — see the _R7_WINDOW comment).
+    7: frozenset(
+        n for n in (
+            "cdc_incremental_dedup",
+            "sim_bitext_mining",
+            "text_tokenizer_fertility",
+            "pipeline_temperature_mixture",
+            "privacy_t_closeness",
+            "mlprep_winsorize",
+            "eval_brier_decomposition",
+            "dedup_embedding_cosine",
+            "pipeline_incremental_dedup",
+            "sim_centroid_outliers",
+            "sim_bruteforce_cosine_topk",
+            "sim_lsh_ann_topk",
+            "sim_ivf_ann_topk",
+            "sim_pq_adc_topk",
+            "sim_pq_rerank_topk",
+            "sim_kmeans_refine",
+            "func_vector_ops",
+            "sim_ann_recall",
+            "sim_matryoshka_recall",
+            "pipeline_hard_negatives",
+            "sim_cluster_purity",
+            "sim_ivf_index_persisted",
+            "corpus_bpe_encode",
+            "graph_modularity_nations",
+            "events_km_survival",
+            "func_map_roundtrip",
+            "olap_percentiles",
+            "func_json_props",
+            "func_variant_props",
+            "olap_basket_affinity",
+            "gate_fk_orphans",
+            "profile_skew_report",
+            "scale_bloom_prefilter_join",
+            "scale_salted_join",
+            "gate_benford_audit",
+            "scale_bloom_fpr",
+            "gate_pk_audit",
+            "olap_share_of_wallet",
+            "ref_p1_filter_compound",
+            "ref_f_scalar_surface",
+            "ref_f3_value_map",
+            "ref_j1_join_field_first_match",
+            "ref_u1_merge_by_name",
+            "ref_f8_fix_individual",
+            "ref_a2_count_gate",
+            "ref_pipeline_flagship",
+        )
+    ),
 }
 
 # The 41 queries that were still driver-unchecked after round 4
@@ -453,12 +580,24 @@ R6_PRESTAGE: tuple[str, ...] = (
 # appended here — the contract test derives the invariant.
 R7_PRESTAGE: tuple[str, ...] = (
     "sim_bitext_mining_lsh",
+    "text_hapax_stats",
+    "text_ttr_curve",
+    # Operator implemented during round 6 (operators/mlprep.py) but
+    # only REGISTERED as a QuerySpec at the start of round 7 — its
+    # first possible driver check is round 7, same as the rest.
+    "eval_ndcg_at_k",
 )
+
+# Queries ADDED during round 7 (after WINDOWS[7] was pinned): their
+# first possible driver check is round 8.  Every new QuerySpec must be
+# appended here — the contract test derives the invariant.
+R8_PRESTAGE: tuple[str, ...] = ()
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
     6: R6_PRESTAGE,
     7: R7_PRESTAGE,
+    8: R8_PRESTAGE,
 }
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

@@ -859,3 +859,87 @@ def test_streaming_incremental_dedup_matches_sequential_batch(spark, tmp_path):
     # No duplicate fingerprint rows either: the anti-join append keeps
     # the base table itself distinct, not merely distinct-on-read.
     assert spark.read.parquet(base_dir).count() == 4
+
+
+def test_streaming_dataset_card_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch card maintainer:
+    after each batch the published card row is BIT-EQUAL to running
+    the batch ``dataset_card`` over every document arrived so far —
+    including a NULL lang (countDistinct parity), a cross-batch exact
+    duplicate (fingerprint base), and a new-source batch."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.corpus import dataset_card
+    from gis_city_county_spark.streaming.card import streaming_dataset_card
+
+    batches = [
+        spark.createDataFrame(
+            [(1, "alpha text body", "en", "web"),
+             (2, "beta text body!", "en", "web")],
+            "id long, body string, lang string, src string",
+        ),
+        spark.createDataFrame(
+            # exact dup of doc 1 + a NULL lang
+            [(3, "alpha text body", "en", "web"),
+             (4, "gamma doc", None, "books")],
+            "id long, body string, lang string, src string",
+        ),
+        spark.createDataFrame(
+            [(5, "delta doc longer body here", "fr", "web")],
+            "id long, body string, lang string, src string",
+        ),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "card_state")
+    card_dir = str(tmp_path / "cards")
+    q = (
+        streaming_dataset_card(
+            spark, batches[0].schema, str(incoming), state_dir, card_dir,
+            "id", "body", "lang", "src",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "n_docs", "n_langs", "n_sources", "total_chars", "total_words",
+        "total_subwords", "n_distinct_fp", "exact_dup_ppm",
+        "mean_quality_milli",
+    ]
+    got = {
+        r["batch_id"]: tuple(r[c] for c in cols)
+        for r in spark.read.parquet(card_dir).collect()
+    }
+    assert set(got) == {0, 1, 2}
+
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        want = tuple(
+            dataset_card(acc, "id", "body", "lang", "src").collect()[0][c]
+            for c in cols
+        )
+        assert got[bid] == want, f"batch {bid}: {got[bid]} != {want}"
+
+    # Replay idempotence of the state tables: fingerprints and dims
+    # stay distinct on disk (anti-join appends).
+    fp = spark.read.parquet(f"{state_dir}/fp")
+    assert fp.count() == fp.distinct().count() == 4
+    dims = spark.read.parquet(f"{state_dir}/dims")
+    assert dims.count() == dims.distinct().count() == 4  # en, fr / web, books
