@@ -1944,3 +1944,228 @@ SELECT n_docs, n_langs, n_sources, total_chars, total_words,
          AS mean_quality_milli
 FROM agg
 """
+
+
+def quality_rule_audit(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 1000,
+) -> DataFrame:
+    """Gopher/C4-style rule battery, audited per source: how many
+    documents each quality rule would drop, and what survives them
+    all — the per-rule accounting a filtering pipeline publishes so a
+    threshold change can be debated with numbers (a composite score
+    hides WHICH rule did the dropping).
+
+    Rules (each an exact integer comparison — cross-engine portable,
+    no ratios of doubles):
+
+    * ``short``      — fewer than ``min_words`` whitespace words
+    * ``long``       — more than ``max_words`` words
+    * ``stopword``   — English stopword count × 100 < 3 × words
+      (the <3 % stopword screen on the operator's tiny built-in set)
+    * ``symbol``     — non-alphanumeric chars × 10 > total chars
+    * ``digit``      — digit chars × 5 > total chars
+    * ``repetitive`` — distinct tokens × 2 < tokens (over half the
+      words are repeats)
+
+    One scan, one map-combinable aggregate; every flag is computed
+    from scan-side array/regex expressions, so the audit fuses into
+    whole-stage codegen and shuffles only per-group counters.
+
+    Returns (group, n_docs, n_short, n_long, n_low_stopword,
+    n_symbol_heavy, n_digit_heavy, n_repetitive, n_clean, clean_ppm).
+    """
+    from gis_city_county_spark.operators.textstats import (
+        punct_char_count,
+        stopword_count,
+    )
+
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_chars = F.length(F.col(text_col))
+    n_digits = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[0-9]", "")
+    )
+    f_short = n_words < min_words
+    f_long = n_words > max_words
+    f_stop = stopword_count(text_col, "en") * 100 < n_words * 3
+    f_symbol = punct_char_count(text_col) * 10 > n_chars
+    f_digit = n_digits * 5 > n_chars
+    f_rep = n_types * 2 < n_words
+
+    def _n(flag, name):
+        return F.sum(flag.cast("int")).cast("bigint").alias(name)
+
+    clean = ~(f_short | f_long | f_stop | f_symbol | f_digit | f_rep)
+    return (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            _n(f_short, "n_short"),
+            _n(f_long, "n_long"),
+            _n(f_stop, "n_low_stopword"),
+            _n(f_symbol, "n_symbol_heavy"),
+            _n(f_digit, "n_digit_heavy"),
+            _n(f_rep, "n_repetitive"),
+            _n(clean, "n_clean"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "n_short",
+            "n_long",
+            "n_low_stopword",
+            "n_symbol_heavy",
+            "n_digit_heavy",
+            "n_repetitive",
+            "n_clean",
+            F.expr(
+                "(n_clean * CAST(1000000 AS BIGINT)) div n_docs"
+            ).alias("clean_ppm"),
+        )
+    )
+
+
+def quality_rule_audit_sql(
+    table: str,
+    group_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 1000,
+) -> str:
+    from gis_city_county_spark.operators.textstats import stopword_count_sql
+
+    toks = tokens_sql(text_col)
+    n_words = f"len({toks})"
+    n_types = f"len(list_distinct({toks}))"
+    n_chars = f"length({text_col})"
+    n_punct = (
+        f"{n_chars} - length(regexp_replace({text_col},"
+        " '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g'))"
+    )
+    n_digits = (
+        f"{n_chars} - length(regexp_replace({text_col}, '[0-9]', '', 'g'))"
+    )
+    flags = {
+        "n_short": f"{n_words} < {min_words}",
+        "n_long": f"{n_words} > {max_words}",
+        "n_low_stopword": f"{stopword_count_sql(text_col, 'en')} * 100 < {n_words} * 3",
+        "n_symbol_heavy": f"({n_punct}) * 10 > {n_chars}",
+        "n_digit_heavy": f"({n_digits}) * 5 > {n_chars}",
+        "n_repetitive": f"{n_types} * 2 < {n_words}",
+    }
+    cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, cond in flags.items()
+    )
+    clean = " OR ".join(f"({c})" for c in flags.values())
+    return f"""
+WITH agg AS (
+  SELECT {group_col} AS g,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         {cols},
+         CAST(SUM(CASE WHEN NOT ({clean}) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean
+  FROM {table} GROUP BY {group_col}
+)
+SELECT g AS {group_col}, n_docs, n_short, n_long, n_low_stopword,
+       n_symbol_heavy, n_digit_heavy, n_repetitive, n_clean,
+       CAST((n_clean * CAST(1000000 AS BIGINT)) // n_docs AS BIGINT)
+         AS clean_ppm
+FROM agg
+"""
+
+
+def vocab_overlap_pairs(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: how much of each
+    pair's token vocabulary is shared — the redundancy map a mixture
+    designer reads before upweighting a source (two crawls of the
+    same sites show near-identical vocabularies; a genuinely novel
+    source doesn't).
+
+    Relational shape: one explode to distinct (source, token) TYPES
+    (shuffle ∝ vocabulary × sources, never token instances), then an
+    aliased self-equi-join on the token with ``src_a < src_b`` — the
+    per-token fan-out is bounded by sources², and with S sources the
+    whole pair table is ≤ S(S−1)/2 rows.  This is the by-design
+    bound: vocabulary overlap is a per-SOURCE statistic, so S is the
+    mixture's source count (dozens to thousands), not the corpus.
+    NULL sources are dropped (countDistinct convention).
+
+    Returns (src_a, src_b, n_types_a, n_types_b, n_common,
+    jaccard_ppm) with jaccard_ppm = |∩| · 10⁶ div |∪| exact.
+    """
+    st = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__s"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("__tok"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("__s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_types")
+    )
+    a = st.select(F.col("__s").alias("src_a"), F.col("__tok").alias("__t"))
+    b = st.select(F.col("__s").alias("src_b"), F.col("__tok").alias("__t"))
+    inter = (
+        a.join(b, "__t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("__s").alias("src_a"), F.col("__n_types").alias("n_types_a")
+            ),
+            "src_a",
+        )
+        .join(
+            sizes.select(
+                F.col("__s").alias("src_b"), F.col("__n_types").alias("n_types_b")
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_types_a",
+            "n_types_b",
+            "n_common",
+            F.expr(
+                "(n_common * CAST(1000000 AS BIGINT))"
+                " div (n_types_a + n_types_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def vocab_overlap_pairs_sql(table: str, group_col: str, text_col: str) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH st AS (
+  SELECT DISTINCT {group_col} AS s, t.tok AS tok
+  FROM (SELECT {group_col}, list_distinct({toks}) AS tl FROM {table}
+        WHERE {group_col} IS NOT NULL) src,
+       LATERAL UNNEST(src.tl) AS t(tok)
+),
+sizes AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_types FROM st GROUP BY s),
+inter AS (
+  SELECT a.s AS src_a, b.s AS src_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.tok = b.tok AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT inter.src_a, inter.src_b,
+       sa.n_types AS n_types_a, sb.n_types AS n_types_b, inter.n_common,
+       CAST((inter.n_common * CAST(1000000 AS BIGINT))
+            // (sa.n_types + sb.n_types - inter.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.s = inter.src_a
+JOIN sizes sb ON sb.s = inter.src_b
+"""

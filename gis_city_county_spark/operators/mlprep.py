@@ -1077,3 +1077,271 @@ SELECT n.g AS {group_col}, n.n_items, dcg.dcg, idcg.idcg,
             ELSE dcg.dcg / idcg.idcg END AS ndcg
 FROM n JOIN dcg ON n.g = dcg.g JOIN idcg ON n.g = idcg.g
 """
+
+
+def cohens_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Cohen's kappa between two categorical labelers — the
+    chance-corrected agreement a labeling pipeline reports when two
+    annotators (or a model and a heuristic) tag the same rows.
+
+    Engine-exact: with N rows, A agreements, and per-class marginals
+    r_k (rater-a count) and c_k (rater-b count),
+
+        kappa = (N·A − Σ r_k·c_k) / (N² − Σ r_k·c_k)
+
+    — every term an exact DECIMAL(38,0) product of BIGINT counts
+    (N² at 10¹¹ rows overflows int64; decimal numerators are the
+    t-closeness convention), and kappa is ONE IEEE division of the
+    two exact numerators, so both engines emit the same double.
+    Rows where either label is NULL are dropped (documented
+    contract).  Marginal products are an equi-join on the class
+    value between two map-combinable aggregates — no window, no
+    cross join; classes seen by only one rater contribute 0.
+
+    Returns one row: (n_rows, n_agree, n_classes_a, n_classes_b,
+    pe_num, kappa) where pe_num = Σ r_k·c_k and kappa is NULL when
+    the denominator is 0 (a single-class degenerate labeling).
+    pe_num is DECIMAL(28,0): wide enough for 10¹⁴ labeled rows, and
+    narrow enough that the N·A − pe subtraction stays ≤ 38 digits —
+    DuckDB silently promotes a 39-digit decimal op to DOUBLE.
+    """
+    base = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(
+        F.col(rater_a).cast("string").alias("__a"),
+        F.col(rater_b).cast("string").alias("__b"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    ra = base.groupBy("__a").agg(F.count(F.lit(1)).cast("bigint").alias("__ra"))
+    rb = base.groupBy("__b").agg(F.count(F.lit(1)).cast("bigint").alias("__rb"))
+    pe = (
+        ra.join(rb, ra["__a"] == rb["__b"], "inner")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__ra").cast("decimal(18,0)")
+                    * F.col("__rb").cast("decimal(18,0)")
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(28,0)")
+            .alias("pe_num"),
+            F.count(F.lit(1)).cast("bigint").alias("__n_shared"),
+        )
+    )
+    na = ra.agg(F.count(F.lit(1)).cast("bigint").alias("n_classes_a"))
+    nb = rb.agg(F.count(F.lit(1)).cast("bigint").alias("n_classes_b"))
+    out = (
+        totals.crossJoin(pe)  # four 1-row aggregates of distinct subtrees
+        .crossJoin(na)
+        .crossJoin(nb)
+    )
+    num = (
+        "(CAST(n_rows AS DECIMAL(18,0)) * CAST(n_agree AS DECIMAL(18,0))"
+        " - pe_num)"
+    )
+    den = (
+        "(CAST(n_rows AS DECIMAL(18,0)) * CAST(n_rows AS DECIMAL(18,0))"
+        " - pe_num)"
+    )
+    return out.select(
+        "n_rows",
+        "n_agree",
+        "n_classes_a",
+        "n_classes_b",
+        # output as BIGINT: a HUGEINT/decimal result cell lands as
+        # float64 in the driver's pandas compare
+        F.col("pe_num").cast("bigint").alias("pe_num"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(NULL AS DOUBLE)"
+            f" ELSE CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) END"
+        ).alias("kappa"),
+    )
+
+
+def cohens_kappa_sql(source_sql: str, rater_a: str, rater_b: str) -> str:
+    # HUGEINT numerators (int128, exact); the final division routes
+    # each side through VARCHAR so the double conversion is strtod's
+    # correctly-rounded parse on both engines.
+    num = (
+        "(CAST(n_rows AS HUGEINT) * CAST(n_agree AS HUGEINT) - pe_num)"
+    )
+    den = (
+        "(CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT) - pe_num)"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST({rater_a} AS VARCHAR) AS a, CAST({rater_b} AS VARCHAR) AS b
+  FROM ({source_sql})
+  WHERE {rater_a} IS NOT NULL AND {rater_b} IS NOT NULL
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+  FROM base
+),
+ra AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ra FROM base GROUP BY a),
+rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rb FROM base GROUP BY b),
+pe AS (
+  SELECT COALESCE(SUM(CAST(ra.ra AS HUGEINT) * CAST(rb.rb AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS pe_num
+  FROM ra JOIN rb ON ra.a = rb.b
+),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes_a FROM ra),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes_b FROM rb)
+SELECT n_rows, n_agree, n_classes_a, n_classes_b,
+       CAST(pe_num AS BIGINT) AS pe_num,
+       CASE WHEN (CAST(n_rows AS DECIMAL(18,0)) * CAST(n_rows AS DECIMAL(18,0)) - pe_num) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST((CAST(n_rows AS DECIMAL(18,0)) * CAST(n_agree AS DECIMAL(18,0)) - pe_num) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST((CAST(n_rows AS DECIMAL(18,0)) * CAST(n_rows AS DECIMAL(18,0)) - pe_num) AS VARCHAR) AS DOUBLE) END AS kappa
+FROM totals CROSS JOIN pe CROSS JOIN na CROSS JOIN nb
+"""
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, rater_col: str, label_col: str
+) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement among r raters per
+    item (the multi-annotator generalization of Cohen's kappa) — the
+    number a labeling campaign reports when every example gets
+    multiple annotations.
+
+    Exact relational form over the long (item, rater, label) table:
+    with N items, r ratings per item, per-(item,label) counts n_ij
+    and per-label column totals c_j,
+
+        P̄  = (Σ n_ij² − N·r) / (N·r·(r−1))
+        Pe  = Σ c_j² / (N·r)²
+        κ   = (P̄ − Pe) / (1 − Pe)
+
+    Every numerator is an exact DECIMAL sum of BIGINT squares; the
+    final value is a FIXED-ORDER IEEE chain (two divisions into P̄
+    and Pe, one subtraction/division for κ — the tfidf/bm25
+    bit-portability pattern), with DuckDB's decimal→double casts
+    routed through VARCHAR in the twin.  κ is NULL when the rating
+    count per item is not constant (Fleiss requires it — the
+    ``r_constant`` flag says why), when r < 2, or when Pe = 1 (all
+    ratings one label).  NULL labels/raters/items are dropped.
+
+    Returns one row: (n_items, n_ratings, n_raters, n_categories,
+    r_constant, kappa).
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(label_col).cast("string").alias("__l"),
+    )
+    nij = base.groupBy("__i", "__l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_item = nij.groupBy("__i").agg(
+        F.sum("__n").cast("bigint").alias("__r_i"),
+        F.sum(
+            F.col("__n").cast("decimal(18,0)") * F.col("__n").cast("decimal(18,0)")
+        ).cast("decimal(38,0)").alias("__sq_i"),
+    )
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__r_i").cast("bigint").alias("n_ratings"),
+        F.min("__r_i").cast("bigint").alias("__r_min"),
+        F.max("__r_i").cast("bigint").alias("__r_max"),
+        F.sum("__sq_i").cast("decimal(38,0)").alias("__A"),
+    )
+    cols_tot = nij.groupBy("__l").agg(
+        F.sum("__n").cast("bigint").alias("__c")
+    )
+    labels = cols_tot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum(
+            F.col("__c").cast("decimal(18,0)") * F.col("__c").cast("decimal(18,0)")
+        ).cast("decimal(38,0)").alias("__C"),
+    )
+    out = items.crossJoin(labels)  # two 1-row aggregates
+    r = "(n_ratings div n_items)"
+    pbar = (
+        f"(CAST(__A - CAST(n_items AS DECIMAL(18,0)) * {r} AS DOUBLE)"
+        f" / CAST(CAST(n_items AS DECIMAL(18,0)) * {r} * ({r} - 1) AS DOUBLE))"
+    )
+    pe = (
+        "(CAST(__C AS DOUBLE)"
+        " / CAST(n_ratings AS DOUBLE) / CAST(n_ratings AS DOUBLE))"
+    )
+    ok = (
+        f"__r_min = __r_max AND {r} >= 2 AND n_items > 0 AND {pe} <> 1.0"
+    )
+    return out.select(
+        "n_items",
+        "n_ratings",
+        F.expr(
+            "CASE WHEN __r_min = __r_max THEN __r_min"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).alias("n_raters"),
+        "n_categories",
+        F.expr("__r_min = __r_max").alias("r_constant"),
+        F.expr(
+            f"CASE WHEN {ok} THEN ({pbar} - {pe}) / (1.0D - {pe})"
+            " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("kappa"),
+    )
+
+
+def fleiss_kappa_sql(
+    source_sql: str, item_col: str, rater_col: str, label_col: str
+) -> str:
+    r = "(n_ratings // n_items)"
+    dbl = lambda x: f"CAST(CAST({x} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    pbar = (
+        f"({dbl(f'A - CAST(n_items AS DECIMAL(18,0)) * {r}')}"
+        f" / {dbl(f'CAST(n_items AS DECIMAL(18,0)) * {r} * ({r} - 1)')})"
+    )
+    pe = (
+        f"({dbl('C')}"
+        " / CAST(n_ratings AS DOUBLE) / CAST(n_ratings AS DOUBLE))"
+    )
+    ok = f"r_min = r_max AND {r} >= 2 AND n_items > 0 AND {pe} <> 1.0"
+    return f"""
+WITH base AS (
+  SELECT {item_col} AS i, CAST({label_col} AS VARCHAR) AS l
+  FROM ({source_sql})
+  WHERE {item_col} IS NOT NULL AND {rater_col} IS NOT NULL
+        AND {label_col} IS NOT NULL
+),
+nij AS (SELECT i, l, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY i, l),
+per_item AS (
+  SELECT i, CAST(SUM(n) AS BIGINT) AS r_i,
+         CAST(SUM(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS sq_i
+  FROM nij GROUP BY i
+),
+items AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(r_i) AS BIGINT) AS n_ratings,
+         CAST(MIN(r_i) AS BIGINT) AS r_min,
+         CAST(MAX(r_i) AS BIGINT) AS r_max,
+         CAST(SUM(sq_i) AS DECIMAL(38,0)) AS A
+  FROM per_item
+),
+cols_tot AS (SELECT l, CAST(SUM(n) AS BIGINT) AS c FROM nij GROUP BY l),
+labels AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(SUM(CAST(c AS DECIMAL(18,0)) * CAST(c AS DECIMAL(18,0)))
+              AS DECIMAL(38,0)) AS C
+  FROM cols_tot
+)
+SELECT n_items, n_ratings,
+       CASE WHEN r_min = r_max THEN r_min ELSE CAST(NULL AS BIGINT) END
+         AS n_raters,
+       n_categories,
+       r_min = r_max AS r_constant,
+       CASE WHEN {ok} THEN ({pbar} - {pe}) / (1.0 - {pe})
+            ELSE CAST(NULL AS DOUBLE) END AS kappa
+FROM items CROSS JOIN labels
+"""

@@ -478,3 +478,75 @@ SELECT c.{keys.replace(", ", ", c.")}, c.group_size,
 FROM cum_g c JOIN gpop g ON c.vi = g.vi
 GROUP BY c.{keys.replace(", ", ", c.")}, c.group_size
 """
+
+
+def generalization_ladder(
+    df: DataFrame, levels: list[list[str]], k: int
+) -> DataFrame:
+    """Minimal-generalization audit: for every finest-level
+    quasi-identifier group, which rung of a generalization ladder
+    (level 0 = full QI, deeper levels drop/coarsen columns) first
+    satisfies k-anonymity — the release planner's answer to "how much
+    do we have to blur THIS cohort", complementing the pass/fail
+    k-anonymity audit with the remediation level.
+
+    Every ``levels[i]`` must be a subset of ``levels[0]`` (coarsening
+    by column removal).  Relational shape: one group-size aggregate
+    per rung (each map-combinable), equi-joined back onto the finest
+    groups on the rung's own keys — no windows, no row explosion; the
+    joined relation is |finest groups| rows.
+
+    Returns (level-0 cols..., size_l0..size_lN, chosen_level) with
+    chosen_level NULL when no rung reaches ``k``.
+    """
+    l0 = levels[0]
+    for lv in levels[1:]:
+        if not set(lv) <= set(l0) or not lv:
+            raise ValueError(
+                "each ladder level must be a non-empty subset of level 0"
+            )
+    out = df.groupBy(*l0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size_l0")
+    )
+    for i, lv in enumerate(levels[1:], start=1):
+        s = df.groupBy(*lv).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"size_l{i}")
+        )
+        out = out.join(s, lv, "left")
+    chosen = F.lit(None).cast("int")
+    for i in range(len(levels) - 1, -1, -1):
+        chosen = F.when(F.col(f"size_l{i}") >= k, i).otherwise(chosen)
+    return out.select(
+        *l0,
+        *[f"size_l{i}" for i in range(len(levels))],
+        chosen.alias("chosen_level"),
+    )
+
+
+def generalization_ladder_sql(
+    source_sql: str, levels: list[list[str]], k: int
+) -> str:
+    l0 = ", ".join(levels[0])
+    ctes = [
+        f"g0 AS (SELECT {l0}, CAST(COUNT(*) AS BIGINT) AS size_l0"
+        f" FROM ({source_sql}) GROUP BY {l0})"
+    ]
+    joins = []
+    for i, lv in enumerate(levels[1:], start=1):
+        keys = ", ".join(lv)
+        ctes.append(
+            f"g{i} AS (SELECT {keys}, CAST(COUNT(*) AS BIGINT) AS size_l{i}"
+            f" FROM ({source_sql}) GROUP BY {keys})"
+        )
+        on = " AND ".join(f"g0.{c} = g{i}.{c}" for c in lv)
+        joins.append(f"LEFT JOIN g{i} ON {on}")
+    sizes = ", ".join(f"size_l{i}" for i in range(len(levels)))
+    chosen = "CAST(NULL AS INTEGER)"
+    for i in range(len(levels) - 1, -1, -1):
+        chosen = f"CASE WHEN size_l{i} >= {k} THEN {i} ELSE {chosen} END"
+    g0cols = ", ".join(f"g0.{c}" for c in levels[0])
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT {g0cols}, {sizes}, {chosen} AS chosen_level"
+        + "\nFROM g0 " + " ".join(joins)
+    )

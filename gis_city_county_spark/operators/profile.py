@@ -921,3 +921,102 @@ FROM (
 ) t
 GROUP BY g
 """
+
+
+def simpson_diversity(df: DataFrame, cat_col: str) -> DataFrame:
+    """Simpson diversity of a categorical mixture — the
+    source/language-balance number a corpus build tracks release to
+    release (collapsing diversity flags a crawler stuck on one
+    domain; NULL categories are dropped, the countDistinct
+    convention).
+
+    With N rows and per-category counts n_i, the probability two
+    draws WITHOUT replacement share a category is
+    Σ n_i(n_i−1) / (N(N−1)); diversity is its complement, and the
+    effective category count is N² / Σ n_i² (inverse-Simpson).  All
+    three are reported in exact integer milli/ppm form: numerators
+    are DECIMAL products of BIGINT counts (n_i² overflows int64 past
+    ~3·10⁹ rows in one category), the final ratios are integral
+    ``div`` — no doubles anywhere, so both engines match bit-for-bit.
+
+    Relational shape: one map-combinable (category → count)
+    aggregate, one bounded rollup over the category counts — shuffle
+    is the distinct-category count, never the corpus.
+
+    Returns one row: (n_rows, n_categories, concentration_ppm,
+    diversity_ppm, effective_categories_milli); the ppm pair is NULL
+    when N < 2 (no pair to draw).
+    """
+    per_cat = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("__c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    agg = per_cat.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("decimal(18,0)").alias("__N"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.coalesce(
+            F.sum(
+                F.col("__n").cast("decimal(18,0)")
+                * (F.col("__n") - 1).cast("decimal(18,0)")
+            ),
+            F.lit(0),
+        ).cast("decimal(37,0)").alias("__pairs_same"),
+        F.coalesce(
+            F.sum(
+                F.col("__n").cast("decimal(18,0)")
+                * F.col("__n").cast("decimal(18,0)")
+            ),
+            F.lit(0),
+        ).cast("decimal(37,0)").alias("__sq"),
+    )
+    return agg.select(
+        F.col("__N").cast("bigint").alias("n_rows"),
+        "n_categories",
+        F.expr(
+            "CASE WHEN __N < 2 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST((__pairs_same * 1000000) div (__N * (__N - 1)) AS BIGINT)"
+            " END"
+        ).alias("concentration_ppm"),
+        F.expr(
+            "CASE WHEN __N < 2 THEN CAST(NULL AS BIGINT) ELSE"
+            " 1000000 - CAST((__pairs_same * 1000000)"
+            " div (__N * (__N - 1)) AS BIGINT) END"
+        ).alias("diversity_ppm"),
+        F.expr(
+            "CASE WHEN __N = 0 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST(((__N * __N) * 1000) div __sq AS BIGINT) END"
+        ).alias("effective_categories_milli"),
+    )
+
+
+def simpson_diversity_sql(source_sql: str, cat_col: str) -> str:
+    return f"""
+WITH per_cat AS (
+  SELECT {cat_col} AS c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({source_sql}) WHERE {cat_col} IS NOT NULL GROUP BY {cat_col}
+),
+agg AS (
+  -- HUGEINT (int128) keeps every product/sum exact; a DECIMAL
+  -- formulation would silently promote the *1000000 step to DOUBLE
+  -- (result precision > 38).
+  SELECT CAST(COALESCE(SUM(n), 0) AS HUGEINT) AS N,
+         CAST(COUNT(*) AS BIGINT) AS n_categories,
+         COALESCE(SUM(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS pairs_same,
+         COALESCE(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)),
+                  CAST(0 AS HUGEINT)) AS sq
+  FROM per_cat
+)
+SELECT CAST(N AS BIGINT) AS n_rows, n_categories,
+       CASE WHEN N < 2 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((pairs_same * 1000000) // (N * (N - 1)) AS BIGINT)
+            END AS concentration_ppm,
+       CASE WHEN N < 2 THEN CAST(NULL AS BIGINT)
+            ELSE 1000000 - CAST((pairs_same * 1000000) // (N * (N - 1))
+                                AS BIGINT) END AS diversity_ppm,
+       CASE WHEN N = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST(((N * N) * 1000) // sq AS BIGINT)
+            END AS effective_categories_milli
+FROM agg
+"""

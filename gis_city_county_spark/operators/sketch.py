@@ -571,3 +571,105 @@ SELECT {g},
             AS DOUBLE) AS hll_raw_est
 FROM regs GROUP BY {g}
 """
+
+
+def hll_merge_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    sub_col,
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """The re-aggregatable rollup that makes sketches the 100 TB
+    distinct-count answer: build HLL registers per (group, sub-unit)
+    — e.g. per (event_type, day) — then MERGE the sub-unit sketches
+    into the per-group total with a register-wise MAX, never
+    re-touching the raw data.  This is the property a daily-build
+    pipeline relies on (yesterday's registers are a few KB; the
+    period rollup is a KB-scale aggregate, not a re-scan), and the
+    merge is EXACT: max-of-max per register is bit-identical to
+    building the registers over the whole period directly.
+
+    ``sub_col`` may be a Column expression (e.g.
+    ``F.to_date("ts")``).  Alongside the merged estimate the exact
+    per-group distinct count rides in a second aggregate of the same
+    scan, so the output is self-auditing (compare ``hll_raw_est``
+    to ``exact_distinct``).
+
+    Returns (group..., n_subunits, register_sum, n_zero_registers,
+    hll_raw_est, exact_distinct).
+    """
+    sub = sub_col if not isinstance(sub_col, str) else F.col(sub_col)
+    base = df.select(
+        *group_cols, sub.alias("__sub"), F.col(value_col).alias("__v")
+    )
+    daily = hll_registers(base, [*group_cols, "__sub"], "__v", p)
+    merged_regs = daily.groupBy(*group_cols, "__reg").agg(
+        F.max("__m").alias("__m")
+    )
+    est = hll_estimate_from_registers(merged_regs, group_cols, p)
+    audit = base.groupBy(*group_cols).agg(
+        F.countDistinct("__sub").cast("bigint").alias("n_subunits"),
+        F.countDistinct("__v").cast("bigint").alias("exact_distinct"),
+    )
+    return audit.join(est, group_cols).select(
+        *group_cols,
+        "n_subunits",
+        "register_sum",
+        "n_zero_registers",
+        "hll_raw_est",
+        "exact_distinct",
+    )
+
+
+def hll_merge_rollup_sql(
+    source_sql: str,
+    group_cols: list[str],
+    sub_expr: str,
+    value_col: str,
+    p: int = 8,
+) -> str:
+    m = 1 << p
+    kbits = 60 - p + 1
+    alpha = _hll_alpha(m)
+    g = ", ".join(group_cols)
+    h = _h60_sql(f"CAST({value_col} AS VARCHAR)")
+    num = repr(float(alpha * m * m * (1 << kbits)))
+    return f"""
+WITH base AS (
+  SELECT {g}, {sub_expr} AS sub, {value_col} AS v FROM ({source_sql})
+),
+hashed AS (
+  SELECT {g}, sub, ({_h60_sql('CAST(v AS VARCHAR)')}) & {m - 1} AS reg,
+         CASE WHEN ({_h60_sql('CAST(v AS VARCHAR)')}) >> {p} > 0
+              THEN {60 - p} - length(bin(({_h60_sql('CAST(v AS VARCHAR)')}) >> {p})) + 1
+              ELSE {kbits} END AS rho
+  FROM base
+),
+daily AS (
+  SELECT {g}, sub, reg, MAX(rho) AS mr FROM hashed GROUP BY {g}, sub, reg
+),
+merged AS (
+  SELECT {g}, reg, MAX(mr) AS mr FROM daily GROUP BY {g}, reg
+),
+est AS (
+  SELECT {g},
+         CAST(SUM(CAST(1 AS BIGINT) << ({kbits} - mr))
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {kbits}) AS BIGINT)
+           AS register_sum,
+         CAST({m} - COUNT(*) AS BIGINT) AS n_zero_registers,
+         {num} / CAST(CAST(SUM(CAST(1 AS BIGINT) << ({kbits} - mr))
+              + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {kbits}) AS BIGINT)
+              AS DOUBLE) AS hll_raw_est
+  FROM merged GROUP BY {g}
+),
+audit AS (
+  SELECT {g}, CAST(COUNT(DISTINCT sub) AS BIGINT) AS n_subunits,
+         CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_distinct
+  FROM base GROUP BY {g}
+)
+SELECT audit.{g.replace(', ', ', audit.')}, audit.n_subunits,
+       est.register_sum, est.n_zero_registers, est.hll_raw_est,
+       audit.exact_distinct
+FROM audit JOIN est USING ({g})
+"""

@@ -586,3 +586,88 @@ agg AS (
 SELECT g AS {group_col}, n_docs, {", ".join(outs)}
 FROM agg
 """
+
+
+def charclass_profile(df, group_col: str, text_col: str):
+    """Per-group character-class census: what fraction of a source's
+    bytes are letters, digits, whitespace, CJK, or "other" (symbols,
+    accents, control chars) — the script/garbage profile a multilingual
+    corpus build watches per source (an "en" source whose other_ppm
+    spikes is mojibake or markup; a "zh" source with low cjk_ppm is
+    mislabeled).
+
+    Pure scan-side counting: each class count is one
+    ``length - length(regexp_replace(...))`` over character classes
+    Java regex and DuckDB's RE2 treat identically (explicit ranges,
+    no named classes), summed map-combinably per group.  All counts
+    exact BIGINTs; ratios integer-ppm ``div`` of total chars (NULL on
+    an empty group's zero denominator, both engines).
+
+    Returns (group, n_docs, total_chars, letter_ppm, digit_ppm,
+    space_ppm, cjk_ppm, other_ppm).
+    """
+
+    def _cnt(cls: str):
+        c = _c(text_col)
+        return F.length(c) - F.length(F.regexp_replace(c, cls, ""))
+
+    agg = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length(_c(text_col))).cast("bigint").alias("total_chars"),
+        F.sum(_cnt("[A-Za-z]")).cast("bigint").alias("__letters"),
+        F.sum(_cnt("[0-9]")).cast("bigint").alias("__digits"),
+        F.sum(_cnt(r"[ \t\n\r]")).cast("bigint").alias("__spaces"),
+        F.sum(_cnt(CJK_CLASS)).cast("bigint").alias("__cjk"),
+    )
+    ppm = (
+        "CASE WHEN total_chars = 0 THEN CAST(NULL AS BIGINT) ELSE"
+        " ({n} * CAST(1000000 AS BIGINT)) div total_chars END"
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "total_chars",
+        F.expr(ppm.format(n="__letters")).alias("letter_ppm"),
+        F.expr(ppm.format(n="__digits")).alias("digit_ppm"),
+        F.expr(ppm.format(n="__spaces")).alias("space_ppm"),
+        F.expr(ppm.format(n="__cjk")).alias("cjk_ppm"),
+        F.expr(
+            ppm.format(
+                n="(total_chars - __letters - __digits - __spaces - __cjk)"
+            )
+        ).alias("other_ppm"),
+    )
+
+
+def charclass_profile_sql(table: str, group_col: str, text_col: str) -> str:
+    def _cnt(cls: str) -> str:
+        return (
+            f"length({text_col}) -"
+            f" length(regexp_replace({text_col}, '{cls}', '', 'g'))"
+        )
+
+    ppm = (
+        "CASE WHEN total_chars = 0 THEN CAST(NULL AS BIGINT) ELSE"
+        " CAST(({n} * CAST(1000000 AS BIGINT)) // total_chars AS BIGINT) END"
+    )
+    space_cls = "[ \\t\\n\\r]"
+    return f"""
+WITH agg AS (
+  SELECT {group_col} AS g,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length({text_col})) AS BIGINT) AS total_chars,
+         CAST(SUM({_cnt('[A-Za-z]')}) AS BIGINT) AS letters,
+         CAST(SUM({_cnt('[0-9]')}) AS BIGINT) AS digits,
+         CAST(SUM({_cnt(space_cls)}) AS BIGINT) AS spaces,
+         CAST(SUM({_cnt(CJK_CLASS)}) AS BIGINT) AS cjk
+  FROM {table} GROUP BY {group_col}
+)
+SELECT g AS {group_col}, n_docs, total_chars,
+       {ppm.format(n='letters')} AS letter_ppm,
+       {ppm.format(n='digits')} AS digit_ppm,
+       {ppm.format(n='spaces')} AS space_ppm,
+       {ppm.format(n='cjk')} AS cjk_ppm,
+       {ppm.format(n='(total_chars - letters - digits - spaces - cjk)')}
+         AS other_ppm
+FROM agg
+"""

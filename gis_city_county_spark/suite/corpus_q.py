@@ -594,6 +594,39 @@ def _dataset_card_oracle() -> str:
     return dataset_card_sql("documents", "doc_id", "text", "lang", "source")
 
 
+def q_quality_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style per-rule drop accounting per source: how many
+    docs each quality rule (short/long/stopword/symbol/digit/
+    repetitive) would remove and what survives them all — exact
+    integer comparisons only, one scan."""
+    from gis_city_county_spark.operators.corpus import quality_rule_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_rule_audit(docs, "source", "text")
+
+
+def _rule_audit_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import quality_rule_audit_sql
+
+    return quality_rule_audit_sql("documents", "source", "text")
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard (distinct-token types,
+    exact ppm) — the redundancy map between sources; per-token
+    fan-out bounded by sources²."""
+    from gis_city_county_spark.operators.corpus import vocab_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_overlap_pairs(docs, "source", "text")
+
+
+def _vocab_overlap_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import vocab_overlap_pairs_sql
+
+    return vocab_overlap_pairs_sql("documents", "source", "text")
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("pipeline_dataset_card", q_dataset_card, _dataset_card_oracle()),
@@ -624,4 +657,7 @@ SPECS = [
     QuerySpec("pipeline_decontaminate", q_decontaminate, _DECON_ORACLE),
     QuerySpec("pipeline_mixture_resample", q_mixture_resample, _MIX_ORACLE),
     QuerySpec("pipeline_mixture_upsample", q_mixture_upsample, _UPSAMPLE_ORACLE),
+    QuerySpec("corpus_quality_rule_audit", q_quality_rule_audit,
+              _rule_audit_oracle()),
+    QuerySpec("corpus_vocab_overlap", q_vocab_overlap, _vocab_overlap_oracle()),
 ]

@@ -673,6 +673,34 @@ def _ndcg_oracle() -> str:
     return ndcg_at_k_sql(f"({src})", "user_id", "value", "rel", "event_id", k=10)
 
 
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic pseudo-raters over
+    orders: the order status (3 classes) vs a date-threshold
+    heuristic that reuses the F/O labels — chance-corrected
+    agreement with exact DECIMAL/HUGEINT numerators and one IEEE
+    division."""
+    from gis_city_county_spark.operators.mlprep import cohens_kappa
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("rater_model"),
+        F.when(F.col("o_orderdate") < F.lit("1995-06-17").cast("date"), "F")
+        .otherwise("O")
+        .alias("rater_rule"),
+    )
+    return cohens_kappa(orders, "rater_model", "rater_rule")
+
+
+def _kappa_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import cohens_kappa_sql
+
+    src = (
+        "SELECT o_orderstatus AS rater_model,"
+        " CASE WHEN o_orderdate < DATE '1995-06-17' THEN 'F' ELSE 'O' END"
+        " AS rater_rule FROM orders"
+    )
+    return cohens_kappa_sql(f"({src})", "rater_model", "rater_rule")
+
+
 def _mrr_oracle() -> str:
     from gis_city_county_spark.operators.mlprep import mean_reciprocal_rank_sql
 
@@ -693,6 +721,7 @@ SPECS = [
     QuerySpec("eval_average_precision", q_average_precision, _ap_oracle()),
     QuerySpec("eval_mrr", q_mrr, _mrr_oracle()),
     QuerySpec("eval_ndcg_at_k", q_ndcg_at_k, _ndcg_oracle()),
+    QuerySpec("eval_cohens_kappa", q_cohens_kappa, _kappa_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

@@ -651,6 +651,40 @@ def _ttr_oracle() -> str:
     return ttr_curve_sql("documents", "lang", "text")
 
 
+def q_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class census (letters / digits /
+    whitespace / CJK / other, in exact ppm of total chars) — the
+    script-vs-label consistency and mojibake probe, one scan-side
+    regex-count aggregate."""
+    from gis_city_county_spark.operators.textstats import charclass_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return charclass_profile(docs, "lang", "text")
+
+
+def _charclass_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import charclass_profile_sql
+
+    return charclass_profile_sql("documents", "lang", "text")
+
+
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of the corpus source mixture: one exact-
+    integer row (concentration/diversity ppm + inverse-Simpson
+    effective source count in milli) — the mixture-balance health
+    number a corpus build publishes per release."""
+    from gis_city_county_spark.operators.profile import simpson_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simpson_diversity(docs, "source")
+
+
+def _diversity_oracle() -> str:
+    from gis_city_county_spark.operators.profile import simpson_diversity_sql
+
+    return simpson_diversity_sql("SELECT source FROM documents", "source")
+
+
 SPECS = [
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
@@ -676,4 +710,6 @@ SPECS = [
     QuerySpec("pyapi_arrow_byte_stats", q_arrow_byte_stats, _ARROW_BYTES_ORACLE),
     QuerySpec("corpus_source_report", q_source_report, _SOURCE_REPORT_ORACLE),
     QuerySpec("profile_length_drift_chi2", q_length_drift, _LENGTH_DRIFT_ORACLE),
+    QuerySpec("text_charclass_profile", q_charclass_profile, _charclass_oracle()),
+    QuerySpec("profile_source_diversity", q_source_diversity, _diversity_oracle()),
 ]

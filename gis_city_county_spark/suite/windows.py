@@ -591,7 +591,13 @@ R7_PRESTAGE: tuple[str, ...] = (
 # Queries ADDED during round 7 (after WINDOWS[7] was pinned): their
 # first possible driver check is round 8.  Every new QuerySpec must be
 # appended here — the contract test derives the invariant.
-R8_PRESTAGE: tuple[str, ...] = ()
+R8_PRESTAGE: tuple[str, ...] = (
+    "text_charclass_profile",
+    "profile_source_diversity",
+    "corpus_quality_rule_audit",
+    "corpus_vocab_overlap",
+    "eval_cohens_kappa",
+)
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,

@@ -183,6 +183,9 @@ _BNLJ_ALLOWED = {
     # stage 1 IS sim_pq_adc_topk (same compressed-domain scan); stage
     # 2 adds only id-equi-joins over the shortlist pairs
     "sim_pq_rerank_topk",
+    # kappa merges four 1-row aggregates (totals × pe-numerator ×
+    # per-rater class counts) — every cross-join side is a single row
+    "eval_cohens_kappa",
 }
 
 
@@ -361,6 +364,11 @@ _SINGLE_PARTITION_ALLOWED = {
     "mlprep_quantile_align": 2,    # reference calibration cohort rank
     "events_wow_report": 1,        # lag over per-week aggregate rows
     "gate_sequence_gaps": 1,       # per-bucket min/max boundary table
+    # four scalar-merge exchanges (totals, pe numerator, two class
+    # counts — each input bounded by task/class count)
+    "eval_cohens_kappa": 4,
+    # one global rollup over the ≤|categories| per-category counts
+    "profile_source_diversity": 1,
 }
 
 

@@ -185,3 +185,181 @@ def test_ivf_cache_rebuilds_half_built_dir(spark, sf_dir, monkeypatch):
         assert (p2 / "centroids" / "_SUCCESS").exists()
         assert not junk.exists()  # the gutted dir was replaced
         assert not orphan.exists()  # stale scratch swept
+
+
+# ------------------------------------------------------- Cohen's kappa
+
+
+def test_cohens_kappa_perfect_and_degenerate(spark):
+    from gis_city_county_spark.operators.mlprep import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r["n_rows"] == 3 and r["n_agree"] == 3
+    assert r["kappa"] == 1.0
+
+    # single shared class: pe == N² -> denominator 0 -> NULL
+    degen = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    r = cohens_kappa(degen, "a", "b").collect()[0]
+    assert r["kappa"] is None
+
+    # NULL labels are dropped
+    with_null = spark.createDataFrame(
+        [("x", "x"), (None, "y"), ("y", None)], "a string, b string"
+    )
+    r = cohens_kappa(with_null, "a", "b").collect()[0]
+    assert r["n_rows"] == 1
+
+
+def test_cohens_kappa_known_value_and_duckdb_parity(spark):
+    """Classic 2×2 fixture: a=yes/no vs b=yes/no with known kappa
+    (N=50, agree=35, marginals 25/25 & 30/20 -> pe_num=1250,
+    kappa = (50·35−1250)/(2500−1250) = 0.4)."""
+    import duckdb
+
+    from gis_city_county_spark.operators.mlprep import (
+        cohens_kappa,
+        cohens_kappa_sql,
+    )
+
+    rows = (
+        [("y", "y")] * 20 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert (r["n_rows"], r["n_agree"], r["pe_num"]) == (50, 35, 1250)
+    assert r["kappa"] == pytest.approx(0.4, abs=0)
+
+    duck = duckdb.connect()
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in rows)
+    got = duck.execute(
+        cohens_kappa_sql(
+            f"(SELECT * FROM (VALUES {vals}) t(a, b))", "a", "b"
+        )
+    ).fetchall()[0]
+    eng = cohens_kappa(df, "a", "b").collect()[0]
+    assert (
+        got[0], got[1], got[2], got[3], got[4], got[5]
+    ) == (
+        eng["n_rows"], eng["n_agree"], eng["n_classes_a"],
+        eng["n_classes_b"], eng["pe_num"], eng["kappa"],
+    )
+
+
+# ---------------------------------------------------- Simpson diversity
+
+
+def test_simpson_diversity_uniform_and_single(spark):
+    from gis_city_county_spark.operators.profile import simpson_diversity
+
+    uniform = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "c string"
+    )
+    r = simpson_diversity(uniform, "c").collect()[0]
+    assert r["n_rows"] == 4 and r["n_categories"] == 4
+    assert r["concentration_ppm"] == 0
+    assert r["diversity_ppm"] == 1_000_000
+    assert r["effective_categories_milli"] == 4000
+
+    single = spark.createDataFrame([("a",), ("a",), ("a",)], "c string")
+    r = simpson_diversity(single, "c").collect()[0]
+    assert r["concentration_ppm"] == 1_000_000
+    assert r["diversity_ppm"] == 0
+    assert r["effective_categories_milli"] == 1000
+
+    one_row = spark.createDataFrame([("a",)], "c string")
+    r = simpson_diversity(one_row, "c").collect()[0]
+    assert r["concentration_ppm"] is None and r["diversity_ppm"] is None
+    assert r["effective_categories_milli"] == 1000
+
+
+# ----------------------------------------------------- charclass profile
+
+
+def test_charclass_profile_counts(spark):
+    from gis_city_county_spark.operators.textstats import charclass_profile
+
+    df = spark.createDataFrame(
+        [("en", "ab1 !"), ("zh", "你好"), ("empty", "")],
+        "g string, body string",
+    )
+    rows = {r["g"]: r for r in charclass_profile(df, "g", "body").collect()}
+    en = rows["en"]  # 5 chars: 2 letters, 1 digit, 1 space, 1 other
+    assert en["total_chars"] == 5
+    assert en["letter_ppm"] == 400_000
+    assert en["digit_ppm"] == 200_000
+    assert en["space_ppm"] == 200_000
+    assert en["cjk_ppm"] == 0
+    assert en["other_ppm"] == 200_000
+    zh = rows["zh"]
+    assert zh["cjk_ppm"] == 1_000_000 and zh["letter_ppm"] == 0
+    emp = rows["empty"]
+    assert emp["total_chars"] == 0 and emp["letter_ppm"] is None
+
+
+# ---------------------------------------------------- quality rule audit
+
+
+def test_quality_rule_audit_each_rule_fires(spark):
+    from gis_city_county_spark.operators.corpus import quality_rule_audit
+
+    long_doc = " ".join(f"w{i}" for i in range(1001))
+    # 25 words incl. stopwords, mixed casing, clean
+    clean_doc = ("the quick brown fox jumps over the lazy dog and then "
+                 "the other animals watch it run far away with a smile "
+                 "on its face")
+    rep_doc = " ".join(["spam"] * 30)
+    sym_doc = "!!!! @@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) " * 3
+    dig_doc = "12345 67890 11111 22222 33333 44444 55555 66666 " * 3
+    rows = [
+        ("s", "tiny doc"),                 # short (2 words)
+        ("s", long_doc),                   # long
+        ("s", clean_doc),                  # clean (stopword-rich)
+        ("s", rep_doc),                    # repetitive + low stopword
+        ("s", sym_doc),                    # symbol heavy
+        ("s", dig_doc),                    # digit heavy
+    ]
+    df = spark.createDataFrame(rows, "src string, body string")
+    r = quality_rule_audit(df, "src", "body").collect()[0]
+    assert r["n_docs"] == 6
+    assert r["n_short"] == 1
+    assert r["n_long"] == 1
+    # rep_doc, plus the symbol/digit docs (each repeats its 10-token
+    # line three times, so they trip the distinct-ratio rule too)
+    assert r["n_repetitive"] == 3
+    assert r["n_symbol_heavy"] >= 1
+    assert r["n_digit_heavy"] >= 1
+    assert r["n_clean"] == 1
+    assert r["clean_ppm"] == 166_666
+
+
+# ------------------------------------------------------- vocab overlap
+
+
+def test_vocab_overlap_pairs_exact_jaccard(spark):
+    from gis_city_county_spark.operators.corpus import vocab_overlap_pairs
+
+    df = spark.createDataFrame(
+        [
+            ("a", "cat dog fish"),
+            ("b", "cat dog bird"),
+            ("c", "cat dog fish"),
+            (None, "ignored tokens"),
+        ],
+        "src string, body string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in vocab_overlap_pairs(df, "src", "body").collect()
+    }
+    ab = rows[("a", "b")]
+    assert (ab["n_types_a"], ab["n_types_b"], ab["n_common"]) == (3, 3, 2)
+    assert ab["jaccard_ppm"] == 500_000  # 2 / 4
+    ac = rows[("a", "c")]
+    assert ac["jaccard_ppm"] == 1_000_000  # identical vocab
+    assert ("a", None) not in rows and (None, "a") not in rows
