@@ -2043,9 +2043,12 @@ def quality_rule_audit_sql(
     n_words = f"len({toks})"
     n_types = f"len(list_distinct({toks}))"
     n_chars = f"length({text_col})"
+    # char class mirrors the Spark side's [^a-zA-Z0-9\s]: Java \s is
+    # [ \t\n\x0B\f\r], so \x0B and \f must be excluded here too or a
+    # vertical-tab/form-feed char flips n_symbol_heavy across engines
     n_punct = (
         f"{n_chars} - length(regexp_replace({text_col},"
-        " '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g'))"
+        " '[^a-zA-Z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))"
     )
     n_digits = (
         f"{n_chars} - length(regexp_replace({text_col}, '[0-9]', '', 'g'))"

@@ -1196,9 +1196,9 @@ na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes_a FROM ra),
 nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes_b FROM rb)
 SELECT n_rows, n_agree, n_classes_a, n_classes_b,
        CAST(pe_num AS BIGINT) AS pe_num,
-       CASE WHEN (CAST(n_rows AS DECIMAL(18,0)) * CAST(n_rows AS DECIMAL(18,0)) - pe_num) = 0 THEN CAST(NULL AS DOUBLE)
-            ELSE CAST(CAST((CAST(n_rows AS DECIMAL(18,0)) * CAST(n_agree AS DECIMAL(18,0)) - pe_num) AS VARCHAR) AS DOUBLE)
-               / CAST(CAST((CAST(n_rows AS DECIMAL(18,0)) * CAST(n_rows AS DECIMAL(18,0)) - pe_num) AS VARCHAR) AS DOUBLE) END AS kappa
+       CASE WHEN {den} = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE CAST(CAST({num} AS VARCHAR) AS DOUBLE)
+               / CAST(CAST({den} AS VARCHAR) AS DOUBLE) END AS kappa
 FROM totals CROSS JOIN pe CROSS JOIN na CROSS JOIN nb
 """
 

@@ -233,8 +233,44 @@ def _tclose_oracle() -> str:
     )
 
 
+_LADDER_LEVELS = [
+    ["c_mktsegment", "c_nationkey", "bal_band"],
+    ["c_mktsegment", "c_nationkey"],
+    ["c_mktsegment"],
+]
+
+
+def q_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-generalization audit of customers: for each finest
+    (segment, nation, balance-band) cohort, which rung of the
+    drop-a-column ladder first reaches k=10 anonymity — the release
+    planner's per-cohort remediation level, one map-combinable
+    group-size aggregate per rung."""
+    from gis_city_county_spark.operators.privacy import generalization_ladder
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias("bal_band"),
+    )
+    return generalization_ladder(cust, _LADDER_LEVELS, k=10)
+
+
+def _ladder_oracle() -> str:
+    from gis_city_county_spark.operators.privacy import generalization_ladder_sql
+
+    src = (
+        "SELECT c_mktsegment, c_nationkey,"
+        " CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band"
+        " FROM customer"
+    )
+    return generalization_ladder_sql(src, _LADDER_LEVELS, k=10)
+
+
 SPECS = [
     QuerySpec("privacy_t_closeness", q_t_closeness, _tclose_oracle()),
+    QuerySpec("privacy_generalization_ladder", q_generalization_ladder,
+              _ladder_oracle()),
     QuerySpec("privacy_randomized_response", q_randomized_response, _rr_oracle()),
     QuerySpec("text_redact_pii", q_redact_pii, _PII_ORACLE),
     QuerySpec("pipeline_blocklist_filter", q_blocklist_filter, _BLOCK_ORACLE),

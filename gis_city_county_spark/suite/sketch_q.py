@@ -261,9 +261,34 @@ SELECT est.*, exact.n_exact FROM est JOIN exact USING (o_orderpriority)
 """
 
 
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per event type, build daily HLL
+    registers (p=8) over user_id, then MERGE the per-day sketches
+    into the period estimate with a register-wise MAX — the
+    re-aggregatable property a 100 TB daily-build pipeline relies on
+    (the rollup touches KB-scale registers, never the raw events).
+    The exact distinct count rides along as the self-audit column."""
+    from gis_city_county_spark.operators.sketch import hll_merge_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    return hll_merge_rollup(
+        events, ["event_type"], F.to_date("ts"), "user_id", p=8
+    )
+
+
+def _hll_rollup_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import hll_merge_rollup_sql
+
+    return hll_merge_rollup_sql(
+        "SELECT * FROM events", ["event_type"], "CAST(ts AS DATE)",
+        "user_id", p=8,
+    )
+
+
 SPECS = [
     QuerySpec("sketch_countmin_heavy_hitters", q_countmin_tokens, _countmin_oracle()),
     QuerySpec("sketch_hll_distinct", q_hll, _hll_oracle()),
+    QuerySpec("sketch_hll_merge_rollup", q_hll_merge_rollup, _hll_rollup_oracle()),
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
     QuerySpec("olap_bitmap_distinct", q_bitmap_distinct, _bitmap_oracle()),
     QuerySpec("sketch_exact_n_sample", q_exact_n_sample, _EXACT_N_ORACLE),

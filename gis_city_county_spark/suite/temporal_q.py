@@ -701,6 +701,61 @@ def _kappa_oracle() -> str:
     return cohens_kappa_sql(f"({src})", "rater_model", "rater_rule")
 
 
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three deterministic pseudo-raters per order
+    (the status column, a date rule, a price rule — all labeling into
+    the F/O space): multi-annotator chance-corrected agreement with
+    exact DECIMAL numerators and a fixed-order IEEE tail."""
+    from gis_city_county_spark.operators.mlprep import fleiss_kappa
+
+    orders = load_table(spark, sf_dir, "orders")
+    long = orders.select(
+        F.col("o_orderkey").alias("item"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("rater"),
+                    F.col("o_orderstatus").alias("label"),
+                ),
+                F.struct(
+                    F.lit(2).alias("rater"),
+                    F.when(
+                        F.col("o_orderdate")
+                        < F.lit("1995-06-17").cast("date"),
+                        F.lit("F"),
+                    ).otherwise(F.lit("O")).alias("label"),
+                ),
+                F.struct(
+                    F.lit(3).alias("rater"),
+                    F.when(F.col("o_totalprice") < 150000.0, F.lit("F"))
+                    .otherwise(F.lit("O")).alias("label"),
+                ),
+            )
+        ).alias("r"),
+    ).select(
+        "item",
+        F.col("r.rater").alias("rater"),
+        F.col("r.label").alias("label"),
+    )
+    return fleiss_kappa(long, "item", "rater", "label")
+
+
+def _fleiss_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import fleiss_kappa_sql
+
+    src = (
+        "SELECT o_orderkey AS item, 1 AS rater, o_orderstatus AS label"
+        " FROM orders"
+        " UNION ALL SELECT o_orderkey, 2,"
+        " CASE WHEN o_orderdate < DATE '1995-06-17' THEN 'F' ELSE 'O' END"
+        " FROM orders"
+        " UNION ALL SELECT o_orderkey, 3,"
+        " CASE WHEN o_totalprice < 150000.0 THEN 'F' ELSE 'O' END"
+        " FROM orders"
+    )
+    return fleiss_kappa_sql(f"({src})", "item", "rater", "label")
+
+
 def _mrr_oracle() -> str:
     from gis_city_county_spark.operators.mlprep import mean_reciprocal_rank_sql
 
@@ -722,6 +777,7 @@ SPECS = [
     QuerySpec("eval_mrr", q_mrr, _mrr_oracle()),
     QuerySpec("eval_ndcg_at_k", q_ndcg_at_k, _ndcg_oracle()),
     QuerySpec("eval_cohens_kappa", q_cohens_kappa, _kappa_oracle()),
+    QuerySpec("eval_fleiss_kappa", q_fleiss_kappa, _fleiss_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

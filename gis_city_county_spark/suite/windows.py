@@ -597,6 +597,13 @@ R8_PRESTAGE: tuple[str, ...] = (
     "corpus_quality_rule_audit",
     "corpus_vocab_overlap",
     "eval_cohens_kappa",
+    # Operators implemented during round 7 but only REGISTERED as
+    # QuerySpecs at the start of round 8 (VERDICT r7 directive 2 —
+    # the dead-code rescue, same path eval_ndcg_at_k took): their
+    # first possible driver check is round 8, same as the rest.
+    "sketch_hll_merge_rollup",
+    "privacy_generalization_ladder",
+    "eval_fleiss_kappa",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -186,6 +186,9 @@ _BNLJ_ALLOWED = {
     # kappa merges four 1-row aggregates (totals × pe-numerator ×
     # per-rater class counts) — every cross-join side is a single row
     "eval_cohens_kappa",
+    # Fleiss merges two 1-row aggregates (per-item roll-up × per-label
+    # roll-up) — both cross-join sides are single rows
+    "eval_fleiss_kappa",
 }
 
 
@@ -369,6 +372,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_cohens_kappa": 4,
     # one global rollup over the ≤|categories| per-category counts
     "profile_source_diversity": 1,
+    # two scalar-merge exchanges: the per-item roll-up's final merge
+    # (input = partial rows) and the per-label roll-up's final merge
+    "eval_fleiss_kappa": 2,
 }
 
 

@@ -1,0 +1,307 @@
+"""Round-8 tests: the two round-7 dead-code rescues (HLL merge
+rollup, generalization ladder) and Fleiss' kappa get the property /
+parity coverage their registration requires (VERDICT r7 directive 2,
+ADVICE r7), plus a structural guard so an operator with an ``_sql``
+twin can never again ship without a caller.
+"""
+
+from __future__ import annotations
+
+import ast
+import re
+from pathlib import Path
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+PKG = Path(__file__).resolve().parent.parent / "gis_city_county_spark"
+
+
+# ------------------------------------------------- hll_merge_rollup
+
+
+def _synth_events(spark, n=400):
+    """Deterministic (etype, day, uid) rows: uid ranges overlap across
+    days so the merged estimate differs from any single day's."""
+    rows = [
+        (f"t{i % 3}", f"d{(i // 40) % 5}", (i * 7919) % 97)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "etype string, day string, uid long")
+
+
+def test_hll_merge_rollup_is_bit_identical_to_direct_build(spark):
+    """The docstring's exactness claim: register-wise MAX over per-day
+    sketches == building the registers over the whole period directly
+    (same register_sum, zero count, and raw estimate, bit-for-bit)."""
+    from gis_city_county_spark.operators.sketch import (
+        hll_distinct,
+        hll_merge_rollup,
+    )
+
+    df = _synth_events(spark)
+    merged = {
+        r["etype"]: r
+        for r in hll_merge_rollup(df, ["etype"], "day", "uid", p=6).collect()
+    }
+    direct = {
+        r["etype"]: r
+        for r in hll_distinct(df, ["etype"], "uid", p=6).collect()
+    }
+    exact = {
+        r["etype"]: r
+        for r in df.groupBy("etype")
+        .agg(
+            F.countDistinct("uid").alias("nd"),
+            F.countDistinct("day").alias("ns"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct) == set(exact)
+    for g, row in merged.items():
+        assert row["register_sum"] == direct[g]["register_sum"]
+        assert row["n_zero_registers"] == direct[g]["n_zero_registers"]
+        assert row["hll_raw_est"] == direct[g]["hll_raw_est"]  # bit-exact
+        assert row["exact_distinct"] == exact[g]["nd"]
+        assert row["n_subunits"] == exact[g]["ns"]
+
+
+def test_hll_merge_rollup_matches_duckdb_twin(spark):
+    from gis_city_county_spark.operators.sketch import (
+        hll_merge_rollup,
+        hll_merge_rollup_sql,
+    )
+
+    df = _synth_events(spark, n=250)
+    got = sorted(
+        hll_merge_rollup(df, ["etype"], "day", "uid", p=6).collect()
+    )
+    con = duckdb.connect()
+    con.register("ev", df.toPandas())
+    want = sorted(
+        con.execute(
+            hll_merge_rollup_sql("SELECT * FROM ev", ["etype"], "day", "uid", p=6)
+        ).fetchall()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+# -------------------------------------------- generalization_ladder
+
+
+def _ladder_frame(spark):
+    # cohort sizes by (a, b): (x, p)=6, (x, q)=2, (y, p)=1;
+    # by a: x=8, y=1
+    rows = (
+        [("x", "p")] * 6 + [("x", "q")] * 2 + [("y", "p")]
+    )
+    return spark.createDataFrame(rows, "a string, b string")
+
+
+def test_generalization_ladder_picks_first_satisfying_rung(spark):
+    from gis_city_county_spark.operators.privacy import generalization_ladder
+
+    out = {
+        (r["a"], r["b"]): r
+        for r in generalization_ladder(
+            _ladder_frame(spark), [["a", "b"], ["a"]], k=5
+        ).collect()
+    }
+    # (x,p) already satisfies k=5 at the finest rung
+    assert out[("x", "p")]["size_l0"] == 6
+    assert out[("x", "p")]["chosen_level"] == 0
+    # (x,q) needs the coarser rung (size 2 -> 8)
+    assert out[("x", "q")]["size_l0"] == 2
+    assert out[("x", "q")]["size_l1"] == 8
+    assert out[("x", "q")]["chosen_level"] == 1
+    # (y,p) never reaches k=5 on any rung -> NULL
+    assert out[("y", "p")]["size_l1"] == 1
+    assert out[("y", "p")]["chosen_level"] is None
+
+
+def test_generalization_ladder_sizes_monotone_and_duckdb_parity(spark):
+    from gis_city_county_spark.operators.privacy import (
+        generalization_ladder,
+        generalization_ladder_sql,
+    )
+
+    df = _ladder_frame(spark)
+    got = generalization_ladder(df, [["a", "b"], ["a"]], k=3).collect()
+    # nested rungs: coarser group size always >= finer
+    for r in got:
+        assert r["size_l1"] >= r["size_l0"]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        generalization_ladder_sql("SELECT * FROM t", [["a", "b"], ["a"]], k=3)
+    ).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+
+
+def test_generalization_ladder_rejects_non_subset_levels(spark):
+    from gis_city_county_spark.operators.privacy import generalization_ladder
+
+    with pytest.raises(ValueError):
+        generalization_ladder(_ladder_frame(spark), [["a"], ["a", "b"]], k=2)
+
+
+# --------------------------------------------------- fleiss_kappa
+
+# Fleiss (1971) worked example (also the Wikipedia table): 10 items,
+# 14 raters, 5 categories; kappa ~= 0.2099.
+_FLEISS_TABLE = [
+    (0, 0, 0, 0, 14),
+    (0, 2, 6, 4, 2),
+    (0, 0, 3, 5, 6),
+    (0, 3, 9, 2, 0),
+    (2, 2, 8, 1, 1),
+    (7, 7, 0, 0, 0),
+    (3, 2, 6, 3, 0),
+    (2, 5, 3, 2, 2),
+    (6, 5, 2, 1, 0),
+    (0, 2, 2, 3, 7),
+]
+
+
+def _fleiss_long_rows():
+    rows = []
+    for i, counts in enumerate(_FLEISS_TABLE):
+        rater = 0
+        for cat, n in enumerate(counts):
+            for _ in range(n):
+                rows.append((i, rater, f"c{cat}"))
+                rater += 1
+    return rows
+
+
+def _expected_fleiss():
+    """Same exact-integer numerators and fixed-order IEEE tail as the
+    operator, evaluated in Python (all ints < 2**53, so the double
+    conversions are exact)."""
+    n_items = len(_FLEISS_TABLE)
+    r = 14
+    a = sum(n * n for row in _FLEISS_TABLE for n in row)
+    cols = [sum(row[j] for row in _FLEISS_TABLE) for j in range(5)]
+    c = sum(x * x for x in cols)
+    n_ratings = n_items * r
+    pbar = float(a - n_items * r) / float(n_items * r * (r - 1))
+    pe = float(c) / float(n_ratings) / float(n_ratings)
+    return (pbar - pe) / (1.0 - pe)
+
+
+def test_fleiss_kappa_known_value(spark):
+    from gis_city_county_spark.operators.mlprep import fleiss_kappa
+
+    df = spark.createDataFrame(
+        _fleiss_long_rows(), "item long, rater long, label string"
+    )
+    row = fleiss_kappa(df, "item", "rater", "label").collect()[0]
+    assert row["n_items"] == 10
+    assert row["n_ratings"] == 140
+    assert row["n_raters"] == 14
+    assert row["n_categories"] == 5
+    assert row["r_constant"] is True
+    assert row["kappa"] == _expected_fleiss()  # fixed-order: bit-exact
+    assert abs(row["kappa"] - 0.2099) < 5e-4
+
+
+def test_fleiss_kappa_matches_duckdb_twin_bit_exact(spark):
+    from gis_city_county_spark.operators.mlprep import (
+        fleiss_kappa,
+        fleiss_kappa_sql,
+    )
+
+    df = spark.createDataFrame(
+        _fleiss_long_rows(), "item long, rater long, label string"
+    )
+    got = fleiss_kappa(df, "item", "rater", "label").collect()[0]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        fleiss_kappa_sql("SELECT * FROM t", "item", "rater", "label")
+    ).fetchone()
+    assert tuple(got) == tuple(want)
+
+
+def test_fleiss_kappa_degenerate_cases(spark):
+    from gis_city_county_spark.operators.mlprep import fleiss_kappa
+
+    # non-constant ratings per item -> r_constant False, kappa NULL
+    uneven = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (2, 1, "a")],
+        "item long, rater long, label string",
+    )
+    row = fleiss_kappa(uneven, "item", "rater", "label").collect()[0]
+    assert row["r_constant"] is False
+    assert row["n_raters"] is None
+    assert row["kappa"] is None
+
+    # every rating one label -> Pe = 1 -> kappa NULL (not a crash)
+    mono = spark.createDataFrame(
+        [(i, r, "same") for i in range(3) for r in range(2)],
+        "item long, rater long, label string",
+    )
+    row = fleiss_kappa(mono, "item", "rater", "label").collect()[0]
+    assert row["r_constant"] is True
+    assert row["kappa"] is None
+
+
+# --------------------------------------- cohens_kappa_sql overflow
+
+
+def test_cohens_kappa_sql_uses_hugeint_numerators():
+    """ADVICE r7: the emitted SQL must compute N*A and N*N in HUGEINT
+    (int128) — a DECIMAL(18,0) product overflows at n_rows >= ~1e9,
+    contradicting the operator's 1e14-row contract."""
+    from gis_city_county_spark.operators.mlprep import cohens_kappa_sql
+
+    sql = cohens_kappa_sql("SELECT * FROM t", "a", "b")
+    tail = sql[sql.rindex("SELECT") :]
+    assert "CAST(n_rows AS HUGEINT) * CAST(n_rows AS HUGEINT)" in tail
+    assert "CAST(n_rows AS HUGEINT) * CAST(n_agree AS HUGEINT)" in tail
+    assert "DECIMAL(18,0)) * CAST(n_rows" not in tail
+    assert "DECIMAL(18,0)) * CAST(n_agree" not in tail
+
+
+# ------------------------------------------------ dead-code guard
+
+
+_UNWIRED_ALLOWED: set[str] = set()  # no exceptions today — keep it so
+
+
+def test_every_sql_twinned_operator_has_a_caller():
+    """The r6/r7 pattern (ndcg, hll_merge_rollup, generalization_ladder):
+    an operator lands with an ``_sql`` twin but zero callers — a
+    correctness claim nothing verifies.  Guard: every public function
+    in ``operators/`` that has a ``<name>_sql`` sibling must be CALLED
+    somewhere else in the package (a QuerySpec module, streaming twin,
+    pipeline, or a composite operator) or appear in the explicit
+    allowlist above."""
+    pairs: list[tuple[Path, str]] = []
+    sources: dict[Path, str] = {
+        p: p.read_text() for p in PKG.rglob("*.py")
+    }
+    for p in sorted((PKG / "operators").glob("*.py")):
+        tree = ast.parse(sources[p])
+        names = {
+            n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+        }
+        pairs.extend(
+            (p, f)
+            for f in names
+            if not f.startswith("_") and f + "_sql" in names
+        )
+
+    dead = []
+    for defining, f in pairs:
+        if f in _UNWIRED_ALLOWED:
+            continue
+        call_rx = re.compile(rf"(?<!def )\b{re.escape(f)}\s*\(")
+        wired = any(call_rx.search(src) for src in sources.values())
+        if not wired:
+            dead.append(f"{defining.name}:{f}")
+    assert not dead, (
+        "operators with an _sql twin but no caller anywhere in the "
+        f"package (register a QuerySpec or delete them): {dead}"
+    )
