@@ -32,7 +32,7 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
 # Round 6: all 16 R6_PRESTAGE names (the queries added during round 5,
 # first driver-checkable now) + 34 reconfirm slots.  ``rotation.py``'s
@@ -372,12 +372,78 @@ _R7_WINDOW: tuple[str, ...] = (
     "ref_pipeline_flagship",
 )
 
+# Round 8: the 8 R8_PRESTAGE names (5 round-7 additions + the 3
+# round-7 dead-code rescues registered at round-8 start) + 42
+# reconfirm slots.  ``rotation.py``'s mechanized proposal — run
+# against the round-7 fingerprint snapshot recorded at round-8 start
+# (the working tree's plans ARE the plans the r7 driver hash-checked:
+# no plan-affecting commit landed after the r7 end-of-round snapshot)
+# — found ZERO plan-changed re-proof candidates, so the whole
+# re-proof budget goes to the stalest green rows (r2/r3-stamped geo
+# grid, multimodal, corpus and sketch batteries).  This window closes
+# cumulative driver coverage at 261/261.
+_R8_WINDOW: tuple[str, ...] = (
+    # The 8 never-driver-checked queries (R8_PRESTAGE).
+    "text_charclass_profile",
+    "profile_source_diversity",
+    "corpus_quality_rule_audit",
+    "corpus_vocab_overlap",
+    "sketch_hll_merge_rollup",
+    "privacy_generalization_ladder",
+    "eval_cohens_kappa",
+    "eval_fleiss_kappa",
+    # Reconfirms: the stalest green rows (r2, then r3).
+    "geo_grid_refine_density",
+    "geo_knn_join_grid",
+    "geo_cell_coverage",
+    "geo_knn_assign",
+    "geo_g3_area_crs",
+    "geo_rotated_ops",
+    "dedup_exact",
+    "corpus_source_keywords",
+    "corpus_novelty_scores",
+    "corpus_source_similarity",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_prefix_jaccard_join",
+    "pipeline_quality_keeper",
+    "sim_quantize_report",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "ref_f10_nullif_empty",
+    "ref_a3_missing_gate",
+    "corpus_source_report",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_audio_windows",
+    "mm_shot_boundaries",
+    "mm_image_decode_stats",
+    "mm_image_resize_stats",
+    "mm_audio_decode_stats",
+    "corpus_chunk_documents",
+    "corpus_ngram_precision_eval",
+    "corpus_simhash_near_pairs",
+    "corpus_dsir_weights",
+    "corpus_span_corruption",
+    "corpus_pmi_pairs",
+    "corpus_pair_merges",
+    "corpus_ngram_topk",
+    "corpus_length_band_filter",
+    "corpus_repetition_stats",
+    "pipeline_train_val_test",
+    "pipeline_decontaminate",
+    "sketch_countmin_heavy_hitters",
+    "sketch_kmv_distinct",
+)
+
 WINDOWS: dict[int, tuple[str, ...]] = {
     3: _R3_WINDOW,
     4: _R4_WINDOW,
     5: _R5_WINDOW,
     6: _R6_WINDOW,
     7: _R7_WINDOW,
+    8: _R8_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -500,6 +566,11 @@ REPROOFS: dict[int, frozenset[str]] = {
             "ref_pipeline_flagship",
         )
     ),
+    # Round 8: zero plan-changed candidates against the round-7
+    # fingerprint snapshot (recorded at round-8 start from the
+    # unchanged end-of-r7 tree), so the 42 non-new slots all
+    # reconfirm the stalest r2/r3-green rows.
+    8: frozenset(_R8_WINDOW[8:]),
 }
 
 # The 41 queries that were still driver-unchecked after round 4
@@ -606,11 +677,17 @@ R8_PRESTAGE: tuple[str, ...] = (
     "eval_fleiss_kappa",
 )
 
+# Queries ADDED during round 8 (after WINDOWS[8] was pinned): their
+# first possible driver check is round 9.  Every new QuerySpec must be
+# appended here — the contract test derives the invariant.
+R9_PRESTAGE: tuple[str, ...] = ()
+
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
     6: R6_PRESTAGE,
     7: R7_PRESTAGE,
     8: R8_PRESTAGE,
+    9: R9_PRESTAGE,
 }
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]
