@@ -1978,6 +1978,44 @@ def quality_rule_audit(
     Returns (group, n_docs, n_short, n_long, n_low_stopword,
     n_symbol_heavy, n_digit_heavy, n_repetitive, n_clean, clean_ppm).
     """
+    return quality_rule_counts(
+        df, group_col, text_col, min_words, max_words
+    ).select(
+        group_col,
+        *QUALITY_RULE_COUNTERS,
+        F.expr(
+            "(n_clean * CAST(1000000 AS BIGINT)) div n_docs"
+        ).alias("clean_ppm"),
+    )
+
+
+# The map-combinable counter columns of the audit, in output order.
+QUALITY_RULE_COUNTERS = (
+    "n_docs",
+    "n_short",
+    "n_long",
+    "n_low_stopword",
+    "n_symbol_heavy",
+    "n_digit_heavy",
+    "n_repetitive",
+    "n_clean",
+)
+
+
+def quality_rule_counts(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    min_words: int = 20,
+    max_words: int = 1000,
+) -> DataFrame:
+    """The counter block of :func:`quality_rule_audit` WITHOUT the
+    derived ``clean_ppm`` — every column an exact BIGINT sum, so
+    per-batch counter rows fold into the whole-corpus audit by plain
+    addition (integer sums are associative).  This is the shared
+    build path of the batch audit and the streaming twin
+    (``streaming.quality.streaming_quality_rule_audit``), the same
+    split as ``hll_registers`` / ``countmin_cells``."""
     from gis_city_county_spark.operators.textstats import (
         punct_char_count,
         stopword_count,
@@ -2013,20 +2051,7 @@ def quality_rule_audit(
             _n(f_rep, "n_repetitive"),
             _n(clean, "n_clean"),
         )
-        .select(
-            F.col("__g").alias(group_col),
-            "n_docs",
-            "n_short",
-            "n_long",
-            "n_low_stopword",
-            "n_symbol_heavy",
-            "n_digit_heavy",
-            "n_repetitive",
-            "n_clean",
-            F.expr(
-                "(n_clean * CAST(1000000 AS BIGINT)) div n_docs"
-            ).alias("clean_ppm"),
-        )
+        .select(F.col("__g").alias(group_col), *QUALITY_RULE_COUNTERS)
     )
 
 

@@ -24,8 +24,11 @@ State layout (all parquet, all append-only, all replay-idempotent):
 After folding a batch in, the current card (bit-equal to running
 ``dataset_card`` over every document that has arrived — integer sums
 are associative, the two ppm/mean derivations are single exact-int
-divisions) is appended to ``card_dir`` tagged with the batch id.
-Equivalence is asserted batch-by-batch in ``tests/test_streaming.py``.
+divisions) is published to ``card_dir`` partitioned by batch id with
+dynamic partition overwrite, so a retried batch REPLACES its own card
+partition instead of appending a duplicate row — the publish step is
+replay-idempotent end to end, like the state folds.  Equivalence is
+asserted batch-by-batch in ``tests/test_streaming.py``.
 """
 
 from __future__ import annotations
@@ -68,22 +71,18 @@ def _read_or_empty(sess, path: str, schema: str):
         return sess.createDataFrame([], schema)
 
 
-def streaming_dataset_card(
-    spark,
-    schema,
-    incoming_path: str,
+def card_batch_folder(
     state_dir: str,
     card_dir: str,
-    id_col: str,
     text_col: str,
     lang_col: str,
     source_col: str,
-    max_files_per_trigger: int = 1,
 ):
-    """foreachBatch writer: fold each arriving document batch into the
-    card state and append the refreshed one-row card (tagged
-    ``batch_id``) to ``card_dir``.  Returns a ``DataStreamWriter`` —
-    caller ``.start()``s it."""
+    """The foreachBatch fold of :func:`streaming_dataset_card`,
+    exposed as a plain ``(batch_df, batch_id)`` callable so the retry
+    path is directly testable: calling it TWICE with the same batch
+    (a foreachBatch retry) must leave state and the published card
+    partition exactly as one call does."""
     from gis_city_county_spark.operators.textstats import fingerprint_md5
 
     fp_dir = f"{state_dir}/fp"
@@ -175,8 +174,39 @@ def streaming_dataset_card(
                 F.lit(batch_id).cast("bigint").alias("batch_id"),
             )
         )
-        card.write.mode("append").parquet(card_dir)
+        # Partition-overwrite by batch_id: a foreachBatch RETRY of the
+        # same batch republishes into its own partition instead of
+        # appending a duplicate row, so the publish step is as
+        # replay-idempotent as the state folds (the retried card row
+        # is identical — state folds are anti-join/DISTINCT — but
+        # append would still double it on disk).
+        card.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(card_dir)
 
+    return apply_batch
+
+
+def streaming_dataset_card(
+    spark,
+    schema,
+    incoming_path: str,
+    state_dir: str,
+    card_dir: str,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+    max_files_per_trigger: int = 1,
+):
+    """foreachBatch writer: fold each arriving document batch into the
+    card state and publish the refreshed one-row card into its
+    ``batch_id`` partition of ``card_dir`` (partition overwrite — a
+    retried batch replaces, never duplicates).  Returns a
+    ``DataStreamWriter`` — caller ``.start()``s it."""
+    apply_batch = card_batch_folder(
+        state_dir, card_dir, text_col, lang_col, source_col
+    )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

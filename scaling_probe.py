@@ -151,6 +151,18 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=8)
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--top", type=int, default=len(PROBE_QUERIES))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names: re-probe just these and "
+        "MERGE their rows into the existing artifact (same factor)",
+    )
+    ap.add_argument(
+        "--no-write",
+        action="store_true",
+        help="print results without touching BENCH_SCALING.json "
+        "(exploratory runs at non-standard factors)",
+    )
     args = ap.parse_args()
 
     from gis_city_county_spark.session import get_spark
@@ -187,7 +199,10 @@ def main() -> None:
     ).count()
 
     specs = {s.name: s for s in all_specs()}
-    names = [n for n in PROBE_QUERIES[: args.top] if n in specs]
+    if args.only:
+        names = [n for n in args.only.split(",") if n in specs]
+    else:
+        names = [n for n in PROBE_QUERIES[: args.top] if n in specs]
 
     def best(name: str, sf_dir: str) -> float:
         # Release the previous query's localCheckpoint RDD blocks
@@ -227,17 +242,24 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    artifact = os.path.join(REPO, "BENCH_SCALING.json")
+    merged = dict(results)
+    if args.only and os.path.exists(artifact):
+        prior = json.load(open(artifact))
+        if prior.get("factor") == args.factor:
+            merged = {**prior.get("queries", {}), **results}
     out = {
         "factor": args.factor,
         "slack": SLACK,
         "base_sf_dir": BASE_SF,
-        "queries": results,
+        "queries": merged,
         "super_linear": sorted(
-            n for n, r in results.items() if r["super_linear"]
+            n for n, r in merged.items() if r["super_linear"]
         ),
     }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    if not args.no_write:
+        with open(artifact, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps({
         "metric": "scaling_probe",
         "factor": args.factor,

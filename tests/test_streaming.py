@@ -943,3 +943,161 @@ def test_streaming_dataset_card_matches_batch_after_each_batch(spark, tmp_path):
     assert fp.count() == fp.distinct().count() == 4
     dims = spark.read.parquet(f"{state_dir}/dims")
     assert dims.count() == dims.distinct().count() == 4  # en, fr / web, books
+
+
+def test_streaming_quality_audit_matches_batch_after_each_batch(
+    spark, tmp_path
+):
+    """Three arrival batches through the foreachBatch audit
+    maintainer: after each batch the published audit partition is
+    BIT-EQUAL to running the batch ``quality_rule_audit`` over every
+    document arrived so far — including a rule-flipping batch (a
+    symbol-heavy doc), a new source, and a repeated-token doc."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.corpus import quality_rule_audit
+    from gis_city_county_spark.streaming.quality import (
+        streaming_quality_rule_audit,
+    )
+
+    long_clean = " ".join(f"word{i} the and is" for i in range(10))
+    batches = [
+        spark.createDataFrame(
+            [(1, long_clean, "web"),
+             (2, "short doc", "web")],           # fires `short`
+            "id long, body string, src string",
+        ),
+        spark.createDataFrame(
+            [(3, "!!! ### $$$ %%% &&&", "web"),  # fires symbol+short
+             (4, long_clean, "books")],          # new source
+            "id long, body string, src string",
+        ),
+        spark.createDataFrame(
+            [(5, " ".join(["spam"] * 40), "books")],  # repetitive
+            "id long, body string, src string",
+        ),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "audit_state")
+    audit_dir = str(tmp_path / "audits")
+    q = (
+        streaming_quality_rule_audit(
+            spark, batches[0].schema, str(incoming), state_dir, audit_dir,
+            "src", "body", min_words=20, max_words=1000,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "src", "n_docs", "n_short", "n_long", "n_low_stopword",
+        "n_symbol_heavy", "n_digit_heavy", "n_repetitive", "n_clean",
+        "clean_ppm",
+    ]
+    published = spark.read.parquet(audit_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in quality_rule_audit(
+                acc, "src", "body", min_words=20, max_words=1000
+            ).collect()
+        )
+        assert got == want, f"batch {bid}: {got} != {want}"
+
+
+def test_streaming_quality_audit_publish_is_retry_idempotent(
+    spark, tmp_path
+):
+    """A foreachBatch retry (same batch, same id, folded twice) leaves
+    the counter state distinct-on-read and the published audit
+    partition with exactly one row set, identical values."""
+    from gis_city_county_spark.streaming.quality import (
+        quality_audit_batch_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    audit_dir = str(tmp_path / "audits")
+    fold = quality_audit_batch_folder(
+        state_dir, audit_dir, "src", "body", min_words=2, max_words=100
+    )
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox is here and now", "web"),
+         (2, "x", "web")],
+        "id long, body string, src string",
+    )
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(audit_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(audit_dir).collect())
+    assert twice == once
+    assert spark.read.parquet(audit_dir).count() == 1  # one src group
+    counts = spark.read.parquet(f"{state_dir}/rule_counts")
+    assert counts.distinct().count() == 1  # identical retry row collapses
+
+
+def test_streaming_card_publish_is_retry_idempotent(spark, tmp_path):
+    """A foreachBatch RETRY (same batch_df, same batch_id, run twice)
+    must leave the state tables AND the published card exactly as one
+    run does — the publish partition-overwrites by batch_id instead of
+    appending a duplicate row (round-7 ADVICE)."""
+    from gis_city_county_spark.streaming.card import card_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    card_dir = str(tmp_path / "cards")
+    fold = card_batch_folder(state_dir, card_dir, "body", "lang", "src")
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha text body", "en", "web"),
+         (2, "beta text body!", "en", "web")],
+        "id long, body string, lang string, src string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha text body", "en", "web"),   # cross-batch exact dup
+         (4, "gamma doc", None, "books")],
+        "id long, body string, lang string, src string",
+    )
+
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(card_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(card_dir).collect())
+    assert twice == once  # no duplicate card row, identical values
+    assert spark.read.parquet(card_dir).count() == 1
+
+    fold(b1, 1)
+    fold(b1, 1)  # retry of the second batch too
+    cards = spark.read.parquet(card_dir)
+    assert cards.count() == 2
+    by_batch = {r["batch_id"]: r for r in cards.collect()}
+    assert set(by_batch) == {0, 1}
+    # state stayed distinct through both retries
+    fp = spark.read.parquet(f"{state_dir}/fp")
+    assert fp.count() == fp.distinct().count() == 3
+    totals = spark.read.parquet(f"{state_dir}/totals")
+    # retries appended identical rows; the DISTINCT read collapses them
+    assert totals.distinct().count() == 2
+    # and the published batch-1 card reflects the full 4-doc corpus
+    assert by_batch[1]["n_docs"] == 4
+    assert by_batch[1]["n_distinct_fp"] == 3
