@@ -2197,3 +2197,97 @@ FROM inter
 JOIN sizes sa ON sa.s = inter.src_a
 JOIN sizes sb ON sb.s = inter.src_b
 """
+
+
+def token_drift(
+    df_a: DataFrame, df_b: DataFrame, text_col: str, k: int = 30
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (two feed
+    drops, two time windows, pre/post a scraper change): each token's
+    occurrence share in exact integer ppm per side, and the top-``k``
+    movers by absolute share change — the content-shift monitor that
+    catches "the new crawl is suddenly 40% boilerplate" before it
+    trains.
+
+    Scale: one tokenize + map-combinable count per side (shuffle ∝
+    vocabulary, not occurrences), a vocabulary-sized full-outer join,
+    and two 1-row total scalars broadcast onto it; the top-``k`` is a
+    TakeOrdered over the vocabulary relation, no single-partition
+    sort.  Shares are exact floor divisions (``div`` / ``//``), so
+    both engines emit identical integers.
+
+    Returns (tok, cnt_a, cnt_b, ppm_a, ppm_b, drift_ppm) for the top
+    ``k`` tokens by |drift_ppm| (ties broken by token).
+    """
+
+    def _counts(df, name):
+        return (
+            df.select(F.explode(tokens(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    ca = _counts(df_a, "cnt_a")
+    cb = _counts(df_b, "cnt_b")
+    joined = ca.join(cb, "tok", "full_outer").select(
+        "tok",
+        F.coalesce("cnt_a", F.lit(0)).cast("bigint").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("bigint").alias("cnt_b"),
+    )
+    tot_a = ca.agg(F.sum("cnt_a").cast("bigint").alias("total_a"))
+    tot_b = cb.agg(F.sum("cnt_b").cast("bigint").alias("total_b"))
+    scored = (
+        joined.crossJoin(F.broadcast(tot_a))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "tok",
+            "cnt_a",
+            "cnt_b",
+            F.expr("(cnt_a * CAST(1000000 AS BIGINT)) div total_a").alias(
+                "ppm_a"
+            ),
+            F.expr("(cnt_b * CAST(1000000 AS BIGINT)) div total_b").alias(
+                "ppm_b"
+            ),
+        )
+        .withColumn("drift_ppm", F.col("ppm_b") - F.col("ppm_a"))
+    )
+    return scored.orderBy(
+        F.abs(F.col("drift_ppm")).desc(), F.asc("tok")
+    ).limit(k)
+
+
+def token_drift_sql(
+    source_a: str, source_b: str, text_col: str, k: int = 30
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH ta AS (
+  SELECT unnest({toks}) AS tok FROM ({source_a})
+),
+tb AS (
+  SELECT unnest({toks}) AS tok FROM ({source_b})
+),
+ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_a FROM ta GROUP BY tok),
+cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_b FROM tb GROUP BY tok),
+joined AS (
+  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+         COALESCE(cnt_a, 0) AS cnt_a,
+         COALESCE(cnt_b, 0) AS cnt_b
+  FROM ca FULL JOIN cb ON ca.tok = cb.tok
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(cnt_a) AS BIGINT) FROM ca) AS total_a,
+         (SELECT CAST(SUM(cnt_b) AS BIGINT) FROM cb) AS total_b
+)
+SELECT tok, cnt_a, cnt_b,
+       CAST((cnt_a * CAST(1000000 AS BIGINT)) // total_a AS BIGINT) AS ppm_a,
+       CAST((cnt_b * CAST(1000000 AS BIGINT)) // total_b AS BIGINT) AS ppm_b,
+       CAST((cnt_b * CAST(1000000 AS BIGINT)) // total_b
+            - (cnt_a * CAST(1000000 AS BIGINT)) // total_a AS BIGINT)
+         AS drift_ppm
+FROM joined CROSS JOIN tot
+ORDER BY ABS((cnt_b * CAST(1000000 AS BIGINT)) // total_b
+             - (cnt_a * CAST(1000000 AS BIGINT)) // total_a) DESC, tok ASC
+LIMIT {k}
+"""

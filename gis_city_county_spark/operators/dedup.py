@@ -1105,6 +1105,71 @@ GROUP BY t.{group_col}
 """
 
 
+def cluster_size_histogram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Shape of the near-duplicate cluster population: how many
+    clusters exist at each size, how many documents they hold, and
+    how many a keeper-per-cluster policy removes — the one-glance
+    answer to "is the duplication a long tail of pairs or a few
+    mega-clusters", which decides whether dedup is a trim or a
+    rebuild (and whether a boilerplate source is flooding the feed).
+
+    Scale: rides the same candidate chain as ``dedup_components``
+    (shingle → MinHash band join → pointer-jumped components, never
+    all-pairs); the histogram itself is one DISTINCT over (component,
+    size) — at most one row per cluster — plus a count keyed by the
+    handful of distinct sizes.  All exact integers.
+
+    Returns (cluster_size, n_clusters, n_docs, n_removable), one row
+    per observed size including the singletons (size 1, n_removable
+    0).
+    """
+    comp = dedup_components(df, id_col, text_col, k, num_hashes, bands)
+    clusters = comp.select("component", "component_size").distinct()
+    return (
+        clusters.groupBy(
+            F.col("component_size").cast("bigint").alias("cluster_size")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+    )
+
+
+def cluster_size_histogram_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    comp = dedup_components_sql(table, id_col, text_col, k, num_hashes, bands)
+    return f"""
+WITH comp AS ({comp}),
+clusters AS (SELECT DISTINCT component, component_size FROM comp)
+SELECT CAST(component_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(component_size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((component_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM clusters GROUP BY component_size
+"""
+
+
 # ---------------------------------------------- containment (subset) dup
 
 

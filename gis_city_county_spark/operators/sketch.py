@@ -385,6 +385,160 @@ def countmin_heavy_hitters(
     )
 
 
+def countmin_delta(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter DRIFT between two periods, answered from two
+    count-min sketches — the bounded-memory "what changed since
+    yesterday" a 100 TB feed monitor keeps: each period's raw data
+    collapses to its own d·w cell table (same seeds, so cells are
+    directly comparable), and the per-key change estimate reads ONLY
+    the two sketches, never re-scanning either period.
+
+    Estimate per key and period = min over its ``depth`` cells (a
+    missing cell is an empty bucket = 0); the drift estimate is
+    ``est_b − est_a``, which can over- OR under-state the true change
+    (each side over-counts independently) — so the exact per-period
+    counts ride along as the audit, for the top-``k`` keys by
+    absolute exact change (ties broken by key).  md5-deterministic
+    end to end; the DuckDB twin matches bit-for-bit.
+
+    Returns (key, exact_a, exact_b, exact_delta, est_a, est_b,
+    est_delta).
+    """
+    rows_a = df_a.select(F.col(key_col).cast("string").alias("__k"))
+    rows_b = df_b.select(F.col(key_col).cast("string").alias("__k"))
+    sk_a = countmin_cells(rows_a, "__k", width, depth)
+    sk_b = countmin_cells(rows_b, "__k", width, depth)
+
+    ex_a = rows_a.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_a")
+    )
+    ex_b = rows_b.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_b")
+    )
+    exact = (
+        ex_a.join(ex_b, "__k", "full_outer")
+        .select(
+            "__k",
+            F.coalesce("exact_a", F.lit(0)).cast("bigint").alias("exact_a"),
+            F.coalesce("exact_b", F.lit(0)).cast("bigint").alias("exact_b"),
+        )
+        .withColumn("exact_delta", F.col("exact_b") - F.col("exact_a"))
+    )
+    # TakeOrderedAndProject (no single-partition exchange): input is
+    # one row per distinct key, the exact audit's natural bound.
+    topk = exact.orderBy(
+        F.abs(F.col("exact_delta")).desc(), F.asc("__k")
+    ).limit(k)
+
+    probes = topk.select(
+        "__k",
+        "exact_a",
+        "exact_b",
+        "exact_delta",
+        F.posexplode(
+            F.array(
+                *[
+                    (_h60(F.concat(F.lit(f"{d}|"), F.col("__k"))) % width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__d", "__b"),
+    )
+
+    def _est(sketch, name):
+        return (
+            probes.join(F.broadcast(sketch), ["__d", "__b"], "left")
+            .groupBy("__k")
+            .agg(
+                F.min(F.coalesce(F.col("__cell"), F.lit(0)))
+                .cast("bigint")
+                .alias(name)
+            )
+        )
+
+    return (
+        topk.join(_est(sk_a, "est_a"), "__k")
+        .join(_est(sk_b, "est_b"), "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            "exact_a",
+            "exact_b",
+            "exact_delta",
+            "est_a",
+            "est_b",
+            (F.col("est_b") - F.col("est_a")).alias("est_delta"),
+        )
+    )
+
+
+def countmin_delta_sql(
+    source_a: str,
+    source_b: str,
+    key_expr: str,
+    key_name: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    k: int = 20,
+) -> str:
+    """DuckDB oracle twin of :func:`countmin_delta`."""
+
+    def bucket_rows(src: str) -> str:
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT k, {d} AS d,"
+            f" {_h60_sql(repr(f'{d}|') + ' || k')} % {width} AS b"
+            f" FROM {src}"
+            for d in range(depth)
+        )
+
+    return f"""
+WITH ka AS (SELECT CAST({key_expr} AS VARCHAR) AS k FROM ({source_a})),
+kb AS (SELECT CAST({key_expr} AS VARCHAR) AS k FROM ({source_b})),
+sa AS (
+  SELECT d, b, COUNT(*) AS cell FROM ({bucket_rows('ka')}) GROUP BY d, b
+),
+sb AS (
+  SELECT d, b, COUNT(*) AS cell FROM ({bucket_rows('kb')}) GROUP BY d, b
+),
+ea AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_a FROM ka GROUP BY k),
+eb AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_b FROM kb GROUP BY k),
+exact AS (
+  SELECT COALESCE(ea.k, eb.k) AS k,
+         COALESCE(exact_a, 0) AS exact_a,
+         COALESCE(exact_b, 0) AS exact_b,
+         COALESCE(exact_b, 0) - COALESCE(exact_a, 0) AS exact_delta
+  FROM ea FULL JOIN eb ON ea.k = eb.k
+),
+topk AS (
+  SELECT * FROM exact ORDER BY ABS(exact_delta) DESC, k ASC LIMIT {k}
+),
+probes AS (
+  {bucket_rows('(SELECT k FROM topk)')}
+),
+esta AS (
+  SELECT p.k, CAST(MIN(COALESCE(s.cell, 0)) AS BIGINT) AS est_a
+  FROM probes p LEFT JOIN sa s ON p.d = s.d AND p.b = s.b
+  GROUP BY p.k
+),
+estb AS (
+  SELECT p.k, CAST(MIN(COALESCE(s.cell, 0)) AS BIGINT) AS est_b
+  FROM probes p LEFT JOIN sb s ON p.d = s.d AND p.b = s.b
+  GROUP BY p.k
+)
+SELECT t.k AS {key_name},
+       t.exact_a, t.exact_b, CAST(t.exact_delta AS BIGINT) AS exact_delta,
+       esta.est_a, estb.est_b,
+       CAST(estb.est_b - esta.est_a AS BIGINT) AS est_delta
+FROM topk t JOIN esta ON t.k = esta.k JOIN estb ON t.k = estb.k
+"""
+
+
 def countmin_heavy_hitters_sql(
     source_sql: str,
     key_expr: str,

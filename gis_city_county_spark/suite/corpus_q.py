@@ -627,8 +627,35 @@ def _vocab_overlap_oracle() -> str:
     return vocab_overlap_pairs_sql("documents", "source", "text")
 
 
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token-share movers (exact ppm) between the even- and
+    odd-doc_id halves of the corpus — the content-shift monitor a
+    feed pipeline runs between drops."""
+    from gis_city_county_spark.operators.corpus import token_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        k=30,
+    )
+
+
+def _token_drift_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import token_drift_sql
+
+    return token_drift_sql(
+        "SELECT * FROM documents WHERE doc_id % 2 = 0",
+        "SELECT * FROM documents WHERE doc_id % 2 = 1",
+        "text",
+        k=30,
+    )
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
+    QuerySpec("corpus_token_drift", q_token_drift, _token_drift_oracle()),
     QuerySpec("pipeline_dataset_card", q_dataset_card, _dataset_card_oracle()),
     QuerySpec("corpus_repeated_chunks", q_repeated_chunks,
               _repeated_chunks_oracle()),

@@ -447,8 +447,30 @@ def _incremental_oracle() -> str:
     )
 
 
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster population shape: clusters per size, docs held
+    and docs removable by a keeper policy — long-tail-of-pairs vs
+    mega-cluster diagnosis over the same shingle→MinHash→components
+    chain as dedup_connected_components."""
+    from gis_city_county_spark.operators.dedup import cluster_size_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_size_histogram(docs, "doc_id", "text")
+
+
+def _cluster_histogram_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import cluster_size_histogram_sql
+
+    return cluster_size_histogram_sql("documents", "doc_id", "text")
+
+
 SPECS = [
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
+    QuerySpec(
+        "dedup_cluster_size_histogram",
+        q_cluster_size_histogram,
+        _cluster_histogram_oracle(),
+    ),
     QuerySpec(
         "dedup_containment_pairs",
         q_containment,

@@ -285,10 +285,48 @@ def _hll_rollup_oracle() -> str:
     )
 
 
+_DELTA_SPLIT = "2024-01-16 00:00:00"
+
+
+def q_countmin_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity drift between the first and second half of
+    the event horizon, answered from two count-min sketches (same
+    seeds, directly comparable cells) with the exact per-period
+    counts riding along as the audit — the bounded-memory
+    "what changed since yesterday" monitor."""
+    from gis_city_county_spark.operators.sketch import countmin_delta
+
+    events = load_table(spark, sf_dir, "events")
+    t = F.lit(_DELTA_SPLIT).cast("timestamp")
+    return countmin_delta(
+        events.filter(F.col("ts") < t),
+        events.filter(F.col("ts") >= t),
+        "user_id",
+        width=1 << 10,
+        depth=4,
+        k=20,
+    )
+
+
+def _countmin_delta_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import countmin_delta_sql
+
+    return countmin_delta_sql(
+        f"SELECT * FROM events WHERE ts < TIMESTAMP '{_DELTA_SPLIT}'",
+        f"SELECT * FROM events WHERE ts >= TIMESTAMP '{_DELTA_SPLIT}'",
+        "user_id",
+        "user_id",
+        width=1 << 10,
+        depth=4,
+        k=20,
+    )
+
+
 SPECS = [
     QuerySpec("sketch_countmin_heavy_hitters", q_countmin_tokens, _countmin_oracle()),
     QuerySpec("sketch_hll_distinct", q_hll, _hll_oracle()),
     QuerySpec("sketch_hll_merge_rollup", q_hll_merge_rollup, _hll_rollup_oracle()),
+    QuerySpec("sketch_countmin_delta", q_countmin_delta, _countmin_delta_oracle()),
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
     QuerySpec("olap_bitmap_distinct", q_bitmap_distinct, _bitmap_oracle()),
     QuerySpec("sketch_exact_n_sample", q_exact_n_sample, _EXACT_N_ORACLE),

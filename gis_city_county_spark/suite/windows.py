@@ -680,7 +680,11 @@ R8_PRESTAGE: tuple[str, ...] = (
 # Queries ADDED during round 8 (after WINDOWS[8] was pinned): their
 # first possible driver check is round 9.  Every new QuerySpec must be
 # appended here — the contract test derives the invariant.
-R9_PRESTAGE: tuple[str, ...] = ()
+R9_PRESTAGE: tuple[str, ...] = (
+    "sketch_countmin_delta",
+    "dedup_cluster_size_histogram",
+    "corpus_token_drift",
+)
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,

@@ -189,6 +189,9 @@ _BNLJ_ALLOWED = {
     # Fleiss merges two 1-row aggregates (per-item roll-up × per-label
     # roll-up) — both cross-join sides are single rows
     "eval_fleiss_kappa",
+    # two 1-row broadcast total scalars riding the vocabulary-sized
+    # drift relation
+    "corpus_token_drift",
 }
 
 
@@ -375,6 +378,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # two scalar-merge exchanges: the per-item roll-up's final merge
     # (input = partial rows) and the per-label roll-up's final merge
     "eval_fleiss_kappa": 2,
+    # two 1-row total-scalar merges (per-side token totals; input =
+    # partial aggregate rows, bounded by task count)
+    "corpus_token_drift": 2,
 }
 
 

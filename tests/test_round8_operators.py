@@ -305,3 +305,103 @@ def test_every_sql_twinned_operator_has_a_caller():
         "operators with an _sql twin but no caller anywhere in the "
         f"package (register a QuerySpec or delete them): {dead}"
     )
+
+
+# -------------------------------------------------- countmin_delta
+
+
+def test_countmin_delta_overcount_bound_and_antisymmetry(spark):
+    """Count-min never under-counts: est_a >= exact_a and est_b >=
+    exact_b for every reported key; swapping the periods negates both
+    delta columns."""
+    from gis_city_county_spark.operators.sketch import countmin_delta
+
+    a = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(60)], "key string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(40)], "key string"
+    )
+    fwd = countmin_delta(a, b, "key", width=1 << 6, depth=3, k=10).collect()
+    assert fwd  # something reported
+    for r in fwd:
+        assert r["est_a"] >= r["exact_a"]
+        assert r["est_b"] >= r["exact_b"]
+        assert r["exact_delta"] == r["exact_b"] - r["exact_a"]
+        assert r["est_delta"] == r["est_b"] - r["est_a"]
+    rev = countmin_delta(b, a, "key", width=1 << 6, depth=3, k=10).collect()
+    f = {r["key"]: r for r in fwd}
+    g = {r["key"]: r for r in rev}
+    assert set(f) == set(g)  # same |delta| ranking either direction
+    for k in f:
+        assert g[k]["exact_delta"] == -f[k]["exact_delta"]
+        assert g[k]["est_delta"] == -f[k]["est_delta"]
+
+
+def test_countmin_delta_exact_when_collision_free(spark):
+    """With width far above key cardinality the sketch is collision-
+    free and every estimate equals the exact count (incl. keys absent
+    from one period: empty buckets -> 0)."""
+    from gis_city_county_spark.operators.sketch import countmin_delta
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "key string")
+    b = spark.createDataFrame([("y",), ("y",), ("z",)], "key string")
+    rows = {
+        r["key"]: r
+        for r in countmin_delta(a, b, "key", width=1 << 12, depth=4, k=10)
+        .collect()
+    }
+    assert rows["x"]["exact_a"] == 2 and rows["x"]["exact_b"] == 0
+    assert rows["x"]["est_a"] == 2 and rows["x"]["est_b"] == 0
+    assert rows["z"]["exact_delta"] == 1 and rows["z"]["est_delta"] == 1
+    assert rows["y"]["exact_delta"] == 1
+
+
+# ------------------------------------------ cluster_size_histogram
+
+
+def test_cluster_size_histogram_planted_clusters(spark):
+    """Planted duplicate groups of size 3, 2 and a singleton: the
+    histogram reports exactly one cluster per size, doc totals sum,
+    and removable = size-1 per cluster."""
+    from gis_city_county_spark.operators.dedup import cluster_size_histogram
+
+    t_a = "alpha beta gamma delta epsilon zeta"
+    t_b = "one two three four five six seven"
+    t_u = "completely different unique tokens here now"
+    docs = spark.createDataFrame(
+        [(1, t_a), (2, t_a), (3, t_a), (4, t_b), (5, t_b), (6, t_u)],
+        "doc_id long, text string",
+    )
+    hist = {
+        r["cluster_size"]: r
+        for r in cluster_size_histogram(docs, "doc_id", "text").collect()
+    }
+    assert set(hist) == {1, 2, 3}
+    assert hist[3]["n_clusters"] == 1 and hist[3]["n_removable"] == 2
+    assert hist[2]["n_clusters"] == 1 and hist[2]["n_removable"] == 1
+    assert hist[1]["n_clusters"] == 1 and hist[1]["n_removable"] == 0
+    assert sum(r["n_docs"] for r in hist.values()) == 6
+
+
+# ---------------------------------------------------- token_drift
+
+
+def test_token_drift_known_shares_and_vanishing_token(spark):
+    from gis_city_county_spark.operators.corpus import token_drift
+
+    a = spark.createDataFrame(
+        [(1, "a a a b"), (2, "gone")], "id long, text string"
+    )
+    b = spark.createDataFrame([(3, "a b b b"), (4, "b")], "id long, text string")
+    rows = {r["tok"]: r for r in token_drift(a, b, "text", k=10).collect()}
+    # totals: A=5 tokens, B=5 tokens
+    assert rows["a"]["ppm_a"] == 600_000 and rows["a"]["ppm_b"] == 200_000
+    assert rows["a"]["drift_ppm"] == -400_000
+    assert rows["b"]["ppm_a"] == 200_000 and rows["b"]["ppm_b"] == 800_000
+    assert rows["b"]["drift_ppm"] == 600_000
+    # token present only in A: share collapses to exactly 0
+    assert rows["gone"]["cnt_b"] == 0 and rows["gone"]["ppm_b"] == 0
+    assert rows["gone"]["drift_ppm"] == -200_000
+    # ranking: largest |drift| first, full coverage at k >= vocab
+    assert set(rows) == {"a", "b", "gone"}
