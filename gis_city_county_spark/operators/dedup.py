@@ -1170,6 +1170,175 @@ FROM clusters GROUP BY component_size
 """
 
 
+def blocking_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_fraction: float = 0.1,
+    truth_ppm: int = 700_000,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Blocking-quality audit: on a deterministic hash sample of the
+    corpus, compare the MinHash-LSH candidate pairs against the
+    ground-truth near-duplicate pairs (exact shingle Jaccard ≥
+    ``truth_ppm``/1e6, found WITHOUT the bands) — the recall/precision
+    readout that justifies a banding configuration with numbers
+    instead of the (1/b)^(b/n) folklore curve.
+
+    Scale: ground truth is inherently quadratic, so it runs on the
+    hash sample only (a fixed absolute budget at 100 TB — lower
+    ``sample_fraction`` as the corpus grows); even there the truth
+    pass joins on shared shingles rather than crossing the sample, so
+    zero-overlap pairs are never materialized (Jaccard > 0 requires a
+    shared shingle, and ``truth_ppm`` > 0).  The LSH chain is the
+    SAME code path production blocking uses, run over the same
+    sample.  All counts exact integers; the Jaccard threshold is an
+    exact integer comparison (``n_inter·1e6 ≥ ppm·union``) — no
+    doubles anywhere.
+
+    Returns one row: (n_docs_sampled, n_truth_pairs, n_blocked_pairs,
+    n_hit, recall_ppm, precision_ppm) — recall/precision NULL when
+    their denominator is 0.
+    """
+    from gis_city_county_spark.operators.sketch import hash_sample
+
+    sample = hash_sample(df, id_col, sample_fraction)
+    sh = shingle_df(sample, id_col, text_col, k).transform(checkpoint_eager)
+
+    # Ground truth: pairs sharing >= 1 shingle, verified by exact
+    # integer Jaccard (pairs with no shared shingle have Jaccard 0 <
+    # threshold, so the shingle equi-join loses nothing).
+    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        a_sh.join(b_sh, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b")),
+            "b_id",
+        )
+        .filter(
+            F.col("n_inter") * F.lit(1_000_000)
+            >= F.lit(truth_ppm) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select("a_id", "b_id")
+    )
+
+    # The production blocking chain, over the same sample.
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    blocked = lsh_candidate_pairs(
+        lsh_bands(sig, id_col, num_hashes, bands), id_col
+    ).select("a_id", "b_id")
+
+    n_docs = sample.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_sampled")
+    )
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth_pairs")
+    )
+    n_blocked = blocked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocked_pairs")
+    )
+    n_hit = truth.join(blocked, ["a_id", "b_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        n_docs.crossJoin(n_truth)  # four 1-row audit scalars
+        .crossJoin(n_blocked)
+        .crossJoin(n_hit)
+        .select(
+            "n_docs_sampled",
+            "n_truth_pairs",
+            "n_blocked_pairs",
+            "n_hit",
+            # explicit zero guards: ANSI Spark raises on div-by-zero
+            # where DuckDB's // would too — NULL is the contract
+            F.expr(
+                "CASE WHEN n_truth_pairs = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_truth_pairs"
+                " END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_blocked_pairs = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (n_hit * CAST(1000000 AS BIGINT)) div n_blocked_pairs"
+                " END"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+def blocking_recall_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    sample_fraction: float = 0.1,
+    truth_ppm: int = 700_000,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    from gis_city_county_spark.operators.sketch import (
+        hash_sample_predicate_sql,
+    )
+
+    pred = hash_sample_predicate_sql(id_col, sample_fraction)
+    sample = f"(SELECT * FROM {table} WHERE {pred})"
+    cand = minhash_lsh_pairs_sql(sample, id_col, text_col, k, num_hashes, bands)
+    # outer CTE named tsh, NOT sh: the nested candidate subquery
+    # defines its own `sh`, and shadowing a MATERIALIZED outer CTE of
+    # the same name trips a DuckDB 1.0 internal error ("Recursive CTE
+    # scan found without recursive CTE node")
+    return f"""
+WITH tsh AS MATERIALIZED ({shingle_sql(sample, id_col, text_col, k)}),
+inter AS (
+  SELECT a.{id_col} AS a_id, b.{id_col} AS b_id,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+  GROUP BY 1, 2
+),
+sizes AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_sh FROM tsh GROUP BY 1),
+truth AS (
+  SELECT i.a_id, i.b_id
+  FROM inter i
+  JOIN sizes sa ON sa.{id_col} = i.a_id
+  JOIN sizes sb ON sb.{id_col} = i.b_id
+  WHERE i.n_inter * CAST(1000000 AS BIGINT)
+        >= {truth_ppm} * (sa.n_sh + sb.n_sh - i.n_inter)
+),
+blocked AS (SELECT a_id, b_id FROM ({cand})),
+agg AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM {sample}) AS n_docs_sampled,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM blocked) AS n_blocked_pairs,
+    (SELECT CAST(COUNT(*) AS BIGINT)
+     FROM truth t JOIN blocked c ON t.a_id = c.a_id AND t.b_id = c.b_id)
+      AS n_hit
+)
+SELECT n_docs_sampled, n_truth_pairs, n_blocked_pairs, n_hit,
+       CASE WHEN n_truth_pairs = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((n_hit * CAST(1000000 AS BIGINT)) // n_truth_pairs
+                      AS BIGINT) END AS recall_ppm,
+       CASE WHEN n_blocked_pairs = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((n_hit * CAST(1000000 AS BIGINT)) // n_blocked_pairs
+                      AS BIGINT) END AS precision_ppm
+FROM agg
+"""
+
+
 # ---------------------------------------------- containment (subset) dup
 
 

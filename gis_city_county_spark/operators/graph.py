@@ -461,3 +461,45 @@ SELECT a.s AS sa, b.s AS sb,
 FROM e a JOIN e b ON a.z = b.z AND a.s < b.s
 GROUP BY 1, 2
 """
+
+
+def reach_summary(
+    edges: DataFrame,
+    source: int,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source reach profile within ``max_hops``: how many nodes
+    are reachable, the capped eccentricity (max hop count seen), and
+    the harmonic centrality contribution Σ 1e6 div hops in exact
+    integer ppm — the no-logs, no-doubles closeness number (harmonic
+    centrality handles disconnected graphs where classic closeness
+    breaks).
+
+    Rides :func:`bfs_hops` unchanged (frontier joins, anti-join
+    dedupe, checkpointed rounds), then one map-combinable aggregate
+    over the (node, hops) relation — the summary costs nothing beyond
+    the BFS itself.  Returns one row: (n_reached,
+    eccentricity_capped, harmonic_ppm); NULL eccentricity/harmonic
+    when nothing is reachable.
+    """
+    hops = bfs_hops(edges, source, max_hops, src_col, dst_col)
+    return hops.filter(F.col("hops") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        F.max("hops").cast("bigint").alias("eccentricity_capped"),
+        F.sum(F.expr("CAST(1000000 AS BIGINT) div hops"))
+        .cast("bigint")
+        .alias("harmonic_ppm"),
+    )
+
+
+def reach_summary_sql(edges_sql: str, source: int, max_hops: int) -> str:
+    bfs = bfs_hops_sql(edges_sql, source, max_hops)
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(MAX(hops) AS BIGINT) AS eccentricity_capped,
+       CAST(SUM(CAST(1000000 AS BIGINT) // hops) AS BIGINT) AS harmonic_ppm
+FROM ({bfs}) b
+WHERE hops > 0
+"""

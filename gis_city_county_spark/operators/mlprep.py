@@ -1345,3 +1345,100 @@ SELECT n_items, n_ratings,
             ELSE CAST(NULL AS DOUBLE) END AS kappa
 FROM items CROSS JOIN labels
 """
+
+
+def matthews_corr(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
+    """Matthews correlation coefficient of a binary classifier — the
+    single-number confusion summary that stays honest under class
+    imbalance (accuracy and F1 both saturate when one class dominates
+    a filtering pipeline's labels).
+
+    Engine-exact: the four confusion cells are BIGINT counts from one
+    map-combinable aggregate;
+
+        mcc = (TP·TN − FP·FN) / (√((TP+FP)(TP+FN)) · √((TN+FP)(TN+FN)))
+
+    with every product an exact DECIMAL(18,0)×DECIMAL(18,0) (exact to
+    ~1e17 rows; pairing the marginals under two square roots keeps
+    each radicand ≤ 1e36, inside exact decimal range, where the naive
+    4-way product overflows at 1e10 rows), and the tail a FIXED-ORDER
+    IEEE chain — two correctly-rounded sqrt calls, one multiply, one
+    division — so both engines emit the identical double.  NULL
+    labels/predictions are dropped; mcc is NULL when any marginal is
+    0 (a degenerate single-class column).
+
+    Returns one row: (n_rows, tp, fp, tn, fn, mcc).
+    """
+    base = df.filter(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("boolean").alias("__y"),
+        F.col(pred_col).cast("boolean").alias("__p"),
+    )
+
+    def _n(cond, name):
+        return F.sum(cond.cast("int")).cast("bigint").alias(name)
+
+    cells = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        _n(F.col("__y") & F.col("__p"), "tp"),
+        _n(~F.col("__y") & F.col("__p"), "fp"),
+        _n(~F.col("__y") & ~F.col("__p"), "tn"),
+        _n(F.col("__y") & ~F.col("__p"), "fn"),
+    )
+    num = (
+        "(CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0))"
+        " - CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))"
+    )
+    ab = "(CAST(tp + fp AS DECIMAL(18,0)) * CAST(tp + fn AS DECIMAL(18,0)))"
+    cd = "(CAST(tn + fp AS DECIMAL(18,0)) * CAST(tn + fn AS DECIMAL(18,0)))"
+    degenerate = (
+        "tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0"
+    )
+    return cells.select(
+        "n_rows",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr(
+            f"CASE WHEN {degenerate} THEN CAST(NULL AS DOUBLE)"
+            f" ELSE CAST({num} AS DOUBLE)"
+            f" / (sqrt(CAST({ab} AS DOUBLE)) * sqrt(CAST({cd} AS DOUBLE)))"
+            " END"
+        ).alias("mcc"),
+    )
+
+
+def matthews_corr_sql(source_sql: str, label_col: str, pred_col: str) -> str:
+    # decimal → double routed through VARCHAR (strtod's correctly-
+    # rounded parse); sqrt is IEEE correctly-rounded on both engines,
+    # so the fixed-order tail is bit-portable.
+    dbl = lambda x: f"CAST(CAST({x} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    num = (
+        "(CAST(tp AS DECIMAL(18,0)) * CAST(tn AS DECIMAL(18,0))"
+        " - CAST(fp AS DECIMAL(18,0)) * CAST(fn AS DECIMAL(18,0)))"
+    )
+    ab = "(CAST(tp + fp AS DECIMAL(18,0)) * CAST(tp + fn AS DECIMAL(18,0)))"
+    cd = "(CAST(tn + fp AS DECIMAL(18,0)) * CAST(tn + fn AS DECIMAL(18,0)))"
+    degenerate = "tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0"
+    return f"""
+WITH base AS (
+  SELECT CAST({label_col} AS BOOLEAN) AS y, CAST({pred_col} AS BOOLEAN) AS p
+  FROM ({source_sql})
+  WHERE {label_col} IS NOT NULL AND {pred_col} IS NOT NULL
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN y AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT y AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT y AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN y AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM base
+)
+SELECT n_rows, tp, fp, tn, fn,
+       CASE WHEN {degenerate} THEN CAST(NULL AS DOUBLE)
+            ELSE {dbl(num)}
+               / (sqrt({dbl(ab)}) * sqrt({dbl(cd)})) END AS mcc
+FROM cells
+"""

@@ -447,6 +447,27 @@ def _incremental_oracle() -> str:
     )
 
 
+def q_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality audit: MinHash-LSH candidate pairs vs
+    ground-truth shingle-Jaccard ≥ 0.7 pairs — recall and precision
+    of the banding configuration, in exact ppm.  The budget knob
+    (``sample_fraction``) is 1.0 here because the whole test corpus
+    fits the quadratic-truth budget; at real scale it shrinks so the
+    truth pass stays a fixed absolute cost."""
+    from gis_city_county_spark.operators.dedup import blocking_recall
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocking_recall(docs, "doc_id", "text", sample_fraction=1.0)
+
+
+def _blocking_recall_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import blocking_recall_sql
+
+    return blocking_recall_sql(
+        "documents", "doc_id", "text", sample_fraction=1.0
+    )
+
+
 def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster population shape: clusters per size, docs held
     and docs removable by a keeper policy — long-tail-of-pairs vs
@@ -470,6 +491,11 @@ SPECS = [
         "dedup_cluster_size_histogram",
         q_cluster_size_histogram,
         _cluster_histogram_oracle(),
+    ),
+    QuerySpec(
+        "dedup_blocking_recall",
+        q_blocking_recall,
+        _blocking_recall_oracle(),
     ),
     QuerySpec(
         "dedup_containment_pairs",

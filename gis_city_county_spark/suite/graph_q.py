@@ -390,8 +390,24 @@ def _ra_oracle() -> str:
 """)
 
 
+def q_reach_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source reach profile of supplier 1 within 3 hops:
+    reachable-node count, capped eccentricity, and exact-integer
+    harmonic centrality ppm — one aggregate over the BFS relation."""
+    from gis_city_county_spark.operators.graph import reach_summary
+
+    return reach_summary(_trade_edges(spark, sf_dir), _BFS_SOURCE, _BFS_HOPS)
+
+
+def _reach_oracle() -> str:
+    from gis_city_county_spark.operators.graph import reach_summary_sql
+
+    return reach_summary_sql(_EDGES_SQL, _BFS_SOURCE, _BFS_HOPS)
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
+    QuerySpec("graph_reach_summary", q_reach_summary, _reach_oracle()),
     QuerySpec("graph_resource_allocation", q_resource_allocation, _ra_oracle()),
     QuerySpec("graph_kcore_trade", q_kcore, _KCORE_ORACLE),
     QuerySpec("graph_label_propagation", q_label_propagation, _LPA_ORACLE),

@@ -756,6 +756,31 @@ def _fleiss_oracle() -> str:
     return fleiss_kappa_sql(f"({src})", "item", "rater", "label")
 
 
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation of the date-rule pseudo-classifier against
+    the finished-order label — the imbalance-honest single-number
+    confusion summary (exact DECIMAL cells, two IEEE sqrt calls)."""
+    from gis_city_county_spark.operators.mlprep import matthews_corr
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("is_final"),
+        (F.col("o_orderdate") < F.lit("1995-06-17").cast("date")).alias(
+            "pred_final"
+        ),
+    )
+    return matthews_corr(orders, "is_final", "pred_final")
+
+
+def _mcc_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import matthews_corr_sql
+
+    src = (
+        "SELECT o_orderstatus = 'F' AS is_final,"
+        " o_orderdate < DATE '1995-06-17' AS pred_final FROM orders"
+    )
+    return matthews_corr_sql(f"({src})", "is_final", "pred_final")
+
+
 def _mrr_oracle() -> str:
     from gis_city_county_spark.operators.mlprep import mean_reciprocal_rank_sql
 
@@ -778,6 +803,7 @@ SPECS = [
     QuerySpec("eval_ndcg_at_k", q_ndcg_at_k, _ndcg_oracle()),
     QuerySpec("eval_cohens_kappa", q_cohens_kappa, _kappa_oracle()),
     QuerySpec("eval_fleiss_kappa", q_fleiss_kappa, _fleiss_oracle()),
+    QuerySpec("eval_mcc", q_mcc, _mcc_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

@@ -684,6 +684,9 @@ R9_PRESTAGE: tuple[str, ...] = (
     "sketch_countmin_delta",
     "dedup_cluster_size_histogram",
     "corpus_token_drift",
+    "eval_mcc",
+    "dedup_blocking_recall",
+    "graph_reach_summary",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -192,6 +192,9 @@ _BNLJ_ALLOWED = {
     # two 1-row broadcast total scalars riding the vocabulary-sized
     # drift relation
     "corpus_token_drift",
+    # four 1-row audit scalars merged (sampled docs, truth pairs,
+    # blocked pairs, hits) — every cross-join side a single row
+    "dedup_blocking_recall",
 }
 
 
@@ -381,6 +384,12 @@ _SINGLE_PARTITION_ALLOWED = {
     # two 1-row total-scalar merges (per-side token totals; input =
     # partial aggregate rows, bounded by task count)
     "corpus_token_drift": 2,
+    # one-row confusion-cell merge (input = per-partition partials)
+    "eval_mcc": 1,
+    # one-row reach aggregate over the BFS (node, hops) relation
+    "graph_reach_summary": 1,
+    # four 1-row audit-scalar merges (docs / truth / blocked / hits)
+    "dedup_blocking_recall": 4,
 }
 
 

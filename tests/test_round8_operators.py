@@ -405,3 +405,127 @@ def test_token_drift_known_shares_and_vanishing_token(spark):
     assert rows["gone"]["drift_ppm"] == -200_000
     # ranking: largest |drift| first, full coverage at k >= vocab
     assert set(rows) == {"a", "b", "gone"}
+
+
+# --------------------------------------------------- matthews_corr
+
+
+def test_matthews_corr_perfect_inverted_known_and_degenerate(spark):
+    from gis_city_county_spark.operators.mlprep import matthews_corr
+
+    perfect = spark.createDataFrame(
+        [(True, True)] * 3 + [(False, False)] * 5, "y boolean, p boolean"
+    )
+    assert matthews_corr(perfect, "y", "p").collect()[0]["mcc"] == 1.0
+
+    # inverted: tp=0 fp=5 tn=0 fn=3 — the paired-sqrt denominator is
+    # sqrt(15)*sqrt(15), one ulp off exact 15, so mcc is one ulp off
+    # -1 by design; assert the operator's own fixed-order value
+    import math
+
+    inverted = spark.createDataFrame(
+        [(True, False)] * 3 + [(False, True)] * 5, "y boolean, p boolean"
+    )
+    want_inv = float(0 * 0 - 5 * 3) / (
+        math.sqrt(float(5 * 3)) * math.sqrt(float(5 * 3))
+    )
+    got_inv = matthews_corr(inverted, "y", "p").collect()[0]["mcc"]
+    assert got_inv == want_inv
+    assert abs(got_inv - (-1.0)) < 1e-15
+
+    # known 2x2: tp=5 fp=2 tn=4 fn=1, same fixed-order IEEE tail
+
+    rows = (
+        [(True, True)] * 5 + [(False, True)] * 2
+        + [(False, False)] * 4 + [(True, False)] * 1
+    )
+    df = spark.createDataFrame(rows, "y boolean, p boolean")
+    got = matthews_corr(df, "y", "p").collect()[0]
+    assert (got["tp"], got["fp"], got["tn"], got["fn"]) == (5, 2, 4, 1)
+    want = float(5 * 4 - 2 * 1) / (
+        math.sqrt(float((5 + 2) * (5 + 1))) * math.sqrt(float((4 + 2) * (4 + 1)))
+    )
+    assert got["mcc"] == want  # bit-exact: fixed order, exact ints
+
+    # degenerate: classifier always says true -> tn + fn = 0 -> NULL
+    onesided = spark.createDataFrame(
+        [(True, True), (False, True)], "y boolean, p boolean"
+    )
+    assert matthews_corr(onesided, "y", "p").collect()[0]["mcc"] is None
+
+
+def test_matthews_corr_matches_duckdb_twin_bit_exact(spark):
+    from gis_city_county_spark.operators.mlprep import (
+        matthews_corr,
+        matthews_corr_sql,
+    )
+
+    rows = [(i % 3 == 0, i % 7 < 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "y boolean, p boolean")
+    got = matthews_corr(df, "y", "p").collect()[0]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        matthews_corr_sql("SELECT * FROM t", "y", "p")
+    ).fetchone()
+    assert tuple(got) == tuple(want)
+
+
+# ------------------------------------------------- blocking_recall
+
+
+def test_blocking_recall_planted_duplicates_full_recall(spark):
+    """Identical documents share every band, so LSH recall over exact
+    duplicates must be 1e6 ppm; the zero-truth frame yields NULL
+    recall instead of a division error (the ANSI-mode regression this
+    test pins)."""
+    from gis_city_county_spark.operators.dedup import blocking_recall
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta"
+    t_b = "one two three four five six seven eight nine"
+    docs = spark.createDataFrame(
+        [(1, t_a), (2, t_a), (3, t_b), (4, t_b), (5, "lone wolf text here")],
+        "doc_id long, text string",
+    )
+    row = blocking_recall(
+        docs, "doc_id", "text", sample_fraction=1.0
+    ).collect()[0]
+    assert row["n_docs_sampled"] == 5
+    assert row["n_truth_pairs"] == 2       # (1,2) and (3,4)
+    assert row["n_hit"] == 2
+    assert row["recall_ppm"] == 1_000_000
+    assert row["precision_ppm"] is not None
+
+    disjoint = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh")], "doc_id long, text string"
+    )
+    row = blocking_recall(
+        disjoint, "doc_id", "text", sample_fraction=1.0
+    ).collect()[0]
+    assert row["n_truth_pairs"] == 0
+    assert row["recall_ppm"] is None  # NULL, not DIVIDE_BY_ZERO
+
+
+# -------------------------------------------------- reach_summary
+
+
+def test_reach_summary_chain_and_isolated_source(spark):
+    from gis_city_county_spark.operators.graph import reach_summary
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    row = reach_summary(chain, 1, 3).collect()[0]
+    assert row["n_reached"] == 3
+    assert row["eccentricity_capped"] == 3
+    # 1e6/1 + 1e6 div 2 + 1e6 div 3 = 1000000 + 500000 + 333333
+    assert row["harmonic_ppm"] == 1_833_333
+
+    # max_hops caps the reach (and the harmonic sum with it)
+    row = reach_summary(chain, 1, 1).collect()[0]
+    assert row["n_reached"] == 1 and row["harmonic_ppm"] == 1_000_000
+
+    isolated = reach_summary(chain, 99, 3).collect()[0]
+    assert isolated["n_reached"] == 0
+    assert isolated["eccentricity_capped"] is None
+    assert isolated["harmonic_ppm"] is None
