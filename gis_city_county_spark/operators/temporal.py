@@ -1254,3 +1254,160 @@ SELECT cohort, CAST(MAX(n_total) AS BIGINT) AS n_keys,
          (a, b) -> a * b) AS final_survival
 FROM factored GROUP BY cohort
 """
+
+
+def cumulative_distinct(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Daily new-entity counts and the running cumulative-distinct
+    curve — "how many users have we EVER seen as of each day", the
+    growth number an exact windowed COUNT(DISTINCT) cannot express
+    without quadratic state.
+
+    Relational rewrite: cumulative distinct as-of day d = number of
+    keys whose FIRST appearance is ≤ d, so one min-aggregate per key
+    (map-combinable, shuffle ∝ distinct keys) collapses the problem
+    to a per-day new-key count, and the curve is a running sum over
+    the per-DAY relation — bounded by the calendar, not the data, so
+    the unpartitioned window is a constant-size merge at any corpus
+    size.  Exact integers everywhere.
+
+    Returns (day, n_new, cum_distinct) — one row per day that
+    introduced at least one new key.
+    """
+    first = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.min(F.to_date(ts_col)).alias("day")
+    )
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        # TIMESTAMP, not DATE: Spark DATE lands as python date objects
+        # while DuckDB DATE lands as datetime64 — the driver's hash
+        # compare sees different normal forms (standing convention)
+        F.col("day").cast("timestamp").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_distinct"),
+    )
+
+
+def cumulative_distinct_sql(source_sql: str, key_col: str, ts_col: str) -> str:
+    return f"""
+WITH first_seen AS (
+  SELECT {key_col} AS k, MIN(CAST({ts_col} AS DATE)) AS day
+  FROM ({source_sql}) GROUP BY {key_col}
+),
+daily AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen GROUP BY day
+)
+SELECT CAST(day AS TIMESTAMP) AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_distinct
+FROM daily
+"""
+
+
+def decayed_engagement(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    horizon: str,
+    half_life_days: int = 7,
+    max_buckets: int = 8,
+) -> DataFrame:
+    """Recency-decayed engagement score with EXACT integer arithmetic:
+    each event's value counts at weight 2^-(age div half_life) — one
+    halving per elapsed half-life bucket — so recent activity
+    dominates without any transcendental function entering the plan
+    (libm exp/ln are not bit-portable across engines; dyadic weights
+    are exact in any arithmetic).
+
+    Values are floored to milli-units (floor on BOTH engines — a raw
+    cast truncates on Spark but rounds on DuckDB), each term is the
+    exact BIGINT ``value_milli << (max_buckets - bucket)``, and the
+    aggregate is one map-combinable DECIMAL sum per group.  The
+    reported ``decayed_milli`` is the floor-normalized score
+    (scaled sum div 2^max_buckets); ages beyond ``max_buckets``
+    half-lives fold into the final bucket (weight ~0 either way).
+    NULL values are dropped.
+
+    Returns (group, n_events, decayed_milli_scaled, decayed_milli).
+    """
+    shift = (
+        F.lit(max_buckets)
+        - F.least(
+            F.expr(
+                f"datediff(CAST('{horizon}' AS DATE), CAST({ts_col} AS DATE))"
+                f" div {half_life_days}"
+            ),
+            F.lit(max_buckets),
+        )
+    ).cast("int")
+    term = F.expr(
+        "shiftleft(CAST(floor(__v * 1000) AS BIGINT), __shift)"
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col(value_col).cast("double").alias("__v"),
+            shift.alias("__shift"),
+        )
+        .withColumn("__term", term)
+    )
+    return (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("__term").cast("decimal(28,0)"))
+            .cast("decimal(38,0)")
+            .alias("__scaled"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_events",
+            F.col("__scaled").cast("bigint").alias("decayed_milli_scaled"),
+            # integer div AFTER the BIGINT cast: DuckDB's // on a
+            # DECIMAL operand is true division (-5.0 // 2 = -2.5),
+            # only BIGINT // BIGINT matches Spark's div exactly
+            F.expr(
+                f"CAST(__scaled AS BIGINT) div {1 << max_buckets}"
+            ).cast("bigint").alias("decayed_milli"),
+        )
+    )
+
+
+def decayed_engagement_sql(
+    source_sql: str,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    horizon: str,
+    half_life_days: int = 7,
+    max_buckets: int = 8,
+) -> str:
+    bucket = (
+        f"LEAST(date_diff('day', CAST({ts_col} AS DATE),"
+        f" CAST('{horizon}' AS DATE)) // {half_life_days}, {max_buckets})"
+    )
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g,
+         CAST(FLOOR(CAST({value_col} AS DOUBLE) * 1000) AS BIGINT)
+           << ({max_buckets} - {bucket}) AS term
+  FROM ({source_sql})
+  WHERE {value_col} IS NOT NULL
+),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(term AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS scaled
+  FROM base GROUP BY g
+)
+SELECT g AS {group_col}, n_events,
+       CAST(scaled AS BIGINT) AS decayed_milli_scaled,
+       CAST(CAST(scaled AS BIGINT) // {1 << max_buckets} AS BIGINT)
+         AS decayed_milli
+FROM agg
+"""

@@ -852,8 +852,53 @@ FROM streaks GROUP BY user_id
 """
 
 
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts + the running cumulative-distinct-user
+    curve — first-seen-day rewrite, so the 'distinct ever' window is
+    one min-aggregate and a calendar-bounded running sum."""
+    from gis_city_county_spark.operators.temporal import cumulative_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return cumulative_distinct(ev, "user_id", "ts")
+
+
+def _cumulative_distinct_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        cumulative_distinct_sql,
+    )
+
+    return cumulative_distinct_sql("SELECT * FROM events", "user_id", "ts")
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement per event type (one halving per
+    elapsed week against a fixed horizon) — exact dyadic weights,
+    zero transcendental functions, all-integer outputs."""
+    from gis_city_county_spark.operators.temporal import decayed_engagement
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_engagement(
+        ev, "event_type", "ts", "value", horizon="2024-01-31"
+    )
+
+
+def _decayed_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        decayed_engagement_sql,
+    )
+
+    return decayed_engagement_sql(
+        "SELECT * FROM events", "event_type", "ts", "value",
+        horizon="2024-01-31",
+    )
+
+
 SPECS = [
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
+    QuerySpec("events_cumulative_distinct", q_cumulative_distinct,
+              _cumulative_distinct_oracle()),
+    QuerySpec("events_decayed_engagement", q_decayed_engagement,
+              _decayed_oracle()),
     QuerySpec("events_activity_streaks", q_activity_streaks, _STREAK_ORACLE),
     QuerySpec("events_interarrival_histogram", q_interarrival, _INTERARRIVAL_ORACLE),
     QuerySpec("eval_ab_uplift", q_ab_uplift, _ab_uplift_oracle()),

@@ -687,6 +687,8 @@ R9_PRESTAGE: tuple[str, ...] = (
     "eval_mcc",
     "dedup_blocking_recall",
     "graph_reach_summary",
+    "events_cumulative_distinct",
+    "events_decayed_engagement",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

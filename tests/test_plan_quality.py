@@ -390,6 +390,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "graph_reach_summary": 1,
     # four 1-row audit-scalar merges (docs / truth / blocked / hits)
     "dedup_blocking_recall": 4,
+    # the running-sum window over the per-DAY aggregate (input bounded
+    # by the calendar, not the data)
+    "events_cumulative_distinct": 1,
 }
 
 

@@ -529,3 +529,103 @@ def test_reach_summary_chain_and_isolated_source(spark):
     assert isolated["n_reached"] == 0
     assert isolated["eccentricity_capped"] is None
     assert isolated["harmonic_ppm"] is None
+
+
+# ---------------------------------------------- cumulative_distinct
+
+
+def test_cumulative_distinct_first_seen_rewrite(spark):
+    """Returning users never re-count; the curve is the running sum of
+    first appearances; the day column is TIMESTAMP-typed (driver hash
+    convention)."""
+    from pyspark.sql.types import TimestampType
+
+    from gis_city_county_spark.operators.temporal import cumulative_distinct
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (2, "2024-01-01 11:00:00"),
+            (1, "2024-01-02 09:00:00"),   # returning: not new
+            (3, "2024-01-03 08:00:00"),
+            (2, "2024-01-03 09:30:00"),   # returning
+            (4, "2024-01-03 10:00:00"),
+        ],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = cumulative_distinct(ev, "user_id", "ts")
+    assert isinstance(out.schema["day"].dataType, TimestampType)
+    rows = {r["day"].strftime("%Y-%m-%d"): r for r in out.collect()}
+    assert set(rows) == {"2024-01-01", "2024-01-03"}  # Jan 2 added nobody
+    assert rows["2024-01-01"]["n_new"] == 2
+    assert rows["2024-01-01"]["cum_distinct"] == 2
+    assert rows["2024-01-03"]["n_new"] == 2
+    assert rows["2024-01-03"]["cum_distinct"] == 4
+
+
+# ---------------------------------------------- decayed_engagement
+
+
+def test_decayed_engagement_dyadic_weights_exact(spark):
+    """Ages 0 / 7 / 14 days at half-life 7 weigh 1, 1/2, 1/4 — the
+    scaled sum and its floor normalization are exact integers; NULL
+    values drop; ages beyond max_buckets fold into the final bucket."""
+    from gis_city_county_spark.operators.temporal import decayed_engagement
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-01-31 12:00:00", 1.0),   # age 0  -> weight 1
+            ("a", "2024-01-24 12:00:00", 1.0),   # age 7  -> 1/2
+            ("a", "2024-01-17 12:00:00", 1.0),   # age 14 -> 1/4
+            ("a", "2024-01-20 00:00:00", None),  # NULL: dropped
+            ("b", "2020-01-01 00:00:00", 8.0),   # ancient: final bucket
+        ],
+        "g string, ts_s string, value double",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    rows = {
+        r["g"]: r
+        for r in decayed_engagement(
+            ev, "g", "ts", "value", horizon="2024-01-31",
+            half_life_days=7, max_buckets=8,
+        ).collect()
+    }
+    # note: horizon - '2024-01-31 12:00' is age 0 via the DATE cast
+    assert rows["a"]["n_events"] == 3
+    assert rows["a"]["decayed_milli_scaled"] == 1000 * (256 + 128 + 64)
+    assert rows["a"]["decayed_milli"] == 1750  # 1 + 1/2 + 1/4 in milli
+    # ancient event: shift 0, weight 2^-8 of 8.0 = 31.25 milli -> floor 31
+    assert rows["b"]["decayed_milli_scaled"] == 8000
+    assert rows["b"]["decayed_milli"] == 31
+
+
+def test_decayed_engagement_matches_duckdb_twin(spark):
+    from gis_city_county_spark.operators.temporal import (
+        decayed_engagement,
+        decayed_engagement_sql,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (f"g{i % 2}", f"2024-01-{(i % 28) + 1:02d} 06:00:00",
+             round(0.37 * i, 2))
+            for i in range(100)
+        ],
+        "g string, ts_s string, value double",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = sorted(
+        tuple(r)
+        for r in decayed_engagement(
+            ev, "g", "ts", "value", horizon="2024-01-31"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", ev.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            decayed_engagement_sql(
+                "SELECT * FROM t", "g", "ts", "value", horizon="2024-01-31"
+            )
+        ).fetchall()
+    )
+    assert got == want
