@@ -423,3 +423,54 @@ def audio_window_energy(
 
     src = rebalance_for_fanout(df.select(id_col, payload_col), multiplier=8.0)
     return src.mapInPandas(process, out_schema)
+
+
+def patch_plan(
+    df: DataFrame, id_col: str, payload_col: str, patch: int = 2
+) -> DataFrame:
+    """ViT-style patch-grid plan per image: decode the REAL payload
+    for its dimensions (the :func:`image_stats` mapInPandas path),
+    then the pad-to-patch geometry a vision tokenizer needs — padded
+    dims, patch counts per axis, total patch count, and the resulting
+    token budget (patches + 1 CLS token).  This is the planning row a
+    multimodal training pipeline materializes per image so sequence
+    packing can budget tokens WITHOUT re-decoding anything.
+
+    All integer arithmetic (ceil division as ``-(-w div p)``-free
+    ``(w + p - 1) div p``), so the oracle re-derives the plan from
+    the fixture dimension formula exactly.
+
+    Output: (id, width, height, pad_w, pad_h, n_patch_x, n_patch_y,
+    n_patches, n_tokens).
+    """
+    dims = image_stats(df, id_col, payload_col).select(
+        id_col, "width", "height"
+    )
+    npx = F.expr(f"(width + {patch - 1}) div {patch}")
+    npy = F.expr(f"(height + {patch - 1}) div {patch}")
+    out = dims.select(
+        F.col(id_col),
+        "width",
+        "height",
+        npx.cast("int").alias("n_patch_x"),
+        npy.cast("int").alias("n_patch_y"),
+    )
+    return out.select(
+        id_col,
+        "width",
+        "height",
+        (F.col("n_patch_x") * patch - F.col("width"))
+        .cast("int")
+        .alias("pad_w"),
+        (F.col("n_patch_y") * patch - F.col("height"))
+        .cast("int")
+        .alias("pad_h"),
+        "n_patch_x",
+        "n_patch_y",
+        (F.col("n_patch_x") * F.col("n_patch_y"))
+        .cast("bigint")
+        .alias("n_patches"),
+        (F.col("n_patch_x") * F.col("n_patch_y") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )

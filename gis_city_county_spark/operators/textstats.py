@@ -671,3 +671,102 @@ SELECT g AS {group_col}, n_docs, total_chars,
          AS other_ppm
 FROM agg
 """
+
+
+def sentence_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group sentence segmentation profile: sentence counts and
+    exact milli-scaled words-per-sentence — the doc-structure signal
+    (headline soup vs running prose) a quality pipeline reads next to
+    the token stats.
+
+    Segmentation is the portable regex split on terminal punctuation
+    runs ``[.!?]+`` (no lookarounds — Java regex and RE2 agree on
+    character-class splits), fragments trimmed and empties dropped;
+    a text with no terminal punctuation counts as one sentence.  All
+    outputs exact integers: scan-side array expressions, one
+    map-combinable aggregate.
+
+    Returns (group, n_docs, n_sentences, n_sentence_words,
+    words_per_sentence_milli, max_sentence_words).
+    """
+    frags = F.expr(
+        f"filter(transform(split({text_col}, '[.!?]+'), s -> trim(s)),"
+        " s -> s != '')"
+    )
+    words_per = F.expr(
+        "transform(__frags, s -> size(split(s, '\\\\s+')))"
+    )
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("__g"), frags.alias("__frags"))
+        .select(
+            "__g",
+            F.greatest(F.size("__frags"), F.lit(1)).cast("bigint").alias(
+                "__n_sent"
+            ),
+            words_per.alias("__wp"),
+        )
+        .select(
+            "__g",
+            "__n_sent",
+            F.coalesce(
+                F.aggregate(
+                    "__wp", F.lit(0).cast("bigint"), lambda a, x: a + x
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("__n_words"),
+            F.coalesce(F.array_max("__wp"), F.lit(0))
+            .cast("bigint")
+            .alias("__max_words"),
+        )
+    )
+    return (
+        base.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__n_sent").cast("bigint").alias("n_sentences"),
+            F.sum("__n_words").cast("bigint").alias("n_sentence_words"),
+            F.max("__max_words").cast("bigint").alias("max_sentence_words"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "n_sentences",
+            "n_sentence_words",
+            F.expr(
+                "(n_sentence_words * CAST(1000 AS BIGINT)) div n_sentences"
+            ).alias("words_per_sentence_milli"),
+            "max_sentence_words",
+        )
+    )
+
+
+def sentence_stats_sql(table: str, group_col: str, text_col: str) -> str:
+    frags = (
+        f"list_filter(list_transform(regexp_split_to_array({text_col},"
+        " '[.!?]+'), s -> trim(s)), s -> s != '')"
+    )
+    wp = (
+        "list_transform(frags, s -> len(regexp_split_to_array(s, '\\s+')))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g, {frags} AS frags
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+per_doc AS (
+  SELECT g,
+         CAST(GREATEST(len(frags), 1) AS BIGINT) AS n_sent,
+         CAST(COALESCE(list_sum({wp}), 0) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_max({wp}), 0) AS BIGINT) AS max_words
+  FROM base
+)
+SELECT g AS {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_sent) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_words) AS BIGINT) AS n_sentence_words,
+       CAST((SUM(n_words) * CAST(1000 AS BIGINT)) // SUM(n_sent) AS BIGINT)
+         AS words_per_sentence_milli,
+       CAST(MAX(max_words) AS BIGINT) AS max_sentence_words
+FROM per_doc GROUP BY g
+"""

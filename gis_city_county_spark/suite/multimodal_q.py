@@ -252,8 +252,39 @@ FROM s GROUP BY 1, 2, 3
 """
 
 
+def q_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid plan over REAL decoded BMP dims (patch=2):
+    pad-to-patch geometry + per-image token budget — the row a
+    multimodal packer materializes so sequence packing never
+    re-decodes."""
+    from gis_city_county_spark.operators.multimodal import patch_plan
+
+    return patch_plan(_fixture_bmps(spark), "img_id", "payload", patch=2)
+
+
+# The oracle re-derives the plan from the fixture dimension formula
+# (w = 4 + i%3, h = 3 + i%2) — decode must invert encode for the
+# dims, and the geometry is pure integer arithmetic.
+_PATCH_PLAN_ORACLE = """
+WITH g AS (
+  SELECT i, 4 + i % 3 AS w, 3 + i % 2 AS h
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+)
+SELECT i AS img_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(((w + 1) // 2) * 2 - w AS INTEGER) AS pad_w,
+       CAST(((h + 1) // 2) * 2 - h AS INTEGER) AS pad_h,
+       CAST((w + 1) // 2 AS INTEGER) AS n_patch_x,
+       CAST((h + 1) // 2 AS INTEGER) AS n_patch_y,
+       CAST(((w + 1) // 2) * ((h + 1) // 2) AS BIGINT) AS n_patches,
+       CAST(((w + 1) // 2) * ((h + 1) // 2) + 1 AS BIGINT) AS n_tokens
+FROM g
+"""
+
+
 SPECS = [
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
+    QuerySpec("mm_patch_plan", q_patch_plan, _PATCH_PLAN_ORACLE, bench=False),
     QuerySpec("mm_frame_sample", q_frame_sample, _FRAME_ORACLE),
     QuerySpec("mm_audio_windows", q_audio_windows, _AUDIO_ORACLE),
     QuerySpec("mm_shot_boundaries", q_shot_boundaries, _SHOT_ORACLE),

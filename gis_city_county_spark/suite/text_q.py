@@ -685,6 +685,22 @@ def _diversity_oracle() -> str:
     return simpson_diversity_sql("SELECT source FROM documents", "source")
 
 
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sentence-segmentation profile ([.!?]+ split):
+    sentence counts, exact milli words-per-sentence, and the longest
+    sentence — the prose-vs-headline-soup structure signal."""
+    from gis_city_county_spark.operators.textstats import sentence_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sentence_stats(docs, "lang", "text")
+
+
+def _sentence_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import sentence_stats_sql
+
+    return sentence_stats_sql("documents", "lang", "text")
+
+
 SPECS = [
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
@@ -712,4 +728,5 @@ SPECS = [
     QuerySpec("profile_length_drift_chi2", q_length_drift, _LENGTH_DRIFT_ORACLE),
     QuerySpec("text_charclass_profile", q_charclass_profile, _charclass_oracle()),
     QuerySpec("profile_source_diversity", q_source_diversity, _diversity_oracle()),
+    QuerySpec("text_sentence_stats", q_sentence_stats, _sentence_oracle()),
 ]

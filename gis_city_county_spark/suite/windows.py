@@ -689,6 +689,8 @@ R9_PRESTAGE: tuple[str, ...] = (
     "graph_reach_summary",
     "events_cumulative_distinct",
     "events_decayed_engagement",
+    "mm_patch_plan",
+    "text_sentence_stats",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -629,3 +629,90 @@ def test_decayed_engagement_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------------- patch_plan
+
+
+def test_patch_plan_geometry(spark):
+    """Pad-to-patch geometry over a real decoded BMP: a 5x3 image at
+    patch 2 needs (1,1) padding, a 3x3 grid, 9 patches, 10 tokens;
+    an exactly-divisible image needs zero padding."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import (
+        encode_bmp,
+        patch_plan,
+    )
+
+    imgs = [
+        (1, np.zeros((3, 5, 3), dtype=np.uint8)),   # h=3, w=5
+        (2, np.zeros((4, 6, 3), dtype=np.uint8)),   # divisible by 2
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_bmp(a))) for i, a in imgs],
+        "img_id long, payload binary",
+    )
+    rows = {r["img_id"]: r for r in patch_plan(df, "img_id", "payload", patch=2).collect()}
+    r1 = rows[1]
+    assert (r1["width"], r1["height"]) == (5, 3)
+    assert (r1["pad_w"], r1["pad_h"]) == (1, 1)
+    assert (r1["n_patch_x"], r1["n_patch_y"]) == (3, 2)
+    assert r1["n_patches"] == 6 and r1["n_tokens"] == 7
+    r2 = rows[2]
+    assert (r2["pad_w"], r2["pad_h"]) == (0, 0)
+    assert r2["n_patches"] == 6 and r2["n_tokens"] == 7
+
+
+# ----------------------------------------------------- sentence_stats
+
+
+def test_sentence_stats_segmentation_rules(spark):
+    """Terminal-punctuation runs split; unpunctuated text is one
+    sentence; empty fragments drop; counts are exact."""
+    from gis_city_county_spark.operators.textstats import sentence_stats
+
+    df = spark.createDataFrame(
+        [
+            ("en", "One two three. Four five! Six?"),   # 3 sentences, 6 words
+            ("en", "no terminal punctuation here"),      # 1 sentence, 4 words
+            ("fr", "Un. Deux... Trois."),                # 3 sentences, 3 words
+        ],
+        "lang string, text string",
+    )
+    rows = {r["lang"]: r for r in sentence_stats(df, "lang", "text").collect()}
+    en = rows["en"]
+    assert en["n_docs"] == 2
+    assert en["n_sentences"] == 4
+    assert en["n_sentence_words"] == 10
+    assert en["words_per_sentence_milli"] == 2500
+    assert en["max_sentence_words"] == 4
+    fr = rows["fr"]
+    assert fr["n_sentences"] == 3 and fr["n_sentence_words"] == 3
+    assert fr["words_per_sentence_milli"] == 1000
+
+
+def test_sentence_stats_matches_duckdb_twin(spark):
+    from gis_city_county_spark.operators.textstats import (
+        sentence_stats,
+        sentence_stats_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (f"l{i % 2}",
+             " ".join(f"w{j}{'.' if j % 3 == 2 else ''}" for j in range(i + 1)))
+            for i in range(40)
+        ],
+        "lang string, text string",
+    )
+    got = sorted(tuple(r) for r in sentence_stats(df, "lang", "text").collect())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sentence_stats_sql("documents", "lang", "text")
+        ).fetchall()
+    )
+    assert got == want

@@ -26,6 +26,14 @@ def test_query_matches_oracle(spec, spark, sf_dir, con):
 
 @pytest.mark.parametrize("spec", [s for s in SPECS if s.oracle is None], ids=lambda s: s.name)
 def test_query_runs(spec, spark, sf_dir):
+    """Weaker rows-only check for specs with no DuckDB oracle.
+
+    SKIP CONDITION (a good one): the parameter set is EMPTY because
+    every registered spec currently ships an oracle — pytest reports
+    the empty parametrization as 1 skip.  If a genuinely
+    non-SQL-expressible query ever registers with ``oracle=None``,
+    this test activates automatically and the skip disappears.
+    """
     df = spec.fn(spark, sf_dir)
     assert df.count() >= 0
 
