@@ -1363,18 +1363,24 @@ def matthews_corr(df: DataFrame, label_col: str, pred_col: str) -> DataFrame:
     each radicand ≤ 1e36, inside exact decimal range, where the naive
     4-way product overflows at 1e10 rows), and the tail a FIXED-ORDER
     IEEE chain — two correctly-rounded sqrt calls, one multiply, one
-    division — so both engines emit the identical double.  NULL
-    labels/predictions are dropped; mcc is NULL when any marginal is
-    0 (a degenerate single-class column).
+    division — so both engines emit the identical double.
+
+    Input contract: ``label_col``/``pred_col`` should be BOOLEAN (or
+    0/1) columns.  Rows whose values are NULL or do not parse as
+    booleans are dropped BEFORE ``n_rows`` is counted (try-cast then
+    filter — a post-filter cast would keep unparseable rows in
+    ``n_rows`` while losing them from the cells on Spark, and crash
+    DuckDB's strict CAST outright; note the engines' string-boolean
+    lexicons differ, so string inputs beyond 'true'/'false'/'0'/'1'
+    are NOT portable).  mcc is NULL when any marginal is 0 (a
+    degenerate single-class column).
 
     Returns one row: (n_rows, tp, fp, tn, fn, mcc).
     """
-    base = df.filter(
-        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
-    ).select(
-        F.col(label_col).cast("boolean").alias("__y"),
-        F.col(pred_col).cast("boolean").alias("__p"),
-    )
+    base = df.select(
+        F.expr(f"try_cast({label_col} AS BOOLEAN)").alias("__y"),
+        F.expr(f"try_cast({pred_col} AS BOOLEAN)").alias("__p"),
+    ).filter(F.col("__y").isNotNull() & F.col("__p").isNotNull())
 
     def _n(cond, name):
         return F.sum(cond.cast("int")).cast("bigint").alias(name)
@@ -1424,9 +1430,11 @@ def matthews_corr_sql(source_sql: str, label_col: str, pred_col: str) -> str:
     degenerate = "tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0 OR tn + fn = 0"
     return f"""
 WITH base AS (
-  SELECT CAST({label_col} AS BOOLEAN) AS y, CAST({pred_col} AS BOOLEAN) AS p
-  FROM ({source_sql})
-  WHERE {label_col} IS NOT NULL AND {pred_col} IS NOT NULL
+  SELECT y, p FROM (
+    SELECT TRY_CAST({label_col} AS BOOLEAN) AS y,
+           TRY_CAST({pred_col} AS BOOLEAN) AS p
+    FROM ({source_sql})
+  ) WHERE y IS NOT NULL AND p IS NOT NULL
 ),
 cells AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

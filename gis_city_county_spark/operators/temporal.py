@@ -1330,17 +1330,26 @@ def decayed_engagement(
     aggregate is one map-combinable DECIMAL sum per group.  The
     reported ``decayed_milli`` is the floor-normalized score
     (scaled sum div 2^max_buckets); ages beyond ``max_buckets``
-    half-lives fold into the final bucket (weight ~0 either way).
-    NULL values are dropped.
+    half-lives fold into the final bucket (weight ~0 either way), and
+    events AFTER the horizon (clock skew, late files) clamp to age 0
+    = weight 1 — never a weight above 1.  NULL values are dropped.
 
     Returns (group, n_events, decayed_milli_scaled, decayed_milli).
     """
+    # clamp the age at BOTH ends: an event after the horizon (clock
+    # skew, late file) would otherwise get a weight ABOVE 1 that
+    # doubles per half-life into the future — and far enough out the
+    # engines diverge (Spark shiftleft wraps the shift mod 64 while
+    # DuckDB raises Out of Range). Future events count at weight 1.
     shift = (
         F.lit(max_buckets)
         - F.least(
-            F.expr(
-                f"datediff(CAST('{horizon}' AS DATE), CAST({ts_col} AS DATE))"
-                f" div {half_life_days}"
+            F.greatest(
+                F.expr(
+                    f"datediff(CAST('{horizon}' AS DATE),"
+                    f" CAST({ts_col} AS DATE)) div {half_life_days}"
+                ),
+                F.lit(0),
             ),
             F.lit(max_buckets),
         )
@@ -1389,8 +1398,9 @@ def decayed_engagement_sql(
     max_buckets: int = 8,
 ) -> str:
     bucket = (
-        f"LEAST(date_diff('day', CAST({ts_col} AS DATE),"
-        f" CAST('{horizon}' AS DATE)) // {half_life_days}, {max_buckets})"
+        f"LEAST(GREATEST(date_diff('day', CAST({ts_col} AS DATE),"
+        f" CAST('{horizon}' AS DATE)), 0) // {half_life_days},"
+        f" {max_buckets})"
     )
     return f"""
 WITH base AS (

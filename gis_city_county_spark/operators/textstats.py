@@ -681,7 +681,11 @@ def sentence_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
 
     Segmentation is the portable regex split on terminal punctuation
     runs ``[.!?]+`` (no lookarounds — Java regex and RE2 agree on
-    character-class splits), fragments trimmed and empties dropped;
+    character-class splits).  Fragments are stripped of ALL leading/
+    trailing whitespace — an explicit ``[ \\t\\n\\x0B\\f\\r]`` class,
+    NOT ``trim()``, which strips only spaces on both engines, so a
+    newline-separated sentence would otherwise survive as a phantom
+    fragment and split into a phantom empty word — then empties drop;
     a text with no terminal punctuation counts as one sentence.  All
     outputs exact integers: scan-side array expressions, one
     map-combinable aggregate.
@@ -689,12 +693,16 @@ def sentence_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     Returns (group, n_docs, n_sentences, n_sentence_words,
     words_per_sentence_milli, max_sentence_words).
     """
-    frags = F.expr(
-        f"filter(transform(split({text_col}, '[.!?]+'), s -> trim(s)),"
-        " s -> s != '')"
+    ws = "[ \t\n\x0B\f\r]"
+    frags = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.regexp_replace(s, f"^{ws}+|{ws}+$", ""),
+        ),
+        lambda s: s != F.lit(""),
     )
-    words_per = F.expr(
-        "transform(__frags, s -> size(split(s, '\\\\s+')))"
+    words_per = F.transform(
+        F.col("__frags"), lambda s: F.size(F.split(s, f"{ws}+"))
     )
     base = (
         df.filter(F.col(text_col).isNotNull())
@@ -742,12 +750,16 @@ def sentence_stats(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
 
 
 def sentence_stats_sql(table: str, group_col: str, text_col: str) -> str:
+    # explicit whitespace class (Java \s), 'g' flag so BOTH the
+    # leading and the trailing run strip; trim() strips only spaces
+    ws = "[ \\t\\n\\x0B\\f\\r]"
     frags = (
         f"list_filter(list_transform(regexp_split_to_array({text_col},"
-        " '[.!?]+'), s -> trim(s)), s -> s != '')"
+        f" '[.!?]+'), s -> regexp_replace(s, '^{ws}+|{ws}+$', '', 'g')),"
+        " s -> s != '')"
     )
     wp = (
-        "list_transform(frags, s -> len(regexp_split_to_array(s, '\\s+')))"
+        f"list_transform(frags, s -> len(regexp_split_to_array(s, '{ws}+')))"
     )
     return f"""
 WITH base AS (

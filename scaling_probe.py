@@ -146,6 +146,31 @@ def _scaled_copy(src: str, dst: str, factor: int) -> None:
         )
 
 
+def merge_results(
+    results: dict, artifact: str, only: bool, factor: int, no_write: bool
+) -> dict:
+    """Merge a ``--only`` re-probe into the existing artifact rows.
+
+    Same-factor: targeted rows replace their prior entries, everything
+    else survives.  Different factor without ``--no-write``: REFUSE —
+    writing would silently drop every prior row (the artifact has one
+    factor), which is exactly the data loss the merge exists to avoid.
+    """
+    merged = dict(results)
+    if only and os.path.exists(artifact):
+        prior = json.load(open(artifact))
+        if prior.get("factor") == factor:
+            merged = {**prior.get("queries", {}), **results}
+        elif not no_write:
+            raise SystemExit(
+                f"--only at factor {factor} does not match the existing "
+                f"artifact's factor {prior.get('factor')}; pass "
+                "--no-write for exploratory factors or re-probe the "
+                "full list"
+            )
+    return merged
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=8)
@@ -243,11 +268,10 @@ def main() -> None:
         )
 
     artifact = os.path.join(REPO, "BENCH_SCALING.json")
-    merged = dict(results)
-    if args.only and os.path.exists(artifact):
-        prior = json.load(open(artifact))
-        if prior.get("factor") == args.factor:
-            merged = {**prior.get("queries", {}), **results}
+    merged = merge_results(
+        results, artifact, only=bool(args.only), factor=args.factor,
+        no_write=args.no_write,
+    )
     out = {
         "factor": args.factor,
         "slack": SLACK,

@@ -716,3 +716,122 @@ def test_sentence_stats_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ----------------------------------------- review-driven regressions
+
+
+def test_sentence_stats_newline_separated_prose(spark):
+    """Newline/tab-separated sentences must not create phantom
+    fragments or phantom empty words (trim() strips only spaces —
+    the round-8 review catch)."""
+    from gis_city_county_spark.operators.textstats import (
+        sentence_stats,
+        sentence_stats_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("en", "One two.\nThree four."),   # newline between sentences
+            ("en", "Ein wort.\n"),             # trailing newline fragment
+            ("en", "Tab\tsep words. Next!\t"),
+        ],
+        "lang string, text string",
+    )
+    row = sentence_stats(df, "lang", "text").collect()[0]
+    assert row["n_sentences"] == 2 + 1 + 2
+    assert row["n_sentence_words"] == 4 + 2 + 4
+    assert row["max_sentence_words"] == 3  # 'Tab sep words'
+    # and the DuckDB twin agrees on the same tricky strings
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = con.execute(
+        sentence_stats_sql("documents", "lang", "text")
+    ).fetchone()
+    assert tuple(row) == tuple(want)
+
+
+def test_decayed_engagement_future_event_clamps_to_weight_one(spark):
+    """An event after the horizon (clock skew) counts at weight 1 —
+    never above — and far-future events neither wrap Spark's shift
+    nor crash the DuckDB twin (the round-8 review catch)."""
+    from gis_city_county_spark.operators.temporal import (
+        decayed_engagement,
+        decayed_engagement_sql,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("a", "2024-02-20 00:00:00", 1.0),   # 20 days AFTER horizon
+            ("a", "2025-04-01 00:00:00", 1.0),   # ~60 half-lives future
+        ],
+        "g string, ts_s string, value double",
+    ).select("g", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    row = decayed_engagement(
+        ev, "g", "ts", "value", horizon="2024-01-31"
+    ).collect()[0]
+    assert row["decayed_milli_scaled"] == 2 * 1000 * 256  # weight 1 each
+    assert row["decayed_milli"] == 2000
+    con = duckdb.connect()
+    con.register("t", ev.toPandas())
+    want = con.execute(
+        decayed_engagement_sql(
+            "SELECT * FROM t", "g", "ts", "value", horizon="2024-01-31"
+        )
+    ).fetchone()
+    assert tuple(row) == tuple(want)
+
+
+def test_matthews_corr_unparseable_values_drop_before_n_rows(spark):
+    """Strings that don't parse as booleans drop BEFORE n_rows (and
+    don't crash the DuckDB twin's cast) — the round-8 review catch."""
+    from gis_city_county_spark.operators.mlprep import (
+        matthews_corr,
+        matthews_corr_sql,
+    )
+
+    df = spark.createDataFrame(
+        [("true", "true"), ("false", "true"), ("O", "true"), ("F", "false")],
+        "y string, p string",
+    )
+    row = matthews_corr(df, "y", "p").collect()[0]
+    # 'O' parses on NEITHER engine (dropped before n_rows); 'F' is
+    # false on BOTH (shared t/f lexicon) — so 3 rows remain and the
+    # cells always sum to n_rows (the pre-fix bug counted 'O' in
+    # n_rows while losing it from the cells)
+    assert row["n_rows"] == 3
+    assert row["tp"] + row["fp"] + row["tn"] + row["fn"] == row["n_rows"]
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        matthews_corr_sql("SELECT * FROM t", "y", "p")
+    ).fetchone()
+    assert tuple(row) == tuple(want)
+
+
+def test_scaling_probe_only_merges_or_refuses(tmp_path):
+    """--only merges into a same-factor artifact; at a non-matching
+    factor it must REFUSE to write (a rewrite would silently drop
+    every prior row) unless --no-write."""
+    import json as _json
+
+    from scaling_probe import merge_results
+
+    art = tmp_path / "BENCH_SCALING.json"
+    art.write_text(_json.dumps(
+        {"factor": 8, "queries": {"old": {"x_linear": 0.5}}}
+    ))
+    merged = merge_results(
+        {"new": {"x_linear": 0.7}}, str(art), only=True, factor=8,
+        no_write=False,
+    )
+    assert set(merged) == {"old", "new"}  # prior rows survive
+    with pytest.raises(SystemExit):
+        merge_results(
+            {"new": {}}, str(art), only=True, factor=16, no_write=False
+        )
+    # exploratory factor with --no-write is allowed (nothing written)
+    out = merge_results(
+        {"new": {}}, str(art), only=True, factor=16, no_write=True
+    )
+    assert set(out) == {"new"}
