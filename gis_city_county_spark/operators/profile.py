@@ -1020,3 +1020,64 @@ SELECT CAST(N AS BIGINT) AS n_rows, n_categories,
             END AS effective_categories_milli
 FROM agg
 """
+
+
+def join_fanout_histogram(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_fk: str,
+) -> DataFrame:
+    """Join fan-out profile: for a 1:N parent↔child join, how many
+    parents have exactly N children — the skew diagnosis read BEFORE
+    choosing a join strategy (a long tail of hot parents means salting
+    or skew-join hints; a flat histogram means the plain hash join is
+    fine).  Parents with zero children appear at fanout 0 (the rows an
+    inner join would silently drop).
+
+    One map-combinable count per child key, one left join from the
+    parent keys (broadcast-eligible when the parent dimension is
+    small), one count per fanout value — output rows bounded by the
+    number of DISTINCT fan-out values, not the data.  Exact integers.
+
+    Returns (fanout, n_parents, n_children) ordered small→large by
+    the caller if needed.
+    """
+    counts = child.groupBy(F.col(child_fk).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    per_parent = (
+        parent.select(F.col(parent_key).alias("__k"))
+        .join(counts, "__k", "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("__n"))
+    )
+    return (
+        per_parent.groupBy(F.col("__n").alias("fanout"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parents"))
+        .select(
+            "fanout",
+            "n_parents",
+            (F.col("fanout") * F.col("n_parents"))
+            .cast("bigint")
+            .alias("n_children"),
+        )
+    )
+
+
+def join_fanout_histogram_sql(
+    parent_sql: str, child_sql: str, parent_key: str, child_fk: str
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {child_fk} AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({child_sql}) GROUP BY {child_fk}
+),
+per_parent AS (
+  SELECT COALESCE(counts.n, 0) AS n
+  FROM (SELECT {parent_key} AS k FROM ({parent_sql})) p
+  LEFT JOIN counts ON counts.k = p.k
+)
+SELECT n AS fanout, CAST(COUNT(*) AS BIGINT) AS n_parents,
+       CAST(n * COUNT(*) AS BIGINT) AS n_children
+FROM per_parent GROUP BY n
+"""

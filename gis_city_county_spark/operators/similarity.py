@@ -1547,3 +1547,89 @@ piv AS (
 SELECT probe_id, best_id, cos1, cos2, cos1 / cos2 AS margin
 FROM piv WHERE cos2 IS NOT NULL
 """
+
+
+def cosine_pair_histogram(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_fraction: float = 0.05,
+    max_probes: int | None = 10_000,
+) -> DataFrame:
+    """Cosine-similarity DISTRIBUTION over a deterministic pair
+    sample — the calibration histogram read before picking a
+    near-duplicate cosine threshold or an ANN probe budget (where
+    does the corpus's similarity mass actually sit?).
+
+    Pairing: a hash sample of ids (``probe_fraction``) joins the full
+    corpus with ``probe_id < corpus_id`` (each unordered pair at most
+    once), so work is |corpus|·|probes| — the bounded brute-force
+    budget, like :func:`cosine_topk`; the ``max_probes`` guard fails
+    loudly if the sample outgrows it.  Cosines use the same
+    left-to-right fold as every sim_* op (bit-identical to DuckDB's
+    ``list_dot_product``), bucketed by ``floor(cos·1000)`` — floor on
+    BOTH engines — into at most 2001 output rows.
+
+    Returns (bucket_milli, n_pairs).
+    """
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+    from gis_city_county_spark.operators.sketch import hash_sample
+
+    probes = hash_sample(
+        df.select(F.col(id_col), F.col(vec_col)), id_col, probe_fraction
+    )
+    if max_probes is not None:
+        if probes.limit(max_probes + 1).count() > max_probes:
+            raise ValueError(
+                f"cosine_pair_histogram probe sample exceeds "
+                f"max_probes={max_probes}: lower probe_fraction"
+            )
+    p = with_norm2(probes, vec_col, "__pn").select(
+        F.col(id_col).alias("__pid"),
+        F.col(vec_col).alias("__pvec"),
+        "__pn",
+    )
+    c = with_norm2(
+        rebalance_for_fanout(df.select(id_col, vec_col), multiplier=8.0),
+        vec_col,
+        "__cn",
+    ).select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"), "__cn"
+    )
+    pairs = c.join(F.broadcast(p), F.col("__pid") < F.col("__cid"))
+    cos = dot_product(F.col("__cvec"), F.col("__pvec")) / (
+        F.sqrt("__pn") * F.sqrt("__cn")
+    )
+    return (
+        pairs.select(F.floor(cos * F.lit(1000.0)).cast("long").alias("bucket_milli"))
+        .groupBy("bucket_milli")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+def cosine_pair_histogram_sql(
+    table: str, id_col: str, vec_col: str, probe_fraction: float = 0.05
+) -> str:
+    from gis_city_county_spark.operators.sketch import (
+        hash_sample_predicate_sql,
+    )
+
+    # the e CTE aliases the key to `id`, so build the predicate
+    # against that name directly
+    pred = hash_sample_predicate_sql("id", probe_fraction)
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS id, {vd} AS v, list_dot_product({vd}, {vd}) AS n2
+  FROM ({table})
+),
+p AS (SELECT * FROM e WHERE {pred}),
+scored AS (
+  SELECT CAST(FLOOR(list_dot_product(c.v, p.v)
+                    / (sqrt(p.n2) * sqrt(c.n2)) * 1000.0) AS BIGINT)
+           AS bucket_milli
+  FROM e c JOIN p ON p.id < c.id
+)
+SELECT bucket_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored GROUP BY bucket_milli
+"""

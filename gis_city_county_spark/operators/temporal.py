@@ -1421,3 +1421,146 @@ SELECT g AS {group_col}, n_events,
          AS decayed_milli
 FROM agg
 """
+
+
+def position_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    key_cols: list[str],
+    conv_id: str,
+    conv_ts: str,
+    touch_ts: str,
+    channel_col: str,
+    touch_tiebreak: str,
+    lookback_seconds: float = 86400.0,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution with EXACT
+    integer credit: each conversion distributes 1000 milli-credits
+    over its touch path inside the lookback window — 400 to the first
+    touch, 400 to the last, 200 split across the middles (single
+    touch: 1000; two touches: 500/500).  Integer splits floor-divide;
+    the remainder of the middle pool goes to the LAST touch, so every
+    conversion's credits sum to exactly 1000 — the invariant the
+    last-touch report can't offer multi-touch buyers.
+
+    Conversions with no touch in the window credit 1000 to channel
+    'none', keeping the report conversion-complete.
+
+    Plan: one equi-join on the entity key with the time-window filter
+    riding it (a hash join, never a product join), per-conversion
+    rank/count windows (partitioned by the conversion id — bounded by
+    the path length), one aggregate per channel.
+
+    Returns (channel, n_touches, credit_milli).
+    """
+    conv = conversions.select(
+        *[F.col(c) for c in key_cols],
+        F.col(conv_id).alias("__cid"),
+        F.col(conv_ts).alias("__cts"),
+    )
+    t = touches.select(
+        *[F.col(c) for c in key_cols],
+        F.col(touch_ts).alias("__tts"),
+        F.col(channel_col).alias("__ch"),
+        F.col(touch_tiebreak).alias("__tb"),
+    )
+    joined = conv.join(t, key_cols).filter(
+        (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.col("__tts").cast("double")
+            >= F.col("__cts").cast("double") - F.lit(lookback_seconds)
+        )
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.col("__tts").asc(), F.col("__tb").asc()
+    )
+    wc = Window.partitionBy("__cid")
+    ranked = joined.select(
+        "__cid",
+        "__ch",
+        F.row_number().over(w).alias("__pos"),
+        F.count(F.lit(1)).over(wc).alias("__n"),
+    )
+    credit = F.expr(
+        """
+        CASE WHEN __n = 1 THEN 1000
+             WHEN __n = 2 THEN 500
+             WHEN __pos = 1 THEN 400
+             WHEN __pos = __n THEN 400 + 200 % (__n - 2)
+             ELSE 200 div (__n - 2) END
+        """
+    ).cast("bigint")
+    attributed = ranked.select("__cid", "__ch", credit.alias("__credit"))
+    none_rows = (
+        conv.join(
+            attributed.select("__cid").distinct(), "__cid", "left_anti"
+        )
+        .select(
+            F.lit("none").alias("__ch"),
+            F.lit(1000).cast("bigint").alias("__credit"),
+        )
+    )
+    return (
+        attributed.select("__ch", "__credit")
+        .unionByName(none_rows)
+        .groupBy(F.col("__ch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("__credit").cast("bigint").alias("credit_milli"),
+        )
+    )
+
+
+def position_attribution_sql(
+    conversions_sql: str,
+    touches_sql: str,
+    key_cols: list[str],
+    conv_id: str,
+    conv_ts: str,
+    touch_ts: str,
+    channel_col: str,
+    touch_tiebreak: str,
+    lookback_seconds: float = 86400.0,
+) -> str:
+    keys = ", ".join(key_cols)
+    on = " AND ".join(f"t.{c} = c.{c}" for c in key_cols)
+    us = int(lookback_seconds * 1_000_000)
+    return f"""
+WITH c AS (
+  SELECT {keys}, {conv_id} AS cid, make_timestamp(epoch_us({conv_ts})) AS cts
+  FROM ({conversions_sql})
+),
+t AS (
+  SELECT {keys}, make_timestamp(epoch_us({touch_ts})) AS tts,
+         {channel_col} AS ch, {touch_tiebreak} AS tb
+  FROM ({touches_sql})
+),
+joined AS (
+  SELECT c.cid, t.ch,
+         ROW_NUMBER() OVER (PARTITION BY c.cid
+                            ORDER BY t.tts ASC, t.tb ASC) AS pos,
+         COUNT(*) OVER (PARTITION BY c.cid) AS n
+  FROM c JOIN t ON {on}
+   AND t.tts <= c.cts AND epoch_us(t.tts) >= epoch_us(c.cts) - {us}
+),
+credited AS (
+  SELECT cid, ch,
+         CAST(CASE WHEN n = 1 THEN 1000
+                   WHEN n = 2 THEN 500
+                   WHEN pos = 1 THEN 400
+                   WHEN pos = n THEN 400 + 200 % (n - 2)
+                   ELSE 200 // (n - 2) END AS BIGINT) AS credit
+  FROM joined
+),
+none_rows AS (
+  SELECT 'none' AS ch, CAST(1000 AS BIGINT) AS credit
+  FROM c LEFT JOIN (SELECT DISTINCT cid FROM credited) a ON a.cid = c.cid
+  WHERE a.cid IS NULL
+),
+unioned AS (
+  SELECT ch, credit FROM credited UNION ALL SELECT ch, credit FROM none_rows
+)
+SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS credit_milli
+FROM unioned GROUP BY ch
+"""

@@ -538,7 +538,34 @@ def _bitext_lsh_oracle() -> str:
     )
 
 
+def q_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity distribution over a deterministic 5% probe
+    pairing — the calibration histogram read before picking a
+    near-dup cosine threshold or an ANN probe budget."""
+    from gis_city_county_spark.operators.similarity import (
+        cosine_pair_histogram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pair_histogram(
+        emb, "vec_id", "embedding", probe_fraction=0.05
+    )
+
+
+def _cosine_histogram_oracle() -> str:
+    from gis_city_county_spark.operators.similarity import (
+        cosine_pair_histogram_sql,
+    )
+
+    return cosine_pair_histogram_sql(
+        "SELECT * FROM embeddings", "vec_id", "embedding",
+        probe_fraction=0.05,
+    )
+
+
 SPECS = [
+    QuerySpec("sim_cosine_histogram", q_cosine_histogram,
+              _cosine_histogram_oracle()),
     QuerySpec("sim_bitext_mining", q_bitext_mining, _bitext_oracle()),
     QuerySpec("sim_bitext_mining_lsh", q_bitext_mining_lsh, _bitext_lsh_oracle()),
     QuerySpec(

@@ -781,6 +781,45 @@ def _mcc_oracle() -> str:
     return matthews_corr_sql(f"({src})", "is_final", "pred_final")
 
 
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: every purchase splits 1000
+    exact milli-credits over its click/view path in the 1-day
+    lookback (400 first / 400 last / 200 across middles, remainder to
+    the last); purchases with no touch credit 'none'."""
+    from gis_city_county_spark.operators.temporal import position_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts",
+        F.col("event_type").alias("channel"),
+    )
+    return position_attribution(
+        purchases, touches,
+        key_cols=["user_id"], conv_id="event_id", conv_ts="ts",
+        touch_ts="ts", channel_col="channel", touch_tiebreak="event_id",
+        lookback_seconds=86400.0,
+    )
+
+
+def _position_attr_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        position_attribution_sql,
+    )
+
+    return position_attribution_sql(
+        "SELECT event_id, user_id, ts FROM events"
+        " WHERE event_type = 'purchase'",
+        "SELECT event_id, user_id, ts, event_type AS channel FROM events"
+        " WHERE event_type IN ('click', 'view')",
+        key_cols=["user_id"], conv_id="event_id", conv_ts="ts",
+        touch_ts="ts", channel_col="channel", touch_tiebreak="event_id",
+        lookback_seconds=86400.0,
+    )
+
+
 def _mrr_oracle() -> str:
     from gis_city_county_spark.operators.mlprep import mean_reciprocal_rank_sql
 
@@ -804,6 +843,8 @@ SPECS = [
     QuerySpec("eval_cohens_kappa", q_cohens_kappa, _kappa_oracle()),
     QuerySpec("eval_fleiss_kappa", q_fleiss_kappa, _fleiss_oracle()),
     QuerySpec("eval_mcc", q_mcc, _mcc_oracle()),
+    QuerySpec("events_position_attribution", q_position_attribution,
+              _position_attr_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

@@ -1937,8 +1937,33 @@ def _skew_oracle() -> str:
 _SKEW_ORACLE = _skew_oracle()
 
 
+def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out profile of the orders→lineitem join: how many orders
+    carry exactly N line items (orders with zero included) — the skew
+    read a planner takes before choosing salting/skew-join hints."""
+    from gis_city_county_spark.operators.profile import (
+        join_fanout_histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return join_fanout_histogram(orders, lineitem, "o_orderkey", "l_orderkey")
+
+
+def _join_fanout_oracle() -> str:
+    from gis_city_county_spark.operators.profile import (
+        join_fanout_histogram_sql,
+    )
+
+    return join_fanout_histogram_sql(
+        "SELECT * FROM orders", "SELECT * FROM lineitem",
+        "o_orderkey", "l_orderkey",
+    )
+
+
 SPECS = [
     QuerySpec("olap_pivot_event_matrix", q_pivot_event_matrix, _PIVOT_ORACLE),
+    QuerySpec("profile_join_fanout", q_join_fanout, _join_fanout_oracle()),
     QuerySpec("olap_melt_lineitem_metrics", q_melt_lineitem_metrics, _MELT_ORACLE),
     QuerySpec("tpch_q2_min_cost_supplier", q2_min_cost_supplier, _Q2_ORACLE),
     QuerySpec("tpch_q4_order_priority", q4_order_priority, _Q4_ORACLE),

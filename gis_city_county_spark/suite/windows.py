@@ -691,6 +691,9 @@ R9_PRESTAGE: tuple[str, ...] = (
     "events_decayed_engagement",
     "mm_patch_plan",
     "text_sentence_stats",
+    "sim_cosine_histogram",
+    "profile_join_fanout",
+    "events_position_attribution",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -195,6 +195,9 @@ _BNLJ_ALLOWED = {
     # four 1-row audit scalars merged (sampled docs, truth pairs,
     # blocked pairs, hits) — every cross-join side a single row
     "dedup_blocking_recall",
+    # the bounded probe-sample × corpus pairing IS the calibration
+    # budget (same class as sim_pq_adc_topk's compressed-domain scan)
+    "sim_cosine_histogram",
 }
 
 

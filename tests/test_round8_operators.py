@@ -835,3 +835,153 @@ def test_scaling_probe_only_merges_or_refuses(tmp_path):
         {"new": {}}, str(art), only=True, factor=16, no_write=True
     )
     assert set(out) == {"new"}
+
+
+# ---------------------------------------------- join_fanout_histogram
+
+
+def test_join_fanout_histogram_counts_zero_children(spark):
+    from gis_city_county_spark.operators.profile import (
+        join_fanout_histogram,
+        join_fanout_histogram_sql,
+    )
+
+    parents = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk long")
+    children = spark.createDataFrame(
+        [(1,), (2,), (2,), (2,)], "fk long"
+    )
+    hist = {
+        r["fanout"]: r
+        for r in join_fanout_histogram(parents, children, "pk", "fk").collect()
+    }
+    assert hist[0]["n_parents"] == 2      # 3 and 4: inner-join droppers
+    assert hist[1]["n_parents"] == 1
+    assert hist[3]["n_parents"] == 1 and hist[3]["n_children"] == 3
+    con = duckdb.connect()
+    con.register("p", parents.toPandas())
+    con.register("c", children.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            join_fanout_histogram_sql(
+                "SELECT * FROM p", "SELECT * FROM c", "pk", "fk"
+            )
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in hist.values())
+    assert got == want
+
+
+# ---------------------------------------------- cosine_pair_histogram
+
+
+def test_cosine_pair_histogram_known_geometry(spark):
+    """Parallel vectors land in bucket 1000, antiparallel in -1000,
+    orthogonal in 0; probe_fraction=1.0 pairs every (a<b) once."""
+    from gis_city_county_spark.operators.similarity import (
+        cosine_pair_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 0.0]),    # parallel to 1
+            (3, [0.0, 1.0]),    # orthogonal to 1,2
+            (4, [-1.0, 0.0]),   # antiparallel to 1,2
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    hist = {
+        r["bucket_milli"]: r["n_pairs"]
+        for r in cosine_pair_histogram(
+            df, "vec_id", "embedding", probe_fraction=1.0
+        ).collect()
+    }
+    # pairs: (1,2)=1.0, (1,3)=0, (1,4)=-1, (2,3)=0, (2,4)=-1, (3,4)=0
+    assert hist[1000] == 1
+    assert hist[0] == 3
+    assert hist[-1000] == 2
+    assert sum(hist.values()) == 6
+
+
+# ---------------------------------------------- position_attribution
+
+
+def _attr_frames(spark, rows_conv, rows_touch):
+    conv = spark.createDataFrame(
+        [(i, u, t) for i, u, t in rows_conv],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    touch = spark.createDataFrame(
+        [(i, u, t, ch) for i, u, t, ch in rows_touch],
+        "event_id long, user_id long, ts_s string, channel string",
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"), "channel",
+    )
+    return conv, touch
+
+
+def test_position_attribution_u_shape_and_remainder(spark):
+    from gis_city_county_spark.operators.temporal import position_attribution
+
+    conv, touch = _attr_frames(
+        spark,
+        [(100, 1, "2024-01-10 12:00:00"),   # 5-touch path
+         (200, 2, "2024-01-10 12:00:00"),   # 2-touch path
+         (300, 3, "2024-01-10 12:00:00")],  # no touches -> none
+        [(i, 1, f"2024-01-10 0{i}:00:00", f"ch{i}") for i in range(1, 6)]
+        + [(11, 2, "2024-01-10 08:00:00", "a"),
+           (12, 2, "2024-01-10 09:00:00", "b")],
+    )
+    rows = {
+        r["channel"]: r
+        for r in position_attribution(
+            conv, touch, ["user_id"], "event_id", "ts", "ts",
+            "channel", "event_id",
+        ).collect()
+    }
+    # 5 touches: first 400, middles 200 div 3 = 66, last 400 + 200%3=2
+    assert rows["ch1"]["credit_milli"] == 400
+    assert rows["ch2"]["credit_milli"] == 66
+    assert rows["ch5"]["credit_milli"] == 402
+    # 2 touches: 500/500
+    assert rows["a"]["credit_milli"] == 500
+    assert rows["b"]["credit_milli"] == 500
+    assert rows["none"]["credit_milli"] == 1000
+    # invariant: total credit == 1000 per conversion
+    assert sum(r["credit_milli"] for r in rows.values()) == 3000
+
+
+def test_position_attribution_matches_duckdb_twin(spark):
+    from gis_city_county_spark.operators.temporal import (
+        position_attribution,
+        position_attribution_sql,
+    )
+
+    conv, touch = _attr_frames(
+        spark,
+        [(100 + i, i % 3, f"2024-01-10 {10 + i % 8}:00:00") for i in range(12)],
+        [(200 + i, i % 3, f"2024-01-10 {6 + i % 10}:30:00", f"c{i % 4}")
+         for i in range(24)],
+    )
+    got = sorted(
+        tuple(r)
+        for r in position_attribution(
+            conv, touch, ["user_id"], "event_id", "ts", "ts",
+            "channel", "event_id",
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("conv", conv.toPandas())
+    con.register("touch", touch.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            position_attribution_sql(
+                "SELECT * FROM conv", "SELECT * FROM touch",
+                ["user_id"], "event_id", "ts", "ts", "channel", "event_id",
+            )
+        ).fetchall()
+    )
+    assert got == want
