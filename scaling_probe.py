@@ -67,6 +67,12 @@ PROBE_QUERIES = [
     "sim_ivf_index_persisted",
     "sim_pq_rerank_topk",
     "sim_bitext_mining_lsh",
+    # round-8 additions in the >3.5s bench class: the full-corpus
+    # blocking-truth audit, the components-size histogram (rides the
+    # same chain as semantic dedup), and the BFS reach summary.
+    "dedup_blocking_recall",
+    "dedup_cluster_size_histogram",
+    "graph_reach_summary",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle

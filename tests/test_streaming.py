@@ -1064,6 +1064,112 @@ def test_streaming_quality_audit_publish_is_retry_idempotent(
     assert counts.distinct().count() == 1  # identical retry row collapses
 
 
+def test_streaming_cumulative_distinct_matches_batch_with_late_data(
+    spark, tmp_path
+):
+    """Three arrival batches through the first-seen folder — including
+    an OUT-OF-ORDER batch that delivers an earlier event for a known
+    key — and after each batch the published curve partition is
+    BIT-EQUAL to the batch operator over every event arrived so far."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import cumulative_distinct
+    from gis_city_county_spark.streaming.distinct import (
+        streaming_cumulative_distinct,
+    )
+
+    batches = [
+        spark.createDataFrame(
+            [(1, "2024-01-05 10:00:00"), (2, "2024-01-05 11:00:00")],
+            "user_id long, ts_s string",
+        ),
+        spark.createDataFrame(
+            [(1, "2024-01-07 09:00:00"),   # returning: not new
+             (3, "2024-01-07 10:00:00")],
+            "user_id long, ts_s string",
+        ),
+        spark.createDataFrame(
+            # LATE data: user 3's true first event was Jan 2
+            [(3, "2024-01-02 08:00:00"), (4, "2024-01-08 12:00:00")],
+            "user_id long, ts_s string",
+        ),
+    ]
+    batches = [
+        b.select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        for b in batches
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "distinct_state")
+    curve_dir = str(tmp_path / "curves")
+    q = (
+        streaming_cumulative_distinct(
+            spark, batches[0].schema, str(incoming), state_dir, curve_dir,
+            "user_id", "ts",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    published = spark.read.parquet(curve_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            (r["day"], r["n_new"], r["cum_distinct"])
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            (r["day"], r["n_new"], r["cum_distinct"])
+            for r in cumulative_distinct(acc, "user_id", "ts").collect()
+        )
+        assert got == want, f"batch {bid}: {got} != {want}"
+    # the late batch rewrote user 3's first day to Jan 2
+    final = {
+        r["day"].strftime("%Y-%m-%d"): r["n_new"]
+        for r in published.filter(F.col("batch_id") == 2).collect()
+    }
+    assert final["2024-01-02"] == 1
+    assert "2024-01-07" not in final  # user 3 no longer 'new' on Jan 7
+
+
+def test_streaming_cumulative_distinct_retry_idempotent(spark, tmp_path):
+    """Folding the same batch twice (a foreachBatch retry) leaves the
+    state min-equivalent and the published partition identical."""
+    from gis_city_county_spark.streaming.distinct import (
+        distinct_batch_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    curve_dir = str(tmp_path / "curves")
+    fold = distinct_batch_folder(state_dir, curve_dir, "user_id", "ts")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00"), (2, "2024-01-06 11:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(curve_dir).collect())
+    fold(b0, 0)  # retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(curve_dir).collect())
+    assert twice == once
+    assert spark.read.parquet(curve_dir).count() == 2  # two days, one row each
+
+
 def test_streaming_card_publish_is_retry_idempotent(spark, tmp_path):
     """A foreachBatch RETRY (same batch_df, same batch_id, run twice)
     must leave the state tables AND the published card exactly as one
