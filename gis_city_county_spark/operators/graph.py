@@ -503,3 +503,63 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_reached,
 FROM ({bfs}) b
 WHERE hops > 0
 """
+
+
+def degree_assortativity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Newman degree assortativity: the Pearson correlation of
+    (deg(u), deg(v)) over the directed edge instances — positive when
+    hubs attach to hubs (social-style graphs), negative when hubs
+    attach to leaves (web/trade-style), the one-number mixing pattern
+    read before betting on a partitioning strategy.
+
+    Rides :func:`operators.profile.correlation`'s exact-integer
+    moment machinery (degree products as DECIMAL(38,0) sums, one
+    sqrt/divide tail — bit-identical across engines, unlike built-in
+    ``corr``).  Degrees come from one map-combinable count; attaching
+    them to the edge list is two equi-joins on the node key.
+
+    Returns one row: (n_edges, assortativity) — NULL when either
+    side's degree variance is zero (a regular graph).
+    """
+    from gis_city_county_spark.operators.profile import correlation
+
+    deg = edges.groupBy(F.col(src_col).alias("__node")).agg(
+        F.count(F.lit(1)).cast("long").alias("__deg")
+    )
+    pairs = (
+        edges.select(F.col(src_col).alias("__u"), F.col(dst_col).alias("__v"))
+        .join(
+            deg.select(F.col("__node").alias("__u"), F.col("__deg").alias("__du")),
+            "__u",
+        )
+        .join(
+            deg.select(F.col("__node").alias("__v"), F.col("__deg").alias("__dv")),
+            "__v",
+        )
+        .select(F.lit("all").alias("__g"), "__du", "__dv")
+    )
+    out = correlation(pairs, "__g", "__du", "__dv")
+    return out.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.col("pearson_r").alias("assortativity"),
+    )
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    from gis_city_county_spark.operators.profile import correlation_sql
+
+    src = f"""
+SELECT 'all' AS g, du.deg AS du, dv.deg AS dv
+FROM ({edges_sql}) e
+JOIN (SELECT src AS node, COUNT(*) AS deg FROM ({edges_sql}) GROUP BY src) du
+  ON du.node = e.src
+JOIN (SELECT src AS node, COUNT(*) AS deg FROM ({edges_sql}) GROUP BY src) dv
+  ON dv.node = e.dst
+"""
+    inner = correlation_sql(src, "g", "du", "dv")
+    return f"""
+SELECT CAST(n AS BIGINT) AS n_edges, pearson_r AS assortativity
+FROM ({inner})
+"""

@@ -405,9 +405,27 @@ def _reach_oracle() -> str:
     return reach_summary_sql(_EDGES_SQL, _BFS_SOURCE, _BFS_HOPS)
 
 
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the trade graph — hubs-to-hubs
+    vs hubs-to-leaves mixing in one exact-moment Pearson number."""
+    from gis_city_county_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_trade_edges(spark, sf_dir))
+
+
+def _assortativity_oracle() -> str:
+    from gis_city_county_spark.operators.graph import (
+        degree_assortativity_sql,
+    )
+
+    return degree_assortativity_sql(_EDGES_SQL)
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
     QuerySpec("graph_reach_summary", q_reach_summary, _reach_oracle()),
+    QuerySpec("graph_degree_assortativity", q_degree_assortativity,
+              _assortativity_oracle()),
     QuerySpec("graph_resource_allocation", q_resource_allocation, _ra_oracle()),
     QuerySpec("graph_kcore_trade", q_kcore, _KCORE_ORACLE),
     QuerySpec("graph_label_propagation", q_label_propagation, _LPA_ORACLE),

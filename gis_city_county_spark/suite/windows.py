@@ -694,6 +694,7 @@ R9_PRESTAGE: tuple[str, ...] = (
     "sim_cosine_histogram",
     "profile_join_fanout",
     "events_position_attribution",
+    "graph_degree_assortativity",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

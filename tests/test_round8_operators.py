@@ -985,3 +985,52 @@ def test_position_attribution_matches_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------- degree_assortativity
+
+
+def test_degree_assortativity_star_vs_regular(spark):
+    """A star graph is maximally disassortative (hub meets leaves
+    only: r = -1 exactly for the 2-degree-value case); a cycle is
+    degree-regular so the variance is zero and r is NULL."""
+    from gis_city_county_spark.operators.graph import degree_assortativity
+
+    # symmetric star: hub 0 <-> leaves 1..5
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)],
+        "src long, dst long",
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row["n_edges"] == 10
+    assert abs(row["assortativity"] - (-1.0)) < 1e-12
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)]
+        + [((i + 1) % 5, i) for i in range(5)],
+        "src long, dst long",
+    )
+    row = degree_assortativity(cycle).collect()[0]
+    assert row["assortativity"] is None  # zero variance: regular graph
+
+
+def test_degree_assortativity_matches_duckdb_twin(spark):
+    from gis_city_county_spark.operators.graph import (
+        degree_assortativity,
+        degree_assortativity_sql,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11) for i in range(60) if i % 7 != (i * 3) % 11],
+        "src long, dst long",
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    got = degree_assortativity(sym).collect()[0]
+    con = duckdb.connect()
+    con.register("e", sym.toPandas())
+    want = con.execute(
+        degree_assortativity_sql("SELECT * FROM e")
+    ).fetchone()
+    assert tuple(got) == tuple(want)
