@@ -57,6 +57,12 @@ HEADLINE = [
     # r7: the #2 cost center (BENCH_DETAIL r6: 5.58s) gets a graded
     # cross-round comparison; fastest-of-3 like every headline key.
     "dedup_containment_pairs",
+    # r8: the two new >4s cost centers — the full-corpus blocking
+    # truth audit and the BFS-riding reach summary — plus one cheap
+    # representative for the new attribution/drift surfaces.
+    "dedup_blocking_recall",
+    "graph_reach_summary",
+    "events_position_attribution",
 ]
 
 
