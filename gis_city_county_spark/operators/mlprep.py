@@ -1450,3 +1450,84 @@ SELECT n_rows, tp, fp, tn, fn,
                / (sqrt({dbl(ab)}) * sqrt({dbl(cd)})) END AS mcc
 FROM cells
 """
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    pred_milli_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error as ONE exact integer numerator: with
+    per-bin prediction sum ``sp_b`` (milli-units) and positive count
+    ``pos_b``,
+
+        ECE = Σ_b (n_b/N)·|sp_b/(1000·n_b) − pos_b/n_b|
+            = Σ_b |sp_b − 1000·pos_b| / (1000·N)
+
+    — the per-bin weights cancel, so the whole metric is an exact
+    BIGINT sum of absolute per-bin deviations divided ONCE (two
+    fixed-order IEEE divisions), bit-identical on any engine.  The
+    worst bin rides along as an exact integer ppm gap, so the single
+    headline number can't hide one badly mis-calibrated decile.
+
+    Same milli-prediction convention as :func:`calibration_bins`
+    (probabilities as 0..999 integers — the engine-portable carrier).
+
+    Returns one row: (n_rows, n_bins_used, ece_numerator, ece,
+    max_bin_gap_ppm).
+    """
+    binned = df.withColumn(
+        "__bin", F.expr(f"(({pred_milli_col} * {int(n_bins)}) div 1000)")
+    )
+    per_bin = binned.groupBy("__bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(pred_milli_col).cast("bigint").alias("__sp"),
+        F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("__pos"),
+    )
+    dev = F.abs(F.col("__sp") - F.lit(1000) * F.col("__pos")).cast("bigint")
+    gap_ppm = F.expr(
+        "(abs(__sp - 1000 * __pos) * CAST(1000 AS BIGINT)) div __n"
+    )
+    return (
+        per_bin.select("__n", dev.alias("__dev"), gap_ppm.alias("__gap"))
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+            F.sum("__dev").cast("bigint").alias("ece_numerator"),
+            F.max("__gap").cast("bigint").alias("max_bin_gap_ppm"),
+        )
+        .select(
+            "n_rows",
+            "n_bins_used",
+            "ece_numerator",
+            (
+                F.col("ece_numerator").cast("double")
+                / F.lit(1000.0)
+                / F.col("n_rows").cast("double")
+            ).alias("ece"),
+            "max_bin_gap_ppm",
+        )
+    )
+
+
+def expected_calibration_error_sql(
+    table: str, pred_milli_col: str, label_col: str, n_bins: int = 10
+) -> str:
+    return f"""
+WITH per_bin AS (
+  SELECT CAST(({pred_milli_col} * {n_bins}) // 1000 AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({pred_milli_col}) AS BIGINT) AS sp,
+         CAST(SUM(CAST({label_col} AS BIGINT)) AS BIGINT) AS pos
+  FROM {table} GROUP BY 1
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(SUM(ABS(sp - 1000 * pos)) AS BIGINT) AS ece_numerator,
+       CAST(SUM(ABS(sp - 1000 * pos)) AS DOUBLE) / 1000.0
+         / CAST(SUM(n) AS DOUBLE) AS ece,
+       CAST(MAX((ABS(sp - 1000 * pos) * CAST(1000 AS BIGINT)) // n)
+            AS BIGINT) AS max_bin_gap_ppm
+FROM per_bin
+"""

@@ -782,3 +782,82 @@ SELECT g AS {group_col},
        CAST(MAX(max_words) AS BIGINT) AS max_sentence_words
 FROM per_doc GROUP BY g
 """
+
+
+def case_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group letter-case census: uppercase share of letters in
+    exact ppm plus the count of SHOUTING documents (more uppercase
+    than lowercase letters) — the all-caps spam / headline-soup
+    signal the charclass census can't see (it counts letters without
+    case).  ASCII classes only, scan-side regex counts, one
+    map-combinable aggregate, exact integers throughout.
+
+    Returns (group, n_docs, n_letters, n_upper, upper_ppm,
+    n_shouting_docs).
+    """
+    c = F.col(text_col)
+    n_upper = F.length(c) - F.length(F.regexp_replace(c, "[A-Z]", ""))
+    n_lower = F.length(c) - F.length(F.regexp_replace(c, "[a-z]", ""))
+    return (
+        df.filter(c.isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            n_upper.cast("bigint").alias("__u"),
+            n_lower.cast("bigint").alias("__l"),
+        )
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("__u") + F.col("__l")).cast("bigint").alias(
+                "n_letters"
+            ),
+            F.sum("__u").cast("bigint").alias("n_upper"),
+            F.sum((F.col("__u") > F.col("__l")).cast("int"))
+            .cast("bigint")
+            .alias("n_shouting_docs"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "n_letters",
+            "n_upper",
+            F.expr(
+                "CASE WHEN n_letters = 0 THEN CAST(NULL AS BIGINT)"
+                " ELSE (n_upper * CAST(1000000 AS BIGINT)) div n_letters"
+                " END"
+            ).alias("upper_ppm"),
+            "n_shouting_docs",
+        )
+    )
+
+
+def case_profile_sql(table: str, group_col: str, text_col: str) -> str:
+    up = (
+        f"length({text_col}) - length(regexp_replace({text_col},"
+        " '[A-Z]', '', 'g'))"
+    )
+    lo = (
+        f"length({text_col}) - length(regexp_replace({text_col},"
+        " '[a-z]', '', 'g'))"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT {group_col} AS g,
+         CAST({up} AS BIGINT) AS u, CAST({lo} AS BIGINT) AS l
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(u + l) AS BIGINT) AS n_letters,
+         CAST(SUM(u) AS BIGINT) AS n_upper,
+         CAST(SUM(CASE WHEN u > l THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shouting_docs
+  FROM per_doc GROUP BY g
+)
+SELECT g AS {group_col}, n_docs, n_letters, n_upper,
+       CASE WHEN n_letters = 0 THEN CAST(NULL AS BIGINT)
+            ELSE CAST((n_upper * CAST(1000000 AS BIGINT)) // n_letters
+                      AS BIGINT) END AS upper_ppm,
+       n_shouting_docs
+FROM agg
+"""

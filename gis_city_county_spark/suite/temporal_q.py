@@ -781,6 +781,39 @@ def _mcc_oracle() -> str:
     return matthews_corr_sql(f"({src})", "is_final", "pred_final")
 
 
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the md5-milli pseudo-score vs the
+    finished-order label — the single exact-integer-numerator headline
+    number over the same deciles as eval_calibration_bins, with the
+    worst bin's gap riding along in exact ppm."""
+    from gis_city_county_spark.operators.mlprep import (
+        expected_calibration_error,
+    )
+    from gis_city_county_spark.operators.sketch import _h60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (_h60(F.col("o_orderkey").cast("string")) % 1000).alias("pred_milli"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return expected_calibration_error(orders, "pred_milli", "label", n_bins=10)
+
+
+def _ece_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import (
+        expected_calibration_error_sql,
+    )
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    pred = f"{_h60_sql('CAST(o_orderkey AS VARCHAR)')} % 1000"
+    return expected_calibration_error_sql(
+        f"(SELECT {pred} AS pred_milli, o_orderstatus = 'F' AS label"
+        " FROM orders)",
+        "pred_milli",
+        "label",
+        n_bins=10,
+    )
+
+
 def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped multi-touch attribution: every purchase splits 1000
     exact milli-credits over its click/view path in the 1-day
@@ -845,6 +878,7 @@ SPECS = [
     QuerySpec("eval_mcc", q_mcc, _mcc_oracle()),
     QuerySpec("events_position_attribution", q_position_attribution,
               _position_attr_oracle()),
+    QuerySpec("eval_ece", q_ece, _ece_oracle()),
     QuerySpec("events_bounded_funnel", q_bounded_funnel, _bounded_funnel_oracle()),
     QuerySpec("events_last_touch_attribution", q_last_touch, _last_touch_oracle()),
     QuerySpec("events_km_survival", q_km_survival, _km_oracle()),

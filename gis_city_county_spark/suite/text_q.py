@@ -701,6 +701,22 @@ def _sentence_oracle() -> str:
     return sentence_stats_sql("documents", "lang", "text")
 
 
+def q_case_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language letter-case census: uppercase ppm of letters and
+    SHOUTING-document counts — the all-caps spam signal the charclass
+    census can't see."""
+    from gis_city_county_spark.operators.textstats import case_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return case_profile(docs, "lang", "text")
+
+
+def _case_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import case_profile_sql
+
+    return case_profile_sql("documents", "lang", "text")
+
+
 SPECS = [
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
@@ -729,4 +745,5 @@ SPECS = [
     QuerySpec("text_charclass_profile", q_charclass_profile, _charclass_oracle()),
     QuerySpec("profile_source_diversity", q_source_diversity, _diversity_oracle()),
     QuerySpec("text_sentence_stats", q_sentence_stats, _sentence_oracle()),
+    QuerySpec("text_case_profile", q_case_profile, _case_oracle()),
 ]

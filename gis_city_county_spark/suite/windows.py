@@ -695,6 +695,8 @@ R9_PRESTAGE: tuple[str, ...] = (
     "profile_join_fanout",
     "events_position_attribution",
     "graph_degree_assortativity",
+    "eval_ece",
+    "text_case_profile",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -393,6 +393,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "graph_reach_summary": 1,
     # four 1-row audit-scalar merges (docs / truth / blocked / hits)
     "dedup_blocking_recall": 4,
+    # one-row final merge over the <= n_bins per-bin deviation rows
+    "eval_ece": 1,
     # the running-sum window over the per-DAY aggregate (input bounded
     # by the calendar, not the data)
     "events_cumulative_distinct": 1,

@@ -1034,3 +1034,77 @@ def test_degree_assortativity_matches_duckdb_twin(spark):
         degree_assortativity_sql("SELECT * FROM e")
     ).fetchone()
     assert tuple(got) == tuple(want)
+
+
+# -------------------------------------------- expected_calibration_error
+
+
+def test_ece_exact_numerator_and_perfect_calibration(spark):
+    """ECE collapses to sum|sp_b - 1000*pos_b| / (1000*N): verified on
+    a hand-built two-bin fixture, and a perfectly calibrated column
+    (pred always 1000*label... expressed within milli range) scores
+    near zero with the worst-bin gap matching."""
+    from gis_city_county_spark.operators.mlprep import (
+        expected_calibration_error,
+        expected_calibration_error_sql,
+    )
+
+    # bin 0 (preds 0..99): two rows pred 100*0+50 -> sp=100, pos=1
+    # bin 9 (preds 900..999): two rows pred 950 -> sp=1900, pos=2
+    df = spark.createDataFrame(
+        [(50, False), (50, True), (950, True), (950, True)],
+        "pred_milli long, label boolean",
+    )
+    row = expected_calibration_error(df, "pred_milli", "label").collect()[0]
+    assert row["n_rows"] == 4 and row["n_bins_used"] == 2
+    # bin0 dev = |100 - 1000| = 900; bin9 dev = |1900 - 2000| = 100
+    assert row["ece_numerator"] == 1000
+    assert row["ece"] == 1000.0 / 1000.0 / 4.0
+    # worst bin: bin0 gap = 900*1000 div 2 = 450000 ppm
+    assert row["max_bin_gap_ppm"] == 450_000
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    want = con.execute(
+        expected_calibration_error_sql("t", "pred_milli", "label")
+    ).fetchone()
+    assert tuple(row) == tuple(want)
+
+
+# --------------------------------------------------- case_profile
+
+
+def test_case_profile_shouting_detector(spark):
+    from gis_city_county_spark.operators.textstats import (
+        case_profile,
+        case_profile_sql,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("en", "BUY NOW!!! AMAZING DEAL"),   # shouting
+            ("en", "a normal Sentence here"),
+            ("en", "1234 --- 5678"),             # zero letters
+        ],
+        "lang string, text string",
+    )
+    row = case_profile(df, "lang", "text").collect()[0]
+    assert row["n_docs"] == 3
+    assert row["n_shouting_docs"] == 1
+    # letters: doc1 'BUY NOW AMAZING DEAL' = 17 upper; doc2
+    # 'a normal Sentence here' = 1 upper + 18 lower; doc3 0
+    assert row["n_upper"] == 17 + 1
+    assert row["n_letters"] == 17 + 19
+    assert row["upper_ppm"] == (18 * 1_000_000) // 36
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = con.execute(
+        case_profile_sql("documents", "lang", "text")
+    ).fetchone()
+    assert tuple(row) == tuple(want)
+
+    # all-numeric group: zero letters -> NULL upper_ppm, no crash
+    nums = spark.createDataFrame(
+        [("x", "123 456"), ("x", "789")], "lang string, text string"
+    )
+    r = case_profile(nums, "lang", "text").collect()[0]
+    assert r["n_letters"] == 0 and r["upper_ppm"] is None
