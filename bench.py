@@ -108,20 +108,26 @@ def main() -> None:
     # single-run delta no one could classify).  A third full-suite
     # pass would blow the driver's bench timeout; headline-only adds
     # ~30s.
-    # Adaptive second pass: a non-headline query whose first pass is
-    # already sub-0.4s contributes noise, not signal, from a re-run —
-    # skipping it keeps total bench wall-clock inside the driver's
-    # budget as the suite grows (the 275-query suite blew a 10-minute
-    # ceiling with unconditional second passes).  Headline keys always
-    # get all three passes — they carry the cross-round comparisons.
+    # Adaptive passes: the bench must stay inside the driver's budget
+    # as the suite grows (the 277-query suite blew a 10-minute ceiling
+    # with unconditional passes).  Non-headline queries re-run only
+    # when the first pass cost >= 0.6s (a sub-0.6s re-run contributes
+    # noise, not signal); headline keys always get two passes, and the
+    # third — whose only job is spread adjudication — runs only when
+    # the first two already DISAGREE by >= 15% (agreeing passes have
+    # nothing left to adjudicate).
     runs: dict[str, list[float]] = {n: [] for n in names}
     headline = set(HEADLINE)
     for _pass in range(3):
         for name in names:
+            r = runs[name]
             if name not in headline:
                 if _pass == 2:
                     continue
-                if _pass == 1 and runs[name] and runs[name][0] < 0.4:
+                if _pass == 1 and r and r[0] < 0.6:
+                    continue
+            elif _pass == 2:
+                if (max(r) - min(r)) / max(min(r), 1e-9) < 0.15:
                     continue
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
