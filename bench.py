@@ -101,13 +101,7 @@ def main() -> None:
 
     # Fastest-of-N per query: JIT/codegen warm-up and host noise on
     # this box swing single runs by 2-5x, and the steady-state number
-    # is what a long-running cluster job sees.  Every query gets two
-    # passes; the HEADLINE keys (the cross-round graded comparisons)
-    # get a third so their reported spread can adjudicate drift vs
-    # machine noise (VERDICT r4: four keys moved +20-24% on a
-    # single-run delta no one could classify).  A third full-suite
-    # pass would blow the driver's bench timeout; headline-only adds
-    # ~30s.
+    # is what a long-running cluster job sees.
     # Adaptive passes: the bench must stay inside the driver's budget
     # as the suite grows (the 277-query suite blew a 10-minute ceiling
     # with unconditional passes).  Non-headline queries re-run only
@@ -138,8 +132,11 @@ def main() -> None:
     timings = {n: round(min(r), 4) for n, r in runs.items()}
     # Relative spread (max-min)/min across a query's passes: ~0 means
     # the fastest pass is reproducible; large values flag noise.
+    # Single-pass queries (the adaptive skip) publish None — a 0.0
+    # there would masquerade as a VERIFIED-reproducible result.
     spread = {
-        n: round((max(r) - min(r)) / max(min(r), 1e-9), 3)
+        n: (round((max(r) - min(r)) / max(min(r), 1e-9), 3)
+            if len(r) > 1 else None)
         for n, r in runs.items()
     }
     total = sum(timings.values())
@@ -152,7 +149,8 @@ def main() -> None:
     # being read as a regression.  Soft report, not a hard assert: the
     # bench must still produce its JSON line on a noisy box.
     spread_alert = sorted(
-        n for n in HEADLINE if n in spread and spread[n] >= 2.0
+        n for n in HEADLINE
+        if spread.get(n) is not None and spread[n] >= 2.0
     )
     if spread_alert:
         print(f"# SPREAD ALERT (>=2x across passes): {spread_alert}",

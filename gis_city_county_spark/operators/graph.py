@@ -517,15 +517,25 @@ def degree_assortativity(
     Rides :func:`operators.profile.correlation`'s exact-integer
     moment machinery (degree products as DECIMAL(38,0) sums, one
     sqrt/divide tail — bit-identical across engines, unlike built-in
-    ``corr``).  Degrees come from one map-combinable count; attaching
-    them to the edge list is two equi-joins on the node key.
+    ``corr``).  Degrees count BOTH endpoints of every edge (total
+    degree), so every edge's src AND dst are present in the degree
+    relation by construction and no edge can silently drop — a
+    src-only degree count would inner-join away any edge whose dst is
+    a pure sink (a directed star returned zero rows before this was
+    a both-endpoints count).  On a symmetric edge list this is
+    Newman's undirected assortativity; on a directed list it is the
+    (total-degree, total-degree) variant.
 
-    Returns one row: (n_edges, assortativity) — NULL when either
-    side's degree variance is zero (a regular graph).
+    Returns one row per non-empty edge list: (n_edges, assortativity)
+    — assortativity NULL when either side's degree variance is zero
+    (a regular graph, or a star's constant-degree side).
     """
     from gis_city_county_spark.operators.profile import correlation
 
-    deg = edges.groupBy(F.col(src_col).alias("__node")).agg(
+    endpoints = edges.select(F.col(src_col).alias("__node")).unionAll(
+        edges.select(F.col(dst_col).alias("__node"))
+    )
+    deg = endpoints.groupBy("__node").agg(
         F.count(F.lit(1)).cast("long").alias("__deg")
     )
     pairs = (
@@ -550,13 +560,21 @@ def degree_assortativity(
 def degree_assortativity_sql(edges_sql: str) -> str:
     from gis_city_county_spark.operators.profile import correlation_sql
 
+    # edges materialized ONCE and the degree relation built once from
+    # both endpoints (a src-only degree subquery interpolated twice
+    # evaluated the edge derivation three times AND dropped edges
+    # into pure sinks)
     src = f"""
+WITH ed AS MATERIALIZED ({edges_sql}),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed
+  ) GROUP BY node
+)
 SELECT 'all' AS g, du.deg AS du, dv.deg AS dv
-FROM ({edges_sql}) e
-JOIN (SELECT src AS node, COUNT(*) AS deg FROM ({edges_sql}) GROUP BY src) du
-  ON du.node = e.src
-JOIN (SELECT src AS node, COUNT(*) AS deg FROM ({edges_sql}) GROUP BY src) dv
-  ON dv.node = e.dst
+FROM ed e
+JOIN deg du ON du.node = e.src
+JOIN deg dv ON dv.node = e.dst
 """
     inner = correlation_sql(src, "g", "du", "dv")
     return f"""

@@ -1040,28 +1040,38 @@ def join_fanout_histogram(
     small), one count per fanout value — output rows bounded by the
     number of DISTINCT fan-out values, not the data.  Exact integers.
 
+    Children whose FK matches NO parent (dangling or NULL keys — the
+    mirror-image data-quality signal) land in one extra row with
+    ``fanout`` NULL and ``n_parents`` 0, always present, so
+    ``SUM(n_children)`` cross-foots exactly with the child row count.
+
     Returns (fanout, n_parents, n_children) ordered small→large by
     the caller if needed.
     """
     counts = child.groupBy(F.col(child_fk).alias("__k")).agg(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )
-    per_parent = (
-        parent.select(F.col(parent_key).alias("__k"))
-        .join(counts, "__k", "left")
-        .select(F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("__n"))
+    pkeys = parent.select(F.col(parent_key).alias("__k"))
+    per_parent = pkeys.join(counts, "__k", "left").select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("__n")
     )
-    return (
+    hist = (
         per_parent.groupBy(F.col("__n").alias("fanout"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parents"))
         .select(
-            "fanout",
+            F.col("fanout").cast("bigint").alias("fanout"),
             "n_parents",
             (F.col("fanout") * F.col("n_parents"))
             .cast("bigint")
             .alias("n_children"),
         )
     )
+    orphans = counts.join(pkeys, "__k", "left_anti").agg(
+        F.lit(None).cast("bigint").alias("fanout"),
+        F.lit(0).cast("bigint").alias("n_parents"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_children"),
+    )
+    return hist.unionByName(orphans)
 
 
 def join_fanout_histogram_sql(
@@ -1072,12 +1082,17 @@ WITH counts AS (
   SELECT {child_fk} AS k, CAST(COUNT(*) AS BIGINT) AS n
   FROM ({child_sql}) GROUP BY {child_fk}
 ),
+pkeys AS (SELECT {parent_key} AS k FROM ({parent_sql})),
 per_parent AS (
   SELECT COALESCE(counts.n, 0) AS n
-  FROM (SELECT {parent_key} AS k FROM ({parent_sql})) p
-  LEFT JOIN counts ON counts.k = p.k
+  FROM pkeys p LEFT JOIN counts ON counts.k = p.k
 )
-SELECT n AS fanout, CAST(COUNT(*) AS BIGINT) AS n_parents,
+SELECT CAST(n AS BIGINT) AS fanout, CAST(COUNT(*) AS BIGINT) AS n_parents,
        CAST(n * COUNT(*) AS BIGINT) AS n_children
 FROM per_parent GROUP BY n
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS fanout, CAST(0 AS BIGINT) AS n_parents,
+       CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_children
+FROM counts c LEFT JOIN pkeys p ON p.k = c.k
+WHERE p.k IS NULL
 """

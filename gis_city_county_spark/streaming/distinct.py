@@ -30,14 +30,20 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import functions as F
 
 
-def _read_or_empty(sess, path: str, schema: str):
+def _read_or_empty_like(sess, path: str, like):
+    """Read the state dir, or an empty frame with ``like``'s schema
+    (never a hardcoded one — the key column's type follows the
+    caller's data)."""
     try:
         return sess.read.parquet(path)
     except AnalysisException as exc:
         msg = str(exc)
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
-        return sess.createDataFrame([], schema)
+        # fresh-lineage empty frame (like.limit(0) would share lineage
+        # with the incoming frame and trip the self-join detector in
+        # the beat-the-stored-day comparison)
+        return sess.createDataFrame([], like.schema)
 
 
 def distinct_batch_folder(
@@ -66,8 +72,11 @@ def distinct_batch_folder(
         )
         # 2. Append only pairs that BEAT the stored first day (new key,
         #    or an out-of-order earlier arrival); reads take min per
-        #    key, so a retry's identical append is harmless.
-        base = _read_or_empty(sess, seen_dir, "__k long, __day date")
+        #    key, so a retry's identical append is harmless.  The
+        #    empty-state schema derives from the batch itself (a
+        #    hardcoded "long" key would ill-type the join for string
+        #    keys and blow up under ANSI casts).
+        base = _read_or_empty_like(sess, seen_dir, inc)
         better = inc.join(base, "__k", "left").filter(
             base["__day"].isNull() | (inc["__day"] < base["__day"])
         ).select(inc["__k"], inc["__day"])

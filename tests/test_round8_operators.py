@@ -857,18 +857,27 @@ def test_join_fanout_histogram_counts_zero_children(spark):
     assert hist[0]["n_parents"] == 2      # 3 and 4: inner-join droppers
     assert hist[1]["n_parents"] == 1
     assert hist[3]["n_parents"] == 1 and hist[3]["n_children"] == 3
+    # the orphan row is ALWAYS present (0 children here)
+    assert hist[None]["n_children"] == 0
+
+    def _key(t):
+        return (t[0] is None, t[0] if t[0] is not None else -1)
+
     con = duckdb.connect()
     con.register("p", parents.toPandas())
     con.register("c", children.toPandas())
     want = sorted(
-        tuple(r)
-        for r in con.execute(
-            join_fanout_histogram_sql(
-                "SELECT * FROM p", "SELECT * FROM c", "pk", "fk"
-            )
-        ).fetchall()
+        [
+            tuple(r)
+            for r in con.execute(
+                join_fanout_histogram_sql(
+                    "SELECT * FROM p", "SELECT * FROM c", "pk", "fk"
+                )
+            ).fetchall()
+        ],
+        key=_key,
     )
-    got = sorted(tuple(r) for r in hist.values())
+    got = sorted([tuple(r) for r in hist.values()], key=_key)
     assert got == want
 
 
@@ -1108,3 +1117,88 @@ def test_case_profile_shouting_detector(spark):
     )
     r = case_profile(nums, "lang", "text").collect()[0]
     assert r["n_letters"] == 0 and r["upper_ppm"] is None
+
+
+# ------------------------------------- second-review regressions
+
+
+def test_degree_assortativity_directed_star_and_sink_edges(spark):
+    """Directed graphs must not drop edges into pure sinks (the
+    src-only degree join returned ZERO rows on a directed star) —
+    degrees now count both endpoints."""
+    from gis_city_county_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    rows = degree_assortativity(star).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_edges"] == 5  # every edge survives
+    # du constant (hub=5) -> zero variance -> NULL, not a wrong number
+    assert rows[0]["assortativity"] is None
+
+    mixed = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 9)], "src long, dst long"
+    )
+    row = degree_assortativity(mixed).collect()[0]
+    assert row["n_edges"] == 3  # the 1->9 sink edge counts
+
+
+def test_join_fanout_histogram_orphan_children_cross_foot(spark):
+    """Dangling / NULL-FK children land in the always-present NULL
+    fanout row, so SUM(n_children) cross-foots with |child|."""
+    from gis_city_county_spark.operators.profile import (
+        join_fanout_histogram,
+        join_fanout_histogram_sql,
+    )
+
+    parents = spark.createDataFrame([(1,), (2,)], "pk long")
+    children = spark.createDataFrame(
+        [(1,), (99,), (None,)], "fk long"
+    )
+    rows = join_fanout_histogram(parents, children, "pk", "fk").collect()
+    by_fanout = {r["fanout"]: r for r in rows}
+    assert by_fanout[None]["n_parents"] == 0
+    assert by_fanout[None]["n_children"] == 2  # fk 99 + NULL fk
+    assert sum(r["n_children"] for r in rows) == 3  # == |child|
+    con = duckdb.connect()
+    con.register("p", parents.toPandas())
+    con.register("c", children.toPandas())
+    def _key(t):
+        return (t[0] is None, t[0] if t[0] is not None else -1)
+
+    want = sorted(
+        [
+            (r[0], r[1], r[2])
+            for r in con.execute(
+                join_fanout_histogram_sql(
+                    "SELECT * FROM p", "SELECT * FROM c", "pk", "fk"
+                )
+            ).fetchall()
+        ],
+        key=_key,
+    )
+    got = sorted(
+        [(r["fanout"], r["n_parents"], r["n_children"]) for r in rows],
+        key=_key,
+    )
+    assert got == want
+
+
+def test_streaming_distinct_folder_string_keys(spark, tmp_path):
+    """The empty-state schema derives from the batch — string keys
+    must not hit a hardcoded long-typed join."""
+    from gis_city_county_spark.streaming.distinct import (
+        distinct_batch_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    curve_dir = str(tmp_path / "curves")
+    fold = distinct_batch_folder(state_dir, curve_dir, "user", "ts")
+    b0 = spark.createDataFrame(
+        [("user_a", "2024-01-05 10:00:00"), ("user_b", "2024-01-06 11:00:00")],
+        "user string, ts_s string",
+    ).select("user", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    rows = spark.read.parquet(curve_dir).collect()
+    assert sum(r["n_new"] for r in rows) == 2
