@@ -395,6 +395,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "dedup_blocking_recall": 4,
     # one-row final merge over the <= n_bins per-bin deviation rows
     "eval_ece": 1,
+    # the always-present orphan-children row: one global scalar merge
+    # of the (bounded, per-partition partial) dangling-FK count
+    "profile_join_fanout": 1,
     # the running-sum window over the per-DAY aggregate (input bounded
     # by the calendar, not the data)
     "events_cumulative_distinct": 1,
