@@ -1276,7 +1276,12 @@ def cumulative_distinct(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
     first = df.groupBy(F.col(key_col).alias("__k")).agg(
         F.min(F.to_date(ts_col)).alias("day")
     )
-    daily = first.groupBy("day").agg(
+    # A key whose events ALL have NULL timestamps yields a NULL day —
+    # and Spark's window ORDER BY puts NULLs FIRST while DuckDB's puts
+    # them LAST, so the running sum would diverge on every row.  Drop
+    # NULL days on BOTH engines (ADVICE r8); keys with at least one
+    # non-null ts keep their min non-null day (both MINs skip NULLs).
+    daily = first.filter(F.col("day").isNotNull()).groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new")
     )
     w = Window.orderBy("day").rowsBetween(
@@ -1299,7 +1304,8 @@ WITH first_seen AS (
   FROM ({source_sql}) GROUP BY {key_col}
 ),
 daily AS (
-  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen GROUP BY day
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen
+  WHERE day IS NOT NULL GROUP BY day
 )
 SELECT CAST(day AS TIMESTAMP) AS day, n_new,
        CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
@@ -1464,11 +1470,16 @@ def position_attribution(
         F.col(channel_col).alias("__ch"),
         F.col(touch_tiebreak).alias("__tb"),
     )
+    # Exact integer microseconds for the lookback boundary — the twin
+    # compares epoch_us, and a double epoch-seconds comparison can flip
+    # inclusion by one ulp for sub-second timestamps landing exactly on
+    # the boundary (ADVICE r8).
+    lookback_us = int(lookback_seconds * 1_000_000)
     joined = conv.join(t, key_cols).filter(
         (F.col("__tts") <= F.col("__cts"))
         & (
-            F.col("__tts").cast("double")
-            >= F.col("__cts").cast("double") - F.lit(lookback_seconds)
+            F.unix_micros(F.col("__tts"))
+            >= F.unix_micros(F.col("__cts")) - F.lit(lookback_us)
         )
     )
     w = Window.partitionBy("__cid").orderBy(

@@ -69,6 +69,12 @@ def distinct_batch_folder(
             )
             .groupBy("__k")
             .agg(F.min("__day").alias("__day"))
+            # A key with only NULL timestamps in this batch has a NULL
+            # min — the batch operator drops NULL days (ADVICE r8), so
+            # the fold must never let one into state; a later batch
+            # with a real timestamp still inserts the key (min over
+            # the union skips NULLs, matching the batch answer).
+            .filter(F.col("__day").isNotNull())
         )
         # 2. Append only pairs that BEAT the stored first day (new key,
         #    or an out-of-order earlier arrival); reads take min per

@@ -80,10 +80,14 @@ _VOLATILE = [
     (re.compile(r"\[id=#?\d*\]"), "[id]"),
     (re.compile(r"cachedrdd-\d+"), "cachedrdd"),
     # Spark's higher-order-function lambda variables are numbered by a
-    # session-global counter (x_1, x_2, ...) — the SAME query gets
-    # different numbers depending on how many lambda-using plans were
-    # built before it in the session.
-    (re.compile(r"\bx_\d+#"), "x_#"),
+    # session-global counter — the SAME query gets different numbers
+    # depending on how many lambda-using plans were built before it in
+    # the session.  The counter attaches to EVERY lambda parameter name
+    # (x_1, y_2, acc_3, ... for ``lambda x``, ``zip_with``'s second
+    # variable, ``aggregate``'s accumulator), so the rule must cover
+    # any lowercase prefix, not just ``x_`` (the r8 bug: ``y_N#`` leaked
+    # the counter and 22/24 round-7→8 fingerprint diffs were phantom).
+    (re.compile(r"\b([a-z]+)_\d+#"), r"\1_#"),
 ]
 
 

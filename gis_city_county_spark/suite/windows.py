@@ -32,7 +32,77 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
+
+# Round 9: all 16 R9_PRESTAGE names (the queries added during round 8,
+# first driver-checkable now) + 34 reconfirm slots.  ``rotation.py``'s
+# mechanized proposal — run against the FIXED-normalizer re-recorded
+# PLAN_HASHES snapshots (rounds 5/7/8 replayed through the generalized
+# lambda-counter rule; the old ``x_``-only rule produced 22 phantom
+# "changed" fingerprints in the r8 diff, judge-verified) — found ZERO
+# plan-changed re-proof candidates: the genuine 7→8 diff is exactly
+# ``corpus_quality_rule_audit`` (the streaming-twin refactor), and the
+# round-8 driver already hash-checked it GREEN on the post-refactor
+# plan at round end, so it needs no slot.  The whole re-proof budget
+# therefore reconfirms the stalest green rows (r3-stamped sketch/
+# privacy/graph/cdc/search batteries, then the oldest r4 rows).  This
+# window closes cumulative driver coverage at 277/277 — every query in
+# the round-8 suite will have a green driver row.
+_R9_WINDOW: tuple[str, ...] = (
+    # The 16 never-driver-checked queries (R9_PRESTAGE), in
+    # registration order.
+    "dedup_cluster_size_histogram",
+    "dedup_blocking_recall",
+    "sim_cosine_histogram",
+    "text_sentence_stats",
+    "text_case_profile",
+    "mm_patch_plan",
+    "corpus_token_drift",
+    "sketch_countmin_delta",
+    "graph_reach_summary",
+    "graph_degree_assortativity",
+    "events_cumulative_distinct",
+    "events_decayed_engagement",
+    "eval_mcc",
+    "events_position_attribution",
+    "eval_ece",
+    "profile_join_fanout",
+    # Reconfirms: the stalest green rows (r3, then r4).
+    "sketch_exact_n_sample",
+    "sketch_kmv_setops",
+    "sketch_hash_sample",
+    "sketch_weighted_sample",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_suppressed_release",
+    "graph_pagerank_trade",
+    "graph_degree_histogram",
+    "graph_link_prediction",
+    "graph_triangle_count",
+    "graph_bfs_hops",
+    "cdc_merge_upsert",
+    "cdc_time_travel",
+    "cdc_incremental_join",
+    "cdc_incremental_rollup",
+    "cdc_scd2_history",
+    "cdc_snapshot_diff",
+    "pipeline_pack_sequences",
+    "search_bm25_topk",
+    "search_phrase",
+    "search_fuzzy_join_blocked",
+    "profile_documents",
+    "profile_histogram_nchars",
+    "profile_ols_slope",
+    "profile_correlation",
+    "pyapi_arrow_byte_stats",
+    "profile_length_drift_chi2",
+    "pyapi_scalar_iter_stats",
+    "pyapi_chunk_udtf",
+    "events_windowed_agg",
+    "events_activity_streaks",
+    "events_interarrival_histogram",
+    "pyapi_arrow_group_stats",
+)
 
 # Round 6: all 16 R6_PRESTAGE names (the queries added during round 5,
 # first driver-checkable now) + 34 reconfirm slots.  ``rotation.py``'s
@@ -444,6 +514,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     6: _R6_WINDOW,
     7: _R7_WINDOW,
     8: _R8_WINDOW,
+    9: _R9_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -571,6 +642,12 @@ REPROOFS: dict[int, frozenset[str]] = {
     # unchanged end-of-r7 tree), so the 42 non-new slots all
     # reconfirm the stalest r2/r3-green rows.
     8: frozenset(_R8_WINDOW[8:]),
+    # Round 9: zero plan-changed candidates against the FIXED-normalizer
+    # re-recorded snapshots (the only genuine 7→8 plan change,
+    # corpus_quality_rule_audit, was driver-checked green on its new
+    # plan at round-8 end), so the 34 non-new slots all reconfirm the
+    # stalest r3/r4-green rows.
+    9: frozenset(_R9_WINDOW[16:]),
 }
 
 # The 41 queries that were still driver-unchecked after round 4
@@ -699,12 +776,18 @@ R9_PRESTAGE: tuple[str, ...] = (
     "text_case_profile",
 )
 
+# Queries ADDED during round 9 (after WINDOWS[9] was pinned): their
+# first possible driver check is round 10.  Every new QuerySpec must be
+# appended here — the contract test derives the invariant.
+R10_PRESTAGE: tuple[str, ...] = ()
+
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
     6: R6_PRESTAGE,
     7: R7_PRESTAGE,
     8: R8_PRESTAGE,
     9: R9_PRESTAGE,
+    10: R10_PRESTAGE,
 }
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]
