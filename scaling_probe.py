@@ -73,6 +73,9 @@ PROBE_QUERIES = [
     "dedup_blocking_recall",
     "dedup_cluster_size_histogram",
     "graph_reach_summary",
+    # round-9: the only r8 bench-headline key without a scaling row
+    # (VERDICT r8 item 5) — an equi-join + per-conversion window.
+    "events_position_attribution",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
