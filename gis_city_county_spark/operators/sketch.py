@@ -422,6 +422,30 @@ def countmin_delta(
     ex_b = rows_b.groupBy("__k").agg(
         F.count(F.lit(1)).cast("bigint").alias("exact_b")
     )
+    return countmin_delta_from_summaries(
+        sk_a, ex_a, sk_b, ex_b, key_col, width=width, depth=depth, k=k
+    )
+
+
+def countmin_delta_from_summaries(
+    sk_a: DataFrame,
+    ex_a: DataFrame,
+    sk_b: DataFrame,
+    ex_b: DataFrame,
+    key_col: str,
+    width: int = 1 << 12,
+    depth: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """The drift report of :func:`countmin_delta`, computed from the
+    four period summaries directly: ``sk_*`` are (d, b, __cell)
+    same-seed sketch cell relations (:func:`countmin_cells` shape) and
+    ``ex_*`` are (__k, exact_a/exact_b) exact per-key counts.  The
+    batch operator builds these from raw frames; the streaming twin
+    (``streaming.sketch.countmin_delta_batch_folder``) folds the live
+    period's summaries incrementally and publishes through this SAME
+    function, so the streamed report is bit-equal to the batch answer
+    run-to-completion by construction."""
     exact = (
         ex_a.join(ex_b, "__k", "full_outer")
         .select(

@@ -1214,3 +1214,125 @@ def test_streaming_card_publish_is_retry_idempotent(spark, tmp_path):
     # and the published batch-1 card reflects the full 4-doc corpus
     assert by_batch[1]["n_docs"] == 4
     assert by_batch[1]["n_distinct_fp"] == 3
+
+
+def test_streaming_countmin_delta_matches_batch_after_each_batch(
+    spark, tmp_path
+):
+    """Three arrival batches through the foreachBatch drift maintainer:
+    after each batch the published report partition is BIT-EQUAL to
+    running the batch ``countmin_delta`` over (baseline, every row
+    arrived so far) — the narrow width forces real bucket collisions
+    so the sketch estimates (not just the exact audit) are exercised."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.sketch import countmin_delta
+    from gis_city_county_spark.streaming.sketch import (
+        streaming_countmin_delta,
+    )
+
+    W, D, K = 16, 2, 8
+    baseline = spark.createDataFrame(
+        [(f"k{i % 6}",) for i in range(30)], "key string"
+    )
+    base_dir = str(tmp_path / "baseline")
+    baseline.write.parquet(base_dir)
+
+    batches = [
+        spark.createDataFrame(
+            [("k0",), ("k0",), ("k1",)], "key string"      # k0 surges
+        ),
+        spark.createDataFrame(
+            [(f"k{i % 4}",) for i in range(20)], "key string"
+        ),
+        spark.createDataFrame(
+            [("k7",), ("k7",), ("k7",)], "key string"      # brand-new key
+        ),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "delta_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_countmin_delta(
+            spark, batches[0].schema, str(incoming), base_dir,
+            state_dir, report_dir, "key", width=W, depth=D, k=K,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "key", "exact_a", "exact_b", "exact_delta",
+        "est_a", "est_b", "est_delta",
+    ]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in countmin_delta(
+                baseline, acc, "key", width=W, depth=D, k=K
+            ).collect()
+        )
+        assert got == want, f"batch {bid}: {got} != {want}"
+    # the new key's drift is visible in the final report
+    final = {
+        r["key"]: r for r in published.filter(F.col("batch_id") == 2).collect()
+    }
+    assert final["k7"]["exact_a"] == 0 and final["k7"]["exact_delta"] == 3
+
+
+def test_streaming_countmin_delta_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch, same id, folded twice) leaves
+    the cell/exact state distinct-on-read and the published report
+    partition identical — counts never double."""
+    from gis_city_county_spark.streaming.sketch import (
+        countmin_delta_batch_folder,
+    )
+
+    baseline = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "key string"
+    )
+    base_dir = str(tmp_path / "baseline")
+    baseline.write.parquet(base_dir)
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = countmin_delta_batch_folder(
+        base_dir, state_dir, report_dir, "key", width=16, depth=2, k=5
+    )
+    b0 = spark.createDataFrame([("a",), ("c",), ("c",)], "key string")
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    cells = spark.read.parquet(f"{state_dir}/cells")
+    assert cells.count() == 2 * cells.distinct().count()  # exact dup rows
+    exact = spark.read.parquet(f"{state_dir}/exact")
+    assert exact.distinct().count() == 2  # keys a, c — once each
+    # the folded exact_b for 'c' is 2, not 4 (retry didn't double)
+    final = {r["key"]: r for r in spark.read.parquet(report_dir).collect()}
+    assert final["c"]["exact_b"] == 2 and final["c"]["exact_delta"] == 2
+    assert final["a"]["exact_delta"] == -1
