@@ -1578,3 +1578,165 @@ LEFT JOIN (SELECT grp, COUNT(*) AS nk FROM kept WHERE rk = 1 GROUP BY grp) k
        ON k.grp IS NOT DISTINCT FROM i.grp
 GROUP BY i.grp
 """
+
+
+# ------------------------------------------------ exact substring spans
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_match_tokens: int = 20,
+    max_window_df: int = 16,
+) -> DataFrame:
+    """Exact-substring duplication: pairs of documents sharing a LONG
+    run of identical consecutive tokens — the "same paragraph pasted
+    into two pages" signal substring-level training-data dedup keys on
+    (shingle-set containment sees the overlap but not whether it is
+    one contiguous span or scattered phrases).
+
+    Rewrite: every k-token window of every document, WITH its
+    position; two documents sharing a span of L ≥ k tokens share
+    exactly L−k+1 windows on one (pos_a − pos_b) DIAGONAL, so the
+    longest common substring (in tokens) is k − 1 + the longest
+    consecutive run of matched windows on any diagonal — a
+    gaps-and-islands count (row_number per (pair, diagonal), group by
+    pos − row_number), never an alignment matrix.
+
+    Candidates block on RARE windows (document frequency ≤
+    ``max_window_df``, the containment-pairs idea): a boilerplate
+    window shared by half the corpus never fans out the bucket join,
+    and any span of ≥ ``min_match_tokens`` that contains at least one
+    rare window is found.  Verification joins the candidates back to
+    the FULL positioned-window relation, so run lengths are exact.
+
+    Returns (a_id, b_id, n_matches, max_run, longest_match_tokens)
+    filtered to longest_match_tokens ≥ ``min_match_tokens``; all
+    integers, no floats anywhere.
+    """
+    with_toks = rebalance_for_fanout(df, multiplier=64.0).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    win = F.when(
+        F.size("__toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(__toks, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pw = with_toks.select(
+        "__id", F.posexplode(win).alias("pos", "w")
+    ).transform(checkpoint_eager)
+
+    dw = pw.select("__id", "w").distinct()
+    rare = (
+        dw.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_window_df)
+        .select("w")
+    )
+    rdw = dw.join(rare, "w")
+    cand = (
+        rdw.select(F.col("__id").alias("a_id"), "w")
+        .join(rdw.select(F.col("__id").alias("b_id"), "w"), "w")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+    pa = pw.select(
+        F.col("__id").alias("a_id"), F.col("pos").alias("pos_a"), "w"
+    )
+    pb = pw.select(
+        F.col("__id").alias("b_id"), F.col("pos").alias("pos_b"), "w"
+    )
+    matched = (
+        cand.join(pa, "a_id")
+        .join(pb, ["b_id", "w"])
+        .select(
+            "a_id", "b_id", "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+        # repeated windows inside one document can hit the same
+        # (diagonal, pos_a) cell more than once — one run cell each
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("a_id", "b_id", "diag").orderBy("pos_a")
+    )
+    runs = (
+        matched.select("a_id", "b_id", "diag", "pos_a", rn.alias("__rn"))
+        .select(
+            "a_id", "b_id", "diag",
+            (F.col("pos_a") - F.col("__rn")).alias("__grp"),
+        )
+        .groupBy("a_id", "b_id", "diag", "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    return (
+        runs.groupBy("a_id", "b_id")
+        .agg(
+            F.sum("__run").cast("bigint").alias("n_matches"),
+            F.max("__run").cast("bigint").alias("max_run"),
+        )
+        .withColumn(
+            "longest_match_tokens",
+            (F.col("max_run") + F.lit(k - 1)).cast("bigint"),
+        )
+        .filter(F.col("longest_match_tokens") >= min_match_tokens)
+        .select(
+            "a_id", "b_id", "n_matches", "max_run", "longest_match_tokens"
+        )
+    )
+
+
+def substring_dup_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_match_tokens: int = 20,
+    max_window_df: int = 16,
+) -> str:
+    parts = " || ' ' || ".join(f"list_extract(t, i + {j})" for j in range(k))
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM {table}),
+pw AS MATERIALIZED (
+  SELECT id, i AS pos, {parts} AS w
+  FROM toks, LATERAL UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+  WHERE len(t) >= {k}
+),
+dw AS (SELECT DISTINCT id, w FROM pw),
+rare AS (SELECT w FROM dw GROUP BY w HAVING COUNT(*) <= {max_window_df}),
+rdw AS (SELECT d.id, d.w FROM dw d JOIN rare r ON d.w = r.w),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM rdw a JOIN rdw b ON a.w = b.w AND a.id < b.id
+),
+matched AS (
+  SELECT DISTINCT c.a_id, c.b_id, pa.pos AS pos_a, pa.pos - pb.pos AS diag
+  FROM cand c
+  JOIN pw pa ON pa.id = c.a_id
+  JOIN pw pb ON pb.id = c.b_id AND pb.w = pa.w
+),
+runs AS (
+  SELECT a_id, b_id, diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+                                    ORDER BY pos_a) AS grp,
+         1 AS one
+  FROM matched
+),
+per_run AS (
+  SELECT a_id, b_id, diag, grp, COUNT(*) AS run
+  FROM runs GROUP BY a_id, b_id, diag, grp
+)
+SELECT a_id, b_id,
+       CAST(SUM(run) AS BIGINT) AS n_matches,
+       CAST(MAX(run) AS BIGINT) AS max_run,
+       CAST(MAX(run) + {k - 1} AS BIGINT) AS longest_match_tokens
+FROM per_run
+GROUP BY a_id, b_id
+HAVING MAX(run) + {k - 1} >= {min_match_tokens}
+"""

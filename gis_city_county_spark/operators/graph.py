@@ -581,3 +581,138 @@ JOIN deg dv ON dv.node = e.dst
 SELECT CAST(n AS BIGINT) AS n_edges, pearson_r AS assortativity
 FROM ({inner})
 """
+
+
+def clustering_coefficient(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Global transitivity and average LOCAL clustering coefficient in
+    exact integer ppm — "how cliquish is this graph", the standard
+    structure probe next to the degree histogram and assortativity.
+
+    The edge list is canonicalized to distinct undirected a<b pairs
+    (self-loops dropped), triangles enumerate through the standard
+    two-equi-join (a<b<c orientation — each triangle counted exactly
+    once), per-node triangle counts come from exploding the three
+    corners, and the two coefficients are single exact divisions:
+
+    * ``transitivity_ppm`` = 3·triangles·1e6 div open+closed wedges,
+      where wedges = Σ_v deg(v)·(deg(v)−1)/2;
+    * ``avg_local_cc_ppm`` = (Σ_v cc_ppm(v)) div |{v: deg(v) ≥ 2}|,
+      with cc_ppm(v) = 2·tri(v)·1e6 div (deg(v)·(deg(v)−1)) — each
+      node's coefficient floors at ppm precision FIRST, then the
+      average floors once more, identically on both engines (a
+      double mean would accumulate in engine-dependent order).
+
+    Scale: triangles via join fan-out bounded by max degree (a
+    degree-ordered orientation keeps the standard bound); everything
+    else is one degree aggregate and one corner explode — shuffle ∝
+    edges + triangles.  Output is ONE row: (n_nodes, n_edges,
+    n_triangles, n_wedges, transitivity_ppm, avg_local_cc_ppm); the
+    ratios are NULL on wedge-free / all-degree-1 graphs.
+    """
+    und = (
+        edges.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("__node"))
+        .unionAll(und.select(F.col("b").alias("__node")))
+        .groupBy("__node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__deg"))
+    )
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        und.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("__node"))
+        .unionAll(tri.select(F.col("b").alias("__node")))
+        .unionAll(tri.select(F.col("c").alias("__node")))
+        .groupBy("__node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tri"))
+    )
+    per_node = deg.join(corners, "__node", "left").select(
+        "__node",
+        "__deg",
+        F.coalesce("__tri", F.lit(0)).cast("bigint").alias("__tri"),
+        F.expr("__deg * (__deg - 1) div 2").alias("__wedges"),
+        F.when(
+            F.col("__deg") >= 2,
+            # coalesce INSIDE the expression: the select list's aliased
+            # __tri does not shadow the join input's nullable column
+            F.expr(
+                "(2 * coalesce(__tri, 0) * CAST(1000000 AS BIGINT))"
+                " div (__deg * (__deg - 1))"
+            ),
+        ).alias("__cc_ppm"),
+    )
+    return per_node.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.expr("CAST(sum(__deg) div 2 AS BIGINT)").alias("n_edges"),
+        F.expr("CAST(sum(__tri) div 3 AS BIGINT)").alias("n_triangles"),
+        F.sum("__wedges").cast("bigint").alias("n_wedges"),
+        F.expr(
+            "CASE WHEN sum(__wedges) > 0 THEN"
+            " CAST(sum(__tri) * CAST(1000000 AS BIGINT)"
+            "      div sum(__wedges) AS BIGINT) END"
+        ).alias("transitivity_ppm"),
+        F.expr(
+            "CASE WHEN count(__cc_ppm) > 0 THEN"
+            " CAST(sum(__cc_ppm) div count(__cc_ppm) AS BIGINT) END"
+        ).alias("avg_local_cc_ppm"),
+    )
+
+
+def clustering_coefficient_sql(edges_sql: str) -> str:
+    return f"""
+WITH raw AS MATERIALIZED ({edges_sql}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+per_node AS (
+  SELECT d.node, d.deg, COALESCE(c.tri, 0) AS tri,
+         d.deg * (d.deg - 1) // 2 AS wedges,
+         CASE WHEN d.deg >= 2 THEN
+           (2 * COALESCE(c.tri, 0) * CAST(1000000 AS BIGINT))
+           // (d.deg * (d.deg - 1)) END AS cc_ppm
+  FROM deg d LEFT JOIN corners c ON c.node = d.node
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+       CAST(SUM(tri) // 3 AS BIGINT) AS n_triangles,
+       CAST(SUM(wedges) AS BIGINT) AS n_wedges,
+       CASE WHEN SUM(wedges) > 0 THEN
+         CAST(SUM(tri) * CAST(1000000 AS BIGINT) // SUM(wedges) AS BIGINT)
+       END AS transitivity_ppm,
+       CASE WHEN COUNT(cc_ppm) > 0 THEN
+         CAST(SUM(cc_ppm) // COUNT(cc_ppm) AS BIGINT)
+       END AS avg_local_cc_ppm
+FROM per_node
+"""

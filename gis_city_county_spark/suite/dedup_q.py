@@ -37,6 +37,22 @@ def q_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "doc_id", "text")
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication pairs: longest shared contiguous
+    token span per pair via positioned k-token windows + diagonal
+    gaps-and-islands (rare-window blocked candidates)."""
+    from gis_city_county_spark.operators.dedup import substring_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs, "doc_id", "text")
+
+
+def _substring_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import substring_dup_pairs_sql
+
+    return substring_dup_pairs_sql("documents", "doc_id", "text")
+
+
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, "doc_id", "text")
@@ -528,6 +544,7 @@ SPECS = [
         embedding_cosine_pairs_sql("embeddings", "vec_id", "embedding", threshold=0.4),
     ),
     QuerySpec("dedup_prefix_jaccard_join", q_prefix_jaccard, _PREFIX_JACCARD_ORACLE),
+    QuerySpec("dedup_substring_spans", q_substring_spans, _substring_oracle()),
     QuerySpec(
         "dedup_cluster_keeper",
         q_cluster_keeper,

@@ -421,8 +421,47 @@ def _assortativity_oracle() -> str:
     return degree_assortativity_sql(_EDGES_SQL)
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity + average local clustering coefficient of the
+    supplier CO-SUPPLY graph (suppliers adjacent when they supplied
+    the same order) — the trade graph itself is bipartite and
+    triangle-free, so the one-mode projection is where cliquishness
+    lives.  Per-order supplier fan-out is bounded (≤7 lineitems per
+    TPC-H order), so the projection join is bounded fan-out, never a
+    blowup."""
+    from gis_city_county_spark.operators.graph import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return clustering_coefficient(edges)
+
+
+_COSUPPLY_EDGES_SQL = """
+SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+def _clustering_oracle() -> str:
+    from gis_city_county_spark.operators.graph import (
+        clustering_coefficient_sql,
+    )
+
+    return clustering_coefficient_sql(_COSUPPLY_EDGES_SQL)
+
+
 SPECS = [
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
+    QuerySpec("graph_clustering_coefficient", q_clustering_coefficient,
+              _clustering_oracle()),
     QuerySpec("graph_reach_summary", q_reach_summary, _reach_oracle()),
     QuerySpec("graph_degree_assortativity", q_degree_assortativity,
               _assortativity_oracle()),

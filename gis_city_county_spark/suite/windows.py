@@ -779,7 +779,10 @@ R9_PRESTAGE: tuple[str, ...] = (
 # Queries ADDED during round 9 (after WINDOWS[9] was pinned): their
 # first possible driver check is round 10.  Every new QuerySpec must be
 # appended here — the contract test derives the invariant.
-R10_PRESTAGE: tuple[str, ...] = ()
+R10_PRESTAGE: tuple[str, ...] = (
+    "dedup_substring_spans",
+    "graph_clustering_coefficient",
+)
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,

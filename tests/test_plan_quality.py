@@ -347,6 +347,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # one unpartitioned window over the <= n_bins bin-aggregate rows
     # (grand totals ride along the 10-row frame, not the corpus)
     "eval_brier_decomposition": 1,
+    # one-row final merge of the per-node partial aggregates (input =
+    # per-partition partials, bounded by task count)
+    "graph_clustering_coefficient": 1,
     # vocabulary-size scalar: final merge of partial distinct counts
     "corpus_bigram_lm_score": 1,
     # one-row final merge of the AP partial aggregates

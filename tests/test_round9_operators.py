@@ -131,3 +131,137 @@ def test_position_attribution_subsecond_lookback_boundary(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# -------------------------------------------- clustering_coefficient
+
+
+def test_clustering_coefficient_exact_fixture(spark):
+    """Two triangles sharing node 2 plus a pendant edge: transitivity
+    = 3·2/10 = 0.6, average local cc = mean(1,1,1/3,1,1) at ppm floors
+    — and the DuckDB twin matches bit-for-bit."""
+    from gis_city_county_spark.operators.graph import (
+        clustering_coefficient,
+        clustering_coefficient_sql,
+    )
+
+    fixture = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 2), (5, 6)]
+    edges = spark.createDataFrame(fixture, "src long, dst long")
+    row = clustering_coefficient(edges).collect()[0]
+    assert row["n_nodes"] == 7 and row["n_edges"] == 7
+    assert row["n_triangles"] == 2 and row["n_wedges"] == 10
+    assert row["transitivity_ppm"] == 600_000
+    # (4 * 1_000_000 + 333_333) div 5
+    assert row["avg_local_cc_ppm"] == 866_666
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", fixture)
+    want = con.execute(
+        clustering_coefficient_sql("SELECT src, dst FROM e")
+    ).fetchall()
+    assert tuple(row) == want[0]
+
+
+def test_clustering_coefficient_degenerate_graphs(spark):
+    """A single edge has no wedges (both ratios NULL); a 4-cycle has
+    wedges but zero triangles (transitivity 0, local cc 0); duplicate
+    and reversed edges collapse to one undirected edge."""
+    from gis_city_county_spark.operators.graph import clustering_coefficient
+
+    single = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2)], "src long, dst long"
+    )
+    row = clustering_coefficient(single).collect()[0]
+    assert row["n_edges"] == 1 and row["n_wedges"] == 0
+    assert row["transitivity_ppm"] is None
+    assert row["avg_local_cc_ppm"] is None
+
+    cycle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    row = clustering_coefficient(cycle).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 4
+    assert row["transitivity_ppm"] == 0
+    assert row["avg_local_cc_ppm"] == 0
+
+
+# ---------------------------------------------- substring_dup_pairs
+
+
+def test_substring_dup_pairs_diagonal_runs(spark):
+    """Two documents sharing one contiguous 12-token span (and nothing
+    else long) report longest_match_tokens == 12 exactly; a scattered
+    overlap of the same words does NOT fire the span threshold."""
+    from gis_city_county_spark.operators.dedup import substring_dup_pairs
+
+    span = " ".join(f"w{i}" for i in range(12))
+    filler_a = " ".join(f"a{i}" for i in range(30))
+    filler_b = " ".join(f"b{i}" for i in range(30))
+    # scattered: same 12 words but interleaved with junk, no k=4 window
+    scattered = " ".join(f"w{i} x{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler_a} {span}"),
+            (2, f"{span} {filler_b}"),
+            (3, f"{scattered} {' '.join(f'c{i}' for i in range(20))}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r
+        for r in substring_dup_pairs(
+            docs, "doc_id", "text", k=4, min_match_tokens=10,
+            max_window_df=3,
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)]["longest_match_tokens"] == 12
+    assert out[(1, 2)]["max_run"] == 9  # 12 - 4 + 1
+
+
+def test_substring_dup_pairs_matches_duckdb_on_documents(spark, sf_dir):
+    from gis_city_county_spark.operators.dedup import (
+        substring_dup_pairs,
+        substring_dup_pairs_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in substring_dup_pairs(docs, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            substring_dup_pairs_sql("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_substring_dup_pairs_repeated_window_in_one_doc(spark):
+    """A window string occurring twice inside ONE document must not
+    inflate the run (the matched relation is DISTINCT per diagonal
+    cell) — the repeated text still pairs, with the true span."""
+    from gis_city_county_spark.operators.dedup import substring_dup_pairs
+
+    chorus = "la la la la"          # k=4 window 'la la la la' repeats
+    docs = spark.createDataFrame(
+        [
+            (1, f"{chorus} {chorus} end one two three four five"),
+            (2, f"intro {chorus} {chorus} outro six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_dup_pairs(
+        docs, "doc_id", "text", k=4, min_match_tokens=5, max_window_df=4
+    ).collect()
+    assert len(out) == 1
+    # shared contiguous span is the 8-token double chorus
+    assert out[0]["longest_match_tokens"] == 8
