@@ -1531,3 +1531,146 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
             AS BIGINT) AS max_bin_gap_ppm
 FROM per_bin
 """
+
+
+def krippendorff_alpha(
+    df: DataFrame, item_col: str, rater_col: str, label_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal): chance-corrected agreement that
+    — unlike Fleiss' kappa — tolerates MISSING ratings (items rated by
+    different numbers of raters), the normal state of a real labeling
+    campaign where annotators overlap only partially.
+
+    Coincidence-matrix rewrite, all exact integers: items with m_u ≥ 2
+    ratings are "pairable"; with per-(item, category) counts n_uc,
+
+        T_u            = Σ_c n_uc·(m_u − n_uc)   (disagreeing ordered pairs)
+        disagree_nano  = Σ_u (T_u · 1e9) div (m_u − 1)
+        n_c            = Σ_{pairable u} n_uc,   n = Σ_c n_c
+        De_sum         = Σ_c n_c·(n − n_c)
+        alpha          = 1 − (n−1)·disagree_nano / (De_sum · 1e9)
+
+    The ONLY non-integer step in textbook alpha is the per-item
+    1/(m_u − 1) weight; it is floored here at NANO precision per item
+    (identically on both engines), so the result is deterministic to
+    ~1e-9·n_items absolute — the bit-portability contract the ppm
+    battery uses, one scale tighter.  The final value is a fixed-order
+    IEEE chain of exact BIGINT-to-double casts (each operand < 2^53
+    for any n below ~9e15 pairable values).  NULL items/raters/labels
+    drop; alpha is NULL when De_sum = 0 (one category, or n < 2).
+
+    Returns one row: (n_items, n_pairable_items, n_values,
+    n_categories, disagree_nano, alpha).
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("__i"),
+        F.col(label_col).cast("string").alias("__l"),
+    )
+    nuc = base.groupBy("__i", "__l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
+    )
+    wm = Window.partitionBy("__i")
+    per_cell = nuc.select(
+        "__i", "__l", "__n", F.sum("__n").over(wm).alias("__m")
+    ).filter(F.col("__m") >= 2)
+    per_item = per_cell.groupBy("__i").agg(
+        F.max("__m").alias("__m"),
+        F.sum(F.expr("__n * (__m - __n)")).alias("__t"),
+    )
+    totals = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairable_items"),
+        F.sum("__m").cast("bigint").alias("n_values"),
+        F.sum(
+            F.expr("(__t * CAST(1000000000 AS BIGINT)) div (__m - 1)")
+        ).cast("bigint").alias("disagree_nano"),
+    )
+    ncat = per_cell.groupBy("__l").agg(
+        F.sum("__n").cast("bigint").alias("__nc")
+    )
+    de = ncat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.sum("__nc").cast("bigint").alias("__ntot"),
+        # n_c·(n − n_c) = n_c·n − n_c²; Σ n_c·n folds to n² afterwards
+        F.sum(F.expr("__nc * __nc")).cast("bigint").alias("__sq"),
+    ).select(
+        "n_categories",
+        F.expr("__ntot * __ntot - __sq").cast("bigint").alias("__de_sum"),
+    )
+    n_items = base.select(F.countDistinct("__i").alias("n_items"))
+    return (
+        n_items.join(F.broadcast(totals))
+        .join(F.broadcast(de))
+        .select(
+            "n_items",
+            "n_pairable_items",
+            "n_values",
+            "n_categories",
+            "disagree_nano",
+            F.when(
+                F.col("__de_sum") > 0,
+                F.lit(1.0)
+                - (
+                    F.col("disagree_nano").cast("double")
+                    / F.col("__de_sum").cast("double")
+                )
+                * (
+                    (F.col("n_values") - F.lit(1)).cast("double")
+                    / F.lit(1_000_000_000.0)
+                ),
+            ).alias("alpha"),
+        )
+    )
+
+
+def krippendorff_alpha_sql(
+    source_sql: str, item_col: str, rater_col: str, label_col: str
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {item_col} AS i, CAST({label_col} AS VARCHAR) AS l
+  FROM ({source_sql})
+  WHERE {item_col} IS NOT NULL AND {rater_col} IS NOT NULL
+    AND {label_col} IS NOT NULL
+),
+nuc AS (
+  SELECT i, l, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY i, l
+),
+per_cell AS (
+  SELECT i, l, n, SUM(n) OVER (PARTITION BY i) AS m FROM nuc
+  QUALIFY m >= 2
+),
+per_item AS (
+  SELECT i, MAX(m) AS m, SUM(n * (m - n)) AS t FROM per_cell GROUP BY i
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairable_items,
+         CAST(SUM(m) AS BIGINT) AS n_values,
+         CAST(SUM((t * CAST(1000000000 AS BIGINT)) // (m - 1))
+              AS BIGINT) AS disagree_nano
+  FROM per_item
+),
+ncat AS (
+  SELECT l, CAST(SUM(n) AS BIGINT) AS nc FROM per_cell GROUP BY l
+),
+de AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+         CAST(SUM(nc) AS BIGINT) AS ntot,
+         CAST(SUM(nc * nc) AS BIGINT) AS sq
+  FROM ncat
+),
+ni AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items FROM base)
+SELECT ni.n_items, t.n_pairable_items, t.n_values, d.n_categories,
+       t.disagree_nano,
+       CASE WHEN d.ntot * d.ntot - d.sq > 0 THEN
+         1.0 - (CAST(t.disagree_nano AS DOUBLE)
+                / CAST(d.ntot * d.ntot - d.sq AS DOUBLE))
+             * (CAST(t.n_values - 1 AS DOUBLE) / 1000000000.0)
+       END AS alpha
+FROM ni, totals t, de d
+"""

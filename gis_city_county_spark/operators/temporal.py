@@ -1575,3 +1575,140 @@ SELECT ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
        CAST(SUM(credit) AS BIGINT) AS credit_milli
 FROM unioned GROUP BY ch
 """
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation — per-entity Recency / Frequency / Monetary
+    quintile scores, the classic activity-vs-value grid a retention
+    pipeline cuts its audiences by.
+
+    Per user: recency_days = days from the user's last event DATE to
+    the corpus's last event date (the deterministic "as of the data"
+    anchor — wall-clock would make the result time-dependent),
+    frequency = event count, monetary_milli = the DECIMAL(38,10) value
+    sum floored to exact milli units (NULL values contribute nothing;
+    an all-NULL user scores 0).  Each dimension then takes an exact
+    rank-based tile: tile = 1 + (n_tiles·(rank−1)) div n_users over
+    the strict total order (metric, user id) — ranks come from
+    ``operators.scale.ranged_rank``, the two-phase bucketed global
+    row_number, so NO single-partition window exists at any user
+    count.  rfm_code = 100·r + 10·f + m.
+
+    Ties break by user id identically on both engines, so tiles are
+    bit-stable.  Events with NULL user or NULL timestamp are dropped
+    (the cumulative-distinct NULL rule).
+
+    Returns (user_id, recency_days, frequency, monetary_milli, r_tile,
+    f_tile, m_tile, rfm_code) — one row per user.
+    """
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    base = df.filter(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("__u"),
+        F.to_date(ts_col).alias("__d"),
+        F.col(value_col).cast("decimal(38,10)").alias("__v"),
+    )
+    per_user = base.groupBy("__u").agg(
+        F.max("__d").alias("__last"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.floor(
+            F.coalesce(F.sum("__v"), F.lit(0).cast("decimal(38,10)"))
+            .cast("decimal(28,10)") * 1000
+        ).cast("bigint").alias("monetary_milli"),
+    )
+    anchor = per_user.agg(
+        F.max("__last").alias("__anchor"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_users"),
+    )
+    scored = per_user.join(F.broadcast(anchor)).select(
+        "__u",
+        F.datediff("__anchor", "__last").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary_milli",
+        "__n_users",
+    )
+
+    def _tile(frame: DataFrame, metric: str, out: str, asc: bool) -> DataFrame:
+        ranked = ranged_rank(
+            frame, metric, "__u", rank_col="__rk", descending=not asc
+        )
+        return ranked.withColumn(
+            out,
+            (
+                F.lit(1)
+                + F.expr(f"({n_tiles} * (__rk - 1)) div __n_users")
+            ).cast("bigint"),
+        ).drop("__rk")
+
+    out = _tile(scored, "recency_days", "r_tile", asc=True)
+    out = _tile(out, "frequency", "f_tile", asc=False)
+    out = _tile(out, "monetary_milli", "m_tile", asc=False)
+    return out.select(
+        F.col("__u").alias("user_id"),
+        "recency_days",
+        "frequency",
+        "monetary_milli",
+        "r_tile",
+        "f_tile",
+        "m_tile",
+        (F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile"))
+        .cast("bigint").alias("rfm_code"),
+    )
+
+
+def rfm_scores_sql(
+    source_sql: str,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {user_col} AS u, CAST({ts_col} AS DATE) AS d,
+         CAST({value_col} AS DECIMAL(38,10)) AS v
+  FROM ({source_sql})
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+per_user AS (
+  SELECT u, MAX(d) AS last_d,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(FLOOR(CAST(COALESCE(SUM(v), 0) AS DECIMAL(28,10)) * 1000)
+              AS BIGINT) AS monetary_milli
+  FROM base GROUP BY u
+),
+anchor AS (
+  SELECT MAX(last_d) AS anchor_d, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per_user
+),
+scored AS (
+  SELECT u, CAST(datediff('day', last_d, anchor_d) AS BIGINT)
+            AS recency_days,
+         frequency, monetary_milli, n_users
+  FROM per_user, anchor
+),
+tiled AS (
+  SELECT u, recency_days, frequency, monetary_milli,
+         1 + ({n_tiles} * (ROW_NUMBER() OVER (ORDER BY recency_days ASC, u ASC) - 1))
+             // n_users AS r_tile,
+         1 + ({n_tiles} * (ROW_NUMBER() OVER (ORDER BY frequency DESC, u ASC) - 1))
+             // n_users AS f_tile,
+         1 + ({n_tiles} * (ROW_NUMBER() OVER (ORDER BY monetary_milli DESC, u ASC) - 1))
+             // n_users AS m_tile
+  FROM scored
+)
+SELECT u AS user_id, recency_days, frequency, monetary_milli,
+       CAST(r_tile AS BIGINT) AS r_tile,
+       CAST(f_tile AS BIGINT) AS f_tile,
+       CAST(m_tile AS BIGINT) AS m_tile,
+       CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code
+FROM tiled
+"""

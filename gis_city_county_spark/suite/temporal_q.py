@@ -701,6 +701,84 @@ def _kappa_oracle() -> str:
     return cohens_kappa_sql(f"({src})", "rater_model", "rater_rule")
 
 
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over the same three pseudo-raters as the
+    Fleiss query but with rater 3 rating only HIGH-VALUE orders — the
+    variable-ratings-per-item layout Fleiss rejects and alpha is built
+    for (items get 2 or 3 ratings)."""
+    from gis_city_county_spark.operators.mlprep import krippendorff_alpha
+
+    orders = load_table(spark, sf_dir, "orders")
+    long = orders.select(
+        F.col("o_orderkey").alias("item"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("rater"),
+                    F.col("o_orderstatus").alias("label"),
+                ),
+                F.struct(
+                    F.lit(2).alias("rater"),
+                    F.when(
+                        F.col("o_orderdate")
+                        < F.lit("1995-06-17").cast("date"),
+                        F.lit("F"),
+                    ).otherwise(F.lit("O")).alias("label"),
+                ),
+                F.struct(
+                    F.lit(3).alias("rater"),
+                    F.when(
+                        F.col("o_totalprice") >= 150000.0,
+                        F.when(
+                            F.col("o_orderdate")
+                            < F.lit("1995-06-17").cast("date"),
+                            F.lit("F"),
+                        ).otherwise(F.lit("O")),
+                    ).alias("label"),  # NULL below the cut: no rating
+                ),
+            )
+        ).alias("r"),
+    ).select(
+        "item",
+        F.col("r.rater").alias("rater"),
+        F.col("r.label").alias("label"),
+    )
+    return krippendorff_alpha(long, "item", "rater", "label")
+
+
+def _krippendorff_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import krippendorff_alpha_sql
+
+    src = (
+        "SELECT o_orderkey AS item, 1 AS rater, o_orderstatus AS label"
+        " FROM orders"
+        " UNION ALL SELECT o_orderkey, 2,"
+        " CASE WHEN o_orderdate < DATE '1995-06-17' THEN 'F' ELSE 'O' END"
+        " FROM orders"
+        " UNION ALL SELECT o_orderkey, 3,"
+        " CASE WHEN o_totalprice >= 150000.0 THEN"
+        " (CASE WHEN o_orderdate < DATE '1995-06-17' THEN 'F' ELSE 'O' END)"
+        " END FROM orders"
+    )
+    return krippendorff_alpha_sql(f"({src})", "item", "rater", "label")
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM quintiles over the events stream — rank-based exact
+    tiles via the two-phase ranged_rank (no single-partition window at
+    any user count)."""
+    from gis_city_county_spark.operators.temporal import rfm_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    return rfm_scores(ev, "user_id", "ts", "value")
+
+
+def _rfm_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import rfm_scores_sql
+
+    return rfm_scores_sql("SELECT * FROM events", "user_id", "ts", "value")
+
+
 def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fleiss' kappa over three deterministic pseudo-raters per order
     (the status column, a date rule, a price rule — all labeling into
@@ -875,6 +953,9 @@ SPECS = [
     QuerySpec("eval_ndcg_at_k", q_ndcg_at_k, _ndcg_oracle()),
     QuerySpec("eval_cohens_kappa", q_cohens_kappa, _kappa_oracle()),
     QuerySpec("eval_fleiss_kappa", q_fleiss_kappa, _fleiss_oracle()),
+    QuerySpec("eval_krippendorff_alpha", q_krippendorff_alpha,
+              _krippendorff_oracle()),
+    QuerySpec("events_rfm_scores", q_rfm_scores, _rfm_oracle()),
     QuerySpec("eval_mcc", q_mcc, _mcc_oracle()),
     QuerySpec("events_position_attribution", q_position_attribution,
               _position_attr_oracle()),

@@ -782,6 +782,8 @@ R9_PRESTAGE: tuple[str, ...] = (
 R10_PRESTAGE: tuple[str, ...] = (
     "dedup_substring_spans",
     "graph_clustering_coefficient",
+    "eval_krippendorff_alpha",
+    "events_rfm_scores",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

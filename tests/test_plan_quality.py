@@ -198,6 +198,9 @@ _BNLJ_ALLOWED = {
     # the bounded probe-sample × corpus pairing IS the calibration
     # budget (same class as sim_pq_adc_topk's compressed-domain scan)
     "sim_cosine_histogram",
+    # two 1-row broadcast scalar merges (pairable totals + the
+    # category-marginal De sum onto the distinct-item count)
+    "eval_krippendorff_alpha",
 }
 
 
@@ -350,6 +353,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # one-row final merge of the per-node partial aggregates (input =
     # per-partition partials, bounded by task count)
     "graph_clustering_coefficient": 1,
+    # three 1-row final merges of partial global aggregates (pairable
+    # totals, category marginals, distinct-item count)
+    "eval_krippendorff_alpha": 3,
     # vocabulary-size scalar: final merge of partial distinct counts
     "corpus_bigram_lm_score": 1,
     # one-row final merge of the AP partial aggregates

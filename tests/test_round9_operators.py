@@ -265,3 +265,124 @@ def test_substring_dup_pairs_repeated_window_in_one_doc(spark):
     assert len(out) == 1
     # shared contiguous span is the 8-token double chorus
     assert out[0]["longest_match_tokens"] == 8
+
+
+# --------------------------------------------- krippendorff_alpha
+
+
+def test_krippendorff_alpha_textbook_fixture(spark):
+    """Variable ratings per item (the case Fleiss rejects): the nominal
+    coincidence-matrix alpha comes out exactly, single-rating items are
+    excluded from pairing but counted in n_items, NULL raters/labels
+    drop, and the DuckDB twin matches bit-for-bit."""
+    from gis_city_county_spark.operators.mlprep import (
+        krippendorff_alpha,
+        krippendorff_alpha_sql,
+    )
+
+    rows = [
+        (1, "A", "yes"), (1, "B", "yes"),
+        (2, "A", "yes"), (2, "B", "no"), (2, "C", "yes"),
+        (3, "A", "no"), (3, "B", "no"),
+        (4, "C", "yes"),                     # single rating: unpairable
+        (5, "A", "no"), (5, "B", "yes"), (5, "C", "no"),
+        (5, None, "no"),                     # NULL rater: dropped
+    ]
+    df = spark.createDataFrame(rows, "item long, rater string, label string")
+    row = krippendorff_alpha(df, "item", "rater", "label").collect()[0]
+    assert row["n_items"] == 5 and row["n_pairable_items"] == 4
+    assert row["n_values"] == 10 and row["n_categories"] == 2
+    # by hand: Do terms 0 + 4/2 + 0 + 4/2 = 4; marginals 5/5 ->
+    # De_sum = 100 - 50 = 50; alpha = 1 - 9*4/50 = 0.28
+    assert row["disagree_nano"] == 4_000_000_000
+    assert abs(row["alpha"] - 0.28) < 1e-12
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(item BIGINT, rater VARCHAR, label VARCHAR)")
+    con.executemany("INSERT INTO r VALUES (?,?,?)", rows)
+    want = con.execute(
+        krippendorff_alpha_sql("SELECT * FROM r", "item", "rater", "label")
+    ).fetchall()
+    assert tuple(row) == want[0]
+
+
+def test_krippendorff_alpha_edge_cases(spark):
+    """Perfect agreement gives alpha 1; a single category gives NULL
+    (De_sum = 0, chance correction undefined)."""
+    from gis_city_county_spark.operators.mlprep import krippendorff_alpha
+
+    perfect = spark.createDataFrame(
+        [(1, "A", "x"), (1, "B", "x"), (2, "A", "y"), (2, "B", "y")],
+        "item long, rater string, label string",
+    )
+    row = krippendorff_alpha(perfect, "item", "rater", "label").collect()[0]
+    assert row["disagree_nano"] == 0 and row["alpha"] == 1.0
+
+    mono = spark.createDataFrame(
+        [(1, "A", "x"), (1, "B", "x"), (2, "A", "x")],
+        "item long, rater string, label string",
+    )
+    row = krippendorff_alpha(mono, "item", "rater", "label").collect()[0]
+    assert row["n_categories"] == 1 and row["alpha"] is None
+
+
+# ------------------------------------------------------- rfm_scores
+
+
+def test_rfm_scores_exact_tiles(spark):
+    """Five users, n_tiles=5: each user lands in its own tile per
+    dimension; recency anchors to the corpus max date; NULL values
+    contribute nothing to monetary; rank ties break by user id."""
+    from gis_city_county_spark.operators.temporal import rfm_scores
+
+    rows = []
+    # user u has (u+1) events, last on day 10-u, each worth 10*u + 0.5
+    for u in range(5):
+        for i in range(u + 1):
+            rows.append((u, f"2024-01-{10 - u:02d} 12:00:00", 10.0 * u + 0.5))
+    rows.append((0, "2024-01-01 00:00:00", None))  # NULL value event
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    out = {r["user_id"]: r for r in rfm_scores(ev, "user_id", "ts", "value").collect()}
+    assert len(out) == 5
+    # user 0: most recent (day 10 == anchor), fewest events
+    assert out[0]["recency_days"] == 0 and out[0]["r_tile"] == 1
+    assert out[0]["frequency"] == 2  # incl. the NULL-value event
+    assert out[4]["recency_days"] == 4 and out[4]["r_tile"] == 5
+    # frequency tiles: user 4 has most events -> tile 1; the NULL-value
+    # event ties user 0 with user 1 at frequency 2, and the user-id
+    # tiebreak ranks user 0 ahead (tile 4) of user 1 (tile 5)
+    assert out[4]["f_tile"] == 1
+    assert out[0]["f_tile"] == 4 and out[1]["f_tile"] == 5
+    # monetary: user 4 sum = 5 * 40.5 = 202.5 -> 202500 milli, tile 1
+    assert out[4]["monetary_milli"] == 202_500 and out[4]["m_tile"] == 1
+    # user 0 monetary = 0.5 + NULL -> 500 milli, tile 5
+    assert out[0]["monetary_milli"] == 500 and out[0]["m_tile"] == 5
+    assert out[4]["rfm_code"] == 511 and out[0]["rfm_code"] == 145
+
+
+def test_rfm_scores_matches_duckdb_on_events(spark, sf_dir):
+    from gis_city_county_spark.operators.temporal import (
+        rfm_scores,
+        rfm_scores_sql,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(
+        tuple(r) for r in rfm_scores(ev, "user_id", "ts", "value").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            rfm_scores_sql("SELECT * FROM events", "user_id", "ts", "value")
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
