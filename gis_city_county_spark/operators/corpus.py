@@ -2291,3 +2291,83 @@ ORDER BY ABS((cnt_b * CAST(1000000 AS BIGINT)) // total_b
              - (cnt_a * CAST(1000000 AS BIGINT)) // total_a) DESC, tok ASC
 LIMIT {k}
 """
+
+
+def epoch_shuffle_plan(
+    df: DataFrame,
+    key_col: str,
+    n_epochs: int = 4,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Multi-epoch reshuffle audit: the deterministic per-epoch shard
+    assignment a training loader uses to re-permute the corpus every
+    epoch WITHOUT materializing a permutation — shard(e, k) =
+    md5("e:"‖k) mod S — plus the two numbers that prove the plan is
+    sound before a run starts: every epoch's shards stay hash-balanced,
+    and each epoch genuinely MOVES documents (``n_same_as_epoch0``
+    near n_docs/S, the random-assignment collision rate, not near
+    n_docs, which would mean the "shuffle" barely shuffles).
+
+    Pure projections (one row per document × epoch, the epoch list a
+    tiny array explode) into one map-combinable aggregate — shuffle ∝
+    documents · epochs, output exactly n_epochs · n_shards rows.
+
+    Returns (epoch, shard, n_docs, n_same_as_epoch0).
+    """
+    key = F.col(key_col).cast("string")
+    shard0 = _h60(F.concat(F.lit("0:"), key)) % n_shards
+    rows = df.select(
+        key.alias("__k"), shard0.alias("__s0"),
+        F.explode(
+            F.array(*[F.lit(e) for e in range(n_epochs)])
+        ).alias("epoch"),
+    ).select(
+        "epoch",
+        (
+            _h60(F.concat(F.col("epoch").cast("string"), F.lit(":"),
+                          F.col("__k"))) % n_shards
+        ).alias("shard"),
+        "__s0",
+    )
+    return (
+        rows.groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard") == F.col("__s0"), 1).otherwise(0)
+            ).cast("bigint").alias("n_same_as_epoch0"),
+        )
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs",
+            "n_same_as_epoch0",
+        )
+    )
+
+
+def epoch_shuffle_plan_sql(
+    source_sql: str,
+    key_col: str,
+    n_epochs: int = 4,
+    n_shards: int = 16,
+) -> str:
+    h = _h60_sql(f"CAST(e.epoch AS VARCHAR) || ':' || k")
+    h0 = _h60_sql(f"'0:' || k")
+    return f"""
+WITH src AS (
+  SELECT CAST({key_col} AS VARCHAR) AS k FROM ({source_sql})
+),
+epochs AS (
+  SELECT unnest(generate_series(0, {n_epochs - 1})) AS epoch
+),
+rows_ AS (
+  SELECT e.epoch, {h} % {n_shards} AS shard, {h0} % {n_shards} AS s0
+  FROM src, epochs e
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN shard = s0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_as_epoch0
+FROM rows_ GROUP BY epoch, shard
+"""

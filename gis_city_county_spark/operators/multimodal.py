@@ -474,3 +474,124 @@ def patch_plan(
         .cast("bigint")
         .alias("n_tokens"),
     )
+
+
+# The SDXL-style aspect-ratio ladder: (index, bucket_w, bucket_h) in
+# REDUCED aspect terms (only the ratio matters for assignment).  A
+# training run multiplies each by its resolution step; the assignment
+# below is resolution-independent.
+ASPECT_BUCKETS: tuple[tuple[int, int, int], ...] = (
+    (0, 1, 1),
+    (1, 4, 3),
+    (2, 3, 4),
+    (3, 3, 2),
+    (4, 2, 3),
+    (5, 16, 9),
+    (6, 9, 16),
+    (7, 2, 1),
+    (8, 1, 2),
+)
+
+
+def aspect_bucket_plan(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Aspect-ratio bucketing plan per image (the SDXL training-batch
+    trick: group images by nearest aspect bucket so every batch crops
+    minimally instead of square-cropping everything).  Dims come from
+    the REAL payload decode (the :func:`image_stats` mapInPandas
+    path); assignment and waste are exact integers.
+
+    Per image and candidate bucket (bw, bh): the relative aspect error
+    is ``1e6·|w·bh − h·bw| div (h·bw)`` (cross-multiplied — no
+    division by the image side, no floats), the winner the minimal
+    (error, bucket index) pair via a per-image window over the
+    9-row broadcast ladder.  ``crop_ppm`` is the pixel fraction lost
+    scaling-to-cover then center-cropping the winner:
+    ``1e6 − (1e6·bw·h) div (w·bh)`` when the image is wider than the
+    bucket, mirrored otherwise — the number a curation pass thresholds
+    to route extreme panoramas to a letterbox path instead.
+
+    Output: (id, width, height, bucket_id, bucket_w, bucket_h,
+    aspect_err_ppm, crop_ppm) — one row per image.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    dims = image_stats(df, id_col, payload_col).select(
+        id_col, "width", "height"
+    )
+    ladder = spark.createDataFrame(
+        list(ASPECT_BUCKETS), "bucket_id int, bw int, bh int"
+    )
+    scored = dims.join(F.broadcast(ladder)).select(
+        id_col,
+        "width",
+        "height",
+        "bucket_id",
+        "bw",
+        "bh",
+        F.expr(
+            "(abs(width * bh - height * bw) * CAST(1000000 AS BIGINT))"
+            " div (height * bw)"
+        ).alias("aspect_err_ppm"),
+    )
+    w = Window.partitionBy(id_col).orderBy("aspect_err_ppm", "bucket_id")
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    crop = F.expr(
+        "CASE WHEN width * bh >= height * bw THEN"
+        "  CAST(1000000 AS BIGINT)"
+        "  - (bw * height * CAST(1000000 AS BIGINT)) div (width * bh)"
+        " ELSE"
+        "  CAST(1000000 AS BIGINT)"
+        "  - (bh * width * CAST(1000000 AS BIGINT)) div (height * bw)"
+        " END"
+    )
+    return best.select(
+        id_col,
+        "width",
+        "height",
+        F.col("bucket_id").cast("bigint").alias("bucket_id"),
+        F.col("bw").cast("int").alias("bucket_w"),
+        F.col("bh").cast("int").alias("bucket_h"),
+        F.col("aspect_err_ppm").cast("bigint").alias("aspect_err_ppm"),
+        crop.cast("bigint").alias("crop_ppm"),
+    )
+
+
+def aspect_bucket_plan_sql(dims_sql: str, id_col: str) -> str:
+    """DuckDB twin over a (id, width, height) dims relation (the
+    oracle re-derives dims from the fixture formula, decode-free)."""
+    ladder = ", ".join(f"({i}, {bw}, {bh})" for i, bw, bh in ASPECT_BUCKETS)
+    return f"""
+WITH dims AS ({dims_sql}),
+ladder(bucket_id, bw, bh) AS (VALUES {ladder}),
+scored AS (
+  SELECT d.{id_col}, d.width, d.height, l.bucket_id, l.bw, l.bh,
+         (ABS(d.width * l.bh - d.height * l.bw) * CAST(1000000 AS BIGINT))
+           // (d.height * l.bw) AS aspect_err_ppm
+  FROM dims d, ladder l
+),
+best AS (
+  SELECT * FROM scored
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY {id_col}
+                             ORDER BY aspect_err_ppm, bucket_id) = 1
+)
+SELECT {id_col}, width, height,
+       CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(bw AS INTEGER) AS bucket_w,
+       CAST(bh AS INTEGER) AS bucket_h,
+       CAST(aspect_err_ppm AS BIGINT) AS aspect_err_ppm,
+       CAST(CASE WHEN width * bh >= height * bw THEN
+              CAST(1000000 AS BIGINT)
+              - (bw * height * CAST(1000000 AS BIGINT)) // (width * bh)
+            ELSE
+              CAST(1000000 AS BIGINT)
+              - (bh * width * CAST(1000000 AS BIGINT)) // (height * bw)
+            END AS BIGINT) AS crop_ppm
+FROM best
+"""

@@ -861,3 +861,122 @@ SELECT g AS {group_col}, n_docs, n_letters, n_upper,
        n_shouting_docs
 FROM agg
 """
+
+
+def readability_report(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-group Coleman–Liau readability over exact corpus-level
+    counts — the grade-level signal a quality pipeline reads next to
+    the stopword/length scores, chosen over Flesch because its inputs
+    (letters, words, sentences) need no syllable model and count
+    identically on any engine.
+
+    Letters are ``[A-Za-z]`` occurrences, words the whitespace tokens,
+    sentences the non-empty ``[.!?]+`` fragments with the explicit
+    whitespace-class strip (the ``sentence_stats`` conventions; a text
+    with no terminal punctuation is one sentence).  Counts sum exactly
+    per group; the two Coleman–Liau inputs are floored at milli
+    precision (L = letters per 100 words, S = sentences per 100
+    words), and the grade is the fixed-order IEEE chain
+
+        cli = 0.0588·(L_milli/1000) − 0.296·(S_milli/1000) − 15.8
+
+    over those exact integers — bit-identical on both engines (single
+    mul/div/sub ops on exact inputs, no accumulation).
+
+    Returns (group, n_docs, n_letters, n_words, n_sentences,
+    letters_per_100w_milli, sentences_per_100w_milli, cli_grade);
+    the ratios and grade are NULL for a wordless group.
+    """
+    ws = "[ \t\n\x0B\f\r]"
+    frags = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.regexp_replace(s, f"^{ws}+|{ws}+$", ""),
+        ),
+        lambda s: s != F.lit(""),
+    )
+    letters = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "[A-Za-z]", "")
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        letters.cast("bigint").alias("__letters"),
+        F.size(tokens(text_col)).cast("bigint").alias("__words"),
+        F.greatest(F.size(frags), F.lit(1)).cast("bigint").alias("__sents"),
+    )
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__letters").cast("bigint").alias("n_letters"),
+        F.sum("__words").cast("bigint").alias("n_words"),
+        F.sum("__sents").cast("bigint").alias("n_sentences"),
+    )
+    lm = F.expr(
+        "CASE WHEN n_words > 0 THEN"
+        " (n_letters * CAST(100000 AS BIGINT)) div n_words END"
+    )
+    sm = F.expr(
+        "CASE WHEN n_words > 0 THEN"
+        " (n_sentences * CAST(100000 AS BIGINT)) div n_words END"
+    )
+    milli = agg.select(
+        F.col("__g").alias(group_col),
+        "n_docs",
+        "n_letters",
+        "n_words",
+        "n_sentences",
+        lm.cast("bigint").alias("letters_per_100w_milli"),
+        sm.cast("bigint").alias("sentences_per_100w_milli"),
+    )
+    return milli.withColumn(
+        "cli_grade",
+        F.lit(0.0588)
+        * (F.col("letters_per_100w_milli").cast("double") / F.lit(1000.0))
+        - F.lit(0.296)
+        * (F.col("sentences_per_100w_milli").cast("double") / F.lit(1000.0))
+        - F.lit(15.8),
+    )
+
+
+def readability_report_sql(table: str, group_col: str, text_col: str) -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    frags = (
+        f"list_filter(list_transform(regexp_split_to_array({text_col},"
+        f" '[.!?]+'), s -> regexp_replace(s, '^{ws}+|{ws}+$', '', 'g')),"
+        " s -> s != '')"
+    )
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g,
+         CAST(length({text_col})
+              - length(regexp_replace({text_col}, '[A-Za-z]', '', 'g'))
+              AS BIGINT) AS letters,
+         CAST(len({tokens_sql(text_col)}) AS BIGINT) AS words,
+         CAST(GREATEST(len({frags}), 1) AS BIGINT) AS sents
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(letters) AS BIGINT) AS n_letters,
+         CAST(SUM(words) AS BIGINT) AS n_words,
+         CAST(SUM(sents) AS BIGINT) AS n_sentences
+  FROM base GROUP BY g
+),
+milli AS (
+  SELECT *,
+         CASE WHEN n_words > 0 THEN
+           CAST((n_letters * CAST(100000 AS BIGINT)) // n_words AS BIGINT)
+         END AS letters_per_100w_milli,
+         CASE WHEN n_words > 0 THEN
+           CAST((n_sentences * CAST(100000 AS BIGINT)) // n_words AS BIGINT)
+         END AS sentences_per_100w_milli
+  FROM agg
+)
+SELECT g AS {group_col}, n_docs, n_letters, n_words, n_sentences,
+       letters_per_100w_milli, sentences_per_100w_milli,
+       (0.0588 * (CAST(letters_per_100w_milli AS DOUBLE) / 1000.0))
+       - (0.296 * (CAST(sentences_per_100w_milli AS DOUBLE) / 1000.0))
+       - 15.8 AS cli_grade
+FROM milli
+"""

@@ -653,6 +653,23 @@ def _token_drift_oracle() -> str:
     )
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch reshuffle audit: per-(epoch, shard) balance + how
+    many documents an epoch keeps in its epoch-0 shard (should be near
+    the 1/S collision rate, proving the reshuffle actually moves
+    data)."""
+    from gis_city_county_spark.operators.corpus import epoch_shuffle_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle_plan(docs, "doc_id")
+
+
+def _epoch_shuffle_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import epoch_shuffle_plan_sql
+
+    return epoch_shuffle_plan_sql("SELECT * FROM documents", "doc_id")
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_token_drift", q_token_drift, _token_drift_oracle()),
@@ -679,6 +696,7 @@ SPECS = [
     QuerySpec("corpus_ngram_topk", q_ngram_topk, _NGRAM_ORACLE),
     QuerySpec("corpus_length_band_filter", q_length_band, _BAND_ORACLE),
     QuerySpec("pipeline_shard_assign", q_shard_assign, _SHARD_ORACLE),
+    QuerySpec("pipeline_epoch_shuffle", q_epoch_shuffle, _epoch_shuffle_oracle()),
     QuerySpec("corpus_repetition_stats", q_repetition_stats, _REP_ORACLE),
     QuerySpec("pipeline_train_val_test", q_train_val_test, _SPLIT_ORACLE),
     QuerySpec("pipeline_decontaminate", q_decontaminate, _DECON_ORACLE),

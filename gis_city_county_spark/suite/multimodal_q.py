@@ -282,8 +282,34 @@ FROM g
 """
 
 
+def q_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucket assignment over REAL decoded BMP
+    dims: nearest ladder bucket by exact cross-multiplied aspect error
+    + the center-crop pixel waste in ppm."""
+    from gis_city_county_spark.operators.multimodal import aspect_bucket_plan
+
+    return aspect_bucket_plan(_fixture_bmps(spark), "img_id", "payload")
+
+
+def _aspect_bucket_oracle() -> str:
+    # dims re-derived from the fixture formula (decode must invert
+    # encode), the bucketing itself shared with the Spark side
+    from gis_city_county_spark.operators.multimodal import (
+        aspect_bucket_plan_sql,
+    )
+
+    dims = (
+        "SELECT i AS img_id, CAST(4 + i % 3 AS INTEGER) AS width,"
+        " CAST(3 + i % 2 AS INTEGER) AS height"
+        " FROM (SELECT unnest(generate_series(0, 7)) AS i)"
+    )
+    return aspect_bucket_plan_sql(dims, "img_id")
+
+
 SPECS = [
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
+    QuerySpec("mm_aspect_bucket", q_aspect_bucket, _aspect_bucket_oracle(),
+              bench=False),
     QuerySpec("mm_patch_plan", q_patch_plan, _PATCH_PLAN_ORACLE, bench=False),
     QuerySpec("mm_frame_sample", q_frame_sample, _FRAME_ORACLE),
     QuerySpec("mm_audio_windows", q_audio_windows, _AUDIO_ORACLE),

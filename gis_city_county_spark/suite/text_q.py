@@ -717,9 +717,28 @@ def _case_oracle() -> str:
     return case_profile_sql("documents", "lang", "text")
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coleman-Liau readability per source: exact letter/word/sentence
+    sums, milli-floored per-100-word rates, one fixed-order IEEE
+    grade."""
+    from gis_city_county_spark.operators.textstats import readability_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_report(docs, "source", "text")
+
+
+def _readability_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import (
+        readability_report_sql,
+    )
+
+    return readability_report_sql("documents", "source", "text")
+
+
 SPECS = [
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
+    QuerySpec("text_readability", q_readability, _readability_oracle()),
     QuerySpec("text_hapax_stats", q_hapax_stats, _hapax_oracle()),
     QuerySpec("text_ttr_curve", q_ttr_curve, _ttr_oracle()),
     QuerySpec("text_char_gini", q_char_gini, _char_gini_oracle()),

@@ -784,6 +784,9 @@ R10_PRESTAGE: tuple[str, ...] = (
     "graph_clustering_coefficient",
     "eval_krippendorff_alpha",
     "events_rfm_scores",
+    "text_readability",
+    "pipeline_epoch_shuffle",
+    "mm_aspect_bucket",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -201,6 +201,9 @@ _BNLJ_ALLOWED = {
     # two 1-row broadcast scalar merges (pairable totals + the
     # category-marginal De sum onto the distinct-item count)
     "eval_krippendorff_alpha",
+    # 9-row broadcast constant aspect ladder paired with every image
+    # (the candidate set IS the ladder; winner picked per image)
+    "mm_aspect_bucket",
 }
 
 

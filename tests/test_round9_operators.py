@@ -386,3 +386,123 @@ def test_rfm_scores_matches_duckdb_on_events(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------ readability_report
+
+
+def test_readability_exact_counts(spark):
+    """Letters/words/sentences count exactly; a no-punctuation text is
+    one sentence; the Coleman-Liau grade comes off the milli-floored
+    rates through the fixed-order IEEE chain."""
+    from gis_city_county_spark.operators.textstats import readability_report
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "The cat sat. The dog ran!"),   # 6 words, 2 sentences
+            ("a", "no punctuation here"),          # 3 words, 1 sentence
+            ("b", None),                           # NULL text: dropped
+        ],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in readability_report(docs, "source", "text").collect()}
+    assert set(rows) == {"a"}
+    r = rows["a"]
+    assert r["n_docs"] == 2 and r["n_words"] == 9 and r["n_sentences"] == 3
+    assert r["n_letters"] == 18 + 17  # letters only, no spaces/punct
+    assert r["letters_per_100w_milli"] == (35 * 100_000) // 9
+    assert r["sentences_per_100w_milli"] == (3 * 100_000) // 9
+    expect = (
+        0.0588 * (((35 * 100_000) // 9) / 1000.0)
+        - 0.296 * (((3 * 100_000) // 9) / 1000.0)
+        - 15.8
+    )
+    assert r["cli_grade"] == expect
+
+
+# ------------------------------------------------ epoch_shuffle_plan
+
+
+def test_epoch_shuffle_plan_moves_documents(spark):
+    """Epoch 0 keeps every doc in its epoch-0 shard by definition;
+    later epochs keep only the hash-collision share; per-epoch totals
+    always cross-foot to n_docs."""
+    from gis_city_county_spark.operators.corpus import epoch_shuffle_plan
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    out = epoch_shuffle_plan(docs, "doc_id", n_epochs=3, n_shards=4).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1, 2}
+    for e, rows in by_epoch.items():
+        assert sum(r["n_docs"] for r in rows) == 200
+        same = sum(r["n_same_as_epoch0"] for r in rows)
+        if e == 0:
+            assert same == 200
+        else:
+            # collision share ~ 200/4 = 50; hash-uniform, wide tolerance
+            assert 20 <= same <= 90
+
+
+def test_epoch_shuffle_plan_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.corpus import (
+        epoch_shuffle_plan,
+        epoch_shuffle_plan_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in epoch_shuffle_plan(docs, "doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            epoch_shuffle_plan_sql("SELECT * FROM documents", "doc_id")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 4 * 16
+
+
+# ------------------------------------------------ aspect_bucket_plan
+
+
+def test_aspect_bucket_assignment_exact(spark):
+    """Hand-checked assignments: a square image lands in (1,1) with
+    zero error and zero crop; a 16:10 image picks 3:2 over 16:9 only
+    if its exact cross-multiplied error says so; crop_ppm is the exact
+    cover-then-center-crop loss."""
+    from gis_city_county_spark.operators.multimodal import (
+        ASPECT_BUCKETS,
+        aspect_bucket_plan,
+        encode_bmp,
+    )
+    import numpy as np
+
+    def mk(img_id, w, h):
+        # solid-color BMP of the given dims via the repo's encoder
+        img = np.full((h, w, 3), 128, dtype=np.uint8)
+        return (img_id, bytearray(encode_bmp(img)))
+
+    rows = [mk(0, 5, 5), mk(1, 16, 10), mk(2, 4, 3)]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    out = {r["img_id"]: r for r in aspect_bucket_plan(df, "img_id", "payload").collect()}
+    assert out[0]["bucket_w"] == 1 and out[0]["bucket_h"] == 1
+    assert out[0]["aspect_err_ppm"] == 0 and out[0]["crop_ppm"] == 0
+    assert out[2]["bucket_w"] == 4 and out[2]["bucket_h"] == 3
+    # 16:10: err vs 3:2 = |16*2-10*3|/(10*3) = 2/30; vs 16:9 =
+    # |16*9-10*16|/(10*16) = 16/160 = 1/10 -> 3:2 wins
+    assert out[1]["bucket_w"] == 3 and out[1]["bucket_h"] == 2
+    assert out[1]["aspect_err_ppm"] == (2 * 1_000_000) // 30
+    # cover 3:2 from 16:10 (image wider): keep bw*h/(w*bh) = 30/32
+    assert out[1]["crop_ppm"] == 1_000_000 - (3 * 10 * 1_000_000) // (16 * 2)
+    # tiebreak sanity: every image got exactly one bucket from the ladder
+    ids = {b[0] for b in ASPECT_BUCKETS}
+    assert all(r["bucket_id"] in ids for r in out.values())
