@@ -2371,3 +2371,81 @@ SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
          AS n_same_as_epoch0
 FROM rows_ GROUP BY epoch, shard
 """
+
+
+def simpson_diversity(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Token-level Simpson concentration per group — the log-free
+    vocabulary-diversity number: Σ c_t² / N² (the probability two
+    random tokens coincide), reported in exact parts-per-billion plus
+    its inverse, the "effective vocabulary size" (N² div Σ c_t², the
+    count of equally-frequent types that would give the same
+    concentration).  High concentration = template/boilerplate corpus;
+    effective vocab collapsing while raw vocab holds is the classic
+    crawl-rot signal.
+
+    Exact end to end: token counts, one Σc² BIGINT per group, two
+    integer divisions — no entropy logs (libm is not bit-portable).
+    Shuffle ∝ vocabulary.
+
+    Returns (group, n_tokens, n_vocab, simpson_ppb, effective_vocab).
+    """
+    counts = (
+        rebalance_for_fanout(df, multiplier=64.0)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    return (
+        counts.groupBy("__g")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+            F.sum(F.expr("__c * __c")).cast("bigint").alias("__sq"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "n_vocab",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " (__sq * CAST(1000000000 AS BIGINT))"
+                " div (n_tokens * n_tokens) END"
+            ).cast("bigint").alias("simpson_ppb"),
+            F.expr(
+                "CASE WHEN __sq > 0 THEN"
+                " (n_tokens * n_tokens) div __sq END"
+            ).cast("bigint").alias("effective_vocab"),
+        )
+    )
+
+
+def simpson_diversity_sql(table: str, group_col: str, text_col: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS g, unnest({tokens_sql(text_col)}) AS t
+  FROM {table}
+),
+counts AS (
+  SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY g, t
+),
+agg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM counts GROUP BY g
+)
+SELECT g AS {group_col}, n_tokens, n_vocab,
+       CASE WHEN n_tokens > 0 THEN
+         CAST((sq * CAST(1000000000 AS BIGINT)) // (n_tokens * n_tokens)
+              AS BIGINT)
+       END AS simpson_ppb,
+       CASE WHEN sq > 0 THEN
+         CAST((n_tokens * n_tokens) // sq AS BIGINT)
+       END AS effective_vocab
+FROM agg
+"""

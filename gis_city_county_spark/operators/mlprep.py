@@ -1674,3 +1674,90 @@ SELECT ni.n_items, t.n_pairable_items, t.n_values, d.n_categories,
        END AS alpha
 FROM ni, totals t, de d
 """
+
+
+def token_f1(
+    df: DataFrame, group_col: str, gold_col: str, pred_col: str
+) -> DataFrame:
+    """Micro-averaged token-classification P/R/F1 in exact ppm — the
+    span-extraction eval (NER, PII tagging, quote attribution) scored
+    at the token level, where micro-averaging over the long
+    (token, is_gold, is_pred) relation is one conditional aggregate.
+
+    TP/FP/FN count exactly; precision = TP·1e6 div (TP+FP), recall =
+    TP·1e6 div (TP+FN), and F1 uses the integer identity
+    f1 = 2·TP·1e6 div (2·TP+FP+FN) — no harmonic-mean doubles, no
+    division-order ambiguity.  Ratios are NULL when their denominator
+    is zero (no predictions / no gold / neither).  NULL flags count
+    as false.
+
+    Returns one row per group: (group, n_tokens, tp, fp, fn,
+    precision_ppm, recall_ppm, f1_ppm).
+    """
+    g = F.coalesce(F.col(gold_col).cast("boolean"), F.lit(False))
+    p = F.coalesce(F.col(pred_col).cast("boolean"), F.lit(False))
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        g.alias("__gold"),
+        p.alias("__pred"),
+    )
+    agg = base.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__gold") & F.col("__pred"), 1).otherwise(0))
+        .cast("bigint").alias("tp"),
+        F.sum(F.when(~F.col("__gold") & F.col("__pred"), 1).otherwise(0))
+        .cast("bigint").alias("fp"),
+        F.sum(F.when(F.col("__gold") & ~F.col("__pred"), 1).otherwise(0))
+        .cast("bigint").alias("fn"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN"
+            " (tp * CAST(1000000 AS BIGINT)) div (tp + fp) END"
+        ).cast("bigint").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN"
+            " (tp * CAST(1000000 AS BIGINT)) div (tp + fn) END"
+        ).cast("bigint").alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn > 0 THEN"
+            " (2 * tp * CAST(1000000 AS BIGINT)) div (2 * tp + fp + fn) END"
+        ).cast("bigint").alias("f1_ppm"),
+    )
+
+
+def token_f1_sql(
+    source_sql: str, group_col: str, gold_col: str, pred_col: str
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {group_col} AS g,
+         COALESCE(CAST({gold_col} AS BOOLEAN), FALSE) AS gold,
+         COALESCE(CAST({pred_col} AS BOOLEAN), FALSE) AS pred
+  FROM ({source_sql})
+),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN gold AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT gold AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN gold AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM base GROUP BY g
+)
+SELECT g AS {group_col}, n_tokens, tp, fp, fn,
+       CASE WHEN tp + fp > 0 THEN
+         CAST((tp * CAST(1000000 AS BIGINT)) // (tp + fp) AS BIGINT)
+       END AS precision_ppm,
+       CASE WHEN tp + fn > 0 THEN
+         CAST((tp * CAST(1000000 AS BIGINT)) // (tp + fn) AS BIGINT)
+       END AS recall_ppm,
+       CASE WHEN 2 * tp + fp + fn > 0 THEN
+         CAST((2 * tp * CAST(1000000 AS BIGINT)) // (2 * tp + fp + fn)
+              AS BIGINT)
+       END AS f1_ppm
+FROM agg
+"""

@@ -1633,3 +1633,83 @@ scored AS (
 SELECT bucket_milli, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM scored GROUP BY bucket_milli
 """
+
+
+def centroid_drift(
+    df_a: DataFrame, df_b: DataFrame, vec_col: str
+) -> DataFrame:
+    """Per-dimension embedding-centroid drift between two snapshots —
+    the cheap first alarm an embedding-space monitor raises before
+    anything expensive (re-clustering, recall audits) runs: if the
+    mean vector moved, the encoder, the corpus mix, or the
+    normalization changed.
+
+    Determinism is the ``label_centroids`` convention: values
+    floor-quantize to 1e-8 and sum as exact DECIMAL(38,0) integers
+    (order-independent), so per-dimension sums are exact BIGINTs and
+    each mean is two IEEE divisions; ``delta`` is the single double
+    subtraction of the two means.  Shuffle is one aggregate keyed on
+    dimension index — |dims| cells regardless of corpus size; output
+    is |dims| rows.
+
+    Returns (pos, n_a, n_b, sum_q8_a, sum_q8_b, mean_a, mean_b,
+    delta) — means NULL for an empty side.
+    """
+    def _cells(df: DataFrame, tag: str) -> DataFrame:
+        per_dim = df.select(
+            F.posexplode(F.col(vec_col)).alias("pos", "val")
+        ).withColumn("val", F.col("val").cast("double"))
+        scaled = F.floor(F.col("val") * F.lit(1e8)).cast("decimal(38,0)")
+        return per_dim.groupBy("pos").agg(
+            F.count("val").cast("bigint").alias(f"n_{tag}"),
+            F.sum(scaled).cast("bigint").alias(f"sum_q8_{tag}"),
+        )
+
+    joined = _cells(df_a, "a").join(_cells(df_b, "b"), "pos", "full_outer")
+    mean = lambda t: F.when(  # noqa: E731
+        F.col(f"n_{t}") > 0,
+        F.col(f"sum_q8_{t}").cast("double")
+        / F.col(f"n_{t}").cast("double")
+        / F.lit(1e8),
+    )
+    return joined.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        F.coalesce("sum_q8_a", F.lit(0)).cast("bigint").alias("sum_q8_a"),
+        F.coalesce("sum_q8_b", F.lit(0)).cast("bigint").alias("sum_q8_b"),
+        mean("a").alias("mean_a"),
+        mean("b").alias("mean_b"),
+        (mean("b") - mean("a")).alias("delta"),
+    )
+
+
+def centroid_drift_sql(source_a: str, source_b: str, vec_col: str) -> str:
+    def cells(src: str, tag: str) -> str:
+        return f"""
+  SELECT g.i - 1 AS pos, CAST(COUNT(*) AS BIGINT) AS n_{tag},
+         CAST(SUM(CAST(floor(CAST(list_extract({vec_col}, g.i) AS DOUBLE)
+                             * 1e8) AS DECIMAL(38,0))) AS BIGINT)
+           AS sum_q8_{tag}
+  FROM ({src}), LATERAL UNNEST(generate_series(1, len({vec_col}))) AS g(i)
+  GROUP BY g.i"""
+
+    mean = lambda t: (  # noqa: E731
+        f"CASE WHEN n_{t} > 0 THEN CAST(sum_q8_{t} AS DOUBLE)"
+        f" / CAST(n_{t} AS DOUBLE) / 1e8 END"
+    )
+    return f"""
+WITH ca AS ({cells(source_a, 'a')}),
+cb AS ({cells(source_b, 'b')}),
+j AS (
+  SELECT COALESCE(ca.pos, cb.pos) AS pos,
+         COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         COALESCE(sum_q8_a, 0) AS sum_q8_a,
+         COALESCE(sum_q8_b, 0) AS sum_q8_b
+  FROM ca FULL JOIN cb ON ca.pos = cb.pos
+)
+SELECT CAST(pos AS INTEGER) AS pos, n_a, n_b, sum_q8_a, sum_q8_b,
+       {mean('a')} AS mean_a, {mean('b')} AS mean_b,
+       ({mean('b')}) - ({mean('a')}) AS delta
+FROM j
+"""

@@ -670,6 +670,21 @@ def _epoch_shuffle_oracle() -> str:
     return epoch_shuffle_plan_sql("SELECT * FROM documents", "doc_id")
 
 
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Simpson concentration + effective vocabulary per
+    source — the log-free diversity alarm for template rot."""
+    from gis_city_county_spark.operators.corpus import simpson_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simpson_diversity(docs, "source", "text")
+
+
+def _simpson_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import simpson_diversity_sql
+
+    return simpson_diversity_sql("documents", "source", "text")
+
+
 SPECS = [
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_token_drift", q_token_drift, _token_drift_oracle()),
@@ -697,6 +712,8 @@ SPECS = [
     QuerySpec("corpus_length_band_filter", q_length_band, _BAND_ORACLE),
     QuerySpec("pipeline_shard_assign", q_shard_assign, _SHARD_ORACLE),
     QuerySpec("pipeline_epoch_shuffle", q_epoch_shuffle, _epoch_shuffle_oracle()),
+    QuerySpec("corpus_simpson_diversity", q_simpson_diversity,
+              _simpson_oracle()),
     QuerySpec("corpus_repetition_stats", q_repetition_stats, _REP_ORACLE),
     QuerySpec("pipeline_train_val_test", q_train_val_test, _SPLIT_ORACLE),
     QuerySpec("pipeline_decontaminate", q_decontaminate, _DECON_ORACLE),

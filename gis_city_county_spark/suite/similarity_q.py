@@ -563,6 +563,28 @@ def _cosine_histogram_oracle() -> str:
     )
 
 
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension centroid drift between the even- and odd-id
+    halves of the embedding corpus (the snapshot-vs-snapshot monitor,
+    fixtured on a deterministic split)."""
+    from gis_city_county_spark.operators.similarity import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return centroid_drift(a, b, "embedding")
+
+
+def _centroid_drift_oracle() -> str:
+    from gis_city_county_spark.operators.similarity import centroid_drift_sql
+
+    return centroid_drift_sql(
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+        "SELECT * FROM embeddings WHERE vec_id % 2 = 1",
+        "embedding",
+    )
+
+
 SPECS = [
     QuerySpec("sim_cosine_histogram", q_cosine_histogram,
               _cosine_histogram_oracle()),
@@ -618,6 +640,7 @@ SPECS = [
     QuerySpec("pipeline_hard_negatives", q_hard_negatives, _HARD_NEG_ORACLE),
     QuerySpec("sim_cluster_purity", q_cluster_purity, _PURITY_ORACLE),
     QuerySpec("sim_quantize_report", q_quantize_report, _QUANT_ORACLE),
+    QuerySpec("sim_centroid_drift", q_centroid_drift, _centroid_drift_oracle()),
     QuerySpec(
         "sim_ivf_index_persisted",
         q_ivf_index_persisted,

@@ -779,6 +779,42 @@ def _rfm_oracle() -> str:
     return rfm_scores_sql("SELECT * FROM events", "user_id", "ts", "value")
 
 
+def q_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro token-classification F1 per source: a deterministic
+    stopword tagger (gold = en stoplist membership) scored against a
+    short-token heuristic (pred = length <= 3) over every document
+    token — the exact-ppm extraction eval."""
+    from gis_city_county_spark.operators.mlprep import token_f1
+    from gis_city_county_spark.operators.textstats import STOPWORDS, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    long = docs.select(
+        "source", F.explode(tokens("text")).alias("tok")
+    ).select(
+        "source",
+        F.col("tok").isin(*STOPWORDS["en"]).alias("gold"),
+        (F.length("tok") <= 3).alias("pred"),
+    )
+    return token_f1(long, "source", "gold", "pred")
+
+
+def _token_f1_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import token_f1_sql
+    from gis_city_county_spark.operators.textstats import (
+        STOPWORDS,
+        tokens_sql,
+    )
+
+    words = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    src = (
+        f"SELECT source, tok IN ({words}) AS gold,"
+        " length(tok) <= 3 AS pred FROM ("
+        f"SELECT source, unnest({tokens_sql('text')}) AS tok"
+        " FROM documents)"
+    )
+    return token_f1_sql(f"({src})", "source", "gold", "pred")
+
+
 def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fleiss' kappa over three deterministic pseudo-raters per order
     (the status column, a date rule, a price rule — all labeling into
@@ -956,6 +992,7 @@ SPECS = [
     QuerySpec("eval_krippendorff_alpha", q_krippendorff_alpha,
               _krippendorff_oracle()),
     QuerySpec("events_rfm_scores", q_rfm_scores, _rfm_oracle()),
+    QuerySpec("eval_token_f1", q_token_f1, _token_f1_oracle()),
     QuerySpec("eval_mcc", q_mcc, _mcc_oracle()),
     QuerySpec("events_position_attribution", q_position_attribution,
               _position_attr_oracle()),

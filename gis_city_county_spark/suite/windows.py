@@ -787,6 +787,9 @@ R10_PRESTAGE: tuple[str, ...] = (
     "text_readability",
     "pipeline_epoch_shuffle",
     "mm_aspect_bucket",
+    "eval_token_f1",
+    "sim_centroid_drift",
+    "corpus_simpson_diversity",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -506,3 +506,124 @@ def test_aspect_bucket_assignment_exact(spark):
     # tiebreak sanity: every image got exactly one bucket from the ladder
     ids = {b[0] for b in ASPECT_BUCKETS}
     assert all(r["bucket_id"] in ids for r in out.values())
+
+
+# --------------------------------------------------------- token_f1
+
+
+def test_token_f1_exact_counts(spark):
+    """TP/FP/FN count exactly; F1 uses the integer identity
+    2TP/(2TP+FP+FN); NULL flags read as false; empty-denominator
+    ratios are NULL."""
+    from gis_city_county_spark.operators.mlprep import token_f1, token_f1_sql
+
+    rows = [
+        ("a", True, True),    # tp
+        ("a", True, True),    # tp
+        ("a", True, False),   # fn
+        ("a", False, True),   # fp
+        ("a", False, False),
+        ("a", None, True),    # NULL gold -> fp
+        ("b", False, False),  # no gold, no pred: ratios NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, gold boolean, pred boolean")
+    out = {r["g"]: r for r in token_f1(df, "g", "gold", "pred").collect()}
+    a = out["a"]
+    assert (a["tp"], a["fp"], a["fn"]) == (2, 2, 1)
+    assert a["precision_ppm"] == 500_000
+    assert a["recall_ppm"] == (2 * 1_000_000) // 3
+    assert a["f1_ppm"] == (4 * 1_000_000) // 7
+    b = out["b"]
+    assert b["precision_ppm"] is None and b["recall_ppm"] is None
+    assert b["f1_ppm"] is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, gold BOOLEAN, pred BOOLEAN)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            token_f1_sql("SELECT * FROM t", "g", "gold", "pred")
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in token_f1(df, "g", "gold", "pred").collect())
+    assert got == want
+
+
+# --------------------------------------------------- centroid_drift
+
+
+def test_centroid_drift_exact_fixture(spark):
+    """Two tiny snapshots: per-dimension quantized sums are exact, the
+    delta is the single-double subtraction of the means, and an empty
+    side coalesces to zero counts with NULL means."""
+    from gis_city_county_spark.operators.similarity import (
+        centroid_drift,
+        centroid_drift_sql,
+    )
+
+    a = spark.createDataFrame(
+        [([1.0, 2.0],), ([3.0, 4.0],)], "embedding array<float>"
+    )
+    b = spark.createDataFrame(
+        [([2.0, 0.0],), ([2.0, 8.0],), ([2.0, 1.0],)],
+        "embedding array<float>",
+    )
+    out = {r["pos"]: r for r in centroid_drift(a, b, "embedding").collect()}
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 3
+    assert out[0]["sum_q8_a"] == 4 * 10**8 and out[0]["sum_q8_b"] == 6 * 10**8
+    assert out[0]["mean_a"] == 2.0 and out[0]["mean_b"] == 2.0
+    assert out[0]["delta"] == 0.0
+    assert out[1]["mean_a"] == 3.0 and out[1]["mean_b"] == 3.0
+
+    con = duckdb.connect()
+    con.register("ea", a.toPandas())
+    con.register("eb", b.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            centroid_drift_sql(
+                "SELECT * FROM ea", "SELECT * FROM eb", "embedding"
+            )
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in centroid_drift(a, b, "embedding").collect())
+    assert got == want
+
+
+# ----------------------------------------------- simpson_diversity
+
+
+def test_simpson_diversity_exact(spark):
+    """A single repeated token concentrates to 1e9 ppb with effective
+    vocabulary 1; a uniform vocabulary of v types lands at 1e9/v with
+    effective vocabulary v."""
+    from gis_city_county_spark.operators.corpus import (
+        simpson_diversity,
+        simpson_diversity_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("mono", "spam spam spam spam"),
+            ("uni", "a b c d"),
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in simpson_diversity(docs, "source", "text").collect()}
+    assert out["mono"]["simpson_ppb"] == 1_000_000_000
+    assert out["mono"]["effective_vocab"] == 1
+    assert out["uni"]["n_vocab"] == 4
+    assert out["uni"]["simpson_ppb"] == 250_000_000
+    assert out["uni"]["effective_vocab"] == 4
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            simpson_diversity_sql("documents", "source", "text")
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in simpson_diversity(docs, "source", "text").collect())
+    assert got == want
