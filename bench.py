@@ -63,6 +63,12 @@ HEADLINE = [
     "dedup_blocking_recall",
     "graph_reach_summary",
     "events_position_attribution",
+    # r9: the three new >2.5s cost centers — positioned-window
+    # substring spans, the co-supply triangle census, and the
+    # three-pass ranged-rank RFM tiles.
+    "dedup_substring_spans",
+    "graph_clustering_coefficient",
+    "events_rfm_scores",
 ]
 
 

@@ -76,6 +76,10 @@ PROBE_QUERIES = [
     # round-9: the only r8 bench-headline key without a scaling row
     # (VERDICT r8 item 5) — an equi-join + per-conversion window.
     "events_position_attribution",
+    # round-9 additions in the bench-headline class.
+    "dedup_substring_spans",
+    "graph_clustering_coefficient",
+    "events_rfm_scores",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
