@@ -1713,3 +1713,68 @@ SELECT CAST(pos AS INTEGER) AS pos, n_a, n_b, sum_q8_a, sum_q8_b,
        ({mean('b')}) - ({mean('a')}) AS delta
 FROM j
 """
+
+
+def norm_histogram(
+    df: DataFrame, vec_col: str, band_milli: int = 100
+) -> DataFrame:
+    """Squared-L2-norm histogram of an embedding column — the
+    two-minute sanity gate before any cosine machinery runs: cosine
+    scores silently degrade to dot products when vectors arrive
+    un-normalized, and the histogram shows it immediately (a unit-norm
+    corpus is one spike at band 1000/band_milli).
+
+    Per-vector norm² is the FIXED-ORDER index fold
+    ``fold(v, 0.0, (acc, x) -> acc + x·x)`` — the same left-to-right
+    chain as DuckDB's ``list_reduce``, so the doubles are bit-equal
+    (the tfidf pattern; no reordering aggregation ever touches the
+    per-vector value).  Banding floors norm²·1000 into
+    ``band_milli``-wide integer bands; output ∝ distinct bands.
+
+    Returns (band, norm2_lo_milli, n_vecs) where band =
+    floor(norm2·1000 / band_milli) and norm2_lo_milli = band ·
+    band_milli (the band's inclusive lower edge).
+    """
+    norm2 = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    band = F.expr(
+        f"CAST(floor(__norm2 * 1000) AS BIGINT) div {band_milli}"
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(norm2.alias("__norm2"))
+        .select(band.cast("bigint").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .select(
+            "band",
+            (F.col("band") * band_milli).cast("bigint").alias("norm2_lo_milli"),
+            "n_vecs",
+        )
+    )
+
+
+def norm_histogram_sql(
+    source_sql: str, vec_col: str, band_milli: int = 100
+) -> str:
+    norm2 = (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform({vec_col},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)"
+    )
+    return f"""
+WITH norms AS (
+  SELECT {norm2} AS norm2 FROM ({source_sql}) WHERE {vec_col} IS NOT NULL
+),
+banded AS (
+  SELECT CAST(floor(norm2 * 1000) AS BIGINT) // {band_milli} AS band
+  FROM norms
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(band * {band_milli} AS BIGINT) AS norm2_lo_milli,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM banded GROUP BY band
+"""

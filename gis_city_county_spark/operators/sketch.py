@@ -851,3 +851,143 @@ SELECT audit.{g.replace(', ', ', audit.')}, audit.n_subunits,
        audit.exact_distinct
 FROM audit JOIN est USING ({g})
 """
+
+
+def hll_intersection(
+    df_a: DataFrame, df_b: DataFrame, value_col: str, p: int = 8
+) -> DataFrame:
+    """Sketch-only set-overlap estimate between two key populations —
+    "how many users does feed B share with feed A" answered from two
+    KB-scale register tables, never a join of the raw keys: the union
+    sketch is the register-wise MAX (exact merge), and the
+    intersection estimate is inclusion–exclusion
+    ``est_a + est_b − est_union`` (two IEEE adds on three
+    deterministic estimates — fixed order, bit-portable).
+
+    Inclusion–exclusion on sketches can go NEGATIVE for tiny overlaps
+    (each estimate carries its own error) — the estimate is reported
+    raw, signed, so the consumer sees the uncertainty instead of a
+    silently clamped zero.  The exact distinct counts and the exact
+    intersection ride along as the audit (one distinct-value
+    aggregate, the same self-audit convention as
+    :func:`hll_merge_rollup`).
+
+    Returns one row: (exact_a, exact_b, exact_intersection, est_a,
+    est_b, est_union, est_intersection).
+    """
+    base = (
+        df_a.select(F.lit("a").alias("__side"),
+                    F.col(value_col).cast("string").alias("__v"))
+        .unionByName(
+            df_b.select(F.lit("b").alias("__side"),
+                        F.col(value_col).cast("string").alias("__v"))
+        )
+    )
+    regs = hll_registers(base, ["__side"], "__v", p)
+    union_regs = regs.groupBy("__reg").agg(F.max("__m").alias("__m")).select(
+        F.lit("u").alias("__side"), "__reg", "__m"
+    )
+    est = hll_estimate_from_registers(
+        regs.unionByName(union_regs), ["__side"], p
+    )
+    est_row = est.groupBy().agg(
+        F.max(F.when(F.col("__side") == "a", F.col("hll_raw_est")))
+        .alias("est_a"),
+        F.max(F.when(F.col("__side") == "b", F.col("hll_raw_est")))
+        .alias("est_b"),
+        F.max(F.when(F.col("__side") == "u", F.col("hll_raw_est")))
+        .alias("est_union"),
+    )
+    dv = base.distinct()
+    audit = dv.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__n_sides")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_any"),
+        F.sum(F.when(F.col("__n_sides") == 2, 1).otherwise(0))
+        .cast("bigint").alias("exact_intersection"),
+    )
+    sides = dv.groupBy().agg(
+        F.sum(F.when(F.col("__side") == "a", 1).otherwise(0))
+        .cast("bigint").alias("exact_a"),
+        F.sum(F.when(F.col("__side") == "b", 1).otherwise(0))
+        .cast("bigint").alias("exact_b"),
+    )
+    return (
+        sides.join(F.broadcast(audit))
+        .join(F.broadcast(est_row))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+            .alias("est_intersection"),
+        )
+    )
+
+
+def hll_intersection_sql(
+    source_a: str, source_b: str, value_col: str, p: int = 8
+) -> str:
+    m = 1 << p
+    kbits = 60 - p + 1
+    alpha = _hll_alpha(m)
+    h = _h60_sql("v")
+    return f"""
+WITH base AS (
+  SELECT 'a' AS side, CAST({value_col} AS VARCHAR) AS v FROM ({source_a})
+  UNION ALL
+  SELECT 'b' AS side, CAST({value_col} AS VARCHAR) AS v FROM ({source_b})
+),
+hashed AS (
+  SELECT side, {h} & {m - 1} AS reg,
+         CASE WHEN ({h} >> {p}) > 0
+              THEN {60 - p} - length(bin({h} >> {p})) + 1
+              ELSE {kbits} END AS rho
+  FROM base
+),
+regs AS (
+  SELECT side, reg, MAX(rho) AS mx FROM hashed GROUP BY side, reg
+),
+allregs AS (
+  SELECT side, reg, mx FROM regs
+  UNION ALL
+  SELECT 'u' AS side, reg, MAX(mx) AS mx FROM regs GROUP BY reg
+),
+est AS (
+  SELECT side,
+         SUM(CAST(1 AS BIGINT) << ({kbits} - mx))
+           + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {kbits})
+           AS register_sum
+  FROM allregs GROUP BY side
+),
+est_row AS (
+  SELECT
+    MAX(CASE WHEN side = 'a' THEN {alpha * m * m * (1 << kbits)}
+         / CAST(register_sum AS DOUBLE) END) AS est_a,
+    MAX(CASE WHEN side = 'b' THEN {alpha * m * m * (1 << kbits)}
+         / CAST(register_sum AS DOUBLE) END) AS est_b,
+    MAX(CASE WHEN side = 'u' THEN {alpha * m * m * (1 << kbits)}
+         / CAST(register_sum AS DOUBLE) END) AS est_union
+  FROM est
+),
+dv AS (SELECT DISTINCT side, v FROM base),
+audit AS (
+  SELECT CAST(SUM(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_intersection
+  FROM (SELECT v, COUNT(*) AS n_sides FROM dv GROUP BY v)
+),
+sides AS (
+  SELECT CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_a,
+         CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_b
+  FROM dv
+)
+SELECT s.exact_a, s.exact_b, a.exact_intersection,
+       e.est_a, e.est_b, e.est_union,
+       e.est_a + e.est_b - e.est_union AS est_intersection
+FROM sides s, audit a, est_row e
+"""

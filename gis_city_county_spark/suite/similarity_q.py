@@ -585,6 +585,21 @@ def _centroid_drift_oracle() -> str:
     )
 
 
+def q_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-norm histogram of the embedding corpus — the
+    un-normalized-vectors alarm, fixed-order per-vector folds."""
+    from gis_city_county_spark.operators.similarity import norm_histogram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return norm_histogram(emb, "embedding")
+
+
+def _norm_hist_oracle() -> str:
+    from gis_city_county_spark.operators.similarity import norm_histogram_sql
+
+    return norm_histogram_sql("SELECT * FROM embeddings", "embedding")
+
+
 SPECS = [
     QuerySpec("sim_cosine_histogram", q_cosine_histogram,
               _cosine_histogram_oracle()),
@@ -641,6 +656,7 @@ SPECS = [
     QuerySpec("sim_cluster_purity", q_cluster_purity, _PURITY_ORACLE),
     QuerySpec("sim_quantize_report", q_quantize_report, _QUANT_ORACLE),
     QuerySpec("sim_centroid_drift", q_centroid_drift, _centroid_drift_oracle()),
+    QuerySpec("sim_norm_histogram", q_norm_histogram, _norm_hist_oracle()),
     QuerySpec(
         "sim_ivf_index_persisted",
         q_ivf_index_persisted,

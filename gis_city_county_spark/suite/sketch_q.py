@@ -322,10 +322,35 @@ def _countmin_delta_oracle() -> str:
     )
 
 
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-overlap between two overlapping customer populations
+    (mod-3 vs mod-2 order filters): register-max union +
+    inclusion-exclusion intersection estimate, exact counts riding as
+    the audit."""
+    from gis_city_county_spark.operators.sketch import hll_intersection
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_custkey") % 3 != 0).select("o_custkey")
+    b = o.filter(F.col("o_custkey") % 2 == 0).select("o_custkey")
+    return hll_intersection(a, b, "o_custkey")
+
+
+def _hll_intersection_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import hll_intersection_sql
+
+    return hll_intersection_sql(
+        "SELECT o_custkey FROM orders WHERE o_custkey % 3 != 0",
+        "SELECT o_custkey FROM orders WHERE o_custkey % 2 = 0",
+        "o_custkey",
+    )
+
+
 SPECS = [
     QuerySpec("sketch_countmin_heavy_hitters", q_countmin_tokens, _countmin_oracle()),
     QuerySpec("sketch_hll_distinct", q_hll, _hll_oracle()),
     QuerySpec("sketch_hll_merge_rollup", q_hll_merge_rollup, _hll_rollup_oracle()),
+    QuerySpec("sketch_hll_intersection", q_hll_intersection,
+              _hll_intersection_oracle()),
     QuerySpec("sketch_countmin_delta", q_countmin_delta, _countmin_delta_oracle()),
     QuerySpec("sketch_kmv_distinct", q_kmv, _KMV_ORACLE),
     QuerySpec("olap_bitmap_distinct", q_bitmap_distinct, _bitmap_oracle()),

@@ -790,6 +790,8 @@ R10_PRESTAGE: tuple[str, ...] = (
     "eval_token_f1",
     "sim_centroid_drift",
     "corpus_simpson_diversity",
+    "sketch_hll_intersection",
+    "sim_norm_histogram",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -204,6 +204,9 @@ _BNLJ_ALLOWED = {
     # 9-row broadcast constant aspect ladder paired with every image
     # (the candidate set IS the ladder; winner picked per image)
     "mm_aspect_bucket",
+    # two 1-row broadcast scalar merges (exact-overlap audit + the
+    # pivoted three-estimate row onto the per-side exact counts)
+    "sketch_hll_intersection",
 }
 
 
@@ -359,6 +362,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # three 1-row final merges of partial global aggregates (pairable
     # totals, category marginals, distinct-item count)
     "eval_krippendorff_alpha": 3,
+    # three 1-row final merges (estimate pivot over <= 3*2^p register
+    # rows, per-side exact counts, exact-overlap audit)
+    "sketch_hll_intersection": 3,
     # vocabulary-size scalar: final merge of partial distinct counts
     "corpus_bigram_lm_score": 1,
     # one-row final merge of the AP partial aggregates

@@ -627,3 +627,86 @@ def test_simpson_diversity_exact(spark):
     )
     got = sorted(tuple(r) for r in simpson_diversity(docs, "source", "text").collect())
     assert got == want
+
+
+# --------------------------------------------------- hll_intersection
+
+
+def test_hll_intersection_exact_audit_and_merge(spark):
+    """The exact audit counts the true overlap; the union estimate is
+    the register-max merge (== estimate of A∪B built directly); the
+    intersection estimate is signed inclusion-exclusion and matches
+    the DuckDB twin bit-for-bit."""
+    from gis_city_county_spark.operators.sketch import (
+        hll_intersection,
+        hll_intersection_sql,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(0, 600)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(400, 1000)], "k long")
+    row = hll_intersection(a, b, "k").collect()[0]
+    assert row["exact_a"] == 600 and row["exact_b"] == 600
+    assert row["exact_intersection"] == 200
+    # inclusion-exclusion identity holds exactly on the reported ests
+    assert row["est_intersection"] == row["est_a"] + row["est_b"] - row["est_union"]
+    # at n >> m the raw estimate is in the right ballpark
+    assert 100 <= row["est_intersection"] <= 350
+
+    import pandas as pd
+    con = duckdb.connect()
+    con.register("ta", pd.DataFrame({"k": range(0, 600)}))
+    con.register("tb", pd.DataFrame({"k": range(400, 1000)}))
+    want = con.execute(
+        hll_intersection_sql("SELECT k FROM ta", "SELECT k FROM tb", "k")
+    ).fetchall()
+    assert tuple(row) == want[0]
+
+
+def test_hll_intersection_disjoint_sets(spark):
+    """Disjoint populations: exact overlap 0; the signed estimate may
+    be slightly negative (per-sketch error) but must stay small
+    relative to the set sizes."""
+    from gis_city_county_spark.operators.sketch import hll_intersection
+
+    a = spark.createDataFrame([(i,) for i in range(0, 500)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(10_000, 10_500)], "k long")
+    row = hll_intersection(a, b, "k").collect()[0]
+    assert row["exact_intersection"] == 0
+    assert abs(row["est_intersection"]) < 200
+
+
+# ----------------------------------------------------- norm_histogram
+
+
+def test_norm_histogram_bands_exact(spark):
+    """Unit vectors land in band 10 (norm2 1.0 -> 1000 // 100); a 2x
+    scaled vector lands at norm2 4.0 -> band 40; NULL vectors drop;
+    the per-vector fold matches DuckDB's list_reduce bit-for-bit."""
+    from gis_city_county_spark.operators.similarity import (
+        norm_histogram,
+        norm_histogram_sql,
+    )
+
+    rows = [
+        ([1.0, 0.0, 0.0],),
+        ([0.0, 1.0, 0.0],),
+        ([2.0, 0.0, 0.0],),
+        ([0.6, 0.8, 0.0],),   # unit
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "embedding array<float>")
+    out = {r["band"]: r for r in norm_histogram(df, "embedding").collect()}
+    assert out[10]["n_vecs"] == 3 and out[10]["norm2_lo_milli"] == 1000
+    assert out[40]["n_vecs"] == 1
+    assert sum(r["n_vecs"] for r in out.values()) == 4
+
+    con = duckdb.connect()
+    con.register("e", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            norm_histogram_sql("SELECT * FROM e", "embedding")
+        ).fetchall()
+    )
+    got = sorted(tuple(r) for r in norm_histogram(df, "embedding").collect())
+    assert got == want
