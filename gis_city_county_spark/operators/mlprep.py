@@ -1761,3 +1761,108 @@ SELECT g AS {group_col}, n_tokens, tp, fp, fn,
        END AS f1_ppm
 FROM agg
 """
+
+
+def corr_matrix(
+    df: DataFrame, metrics: dict[str, Column], scale: int = 100
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over k numeric features in
+    ONE scan — the feature-redundancy screen an ML-prep pipeline runs
+    before training (drop one of every near-collinear pair).
+
+    ``metrics`` maps output name → a Column whose values become exact
+    integers after ×``scale`` (two-decimal money columns with
+    scale=100).  All k sums, k squares and k·(k−1)/2 cross-products
+    fold in a single map-combinable aggregate (one row of 2k+C(k,2)+1
+    exact DECIMAL moments — never k² passes, never a self-join); the
+    k·(k−1)/2 output rows unpivot from that single row.  The closing
+    r = cov/√(vx·vy) is the one IEEE sqrt+divide from exact integer
+    moments (the :func:`profile.correlation` convention).
+
+    Returns (x_name, y_name, n, pearson_r), one row per unordered
+    pair, pairs ordered by ``metrics`` insertion order.
+    """
+    names = list(metrics)
+    ints = {
+        name: F.floor(col.cast("decimal(38,10)") * scale).cast("decimal(19,0)")
+        for name, col in metrics.items()
+    }
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for name in names:
+        aggs.append(F.sum(ints[name]).cast(dec).alias(f"__s_{name}"))
+        aggs.append(
+            F.sum((ints[name] * ints[name]).cast(dec)).cast(dec)
+            .alias(f"__ss_{name}")
+        )
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names)) for j in range(i + 1, len(names))
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum((ints[x] * ints[y]).cast(dec)).cast(dec)
+            .alias(f"__sp_{x}_{y}")
+        )
+    m = df.agg(*aggs)
+
+    def _r(x: str, y: str) -> Column:
+        nn = F.col("n").cast(dec)
+        num = (nn * F.col(f"__sp_{x}_{y}")
+               - F.col(f"__s_{x}") * F.col(f"__s_{y}")).cast("double")
+        vx = (nn * F.col(f"__ss_{x}")
+              - F.col(f"__s_{x}") * F.col(f"__s_{x}")).cast("double")
+        vy = (nn * F.col(f"__ss_{y}")
+              - F.col(f"__s_{y}") * F.col(f"__s_{y}")).cast("double")
+        return F.when((vx > 0.0) & (vy > 0.0), num / F.sqrt(vx * vy))
+
+    rows = [
+        m.select(
+            F.lit(x).alias("x_name"), F.lit(y).alias("y_name"),
+            F.col("n"), _r(x, y).alias("pearson_r"),
+        )
+        for x, y in pairs
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def corr_matrix_sql(
+    source_sql: str, metrics: dict[str, str], scale: int = 100
+) -> str:
+    names = list(metrics)
+    ints = {
+        n: f"CAST(FLOOR(CAST(({e}) AS DECIMAL(38,10)) * {scale})"
+           f" AS DECIMAL(19,0))"
+        for n, e in metrics.items()
+    }
+    dec = "DECIMAL(38,0)"
+    cols = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for n in names:
+        cols.append(f"CAST(SUM({ints[n]}) AS {dec}) AS s_{n}")
+        cols.append(f"CAST(SUM(CAST({ints[n]} * {ints[n]} AS {dec}))"
+                    f" AS {dec}) AS ss_{n}")
+    pairs = [
+        (names[i], names[j])
+        for i in range(len(names)) for j in range(i + 1, len(names))
+    ]
+    for x, y in pairs:
+        cols.append(f"CAST(SUM(CAST({ints[x]} * {ints[y]} AS {dec}))"
+                    f" AS {dec}) AS sp_{x}_{y}")
+    selects = []
+    for x, y in pairs:
+        num = f"CAST(CAST(CAST(n AS {dec}) * sp_{x}_{y} - s_{x} * s_{y} AS VARCHAR) AS DOUBLE)"
+        vx = f"CAST(CAST(CAST(n AS {dec}) * ss_{x} - s_{x} * s_{x} AS VARCHAR) AS DOUBLE)"
+        vy = f"CAST(CAST(CAST(n AS {dec}) * ss_{y} - s_{y} * s_{y} AS VARCHAR) AS DOUBLE)"
+        selects.append(
+            f"SELECT '{x}' AS x_name, '{y}' AS y_name, n,\n"
+            f"  CASE WHEN {vx} > 0.0 AND {vy} > 0.0\n"
+            f"       THEN {num} / SQRT({vx} * {vy}) END AS pearson_r\n"
+            f"FROM m"
+        )
+    return (
+        f"WITH m AS (SELECT {', '.join(cols)} FROM ({source_sql}))\n"
+        + "\nUNION ALL\n".join(selects)
+    )

@@ -991,3 +991,101 @@ SELECT s.exact_a, s.exact_b, a.exact_intersection,
        e.est_a + e.est_b - e.est_union AS est_intersection
 FROM sides s, audit a, est_row e
 """
+
+
+def ams_f2(df: DataFrame, value_col: str, n_seeds: int = 32) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996):
+    estimate F2 = Σ count(v)² — the self-join size, the number a
+    planner needs to predict how a key distribution blows up an
+    equi-join — from ``n_seeds`` counters instead of a per-key
+    frequency table.
+
+    Per seed s, every value gets a deterministic ±1 sign from the
+    shared md5 hash of ``s|value``; the seed's counter is
+    X_s = Σ_v sign(s,v)·count(v) and E[X_s²] = F2.  The estimate is
+    the floor-mean of X_s² over the seeds (the classic construction
+    medians over means of seed groups; one mean keeps the plan a
+    single aggregate and the test asserts the guaranteed unbiasedness
+    property on the exact audit instead).
+
+    Scale shape: the per-value counts are one map-combinable
+    aggregate; the seed fan-out multiplies the DISTINCT-value frame
+    (never the raw rows) by ``n_seeds``; per-seed folding is again
+    map-combinable.  State ∝ n_seeds counters — this is the operator
+    you run when the per-key table itself is too big to keep.
+
+    All moments are exact integers (DECIMAL(38,0)); the exact F2 rides
+    along as the audit.  Returns one row:
+    (n_keys, f2_exact, f2_estimate, err_ppm).
+    """
+    counts = df.groupBy(
+        F.col(value_col).cast("string").alias("__v")
+    ).agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("__c"))
+    seeded = counts.select(
+        "__v", "__c",
+        F.explode(F.array(*[F.lit(i) for i in range(n_seeds)])).alias("__s"),
+    )
+    sign = (
+        F.lit(1) - (_h60(F.concat(F.col("__s").cast("string"),
+                                  F.lit("|"), F.col("__v"))) % 2) * 2
+    ).cast("decimal(19,0)")
+    per_seed = seeded.groupBy("__s").agg(
+        F.sum((sign * F.col("__c")).cast("decimal(19,0)"))
+        .cast("decimal(19,0)").alias("__x")
+    )
+    est = per_seed.agg(
+        F.floor(
+            F.sum((F.col("__x") * F.col("__x")).cast("decimal(38,0)"))
+            / F.lit(n_seeds)
+        ).cast("double").alias("f2_estimate")
+    )
+    exact = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum((F.col("__c") * F.col("__c")).cast("decimal(38,0)"))
+        .cast("double").alias("f2_exact"),
+    )
+    return exact.join(F.broadcast(est)).select(
+        "n_keys",
+        "f2_exact",
+        "f2_estimate",
+        F.floor(
+            (F.col("f2_estimate") - F.col("f2_exact"))
+            / F.col("f2_exact") * F.lit(1000000.0)
+        ).cast("bigint").alias("err_ppm"),
+    )
+
+
+def ams_f2_sql(source_sql: str, value_col: str, n_seeds: int = 32) -> str:
+    sign_h = _h60_sql("CAST(s AS VARCHAR) || '|' || v")
+    return f"""
+WITH counts AS (
+  SELECT CAST({value_col} AS VARCHAR) AS v,
+         CAST(COUNT(*) AS DECIMAL(19,0)) AS c
+  FROM ({source_sql}) GROUP BY 1
+),
+seeded AS (
+  SELECT v, c, s
+  FROM counts, (SELECT UNNEST(range({n_seeds})) AS s)
+),
+per_seed AS (
+  SELECT s,
+         CAST(SUM(CAST((1 - ({sign_h} % 2) * 2) AS DECIMAL(19,0)) * c)
+              AS DECIMAL(19,0)) AS x
+  FROM seeded GROUP BY s
+),
+est AS (
+  SELECT CAST(CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(38,0))) / {n_seeds})
+              AS VARCHAR) AS DOUBLE) AS f2_estimate
+  FROM per_seed
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+           AS f2_exact
+  FROM counts
+)
+SELECT e.n_keys, e.f2_exact, s.f2_estimate,
+       CAST(FLOOR((s.f2_estimate - e.f2_exact) / e.f2_exact * 1000000.0)
+            AS BIGINT) AS err_ppm
+FROM exact e, est s
+"""

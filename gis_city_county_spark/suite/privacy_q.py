@@ -267,7 +267,27 @@ def _ladder_oracle() -> str:
     return generalization_ladder_sql(src, _LADDER_LEVELS, k=10)
 
 
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible noisy per-segment customer counts (truncated
+    discrete-Laplace mechanism, hash-seeded inverse-CDF draw) — the
+    protected histogram a dataset card publishes; exact counts ride
+    as the test audit."""
+    from gis_city_county_spark.operators.privacy import dp_release
+
+    cust = load_table(spark, sf_dir, "customer")
+    return dp_release(cust, "c_mktsegment", epsilon=0.5, bound=16)
+
+
+def _dp_release_oracle() -> str:
+    from gis_city_county_spark.operators.privacy import dp_release_sql
+
+    return dp_release_sql(
+        "SELECT * FROM customer", "c_mktsegment", epsilon=0.5, bound=16
+    )
+
+
 SPECS = [
+    QuerySpec("privacy_dp_release", q_dp_release, _dp_release_oracle()),
     QuerySpec("privacy_t_closeness", q_t_closeness, _tclose_oracle()),
     QuerySpec("privacy_generalization_ladder", q_generalization_ladder,
               _ladder_oracle()),

@@ -345,6 +345,23 @@ def _hll_intersection_oracle() -> str:
     )
 
 
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join-size (F2) estimate of the event user-id distribution
+    from 32 AMS sign counters — the bounded-memory skew monitor a
+    planner consults before shuffling a 100 TB equi-join on the key;
+    exact F2 rides as the audit."""
+    from gis_city_county_spark.operators.sketch import ams_f2
+
+    events = load_table(spark, sf_dir, "events")
+    return ams_f2(events, "user_id", n_seeds=32)
+
+
+def _ams_f2_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import ams_f2_sql
+
+    return ams_f2_sql("SELECT * FROM events", "user_id", n_seeds=32)
+
+
 SPECS = [
     QuerySpec("sketch_countmin_heavy_hitters", q_countmin_tokens, _countmin_oracle()),
     QuerySpec("sketch_hll_distinct", q_hll, _hll_oracle()),
@@ -358,4 +375,5 @@ SPECS = [
     QuerySpec("sketch_kmv_setops", q_kmv_setops, _SETOPS_ORACLE),
     QuerySpec("sketch_hash_sample", q_hash_sample, _SAMPLE_ORACLE),
     QuerySpec("sketch_weighted_sample", q_weighted_sample, _WEIGHTED_ORACLE),
+    QuerySpec("sketch_ams_f2", q_ams_f2, _ams_f2_oracle()),
 ]

@@ -980,7 +980,40 @@ def _mrr_oracle() -> str:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-redundancy screen: pairwise Pearson matrix over the
+    four lineitem money/quantity features in ONE map-combinable scan
+    (exact integer moments, C(4,2)=6 output rows)."""
+    from gis_city_county_spark.operators.mlprep import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li,
+        {
+            "qty": F.col("l_quantity"),
+            "price": F.col("l_extendedprice"),
+            "disc": F.col("l_discount"),
+            "tax": F.col("l_tax"),
+        },
+    )
+
+
+def _corr_matrix_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import corr_matrix_sql
+
+    return corr_matrix_sql(
+        "SELECT * FROM lineitem",
+        {
+            "qty": "l_quantity",
+            "price": "l_extendedprice",
+            "disc": "l_discount",
+            "tax": "l_tax",
+        },
+    )
+
+
 SPECS = [
+    QuerySpec("mlprep_corr_matrix", q_corr_matrix, _corr_matrix_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),
