@@ -2449,3 +2449,92 @@ SELECT g AS {group_col}, n_tokens, n_vocab,
        END AS effective_vocab
 FROM agg
 """
+
+
+def token_burstiness(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 30
+) -> DataFrame:
+    """Per-token burstiness (Fano factor) over documents — the
+    dispersion statistic that separates topical words (bursty: absent
+    from most docs, clumped in a few) from function words (evenly
+    sprinkled), a standard corpus-analysis feature for keyword
+    weighting and quality filtering (Church & Gale 1995).
+
+    For each of the ``top_k`` most frequent tokens: treat each
+    document as a trial, c_d = the token's count in doc d (0 for docs
+    without it), and report Fano = Var(c)/Mean(c) over ALL docs in
+    exact milli units: with N docs, s = Σc, ss = Σc²,
+    fano_milli = 1000·(N·ss − s²) div (N·s).  Zero-count docs cost
+    nothing: s and ss come from the token's posting rows only, N is
+    one corpus-level count.  ≈1000 means Poisson-like scatter; ≫1000
+    means bursty.
+
+    Scale: explode → one (token,doc) aggregate → one per-token
+    aggregate (both map-combinable, shuffle ∝ postings), then a
+    global top-k (TakeOrdered, never a full sort).  Ties break by
+    token text.  Returns (token, doc_freq, total_count, fano_milli).
+    """
+    from gis_city_county_spark.operators.textstats import tokens
+
+    n_docs = df.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")
+    )
+    posting = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("token", "__d")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("__c"))
+    )
+    per_token = posting.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.sum("__c").cast("decimal(19,0)").alias("__s"),
+        F.sum((F.col("__c") * F.col("__c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__ss"),
+    )
+    return (
+        per_token.join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_freq",
+            F.col("__s").cast("bigint").alias("total_count"),
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0))"
+                " * (__n * __ss - CAST(__s * __s AS DECIMAL(38,0))))"
+                " div (__n * __s) AS BIGINT)"
+            ).alias("fano_milli"),
+        )
+        .orderBy(F.col("total_count").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def token_burstiness_sql(
+    source_sql: str, id_col: str, text_col: str, top_k: int = 30
+) -> str:
+    from gis_city_county_spark.operators.textstats import tokens_sql
+
+    return f"""
+WITH docs AS (SELECT {id_col} AS d, {text_col} AS txt FROM ({source_sql})),
+n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs FROM docs),
+posting AS (
+  SELECT token, d, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM (SELECT d, UNNEST({tokens_sql('txt')}) AS token FROM docs)
+  GROUP BY token, d
+),
+per_token AS (
+  SELECT token,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         CAST(SUM(c) AS HUGEINT) AS s,
+         CAST(SUM(c * c) AS HUGEINT) AS ss
+  FROM posting GROUP BY token
+)
+SELECT token, doc_freq,
+       CAST(s AS BIGINT) AS total_count,
+       CAST((1000 * (n.n_docs * ss - s * s)) // (n.n_docs * s) AS BIGINT)
+         AS fano_milli
+FROM per_token, n
+ORDER BY total_count DESC, token ASC
+LIMIT {top_k}
+"""

@@ -15,7 +15,7 @@ contract needs bit-equal bucket ids on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.textstats import tokens, tokens_sql
@@ -1866,3 +1866,191 @@ def corr_matrix_sql(
         f"WITH m AS (SELECT {', '.join(cols)} FROM ({source_sql}))\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+def loo_target_encode(
+    df: DataFrame, key_col: str, cat_col: str, target_col: str
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-honest variant:
+    each row's encoded value is the mean target of the OTHER rows in
+    its category, ``(sum − y) / (n − 1)``, so a row never sees its own
+    label (plain mean encoding leaks the target into the feature and
+    inflates offline metrics).  Singleton categories have no "others"
+    and encode NULL — the caller decides the fallback (global prior,
+    drop, ...), the operator refuses to invent one silently.
+
+    Exactness: targets become exact integer cents (decimal floor),
+    the per-category sum is one map-combinable aggregate broadcast
+    back onto the rows, and the encode is an exact integral division
+    (``div`` — floor semantics, matching DuckDB ``//``) emitted in
+    milli-cents.  No windows, no per-row state; output ∝ input rows.
+
+    Returns (key, cat, n_cat, loo_milli_cents).
+    """
+    cents = F.floor(
+        F.col(target_col).cast("decimal(38,10)") * 100
+    ).cast("decimal(19,0)")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(cat_col).alias("cat"),
+        cents.alias("__y"),
+    )
+    per_cat = base.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cat"),
+        F.sum("__y").cast("decimal(38,0)").alias("__s"),
+    )
+    return (
+        base.join(F.broadcast(per_cat), "cat")
+        .select(
+            "key",
+            "cat",
+            "n_cat",
+            F.when(
+                F.col("n_cat") > 1,
+                F.expr(
+                    "CAST((CAST(1000 AS DECIMAL(38,0)) * (__s - __y))"
+                    " div (n_cat - 1) AS BIGINT)"
+                ),
+            ).alias("loo_milli_cents"),
+        )
+    )
+
+
+def loo_target_encode_sql(
+    source_sql: str, key_col: str, cat_col: str, target_col: str
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {key_col} AS key, {cat_col} AS cat,
+         CAST(FLOOR(CAST({target_col} AS DECIMAL(38,10)) * 100)
+              AS DECIMAL(19,0)) AS y
+  FROM ({source_sql})
+),
+per_cat AS (
+  SELECT cat, CAST(COUNT(*) AS BIGINT) AS n_cat,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS s
+  FROM base GROUP BY cat
+)
+SELECT b.key, b.cat, p.n_cat,
+       -- HUGEINT division: DuckDB's ``//`` on wide DECIMALs detours
+       -- through double and loses ulps past 2^53; int128 is exact.
+       CASE WHEN p.n_cat > 1
+            THEN CAST((CAST(1000 AS HUGEINT) * CAST(p.s - b.y AS HUGEINT))
+                      // CAST(p.n_cat - 1 AS HUGEINT) AS BIGINT)
+       END AS loo_milli_cents
+FROM base b JOIN per_cat p USING (cat)
+"""
+
+
+def spearman_corr(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Spearman rank correlation with textbook average-rank tie
+    handling — the monotonic-association check an eval pipeline runs
+    when the relationship isn't linear (Pearson) but ordinal.
+
+    Scale-safe ranking: instead of one global window over the rows,
+    each variable aggregates to its DISTINCT-VALUE frame (value →
+    count), takes a running sum over that bounded frame to get the
+    min-rank, and derives the tie-averaged rank DOUBLED to stay
+    integral: r2 = 2·min_rank + count − 1.  The window runs over
+    distinct values only — constant-bounded for real measures (money
+    in cents, counts), never the raw rows.  Rows then re-join their
+    r2 by value (broadcastable), and Spearman = Pearson over exact
+    integer r2 moments with the one closing IEEE sqrt/divide.
+
+    Returns one row: (n, spearman_r).
+    """
+    dec = "decimal(38,0)"
+    # Pairs with a NULL on either side are out of the statistic on
+    # BOTH engines (Spark windows order NULLs first, DuckDB last — a
+    # NULL group in the running sum would shift every rank).
+    obs = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__vx"), F.col(y_col).alias("__vy"))
+
+    def _r2(col: str, out: str) -> DataFrame:
+        per_v = obs.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c")
+        )
+        w = (
+            Window.orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return per_v.select(
+            "__v",
+            (
+                2 * (F.sum("__c").over(w) - F.col("__c") + 1)
+                + F.col("__c") - 1
+            ).cast("bigint").alias(out),
+        )
+
+    # No broadcast hint: the rank frame is |distinct values| rows —
+    # tiny for discrete metrics, potentially row-sized for continuous
+    # ones, so the join strategy is left to AQE.
+    paired = (
+        obs
+        .join(_r2("__vx", "__r2x").withColumnRenamed("__v", "__vx"), "__vx")
+        .join(_r2("__vy", "__r2y").withColumnRenamed("__v", "__vy"), "__vy")
+    )
+    x = F.col("__r2x").cast("decimal(19,0)")
+    y = F.col("__r2y").cast("decimal(19,0)")
+    m = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast(dec).alias("__sx"),
+        F.sum(y).cast(dec).alias("__sy"),
+        F.sum((x * y).cast(dec)).cast(dec).alias("__sxy"),
+        F.sum((x * x).cast(dec)).cast(dec).alias("__sxx"),
+        F.sum((y * y).cast(dec)).cast(dec).alias("__syy"),
+    )
+    nn = F.col("n").cast(dec)
+    num = (nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast("double")
+    vx = (nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast("double")
+    vy = (nn * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast("double")
+    return m.select(
+        "n",
+        F.when((vx > 0.0) & (vy > 0.0), num / F.sqrt(vx * vy))
+        .alias("spearman_r"),
+    )
+
+
+def spearman_corr_sql(source_sql: str, x_col: str, y_col: str) -> str:
+    dec = "DECIMAL(38,0)"
+
+    def _r2(col: str) -> str:
+        return f"""
+  SELECT v, CAST(2 * (SUM(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - c + 1) + c - 1 AS BIGINT) AS r2
+  FROM (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM obs GROUP BY 1)"""
+
+    num = f"CAST(CAST(CAST(n AS {dec}) * sxy - sx * sy AS VARCHAR) AS DOUBLE)"
+    vx = f"CAST(CAST(CAST(n AS {dec}) * sxx - sx * sx AS VARCHAR) AS DOUBLE)"
+    vy = f"CAST(CAST(CAST(n AS {dec}) * syy - sy * sy AS VARCHAR) AS DOUBLE)"
+    return f"""
+WITH obs AS (
+  SELECT {x_col}, {y_col} FROM ({source_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+rx AS ({_r2(x_col)}),
+ry AS ({_r2(y_col)}),
+paired AS (
+  SELECT CAST(rx.r2 AS DECIMAL(19,0)) AS x, CAST(ry.r2 AS DECIMAL(19,0)) AS y
+  FROM obs
+  JOIN rx ON obs.{x_col} = rx.v
+  JOIN ry ON obs.{y_col} = ry.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS {dec}) AS sx, CAST(SUM(y) AS {dec}) AS sy,
+         CAST(SUM(CAST(x * y AS {dec})) AS {dec}) AS sxy,
+         CAST(SUM(CAST(x * x AS {dec})) AS {dec}) AS sxx,
+         CAST(SUM(CAST(y * y AS {dec})) AS {dec}) AS syy
+  FROM paired
+)
+SELECT n,
+       CASE WHEN {vx} > 0.0 AND {vy} > 0.0
+            THEN {num} / SQRT({vx} * {vy}) END AS spearman_r
+FROM m
+"""

@@ -1712,3 +1712,131 @@ SELECT u AS user_id, recency_days, frequency, monetary_milli,
        CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS rfm_code
 FROM tiled
 """
+
+
+def seasonal_baseline(
+    df: DataFrame, ts_col: str, top_k: int = 20
+) -> DataFrame:
+    """Day-of-week × hour seasonal baseline with top anomaly cells —
+    the "is this Tuesday 3pm normal for a Tuesday 3pm" monitor.
+    Event counts land on the FULL calendar×24 grid (min event date to
+    max event date, absent hours count 0 — skipping empty cells would
+    bias every baseline upward), each (dow, hour) slot's baseline is
+    the exact lower median of its cells' counts, and the report is
+    the ``top_k`` cells by absolute deviation from baseline.
+
+    Exact integers end to end: counts are BIGINT, the lower median is
+    the ceil(m/2)-th order statistic picked by row_number over the
+    strict total order (count, day), deviations are integer
+    subtraction.  NULL timestamps are dropped (the r8 NULL-day rule).
+
+    Scale: one map-combinable (day, hour) count; the grid is
+    calendar-bounded (days×24 rows at ANY event volume), so the
+    median window and the final TakeOrdered run on a constant-size
+    relation.  Returns (day, hour, dow, n_events, baseline,
+    deviation) — ``top_k`` rows, ties broken by (day, hour).
+    """
+    ev = df.filter(F.col(ts_col).isNotNull())
+    counts = ev.groupBy(
+        F.to_date(ts_col).alias("__day"),
+        F.hour(ts_col).cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    span = ev.agg(
+        F.min(F.to_date(ts_col)).alias("__lo"),
+        F.max(F.to_date(ts_col)).alias("__hi"),
+    )
+    grid = (
+        span.select(
+            F.explode(F.sequence("__lo", "__hi")).alias("__day")
+        )
+        .select(
+            "__day",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("__h"),
+        )
+        .select("__day", F.col("__h").cast("int").alias("hour"))
+    )
+    cells = (
+        grid.join(counts, ["__day", "hour"], "left")
+        .select(
+            "__day",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("bigint"))
+            .alias("n_events"),
+            F.weekday(F.col("__day")).cast("int").alias("dow"),
+        )
+    )
+    w = Window.partitionBy("dow", "hour").orderBy(
+        F.col("n_events").asc(), F.col("__day").asc()
+    )
+    wc = Window.partitionBy("dow", "hour")
+    med = (
+        cells.select(
+            "dow", "hour", "n_events",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wc).alias("__m"),
+        )
+        .filter(F.col("__rn") == F.expr("(__m + 1) div 2"))
+        .select("dow", "hour", F.col("n_events").alias("baseline"))
+    )
+    return (
+        cells.join(med, ["dow", "hour"])
+        .select(
+            F.col("__day").cast("timestamp").alias("day"),
+            "hour",
+            "dow",
+            "n_events",
+            "baseline",
+            (F.col("n_events") - F.col("baseline")).cast("bigint")
+            .alias("deviation"),
+        )
+        .orderBy(
+            F.abs(F.col("deviation")).desc(),
+            F.col("day").asc(),
+            F.col("hour").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+def seasonal_baseline_sql(source_sql: str, ts_col: str, top_k: int = 20) -> str:
+    return f"""
+WITH ev AS (
+  SELECT {ts_col} AS ts FROM ({source_sql}) WHERE {ts_col} IS NOT NULL
+),
+counts AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INTEGER) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM ev GROUP BY 1, 2
+),
+span AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+         FROM ev),
+grid AS (
+  SELECT CAST(d AS DATE) AS day, CAST(h AS INTEGER) AS hour
+  FROM span,
+       UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS t(d),
+       UNNEST(range(24)) AS u(h)
+),
+cells AS (
+  SELECT g.day, g.hour,
+         COALESCE(c.n_events, 0) AS n_events,
+         CAST(isodow(g.day) - 1 AS INTEGER) AS dow
+  FROM grid g LEFT JOIN counts c ON g.day = c.day AND g.hour = c.hour
+),
+med AS (
+  SELECT dow, hour, n_events AS baseline
+  FROM (
+    SELECT dow, hour, n_events,
+           ROW_NUMBER() OVER (PARTITION BY dow, hour
+                              ORDER BY n_events ASC, day ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY dow, hour) AS m
+    FROM cells
+  )
+  WHERE rn = (m + 1) // 2
+)
+SELECT CAST(c.day AS TIMESTAMP) AS day, c.hour AS hour, c.dow AS dow,
+       c.n_events, m.baseline,
+       CAST(c.n_events - m.baseline AS BIGINT) AS deviation
+FROM cells c JOIN med m ON c.dow = m.dow AND c.hour = m.hour
+ORDER BY ABS(c.n_events - m.baseline) DESC, day ASC, c.hour ASC
+LIMIT {top_k}
+"""

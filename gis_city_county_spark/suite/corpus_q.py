@@ -685,7 +685,26 @@ def _simpson_oracle() -> str:
     return simpson_diversity_sql("documents", "source", "text")
 
 
+def q_token_burstiness(spark, sf_dir):
+    """Top-30 token burstiness (Fano factor, exact milli) over the
+    documents corpus — topical-vs-function-word dispersion."""
+    from gis_city_county_spark.operators.corpus import token_burstiness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_burstiness(docs, "doc_id", "text", top_k=30)
+
+
+def _burstiness_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import token_burstiness_sql
+
+    return token_burstiness_sql(
+        "SELECT * FROM documents", "doc_id", "text", top_k=30
+    )
+
+
 SPECS = [
+    QuerySpec("corpus_token_burstiness", q_token_burstiness,
+              _burstiness_oracle()),
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),
     QuerySpec("corpus_token_drift", q_token_drift, _token_drift_oracle()),
     QuerySpec("pipeline_dataset_card", q_dataset_card, _dataset_card_oracle()),

@@ -893,7 +893,24 @@ def _decayed_oracle() -> str:
     )
 
 
+def q_seasonal_baseline(spark, sf_dir):
+    """Day-of-week x hour median baseline over the full calendar grid
+    with the top-20 absolute-deviation anomaly cells."""
+    from gis_city_county_spark.operators.temporal import seasonal_baseline
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_baseline(events, "ts", top_k=20)
+
+
+def _seasonal_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import seasonal_baseline_sql
+
+    return seasonal_baseline_sql("SELECT * FROM events", "ts", top_k=20)
+
+
 SPECS = [
+    QuerySpec("events_seasonal_baseline", q_seasonal_baseline,
+              _seasonal_oracle()),
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),
     QuerySpec("events_cumulative_distinct", q_cumulative_distinct,
               _cumulative_distinct_oracle()),

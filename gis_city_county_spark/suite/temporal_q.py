@@ -1012,8 +1012,46 @@ def _corr_matrix_oracle() -> str:
     )
 
 
+def q_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-honest leave-one-out encoding of order priority by
+    order total: each order's feature is the mean price of the OTHER
+    orders in its priority class (exact milli-cents)."""
+    from gis_city_county_spark.operators.mlprep import loo_target_encode
+
+    o = load_table(spark, sf_dir, "orders")
+    return loo_target_encode(o, "o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+def _loo_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import loo_target_encode_sql
+
+    return loo_target_encode_sql(
+        "SELECT * FROM orders", "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (average-rank ties, distinct-value
+    ranking — no global row window) between lineitem quantity and
+    extended price: the ordinal association check."""
+    from gis_city_county_spark.operators.mlprep import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+def _spearman_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import spearman_corr_sql
+
+    return spearman_corr_sql(
+        "SELECT * FROM lineitem", "l_quantity", "l_extendedprice"
+    )
+
+
 SPECS = [
     QuerySpec("mlprep_corr_matrix", q_corr_matrix, _corr_matrix_oracle()),
+    QuerySpec("mlprep_loo_target_encode", q_loo_target_encode, _loo_oracle()),
+    QuerySpec("eval_spearman", q_spearman, _spearman_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

@@ -201,3 +201,206 @@ def test_corr_matrix_matches_duckdb_on_lineitem(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) == 6
+
+
+# ------------------------------------------------- loo_target_encode
+
+
+def test_loo_target_encode_exact_fixture(spark):
+    """Category A: targets (1.00, 2.00, 3.00) — each row's LOO mean is
+    the mean of the other two, in exact milli-cents; singleton
+    category B encodes NULL."""
+    from gis_city_county_spark.operators.mlprep import loo_target_encode
+
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0), (4, "B", 9.0)],
+        "id long, cat string, y double",
+    )
+    out = {r["key"]: r for r in loo_target_encode(df, "id", "cat", "y").collect()}
+    # row 1: others are 2.00+3.00 cents=500, /2 ⇒ 250 cents ⇒ 250000 milli
+    assert out[1]["loo_milli_cents"] == 250_000
+    assert out[2]["loo_milli_cents"] == 200_000
+    assert out[3]["loo_milli_cents"] == 150_000
+    assert out[4]["loo_milli_cents"] is None and out[4]["n_cat"] == 1
+
+
+def test_loo_target_encode_matches_duckdb_on_orders(spark, sf_dir):
+    from gis_city_county_spark.operators.mlprep import (
+        loo_target_encode,
+        loo_target_encode_sql,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = sorted(
+        tuple(r)
+        for r in loo_target_encode(
+            o, "o_orderkey", "o_orderpriority", "o_totalprice"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            loo_target_encode_sql(
+                "SELECT * FROM orders",
+                "o_orderkey", "o_orderpriority", "o_totalprice",
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+# ----------------------------------------------------- spearman_corr
+
+
+def test_spearman_known_values(spark):
+    """Strictly monotone ⇒ +1; reversed ⇒ −1; a NULL pair is dropped
+    (not ranked)."""
+    from gis_city_county_spark.operators.mlprep import spearman_corr
+
+    up = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 99.0), (None, 1.0)],
+        "x double, y double",
+    )
+    r = spearman_corr(up, "x", "y").collect()[0]
+    assert r["n"] == 4 and abs(r["spearman_r"] - 1.0) < 1e-12
+    down = spark.createDataFrame(
+        [(1.0, 9.0), (2.0, 7.0), (3.0, 5.0)], "x double, y double"
+    )
+    r = spearman_corr(down, "x", "y").collect()[0]
+    assert abs(r["spearman_r"] + 1.0) < 1e-12
+
+
+def test_spearman_tie_handling_matches_textbook_formula(spark):
+    """Average-rank ties: x=(1,1,2), y=(3,5,4) ⇒ tied x ranks
+    (1.5, 1.5, 3) against y ranks (1, 3, 2); the rank deviations
+    (−.5, −.5, 1) vs (−1, 1, 0) have zero covariance ⇒ r = 0 exactly
+    (scipy.stats.spearmanr agrees).  A wrong tie rule (e.g. min-rank)
+    would give a nonzero r here."""
+    from gis_city_county_spark.operators.mlprep import spearman_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 3.0), (1.0, 5.0), (2.0, 4.0)], "x double, y double"
+    )
+    r = spearman_corr(df, "x", "y").collect()[0]
+    assert r["spearman_r"] == 0.0
+
+
+def test_spearman_matches_duckdb_on_lineitem(spark, sf_dir):
+    from gis_city_county_spark.operators.mlprep import (
+        spearman_corr,
+        spearman_corr_sql,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = [tuple(r) for r in spearman_corr(li, "l_quantity", "l_extendedprice").collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            spearman_corr_sql(
+                "SELECT * FROM lineitem", "l_quantity", "l_extendedprice"
+            )
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 1
+
+
+# ------------------------------------------------- token_burstiness
+
+
+def test_token_burstiness_poisson_vs_bursty(spark):
+    """A token spread one-per-doc has Fano < 1000 (sub-Poisson); a
+    token clumped in one doc has Fano > 1000 (bursty)."""
+    from gis_city_county_spark.operators.corpus import token_burstiness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "even bursty bursty bursty bursty"),
+            (2, "even filler"),
+            (3, "even filler"),
+            (4, "even filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in token_burstiness(docs, "doc_id", "text").collect()}
+    # "even": c=(1,1,1,1) ⇒ var 0 ⇒ fano 0
+    assert out["even"]["fano_milli"] == 0 and out["even"]["doc_freq"] == 4
+    # "bursty": c=(4,0,0,0): N=4, s=4, ss=16 ⇒ (4·16−16)/(4·4) = 3 ⇒ 3000
+    assert out["bursty"]["fano_milli"] == 3000 and out["bursty"]["doc_freq"] == 1
+
+
+def test_token_burstiness_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.corpus import (
+        token_burstiness,
+        token_burstiness_sql,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in token_burstiness(d, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            token_burstiness_sql("SELECT * FROM documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 30
+
+
+# ----------------------------------------------- seasonal_baseline
+
+
+def test_seasonal_baseline_zero_fills_empty_hours(spark):
+    """Two Mondays: hour 9 has (2, 0) events ⇒ lower-median baseline 0
+    for that slot, and the 2-event cell is the top deviation.  The
+    absent second-Monday hour-9 cell MUST be zero-filled — without the
+    grid the baseline would be 2."""
+    from gis_city_county_spark.operators.temporal import seasonal_baseline
+
+    df = spark.createDataFrame(
+        [("2024-01-01 09:00:00",), ("2024-01-01 09:30:00",),
+         ("2024-01-08 10:00:00",)],
+        "ts_s string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    out = seasonal_baseline(df, "ts", top_k=5).collect()
+    top = out[0]
+    assert top["hour"] == 9 and top["dow"] == 0
+    assert top["n_events"] == 2 and top["baseline"] == 0
+    assert top["deviation"] == 2
+
+
+def test_seasonal_baseline_matches_duckdb_on_events(spark, sf_dir):
+    from gis_city_county_spark.operators.temporal import (
+        seasonal_baseline,
+        seasonal_baseline_sql,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(tuple(r) for r in seasonal_baseline(ev, "ts").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            seasonal_baseline_sql("SELECT * FROM events", "ts")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 20
