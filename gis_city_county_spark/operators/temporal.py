@@ -1624,6 +1624,17 @@ def rfm_scores(
             .cast("decimal(28,10)") * 1000
         ).cast("bigint").alias("monetary_milli"),
     )
+    return rfm_from_per_user(per_user, n_tiles)
+
+
+def rfm_from_per_user(per_user: DataFrame, n_tiles: int = 5) -> DataFrame:
+    """The RFM tile tail from an already-aggregated per-user frame
+    ``(__u, __last, frequency, monetary_milli)`` — shared verbatim by
+    :func:`rfm_scores` and the streaming twin
+    (``streaming/rfm.py``), so the live scores are bit-equal to the
+    batch scores by construction."""
+    from gis_city_county_spark.operators.scale import ranged_rank
+
     anchor = per_user.agg(
         F.max("__last").alias("__anchor"),
         F.count(F.lit(1)).cast("bigint").alias("__n_users"),

@@ -1336,3 +1336,105 @@ def test_streaming_countmin_delta_retry_idempotent(spark, tmp_path):
     final = {r["key"]: r for r in spark.read.parquet(report_dir).collect()}
     assert final["c"]["exact_b"] == 2 and final["c"]["exact_delta"] == 2
     assert final["a"]["exact_delta"] == -1
+
+
+def test_streaming_rfm_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch RFM maintainer:
+    after each batch the published scores partition is BIT-EQUAL to
+    the batch ``rfm_scores`` over every row arrived so far — tiles,
+    recency anchor, and the once-floored monetary sum all shift as
+    users accumulate events, so a partial-fold bug cannot hide."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import rfm_scores
+    from gis_city_county_spark.streaming.rfm import streaming_rfm_scores
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+        )
+
+    batches = [
+        ev([(u, f"2024-01-{3 + u:02d} 10:00:00", 10.0 * u + 0.25)
+            for u in range(5)]),
+        # user 0 surges in frequency+value; user 5 is brand new and
+        # moves the recency anchor forward
+        ev([(0, "2024-01-10 09:00:00", 99.5), (0, "2024-01-11 09:00:00", 0.5),
+            (5, "2024-01-12 08:00:00", 7.0)]),
+        # NULL user and NULL ts rows must be ignored, exactly like batch
+        ev([(None, "2024-01-13 10:00:00", 50.0), (2, None, 50.0),
+            (2, "2024-01-13 11:00:00", 0.125)]),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "rfm_state")
+    scores_dir = str(tmp_path / "scores")
+    q = (
+        streaming_rfm_scores(
+            spark, batches[0].schema, str(incoming),
+            state_dir, scores_dir, "user_id", "ts", "value",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "user_id", "recency_days", "frequency", "monetary_milli",
+        "r_tile", "f_tile", "m_tile", "rfm_code",
+    ]
+    published = spark.read.parquet(scores_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in rfm_scores(acc, "user_id", "ts", "value").collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+
+
+def test_streaming_rfm_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch, same id, folded twice) leaves
+    the per-user partial state distinct-on-read and the published
+    scores identical — frequencies and sums never double."""
+    from gis_city_county_spark.streaming.rfm import rfm_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    scores_dir = str(tmp_path / "scores")
+    fold = rfm_batch_folder(state_dir, scores_dir, "user_id", "ts", "value")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 3.5), (1, "2024-01-02 10:00:00", 1.5),
+         (2, "2024-01-03 10:00:00", 9.0)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(scores_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(scores_dir).collect())
+    assert twice == once
+    partials = spark.read.parquet(f"{state_dir}/per_user_partials")
+    assert partials.count() == 2 * partials.distinct().count()
+    final = {r["user_id"]: r for r in spark.read.parquet(scores_dir).collect()}
+    assert final[1]["frequency"] == 2 and final[1]["monetary_milli"] == 5000
+    assert final[2]["frequency"] == 1
