@@ -716,3 +716,60 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
        END AS avg_local_cc_ppm
 FROM per_node
 """
+
+
+def cooccurrence_pairs(
+    df: DataFrame, group_col: str, item_col: str, top_k: int = 20
+) -> DataFrame:
+    """Bipartite co-occurrence projection: for items appearing in
+    shared groups (suppliers sharing parts, tokens sharing documents,
+    products sharing baskets), the pair weight is the number of
+    DISTINCT groups containing both — the classic "also supplied by"
+    / market-basket projection.
+
+    Scale shape: the projection self-joins the DISTINCT (group, item)
+    relation on group, so the fan-out is C(m,2) per group where m is
+    the group's item count — safe when group membership is naturally
+    bounded (TPC-H parts have ≤4 suppliers at every SF; baskets have
+    tens of items), and the operator to AVOID on power-law groups
+    (use :func:`minhash` blocking there).  The pair aggregate is
+    map-combinable; the final top-k is a TakeOrdered, never a full
+    sort.
+
+    Ties break by (item_a, item_b).  Returns
+    (item_a, item_b, n_shared_groups) — ``top_k`` rows, item_a <
+    item_b canonical order.
+    """
+    gi = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    a = gi.withColumnRenamed("__i", "item_a")
+    b = gi.withColumnRenamed("__i", "item_b")
+    return (
+        a.join(b, "__g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_groups"))
+        .orderBy(
+            F.col("n_shared_groups").desc(),
+            F.col("item_a").asc(),
+            F.col("item_b").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+def cooccurrence_pairs_sql(
+    source_sql: str, group_col: str, item_col: str, top_k: int = 20
+) -> str:
+    return f"""
+WITH gi AS (
+  SELECT DISTINCT {group_col} AS g, {item_col} AS i FROM ({source_sql})
+)
+SELECT a.i AS item_a, b.i AS item_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_groups
+FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+GROUP BY a.i, b.i
+ORDER BY n_shared_groups DESC, item_a ASC, item_b ASC
+LIMIT {top_k}
+"""

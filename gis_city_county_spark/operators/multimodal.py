@@ -595,3 +595,65 @@ SELECT {id_col}, width, height,
             END AS BIGINT) AS crop_ppm
 FROM best
 """
+
+
+def multimodal_token_budget(
+    docs: DataFrame,
+    images: DataFrame,
+    doc_id: str,
+    text_col: str,
+    img_key,
+    img_id: str,
+    payload_col: str,
+    patch: int = 2,
+    sep_tokens: int = 2,
+    bucket: int = 128,
+) -> DataFrame:
+    """Per-sample token budget for an interleaved text+image example —
+    the ONE number a multimodal packer needs per row before it can
+    bin-pack sequences: BPE-ish text tokens + the image's ViT patch
+    tokens (from :func:`patch_plan`, REAL decode for the dims, CLS
+    included) + ``sep_tokens`` modality separators, plus the
+    ``bucket``-sized length bucket the packer groups by.  ``img_key``
+    is the Column mapping a doc to its image id (a real pipeline has
+    a foreign key; the registered fixture uses ``doc_id % n_images``).
+
+    Scale shape: the text count is a scan-side regex (no explode);
+    the image side runs :func:`patch_plan` once over the image table
+    (∝ images, usually ≪ docs) and broadcast-joins onto the docs by
+    the sample's image key.  Nothing re-decodes at pack time.
+
+    Returns (doc_id, text_tokens, image_tokens, budget_tokens,
+    seq_bucket).
+    """
+    from gis_city_county_spark.operators.textstats import bpe_tokens
+
+    plans = patch_plan(images, img_id, payload_col, patch).select(
+        F.col(img_id).alias("__img"),
+        F.col("n_tokens").alias("image_tokens"),
+    )
+    txt = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.size(bpe_tokens(F.col(text_col))).cast("bigint")
+        .alias("text_tokens"),
+        img_key.alias("__img"),
+    )
+    return (
+        txt.join(F.broadcast(plans), "__img")
+        .select(
+            "doc_id",
+            "text_tokens",
+            "image_tokens",
+            (
+                F.col("text_tokens") + F.col("image_tokens")
+                + F.lit(sep_tokens)
+            ).cast("bigint").alias("budget_tokens"),
+        )
+        .withColumn(
+            "seq_bucket",
+            F.expr(
+                f"CAST((text_tokens + image_tokens + {sep_tokens})"
+                f" div {bucket} AS BIGINT)"
+            ),
+        )
+    )

@@ -458,7 +458,27 @@ def _clustering_oracle() -> str:
     return clustering_coefficient_sql(_COSUPPLY_EDGES_SQL)
 
 
+def q_cooccurrence(spark, sf_dir):
+    """Supplier co-occurrence projection over shared parts (lineitem
+    bipartite graph): top-20 supplier pairs by distinct shared parts
+    — bounded C(m,2) fan-out per part (TPC-H: m <= 4 at every SF)."""
+    from gis_city_county_spark.operators.graph import cooccurrence_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(li, "l_partkey", "l_suppkey", top_k=20)
+
+
+def _cooccurrence_oracle() -> str:
+    from gis_city_county_spark.operators.graph import cooccurrence_pairs_sql
+
+    return cooccurrence_pairs_sql(
+        "SELECT * FROM lineitem", "l_partkey", "l_suppkey", top_k=20
+    )
+
+
 SPECS = [
+    QuerySpec("graph_cooccurrence_pairs", q_cooccurrence,
+              _cooccurrence_oracle()),
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),
     QuerySpec("graph_clustering_coefficient", q_clustering_coefficient,
               _clustering_oracle()),

@@ -306,7 +306,50 @@ def _aspect_bucket_oracle() -> str:
     return aspect_bucket_plan_sql(dims, "img_id")
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved text+image token budget per document: BPE-ish text
+    tokens + ViT patch tokens (REAL decode on the BMP fixtures, image
+    assigned by doc_id % 8) + 2 separators, with the 128-token packing
+    bucket."""
+    from gis_city_county_spark.operators.multimodal import (
+        multimodal_token_budget,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal_token_budget(
+        docs, _fixture_bmps(spark), "doc_id", "text",
+        F.col("doc_id") % 8, "img_id", "payload",
+        patch=2, sep_tokens=2, bucket=128,
+    )
+
+
+def _token_budget_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import bpe_token_count_sql
+
+    # Image side re-derived from the fixture formula (w=4+i%3, h=3+i%2,
+    # patch=2 ⇒ tokens = ceil(w/2)·ceil(h/2) + 1), text side from the
+    # shared BPE regex; decode must invert encode for the dims.
+    return f"""
+WITH img AS (
+  SELECT i AS img, ((4 + i % 3 + 1) // 2) * ((3 + i % 2 + 1) // 2) + 1
+           AS image_tokens
+  FROM (SELECT unnest(generate_series(0, 7)) AS i)
+),
+txt AS (
+  SELECT doc_id, CAST({bpe_token_count_sql('text')} AS BIGINT) AS text_tokens,
+         doc_id % 8 AS img
+  FROM documents
+)
+SELECT doc_id, text_tokens,
+       CAST(image_tokens AS BIGINT) AS image_tokens,
+       CAST(text_tokens + image_tokens + 2 AS BIGINT) AS budget_tokens,
+       CAST((text_tokens + image_tokens + 2) // 128 AS BIGINT) AS seq_bucket
+FROM txt JOIN img USING (img)
+"""
+
+
 SPECS = [
+    QuerySpec("mm_token_budget", q_token_budget, _token_budget_oracle()),
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
     QuerySpec("mm_aspect_bucket", q_aspect_bucket, _aspect_bucket_oracle(),
               bench=False),

@@ -1961,7 +1961,82 @@ def _join_fanout_oracle() -> str:
     )
 
 
+def q_share_of_parent(spark, sf_dir):
+    """Hierarchical percent-of-parent rollup: each nation's lineitem
+    revenue as a share of its region and of the world — exact decimal
+    sums closed by single IEEE divides (the dec_sum convention), one
+    scan + two bounded rollup joins (broadcast: 25 nations, 5
+    regions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(38,10)")
+            ).alias("__rev")
+        )
+    )
+    region = rev.groupBy("r_name").agg(
+        F.sum("__rev").alias("__region_rev")
+    )
+    total = rev.agg(F.sum("__rev").alias("__total_rev"))
+    return (
+        rev.join(F.broadcast(region), "r_name")
+        .join(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("__rev").cast("double").alias("nation_rev"),
+            F.col("__region_rev").cast("double").alias("region_rev"),
+            (F.col("__rev").cast("double")
+             / F.col("__region_rev").cast("double"))
+            .alias("share_of_region"),
+            (F.col("__rev").cast("double")
+             / F.col("__total_rev").cast("double"))
+            .alias("share_of_total"),
+        )
+    )
+
+
+_SHARE_OF_PARENT_ORACLE = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+           AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+),
+reg AS (SELECT r_name, SUM(rev) AS region_rev FROM rev GROUP BY r_name),
+tot AS (SELECT SUM(rev) AS total_rev FROM rev)
+SELECT rev.r_name, rev.n_name,
+       CAST(CAST(rev.rev AS VARCHAR) AS DOUBLE) AS nation_rev,
+       CAST(CAST(reg.region_rev AS VARCHAR) AS DOUBLE) AS region_rev,
+       CAST(CAST(rev.rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(reg.region_rev AS VARCHAR) AS DOUBLE)
+         AS share_of_region,
+       CAST(CAST(rev.rev AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(tot.total_rev AS VARCHAR) AS DOUBLE)
+         AS share_of_total
+FROM rev JOIN reg ON rev.r_name = reg.r_name CROSS JOIN tot
+"""
+
+
 SPECS = [
+    QuerySpec("olap_share_of_parent", q_share_of_parent,
+              _SHARE_OF_PARENT_ORACLE),
     QuerySpec("olap_pivot_event_matrix", q_pivot_event_matrix, _PIVOT_ORACLE),
     QuerySpec("profile_join_fanout", q_join_fanout, _join_fanout_oracle()),
     QuerySpec("olap_melt_lineitem_metrics", q_melt_lineitem_metrics, _MELT_ORACLE),

@@ -404,3 +404,95 @@ def test_seasonal_baseline_matches_duckdb_on_events(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) == 20
+
+
+# -------------------------------------------------- cooccurrence
+
+
+def test_cooccurrence_pairs_exact_fixture(spark):
+    """Items: g1={a,b,c}, g2={a,b}, g3={a} ⇒ (a,b) share 2 groups,
+    (a,c) and (b,c) share 1; duplicate memberships count once."""
+    from gis_city_county_spark.operators.graph import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (1, "c"),
+         (2, "a"), (2, "b"), (3, "a")],
+        "g long, i string",
+    )
+    out = {(r["item_a"], r["item_b"]): r["n_shared_groups"]
+           for r in cooccurrence_pairs(df, "g", "i").collect()}
+    assert out == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_cooccurrence_pairs_matches_duckdb_on_lineitem(spark, sf_dir):
+    from gis_city_county_spark.operators.graph import (
+        cooccurrence_pairs,
+        cooccurrence_pairs_sql,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = sorted(
+        tuple(r)
+        for r in cooccurrence_pairs(li, "l_partkey", "l_suppkey", 20).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            cooccurrence_pairs_sql(
+                "SELECT * FROM lineitem", "l_partkey", "l_suppkey", 20
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 20
+
+
+# -------------------------------------------- multimodal_token_budget
+
+
+def test_multimodal_token_budget_exact(spark):
+    """Text "hello world" = 2 BPE tokens; image 0 is 4×3 at patch=2 ⇒
+    2·2 patches + CLS = 5 tokens; budget = 2+5+2 = 9, bucket 0."""
+    from gis_city_county_spark.operators.multimodal import (
+        multimodal_token_budget,
+    )
+    from gis_city_county_spark.suite.multimodal_q import _fixture_bmps
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (9, "a b c, d!")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in multimodal_token_budget(
+            docs, _fixture_bmps(spark), "doc_id", "text",
+            F.col("doc_id") % 8, "img_id", "payload",
+        ).collect()
+    }
+    assert out[0]["text_tokens"] == 2 and out[0]["image_tokens"] == 5
+    assert out[0]["budget_tokens"] == 9 and out[0]["seq_bucket"] == 0
+    # doc 9 → image 1 (5×3): ceil(5/2)·ceil(3/2)+1 = 3·2+1 = 7
+    # text "a b c, d!" → a, b, c, ",", d, "!" = 6 BPE tokens
+    assert out[9]["image_tokens"] == 7 and out[9]["text_tokens"] == 6
+
+
+# ------------------------------------------------ olap_share_of_parent
+
+
+def test_share_of_parent_shares_cross_foot(spark, sf_dir):
+    """Within every region the nation shares sum to ~1, and the
+    region revenues' share_of_total sums to ~1 over all rows."""
+    from gis_city_county_spark.suite.tpch_ext import q_share_of_parent
+
+    rows = q_share_of_parent(spark, sf_dir).collect()
+    assert len(rows) == 25  # all nations present at every SF
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    assert len(by_region) == 5
+    for rs in by_region.values():
+        assert abs(sum(x["share_of_region"] for x in rs) - 1.0) < 1e-9
+    assert abs(sum(x["share_of_total"] for x in rows) - 1.0) < 1e-9
