@@ -1816,17 +1816,24 @@ def corr_matrix(
               - F.col(f"__s_{y}") * F.col(f"__s_{y}")).cast("double")
         return F.when((vx > 0.0) & (vy > 0.0), num / F.sqrt(vx * vy))
 
-    rows = [
-        m.select(
-            F.lit(x).alias("x_name"), F.lit(y).alias("y_name"),
-            F.col("n"), _r(x, y).alias("pearson_r"),
+    # One generate over the single moments row — a 6-way union would
+    # re-plan (and re-merge) the global aggregate once per branch.
+    pair_structs = F.array(*[
+        F.struct(
+            F.lit(x).alias("x_name"),
+            F.lit(y).alias("y_name"),
+            _r(x, y).alias("pearson_r"),
         )
         for x, y in pairs
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    ])
+    return m.select(
+        F.col("n"), F.explode(pair_structs).alias("__p")
+    ).select(
+        F.col("__p.x_name").alias("x_name"),
+        F.col("__p.y_name").alias("y_name"),
+        "n",
+        F.col("__p.pearson_r").alias("pearson_r"),
+    )
 
 
 def corr_matrix_sql(
@@ -1970,17 +1977,22 @@ def spearman_corr(
     ).select(F.col(x_col).alias("__vx"), F.col(y_col).alias("__vy"))
 
     def _r2(col: str, out: str) -> DataFrame:
+        from gis_city_county_spark.operators.scale import ranged_cumsum
+
         per_v = obs.groupBy(F.col(col).alias("__v")).agg(
             F.count(F.lit(1)).cast("bigint").alias("__c")
         )
-        w = (
-            Window.orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # Two-phase bucketed running sum — the distinct-value frame is
+        # small for discrete metrics but row-sized for continuous
+        # ones, so no single-partition window anywhere.
+        cum = ranged_cumsum(
+            per_v, "__v", "__v", "__c",
+            cum_col="__cum", total_col=None, descending=False,
         )
-        return per_v.select(
+        return cum.select(
             "__v",
             (
-                2 * (F.sum("__c").over(w) - F.col("__c") + 1)
+                2 * (F.col("__cum") - F.col("__c") + 1)
                 + F.col("__c") - 1
             ).cast("bigint").alias(out),
         )

@@ -207,6 +207,12 @@ _BNLJ_ALLOWED = {
     # two 1-row broadcast scalar merges (exact-overlap audit + the
     # pivoted three-estimate row onto the per-side exact counts)
     "sketch_hll_intersection",
+    # 1-row corpus doc-count scalar riding the per-token moment frame
+    "corpus_token_burstiness",
+    # 1-row exact-F2 audit × 1-row sketch-estimate merge
+    "sketch_ams_f2",
+    # 1-row world-total revenue scalar riding the 25-nation rollup
+    "olap_share_of_parent",
 }
 
 
@@ -419,6 +425,20 @@ _SINGLE_PARTITION_ALLOWED = {
     # the running-sum window over the per-DAY aggregate (input bounded
     # by the calendar, not the data)
     "events_cumulative_distinct": 1,
+    # one-row corpus doc-count scalar merge (input = partial counts)
+    "corpus_token_burstiness": 1,
+    # two 1-row merges: the exact-F2 audit and the 32-seed estimate
+    "sketch_ams_f2": 2,
+    # the one-row date-span aggregate + the calendar-grid generator
+    # seeded from it (both calendar-bounded, never the events)
+    "events_seasonal_baseline": 2,
+    # the single global moments row (2k+C(k,2) sums merged once)
+    "mlprep_corr_matrix": 1,
+    # one-row global rank-moment merge; the rank cumsums themselves
+    # are two-phase bucketed (ranged_cumsum), never single-partition
+    "eval_spearman": 1,
+    # one-row world-total revenue scalar merge
+    "olap_share_of_parent": 1,
 }
 
 
