@@ -1740,3 +1740,124 @@ FROM per_run
 GROUP BY a_id, b_id
 HAVING MAX(run) + {k - 1} >= {min_match_tokens}
 """
+
+
+def threshold_yield_curve(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[int, ...] = (500, 600, 700, 800, 900),
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup threshold sweep — "what does each Jaccard cutoff cost":
+    for every candidate threshold (permille), the number of verified
+    near-dup pairs at or above it and the number of distinct
+    documents those pairs touch.  This is the planning row a pipeline
+    owner reads before picking the production cutoff, answered from
+    ONE run of the LSH→exact-verify chain (never one run per
+    threshold).
+
+    Thresholding is exact: the verify stage's integer
+    (n_inter, n_a, n_b) give jaccard_permille = 1000·n_inter div
+    (n_a+n_b−n_inter), so a pair sits on the same side of every
+    cutoff on every engine.  The per-threshold distinct-doc count
+    explodes each verified pair into ≤ 2·|thresholds| slim rows —
+    fan-out bounded by the constant threshold list, applied AFTER
+    candidate verification (∝ verified pairs, never the corpus).
+
+    Returns (threshold_permille, n_pairs, n_docs_affected), one row
+    per threshold in ascending order.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=0.0,
+        num_hashes=num_hashes, bands=bands,
+    ).select(
+        "a_id",
+        "b_id",
+        F.expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
+        .alias("__pm"),
+    )
+    t_arr = F.array(*[F.lit(int(t)) for t in thresholds])
+    hits = pairs.select(
+        "a_id", "b_id", "__pm",
+        F.explode(t_arr).alias("threshold_permille"),
+    ).filter(F.col("__pm") >= F.col("threshold_permille"))
+    n_pairs = hits.groupBy("threshold_permille").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    docs = (
+        hits.select(
+            "threshold_permille", F.col("a_id").alias("__doc")
+        )
+        .unionByName(
+            hits.select("threshold_permille", F.col("b_id").alias("__doc"))
+        )
+        .distinct()
+        .groupBy("threshold_permille")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_affected"))
+    )
+    base = df.sparkSession.createDataFrame(
+        [(int(t),) for t in thresholds], "threshold_permille int"
+    )
+    return (
+        base.join(n_pairs, "threshold_permille", "left")
+        .join(docs, "threshold_permille", "left")
+        .select(
+            F.col("threshold_permille").cast("bigint")
+            .alias("threshold_permille"),
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0).cast("bigint"))
+            .alias("n_docs_affected"),
+        )
+    )
+
+
+def threshold_yield_curve_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[int, ...] = (500, 600, 700, 800, 900),
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> str:
+    inner = ngram_jaccard_pairs_sql(
+        table, id_col, text_col, k=k, threshold=0.0,
+        num_hashes=num_hashes, bands=bands,
+    )
+    tvals = ", ".join(str(int(t)) for t in thresholds)
+    return f"""
+WITH pairs AS (
+  SELECT a_id, b_id,
+         CAST((1000 * n_inter) // (n_a + n_b - n_inter) AS BIGINT) AS pm
+  FROM ({inner})
+),
+t AS (SELECT UNNEST([{tvals}]) AS threshold_permille),
+hits AS (
+  SELECT t.threshold_permille, p.a_id, p.b_id
+  FROM pairs p JOIN t ON p.pm >= t.threshold_permille
+),
+np AS (
+  SELECT threshold_permille, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM hits GROUP BY 1
+),
+nd AS (
+  SELECT threshold_permille, CAST(COUNT(*) AS BIGINT) AS n_docs_affected
+  FROM (
+    SELECT DISTINCT threshold_permille, doc
+    FROM (
+      SELECT threshold_permille, a_id AS doc FROM hits
+      UNION ALL
+      SELECT threshold_permille, b_id AS doc FROM hits
+    )
+  ) GROUP BY 1
+)
+SELECT CAST(t.threshold_permille AS BIGINT) AS threshold_permille,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs_affected, 0) AS n_docs_affected
+FROM t
+LEFT JOIN np ON t.threshold_permille = np.threshold_permille
+LEFT JOIN nd ON t.threshold_permille = nd.threshold_permille
+"""

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1095,4 +1095,129 @@ SELECT CAST(NULL AS BIGINT) AS fanout, CAST(0 AS BIGINT) AS n_parents,
        CAST(COALESCE(SUM(c.n), 0) AS BIGINT) AS n_children
 FROM counts c LEFT JOIN pkeys p ON p.k = c.k
 WHERE p.k IS NULL
+"""
+
+
+def concentration_profile(
+    df: DataFrame, key_col: str, n_bands: int = 10
+) -> DataFrame:
+    """Lorenz-curve concentration of activity over keys — "do 1% of
+    the users generate 90% of the events?", the skew diagnostic that
+    decides whether a pipeline needs salting, quota sampling, or
+    per-user caps before the heavy keys melt a shuffle.
+
+    Keys rank by (event count asc, key asc) through the two-phase
+    bucketed :func:`operators.scale.ranged_rank` (no single-partition
+    window at any key count), land in ``n_bands`` equal-population
+    rank bands, and each band reports its exact event share in ppm
+    plus the running (Lorenz) share.  The Gini coefficient rides
+    along from the same exact moments via the rank-weighted identity
+    G = (2·Σ rank·c − (n+1)·S) / (n·S), floored to ppm — all integer
+    arithmetic on DECIMAL(38,0), one closing integral division.
+
+    Returns ``n_bands`` rows: (band, n_keys, n_events, share_ppm,
+    cum_share_ppm, gini_ppm) — gini_ppm constant across rows (the
+    cross-footing audit: band shares must sum to ~1e6).
+    """
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    ranked = ranged_rank(counts, "__c", "__k", rank_col="__i",
+                         descending=False)
+    dec = "decimal(38,0)"
+    moments = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("__n"),
+        F.sum(F.col("__c").cast("decimal(19,0)")).cast(dec).alias("__s"),
+        F.sum(
+            (F.col("__i").cast("decimal(19,0)")
+             * F.col("__c").cast("decimal(19,0)")).cast(dec)
+        ).cast(dec).alias("__ic"),
+    )
+    bands = (
+        ranked.join(F.broadcast(moments))
+        .withColumn(
+            "band",
+            F.expr(
+                f"CAST(({n_bands} * (__i - 1)) div __n AS BIGINT)"
+            ),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("__c").cast("bigint").alias("n_events"),
+        )
+    )
+    w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bands.join(F.broadcast(moments))
+        .select(
+            "band",
+            "n_keys",
+            "n_events",
+            F.expr(
+                "CAST((CAST(n_events AS DECIMAL(38,0)) * 1000000)"
+                " div __s AS BIGINT)"
+            ).alias("share_ppm"),
+            F.sum("n_events").over(w).alias("__cum"),
+            F.col("__s"),
+            F.expr(
+                "CAST(((2 * __ic - (__n + 1) * __s) * 1000000)"
+                " div (__n * __s) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .select(
+            "band",
+            "n_keys",
+            "n_events",
+            "share_ppm",
+            F.expr(
+                "CAST((CAST(__cum AS DECIMAL(38,0)) * 1000000)"
+                " div __s AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            "gini_ppm",
+        )
+    )
+
+
+def concentration_profile_sql(
+    source_sql: str, key_col: str, n_bands: int = 10
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT {key_col} AS k, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({source_sql}) WHERE {key_col} IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT k, c, ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i
+  FROM counts
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s,
+         CAST(SUM(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+           AS ic
+  FROM ranked
+),
+bands AS (
+  SELECT CAST(({n_bands} * (CAST(i AS HUGEINT) - 1)) // n AS BIGINT)
+           AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_events
+  FROM ranked, m GROUP BY 1
+)
+SELECT band, n_keys, n_events,
+       CAST((CAST(n_events AS HUGEINT) * 1000000) // m.s AS BIGINT)
+         AS share_ppm,
+       CAST((CAST(SUM(n_events) OVER (ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS HUGEINT) * 1000000) // m.s AS BIGINT) AS cum_share_ppm,
+       CAST(((2 * m.ic - (m.n + 1) * m.s) * 1000000) // (m.n * m.s)
+            AS BIGINT) AS gini_ppm
+FROM bands, m
 """

@@ -501,7 +501,27 @@ def _cluster_histogram_oracle() -> str:
     return cluster_size_histogram_sql("documents", "doc_id", "text")
 
 
+def q_threshold_yield(spark, sf_dir):
+    """Jaccard-cutoff sweep from ONE LSH+exact-verify run: pairs and
+    affected docs at each permille threshold — the planning row for
+    picking the production dedup cutoff."""
+    from gis_city_county_spark.operators.dedup import threshold_yield_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return threshold_yield_curve(docs, "doc_id", "text")
+
+
+def _threshold_yield_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import (
+        threshold_yield_curve_sql,
+    )
+
+    return threshold_yield_curve_sql("documents", "doc_id", "text")
+
+
 SPECS = [
+    QuerySpec("dedup_threshold_yield", q_threshold_yield,
+              _threshold_yield_oracle()),
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),
     QuerySpec(
         "dedup_cluster_size_histogram",

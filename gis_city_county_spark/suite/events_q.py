@@ -908,7 +908,29 @@ def _seasonal_oracle() -> str:
     return seasonal_baseline_sql("SELECT * FROM events", "ts", top_k=20)
 
 
+def q_concentration(spark, sf_dir):
+    """Lorenz-curve activity concentration over event users: 10 rank
+    bands with exact ppm shares and the Gini coefficient riding from
+    the same exact moments."""
+    from gis_city_county_spark.operators.profile import concentration_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return concentration_profile(events, "user_id", n_bands=10)
+
+
+def _concentration_oracle() -> str:
+    from gis_city_county_spark.operators.profile import (
+        concentration_profile_sql,
+    )
+
+    return concentration_profile_sql(
+        "SELECT * FROM events", "user_id", n_bands=10
+    )
+
+
 SPECS = [
+    QuerySpec("profile_concentration", q_concentration,
+              _concentration_oracle()),
     QuerySpec("events_seasonal_baseline", q_seasonal_baseline,
               _seasonal_oracle()),
     QuerySpec("events_windowed_agg", q_windowed, _WINDOWED_ORACLE),

@@ -213,6 +213,9 @@ _BNLJ_ALLOWED = {
     "sketch_ams_f2",
     # 1-row world-total revenue scalar riding the 25-nation rollup
     "olap_share_of_parent",
+    # the 1-row global-moments scalar (n, S, Σrank·c) merged twice:
+    # onto the ranked keys (band assignment) and onto the band rows
+    "profile_concentration",
 }
 
 
@@ -439,6 +442,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_spearman": 1,
     # one-row world-total revenue scalar merge
     "olap_share_of_parent": 1,
+    # the one-row moments merge (twice consumed) + the Lorenz running
+    # sum over the <= n_bands band rows
+    "profile_concentration": 3,
 }
 
 

@@ -496,3 +496,103 @@ def test_share_of_parent_shares_cross_foot(spark, sf_dir):
     for rs in by_region.values():
         assert abs(sum(x["share_of_region"] for x in rs) - 1.0) < 1e-9
     assert abs(sum(x["share_of_total"] for x in rows) - 1.0) < 1e-9
+
+
+# -------------------------------------------- concentration_profile
+
+
+def test_concentration_profile_extremes(spark):
+    """Perfectly equal activity ⇒ Gini ≈ 0 (exactly (n−1)-free form:
+    (2·Σi·c −(n+1)·S)/(n·S) with c constant gives 0); one dominant
+    key pushes Gini up and the top band's share toward 1e6."""
+    from gis_city_county_spark.operators.profile import concentration_profile
+
+    equal = spark.createDataFrame(
+        [(k,) for k in range(10) for _ in range(5)], "u long"
+    )
+    out = concentration_profile(equal, "u", n_bands=5).collect()
+    assert all(r["gini_ppm"] == 0 for r in out)
+    assert sum(r["n_keys"] for r in out) == 10
+    assert out[-1] if out else True
+
+    skewed = spark.createDataFrame(
+        [(0,)] * 96 + [(1,), (2,), (3,), (4,)], "u long"
+    )
+    rows = {r["band"]: r for r in concentration_profile(skewed, "u", n_bands=5).collect()}
+    # key 0 has 96 of 100 events and ranks last (highest count)
+    assert rows[4]["share_ppm"] == 960_000
+    assert rows[4]["gini_ppm"] > 700_000
+    # cumulative share ends at exactly 1e6
+    assert max(r["cum_share_ppm"] for r in rows.values()) == 1_000_000
+
+
+def test_concentration_profile_matches_duckdb_on_events(spark, sf_dir):
+    from gis_city_county_spark.operators.profile import (
+        concentration_profile,
+        concentration_profile_sql,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(tuple(r) for r in concentration_profile(ev, "user_id").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            concentration_profile_sql("SELECT * FROM events", "user_id")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 10
+
+
+# -------------------------------------------- threshold_yield_curve
+
+
+def test_threshold_yield_monotone_and_exact(spark):
+    """Yield is monotone non-increasing in the threshold, and a pair
+    of identical docs (jaccard 1000 permille) survives every cutoff
+    while a disjoint doc appears at none."""
+    from gis_city_county_spark.operators.dedup import threshold_yield_curve
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["threshold_permille"], r["n_pairs"], r["n_docs_affected"])
+        for r in threshold_yield_curve(docs, "doc_id", "text").collect()
+    )
+    assert [t for t, _, _ in rows] == [500, 600, 700, 800, 900]
+    pair_counts = [p for _, p, _ in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    # the identical pair survives the 900 cutoff and touches 2 docs
+    assert rows[-1][1] >= 1 and rows[-1][2] >= 2
+
+
+def test_threshold_yield_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.dedup import (
+        threshold_yield_curve,
+        threshold_yield_curve_sql,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(tuple(r) for r in threshold_yield_curve(d, "doc_id", "text").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            threshold_yield_curve_sql("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5
