@@ -69,6 +69,12 @@ HEADLINE = [
     "dedup_substring_spans",
     "graph_clustering_coefficient",
     "events_rfm_scores",
+    # r9 second wave: the three new >4s cost centers — the dual
+    # ranged-cumsum rank correlation, the co-occurrence projection,
+    # and the 32-seed AMS fold.
+    "eval_spearman",
+    "graph_cooccurrence_pairs",
+    "sketch_ams_f2",
 ]
 
 

@@ -1778,3 +1778,170 @@ SELECT CAST(band AS BIGINT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM banded GROUP BY band
 """
+
+
+def mmr_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_id: int,
+    n_candidates: int = 50,
+    k: int = 5,
+    lambda_milli: int = 700,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the diversity pass a retrieval pipeline runs over its ANN
+    shortlist so the final k results aren't k copies of the same
+    near-duplicate: greedily pick
+    argmax λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s).
+
+    Two-stage scale shape: stage 1 scores the corpus against the
+    1-row broadcast probe (the brute-force baseline shape — swap in
+    :func:`lsh_ann_topk` candidates at 100 TB) and keeps the top
+    ``n_candidates`` via TakeOrdered.  Stage 2 runs the k greedy
+    steps LAZILY on that ≤``n_candidates``-row frame: each step is a
+    1-row broadcast of the last pick (its vector rides along — no
+    collect), a ``greatest`` fold of the running max-similarity, and
+    an (score desc, id asc) argmax.  Work is O(n_candidates·k) dot
+    products after the scan — the candidate frame is localCheckpointed
+    once so the k-step plan doesn't replay the corpus scan per step.
+
+    All similarity arithmetic is the sequential zip_with/aggregate
+    fold (bit-equal to DuckDB's list_dot_product); the MMR score is a
+    fixed-order IEEE expression of two doubles and two integer
+    literals.  Ties break by id.
+
+    Returns (rank, id, relevance, mmr_score) — k rows, rank 1..k.
+    """
+    lam = float(lambda_milli) / 1000.0
+    probe = (
+        with_norm2(
+            df.filter(F.col(id_col) == probe_id), vec_col, "__pn2"
+        )
+        .select(F.col(vec_col).alias("__pv"), "__pn2")
+    )
+    scored = (
+        with_norm2(df.filter(F.col(id_col) != probe_id), vec_col, "__n2")
+        .join(F.broadcast(probe))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            "__n2",
+            (
+                dot_product(F.col(vec_col), F.col("__pv"))
+                / F.sqrt(F.col("__n2") * F.col("__pn2"))
+            ).alias("relevance"),
+        )
+    )
+    cand = (
+        scored.orderBy(F.col("relevance").desc(), F.col("id").asc())
+        .limit(n_candidates)
+        .withColumn("__maxsim", F.lit(float("-inf")))
+        .localCheckpoint(eager=False)
+    )
+    picks = []
+    remaining = cand
+    for step in range(k):
+        # Step 1 has no picked set: the (1−λ)·max_sim term is 0.
+        score = (
+            F.lit(lam) * F.col("relevance")
+            - F.lit(1.0 - lam) * F.when(
+                F.col("__maxsim") == float("-inf"), F.lit(0.0)
+            ).otherwise(F.col("__maxsim"))
+        )
+        ranked = remaining.withColumn("__score", score).orderBy(
+            F.col("__score").desc(), F.col("id").asc()
+        )
+        pick = ranked.limit(1)
+        picks.append(
+            pick.select(
+                F.lit(step + 1).cast("int").alias("rank"),
+                "id",
+                "relevance",
+                F.col("__score").alias("mmr_score"),
+            )
+        )
+        if step + 1 < k:
+            pv = pick.select(
+                F.col("id").alias("__pid"),
+                F.col("__v").alias("__sv"),
+                F.col("__n2").alias("__sn2"),
+            )
+            remaining = (
+                remaining.join(F.broadcast(pv))
+                .filter(F.col("id") != F.col("__pid"))
+                .select(
+                    "id",
+                    "__v",
+                    "__n2",
+                    "relevance",
+                    F.greatest(
+                        F.col("__maxsim"),
+                        dot_product(F.col("__v"), F.col("__sv"))
+                        / F.sqrt(F.col("__n2") * F.col("__sn2")),
+                    ).alias("__maxsim"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def mmr_rerank_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    probe_id: int,
+    n_candidates: int = 50,
+    k: int = 5,
+    lambda_milli: int = 700,
+) -> str:
+    lam = float(lambda_milli) / 1000.0
+    # Spark's zip_with fold promotes each float element to double
+    # BEFORE multiplying; DuckDB must do the same or the dot products
+    # drift at float32 precision (the _bands_cte_sql convention).
+    vd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    ctes = [f"""
+probe AS (
+  SELECT {vd} AS pv, list_dot_product({vd}, {vd}) AS pn2
+  FROM {table} WHERE {id_col} = {probe_id}
+),
+cand0 AS (
+  SELECT * FROM (
+    SELECT {id_col} AS id, {vd} AS v,
+           list_dot_product({vd}, {vd}) AS n2,
+           list_dot_product({vd}, pv) / sqrt(
+             list_dot_product({vd}, {vd}) * pn2) AS relevance
+    FROM {table}, probe WHERE {id_col} != {probe_id}
+  )
+  ORDER BY relevance DESC, id ASC LIMIT {n_candidates}
+)"""]
+    prev = "cand0"
+    sel_union = []
+    for step in range(1, k + 1):
+        if step == 1:
+            score = f"{lam!r} * relevance"
+        else:
+            score = f"{lam!r} * relevance - {1.0 - lam!r} * maxsim"
+        ctes.append(f"""
+s{step} AS (
+  SELECT id, v, n2, relevance, {score} AS mmr_score
+  FROM {prev} ORDER BY mmr_score DESC, id ASC LIMIT 1
+)""")
+        sel_union.append(
+            f"SELECT {step} AS rank, id, relevance, mmr_score FROM s{step}"
+        )
+        if step < k:
+            ctes.append(f"""
+r{step} AS (
+  SELECT c.id, c.v, c.n2, c.relevance,
+         {"GREATEST(c.maxsim, " if step > 1 else "("}
+           list_dot_product(c.v, s.v) / sqrt(c.n2 * s.n2)) AS maxsim
+  FROM {prev} c, s{step} s WHERE c.id != s.id
+)""")
+            prev = f"r{step}"
+    return (
+        "WITH " + ",".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(sel_union)
+    )

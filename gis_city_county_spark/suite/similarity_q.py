@@ -600,7 +600,26 @@ def _norm_hist_oracle() -> str:
     return norm_histogram_sql("SELECT * FROM embeddings", "embedding")
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-rank of probe vec 0's top-50 cosine shortlist
+    (lambda=0.7, k=5): greedy relevance-vs-redundancy picks, unrolled
+    lazily on the bounded candidate frame."""
+    from gis_city_county_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, "vec_id", "embedding", probe_id=0,
+                      n_candidates=50, k=5, lambda_milli=700)
+
+
+def _mmr_oracle() -> str:
+    from gis_city_county_spark.operators.similarity import mmr_rerank_sql
+
+    return mmr_rerank_sql("embeddings", "vec_id", "embedding", probe_id=0,
+                          n_candidates=50, k=5, lambda_milli=700)
+
+
 SPECS = [
+    QuerySpec("sim_mmr_rerank", q_mmr_rerank, _mmr_oracle()),
     QuerySpec("sim_cosine_histogram", q_cosine_histogram,
               _cosine_histogram_oracle()),
     QuerySpec("sim_bitext_mining", q_bitext_mining, _bitext_oracle()),

@@ -80,6 +80,11 @@ PROBE_QUERIES = [
     "dedup_substring_spans",
     "graph_clustering_coefficient",
     "events_rfm_scores",
+    # round-9 second wave bench-headline cost centers: the rank
+    # correlation (two bucketed cumsums + two value joins) and the
+    # co-occurrence projection (C(m,2) pair fan-out per group).
+    "eval_spearman",
+    "graph_cooccurrence_pairs",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle

@@ -216,6 +216,10 @@ _BNLJ_ALLOWED = {
     # the 1-row global-moments scalar (n, S, Σrank·c) merged twice:
     # onto the ranked keys (band assignment) and onto the band rows
     "profile_concentration",
+    # the 1-row broadcast probe (stage-1 relevance scan IS the
+    # brute-force baseline shape) + one 1-row broadcast pick per
+    # greedy step over the <= n_candidates checkpointed frame
+    "sim_mmr_rerank",
 }
 
 

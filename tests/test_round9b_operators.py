@@ -596,3 +596,77 @@ def test_threshold_yield_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) == 5
+
+
+# ------------------------------------------------------- mmr_rerank
+
+
+def test_mmr_rerank_diversifies_near_duplicates(spark):
+    """Probe [1,0]; candidates: two near-identical highly-relevant
+    vectors and one orthogonal-ish one.  Plain top-2 keeps both
+    near-dups; MMR's step 2 must skip the duplicate and pick the
+    diverse vector."""
+    from gis_city_county_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0]),          # probe
+        (1, [1.0, 0.0]),          # exactly the probe direction
+        (2, [0.99, 0.1]),         # near-duplicate of 1 (sim ≈ 0.995)
+        (3, [0.0, 1.0]),          # orthogonal: rel 0, redundancy 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["rank"]: r["id"] for r in
+           mmr_rerank(df, "vec_id", "embedding", 0, n_candidates=3,
+                      k=2, lambda_milli=300).collect()}
+    assert out[1] == 1          # highest relevance first
+    # λ=0.3: the near-dup scores 0.3·0.995 − 0.7·0.995 < 0 while the
+    # orthogonal vector scores 0 — diversity beats the near-dup.
+    assert out[2] == 3
+
+
+def test_mmr_rerank_lambda_1000_is_plain_topk(spark):
+    """lambda=1000 removes the redundancy term: MMR must equal the
+    relevance top-k order exactly."""
+    from gis_city_county_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [r["id"] for r in sorted(
+        mmr_rerank(df, "vec_id", "embedding", 0, n_candidates=10,
+                   k=4, lambda_milli=1000).collect(),
+        key=lambda r: r["rank"],
+    )]
+    probe = df.filter(F.col("vec_id") == 0)
+    want = [r["neighbor_id"] for r in sorted(
+        cosine_topk(df, probe, "vec_id", "embedding", k=4).collect(),
+        key=lambda r: r["rank"],
+    )]
+    assert got == want
+
+
+def test_mmr_rerank_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.similarity import (
+        mmr_rerank,
+        mmr_rerank_sql,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(tuple(r) for r in mmr_rerank(e, "vec_id", "embedding", 0).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            mmr_rerank_sql("embeddings", "vec_id", "embedding", 0)
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5
