@@ -1089,3 +1089,144 @@ SELECT e.n_keys, e.f2_exact, s.f2_estimate,
             AS BIGINT) AS err_ppm
 FROM exact e, est s
 """
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[int, ...] = (250, 500, 750, 900, 990),
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Bounded-memory quantile estimates from a fixed-width histogram
+    — the mergeable alternative to a full sort when "p90 of this
+    100 TB money column" only needs bin-width resolution.  Spark's own
+    ``approxQuantile`` (Greenwald–Khanna) is order-dependent and
+    engine-specific; a histogram is deterministic, mergeable
+    (bin-wise addition), and its error bound is explicit: the true
+    quantile lies INSIDE the reported bin, so the answer is the
+    bracketing interval, not a point pretending to be exact.
+
+    Two passes, both map-combinable: (1) exact integer min/max of the
+    cent-scaled values (one row, broadcast back), (2) counts per
+    ``(value−lo) div width`` bin (≤ ``n_bins`` rows).  The cumulative
+    walk and quantile lookups run on the bin relation only.  For each
+    requested permille q: the first bin whose running count reaches
+    ceil(q·N/1000), reported as [bin_lo_cents, bin_hi_cents) with the
+    running count as the audit.  NULLs are out of the population.
+
+    Returns (q_permille, n, bin_lo_cents, bin_hi_cents, cum_count).
+    """
+    cents = F.floor(
+        F.col(value_col).cast("decimal(38,10)") * 100
+    ).cast("bigint")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        cents.alias("__v")
+    )
+    span = vals.agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    width = F.expr(
+        f"greatest(CAST(1 AS BIGINT), (__hi - __lo + {n_bins}) div {n_bins})"
+    )
+    # (lo, hi, n) ride the ≤n_bins bin rows from here on — re-joining
+    # the 1-row span at each stage would re-merge its aggregate once
+    # per consumer (the corr_matrix union lesson).
+    binned = (
+        vals.join(F.broadcast(span))
+        .select(F.expr(
+            f"(__v - __lo) div (greatest(CAST(1 AS BIGINT),"
+            f" (__hi - __lo + {n_bins}) div {n_bins}))"
+        ).alias("__b"), "__lo", "__hi", "__n")
+        .groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+            F.max("__lo").alias("__lo"),
+            F.max("__hi").alias("__hi"),
+            F.max("__n").alias("__n"),
+        )
+    )
+    w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = binned.select(
+        "__b", "__lo", "__hi", "__n",
+        F.sum("__c").over(w).alias("__cum"),
+    )
+    q_arr = F.array(*[F.lit(int(q)) for q in quantiles])
+    hits = (
+        cum.select(
+            "__b", "__cum", "__lo", "__hi", "__n",
+            F.explode(q_arr).alias("q_permille"),
+        )
+        .filter(
+            F.col("__cum")
+            >= F.expr("CAST((q_permille * __n + 999) div 1000 AS BIGINT)")
+        )
+        .groupBy("q_permille")
+        .agg(
+            F.min("__b").alias("__qb"),
+            F.min_by("__cum", "__b").alias("__qcum"),
+            F.max("__n").alias("n"),
+            F.max("__lo").alias("__lo"),
+            F.max("__hi").alias("__hi"),
+        )
+    )
+    return hits.select(
+        F.col("q_permille").cast("bigint").alias("q_permille"),
+        "n",
+        (F.col("__lo") + F.col("__qb") * width).cast("bigint")
+        .alias("bin_lo_cents"),
+        (F.col("__lo") + (F.col("__qb") + 1) * width).cast("bigint")
+        .alias("bin_hi_cents"),
+        F.col("__qcum").cast("bigint").alias("cum_count"),
+    )
+
+
+def histogram_quantiles_sql(
+    source_sql: str,
+    value_col: str,
+    quantiles: tuple[int, ...] = (250, 500, 750, 900, 990),
+    n_bins: int = 1024,
+) -> str:
+    qvals = ", ".join(str(int(q)) for q in quantiles)
+    return f"""
+WITH vals AS (
+  SELECT CAST(FLOOR(CAST({value_col} AS DECIMAL(38,10)) * 100) AS BIGINT)
+           AS v
+  FROM ({source_sql}) WHERE {value_col} IS NOT NULL
+),
+span AS (
+  SELECT MIN(v) AS lo, MAX(v) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals
+),
+binned AS (
+  SELECT (v - lo) // GREATEST(CAST(1 AS BIGINT),
+           (hi - lo + {n_bins}) // {n_bins}) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals, span GROUP BY 1
+),
+cum AS (
+  SELECT b, SUM(c) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM binned
+),
+q AS (SELECT UNNEST([{qvals}]) AS q_permille),
+hits AS (
+  SELECT q.q_permille, MIN(cum.b) AS qb, MIN_BY(cum.cum, cum.b) AS qcum
+  FROM q, span, cum
+  WHERE cum.cum >= (q.q_permille * span.n + 999) // 1000
+  GROUP BY q.q_permille
+)
+SELECT CAST(h.q_permille AS BIGINT) AS q_permille,
+       s.n,
+       CAST(s.lo + h.qb * GREATEST(CAST(1 AS BIGINT),
+            (s.hi - s.lo + {n_bins}) // {n_bins}) AS BIGINT)
+         AS bin_lo_cents,
+       CAST(s.lo + (h.qb + 1) * GREATEST(CAST(1 AS BIGINT),
+            (s.hi - s.lo + {n_bins}) // {n_bins}) AS BIGINT)
+         AS bin_hi_cents,
+       CAST(h.qcum AS BIGINT) AS cum_count
+FROM hits h CROSS JOIN span s
+"""

@@ -362,7 +362,27 @@ def _ams_f2_oracle() -> str:
     return ams_f2_sql("SELECT * FROM events", "user_id", n_seeds=32)
 
 
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory p25/p50/p75/p90/p99 brackets of order totals
+    from a 1024-bin fixed-width histogram — the deterministic,
+    mergeable alternative to approxQuantile."""
+    from gis_city_county_spark.operators.sketch import histogram_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_quantiles(orders, "o_totalprice")
+
+
+def _histogram_quantiles_oracle() -> str:
+    from gis_city_county_spark.operators.sketch import (
+        histogram_quantiles_sql,
+    )
+
+    return histogram_quantiles_sql("SELECT * FROM orders", "o_totalprice")
+
+
 SPECS = [
+    QuerySpec("sketch_histogram_quantiles", q_histogram_quantiles,
+              _histogram_quantiles_oracle()),
     QuerySpec("sketch_countmin_heavy_hitters", q_countmin_tokens, _countmin_oracle()),
     QuerySpec("sketch_hll_distinct", q_hll, _hll_oracle()),
     QuerySpec("sketch_hll_merge_rollup", q_hll_merge_rollup, _hll_rollup_oracle()),

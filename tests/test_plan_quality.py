@@ -220,6 +220,9 @@ _BNLJ_ALLOWED = {
     # brute-force baseline shape) + one 1-row broadcast pick per
     # greedy step over the <= n_candidates checkpointed frame
     "sim_mmr_rerank",
+    # the 1-row (lo, hi, n) span scalar riding the value scan into
+    # the bin assignment
+    "sketch_histogram_quantiles",
 }
 
 
@@ -446,6 +449,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_spearman": 1,
     # one-row world-total revenue scalar merge
     "olap_share_of_parent": 1,
+    # the one-row span merge + the cumulative walk over <= n_bins rows
+    "sketch_histogram_quantiles": 2,
     # the one-row moments merge (twice consumed) + the Lorenz running
     # sum over the <= n_bands band rows
     "profile_concentration": 3,

@@ -670,3 +670,64 @@ def test_mmr_rerank_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) == 5
+
+
+# ----------------------------------------------- histogram_quantiles
+
+
+def test_histogram_quantiles_brackets_true_quantile(spark):
+    """The reported [bin_lo, bin_hi) interval must contain the exact
+    discrete quantile (cents) for every requested permille."""
+    import random
+
+    from gis_city_county_spark.operators.sketch import histogram_quantiles
+
+    rnd = random.Random(11)
+    vals = [round(rnd.uniform(1, 1000), 2) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = histogram_quantiles(df, "x").collect()
+    cents = sorted(int(round(v * 100)) for v in vals)
+    n = len(cents)
+    for r in out:
+        q = r["q_permille"]
+        k = -(-q * n // 1000)  # ceil(q·n/1000), 1-based rank
+        true_q = cents[k - 1]
+        assert r["bin_lo_cents"] <= true_q < r["bin_hi_cents"], (
+            q, true_q, r["bin_lo_cents"], r["bin_hi_cents"],
+        )
+        assert r["n"] == n
+
+
+def test_histogram_quantiles_constant_column(spark):
+    """All-equal values: span collapses, width clamps to 1, every
+    quantile brackets the single value."""
+    from gis_city_county_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame([(42.5,)] * 100, "x double")
+    out = histogram_quantiles(df, "x").collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["bin_lo_cents"] <= 4250 < r["bin_hi_cents"]
+        assert r["cum_count"] == 100
+
+
+def test_histogram_quantiles_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_quantiles_sql,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = sorted(tuple(r) for r in histogram_quantiles(o, "o_totalprice").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            histogram_quantiles_sql("SELECT * FROM orders", "o_totalprice")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 5
