@@ -792,6 +792,21 @@ R10_PRESTAGE: tuple[str, ...] = (
     "corpus_simpson_diversity",
     "sketch_hll_intersection",
     "sim_norm_histogram",
+    # Round-9 second wave (this session's additions), in commit order.
+    "sketch_ams_f2",
+    "privacy_dp_release",
+    "mlprep_corr_matrix",
+    "mlprep_loo_target_encode",
+    "eval_spearman",
+    "corpus_token_burstiness",
+    "events_seasonal_baseline",
+    "graph_cooccurrence_pairs",
+    "mm_token_budget",
+    "olap_share_of_parent",
+    "profile_concentration",
+    "dedup_threshold_yield",
+    "sim_mmr_rerank",
+    "sketch_histogram_quantiles",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
