@@ -817,24 +817,29 @@ def _overlay(operands: Sequence[MultiPolygon], keep) -> MultiPolygon:
                 edges.add((a, b) if a <= b else (b, a))
 
     eps = scale * 1e-7
-    # Per-operand point-in-polygon testers: bbox quick-reject plus a
-    # y-bucketed edge index (crossing tests only touch edges whose
-    # y-span covers the query y — identical arithmetic on the identical
-    # edge subset, so results are bit-equal to the naive scan; edges
-    # not spanning y can never satisfy the crossing condition).
-    testers = [_pip_tester(g, eps) for g in operands]
-
-    def memberships(px: float, py: float) -> list[bool]:
-        return [t(px, py) for t in testers]
-
-    directed: list[tuple[tuple[float, float], tuple[float, float]]] = []
-    for a, b in edges:
+    edge_list = sorted(edges)
+    probes: list[tuple[float, float]] = []
+    for a, b in edge_list:
         mx, my = (a[0] + b[0]) / 2, (a[1] + b[1]) / 2
         dx, dy = b[0] - a[0], b[1] - a[1]
         ln = math.hypot(dx, dy)
         ox, oy = -dy / ln * eps, dx / ln * eps  # left-side offset
-        kl = keep(memberships(mx + ox, my + oy))
-        kr = keep(memberships(mx - ox, my - oy))
+        probes.append((mx + ox, my + oy))
+        probes.append((mx - ox, my - oy))
+
+    # Membership of every probe in every operand.  The numpy path
+    # evaluates the SAME crossing-parity expression as
+    # ``_crossings_parity`` elementwise in float64 (IEEE-identical to
+    # the scalar loop — verified bit-for-bit by
+    # tests/test_geo_properties.py), chunked so the probes×edges
+    # matrix stays bounded; the scalar path remains both the fallback
+    # and the definition.
+    flags = _memberships_batch(operands, probes, eps)
+
+    directed: list[tuple[tuple[float, float], tuple[float, float]]] = []
+    for i, (a, b) in enumerate(edge_list):
+        kl = keep([f[2 * i] for f in flags])
+        kr = keep([f[2 * i + 1] for f in flags])
         if kl and not kr:
             directed.append((a, b))
         elif kr and not kl:
@@ -842,6 +847,59 @@ def _overlay(operands: Sequence[MultiPolygon], keep) -> MultiPolygon:
     if not directed:
         return []
     return _assemble(_stitch(directed))
+
+
+def _memberships_batch(
+    operands: Sequence[MultiPolygon],
+    probes: list[tuple[float, float]],
+    pad: float,
+) -> list[list[bool]]:
+    """Per-operand even-odd membership flags for a probe batch.
+
+    numpy evaluates ``xi = x1 + (y − y1)·(x2 − x1)/(y2 − y1)`` and the
+    two comparisons over the probes×edges grid — float64 elementwise,
+    the identical IEEE ops the scalar ``_crossings_parity`` performs,
+    so parity (a popcount of exact comparisons) cannot differ.  Probe
+    chunks of 512 bound the grid at 512×|edges| doubles.  Without
+    numpy, falls back to the y-bucketed scalar testers."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy is a baked-in dep
+        testers = [_pip_tester(g, pad) for g in operands]
+        return [[t(x, y) for (x, y) in probes] for t in testers]
+
+    px = np.array([p[0] for p in probes], dtype=np.float64)
+    py = np.array([p[1] for p in probes], dtype=np.float64)
+    out: list[list[bool]] = []
+    for g in operands:
+        edges = list(_edges(g))
+        if not edges:
+            out.append([False] * len(probes))
+            continue
+        pts = [p for outer, hs in g for r in [outer, *hs] for p in r]
+        bx1 = min(p[0] for p in pts) - 2 * pad
+        by1 = min(p[1] for p in pts) - 2 * pad
+        bx2 = max(p[0] for p in pts) + 2 * pad
+        by2 = max(p[1] for p in pts) + 2 * pad
+        x1 = np.array([e[0][0] for e in edges])
+        y1 = np.array([e[0][1] for e in edges])
+        x2 = np.array([e[1][0] for e in edges])
+        y2 = np.array([e[1][1] for e in edges])
+        inside = np.zeros(len(probes), dtype=bool)
+        inbox = (bx1 <= px) & (px <= bx2) & (by1 <= py) & (py <= by2)
+        for lo in range(0, len(probes), 512):
+            hi = min(lo + 512, len(probes))
+            cy = py[lo:hi, None]
+            cx = px[lo:hi, None]
+            spans = (y1[None, :] > cy) != (y2[None, :] > cy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = x1[None, :] + (cy - y1[None, :]) * (
+                    x2[None, :] - x1[None, :]
+                ) / (y2[None, :] - y1[None, :])
+            crossings = spans & (cx < xi)
+            inside[lo:hi] = (crossings.sum(axis=1) % 2).astype(bool)
+        out.append(list(inside & inbox))
+    return out
 
 
 def union(a: MultiPolygon, b: MultiPolygon) -> MultiPolygon:

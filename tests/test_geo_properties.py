@@ -218,3 +218,43 @@ def test_make_valid_is_idempotent(pts):
     once = K.make_valid(mp)
     twice = K.make_valid(once)
     assert math.isclose(K.area(twice), K.area(once), rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_memberships_batch_bit_equals_scalar_testers():
+    """The numpy batched crossing-parity path must agree with the
+    scalar y-bucketed testers on every probe, including points outside
+    the bbox, dead on edge midpoints' offsets, and degenerate
+    horizontal edges (the masked divide-by-zero lanes)."""
+    import math
+    import random
+
+    from gis_city_county_spark.geo.kernel import (
+        _memberships_batch,
+        _pip_tester,
+        from_geojson,
+    )
+
+    rnd = random.Random(3)
+    polys = []
+    for s in range(4):
+        pts = []
+        n = 12 + 3 * s
+        for i in range(n):
+            t = 2 * math.pi * i / n
+            rr = 1.0 + 0.4 * math.sin(3 * t + s)
+            pts.append((rr * math.cos(t), rr * math.sin(t)))
+        pts.append(pts[0])
+        polys.append(from_geojson({"type": "Polygon", "coordinates": [pts]}))
+    # a rectangle with exactly-horizontal edges exercises the y2==y1
+    # lanes the scalar loop skips and numpy masks
+    polys.append(from_geojson({
+        "type": "Polygon",
+        "coordinates": [[(-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1)]],
+    }))
+    probes = [(rnd.uniform(-2.2, 2.2), rnd.uniform(-2.2, 2.2))
+              for _ in range(700)]
+    probes += [(3.5, 0.0), (0.0, -3.5), (1.0, 1.0)]
+    got = _memberships_batch(polys, probes, pad=1e-9)
+    testers = [_pip_tester(g, 1e-9) for g in polys]
+    want = [[t(x, y) for (x, y) in probes] for t in testers]
+    assert got == want
