@@ -519,7 +519,25 @@ def _threshold_yield_oracle() -> str:
     return threshold_yield_curve_sql("documents", "doc_id", "text")
 
 
+def q_minhash_accuracy(spark, sf_dir):
+    """MinHash estimator calibration over verified candidate pairs:
+    (estimate - exact) permille histogram in 100-permille buckets —
+    the audit that justifies a 16-hash signature before trusting it."""
+    from gis_city_county_spark.operators.dedup import minhash_accuracy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_accuracy(docs, "doc_id", "text")
+
+
+def _minhash_accuracy_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import minhash_accuracy_sql
+
+    return minhash_accuracy_sql("documents", "doc_id", "text")
+
+
 SPECS = [
+    QuerySpec("dedup_minhash_accuracy", q_minhash_accuracy,
+              _minhash_accuracy_oracle()),
     QuerySpec("dedup_threshold_yield", q_threshold_yield,
               _threshold_yield_oracle()),
     QuerySpec("dedup_exact", q_exact, exact_dedup_sql("documents", "doc_id", "text")),

@@ -928,7 +928,67 @@ def _concentration_oracle() -> str:
     )
 
 
+def q_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per report day: distinct daily actives over
+    distinct trailing-28-day actives, exact ppm — the engagement ratio
+    a growth dashboard tracks.  Both sides come from the SAME distinct
+    (user, day) relation: the MAU side is a bounded x28 explode (the
+    rolling-actives pattern), never a range self-join."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = days.groupBy(F.col("day").alias("report_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    spread = days.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("__off"),
+    ).select(
+        "user_id",
+        F.timestamp_add("DAY", F.col("__off"), F.col("day"))
+        .alias("report_day"),
+    )
+    mau = spread.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("mau28")
+    )
+    # Inner join: report days past the data horizon (explode spill)
+    # have no DAU row and are not report days.
+    return dau.join(mau, "report_day").select(
+        "report_day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("mau28").cast("bigint").alias("mau28"),
+        F.expr("CAST((1000000 * dau) div mau28 AS BIGINT)")
+        .alias("stickiness_ppm"),
+    )
+
+
+_STICKINESS_ORACLE = f"""
+WITH ev AS ({_EV_CTE}),
+days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+dau AS (
+  SELECT day AS report_day, COUNT(DISTINCT user_id) AS dau
+  FROM days GROUP BY 1
+),
+spread AS (
+  SELECT user_id, day + o.off * INTERVAL 1 DAY AS report_day
+  FROM days, LATERAL (SELECT UNNEST(generate_series(0, 27)) AS off) o
+),
+mau AS (
+  SELECT report_day, COUNT(DISTINCT user_id) AS mau28
+  FROM spread GROUP BY 1
+)
+SELECT d.report_day, CAST(d.dau AS BIGINT) AS dau,
+       CAST(m.mau28 AS BIGINT) AS mau28,
+       CAST((1000000 * d.dau) // m.mau28 AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN mau m USING (report_day)
+"""
+
+
 SPECS = [
+    QuerySpec("events_stickiness", q_stickiness, _STICKINESS_ORACLE),
     QuerySpec("profile_concentration", q_concentration,
               _concentration_oracle()),
     QuerySpec("events_seasonal_baseline", q_seasonal_baseline,

@@ -807,6 +807,8 @@ R10_PRESTAGE: tuple[str, ...] = (
     "dedup_threshold_yield",
     "sim_mmr_rerank",
     "sketch_histogram_quantiles",
+    "dedup_minhash_accuracy",
+    "events_stickiness",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -731,3 +731,89 @@ def test_histogram_quantiles_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) == 5
+
+
+# --------------------------------------------------- minhash_accuracy
+
+
+def test_minhash_accuracy_identical_docs_zero_error(spark):
+    """Two identical docs: exact Jaccard 1000, all signature
+    components match ⇒ estimate 1000 ⇒ error 0, bucket 0."""
+    from gis_city_county_spark.operators.dedup import minhash_accuracy
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = minhash_accuracy(docs, "doc_id", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["err_bucket"] == 0 and r["n_pairs"] == 1
+    assert r["min_err_permille"] == 0 and r["max_err_permille"] == 0
+
+
+def test_minhash_accuracy_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.dedup import (
+        minhash_accuracy,
+        minhash_accuracy_sql,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(tuple(r) for r in minhash_accuracy(d, "doc_id", "text").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            minhash_accuracy_sql("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- events_stickiness
+
+
+def test_stickiness_exact_fixture(spark):
+    """Two users on day 1, one of them again on day 2: day-2 DAU is 1,
+    trailing-28 MAU is 2 ⇒ stickiness 500000 ppm; day-1 is 2/2 = 1e6."""
+    from gis_city_county_spark.suite.events_q import q_stickiness  # noqa: F401
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+         (1, "2024-01-02 09:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = days.groupBy(F.col("day").alias("report_day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    spread = days.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("__off"),
+    ).select(
+        "user_id",
+        F.timestamp_add("DAY", F.col("__off"), F.col("day")).alias("report_day"),
+    )
+    mau = spread.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("mau28")
+    )
+    out = {
+        str(r["report_day"])[:10]: r
+        for r in dau.join(mau, "report_day").select(
+            "report_day", "dau", "mau28",
+            F.expr("CAST((1000000 * dau) div mau28 AS BIGINT)")
+            .alias("stickiness_ppm"),
+        ).collect()
+    }
+    assert out["2024-01-01"]["stickiness_ppm"] == 1_000_000
+    assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["mau28"] == 2
+    assert out["2024-01-02"]["stickiness_ppm"] == 500_000
