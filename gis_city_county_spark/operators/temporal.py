@@ -1752,9 +1752,20 @@ def seasonal_baseline(
         F.to_date(ts_col).alias("__day"),
         F.hour(ts_col).cast("int").alias("hour"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-    span = ev.agg(
-        F.min(F.to_date(ts_col)).alias("__lo"),
-        F.max(F.to_date(ts_col)).alias("__hi"),
+    return seasonal_from_counts(counts, top_k)
+
+
+def seasonal_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
+    """The baseline/anomaly tail from an already-aggregated
+    ``(__day DATE, hour INT, n_events BIGINT)`` relation — shared
+    verbatim by :func:`seasonal_baseline` and the streaming twin
+    (``streaming/seasonal.py``), so the live report is bit-equal to
+    the batch report by construction.  The calendar span derives from
+    the counts (every event lands in a cell, so min/max day match the
+    raw-event span)."""
+    span = counts.agg(
+        F.min("__day").alias("__lo"),
+        F.max("__day").alias("__hi"),
     )
     grid = (
         span.select(

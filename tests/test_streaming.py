@@ -1438,3 +1438,103 @@ def test_streaming_rfm_retry_idempotent(spark, tmp_path):
     final = {r["user_id"]: r for r in spark.read.parquet(scores_dir).collect()}
     assert final[1]["frequency"] == 2 and final[1]["monetary_milli"] == 5000
     assert final[2]["frequency"] == 1
+
+
+def test_streaming_seasonal_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch seasonal-baseline
+    maintainer: after each batch the published report partition is
+    BIT-EQUAL to the batch ``seasonal_baseline`` over every row arrived
+    so far — the calendar span widens as later days arrive, so the
+    zero-filled grid (and every slot's median) genuinely shifts."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import seasonal_baseline
+    from gis_city_county_spark.streaming.seasonal import (
+        streaming_seasonal_baseline,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "ts_s string").select(
+            F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ev([("2024-01-01 09:00:00",), ("2024-01-01 09:20:00",),
+            ("2024-01-02 14:00:00",)]),
+        # widens the calendar by a week: dozens of zero cells appear
+        ev([("2024-01-08 09:00:00",), ("2024-01-09 03:00:00",)]),
+        # NULL timestamps are out, exactly like batch
+        ev([(None,), ("2024-01-05 09:10:00",), ("2024-01-05 09:30:00",)]),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "seasonal_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_seasonal_baseline(
+            spark, batches[0].schema, str(incoming),
+            state_dir, report_dir, "ts", top_k=10,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["day", "hour", "dow", "n_events", "baseline", "deviation"]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in seasonal_baseline(acc, "ts", top_k=10).collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+
+
+def test_streaming_seasonal_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch, same id, folded twice) leaves
+    the count state distinct-on-read and the published report
+    identical — cell counts never double."""
+    from gis_city_county_spark.streaming.seasonal import seasonal_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = seasonal_batch_folder(state_dir, report_dir, "ts", top_k=5)
+    # Two Mondays: (Mon, 9h) has counts (2, 0) => baseline 0, so the
+    # 2-event cell carries deviation 2 — a doubled retry would read 4.
+    b0 = spark.createDataFrame(
+        [("2024-01-01 09:00:00",), ("2024-01-01 09:30:00",),
+         ("2024-01-08 10:00:00",)], "ts_s string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    cells = spark.read.parquet(f"{state_dir}/cell_counts")
+    assert cells.count() == 2 * cells.distinct().count()
+    top = sorted(
+        spark.read.parquet(report_dir).collect(),
+        key=lambda r: -abs(r["deviation"]),
+    )[0]
+    assert top["hour"] == 9 and top["n_events"] == 2  # not 4
+    assert top["deviation"] == 2
