@@ -2066,3 +2066,157 @@ SELECT n,
             THEN {num} / SQRT({vx} * {vy}) END AS spearman_r
 FROM m
 """
+
+
+def _poisson1_cdf_thresholds(max_k: int = 4) -> list[float]:
+    """CDF thresholds of Poisson(1) clamped at ``max_k`` — Python-
+    computed literals shared verbatim by both engines (the dp_release
+    convention: no exp in either plan)."""
+    import math
+
+    p = math.exp(-1.0)
+    acc, out, fact = 0.0, [], 1.0
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        acc += p / fact
+        out.append(acc)
+    return out
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_replicas: int = 32,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the
+    mean — THE bootstrap that distributes: instead of resampling n
+    rows WITH replacement (which needs global coordination), every
+    row independently enters replica b with weight ~ Poisson(1)
+    (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams").  Here the draw is a hash-seeded inverse-CDF lookup of
+    md5(salt|b|key) against Python-literal thresholds, so every rerun
+    and every engine draws the SAME replicas.
+
+    Scale shape: the ×``n_replicas`` fan-out happens scan-side on the
+    rows (no shuffle amplification — the per-replica weighted sums
+    are map-combinable and only ``n_replicas`` rows ever shuffle);
+    the CI is an exact order statistic over the ``n_replicas`` replica
+    means.  All sums exact DECIMAL; replica means exact integral
+    milli-cent divisions.
+
+    Returns one row: (n, point_mean_milli_cents, ci_lo_milli_cents,
+    ci_hi_milli_cents, n_replicas) — the CI bounds are the 2nd
+    smallest / 2nd largest replica means (the ~5%/95% order stats at
+    B=32), bracketing the point estimate's sampling noise.
+    """
+    from gis_city_county_spark.operators.sketch import _h60
+
+    thresholds = _poisson1_cdf_thresholds()
+    cents = F.floor(
+        F.col(value_col).cast("decimal(38,10)") * 100
+    ).cast("decimal(19,0)")
+    base = df.select(F.col(key_col).alias("__k"), cents.alias("__v"))
+    rep = base.select(
+        "__k", "__v",
+        F.explode(F.array(*[F.lit(b) for b in range(n_replicas)]))
+        .alias("__b"),
+    )
+    u = (
+        _h60(F.concat(F.lit(salt + "|"), F.col("__b").cast("string"),
+                      F.lit("|"), F.col("__k").cast("string")))
+        .cast("double") / F.lit(float(1 << 60))
+    )
+    w = sum(
+        (F.when(u >= F.lit(t), 1).otherwise(0) for t in thresholds),
+        F.lit(0),
+    ).cast("decimal(19,0)")
+    per_rep = rep.groupBy("__b").agg(
+        F.sum((w * F.col("__v")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("__wv"),
+        F.sum(w).cast("decimal(38,0)").alias("__w"),
+    ).select(
+        F.expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * __wv) div __w AS BIGINT)"
+        ).alias("__mean")
+    )
+    w_ord = Window.orderBy("__mean")
+    stats = per_rep.select(
+        "__mean", F.row_number().over(w_ord).alias("__rk")
+    ).agg(
+        F.max(F.when(F.col("__rk") == 2, F.col("__mean")))
+        .alias("ci_lo_milli_cents"),
+        F.max(F.when(F.col("__rk") == n_replicas - 1, F.col("__mean")))
+        .alias("ci_hi_milli_cents"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * CAST(SUM(__v)"
+            " AS DECIMAL(38,0))) div COUNT(1) AS BIGINT)"
+        ).alias("point_mean_milli_cents"),
+    )
+    return point.join(F.broadcast(stats)).select(
+        "n",
+        "point_mean_milli_cents",
+        "ci_lo_milli_cents",
+        "ci_hi_milli_cents",
+        F.lit(n_replicas).cast("bigint").alias("n_replicas"),
+    )
+
+
+def bootstrap_ci_sql(
+    source_sql: str,
+    key_col: str,
+    value_col: str,
+    n_replicas: int = 32,
+    salt: str = "boot-v1",
+) -> str:
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    thresholds = _poisson1_cdf_thresholds()
+    h = _h60_sql(f"'{salt}|' || CAST(b AS VARCHAR) || '|' || CAST(k AS VARCHAR)")
+    steps = " + ".join(
+        f"(CASE WHEN u >= {t!r} THEN 1 ELSE 0 END)" for t in thresholds
+    )
+    return f"""
+WITH base AS (
+  SELECT {key_col} AS k,
+         CAST(FLOOR(CAST({value_col} AS DECIMAL(38,10)) * 100)
+              AS DECIMAL(19,0)) AS v
+  FROM ({source_sql})
+),
+rep AS (
+  SELECT k, v, b, CAST({h} AS DOUBLE) / {float(1 << 60)!r} AS u
+  FROM base, (SELECT UNNEST(range({n_replicas})) AS b)
+),
+per_rep AS (
+  SELECT b,
+         CAST((CAST(1000 AS HUGEINT)
+               * CAST(SUM(CAST(({steps}) AS DECIMAL(19,0)) * v) AS HUGEINT))
+              // CAST(SUM(CAST(({steps}) AS DECIMAL(19,0))) AS HUGEINT)
+              AS BIGINT) AS mean_m
+  FROM rep GROUP BY b
+),
+ranked AS (
+  SELECT mean_m, ROW_NUMBER() OVER (ORDER BY mean_m) AS rk FROM per_rep
+),
+stats AS (
+  SELECT MAX(CASE WHEN rk = 2 THEN mean_m END) AS ci_lo_milli_cents,
+         MAX(CASE WHEN rk = {n_replicas - 1} THEN mean_m END)
+           AS ci_hi_milli_cents
+  FROM ranked
+),
+point AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST((CAST(1000 AS HUGEINT) * CAST(SUM(v) AS HUGEINT))
+              // COUNT(*) AS BIGINT) AS point_mean_milli_cents
+  FROM base
+)
+SELECT p.n, p.point_mean_milli_cents, s.ci_lo_milli_cents,
+       s.ci_hi_milli_cents,
+       CAST({n_replicas} AS BIGINT) AS n_replicas
+FROM point p, stats s
+"""

@@ -1048,7 +1048,26 @@ def _spearman_oracle() -> str:
     )
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 90%-ish CI for the mean order
+    total (32 hash-seeded replicas, exact milli-cents) — uncertainty
+    without global resampling coordination."""
+    from gis_city_county_spark.operators.mlprep import bootstrap_ci
+
+    o = load_table(spark, sf_dir, "orders")
+    return bootstrap_ci(o, "o_orderkey", "o_totalprice")
+
+
+def _bootstrap_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import bootstrap_ci_sql
+
+    return bootstrap_ci_sql(
+        "SELECT * FROM orders", "o_orderkey", "o_totalprice"
+    )
+
+
 SPECS = [
+    QuerySpec("eval_bootstrap_ci", q_bootstrap_ci, _bootstrap_oracle()),
     QuerySpec("mlprep_corr_matrix", q_corr_matrix, _corr_matrix_oracle()),
     QuerySpec("mlprep_loo_target_encode", q_loo_target_encode, _loo_oracle()),
     QuerySpec("eval_spearman", q_spearman, _spearman_oracle()),

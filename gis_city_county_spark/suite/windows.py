@@ -809,6 +809,7 @@ R10_PRESTAGE: tuple[str, ...] = (
     "sketch_histogram_quantiles",
     "dedup_minhash_accuracy",
     "events_stickiness",
+    "eval_bootstrap_ci",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -223,6 +223,8 @@ _BNLJ_ALLOWED = {
     # the 1-row (lo, hi, n) span scalar riding the value scan into
     # the bin assignment
     "sketch_histogram_quantiles",
+    # the 1-row point-estimate scalar merged with the 1-row CI row
+    "eval_bootstrap_ci",
 }
 
 
@@ -451,6 +453,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "olap_share_of_parent": 1,
     # the one-row span merge + the cumulative walk over <= n_bins rows
     "sketch_histogram_quantiles": 2,
+    # the order-stat rank over the n_replicas (=32) replica means +
+    # the one-row point merge
+    "eval_bootstrap_ci": 2,
     # the one-row moments merge (twice consumed) + the Lorenz running
     # sum over the <= n_bands band rows
     "profile_concentration": 3,

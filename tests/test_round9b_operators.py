@@ -817,3 +817,59 @@ def test_stickiness_exact_fixture(spark):
     assert out["2024-01-01"]["stickiness_ppm"] == 1_000_000
     assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["mau28"] == 2
     assert out["2024-01-02"]["stickiness_ppm"] == 500_000
+
+
+# ------------------------------------------------------ bootstrap_ci
+
+
+def test_bootstrap_ci_brackets_point_and_is_deterministic(spark):
+    """CI lo ≤ point ≤ hi on real-ish data, and two runs are
+    identical (hash-seeded replicas)."""
+    from gis_city_county_spark.operators.mlprep import bootstrap_ci
+
+    import random
+
+    rnd = random.Random(5)
+    df = spark.createDataFrame(
+        [(i, round(rnd.uniform(10, 500), 2)) for i in range(2000)],
+        "id long, y double",
+    )
+    r1 = bootstrap_ci(df, "id", "y").collect()[0]
+    r2 = bootstrap_ci(df, "id", "y").collect()[0]
+    assert r1 == r2
+    assert r1["ci_lo_milli_cents"] <= r1["point_mean_milli_cents"]
+    assert r1["point_mean_milli_cents"] <= r1["ci_hi_milli_cents"]
+    assert r1["n"] == 2000 and r1["n_replicas"] == 32
+
+
+def test_bootstrap_ci_constant_data_zero_width(spark):
+    """All-equal values: every replica mean equals the point mean —
+    the CI collapses to a point."""
+    from gis_city_county_spark.operators.mlprep import bootstrap_ci
+
+    df = spark.createDataFrame([(i, 7.25) for i in range(300)], "id long, y double")
+    r = bootstrap_ci(df, "id", "y").collect()[0]
+    assert (r["ci_lo_milli_cents"] == r["ci_hi_milli_cents"]
+            == r["point_mean_milli_cents"] == 725_000)
+
+
+def test_bootstrap_ci_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.mlprep import (
+        bootstrap_ci,
+        bootstrap_ci_sql,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = [tuple(r) for r in bootstrap_ci(o, "o_orderkey", "o_totalprice").collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            bootstrap_ci_sql("SELECT * FROM orders", "o_orderkey", "o_totalprice")
+        ).fetchall()
+    ]
+    assert got == want and len(got) == 1
