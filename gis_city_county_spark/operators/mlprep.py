@@ -2220,3 +2220,189 @@ SELECT p.n, p.point_mean_milli_cents, s.ci_lo_milli_cents,
        CAST({n_replicas} AS BIGINT) AS n_replicas
 FROM point p, stats s
 """
+
+
+def mcnemar_test(
+    df: DataFrame, id_col: str, pred_a_col: str, pred_b_col: str,
+    label_col: str,
+) -> DataFrame:
+    """McNemar's paired-classifier comparison — the eval that answers
+    "is model B actually better than model A on the SAME rows" from
+    the two discordant cells only: b = A right / B wrong,
+    c = A wrong / B right; the test statistic (b−c)²/(b+c) is an
+    exact rational of integer counts, emitted in milli units
+    (≥ 3841 milli ≈ the χ²₁ 5% line).  Rows where both models agree
+    with each other carry no signal and only the discordant counts
+    shuffle — one map-combinable aggregate.
+
+    Returns one row: (n_pairs, both_right, both_wrong, a_only_right,
+    b_only_right, statistic_milli) — statistic NULL when b + c = 0.
+    """
+    a_ok = (F.col(pred_a_col) == F.col(label_col)).cast("int")
+    b_ok = (F.col(pred_b_col) == F.col(label_col)).cast("int")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(a_ok * b_ok).cast("bigint").alias("both_right"),
+        F.sum((1 - a_ok) * (1 - b_ok)).cast("bigint").alias("both_wrong"),
+        F.sum(a_ok * (1 - b_ok)).cast("bigint").alias("a_only_right"),
+        F.sum((1 - a_ok) * b_ok).cast("bigint").alias("b_only_right"),
+    )
+    d = F.col("a_only_right") - F.col("b_only_right")
+    tot = F.col("a_only_right") + F.col("b_only_right")
+    return agg.select(
+        "n_pairs",
+        "both_right",
+        "both_wrong",
+        "a_only_right",
+        "b_only_right",
+        F.when(
+            tot > 0,
+            F.expr(
+                "CAST((1000 * (a_only_right - b_only_right)"
+                " * (a_only_right - b_only_right))"
+                " div (a_only_right + b_only_right) AS BIGINT)"
+            ),
+        ).alias("statistic_milli"),
+    )
+
+
+def mcnemar_test_sql(
+    source_sql: str, id_col: str, pred_a_col: str, pred_b_col: str,
+    label_col: str,
+) -> str:
+    a_ok = f"CAST({pred_a_col} = {label_col} AS INTEGER)"
+    b_ok = f"CAST({pred_b_col} = {label_col} AS INTEGER)"
+    return f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM({a_ok} * {b_ok}) AS BIGINT) AS both_right,
+         CAST(SUM((1 - {a_ok}) * (1 - {b_ok})) AS BIGINT) AS both_wrong,
+         CAST(SUM({a_ok} * (1 - {b_ok})) AS BIGINT) AS a_only_right,
+         CAST(SUM((1 - {a_ok}) * {b_ok}) AS BIGINT) AS b_only_right
+  FROM ({source_sql})
+)
+SELECT n_pairs, both_right, both_wrong, a_only_right, b_only_right,
+       CASE WHEN a_only_right + b_only_right > 0
+            THEN CAST((1000 * (a_only_right - b_only_right)
+                       * (a_only_right - b_only_right))
+                      // (a_only_right + b_only_right) AS BIGINT)
+       END AS statistic_milli
+FROM agg
+"""
+
+
+def effect_size(
+    df: DataFrame, group_col: str, treat_value, value_col: str
+) -> DataFrame:
+    """Cohen's d effect size between a treatment group and everyone
+    else — the "is this uplift practically meaningful" companion to a
+    significance test: d = (mean_t − mean_c) / s_pooled, where
+    s_pooled² = ((n_t−1)s_t² + (n_c−1)s_c²)/(n_t+n_c−2).
+
+    All moments are exact integer cents (DECIMAL); the closing
+    subtraction, division and sqrt are the fixed-order IEEE chain
+    from exact numerators (the profile.correlation convention).
+
+    Returns one row: (n_treat, n_control, mean_treat, mean_control,
+    cohens_d) — d NULL when either group has < 2 rows or pooled
+    variance is 0.
+    """
+    dec = "decimal(38,0)"
+    cents = F.floor(
+        F.col(value_col).cast("decimal(38,10)") * 100
+    ).cast("decimal(19,0)")
+    t = (F.col(group_col) == F.lit(treat_value)).cast("int")
+    m = df.select(t.alias("__t"), cents.alias("__v")).groupBy("__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__v").cast(dec).alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast(dec)).cast(dec)
+        .alias("__ss"),
+    )
+    piv = m.groupBy().agg(
+        F.max(F.when(F.col("__t") == 1, F.col("__n"))).alias("n_treat"),
+        F.max(F.when(F.col("__t") == 0, F.col("__n"))).alias("n_control"),
+        F.max(F.when(F.col("__t") == 1, F.col("__s"))).alias("__st"),
+        F.max(F.when(F.col("__t") == 0, F.col("__s"))).alias("__sc"),
+        F.max(F.when(F.col("__t") == 1, F.col("__ss"))).alias("__sst"),
+        F.max(F.when(F.col("__t") == 0, F.col("__ss"))).alias("__ssc"),
+    )
+    nt = F.col("n_treat").cast(dec)
+    nc = F.col("n_control").cast(dec)
+    # (n−1)s² = Σv² − (Σv)²/n, kept exact by scaling through n:
+    # n·(n−1)·s² = n·Σv² − (Σv)² — fold both groups over the common
+    # denominator n_t·n_c before the one double division.
+    ssd_t = (nt * F.col("__sst") - F.col("__st") * F.col("__st"))
+    ssd_c = (nc * F.col("__ssc") - F.col("__sc") * F.col("__sc"))
+    mean_t = F.col("__st").cast("double") / nt.cast("double")
+    mean_c = F.col("__sc").cast("double") / nc.cast("double")
+    pooled_num = (
+        ssd_t.cast("double") / nt.cast("double")
+        + ssd_c.cast("double") / nc.cast("double")
+    )
+    denom = (nt + nc - 2).cast("double")
+    s_pooled = F.sqrt(pooled_num / denom)
+    d = F.when(
+        (F.col("n_treat") >= 2) & (F.col("n_control") >= 2)
+        & (pooled_num > 0.0),
+        (mean_t - mean_c) / s_pooled,
+    )
+    return piv.select(
+        "n_treat",
+        "n_control",
+        mean_t.alias("mean_treat_cents"),
+        mean_c.alias("mean_control_cents"),
+        d.alias("cohens_d"),
+    )
+
+
+def effect_size_sql(
+    source_sql: str, group_col: str, treat_value_sql: str, value_col: str
+) -> str:
+    dec = "DECIMAL(38,0)"
+    return f"""
+WITH m AS (
+  SELECT CAST({group_col} = {treat_value_sql} AS INTEGER) AS t,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS {dec}) AS s,
+         CAST(SUM(CAST(v * v AS {dec})) AS {dec}) AS ss
+  FROM (
+    SELECT {group_col},
+           CAST(FLOOR(CAST({value_col} AS DECIMAL(38,10)) * 100)
+                AS DECIMAL(19,0)) AS v
+    FROM ({source_sql})
+  ) GROUP BY 1
+),
+piv AS (
+  SELECT MAX(CASE WHEN t = 1 THEN n END) AS n_treat,
+         MAX(CASE WHEN t = 0 THEN n END) AS n_control,
+         MAX(CASE WHEN t = 1 THEN s END) AS st,
+         MAX(CASE WHEN t = 0 THEN s END) AS sc,
+         MAX(CASE WHEN t = 1 THEN ss END) AS sst,
+         MAX(CASE WHEN t = 0 THEN ss END) AS ssc
+  FROM m
+)
+SELECT n_treat, n_control,
+       CAST(CAST(st AS VARCHAR) AS DOUBLE) / CAST(n_treat AS DOUBLE)
+         AS mean_treat_cents,
+       CAST(CAST(sc AS VARCHAR) AS DOUBLE) / CAST(n_control AS DOUBLE)
+         AS mean_control_cents,
+       CASE WHEN n_treat >= 2 AND n_control >= 2
+             AND (CAST(CAST(CAST(n_treat AS {dec}) * sst - st * st
+                       AS VARCHAR) AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                  + CAST(CAST(CAST(n_control AS {dec}) * ssc - sc * sc
+                         AS VARCHAR) AS DOUBLE) / CAST(n_control AS DOUBLE))
+                 > 0.0
+            THEN (CAST(CAST(st AS VARCHAR) AS DOUBLE)
+                    / CAST(n_treat AS DOUBLE)
+                  - CAST(CAST(sc AS VARCHAR) AS DOUBLE)
+                    / CAST(n_control AS DOUBLE))
+                 / SQRT((CAST(CAST(CAST(n_treat AS {dec}) * sst - st * st
+                              AS VARCHAR) AS DOUBLE)
+                           / CAST(n_treat AS DOUBLE)
+                         + CAST(CAST(CAST(n_control AS {dec}) * ssc - sc * sc
+                                AS VARCHAR) AS DOUBLE)
+                           / CAST(n_control AS DOUBLE))
+                        / CAST(n_treat + n_control - 2 AS DOUBLE))
+       END AS cohens_d
+FROM piv
+"""

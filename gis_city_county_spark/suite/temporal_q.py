@@ -1066,7 +1066,54 @@ def _bootstrap_oracle() -> str:
     )
 
 
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-classifier comparison on the same events (two threshold
+    rules vs a synthetic label): discordant cells + the exact milli
+    McNemar statistic."""
+    from gis_city_county_spark.operators.mlprep import mcnemar_test
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("value") >= 50).cast("int").alias("pa"),
+        (F.col("value") >= 60).cast("int").alias("pb"),
+        (F.col("user_id") % 2).cast("int").alias("y"),
+    )
+    return mcnemar_test(ev, "event_id", "pa", "pb", "y")
+
+
+def _mcnemar_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import mcnemar_test_sql
+
+    src = (
+        "SELECT event_id, CAST(value >= 50 AS INTEGER) AS pa,"
+        " CAST(value >= 60 AS INTEGER) AS pb,"
+        " CAST(user_id % 2 AS INTEGER) AS y FROM events"
+    )
+    return mcnemar_test_sql(src, "event_id", "pa", "pb", "y")
+
+
+def q_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d of urgent vs non-urgent order totals — the practical
+    -significance companion to the A/B uplift test, from exact integer
+    moments."""
+    from gis_city_county_spark.operators.mlprep import effect_size
+
+    o = load_table(spark, sf_dir, "orders")
+    return effect_size(o, "o_orderpriority", "1-URGENT", "o_totalprice")
+
+
+def _effect_size_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import effect_size_sql
+
+    return effect_size_sql(
+        "SELECT * FROM orders", "o_orderpriority", "'1-URGENT'",
+        "o_totalprice",
+    )
+
+
 SPECS = [
+    QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
+    QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
     QuerySpec("eval_bootstrap_ci", q_bootstrap_ci, _bootstrap_oracle()),
     QuerySpec("mlprep_corr_matrix", q_corr_matrix, _corr_matrix_oracle()),
     QuerySpec("mlprep_loo_target_encode", q_loo_target_encode, _loo_oracle()),

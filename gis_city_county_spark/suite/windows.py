@@ -810,6 +810,8 @@ R10_PRESTAGE: tuple[str, ...] = (
     "dedup_minhash_accuracy",
     "events_stickiness",
     "eval_bootstrap_ci",
+    "eval_mcnemar",
+    "eval_effect_size",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

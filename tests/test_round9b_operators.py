@@ -873,3 +873,105 @@ def test_bootstrap_ci_matches_duckdb(spark, sf_dir):
         ).fetchall()
     ]
     assert got == want and len(got) == 1
+
+
+# --------------------------------------------------------- mcnemar
+
+
+def test_mcnemar_textbook_cells(spark):
+    """b=10, c=2 ⇒ statistic = (10−2)²/12 = 64/12 ⇒ 5333 milli (>
+    3841: significant); cells cross-foot to n."""
+    from gis_city_county_spark.operators.mlprep import mcnemar_test
+
+    rows = (
+        [(i, 1, 1, 1) for i in range(20)]         # both right
+        + [(100 + i, 0, 0, 1) for i in range(5)]  # both wrong
+        + [(200 + i, 1, 0, 1) for i in range(10)] # A only
+        + [(300 + i, 0, 1, 1) for i in range(2)]  # B only
+    )
+    df = spark.createDataFrame(rows, "id long, pa int, pb int, y int")
+    r = mcnemar_test(df, "id", "pa", "pb", "y").collect()[0]
+    assert r["a_only_right"] == 10 and r["b_only_right"] == 2
+    assert r["statistic_milli"] == 5333
+    assert (r["both_right"] + r["both_wrong"]
+            + r["a_only_right"] + r["b_only_right"]) == r["n_pairs"]
+
+
+def test_mcnemar_no_discordance_null_statistic(spark):
+    from gis_city_county_spark.operators.mlprep import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 0, 0, 1)], "id long, pa int, pb int, y int"
+    )
+    r = mcnemar_test(df, "id", "pa", "pb", "y").collect()[0]
+    assert r["statistic_milli"] is None
+
+
+# ------------------------------------------------------ effect_size
+
+
+def test_effect_size_known_d(spark):
+    """Treatment (2,4) vs control (1,3): means 3.00 vs 2.00, pooled
+    s² = 2 ⇒ d = 1/√2 in cents space (scale cancels)."""
+    import math
+
+    from gis_city_county_spark.operators.mlprep import effect_size
+
+    df = spark.createDataFrame(
+        [("t", 2.0), ("t", 4.0), ("c", 1.0), ("c", 3.0)],
+        "g string, y double",
+    )
+    r = effect_size(df, "g", "t", "y").collect()[0]
+    assert r["n_treat"] == 2 and r["n_control"] == 2
+    assert abs(r["cohens_d"] - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_effect_size_degenerate_null(spark):
+    """Single-row treatment ⇒ d NULL (variance undefined)."""
+    from gis_city_county_spark.operators.mlprep import effect_size
+
+    df = spark.createDataFrame(
+        [("t", 5.0), ("c", 1.0), ("c", 2.0)], "g string, y double"
+    )
+    r = effect_size(df, "g", "t", "y").collect()[0]
+    assert r["cohens_d"] is None
+
+
+def test_mcnemar_and_effect_size_match_duckdb(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.mlprep import (
+        effect_size,
+        effect_size_sql,
+        mcnemar_test,
+        mcnemar_test_sql,
+    )
+
+    con = duckdb.connect()
+    for t in ["events", "orders"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        (F.col("value") >= 50).cast("int").alias("pa"),
+        (F.col("value") >= 60).cast("int").alias("pb"),
+        (F.col("user_id") % 2).cast("int").alias("y"),
+    )
+    got = [tuple(r) for r in mcnemar_test(ev, "event_id", "pa", "pb", "y").collect()]
+    src = (
+        "SELECT event_id, CAST(value >= 50 AS INTEGER) AS pa,"
+        " CAST(value >= 60 AS INTEGER) AS pb,"
+        " CAST(user_id % 2 AS INTEGER) AS y FROM events"
+    )
+    want = [tuple(r) for r in con.execute(
+        mcnemar_test_sql(src, "event_id", "pa", "pb", "y")).fetchall()]
+    assert got == want
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got2 = [tuple(r) for r in effect_size(
+        o, "o_orderpriority", "1-URGENT", "o_totalprice").collect()]
+    want2 = [tuple(r) for r in con.execute(effect_size_sql(
+        "SELECT * FROM orders", "o_orderpriority", "'1-URGENT'",
+        "o_totalprice")).fetchall()]
+    assert got2 == want2
