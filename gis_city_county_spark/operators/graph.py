@@ -27,7 +27,7 @@ and reused across iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.scale import (
@@ -772,4 +772,116 @@ FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
 GROUP BY a.i, b.i
 ORDER BY n_shared_groups DESC, item_a ASC, item_b ASC
 LIMIT {top_k}
+"""
+
+
+def ego_sample(
+    edges: DataFrame,
+    seed_fraction: float = 0.02,
+    k: int = 8,
+) -> DataFrame:
+    """Bounded 2-hop ego-network sample — the neighborhood loader a
+    GNN training pipeline materializes (GraphSAGE-style fan-out
+    sampling): a deterministic hash-sample of seed nodes, then at
+    most ``k`` 1-hop neighbors per seed and ``k`` 2-hop neighbors per
+    kept 1-hop node, each chosen by md5 rank so the SAME sample comes
+    back on every engine, every run, every partitioning (seeded RNG
+    sampling resamples under repartition — useless for reproducible
+    epochs).
+
+    Scale shape: seeds via the hash-sample predicate (scan-side);
+    each hop is one equi-join on the edge relation plus a
+    (parent-partitioned, ≤degree rows) rank window — fan-out is
+    capped at k then k² rows per seed BY CONSTRUCTION, the property
+    that makes 2-hop sampling feasible on power-law graphs where the
+    raw 2-hop neighborhood explodes.  2-hop rows may revisit nodes
+    (standard GraphSAGE semantics — sampling is per parent edge);
+    the seed itself is excluded from its own 2-hop frontier.
+
+    Returns (seed, hop, parent, node) — hop ∈ {1, 2}; for hop 1,
+    parent = seed.
+    """
+    from gis_city_county_spark.operators.sketch import _h60
+
+    nodes = edges.select(F.col("src").alias("seed")).distinct()
+    seeds = nodes.filter(
+        _h60(F.concat(F.lit("ego|"), F.col("seed").cast("string")))
+        < int(seed_fraction * float(1 << 60))
+    )
+    w1 = Window.partitionBy("seed").orderBy("__r", "node")
+    hop1 = (
+        seeds.join(edges, seeds.seed == edges.src)
+        .select(
+            "seed",
+            F.col("dst").alias("node"),
+            _h60(F.concat(F.lit("h1|"), F.col("seed").cast("string"),
+                          F.lit("|"), F.col("dst").cast("string")))
+            .alias("__r"),
+        )
+        .withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .select("seed", F.col("node"))
+    )
+    w2 = Window.partitionBy("seed", "parent").orderBy("__r", "node")
+    hop2 = (
+        hop1.withColumnRenamed("node", "parent")
+        .join(edges, F.col("parent") == edges.src)
+        .filter(F.col("dst") != F.col("seed"))
+        .select(
+            "seed",
+            "parent",
+            F.col("dst").alias("node"),
+            _h60(F.concat(F.lit("h2|"), F.col("seed").cast("string"),
+                          F.lit("|"), F.col("parent").cast("string"),
+                          F.lit("|"), F.col("dst").cast("string")))
+            .alias("__r"),
+        )
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .select("seed", F.lit(2).cast("int").alias("hop"), "parent", "node")
+    )
+    out1 = hop1.select(
+        "seed", F.lit(1).cast("int").alias("hop"),
+        F.col("seed").alias("parent"), "node",
+    )
+    return out1.unionByName(hop2)
+
+
+def ego_sample_sql(
+    edges_sql: str, seed_fraction: float = 0.02, k: int = 8
+) -> str:
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    seed_h = _h60_sql("'ego|' || CAST(seed AS VARCHAR)")
+    h1 = _h60_sql("'h1|' || CAST(seed AS VARCHAR) || '|' || CAST(dst AS VARCHAR)")
+    h2 = _h60_sql(
+        "'h2|' || CAST(p.seed AS VARCHAR) || '|' || CAST(p.node AS VARCHAR)"
+        " || '|' || CAST(e.dst AS VARCHAR)"
+    )
+    return f"""
+WITH e AS ({edges_sql}),
+seeds AS (
+  SELECT seed FROM (SELECT DISTINCT src AS seed FROM e)
+  WHERE {seed_h} < {int(seed_fraction * float(1 << 60))}
+),
+h1 AS (
+  SELECT seed, node FROM (
+    SELECT s.seed, e.dst AS node,
+           ROW_NUMBER() OVER (PARTITION BY s.seed
+                              ORDER BY {h1}, e.dst) AS rk
+    FROM seeds s JOIN e ON s.seed = e.src
+  ) WHERE rk <= {k}
+),
+h2 AS (
+  SELECT seed, parent, node FROM (
+    SELECT p.seed, p.node AS parent, e.dst AS node,
+           ROW_NUMBER() OVER (PARTITION BY p.seed, p.node
+                              ORDER BY {h2}, e.dst) AS rk
+    FROM h1 p JOIN e ON p.node = e.src
+    WHERE e.dst != p.seed
+  ) WHERE rk <= {k}
+)
+SELECT seed, CAST(1 AS INTEGER) AS hop, seed AS parent, node FROM h1
+UNION ALL
+SELECT seed, CAST(2 AS INTEGER) AS hop, parent, node FROM h2
 """

@@ -658,3 +658,56 @@ SELECT "group",
        CAST({int(round(epsilon * 1000))} AS BIGINT) AS epsilon_milli
 FROM drawn
 """
+
+
+def pseudonymize(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "pseudo-v1",
+    token_hex_chars: int = 16,
+) -> DataFrame:
+    """Keyed pseudonymization of an identifier column — the released
+    table carries md5(salt|id) tokens instead of raw ids, so joins
+    across releases sharing the salt still line up while the raw id
+    never leaves the boundary.  Tokens are truncated to
+    ``token_hex_chars`` (storage/readability trade-off), and the
+    operator REPORTS truncation collisions instead of silently
+    merging identities: each output row is one token with the number
+    of distinct source ids mapping to it (n_ids > 1 = collision —
+    widen the token) and its row weight.
+
+    Same caveat class as :func:`dp_release`: a salt is a key, not a
+    secret from whoever holds it — rotate per release when linkage
+    across releases must NOT be possible.
+
+    One map-combinable aggregate; output ∝ distinct ids.  Returns
+    (token, n_ids, n_rows).
+    """
+    token = F.substring(
+        F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+        1, token_hex_chars,
+    )
+    return (
+        df.select(token.alias("token"), F.col(id_col).alias("__id"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("__id").cast("bigint").alias("n_ids"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def pseudonymize_sql(
+    source_sql: str,
+    id_col: str,
+    salt: str = "pseudo-v1",
+    token_hex_chars: int = 16,
+) -> str:
+    return f"""
+SELECT substr(md5('{salt}|' || CAST({id_col} AS VARCHAR)), 1,
+              {token_hex_chars}) AS token,
+       CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM ({source_sql})
+GROUP BY 1
+"""

@@ -476,7 +476,34 @@ def _cooccurrence_oracle() -> str:
     )
 
 
+def q_ego_sample(spark, sf_dir):
+    """Bounded 2-hop GraphSAGE-style ego sample over the trade graph:
+    2% hash-sampled seeds, <= 8 neighbors per hop per parent, all
+    choices md5-ranked so every engine draws the same epochs."""
+    from gis_city_county_spark.operators.graph import ego_sample
+
+    return ego_sample(_trade_edges(spark, sf_dir), seed_fraction=0.02, k=8)
+
+
+_EGO_EDGES_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS s_node, o_custkey * 2 + 1 AS c_node
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT s_node AS src, c_node AS dst FROM pairs
+UNION ALL
+SELECT c_node AS src, s_node AS dst FROM pairs
+"""
+
+
+def _ego_oracle() -> str:
+    from gis_city_county_spark.operators.graph import ego_sample_sql
+
+    return ego_sample_sql(_EGO_EDGES_SQL, seed_fraction=0.02, k=8)
+
+
 SPECS = [
+    QuerySpec("graph_ego_sample", q_ego_sample, _ego_oracle()),
     QuerySpec("graph_cooccurrence_pairs", q_cooccurrence,
               _cooccurrence_oracle()),
     QuerySpec("graph_pagerank_trade", q_pagerank_trade, _PR_ORACLE),

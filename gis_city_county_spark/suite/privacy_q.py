@@ -286,7 +286,24 @@ def _dp_release_oracle() -> str:
     )
 
 
+def q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of event user ids (16-hex md5 tokens)
+    with the truncation-collision audit riding per token."""
+    from gis_city_county_spark.operators.privacy import pseudonymize
+
+    ev = load_table(spark, sf_dir, "events")
+    return pseudonymize(ev, "user_id")
+
+
+def _pseudonymize_oracle() -> str:
+    from gis_city_county_spark.operators.privacy import pseudonymize_sql
+
+    return pseudonymize_sql("SELECT * FROM events", "user_id")
+
+
 SPECS = [
+    QuerySpec("privacy_pseudonymize", q_pseudonymize,
+              _pseudonymize_oracle()),
     QuerySpec("privacy_dp_release", q_dp_release, _dp_release_oracle()),
     QuerySpec("privacy_t_closeness", q_t_closeness, _tclose_oracle()),
     QuerySpec("privacy_generalization_ladder", q_generalization_ladder,

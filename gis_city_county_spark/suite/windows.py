@@ -812,6 +812,8 @@ R10_PRESTAGE: tuple[str, ...] = (
     "eval_bootstrap_ci",
     "eval_mcnemar",
     "eval_effect_size",
+    "graph_ego_sample",
+    "privacy_pseudonymize",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

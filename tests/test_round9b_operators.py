@@ -975,3 +975,92 @@ def test_mcnemar_and_effect_size_match_duckdb(spark, sf_dir):
         "SELECT * FROM orders", "o_orderpriority", "'1-URGENT'",
         "o_totalprice")).fetchall()]
     assert got2 == want2
+
+
+# -------------------------------------------------------- ego_sample
+
+
+def test_ego_sample_fanout_caps_and_determinism(spark):
+    """Per seed ≤ k hop-1 rows; per (seed, parent) ≤ k hop-2 rows; the
+    seed never appears in its own 2-hop frontier; two runs identical."""
+    from gis_city_county_spark.operators.graph import ego_sample
+
+    # star + chain graph: node 0 connects to 1..30 (high degree), node
+    # 1 connects to 40..80 — undirected edge list
+    edges = []
+    for i in range(1, 31):
+        edges += [(0, i), (i, 0)]
+    for i in range(40, 81):
+        edges += [(1, i), (i, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out1 = ego_sample(df, seed_fraction=1.0, k=5).collect()
+    out2 = ego_sample(df, seed_fraction=1.0, k=5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    from collections import Counter
+
+    h1 = Counter((r["seed"],) for r in out1 if r["hop"] == 1)
+    assert max(h1.values()) <= 5
+    h2 = Counter((r["seed"], r["parent"]) for r in out1 if r["hop"] == 2)
+    assert max(h2.values()) <= 5
+    assert all(r["node"] != r["seed"] for r in out1 if r["hop"] == 2)
+
+
+def test_ego_sample_matches_duckdb_on_trade_graph(spark, sf_dir):
+    from gis_city_county_spark.operators.graph import ego_sample, ego_sample_sql
+    from gis_city_county_spark.suite.graph_q import _EGO_EDGES_SQL, _trade_edges
+
+    got = sorted(
+        tuple(r) for r in ego_sample(_trade_edges(spark, sf_dir)).collect()
+    )
+    con = duckdb.connect()
+    for t in ["lineitem", "orders"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = sorted(
+        tuple(r) for r in con.execute(ego_sample_sql(_EGO_EDGES_SQL)).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+# ----------------------------------------------------- pseudonymize
+
+
+def test_pseudonymize_deterministic_and_collision_audit(spark):
+    """Same salt ⇒ same tokens across runs; full-width tokens have
+    n_ids == 1 everywhere at this scale; 1-hex tokens MUST collide
+    (16 buckets, 100 ids) and the audit reports it."""
+    from gis_city_county_spark.operators.privacy import pseudonymize
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "uid long")
+    a = sorted(tuple(r) for r in pseudonymize(df, "uid").collect())
+    b = sorted(tuple(r) for r in pseudonymize(df, "uid").collect())
+    assert a == b and len(a) == 100
+    assert all(n_ids == 1 for _, n_ids, _ in a)
+    short = pseudonymize(df, "uid", token_hex_chars=1).collect()
+    assert len(short) <= 16
+    assert any(r["n_ids"] > 1 for r in short)
+    assert sum(r["n_rows"] for r in short) == 100
+
+
+def test_pseudonymize_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.privacy import (
+        pseudonymize,
+        pseudonymize_sql,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = sorted(tuple(r) for r in pseudonymize(ev, "user_id").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            pseudonymize_sql("SELECT * FROM events", "user_id")
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
