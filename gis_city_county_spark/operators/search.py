@@ -683,3 +683,99 @@ FROM (
   ORDER BY n_pairs DESC, min_dist ASC, id ASC LIMIT {k}
 ) t
 """
+
+
+def best_window(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    window_tokens: int = 10,
+) -> DataFrame:
+    """Snippet locator: for every document containing at least one
+    query term, the ``window_tokens``-wide token window holding the
+    MOST query-term hits — the "why did this match" highlight a
+    search result page renders next to each hit.
+
+    Scale shape: only HIT positions survive the explode filter (∝
+    matches, not tokens), the per-hit window count is a range frame
+    over positions within the document (hits t with
+    p ≤ pos(t) < p+w — one partitioned window, no self-join), and the
+    per-doc argmax is a (hits desc, start asc) rank.  Ties break to
+    the earliest window.
+
+    Returns (id, best_start, window_hits, total_hits) — best_start is
+    the 0-based token position opening the best window.
+    """
+    from gis_city_county_spark.operators.textstats import tokens
+
+    terms = [t.lower() for t in query_terms]
+    hits = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+        )
+        .filter(F.col("token").isin(terms))
+        .select("id", F.col("pos").cast("bigint").alias("pos"))
+    )
+    wr = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rangeBetween(0, window_tokens - 1)
+    )
+    wc = Window.partitionBy("id")
+    wk = Window.partitionBy("id").orderBy(
+        F.col("window_hits").desc(), F.col("pos").asc()
+    )
+    return (
+        hits.select(
+            "id",
+            "pos",
+            F.count(F.lit(1)).over(wr).cast("bigint").alias("window_hits"),
+            F.count(F.lit(1)).over(wc).cast("bigint").alias("total_hits"),
+        )
+        .withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "id",
+            F.col("pos").alias("best_start"),
+            "window_hits",
+            "total_hits",
+        )
+    )
+
+
+def best_window_sql(
+    source_sql: str,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    window_tokens: int = 10,
+) -> str:
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, t.token,
+         CAST(t.ord - 1 AS BIGINT) AS pos
+  FROM ({source_sql}),
+       LATERAL (
+         SELECT UNNEST({tokens_sql(text_col)}) AS token,
+                generate_subscripts({tokens_sql(text_col)}, 1) AS ord
+       ) t
+),
+hits AS (SELECT id, pos FROM toks WHERE token IN ({terms})),
+counted AS (
+  SELECT id, pos,
+         CAST(COUNT(*) OVER (PARTITION BY id ORDER BY pos
+              RANGE BETWEEN CURRENT ROW AND {window_tokens - 1} FOLLOWING)
+              AS BIGINT) AS window_hits,
+         CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS total_hits
+  FROM hits
+)
+SELECT id, pos AS best_start, window_hits, total_hits
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+             ORDER BY window_hits DESC, pos ASC) AS rk
+  FROM counted
+) WHERE rk = 1
+"""

@@ -735,7 +735,28 @@ def _readability_oracle() -> str:
     return readability_report_sql("documents", "source", "text")
 
 
+def q_best_window(spark, sf_dir):
+    """Snippet locator: the 10-token window with the most query-term
+    hits per matching document (range-frame count over hit positions
+    only, earliest-window tie-break)."""
+    from gis_city_county_spark.operators.search import best_window
+
+    docs = load_table(spark, sf_dir, "documents")
+    return best_window(docs, "doc_id", "text", ["data", "model"],
+                       window_tokens=10)
+
+
+def _best_window_oracle() -> str:
+    from gis_city_county_spark.operators.search import best_window_sql
+
+    return best_window_sql(
+        "SELECT * FROM documents", "doc_id", "text", ["data", "model"],
+        window_tokens=10,
+    )
+
+
 SPECS = [
+    QuerySpec("search_best_window", q_best_window, _best_window_oracle()),
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).
     QuerySpec("text_readability", q_readability, _readability_oracle()),

@@ -814,6 +814,7 @@ R10_PRESTAGE: tuple[str, ...] = (
     "eval_effect_size",
     "graph_ego_sample",
     "privacy_pseudonymize",
+    "search_best_window",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -1064,3 +1064,60 @@ def test_pseudonymize_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------- best_window
+
+
+def test_best_window_picks_densest_cluster(spark):
+    """Hits at positions 0 and then a 3-hit cluster at 20..22 with
+    w=5: the best window starts at 20 with 3 hits (4 total)."""
+    from gis_city_county_spark.operators.search import best_window
+
+    text = (
+        "data " + "x " * 19 + "data model data " + "y " * 10
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = best_window(df, "doc_id", "text", ["data", "model"],
+                    window_tokens=5).collect()[0]
+    assert r["best_start"] == 20 and r["window_hits"] == 3
+    assert r["total_hits"] == 4
+
+
+def test_best_window_no_hit_docs_absent(spark):
+    from gis_city_county_spark.operators.search import best_window
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "data here")],
+        "doc_id long, text string",
+    )
+    out = best_window(df, "doc_id", "text", ["data"]).collect()
+    assert [r["id"] for r in out] == [2]
+
+
+def test_best_window_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.search import (
+        best_window,
+        best_window_sql,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in best_window(d, "doc_id", "text", ["data", "model"]).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            best_window_sql(
+                "SELECT * FROM documents", "doc_id", "text",
+                ["data", "model"],
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
