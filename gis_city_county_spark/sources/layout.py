@@ -295,3 +295,99 @@ def _parquet_bytes_and_files(spark: SparkSession, path: str) -> tuple[int, int]:
             total += st.getLen()
             n += 1
     return total, n
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    x_col,
+    y_col,
+    bits: int = 8,
+    out: str = "hkey",
+) -> DataFrame:
+    """Hilbert-curve layout key for two quantized dimensions — the
+    space-filling curve whose buckets are CONTIGUOUS squares (Z-order
+    buckets jump at quadrant seams, so range predicates read more
+    files; Hilbert is what Delta/Iceberg offer as the premium
+    clustering).  Classic xy→d bit walk (Hamilton's algorithm), one
+    reflect/rotate step per bit level.
+
+    Each step materializes as a projection (``withColumn``) instead
+    of one nested expression — the rotation reuses x and y several
+    times per level, and 8 nested levels would exponentially blow the
+    expression tree past the 64 KB codegen limit.  All integer ops,
+    scan-side, no shuffle.
+
+    Returns ``df`` with ``out`` = the Hilbert index in
+    [0, 4**bits) and the intermediates dropped.
+    """
+    df = df.withColumn("__hx", x_col.cast("long")).withColumn(
+        "__hy", y_col.cast("long")
+    ).withColumn("__hd", F.lit(0).cast("long"))
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = F.when((F.col("__hx").bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        ry = F.when((F.col("__hy").bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        df = (
+            df.withColumn("__rx", rx.cast("long"))
+            .withColumn("__ry", ry.cast("long"))
+            .withColumn(
+                "__hd",
+                F.col("__hd")
+                + F.lit(s * s)
+                * (F.lit(3) * F.col("__rx")).bitwiseXOR(F.col("__ry")),
+            )
+            .withColumn(
+                "__nx",
+                F.when(
+                    F.col("__ry") == 0,
+                    F.when(
+                        F.col("__rx") == 1,
+                        F.lit(s - 1) - F.col("__hy"),
+                    ).otherwise(F.col("__hy")),
+                ).otherwise(F.col("__hx")),
+            )
+            .withColumn(
+                "__ny",
+                F.when(
+                    F.col("__ry") == 0,
+                    F.when(
+                        F.col("__rx") == 1,
+                        F.lit(s - 1) - F.col("__hx"),
+                    ).otherwise(F.col("__hx")),
+                ).otherwise(F.col("__hy")),
+            )
+            .withColumn("__hx", F.col("__nx"))
+            .withColumn("__hy", F.col("__ny"))
+            .drop("__rx", "__ry", "__nx", "__ny")
+        )
+    return df.withColumn(out, F.col("__hd")).drop("__hx", "__hy", "__hd")
+
+
+def hilbert_key_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """DuckDB twin of :func:`with_hilbert_key` as chained CTE steps;
+    returns CTE text — embed as ``WITH {this}, ... SELECT hkey FROM
+    h{bits}``.  Caller's source relation must be named ``dims`` with
+    columns referenced by the two expressions."""
+    ctes = [
+        f"h0 AS (SELECT *, CAST({x_expr} AS BIGINT) AS hx,"
+        f" CAST({y_expr} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+        f" FROM dims)"
+    ]
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        prev = f"h{i}"
+        ctes.append(f"""h{i + 1} AS (
+  SELECT * EXCLUDE (hx, hy, hd, rx, ry),
+         CASE WHEN ry = 0 THEN
+              CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END
+         ELSE hx END AS hx,
+         CASE WHEN ry = 0 THEN
+              CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END
+         ELSE hy END AS hy,
+         hd + {s * s} * xor(3 * rx, ry) AS hd
+  FROM (SELECT *,
+               CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev})
+)""")
+    return ",\n".join(ctes) + f",\nhilberted AS (SELECT *, hd AS hkey FROM h{bits})"

@@ -66,6 +66,57 @@ FROM keyed GROUP BY zbucket
 """
 
 
+def q_hilbert_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders histogrammed by 1024-wide Hilbert-key buckets over the
+    same (custkey mod 256, order-day mod 256) grid as the Z-order
+    spec: per-bucket row count plus the dimension box — Hilbert
+    buckets cover CONTIGUOUS squares, the locality Z-order gives up
+    at quadrant seams."""
+    from gis_city_county_spark.sources.layout import with_hilbert_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 256).cast("long")
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("date")) % 256
+    ).cast("long")
+    keyed = with_hilbert_key(
+        orders.select(x.alias("xq"), y.alias("yq")),
+        F.col("xq"), F.col("yq"), bits=8,
+    )
+    return (
+        keyed.select("xq", "yq", (F.col("hkey") / 1024).cast("long")
+                     .alias("hbucket"))
+        .groupBy("hbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("xq").alias("x_min"),
+            F.max("xq").alias("x_max"),
+            F.min("yq").alias("y_min"),
+            F.max("yq").alias("y_max"),
+        )
+    )
+
+
+def _hilbert_oracle() -> str:
+    from gis_city_county_spark.sources.layout import hilbert_key_sql
+
+    return f"""
+WITH dims AS (
+  SELECT CAST(o_custkey % 256 AS BIGINT) AS xq,
+         CAST(date_diff('day', DATE '{_EPOCH}', o_orderdate) % 256
+              AS BIGINT) AS yq
+  FROM orders
+),
+{hilbert_key_sql("xq", "yq", bits=8)}
+SELECT CAST(hkey // 1024 AS BIGINT) AS hbucket,
+       COUNT(*) AS n_orders,
+       MIN(xq) AS x_min, MAX(xq) AS x_max,
+       MIN(yq) AS y_min, MAX(yq) AS y_max
+FROM hilberted GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("layout_hilbert_key_hist", q_hilbert_hist, _hilbert_oracle()),
     QuerySpec("layout_zorder_key_hist", q_zorder_hist, _Z_ORACLE),
 ]

@@ -815,6 +815,7 @@ R10_PRESTAGE: tuple[str, ...] = (
     "graph_ego_sample",
     "privacy_pseudonymize",
     "search_best_window",
+    "layout_hilbert_key_hist",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

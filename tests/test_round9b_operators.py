@@ -1121,3 +1121,55 @@ def test_best_window_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------ hilbert key
+
+
+def test_hilbert_key_matches_textbook_and_is_adjacent(spark):
+    """Every cell of the 16×16 grid matches the textbook xy2d walk,
+    and consecutive keys are 4-neighbors (the locality property that
+    IS the point of Hilbert over Z-order)."""
+    from gis_city_county_spark.sources.layout import with_hilbert_key
+
+    def xy2d(order, x, y):
+        d, s = 0, order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in with_hilbert_key(df, F.col("x"), F.col("y"), bits=4).collect()
+    }
+    assert all(got[(x, y)] == xy2d(16, x, y) for x, y in rows)
+    inv = {v: k for k, v in got.items()}
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )
+
+
+def test_hilbert_hist_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.suite.layout_q import (
+        _hilbert_oracle,
+        q_hilbert_hist,
+    )
+
+    got = sorted(tuple(r) for r in q_hilbert_hist(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(_hilbert_oracle()).fetchall())
+    assert got == want and len(got) > 0
