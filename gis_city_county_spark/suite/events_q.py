@@ -987,7 +987,65 @@ FROM dau d JOIN mau m USING (report_day)
 """
 
 
+def q_conversion_latency(spark, sf_dir):
+    """Signup-to-first-purchase latency quantiles by signup-month
+    cohort: per user the first signup and the first purchase at or
+    after it (exact integer seconds), then the exact discrete
+    p25/p50/p75/p90 per cohort via group_quantiles."""
+    from gis_city_county_spark.operators.profile import group_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("__sts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("__pts"))
+        .join(s, "user_id")
+        .filter(F.col("__pts") >= F.col("__sts"))
+        .groupBy("user_id")
+        .agg(F.min("__pts").alias("__pts"), F.min("__sts").alias("__sts"))
+    )
+    lat = p.select(
+        F.date_trunc("month", F.col("__sts")).alias("cohort_month"),
+        F.expr(
+            "CAST((unix_micros(__pts) - unix_micros(__sts))"
+            " div 1000000 AS BIGINT)"
+        ).alias("latency_sec"),
+    )
+    return group_quantiles(lat, "cohort_month", "latency_sec")
+
+
+def _conversion_latency_oracle() -> str:
+    from gis_city_county_spark.operators.profile import group_quantiles_sql
+
+    inner = f"""
+WITH ev AS ({_EV_CTE}),
+s AS (
+  SELECT user_id, MIN(ts) AS sts FROM ev
+  WHERE event_type = 'signup' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS pts, MIN(s.sts) AS sts
+  FROM ev e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.sts
+  GROUP BY 1
+)
+SELECT date_trunc('month', sts) AS cohort_month,
+       CAST((epoch_us(pts) - epoch_us(sts)) // 1000000 AS BIGINT)
+         AS latency_sec
+FROM p
+"""
+    return group_quantiles_sql(
+        f"({inner})", "cohort_month", "latency_sec"
+    )
+
+
 SPECS = [
+    QuerySpec("events_conversion_latency", q_conversion_latency,
+              _conversion_latency_oracle()),
     QuerySpec("events_stickiness", q_stickiness, _STICKINESS_ORACLE),
     QuerySpec("profile_concentration", q_concentration,
               _concentration_oracle()),

@@ -816,6 +816,7 @@ R10_PRESTAGE: tuple[str, ...] = (
     "privacy_pseudonymize",
     "search_best_window",
     "layout_hilbert_key_hist",
+    "events_conversion_latency",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

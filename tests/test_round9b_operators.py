@@ -1173,3 +1173,43 @@ def test_hilbert_hist_matches_duckdb(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.execute(_hilbert_oracle()).fetchall())
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------- events_conversion_latency
+
+
+def test_conversion_latency_exact_fixture(spark):
+    """User 1 signs up at 10:00, purchases at 10:10 (600 s); a
+    purchase BEFORE the signup never counts; a user without purchase
+    is absent."""
+    from gis_city_county_spark.suite.events_q import q_conversion_latency  # noqa: F401
+    from gis_city_county_spark.operators.profile import group_quantiles
+
+    ev = spark.createDataFrame(
+        [
+            (1, "signup", "2024-01-01 10:00:00"),
+            (1, "purchase", "2024-01-01 10:10:00"),
+            (2, "purchase", "2024-01-01 09:00:00"),  # pre-signup
+            (2, "signup", "2024-01-01 09:30:00"),
+            (3, "signup", "2024-01-01 08:00:00"),    # never converts
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    s = (ev.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("__sts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("ts").alias("__pts"))
+         .join(s, "user_id")
+         .filter(F.col("__pts") >= F.col("__sts"))
+         .groupBy("user_id")
+         .agg(F.min("__pts").alias("__pts"), F.min("__sts").alias("__sts")))
+    lat = p.select(
+        F.date_trunc("month", F.col("__sts")).alias("cohort_month"),
+        F.expr("CAST((unix_micros(__pts) - unix_micros(__sts))"
+               " div 1000000 AS BIGINT)").alias("latency_sec"),
+    )
+    rows = lat.collect()
+    assert len(rows) == 1 and rows[0]["latency_sec"] == 600
+    q = group_quantiles(lat, "cohort_month", "latency_sec").collect()[0]
+    assert q["n"] == 1 and q["p50"] == 600.0
