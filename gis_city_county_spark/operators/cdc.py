@@ -289,3 +289,64 @@ def incremental_join_view(
     old_view = a_old.join(b_old, on)
     delta_view = a_delta.join(b_new, on).unionByName(a_old.join(b_delta, on))
     return old_view.unionByName(delta_view)
+
+
+def feed_audit(
+    base: DataFrame, changes: DataFrame, keys: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-feed integrity audit — the gate a CDC apply runs BEFORE
+    merging: per op kind, how many change rows violate the base's
+    referential state.  An update or delete for a key the base never
+    had is "orphaned" (an out-of-order or lost-insert symptom); an
+    insert for a key already present is "conflicting" (a replay or
+    producer bug) — both merge "successfully" and corrupt state
+    silently if nobody counts them.
+
+    One left join of the slim change keys against the base keys
+    (broadcastable when the feed is small, AQE decides), one
+    map-combinable rollup.  Returns one row per op kind present:
+    (op, n_changes, n_violations) — violations are orphaned U/D rows
+    and conflicting I rows.
+    """
+    key_cols = list(keys)
+    b = base.select(*key_cols).distinct().withColumn(
+        "__in_base", F.lit(1)
+    )
+    joined = (
+        changes.select(*key_cols, F.col(op_col).alias("op"))
+        .join(b, key_cols, "left")
+    )
+    exists = F.col("__in_base").isNotNull()
+    violation = F.when(
+        F.col("op").isin("U", "D"), (~exists).cast("int")
+    ).when(F.col("op") == "I", exists.cast("int")).otherwise(F.lit(0))
+    return (
+        joined.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+            F.sum(violation).cast("bigint").alias("n_violations"),
+        )
+    )
+
+
+def feed_audit_sql(
+    base_sql: str, changes_sql: str, keys: Sequence[str],
+    op_col: str = "op",
+) -> str:
+    key_cols = list(keys)
+    on = " AND ".join(f"c.{k} = b.{k}" for k in key_cols)
+    klist = ", ".join(key_cols)
+    return f"""
+WITH b AS (SELECT DISTINCT {klist}, 1 AS in_base FROM ({base_sql})),
+j AS (
+  SELECT c.{op_col} AS op, b.in_base
+  FROM ({changes_sql}) c LEFT JOIN b ON {on}
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS n_changes,
+       CAST(SUM(CASE
+         WHEN op IN ('U', 'D') THEN CASE WHEN in_base IS NULL THEN 1 ELSE 0 END
+         WHEN op = 'I' THEN CASE WHEN in_base IS NOT NULL THEN 1 ELSE 0 END
+         ELSE 0 END) AS BIGINT) AS n_violations
+FROM j GROUP BY op
+"""

@@ -265,7 +265,47 @@ GROUP BY 1
 """
 
 
+def q_feed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-merge change-feed integrity gate over the standard orders
+    feed, with injected violations (updates for never-existing keys,
+    re-inserts of existing keys) so every audit cell is exercised."""
+    from gis_city_county_spark.operators.cdc import feed_audit
+
+    base = _orders_base(spark, sf_dir)
+    changes = _orders_changes(base)
+    # Inject violations deterministically: shift some update keys out
+    # of the base domain, and aim some inserts at existing keys.
+    bad = changes.withColumn(
+        "o_orderkey",
+        F.when(
+            (F.col("op") == "U") & (F.col("o_orderkey") % 100 == 3),
+            F.col("o_orderkey") + 2000000000,
+        ).when(
+            (F.col("op") == "I") & (F.col("o_orderkey") % 100 == 1001 % 100),
+            F.col("o_orderkey") - 1000000000,
+        ).otherwise(F.col("o_orderkey")),
+    )
+    return feed_audit(base, bad, ["o_orderkey"])
+
+
+def _feed_audit_oracle() -> str:
+    from gis_city_county_spark.operators.cdc import feed_audit_sql
+
+    bad = f"""
+SELECT CASE
+         WHEN op = 'U' AND o_orderkey % 100 = 3
+           THEN o_orderkey + 2000000000
+         WHEN op = 'I' AND o_orderkey % 100 = 1
+           THEN o_orderkey - 1000000000
+         ELSE o_orderkey END AS o_orderkey,
+       o_custkey, o_orderstatus, o_totalprice, op
+FROM ({_ORD_CHANGES_SQL})
+"""
+    return feed_audit_sql(_ORD_BASE_SQL, bad, ["o_orderkey"])
+
+
 SPECS = [
+    QuerySpec("cdc_feed_audit", q_feed_audit, _feed_audit_oracle()),
     QuerySpec("cdc_merge_upsert", q_merge_upsert, _MERGE_ORACLE),
     QuerySpec("cdc_time_travel", q_time_travel, _TRAVEL_ORACLE),
     QuerySpec("cdc_incremental_join", q_incremental_join, _incr_join_oracle()),

@@ -817,6 +817,7 @@ R10_PRESTAGE: tuple[str, ...] = (
     "search_best_window",
     "layout_hilbert_key_hist",
     "events_conversion_latency",
+    "cdc_feed_audit",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

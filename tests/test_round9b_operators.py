@@ -1213,3 +1213,42 @@ def test_conversion_latency_exact_fixture(spark):
     assert len(rows) == 1 and rows[0]["latency_sec"] == 600
     q = group_quantiles(lat, "cohort_month", "latency_sec").collect()[0]
     assert q["n"] == 1 and q["p50"] == 600.0
+
+
+# -------------------------------------------------------- feed_audit
+
+
+def test_feed_audit_classifies_all_violation_kinds(spark):
+    """Orphaned update (key 99 not in base), orphaned delete, a
+    conflicting re-insert of key 1, plus clean rows of each kind."""
+    from gis_city_county_spark.operators.cdc import feed_audit
+
+    base = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    changes = spark.createDataFrame(
+        [
+            (1, "U"), (99, "U"),   # clean update, orphaned update
+            (2, "D"), (98, "D"),   # clean delete, orphaned delete
+            (50, "I"), (1, "I"),   # clean insert, conflicting insert
+        ],
+        "k long, op string",
+    )
+    out = {r["op"]: r for r in feed_audit(base, changes, ["k"]).collect()}
+    assert out["U"]["n_changes"] == 2 and out["U"]["n_violations"] == 1
+    assert out["D"]["n_changes"] == 2 and out["D"]["n_violations"] == 1
+    assert out["I"]["n_changes"] == 2 and out["I"]["n_violations"] == 1
+
+
+def test_feed_audit_matches_duckdb(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    got = sorted(tuple(r) for r in q["cdc_feed_audit"](spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(o["cdc_feed_audit"]).fetchall())
+    assert got == want and len(got) == 3
