@@ -980,3 +980,66 @@ SELECT g AS {group_col}, n_docs, n_letters, n_words, n_sentences,
        - 15.8 AS cli_grade
 FROM milli
 """
+
+
+# Markup stripping: tags, entities, and whitespace collapse — kept to
+# constructs Java regex and RE2/DuckDB treat identically (no
+# lookaround, leftmost-first alternation).
+_TAG_RX = r"<[^>]*>"
+_ENTITY_RX = r"&[a-zA-Z]+;|&#[0-9]+;"
+
+
+def strip_markup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Markup removal + cleanup accounting — the first cleaning pass a
+    web-scrape corpus goes through: drop ``<...>`` tags, decode-strip
+    ``&amp;``-style entities, collapse runs of whitespace, and REPORT
+    what was removed per document (chars before/after, tag and entity
+    counts) so the pipeline can gate on "this doc was mostly markup".
+
+    Everything is scan-side regex (no explode, no UDF); counts use
+    the same patterns as the rewrite so the audit can't drift from
+    the transformation.
+
+    Returns (id, clean_text, n_chars_before, n_chars_after, n_tags,
+    n_entities).
+    """
+    c = _c(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(c, _TAG_RX, " "),
+                _ENTITY_RX, " ",
+            ),
+            r"\s+", " ",
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        cleaned.alias("clean_text"),
+        F.length(c).cast("bigint").alias("n_chars_before"),
+        F.length(cleaned).cast("bigint").alias("n_chars_after"),
+        F.size(F.regexp_extract_all(c, F.lit(_TAG_RX), 0)).cast("bigint")
+        .alias("n_tags"),
+        F.size(F.regexp_extract_all(c, F.lit(_ENTITY_RX), 0)).cast("bigint")
+        .alias("n_entities"),
+    )
+
+
+def strip_markup_sql(source_sql: str, id_col: str, text_col: str) -> str:
+    tag = _TAG_RX
+    ent = _ENTITY_RX
+    cleaned = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace({text_col},"
+        f" '{tag}', ' ', 'g'), '{ent}', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+SELECT {id_col} AS id,
+       {cleaned} AS clean_text,
+       CAST(length({text_col}) AS BIGINT) AS n_chars_before,
+       CAST(length({cleaned}) AS BIGINT) AS n_chars_after,
+       CAST(len(regexp_extract_all({text_col}, '{tag}')) AS BIGINT)
+         AS n_tags,
+       CAST(len(regexp_extract_all({text_col}, '{ent}')) AS BIGINT)
+         AS n_entities
+FROM ({source_sql})
+"""

@@ -755,7 +755,51 @@ def _best_window_oracle() -> str:
     )
 
 
+def q_strip_markup(spark, sf_dir):
+    """Markup-removal cleaning pass with per-doc accounting, over
+    documents with deterministically injected tags/entities (doc_id
+    mod 5 picks the contamination kind) — the PII-injection pattern,
+    so every removal path is exercised identically on both engines."""
+    from gis_city_county_spark.operators.textstats import strip_markup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" &amp; more &#38; tail")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("<div class='a'><b>x</b></div> "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_markup(docs, "doc_id", "text")
+
+
+def _strip_markup_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import strip_markup_sql
+
+    injected = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN '<p>' || text || '</p>'
+         WHEN 1 THEN text || ' &amp; more &#38; tail'
+         WHEN 2 THEN '<div class=''a''><b>x</b></div> ' || text
+         ELSE text
+       END AS text
+FROM documents
+"""
+    return strip_markup_sql(injected, "doc_id", "text")
+
+
 SPECS = [
+    QuerySpec("text_strip_markup", q_strip_markup, _strip_markup_oracle()),
     QuerySpec("search_best_window", q_best_window, _best_window_oracle()),
     # Order matters: the token/lang/quality core must stay inside the
     # driver's first-50 correctness window (tests/test_contract_shapes).

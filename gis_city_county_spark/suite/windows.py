@@ -818,6 +818,7 @@ R10_PRESTAGE: tuple[str, ...] = (
     "layout_hilbert_key_hist",
     "events_conversion_latency",
     "cdc_feed_audit",
+    "text_strip_markup",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -1252,3 +1252,37 @@ def test_feed_audit_matches_duckdb(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.execute(o["cdc_feed_audit"]).fetchall())
     assert got == want and len(got) == 3
+
+
+# ------------------------------------------------------ strip_markup
+
+
+def test_strip_markup_counts_and_cleans(spark):
+    from gis_city_county_spark.operators.textstats import strip_markup
+
+    df = spark.createDataFrame(
+        [(1, "<p>Hello &amp; welcome</p>  to <b>Spark</b>!"),
+         (2, "plain text")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in strip_markup(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "Hello welcome to Spark !"
+    assert out[1]["n_tags"] == 4 and out[1]["n_entities"] == 1
+    assert out[2]["clean_text"] == "plain text"
+    assert out[2]["n_tags"] == 0 and out[2]["n_chars_before"] == 10
+
+
+def test_strip_markup_matches_duckdb_on_documents(spark, sf_dir):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    got = sorted(tuple(r) for r in q["text_strip_markup"](spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(o["text_strip_markup"]).fetchall())
+    assert got == want and len(got) > 0
