@@ -456,6 +456,10 @@ _SINGLE_PARTITION_ALLOWED = {
     # the order-stat rank over the n_replicas (=32) replica means +
     # the one-row point merge
     "eval_bootstrap_ci": 2,
+    # one-row final merge of the four discordance counters
+    "eval_mcnemar": 1,
+    # one-row pivot merge of the <= 2 per-group moment rows
+    "eval_effect_size": 1,
     # the one-row moments merge (twice consumed) + the Lorenz running
     # sum over the <= n_bands band rows
     "profile_concentration": 3,
