@@ -69,9 +69,10 @@ HEADLINE = [
     "dedup_substring_spans",
     "graph_clustering_coefficient",
     "events_rfm_scores",
-    # r9 second wave: the three new >4s cost centers — the dual
-    # ranged-cumsum rank correlation, the co-occurrence projection,
-    # and the 32-seed AMS fold.
+    # r9 second wave: the two new >4s cost centers (the dual
+    # ranged-cumsum rank correlation and the co-occurrence projection)
+    # plus ams_f2 as the cheap sketch-family representative for
+    # cross-round visibility (0.4s class — coverage, not cost).
     "eval_spearman",
     "graph_cooccurrence_pairs",
     "sketch_ams_f2",

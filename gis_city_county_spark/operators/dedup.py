@@ -1880,22 +1880,46 @@ def minhash_accuracy(
 
     One extra signature self-join over the verified pairs (both sides
     ≤ |candidates|); everything else rides the existing LSH→verify
-    chain.  Integer-exact: component matches are a CASE sum, both
-    permilles are integral divisions.
+    chain — inlined here (not a call into :func:`ngram_jaccard_pairs`)
+    so the checkpointed shingle relation and the signatures are built
+    ONCE and feed candidates, exact verify, AND the estimate join
+    (re-deriving them doubled the tokenize+shingle work).
+    Integer-exact: component matches are a CASE sum, both permilles
+    are integral divisions.
 
     Returns (err_bucket, n_pairs, min_err_permille, max_err_permille),
     err_bucket = floor(e/100).
     """
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, k=k, threshold=0.0,
-        num_hashes=num_hashes, bands=bands,
-    ).select(
-        "a_id", "b_id",
-        F.expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
-        .alias("__exact_pm"),
-    )
-    sh = shingle_df(df, id_col, text_col, k)
+    sh = shingle_df(df, id_col, text_col, k).transform(checkpoint_eager)
     sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(
+        lsh_bands(sig, id_col, num_hashes, bands), id_col
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_sh"))
+    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b_sh = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("__n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("a_id"),
+                        F.col("__n_sh").alias("__n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("b_id"),
+                        F.col("__n_sh").alias("__n_b"))
+    pairs = (
+        inter.join(sz_a, "a_id")
+        .join(sz_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.expr(
+                "CAST((1000 * __n_inter) div (__n_a + __n_b - __n_inter)"
+                " AS BIGINT)"
+            ).alias("__exact_pm"),
+        )
+    )
     sa = sig.select(
         F.col(id_col).alias("a_id"),
         *[F.col(f"mh{s}").alias(f"__a{s}") for s in range(num_hashes)],

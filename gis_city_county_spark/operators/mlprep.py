@@ -1889,8 +1889,10 @@ def loo_target_encode(
     Exactness: targets become exact integer cents (decimal floor),
     the per-category sum is one map-combinable aggregate broadcast
     back onto the rows, and the encode is an exact integral division
-    (``div`` — floor semantics, matching DuckDB ``//``) emitted in
-    milli-cents.  No windows, no per-row state; output ∝ input rows.
+    (``div``, truncation toward zero — identical to DuckDB's HUGEINT
+    ``//``; for the all-positive money fixtures truncation and floor
+    coincide, but negative targets round toward zero on BOTH engines)
+    emitted in milli-cents.  No windows, no per-row state; output ∝ input rows.
 
     Returns (key, cat, n_cat, loo_milli_cents).
     """
@@ -2141,7 +2143,11 @@ def bootstrap_ci(
         F.expr(
             "CAST((CAST(1000 AS DECIMAL(38,0)) * __wv) div __w AS BIGINT)"
         ).alias("__mean")
-    )
+    # An all-zero-weight replica (possible on tiny inputs: P = e^-n
+    # per replica) has no mean — drop it BEFORE ranking, or Spark
+    # orders its NULL first and DuckDB last and the rk=2 / rk=B-1
+    # order statistics pick different rows per engine.
+    ).filter(F.col("__mean").isNotNull())
     w_ord = Window.orderBy("__mean")
     stats = per_rep.select(
         "__mean", F.row_number().over(w_ord).alias("__rk")
@@ -2201,7 +2207,8 @@ per_rep AS (
   FROM rep GROUP BY b
 ),
 ranked AS (
-  SELECT mean_m, ROW_NUMBER() OVER (ORDER BY mean_m) AS rk FROM per_rep
+  SELECT mean_m, ROW_NUMBER() OVER (ORDER BY mean_m) AS rk
+  FROM per_rep WHERE mean_m IS NOT NULL
 ),
 stats AS (
   SELECT MAX(CASE WHEN rk = 2 THEN mean_m END) AS ci_lo_milli_cents,

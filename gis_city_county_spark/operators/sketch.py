@@ -1074,8 +1074,11 @@ per_seed AS (
   FROM seeded GROUP BY s
 ),
 est AS (
-  SELECT CAST(CAST(FLOOR(SUM(CAST(x * x AS DECIMAL(38,0))) / {n_seeds})
-              AS VARCHAR) AS DOUBLE) AS f2_estimate
+  -- HUGEINT integral division: DuckDB DECIMAL / INT detours through
+  -- DOUBLE and loses ulps past 2^53; int128 floor-div (positive
+  -- operands) matches Spark's exact decimal floor(sum/n) bit-for-bit.
+  SELECT CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS HUGEINT)
+              // {n_seeds} AS VARCHAR) AS DOUBLE) AS f2_estimate
   FROM per_seed
 ),
 exact AS (

@@ -1862,3 +1862,80 @@ FROM cells c JOIN med m ON c.dow = m.dow AND c.hour = m.hour
 ORDER BY ABS(c.n_events - m.baseline) DESC, day ASC, c.hour ASC
 LIMIT {top_k}
 """
+
+
+def stickiness_report(
+    df: DataFrame, user_col: str, ts_col: str, window_days: int = 28
+) -> DataFrame:
+    """DAU over trailing-``window_days`` actives per report day, exact
+    ppm — the engagement ratio a growth dashboard tracks.  Both sides
+    come from the SAME distinct (user, day) relation; the MAU side is
+    a bounded ×``window_days`` explode (the rolling-actives pattern),
+    never a range self-join.  Report days past the data horizon have
+    no DAU row and are not report days (inner join).
+
+    Returns (report_day, dau, mau{window_days}, stickiness_ppm)."""
+    days = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("day", F.col(ts_col)).alias("__day"),
+    ).distinct()
+    dau = days.groupBy(F.col("__day").alias("report_day")).agg(
+        F.countDistinct("__u").alias("dau")
+    )
+    spread = days.select(
+        "__u", "__day",
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+        .alias("__off"),
+    ).select(
+        "__u",
+        F.timestamp_add("DAY", F.col("__off"), F.col("__day"))
+        .alias("report_day"),
+    )
+    mau = spread.groupBy("report_day").agg(
+        F.countDistinct("__u").alias(f"mau{window_days}")
+    )
+    return dau.join(mau, "report_day").select(
+        "report_day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col(f"mau{window_days}").cast("bigint").alias(f"mau{window_days}"),
+        F.expr(f"CAST((1000000 * dau) div mau{window_days} AS BIGINT)")
+        .alias("stickiness_ppm"),
+    )
+
+
+def conversion_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    from_event: str,
+    to_event: str,
+) -> DataFrame:
+    """Per-user conversion latency: the first ``to_event`` at or after
+    the user's first ``from_event``, in exact integer seconds, with
+    the converting user's cohort month — a ``to_event`` BEFORE the
+    first ``from_event`` never counts, and non-converting users are
+    absent.  Feed the result to ``profile.group_quantiles`` for the
+    cohort latency distribution.
+
+    Returns (cohort_month, latency_sec)."""
+    s = (
+        df.filter(F.col(type_col) == from_event)
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(F.min(ts_col).alias("__sts"))
+    )
+    p = (
+        df.filter(F.col(type_col) == to_event)
+        .select(F.col(user_col).alias("__u"), F.col(ts_col).alias("__pts"))
+        .join(s, "__u")
+        .filter(F.col("__pts") >= F.col("__sts"))
+        .groupBy("__u")
+        .agg(F.min("__pts").alias("__pts"), F.min("__sts").alias("__sts"))
+    )
+    return p.select(
+        F.date_trunc("month", F.col("__sts")).alias("cohort_month"),
+        F.expr(
+            "CAST((unix_micros(__pts) - unix_micros(__sts))"
+            " div 1000000 AS BIGINT)"
+        ).alias("latency_sec"),
+    )

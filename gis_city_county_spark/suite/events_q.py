@@ -929,40 +929,12 @@ def _concentration_oracle() -> str:
 
 
 def q_stickiness(spark, sf_dir):
-    """DAU/MAU stickiness per report day: distinct daily actives over
-    distinct trailing-28-day actives, exact ppm — the engagement ratio
-    a growth dashboard tracks.  Both sides come from the SAME distinct
-    (user, day) relation: the MAU side is a bounded x28 explode (the
-    rolling-actives pattern), never a range self-join."""
-    from pyspark.sql import functions as F
+    """DAU/MAU28 stickiness per report day over events (see
+    operators.temporal.stickiness_report)."""
+    from gis_city_county_spark.operators.temporal import stickiness_report
 
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
-    dau = days.groupBy(F.col("day").alias("report_day")).agg(
-        F.countDistinct("user_id").alias("dau")
-    )
-    spread = days.select(
-        "user_id", "day",
-        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("__off"),
-    ).select(
-        "user_id",
-        F.timestamp_add("DAY", F.col("__off"), F.col("day"))
-        .alias("report_day"),
-    )
-    mau = spread.groupBy("report_day").agg(
-        F.countDistinct("user_id").alias("mau28")
-    )
-    # Inner join: report days past the data horizon (explode spill)
-    # have no DAU row and are not report days.
-    return dau.join(mau, "report_day").select(
-        "report_day",
-        F.col("dau").cast("bigint").alias("dau"),
-        F.col("mau28").cast("bigint").alias("mau28"),
-        F.expr("CAST((1000000 * dau) div mau28 AS BIGINT)")
-        .alias("stickiness_ppm"),
-    )
+    return stickiness_report(ev, "user_id", "ts", window_days=28)
 
 
 _STICKINESS_ORACLE = f"""
@@ -989,31 +961,14 @@ FROM dau d JOIN mau m USING (report_day)
 
 def q_conversion_latency(spark, sf_dir):
     """Signup-to-first-purchase latency quantiles by signup-month
-    cohort: per user the first signup and the first purchase at or
-    after it (exact integer seconds), then the exact discrete
-    p25/p50/p75/p90 per cohort via group_quantiles."""
+    cohort (operators.temporal.conversion_latency +
+    profile.group_quantiles)."""
     from gis_city_county_spark.operators.profile import group_quantiles
+    from gis_city_county_spark.operators.temporal import conversion_latency
 
     ev = load_table(spark, sf_dir, "events")
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("__sts"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("ts").alias("__pts"))
-        .join(s, "user_id")
-        .filter(F.col("__pts") >= F.col("__sts"))
-        .groupBy("user_id")
-        .agg(F.min("__pts").alias("__pts"), F.min("__sts").alias("__sts"))
-    )
-    lat = p.select(
-        F.date_trunc("month", F.col("__sts")).alias("cohort_month"),
-        F.expr(
-            "CAST((unix_micros(__pts) - unix_micros(__sts))"
-            " div 1000000 AS BIGINT)"
-        ).alias("latency_sec"),
+    lat = conversion_latency(
+        ev, "user_id", "ts", "event_type", "signup", "purchase"
     )
     return group_quantiles(lat, "cohort_month", "latency_sec")
 

@@ -780,39 +780,18 @@ def test_minhash_accuracy_matches_duckdb(spark, sf_dir):
 
 def test_stickiness_exact_fixture(spark):
     """Two users on day 1, one of them again on day 2: day-2 DAU is 1,
-    trailing-28 MAU is 2 ⇒ stickiness 500000 ppm; day-1 is 2/2 = 1e6."""
-    from gis_city_county_spark.suite.events_q import q_stickiness  # noqa: F401
-    from pyspark.sql import functions as F
+    trailing-28 MAU is 2 ⇒ stickiness 500000 ppm; day-1 is 2/2 = 1e6.
+    Exercises the SHIPPED operator (the suite query delegates to it)."""
+    from gis_city_county_spark.operators.temporal import stickiness_report
 
     ev = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
          (1, "2024-01-02 09:00:00")],
         "user_id long, ts_s string",
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
-
-    days = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
-    dau = days.groupBy(F.col("day").alias("report_day")).agg(
-        F.countDistinct("user_id").alias("dau")
-    )
-    spread = days.select(
-        "user_id", "day",
-        F.explode(F.sequence(F.lit(0), F.lit(27))).alias("__off"),
-    ).select(
-        "user_id",
-        F.timestamp_add("DAY", F.col("__off"), F.col("day")).alias("report_day"),
-    )
-    mau = spread.groupBy("report_day").agg(
-        F.countDistinct("user_id").alias("mau28")
-    )
     out = {
         str(r["report_day"])[:10]: r
-        for r in dau.join(mau, "report_day").select(
-            "report_day", "dau", "mau28",
-            F.expr("CAST((1000000 * dau) div mau28 AS BIGINT)")
-            .alias("stickiness_ppm"),
-        ).collect()
+        for r in stickiness_report(ev, "user_id", "ts").collect()
     }
     assert out["2024-01-01"]["stickiness_ppm"] == 1_000_000
     assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["mau28"] == 2
@@ -1181,9 +1160,9 @@ def test_hilbert_hist_matches_duckdb(spark, sf_dir):
 def test_conversion_latency_exact_fixture(spark):
     """User 1 signs up at 10:00, purchases at 10:10 (600 s); a
     purchase BEFORE the signup never counts; a user without purchase
-    is absent."""
-    from gis_city_county_spark.suite.events_q import q_conversion_latency  # noqa: F401
+    is absent.  Exercises the SHIPPED operator."""
     from gis_city_county_spark.operators.profile import group_quantiles
+    from gis_city_county_spark.operators.temporal import conversion_latency
 
     ev = spark.createDataFrame(
         [
@@ -1195,19 +1174,8 @@ def test_conversion_latency_exact_fixture(spark):
         ],
         "user_id long, event_type string, ts_s string",
     ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"))
-
-    s = (ev.filter(F.col("event_type") == "signup")
-         .groupBy("user_id").agg(F.min("ts").alias("__sts")))
-    p = (ev.filter(F.col("event_type") == "purchase")
-         .select("user_id", F.col("ts").alias("__pts"))
-         .join(s, "user_id")
-         .filter(F.col("__pts") >= F.col("__sts"))
-         .groupBy("user_id")
-         .agg(F.min("__pts").alias("__pts"), F.min("__sts").alias("__sts")))
-    lat = p.select(
-        F.date_trunc("month", F.col("__sts")).alias("cohort_month"),
-        F.expr("CAST((unix_micros(__pts) - unix_micros(__sts))"
-               " div 1000000 AS BIGINT)").alias("latency_sec"),
+    lat = conversion_latency(
+        ev, "user_id", "ts", "event_type", "signup", "purchase"
     )
     rows = lat.collect()
     assert len(rows) == 1 and rows[0]["latency_sec"] == 600
