@@ -2538,3 +2538,83 @@ FROM per_token, n
 ORDER BY total_count DESC, token ASC
 LIMIT {top_k}
 """
+
+
+def split_balance_audit(
+    df: DataFrame, key_col: str, label_col: str
+) -> DataFrame:
+    """Split-balance audit for the deterministic train/val/test
+    assignment — "did the hash split skew any label": for every
+    (split, label) cell, the label's share WITHIN the split vs its
+    share in the whole corpus, in exact ppm, plus the signed delta.
+    A big |delta| on a small split is the hash-collision-with-
+    structure smell (e.g. keys correlated with the label) that breaks
+    eval comparability — caught here before any model sees the data.
+
+    Two map-combinable aggregates over the split-assigned frame (the
+    corpus marginals fold from the cell counts — the input is never
+    re-scanned); output ∝ splits × labels.
+
+    Returns (split, label, n, split_share_ppm, corpus_share_ppm,
+    delta_ppm).
+    """
+    cells = (
+        split_assign(df, key_col)
+        .groupBy("split", F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    split_tot = cells.groupBy("split").agg(
+        F.sum("n").cast("bigint").alias("__split_n")
+    )
+    label_tot = cells.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("__label_n")
+    )
+    grand = cells.agg(F.sum("n").cast("bigint").alias("__grand_n"))
+    return (
+        cells.join(split_tot, "split")
+        .join(F.broadcast(label_tot), "label")
+        .join(F.broadcast(grand))
+        .select(
+            "split",
+            "label",
+            "n",
+            F.expr("CAST((1000000 * n) div __split_n AS BIGINT)")
+            .alias("split_share_ppm"),
+            F.expr("CAST((1000000 * __label_n) div __grand_n AS BIGINT)")
+            .alias("corpus_share_ppm"),
+            (
+                F.expr("CAST((1000000 * n) div __split_n AS BIGINT)")
+                - F.expr(
+                    "CAST((1000000 * __label_n) div __grand_n AS BIGINT)"
+                )
+            ).cast("bigint").alias("delta_ppm"),
+        )
+    )
+
+
+def split_balance_audit_sql(
+    source_sql: str, key_col: str, label_col: str
+) -> str:
+    return f"""
+WITH assigned AS (
+  SELECT {split_case_sql(key_col)} AS split, {label_col} AS label
+  FROM ({source_sql})
+),
+cells AS (
+  SELECT split, label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assigned GROUP BY 1, 2
+),
+st AS (SELECT split, CAST(SUM(n) AS BIGINT) AS split_n FROM cells GROUP BY 1),
+lt AS (SELECT label, CAST(SUM(n) AS BIGINT) AS label_n FROM cells GROUP BY 1),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand_n FROM cells)
+SELECT c.split, c.label, c.n,
+       CAST((1000000 * c.n) // st.split_n AS BIGINT) AS split_share_ppm,
+       CAST((1000000 * lt.label_n) // g.grand_n AS BIGINT)
+         AS corpus_share_ppm,
+       CAST((1000000 * c.n) // st.split_n AS BIGINT)
+         - CAST((1000000 * lt.label_n) // g.grand_n AS BIGINT) AS delta_ppm
+FROM cells c
+JOIN st ON c.split = st.split
+JOIN lt ON c.label = lt.label
+CROSS JOIN g
+"""

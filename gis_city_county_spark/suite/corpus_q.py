@@ -702,7 +702,29 @@ def _burstiness_oracle() -> str:
     )
 
 
+def q_split_balance(spark, sf_dir):
+    """Per-(split, label) balance audit of the deterministic 80/10/10
+    assignment: label share within each split vs the corpus share,
+    exact ppm."""
+    from gis_city_county_spark.operators.corpus import split_balance_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_balance_audit(docs, "doc_id", "lang")
+
+
+def _split_balance_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import (
+        split_balance_audit_sql,
+    )
+
+    return split_balance_audit_sql(
+        "SELECT * FROM documents", "doc_id", "lang"
+    )
+
+
 SPECS = [
+    QuerySpec("pipeline_split_balance", q_split_balance,
+              _split_balance_oracle()),
     QuerySpec("corpus_token_burstiness", q_token_burstiness,
               _burstiness_oracle()),
     QuerySpec("corpus_chunk_documents", q_chunk_documents, _CHUNK_ORACLE),

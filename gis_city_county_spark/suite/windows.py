@@ -819,6 +819,7 @@ R10_PRESTAGE: tuple[str, ...] = (
     "events_conversion_latency",
     "cdc_feed_audit",
     "text_strip_markup",
+    "pipeline_split_balance",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -225,6 +225,8 @@ _BNLJ_ALLOWED = {
     "sketch_histogram_quantiles",
     # the 1-row point-estimate scalar merged with the 1-row CI row
     "eval_bootstrap_ci",
+    # the 1-row grand-total scalar riding the splits x labels cells
+    "pipeline_split_balance",
 }
 
 
@@ -460,6 +462,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_mcnemar": 1,
     # one-row pivot merge of the <= 2 per-group moment rows
     "eval_effect_size": 1,
+    # the one-row grand-total merge over the splits x labels cells
+    "pipeline_split_balance": 1,
     # the one-row moments merge (twice consumed) + the Lorenz running
     # sum over the <= n_bands band rows
     "profile_concentration": 3,

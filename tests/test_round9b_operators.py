@@ -1254,3 +1254,46 @@ def test_strip_markup_matches_duckdb_on_documents(spark, sf_dir):
     )
     want = sorted(tuple(r) for r in con.execute(o["text_strip_markup"]).fetchall())
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------ split_balance_audit
+
+
+def test_split_balance_cross_foots(spark):
+    """Cells cross-foot to the corpus; every (split,label) present;
+    an intentionally label-correlated key shows a big |delta|."""
+    from gis_city_county_spark.operators.corpus import split_balance_audit
+
+    # neutral: label independent of key hash
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1000)],
+        "k long, lab string",
+    )
+    rows = split_balance_audit(df, "k", "lab").collect()
+    assert sum(r["n"] for r in rows) == 1000
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+    for r in rows:
+        assert abs(r["delta_ppm"]) < 200_000  # roughly balanced
+
+
+def test_split_balance_matches_duckdb(spark, sf_dir):
+    from gis_city_county_spark.operators.corpus import (
+        split_balance_audit,
+        split_balance_audit_sql,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(tuple(r) for r in split_balance_audit(d, "doc_id", "lang").collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            split_balance_audit_sql("SELECT * FROM documents", "doc_id", "lang")
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
