@@ -15,6 +15,7 @@ isn't attributed to the first query.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -140,6 +141,15 @@ def main() -> None:
             df = specs[name].fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
+            # Drop Python refs to the previous query's localCheckpoint
+            # RDDs NOW (after the clock stops — GC is hygiene, not
+            # query work): iterative queries checkpoint per round, and
+            # executor blocks pinned by earlier queries' lineage
+            # otherwise inflate later passes 2-3x (the scaling probe
+            # measured 74s polluted vs 28s clean; VERDICT r9 flagged
+            # the same shape on pipeline_hard_negatives spreads).
+            del df
+            gc.collect()
             runs[name].append(dt)
             print(f"# pass{_pass} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
     timings = {n: round(min(r), 4) for n, r in runs.items()}
@@ -161,9 +171,15 @@ def main() -> None:
     # cross-round delta on that key is adjudicated as noise instead of
     # being read as a regression.  Soft report, not a hard assert: the
     # bench must still produce its JSON line on a noisy box.
+    # Extended to NON-headline keys whose fastest pass costs >= 1s:
+    # VERDICT r9's watch item was exactly such keys
+    # (pipeline_hard_negatives / text_rarity_score) spreading >= 2x
+    # with no alert because they weren't headline.  Sub-1s keys stay
+    # exempt — their spreads are dominated by scheduling jitter.
     spread_alert = sorted(
-        n for n in HEADLINE
-        if spread.get(n) is not None and spread[n] >= 2.0
+        n for n, s in spread.items()
+        if s is not None and s >= 2.0
+        and (n in HEADLINE or timings[n] >= 1.0)
     )
     if spread_alert:
         print(f"# SPREAD ALERT (>=2x across passes): {spread_alert}",
@@ -187,24 +203,45 @@ def main() -> None:
             indent=1,
         )
 
-    # Keep the stdout line small: total + headline only. The driver
-    # captures a bounded tail of stdout; the full map lives in
-    # BENCH_DETAIL.json.
-    print(
-        json.dumps(
+    # Keep the stdout line small: total + headline TIMINGS only.  The
+    # driver captures only the LAST 2000 chars of stdout (measured:
+    # BENCH_r09's ``tail`` is exactly 2000 chars and starts mid-dict,
+    # so the r9 line — timings + a per-key spread map — outran the
+    # window and the graded artifact came back ``parsed: null``).  The
+    # spread map and the full 300-query map live in BENCH_DETAIL.json;
+    # ``tests/test_bench_contract.py`` pins the worst-case line length
+    # under the window so headline growth can't silently break this
+    # again.
+    line = json.dumps(
+        {
+            "metric": "suite_total_runtime",
+            "value": round(total, 4),
+            "unit": "sec",
+            "queries": {
+                n: round(timings[n], 3) for n in HEADLINE if n in timings
+            },
+            "spread_alert": spread_alert,
+            "n_queries": len(timings),
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf_val,
+        }
+    )
+    if len(line) > 1800:  # last-resort: never exceed the capture window
+        print(f"# stdout line {len(line)} chars > 1800: dropping the "
+              f"headline map (see BENCH_DETAIL.json)", file=sys.stderr)
+        line = json.dumps(
             {
                 "metric": "suite_total_runtime",
                 "value": round(total, 4),
                 "unit": "sec",
-                "queries": {n: timings[n] for n in HEADLINE if n in timings},
-                "spread": {n: spread[n] for n in HEADLINE if n in spread},
+                "queries": {},
                 "spread_alert": spread_alert,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,
             }
         )
-    )
+    print(line)
     spark.stop()
 
 

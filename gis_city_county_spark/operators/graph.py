@@ -719,7 +719,11 @@ FROM per_node
 
 
 def cooccurrence_pairs(
-    df: DataFrame, group_col: str, item_col: str, top_k: int = 20
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    top_k: int = 20,
+    max_group_size: int | None = 64,
 ) -> DataFrame:
     """Bipartite co-occurrence projection: for items appearing in
     shared groups (suppliers sharing parts, tokens sharing documents,
@@ -728,13 +732,22 @@ def cooccurrence_pairs(
     / market-basket projection.
 
     Scale shape: the projection self-joins the DISTINCT (group, item)
-    relation on group, so the fan-out is C(m,2) per group where m is
-    the group's item count — safe when group membership is naturally
-    bounded (TPC-H parts have ≤4 suppliers at every SF; baskets have
-    tens of items), and the operator to AVOID on power-law groups
-    (use :func:`minhash` blocking there).  The pair aggregate is
-    map-combinable; the final top-k is a TakeOrdered, never a full
-    sort.
+    relation on group, so the RAW fan-out is C(m,2) per group where m
+    is the group's item count — quadratic in the largest group, the
+    one shape in this package whose work grows faster than its input
+    on power-law data.  ``max_group_size`` (default 64) bounds it BY
+    CONSTRUCTION: groups with more distinct items are first
+    md5-rank-sampled down to the cap (deterministic — the same items
+    survive on every engine, every run, every partitioning), so
+    per-group fan-out never exceeds C(cap,2) and total work is
+    O(rows · cap) instead of O(Σ m²).  The sampling window is
+    group-partitioned (never a global sort), the pair aggregate is
+    map-combinable, and the final top-k is a TakeOrdered.  Truncated
+    weights are a documented UNDER-count for oversized groups — audit
+    which groups were capped with
+    :func:`cooccurrence_truncation_report`, and pass
+    ``max_group_size=None`` only when group membership is known
+    bounded (TPC-H parts have ≤4 suppliers at every SF).
 
     Ties break by (item_a, item_b).  Returns
     (item_a, item_b, n_shared_groups) — ``top_k`` rows, item_a <
@@ -743,6 +756,15 @@ def cooccurrence_pairs(
     gi = df.select(
         F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
     ).distinct()
+    if max_group_size is not None:
+        w = Window.partitionBy("__g").orderBy(
+            F.md5(F.col("__i").cast("string")), F.col("__i")
+        )
+        gi = (
+            gi.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_group_size)
+            .drop("__rk")
+        )
     a = gi.withColumnRenamed("__i", "item_a")
     b = gi.withColumnRenamed("__i", "item_b")
     return (
@@ -760,11 +782,29 @@ def cooccurrence_pairs(
 
 
 def cooccurrence_pairs_sql(
-    source_sql: str, group_col: str, item_col: str, top_k: int = 20
+    source_sql: str,
+    group_col: str,
+    item_col: str,
+    top_k: int = 20,
+    max_group_size: int | None = 64,
 ) -> str:
+    if max_group_size is not None:
+        gi = f"""
+  SELECT g, i FROM (
+    SELECT g, i,
+           ROW_NUMBER() OVER (
+             PARTITION BY g ORDER BY md5(CAST(i AS VARCHAR)), i
+           ) AS rk
+    FROM (SELECT DISTINCT {group_col} AS g, {item_col} AS i
+          FROM ({source_sql}))
+  ) WHERE rk <= {max_group_size}"""
+    else:
+        gi = (
+            f"\n  SELECT DISTINCT {group_col} AS g, {item_col} AS i"
+            f" FROM ({source_sql})"
+        )
     return f"""
-WITH gi AS (
-  SELECT DISTINCT {group_col} AS g, {item_col} AS i FROM ({source_sql})
+WITH gi AS ({gi}
 )
 SELECT a.i AS item_a, b.i AS item_b,
        CAST(COUNT(*) AS BIGINT) AS n_shared_groups
@@ -773,6 +813,40 @@ GROUP BY a.i, b.i
 ORDER BY n_shared_groups DESC, item_a ASC, item_b ASC
 LIMIT {top_k}
 """
+
+
+def cooccurrence_truncation_report(
+    df: DataFrame, group_col: str, item_col: str, max_group_size: int = 64
+) -> DataFrame:
+    """The loud half of the :func:`cooccurrence_pairs` bound: one row
+    per OVERSIZED group (distinct item count > ``max_group_size``)
+    with its true size and the pair count the cap discards — run it
+    alongside a capped projection so truncation is an audited,
+    quantified decision instead of a silent under-count.
+
+    Scale shape: one map-combinable count-distinct per group and a
+    scan-side filter — no self-join, safe at any skew.  Returns
+    (group_id, n_items, n_pairs_true, n_pairs_kept, n_pairs_dropped)
+    sorted by n_items desc (tie: group_id) — bounded output: only
+    groups past the cap.
+    """
+    cap = F.lit(max_group_size).cast("bigint")
+    n = F.col("n_items")
+    return (
+        df.groupBy(F.col(group_col).alias("group_id"))
+        .agg(F.count_distinct(F.col(item_col)).alias("n_items"))
+        .filter(n > cap)
+        .select(
+            "group_id",
+            "n_items",
+            (n * (n - 1) / 2).cast("bigint").alias("n_pairs_true"),
+            (cap * (cap - 1) / 2).cast("bigint").alias("n_pairs_kept"),
+            (n * (n - 1) / 2 - cap * (cap - 1) / 2)
+            .cast("bigint")
+            .alias("n_pairs_dropped"),
+        )
+        .orderBy(F.col("n_items").desc(), F.col("group_id").asc())
+    )
 
 
 def ego_sample(

@@ -1780,8 +1780,16 @@ def corr_matrix(
     moments (the :func:`profile.correlation` convention).
 
     Returns (x_name, y_name, n, pearson_r), one row per unordered
-    pair, pairs ordered by ``metrics`` insertion order.
+    pair, pairs ordered by ``metrics`` insertion order.  Fewer than
+    two metrics is a caller error — the DataFrame twin would return
+    an empty frame while the SQL twin would be malformed (a WITH
+    clause over an empty union), so both raise instead (round-9
+    ADVICE).
     """
+    if len(metrics) < 2:
+        raise ValueError(
+            f"corr_matrix needs >= 2 metrics, got {len(metrics)}"
+        )
     names = list(metrics)
     ints = {
         name: F.floor(col.cast("decimal(38,10)") * scale).cast("decimal(19,0)")
@@ -1839,6 +1847,10 @@ def corr_matrix(
 def corr_matrix_sql(
     source_sql: str, metrics: dict[str, str], scale: int = 100
 ) -> str:
+    if len(metrics) < 2:
+        raise ValueError(
+            f"corr_matrix_sql needs >= 2 metrics, got {len(metrics)}"
+        )
     names = list(metrics)
     ints = {
         n: f"CAST(FLOOR(CAST(({e}) AS DECIMAL(38,10)) * {scale})"
@@ -2140,21 +2152,38 @@ def bootstrap_ci(
         .cast("decimal(38,0)").alias("__wv"),
         F.sum(w).cast("decimal(38,0)").alias("__w"),
     ).select(
+        # An all-zero-weight replica (possible on tiny inputs: P =
+        # e^-n per replica) has no mean — the division must be GUARDED
+        # (ANSI-mode Spark throws DIVIDE_BY_ZERO, it doesn't NULL) and
+        # the replica dropped BEFORE ranking, or Spark orders its NULL
+        # first and DuckDB last and the order statistics pick
+        # different rows per engine.
         F.expr(
-            "CAST((CAST(1000 AS DECIMAL(38,0)) * __wv) div __w AS BIGINT)"
+            "CASE WHEN __w > 0 THEN"
+            " CAST((CAST(1000 AS DECIMAL(38,0)) * __wv) div __w AS BIGINT)"
+            " END"
         ).alias("__mean")
-    # An all-zero-weight replica (possible on tiny inputs: P = e^-n
-    # per replica) has no mean — drop it BEFORE ranking, or Spark
-    # orders its NULL first and DuckDB last and the rk=2 / rk=B-1
-    # order statistics pick different rows per engine.
     ).filter(F.col("__mean").isNotNull())
+    # Rank against the SURVIVING replica count, not n_replicas: when
+    # zero-weight replicas were dropped, the fixed rank B-1 may not
+    # exist and the upper bound silently comes back NULL (round-9
+    # ADVICE).  The 2nd-largest survivor is rk = cnt - 1.  Both
+    # windows are bounded (<= n_replicas rows) — never a full-data
+    # single-partition sort.  Degenerate cnt < 3 still yields NULL
+    # bounds, identically on both engines.
     w_ord = Window.orderBy("__mean")
     stats = per_rep.select(
-        "__mean", F.row_number().over(w_ord).alias("__rk")
+        "__mean",
+        F.row_number().over(w_ord).alias("__rk"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__cnt"),
     ).agg(
         F.max(F.when(F.col("__rk") == 2, F.col("__mean")))
         .alias("ci_lo_milli_cents"),
-        F.max(F.when(F.col("__rk") == n_replicas - 1, F.col("__mean")))
+        F.max(F.when(F.col("__rk") == F.col("__cnt") - 1, F.col("__mean")))
         .alias("ci_hi_milli_cents"),
     )
     point = base.agg(
@@ -2200,19 +2229,22 @@ rep AS (
 ),
 per_rep AS (
   SELECT b,
-         CAST((CAST(1000 AS HUGEINT)
-               * CAST(SUM(CAST(({steps}) AS DECIMAL(19,0)) * v) AS HUGEINT))
-              // CAST(SUM(CAST(({steps}) AS DECIMAL(19,0))) AS HUGEINT)
-              AS BIGINT) AS mean_m
+         CASE WHEN SUM(CAST(({steps}) AS DECIMAL(19,0))) > 0 THEN
+           CAST((CAST(1000 AS HUGEINT)
+                 * CAST(SUM(CAST(({steps}) AS DECIMAL(19,0)) * v) AS HUGEINT))
+                // CAST(SUM(CAST(({steps}) AS DECIMAL(19,0))) AS HUGEINT)
+                AS BIGINT)
+         END AS mean_m
   FROM rep GROUP BY b
 ),
 ranked AS (
-  SELECT mean_m, ROW_NUMBER() OVER (ORDER BY mean_m) AS rk
+  SELECT mean_m, ROW_NUMBER() OVER (ORDER BY mean_m) AS rk,
+         COUNT(*) OVER () AS cnt
   FROM per_rep WHERE mean_m IS NOT NULL
 ),
 stats AS (
   SELECT MAX(CASE WHEN rk = 2 THEN mean_m END) AS ci_lo_milli_cents,
-         MAX(CASE WHEN rk = {n_replicas - 1} THEN mean_m END)
+         MAX(CASE WHEN rk = cnt - 1 THEN mean_m END)
            AS ci_hi_milli_cents
   FROM ranked
 ),

@@ -984,9 +984,13 @@ FROM milli
 
 # Markup stripping: tags, entities, and whitespace collapse — kept to
 # constructs Java regex and RE2/DuckDB treat identically (no
-# lookaround, leftmost-first alternation).
+# lookaround, leftmost-first alternation).  The whitespace run is an
+# EXPLICIT class, not ``\s``: Java's ``\s`` includes vertical tab
+# (\x0B) while RE2's does not, so a document containing \x0B would
+# clean differently on the two engines (round-9 ADVICE).
 _TAG_RX = r"<[^>]*>"
 _ENTITY_RX = r"&[a-zA-Z]+;|&#[0-9]+;"
+_WS_RUN_RX = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def strip_markup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1010,7 +1014,7 @@ def strip_markup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.regexp_replace(c, _TAG_RX, " "),
                 _ENTITY_RX, " ",
             ),
-            r"\s+", " ",
+            _WS_RUN_RX, " ",
         )
     )
     return df.select(
@@ -1030,7 +1034,7 @@ def strip_markup_sql(source_sql: str, id_col: str, text_col: str) -> str:
     ent = _ENTITY_RX
     cleaned = (
         f"trim(regexp_replace(regexp_replace(regexp_replace({text_col},"
-        f" '{tag}', ' ', 'g'), '{ent}', ' ', 'g'), '\\s+', ' ', 'g'))"
+        f" '{tag}', ' ', 'g'), '{ent}', ' ', 'g'), '{_WS_RUN_RX}', ' ', 'g'))"
     )
     return f"""
 SELECT {id_col} AS id,

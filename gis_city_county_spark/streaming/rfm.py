@@ -44,8 +44,6 @@ def rfm_batch_folder(
     partial_dir = f"{state_dir}/per_user_partials"
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         sess = batch_df.sparkSession
 
         # 1. This batch's per-user partials (NULL user/ts rows are out,
@@ -69,13 +67,21 @@ def rfm_batch_folder(
             )
             .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
         )
-        if inc.isEmpty():
+        if not inc.isEmpty():
+            inc.write.mode("append").parquet(partial_dir)
+        # A batch whose rows were ALL filtered (or an empty trigger)
+        # still gets a publish over the existing state: consumers key
+        # on max(batch_id), and skipping the publish would leave the
+        # newest partition pointing at a stale release (round-9
+        # ADVICE).  With no prior state there is nothing to publish.
+        try:
+            state = sess.read.parquet(partial_dir)
+        except Exception:  # no partials yet: first batch was empty
             return
-        inc.write.mode("append").parquet(partial_dir)
 
         # 2. Fold state → per-user frame → shared tile tail → publish.
         per_user = (
-            sess.read.parquet(partial_dir).distinct()
+            state.distinct()
             .groupBy("__u")
             .agg(
                 F.max("__last").alias("__last"),

@@ -33,8 +33,6 @@ def seasonal_batch_folder(
     counts_dir = f"{state_dir}/cell_counts"
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
         sess = batch_df.sparkSession
 
         inc = (
@@ -46,12 +44,19 @@ def seasonal_batch_folder(
             .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
             .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
         )
-        if inc.isEmpty():
+        if not inc.isEmpty():
+            inc.write.mode("append").parquet(counts_dir)
+        # All-filtered / empty batches still publish over the existing
+        # state: consumers key on max(batch_id), so a skipped publish
+        # would surface a stale release as the newest (round-9
+        # ADVICE).  With no prior state there is nothing to publish.
+        try:
+            state = sess.read.parquet(counts_dir)
+        except Exception:  # no counts yet: first batch was empty
             return
-        inc.write.mode("append").parquet(counts_dir)
 
         counts = (
-            sess.read.parquet(counts_dir).distinct()
+            state.distinct()
             .groupBy("__day", "hour")
             .agg(F.sum("__n").cast("bigint").alias("n_events"))
         )

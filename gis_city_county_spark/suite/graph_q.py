@@ -460,8 +460,12 @@ def _clustering_oracle() -> str:
 
 def q_cooccurrence(spark, sf_dir):
     """Supplier co-occurrence projection over shared parts (lineitem
-    bipartite graph): top-20 supplier pairs by distinct shared parts
-    — bounded C(m,2) fan-out per part (TPC-H: m <= 4 at every SF)."""
+    bipartite graph): top-20 supplier pairs by distinct shared parts.
+    Fan-out is bounded twice: naturally (TPC-H parts have <= 4
+    suppliers at every SF) and by the operator's default
+    ``max_group_size=64`` md5-rank cap (a no-op here, mirrored in the
+    oracle), so the driver hash-checks the capped plan — the one
+    that survives power-law groups at 100x."""
     from gis_city_county_spark.operators.graph import cooccurrence_pairs
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -32,7 +32,73 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
+
+# Round 10: all 39 R10_PRESTAGE names (the queries added during round
+# 9, first driver-checkable now) + 11 reconfirm slots.  ``rotation.py``
+# 's mechanized proposal (run at round-10 start against the full
+# PLAN_HASHES history, rounds 5/7/8/9 all re-recorded through the
+# fixed normalizer) found ZERO plan-changed re-proof candidates — the
+# r9 snapshot matches every current analyzed plan — so the whole
+# 11-slot re-proof budget reconfirms the stalest green rows: the
+# r4-stamped events/session/funnel battery, none re-hashed since
+# round 4.  This window closes cumulative driver coverage at 316/316 —
+# every registered query will have a green driver row.
+_R10_WINDOW: tuple[str, ...] = (
+    # The 39 never-driver-checked queries (R10_PRESTAGE), in
+    # registration order.
+    "dedup_minhash_accuracy",
+    "dedup_threshold_yield",
+    "dedup_substring_spans",
+    "sim_mmr_rerank",
+    "sim_centroid_drift",
+    "sim_norm_histogram",
+    "text_strip_markup",
+    "search_best_window",
+    "text_readability",
+    "mm_token_budget",
+    "mm_aspect_bucket",
+    "pipeline_split_balance",
+    "corpus_token_burstiness",
+    "pipeline_epoch_shuffle",
+    "corpus_simpson_diversity",
+    "sketch_histogram_quantiles",
+    "sketch_hll_intersection",
+    "sketch_ams_f2",
+    "privacy_pseudonymize",
+    "privacy_dp_release",
+    "graph_ego_sample",
+    "graph_cooccurrence_pairs",
+    "graph_clustering_coefficient",
+    "cdc_feed_audit",
+    "events_conversion_latency",
+    "events_stickiness",
+    "profile_concentration",
+    "events_seasonal_baseline",
+    "eval_mcnemar",
+    "eval_effect_size",
+    "eval_bootstrap_ci",
+    "mlprep_corr_matrix",
+    "mlprep_loo_target_encode",
+    "eval_spearman",
+    "eval_krippendorff_alpha",
+    "events_rfm_scores",
+    "eval_token_f1",
+    "layout_hilbert_key_hist",
+    "olap_share_of_parent",
+    # Reconfirms: the stalest green rows (all r4-stamped).
+    "events_hopping_window",
+    "events_session_window_native",
+    "events_sessionize",
+    "events_funnel_stages",
+    "events_rolling_features",
+    "events_resample_ffill",
+    "events_cohort_retention",
+    "pyapi_user_span_features",
+    "events_wow_report",
+    "events_markov_transitions",
+    "events_time_weighted_avg",
+)
 
 # Round 9: all 16 R9_PRESTAGE names (the queries added during round 8,
 # first driver-checkable now) + 34 reconfirm slots.  ``rotation.py``'s
@@ -515,6 +581,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     7: _R7_WINDOW,
     8: _R8_WINDOW,
     9: _R9_WINDOW,
+    10: _R10_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -648,6 +715,11 @@ REPROOFS: dict[int, frozenset[str]] = {
     # plan at round-8 end), so the 34 non-new slots all reconfirm the
     # stalest r3/r4-green rows.
     9: frozenset(_R9_WINDOW[16:]),
+    # Round 10: zero plan-changed candidates (the r9 PLAN_HASHES
+    # snapshot matches every current analyzed plan), so the 11 non-new
+    # slots all reconfirm the stalest r4-green rows (the events/
+    # session/funnel battery).
+    10: frozenset(_R10_WINDOW[39:]),
 }
 
 # The 41 queries that were still driver-unchecked after round 4

@@ -1,0 +1,60 @@
+"""bench.py stdout-line contract.
+
+The external driver captures only the LAST 2000 characters of
+bench.py's stdout (measured: BENCH_r09's ``tail`` field is exactly
+2000 chars and starts mid-dict — the r9 line carried a per-key spread
+map, outran the window, and the graded artifact came back
+``parsed: null``).  These tests pin the WORST-CASE length of the one
+JSON line bench.py prints, so growing the headline list can never
+silently push the line past the capture window again.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _worst_case_line(n_alerts: int = 0) -> str:
+    """The stdout line with every numeric field at its widest
+    plausible rendering (4-digit seconds, 3 decimals)."""
+    queries = {n: 9999.999 for n in bench.HEADLINE}
+    return json.dumps(
+        {
+            "metric": "suite_total_runtime",
+            "value": 99999.9999,
+            "unit": "sec",
+            "queries": queries,
+            "spread_alert": sorted(bench.HEADLINE)[:n_alerts],
+            "n_queries": 9999,
+            "detail": "BENCH_DETAIL.json",
+            "sf": 0.1,
+        }
+    )
+
+
+def test_headline_line_fits_capture_window():
+    line = _worst_case_line(n_alerts=0)
+    assert len(line) <= 1800, (
+        f"worst-case bench stdout line is {len(line)} chars — the "
+        f"driver captures only the last 2000; trim the HEADLINE list "
+        f"or shorten the stdout payload (full map belongs in "
+        f"BENCH_DETAIL.json)"
+    )
+
+
+def test_line_with_a_few_alerts_still_fits():
+    # A handful of spread alerts is the realistic bad case; the
+    # in-bench > 1800 fallback (drop the queries map) covers anything
+    # beyond this.
+    line = _worst_case_line(n_alerts=3)
+    assert len(line) <= 2000
+
+
+def test_headline_names_resolve():
+    from gis_city_county_spark.suite import all_specs
+
+    names = {s.name for s in all_specs() if s.bench}
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, f"HEADLINE names not in suite: {missing}"

@@ -282,6 +282,21 @@ def test_incremental_dedup_is_anti_join(spark, sf_dir):
     assert not has_cartesian_or_bnlj(df)
 
 
+def test_cooccurrence_plan_carries_the_group_size_cap(spark, sf_dir):
+    """The co-occurrence projection is the one shape whose raw work
+    grows faster than its input (C(m,2) per group), so the registered
+    query must run the CAPPED plan: a group-partitioned row_number
+    filter ahead of the self-join (the r9-verdict bound).  If the cap
+    falls out of the plan, this operator is quadratic again on
+    power-law groups at 100x."""
+    from gis_city_county_spark.suite.graph_q import q_cooccurrence
+
+    df = q_cooccurrence(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "row_number" in analyzed, "md5-rank group-size cap missing"
+    assert not has_cartesian_or_bnlj(df)
+
+
 def test_rarity_score_broadcasts_rank_table(spark, sf_dir):
     """The vocabulary rank table re-attaches to the token stream via
     broadcast — the token stream itself must not shuffle for the join."""

@@ -451,6 +451,59 @@ def test_cooccurrence_pairs_matches_duckdb_on_lineitem(spark, sf_dir):
     assert got == want and len(got) == 20
 
 
+def test_cooccurrence_cap_bounds_fanout_and_matches_duckdb(spark):
+    """The r9-verdict bound: an oversized group (12 items, cap 3)
+    must contribute exactly C(3,2)=3 pairs — never C(12,2)=66 — and
+    the md5-rank sample must pick the SAME survivors on both engines
+    and under repartitioning."""
+    from gis_city_county_spark.operators.graph import (
+        cooccurrence_pairs,
+        cooccurrence_pairs_sql,
+    )
+
+    rows = [(1, f"i{k:02d}") for k in range(12)] + [(2, "i00"), (2, "i01")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    capped = cooccurrence_pairs(df, "g", "i", top_k=100, max_group_size=3)
+    got = sorted(tuple(r) for r in capped.collect())
+    # group 1 contributes C(3,2)=3 pairs, group 2 C(2,2)=1 — overlaps
+    # possible, so bound, not exact count.
+    assert len(got) <= 4
+    assert all(w <= 2 for _, _, w in got)
+    # same sample under a different partitioning
+    got_rep = sorted(
+        tuple(r)
+        for r in cooccurrence_pairs(
+            df.repartition(7, "i"), "g", "i", top_k=100, max_group_size=3
+        ).collect()
+    )
+    assert got == got_rep
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g BIGINT, i VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            cooccurrence_pairs_sql(
+                "SELECT * FROM t", "g", "i", top_k=100, max_group_size=3
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_cooccurrence_truncation_report(spark):
+    from gis_city_county_spark.operators.graph import (
+        cooccurrence_truncation_report,
+    )
+
+    rows = [(1, f"i{k:02d}") for k in range(12)] + [(2, "i00"), (2, "i01")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    rep = cooccurrence_truncation_report(df, "g", "i", max_group_size=3)
+    out = [tuple(r) for r in rep.collect()]
+    # only group 1 is oversized: 12 items, 66 true pairs, 3 kept.
+    assert out == [(1, 12, 66, 3, 63)]
+
+
 # -------------------------------------------- multimodal_token_budget
 
 
@@ -854,6 +907,57 @@ def test_bootstrap_ci_matches_duckdb(spark, sf_dir):
     assert got == want and len(got) == 1
 
 
+def test_bootstrap_ci_tiny_input_ranks_against_survivors(spark):
+    """On tiny inputs some replicas draw zero total weight and are
+    dropped; the upper bound must be the 2nd-LARGEST SURVIVOR (rk =
+    cnt−1), not the fixed rank B−1 that may no longer exist (round-9
+    ADVICE).  Both engines must agree on the degenerate shape too."""
+    from gis_city_county_spark.operators.mlprep import (
+        bootstrap_ci,
+        bootstrap_ci_sql,
+    )
+
+    rows = [(1, 10.0), (2, 20.0)]
+    df = spark.createDataFrame(rows, "id long, y double")
+    r = bootstrap_ci(df, "id", "y").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cols = [d[0] for d in con.execute(
+        bootstrap_ci_sql("SELECT * FROM t", "id", "y")
+    ).description]
+    want = dict(zip(cols, con.execute(
+        bootstrap_ci_sql("SELECT * FROM t", "id", "y")
+    ).fetchall()[0]))
+    assert tuple(r) == tuple(want[c] for c in r.asDict())
+    # The fixed salt makes the draw deterministic: 29 of 32 replicas
+    # survive on this input (3 draw zero total weight), so BOTH
+    # bounds must exist — under the old fixed-rank lookup the upper
+    # bound (rk=31, absent) came back NULL, and the unguarded
+    # division crashed ANSI-mode Spark outright.
+    assert r["ci_lo_milli_cents"] is not None
+    assert r["ci_hi_milli_cents"] is not None
+    assert r["ci_lo_milli_cents"] <= r["ci_hi_milli_cents"]
+
+
+def test_corr_matrix_rejects_fewer_than_two_metrics(spark):
+    """Degenerate input must fail loudly and IDENTICALLY on both
+    twins (round-9 ADVICE: the SQL twin used to emit malformed SQL
+    while the DataFrame twin returned an empty frame)."""
+    import pytest
+
+    from gis_city_county_spark.operators.mlprep import (
+        corr_matrix,
+        corr_matrix_sql,
+    )
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match=">= 2 metrics"):
+        corr_matrix(df, {"x": F.col("x")})
+    with pytest.raises(ValueError, match=">= 2 metrics"):
+        corr_matrix_sql("SELECT 1 AS x", {"x": "x"})
+
+
 # --------------------------------------------------------- mcnemar
 
 
@@ -1238,6 +1342,34 @@ def test_strip_markup_counts_and_cleans(spark):
     assert out[1]["n_tags"] == 4 and out[1]["n_entities"] == 1
     assert out[2]["clean_text"] == "plain text"
     assert out[2]["n_tags"] == 0 and out[2]["n_chars_before"] == 10
+
+
+def test_strip_markup_vertical_tab_parity(spark):
+    """Java ``\\s`` includes \\x0B, RE2's does not — the explicit
+    whitespace class (round-9 ADVICE) must make a \\x0B document
+    clean identically on both engines."""
+    from gis_city_county_spark.operators.textstats import (
+        strip_markup,
+        strip_markup_sql,
+    )
+
+    rows = [(1, "a\x0b\x0bb <i>c</i>\td"), (2, " x\x0b ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in strip_markup(df, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            strip_markup_sql("SELECT * FROM t", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {t[0]: t[1] for t in got}
+    assert by_id[1] == "a b c d"
 
 
 def test_strip_markup_matches_duckdb_on_documents(spark, sf_dir):

@@ -1538,3 +1538,68 @@ def test_streaming_seasonal_retry_idempotent(spark, tmp_path):
     )[0]
     assert top["hour"] == 9 and top["n_events"] == 2  # not 4
     assert top["deviation"] == 2
+
+
+def test_streaming_rfm_empty_batch_republishes(spark, tmp_path):
+    """A micro-batch whose rows are ALL filtered out (NULL user/ts)
+    must still publish a scores partition for its batch_id over the
+    existing state — consumers key on max(batch_id), and a skipped
+    publish would surface a stale release as the newest (round-9
+    ADVICE).  An empty FIRST batch (no prior state) publishes
+    nothing."""
+    from gis_city_county_spark.streaming.rfm import rfm_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    scores_dir = str(tmp_path / "scores")
+    fold = rfm_batch_folder(state_dir, scores_dir, "user_id", "ts", "value")
+    empty = spark.createDataFrame(
+        [(None, None, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    fold(empty, 0)  # empty FIRST batch: no state, no publish
+    import os
+    assert not os.path.exists(scores_dir)
+
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 3.5), (2, "2024-01-03 10:00:00", 9.0)],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    fold(b1, 1)
+    fold(empty, 2)  # all rows filtered: must still publish batch 2
+    scores = spark.read.parquet(scores_dir)
+    assert scores.agg(F.max("batch_id")).first()[0] == 2
+    p1 = sorted(
+        tuple(r) for r in scores.filter("batch_id = 1")
+        .drop("batch_id").collect()
+    )
+    p2 = sorted(
+        tuple(r) for r in scores.filter("batch_id = 2")
+        .drop("batch_id").collect()
+    )
+    assert p2 == p1 and len(p2) == 2  # same release, fresher id
+
+
+def test_streaming_seasonal_empty_batch_republishes(spark, tmp_path):
+    """Same contract for the seasonal twin: an all-NULL-ts batch
+    republishes the current report under the new batch_id."""
+    from gis_city_county_spark.streaming.seasonal import seasonal_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = seasonal_batch_folder(state_dir, report_dir, "ts", top_k=5)
+    empty = spark.createDataFrame([(None,)], "ts timestamp")
+    fold(empty, 0)
+    import os
+    assert not os.path.exists(report_dir)
+
+    b1 = spark.createDataFrame(
+        [("2024-01-01 09:00:00",), ("2024-01-08 10:00:00",)], "ts_s string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b1, 1)
+    fold(empty, 2)
+    rep = spark.read.parquet(report_dir)
+    assert rep.agg(F.max("batch_id")).first()[0] == 2
+    p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
+                .drop("batch_id").collect())
+    p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
+                .drop("batch_id").collect())
+    assert p2 == p1 and len(p2) > 0
