@@ -1879,6 +1879,15 @@ def stickiness_report(
         F.col(user_col).alias("__u"),
         F.date_trunc("day", F.col(ts_col)).alias("__day"),
     ).distinct()
+    return stickiness_from_days(days, window_days)
+
+
+def stickiness_from_days(days: DataFrame, window_days: int = 28) -> DataFrame:
+    """The tail of :func:`stickiness_report` from an already-distinct
+    ``(__u, __day)`` relation — shared verbatim by the streaming twin
+    (``streaming/stickiness.py``), whose folded state IS that
+    relation, so the live report can't drift from the batch
+    operator."""
     dau = days.groupBy(F.col("__day").alias("report_day")).agg(
         F.countDistinct("__u").alias("dau")
     )

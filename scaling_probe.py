@@ -85,6 +85,11 @@ PROBE_QUERIES = [
     # co-occurrence projection (C(m,2) pair fan-out per group).
     "eval_spearman",
     "graph_cooccurrence_pairs",
+    # round-10: the single most expensive benched query (7.19s r9
+    # fastest pass) and the only bench-top-slice member without a
+    # scaling row (VERDICT r9 item 4) — a scan-side ×32 replica
+    # explode whose per-replica weighted sums are map-combinable.
+    "eval_bootstrap_ci",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle

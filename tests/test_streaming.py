@@ -1603,3 +1603,140 @@ def test_streaming_seasonal_empty_batch_republishes(spark, tmp_path):
     p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
                 .drop("batch_id").collect())
     assert p2 == p1 and len(p2) > 0
+
+
+def test_streaming_stickiness_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch stickiness
+    maintainer: after each batch the published report partition is
+    BIT-EQUAL to the batch ``stickiness_report`` over every row
+    arrived so far — later batches revisit earlier days (DAU grows)
+    and extend the horizon (new report days appear)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import stickiness_report
+    from gis_city_county_spark.streaming.stickiness import (
+        streaming_stickiness_report,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ev([(1, "2024-01-01 09:00:00"), (1, "2024-01-01 17:00:00"),
+            (2, "2024-01-01 10:00:00"), (1, "2024-01-02 08:00:00")]),
+        # revisits day 1 (user 3 joins it late) and adds day 5
+        ev([(3, "2024-01-01 23:00:00"), (2, "2024-01-05 11:00:00")]),
+        # NULL user/ts are out, exactly like batch
+        ev([(None, "2024-01-02 09:00:00"), (4, None),
+            (4, "2024-02-03 12:00:00")]),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "stick_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_stickiness_report(
+            spark, batches[0].schema, str(incoming),
+            state_dir, report_dir, "user_id", "ts", window_days=7,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["report_day", "dau", "mau7", "stickiness_ppm"]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in stickiness_report(
+                acc.filter(F.col("user_id").isNotNull()
+                           & F.col("ts").isNotNull()),
+                "user_id", "ts", window_days=7,
+            ).collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+
+
+def test_streaming_stickiness_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch, same id, folded twice) leaves
+    the (user, day) state distinct-on-read and the published report
+    identical — DAU/MAU never double-count."""
+    from gis_city_county_spark.streaming.stickiness import (
+        stickiness_batch_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = stickiness_batch_folder(state_dir, report_dir, "user_id", "ts",
+                                   window_days=7)
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"), (2, "2024-01-01 10:00:00"),
+         (1, "2024-01-03 09:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    days = spark.read.parquet(f"{state_dir}/user_days")
+    assert days.count() == 2 * days.distinct().count()
+    rep = {r["report_day"].day: r for r in
+           spark.read.parquet(report_dir).collect()}
+    assert rep[1]["dau"] == 2 and rep[1]["mau7"] == 2
+    assert rep[3]["dau"] == 1 and rep[3]["mau7"] == 2  # not 4
+
+
+def test_streaming_stickiness_empty_batch_republishes(spark, tmp_path):
+    """The shared empty-batch contract: an all-NULL batch republishes
+    the current report under the new batch_id; an empty FIRST batch
+    publishes nothing."""
+    from gis_city_county_spark.streaming.stickiness import (
+        stickiness_batch_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = stickiness_batch_folder(state_dir, report_dir, "user_id", "ts")
+    empty = spark.createDataFrame(
+        [(None, None)], "user_id long, ts timestamp"
+    )
+    fold(empty, 0)
+    import os
+    assert not os.path.exists(report_dir)
+
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b1, 1)
+    fold(empty, 2)
+    rep = spark.read.parquet(report_dir)
+    assert rep.agg(F.max("batch_id")).first()[0] == 2
+    p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
+                .drop("batch_id").collect())
+    p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
+                .drop("batch_id").collect())
+    assert p2 == p1 and len(p2) > 0
