@@ -2001,3 +2001,145 @@ SELECT CAST(CASE WHEN e >= 0 THEN e // 100
        CAST(MAX(e) AS BIGINT) AS max_err_permille
 FROM err GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------- winnowing
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm) with a cross-document sharing
+    audit: hash every k-token shingle, slide a window of ``w``
+    consecutive hashes, select each window's minimum (ties →
+    RIGHTMOST, the paper's rule), and dedupe selections — the classic
+    guarantee that any shared run of ``w + k - 1`` tokens between two
+    documents produces at least one shared fingerprint, at ~2/(w+1)
+    of the shingle density.
+
+    Everything is exact integer arithmetic shared by both engines:
+    the (hash, position) pair is packed into ONE bigint key ``(h36 +
+    1) * 2^24 - pos`` so the window MIN itself implements the
+    rightmost-tie rule (same 36-bit hash → larger pos → smaller key)
+    without engine-specific struct ordering.  Positions are capped at
+    2^24 - 1 shingles (~16M tokens) per document — beyond that the
+    packing would collide, so longer documents must be chunked first
+    (``corpus.chunk_documents``).
+
+    Scale shape: shingle+hash is scan-side array math; the selection
+    is ONE doc-partitioned ordered window (never global); the sharing
+    audit is a map-combinable count over the winnowed (not raw)
+    fingerprint relation — the whole point of winnowing at 100 TB is
+    that downstream joins see ~2/(w+1) of the positions.
+
+    Returns (id, n_shingles, n_fingerprints, n_shared_fp, shared_ppm)
+    for documents with at least one full window (n_shingles >= w);
+    ``n_shared_fp`` counts this document's fingerprints whose hash is
+    also selected by at least one OTHER document.
+    """
+    m = 1 << 24
+    base = rebalance_for_fanout(df, multiplier=16.0).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    sh = base.filter(F.size("__toks") >= k + w - 1).select(
+        "__id",
+        (F.size("__toks") - (k - 1)).alias("__nsh"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {k - 1}),"
+                f" i -> concat_ws(' ', slice(__toks, i, {k})))"
+            )
+        ).alias("__p0", "__sh"),
+    ).select(
+        "__id",
+        "__nsh",
+        (F.col("__p0") + 1).alias("__pos"),
+        (
+            (F.conv(F.substring(F.md5("__sh"), 1, 9), 16, 10)
+             .cast("long") + 1) * m - (F.col("__p0") + 1)
+        ).alias("__key"),
+    )
+    wspec = (
+        Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
+    )
+    fp = (
+        sh.withColumn("__wmin", F.min("__key").over(wspec))
+        .filter(F.col("__pos") <= F.col("__nsh") - (w - 1))
+        .select("__id", "__nsh", F.col("__wmin").alias("__key"))
+        .distinct()
+        .withColumn("__h", F.expr(f"(__key + {m}) div {m} - 1"))
+    )
+    hdocs = (
+        fp.select("__h", "__id").distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    return (
+        fp.join(hdocs, "__h")
+        .groupBy("__id", "__nsh")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_shared_fp"),
+        )
+        .select(
+            F.col("__id").alias("id"),
+            F.col("__nsh").cast("bigint").alias("n_shingles"),
+            "n_fingerprints",
+            "n_shared_fp",
+            F.expr(
+                "CAST((n_shared_fp * CAST(1000000 AS BIGINT))"
+                " div n_fingerprints AS BIGINT)"
+            ).alias("shared_ppm"),
+        )
+    )
+
+
+def winnowing_fingerprints_sql(
+    table: str, id_col: str, text_col: str, k: int = 4, w: int = 4
+) -> str:
+    m = 1 << 24
+    parts = " || ' ' || ".join(
+        f"list_extract(t, i + {j})" for j in range(k)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM {table}
+),
+sh AS (
+  SELECT id, len(t) - {k - 1} AS nsh, i AS pos,
+         (CAST('0x' || substr(md5({parts}), 1, 9) AS BIGINT) + 1)
+           * {m} - i AS key
+  FROM base, LATERAL UNNEST(generate_series(1, len(t) - {k - 1})) AS g(i)
+  WHERE len(t) >= {k + w - 1}
+),
+sel AS (
+  SELECT DISTINCT id, nsh,
+         MIN(key) OVER (PARTITION BY id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS key
+  FROM sh
+  QUALIFY pos <= nsh - {w - 1}
+),
+fp AS (
+  SELECT id, nsh, key, (key + {m}) // {m} - 1 AS h FROM sel
+),
+hdocs AS (
+  SELECT h, COUNT(*) AS nd FROM (SELECT DISTINCT h, id FROM fp) GROUP BY h
+)
+SELECT fp.id AS id,
+       CAST(fp.nsh AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(SUM(CASE WHEN hdocs.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_fp,
+       CAST((SUM(CASE WHEN hdocs.nd >= 2 THEN 1 ELSE 0 END)
+             * CAST(1000000 AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS shared_ppm
+FROM fp JOIN hdocs ON fp.h = hdocs.h
+GROUP BY fp.id, fp.nsh
+"""

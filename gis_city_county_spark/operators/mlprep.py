@@ -2445,3 +2445,412 @@ SELECT n_treat, n_control,
        END AS cohens_d
 FROM piv
 """
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's tau-b rank correlation with full tie correction —
+    the other ordinal-association check (alongside
+    :func:`spearman_corr`) an eval pipeline runs on judge scores,
+    where tau's pair-concordance reading ("probability a random pair
+    agrees in direction") is the quantity reported.
+
+    Computed from the DISTINCT-VALUE contingency, never the O(n²)
+    row pairs: cells (x, y, count) self-join on ``x_a < x_b`` so a
+    cell pair contributes ``c_a·c_b`` concordant (y rises) or
+    discordant (y falls) pairs; tie terms come from the x/y
+    marginals.  Work is O(k²) in DISTINCT CELLS — the operator is for
+    bucketed/ordinal scores (relevance grades, star ratings,
+    quantile-bucketed metrics) where k is constant by construction;
+    on continuous data bucket first (the registered query does).
+
+    Cross-engine numerics: pair products go through
+    DECIMAL(19)×DECIMAL(18) (exact int128 on both engines — BIGINT ×
+    BIGINT would throw on ANSI Spark and DECIMAL(38)×DECIMAL(38)
+    silently degrades to DOUBLE on DuckDB); the closing
+    ``(C−D)/sqrt((n0−n1)(n0−n2))`` is the one IEEE sqrt+divide.
+    Pair counts are reported in BIGINT, so n is bounded by ~4.3e9
+    rows per call (n0 = n(n−1)/2 must fit) — at 100 TB the operator
+    runs per evaluation slice, not over raw corpora.
+
+    Returns one row: (n, concordant, discordant, ties_x_pairs,
+    ties_y_pairs, tau_b) — tau_b NULL when either variable is
+    constant.
+    """
+    dec = "decimal(38,0)"
+    obs = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+    # One materialization, four consumers (pair join, two marginals,
+    # total) — without it each aggregate re-scans the raw rows.
+    cells = (
+        obs.groupBy("__x", "__y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"),
+        F.col("__c").alias("__ca"),
+    )
+    b = cells.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"),
+        F.col("__c").alias("__cb"),
+    )
+    pair_n = (
+        "CAST(__ca AS DECIMAL(19,0)) * CAST(__cb AS DECIMAL(18,0))"
+    )
+    cd = (
+        a.join(b, F.col("__xa") < F.col("__xb"))
+        .agg(
+            F.sum(F.expr(
+                f"CASE WHEN __yb > __ya THEN {pair_n}"
+                f" ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )).cast(dec).alias("__conc"),
+            F.sum(F.expr(
+                f"CASE WHEN __yb < __ya THEN {pair_n}"
+                f" ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )).cast(dec).alias("__disc"),
+        )
+        .select(
+            F.coalesce("__conc", F.lit(0).cast(dec)).alias("__conc"),
+            F.coalesce("__disc", F.lit(0).cast(dec)).alias("__disc"),
+        )
+    )
+    tie_half = (
+        "CAST(CAST(__m AS DECIMAL(19,0)) * CAST(__m - 1 AS DECIMAL(18,0))"
+        " div 2 AS DECIMAL(38,0))"
+    )
+    tx = (
+        cells.groupBy("__x").agg(F.sum("__c").cast("bigint").alias("__m"))
+        .agg(F.sum(F.expr(tie_half)).cast(dec).alias("__n1"))
+        .select(F.coalesce("__n1", F.lit(0).cast(dec)).alias("__n1"))
+    )
+    ty = (
+        cells.groupBy("__y").agg(F.sum("__c").cast("bigint").alias("__m"))
+        .agg(F.sum(F.expr(tie_half)).cast(dec).alias("__n2"))
+        .select(F.coalesce("__n2", F.lit(0).cast(dec)).alias("__n2"))
+    )
+    tot = cells.agg(F.sum("__c").cast("bigint").alias("__n"))
+    n0 = (
+        "CAST(CAST(__n AS DECIMAL(19,0)) * CAST(__n - 1 AS DECIMAL(18,0))"
+        " div 2 AS DECIMAL(38,0))"
+    )
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__n").cast("bigint").alias("n"),
+            F.col("__conc").cast("bigint").alias("concordant"),
+            F.col("__disc").cast("bigint").alias("discordant"),
+            F.col("__n1").cast("bigint").alias("ties_x_pairs"),
+            F.col("__n2").cast("bigint").alias("ties_y_pairs"),
+            F.expr(
+                f"CASE WHEN {n0} > __n1 AND {n0} > __n2 THEN"
+                f" CAST(__conc - __disc AS DOUBLE) /"
+                f" sqrt(CAST({n0} - __n1 AS DOUBLE)"
+                f"      * CAST({n0} - __n2 AS DOUBLE)) END"
+            ).alias("tau_b"),
+        )
+    )
+
+
+def kendall_tau_sql(source_sql: str, x_col: str, y_col: str) -> str:
+    pair_n = "CAST(a.c AS DECIMAL(19,0)) * CAST(b.c AS DECIMAL(18,0))"
+    tie_half = (
+        "CAST(CAST(CAST(m AS DECIMAL(19,0)) * CAST(m - 1 AS DECIMAL(18,0))"
+        " AS HUGEINT) // 2 AS DECIMAL(38,0))"
+    )
+    n0 = (
+        "CAST(CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(18,0))"
+        " AS HUGEINT) // 2 AS DECIMAL(38,0))"
+    )
+    return f"""
+WITH obs AS (
+  SELECT {x_col} AS x, {y_col} AS y FROM ({source_sql})
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY x, y
+),
+cd AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.y > a.y THEN {pair_n}
+                           ELSE CAST(0 AS DECIMAL(38,0)) END),
+                       0) AS DECIMAL(38,0)) AS conc,
+         CAST(COALESCE(SUM(CASE WHEN b.y < a.y THEN {pair_n}
+                           ELSE CAST(0 AS DECIMAL(38,0)) END),
+                       0) AS DECIMAL(38,0)) AS disc
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+tx AS (
+  SELECT CAST(COALESCE(SUM({tie_half}), 0) AS DECIMAL(38,0)) AS n1
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(COALESCE(SUM({tie_half}), 0) AS DECIMAL(38,0)) AS n2
+  FROM (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cells GROUP BY y)
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(conc AS BIGINT) AS concordant,
+       CAST(disc AS BIGINT) AS discordant,
+       CAST(n1 AS BIGINT) AS ties_x_pairs,
+       CAST(n2 AS BIGINT) AS ties_y_pairs,
+       CASE WHEN {n0} > n1 AND {n0} > n2 THEN
+         CAST(conc - disc AS DOUBLE) /
+         sqrt(CAST({n0} - n1 AS DOUBLE) * CAST({n0} - n2 AS DOUBLE))
+       END AS tau_b
+FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+"""
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V association between two CATEGORICAL columns — the
+    categorical sibling of :func:`corr_matrix`'s Pearson screen (drop
+    one of every near-duplicate category pair before target encoding
+    leaks the same signal twice).
+
+    χ² runs on the contingency CELLS, never the rows: one
+    map-combinable (a, b, count) aggregate, two marginal rollups of
+    it, and the per-cell χ² term in EXACT pico units via the identity
+    ``φ² = Σ o²/(rowₐ·col_b) − 1`` — each term is one exact integer
+    division ``(o²·10¹²) div (rowₐ·col_b)`` (floor, identical on both
+    engines; DECIMAL precisions are sized statically so DuckDB never
+    silently promotes to DOUBLE — counts are capped at 10⁹ per slice,
+    the same per-call bound as :func:`kendall_tau`).  The closing
+    ``V = sqrt(φ² / min(r−1, c−1))`` is the one IEEE computation.
+
+    Returns one row: (n, n_cat_a, n_cat_b, phi2_pico, cramers_v) —
+    ``cramers_v`` NULL when either variable is constant.  NULL
+    categories are excluded on both engines.
+    """
+    obs = df.filter(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    ).select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+    # One materialization, four consumers (cell join, two marginals,
+    # total).
+    cells = (
+        obs.groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    ra = cells.groupBy("__a").agg(F.sum("__c").cast("bigint").alias("__ra"))
+    cb = cells.groupBy("__b").agg(F.sum("__c").cast("bigint").alias("__cb"))
+    term = (
+        "CAST(CAST(__c AS DECIMAL(10,0)) * CAST(__c AS DECIMAL(9,0))"
+        " * CAST(1000000000000 AS DECIMAL(13,0))"
+        " div (CAST(__ra AS DECIMAL(10,0)) * CAST(__cb AS DECIMAL(9,0)))"
+        " AS BIGINT)"
+    )
+    s = (
+        cells.join(ra, "__a")
+        .join(cb, "__b")
+        .agg(F.sum(F.expr(term)).cast("bigint").alias("__s"))
+    )
+    na = ra.agg(F.count(F.lit(1)).cast("bigint").alias("__na"))
+    nb = cb.agg(F.count(F.lit(1)).cast("bigint").alias("__nb"))
+    tot = cells.agg(F.sum("__c").cast("bigint").alias("__n"))
+    return (
+        s.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__n").alias("n"),
+            F.col("__na").alias("n_cat_a"),
+            F.col("__nb").alias("n_cat_b"),
+            F.expr(
+                "GREATEST(CAST(0 AS BIGINT),"
+                " __s - CAST(1000000000000 AS BIGINT))"
+            ).alias("phi2_pico"),
+            F.expr(
+                "CASE WHEN __na >= 2 AND __nb >= 2 THEN"
+                " sqrt(CAST(GREATEST(CAST(0 AS BIGINT),"
+                "           __s - CAST(1000000000000 AS BIGINT))"
+                "      AS DOUBLE) / 1e12"
+                "      / CAST(LEAST(__na - 1, __nb - 1) AS DOUBLE)) END"
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def cramers_v_sql(source_sql: str, a_col: str, b_col: str) -> str:
+    # HUGEINT end to end: DuckDB multiplies narrow DECIMALs in int64
+    # (overflow error at corpus counts) and silently promotes
+    # wide-DECIMAL products to DOUBLE; int128 is exact for
+    # c²·10¹² ≤ 10³⁰.
+    term = (
+        "CAST(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)"
+        " * CAST(1000000000000 AS HUGEINT)"
+        " // (CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)) AS BIGINT)"
+    )
+    return f"""
+WITH obs AS (
+  SELECT {a_col} AS a, {b_col} AS b FROM ({source_sql})
+  WHERE {a_col} IS NOT NULL AND {b_col} IS NOT NULL
+),
+cells AS MATERIALIZED (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM obs GROUP BY a, b
+),
+ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+s AS (
+  SELECT CAST(SUM({term}) AS BIGINT) AS s
+  FROM cells JOIN ra USING (a) JOIN cb USING (b)
+),
+dims AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ra) AS na,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cb) AS nb,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS n
+)
+SELECT n,
+       na AS n_cat_a,
+       nb AS n_cat_b,
+       GREATEST(CAST(0 AS BIGINT), s - CAST(1000000000000 AS BIGINT))
+         AS phi2_pico,
+       CASE WHEN na >= 2 AND nb >= 2 THEN
+         sqrt(CAST(GREATEST(CAST(0 AS BIGINT),
+                            s - CAST(1000000000000 AS BIGINT))
+              AS DOUBLE) / 1e12
+              / CAST(LEAST(na - 1, nb - 1) AS DOUBLE))
+       END AS cramers_v
+FROM s CROSS JOIN dims
+"""
+
+
+def hashed_features(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 1024
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): map every token to
+    one of ``n_buckets`` feature slots via a hash, with a second
+    sign hash so colliding terms cancel in expectation instead of
+    piling up — the fixed-width, vocabulary-free featurizer a
+    large-scale text pipeline uses when a learned vocabulary would
+    itself be a 100 TB shuffle.
+
+    Everything is scan-side integer hashing (md5 → bucket, md5 → ±1)
+    plus ONE map-combinable (id, bucket) aggregate; no vocabulary
+    table, no join, no fit step — the property that makes the
+    transform embarrassingly parallel at any scale.
+
+    Returns the sparse feature relation (id, bucket, signed_count,
+    n_tokens) — one row per non-empty (document, bucket) slot;
+    ``signed_count`` is Σ±1 over token occurrences, ``n_tokens`` the
+    unsigned occurrence count.
+    """
+    from gis_city_county_spark.operators.sketch import _h60
+
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__t")
+    )
+    tok = base.select("id", F.explode("__t").alias("__tok"))
+    bucket = (_h60(F.concat(F.lit("fh|"), F.col("__tok")))
+              % n_buckets).cast("bigint")
+    sign = F.when(
+        _h60(F.concat(F.lit("fs|"), F.col("__tok"))) % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        tok.select("id", bucket.alias("bucket"), sign.alias("__sgn"))
+        .groupBy("id", "bucket")
+        .agg(
+            F.sum("__sgn").cast("bigint").alias("signed_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def hashed_features_sql(
+    source_sql: str, id_col: str, text_col: str, n_buckets: int = 1024
+) -> str:
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    bh = _h60_sql("'fh|' || tok")
+    sh = _h60_sql("'fs|' || tok")
+    bucket = f"{bh} % {n_buckets}"
+    sign = f"CASE WHEN {sh} % 2 = 0 THEN 1 ELSE -1 END"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {tokens_sql(text_col)} AS t FROM ({source_sql})
+),
+tok AS (
+  SELECT id, unnest(t) AS tok FROM base
+)
+SELECT id, CAST({bucket} AS BIGINT) AS bucket,
+       CAST(SUM({sign}) AS BIGINT) AS signed_count,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM tok GROUP BY 1, 2
+"""
+
+
+def feature_hash_collision_audit(
+    df: DataFrame, text_col: str, n_buckets: int = 1024
+) -> DataFrame:
+    """The loud half of :func:`hashed_features`: how crowded did the
+    buckets get?  One row per occupancy level — (terms_in_bucket,
+    n_buckets, n_occurrences) — including the ``terms_in_bucket = 0``
+    row, so the sum of ``n_buckets`` always cross-foots to the
+    configured width and a shrinking empty row is the early signal
+    that the width no longer fits the vocabulary.
+
+    Work: one distinct over tokens (the vocabulary), one hash per
+    term, two bounded aggregates — never touches per-document rows.
+    ``n_occurrences`` weights each bucket by total corpus token
+    occurrences, separating "two rare terms collided" (harmless) from
+    "two head terms collided" (feature corruption).
+    """
+    from gis_city_county_spark.operators.sketch import _h60
+
+    tok = df.select(F.explode(tokens(text_col)).alias("__tok"))
+    per_term = tok.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__occ")
+    )
+    per_bucket = per_term.select(
+        (_h60(F.concat(F.lit("fh|"), F.col("__tok"))) % n_buckets)
+        .cast("bigint").alias("__b"),
+        "__occ",
+    ).groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__terms"),
+        F.sum("__occ").cast("bigint").alias("__occs"),
+    )
+    hist = per_bucket.groupBy(
+        F.col("__terms").alias("terms_in_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("__occs").cast("bigint").alias("n_occurrences"),
+    )
+    empty = per_bucket.agg(
+        F.lit(0).cast("bigint").alias("terms_in_bucket"),
+        (F.lit(n_buckets) - F.count(F.lit(1))).cast("bigint")
+        .alias("n_buckets"),
+        F.lit(0).cast("bigint").alias("n_occurrences"),
+    )
+    return hist.unionByName(empty).orderBy("terms_in_bucket")
+
+
+def feature_hash_collision_audit_sql(
+    source_sql: str, text_col: str, n_buckets: int = 1024
+) -> str:
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    bh = _h60_sql("'fh|' || tok")
+    bucket = f"{bh} % {n_buckets}"
+    return f"""
+WITH tok AS (
+  SELECT unnest({tokens_sql(text_col)}) AS tok FROM ({source_sql})
+),
+per_term AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS occ FROM tok GROUP BY tok
+),
+per_bucket AS (
+  SELECT CAST({bucket} AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS terms,
+         CAST(SUM(occ) AS BIGINT) AS occs
+  FROM per_term GROUP BY 1
+)
+SELECT terms AS terms_in_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(occs) AS BIGINT) AS n_occurrences
+FROM per_bucket GROUP BY 1
+UNION ALL
+SELECT CAST(0 AS BIGINT), {n_buckets} - (SELECT COUNT(*) FROM per_bucket),
+       CAST(0 AS BIGINT)
+ORDER BY terms_in_bucket
+"""

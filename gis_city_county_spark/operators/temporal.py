@@ -1948,3 +1948,261 @@ def conversion_latency(
             " div 1000000 AS BIGINT)"
         ).alias("latency_sec"),
     )
+
+
+def hazard_table(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Discrete-time churn hazard table — the life-table form of
+    retention analysis (the survival curve's exact-integer sibling:
+    Kaplan-Meier multiplies per-day survival factors, which no engine
+    reproduces bit-for-bit, so this operator publishes the per-day
+    HAZARD components and leaves the product to the consumer).
+
+    Per user: lifetime ``t = datediff(last event day, first event
+    day)``.  A user whose last event is within ``churn_gap_days`` of
+    the observation horizon (the corpus-wide max day) is CENSORED at
+    ``t`` — still alive as far as the data can tell; everyone else
+    churned at ``t``.  ``hazard_ppm(t) = 10⁶ · churned(t) div
+    at_risk(t)`` with ``at_risk(t) = Σ_{s≥t} ended(s)`` — users
+    still under observation at day ``t``.
+
+    Scale shape: ONE map-combinable per-user min/max, a broadcast
+    1-row horizon, a per-day aggregate bounded by the CALENDAR, and
+    the at-risk suffix sum over those bounded per-day rows (never the
+    users).  All integers exact.
+
+    Returns (day_index, n_at_risk, n_churned, n_censored,
+    hazard_ppm) ordered by day_index.
+    """
+    per_user = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.min(F.to_date(ts_col)).alias("__first"),
+            F.max(F.to_date(ts_col)).alias("__last"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    horizon = per_user.agg(F.max("__last").alias("__hz"))
+    pu = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("__last", "__first").cast("bigint").alias("__t"),
+        (F.datediff("__hz", "__last") < churn_gap_days).alias("__cens"),
+    )
+    per_t = pu.groupBy(F.col("__t").alias("day_index")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ended"),
+        F.sum(F.when(~F.col("__cens"), 1).otherwise(0)).cast("bigint")
+        .alias("n_churned"),
+        F.sum(F.when(F.col("__cens"), 1).otherwise(0)).cast("bigint")
+        .alias("n_censored"),
+    )
+    # Suffix sum over the per-DAY rows — input bounded by the
+    # calendar span, not the user count.
+    w = (
+        Window.orderBy(F.col("day_index").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_t.withColumn(
+            "n_at_risk", F.sum("__ended").over(w).cast("bigint")
+        )
+        .select(
+            "day_index",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            F.expr(
+                "CAST((n_churned * CAST(1000000 AS BIGINT))"
+                " div n_at_risk AS BIGINT)"
+            ).alias("hazard_ppm"),
+        )
+        .orderBy("day_index")
+    )
+
+
+def hazard_table_sql(
+    source_sql: str,
+    user_col: str,
+    ts_col: str,
+    churn_gap_days: int = 7,
+) -> str:
+    return f"""
+WITH per_user AS MATERIALIZED (
+  SELECT {user_col} AS u,
+         MIN(CAST({ts_col} AS DATE)) AS f,
+         MAX(CAST({ts_col} AS DATE)) AS l
+  FROM ({source_sql})
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+  GROUP BY 1
+),
+hz AS (SELECT MAX(l) AS hz FROM per_user),
+pu AS (
+  SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+         date_diff('day', l, hz) < {churn_gap_days} AS cens
+  FROM per_user CROSS JOIN hz
+),
+per_t AS (
+  SELECT t AS day_index,
+         CAST(COUNT(*) AS BIGINT) AS ended,
+         CAST(SUM(CASE WHEN NOT cens THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_churned,
+         CAST(SUM(CASE WHEN cens THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_censored
+  FROM pu GROUP BY 1
+)
+SELECT day_index,
+       CAST(SUM(ended) OVER (ORDER BY day_index DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_at_risk,
+       n_churned,
+       n_censored,
+       CAST((n_churned * CAST(1000000 AS BIGINT))
+            // (SUM(ended) OVER (ORDER BY day_index DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)) AS BIGINT) AS hazard_ppm
+FROM per_t
+ORDER BY day_index
+"""
+
+
+def daily_mad_anomalies(
+    df: DataFrame, ts_col: str, k_milli: int = 3500
+) -> DataFrame:
+    """Robust daily-volume anomaly flags via median absolute
+    deviation — the outlier detector a pipeline-health dashboard
+    wants where mean/stddev would be dragged by the very outliers
+    being hunted (a single ingestion-spike day inflates σ and hides
+    itself; the median and MAD ignore it).
+
+    All statistics use the exact LOWER-median convention over the
+    ZERO-FILLED calendar (a day with no events is a 0-count day, not
+    a missing row — exactly the anomaly worth flagging), so both
+    engines agree bit-for-bit; the flag threshold compares exact
+    integers, ``1000·|n − med| > k_milli·MAD`` (default k = 3.5, the
+    textbook cut), with the MAD = 0 degenerate falling back to "any
+    deviation at all".
+
+    Scale shape: one map-combinable per-day count; every window runs
+    over the CALENDAR-bounded day rows, never the events.
+
+    Returns (day, n_events, median_n, abs_deviation, mad,
+    is_anomaly) — one row per calendar day, ordered by day.
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("__day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    span = counts.agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    grid = span.select(F.explode(F.sequence("__lo", "__hi")).alias("__day"))
+    days = (
+        grid.join(counts, "__day", "left")
+        .select(
+            "__day",
+            F.coalesce("__n", F.lit(0).cast("bigint")).alias("n_events"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_ord = Window.orderBy(F.col("n_events").asc(), F.col("__day").asc())
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        days.select(
+            "n_events",
+            F.row_number().over(w_ord).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__m"),
+        )
+        .filter(F.col("__rn") == F.expr("(__m + 1) div 2"))
+        .select(F.col("n_events").alias("__med"))
+    )
+    devs = days.crossJoin(F.broadcast(med)).select(
+        "__day",
+        "n_events",
+        F.col("__med"),
+        F.abs(F.col("n_events") - F.col("__med")).cast("bigint")
+        .alias("abs_deviation"),
+    ).localCheckpoint(eager=False)
+    w_dev = Window.orderBy(
+        F.col("abs_deviation").asc(), F.col("__day").asc()
+    )
+    mad = (
+        devs.select(
+            "abs_deviation",
+            F.row_number().over(w_dev).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__m"),
+        )
+        .filter(F.col("__rn") == F.expr("(__m + 1) div 2"))
+        .select(F.col("abs_deviation").alias("__mad"))
+    )
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("__day").cast("timestamp").alias("day"),
+            "n_events",
+            F.col("__med").alias("median_n"),
+            "abs_deviation",
+            F.col("__mad").alias("mad"),
+            F.expr(
+                f"CASE WHEN __mad > 0 THEN"
+                f" 1000 * abs_deviation > {k_milli} * __mad"
+                f" ELSE abs_deviation > 0 END"
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+def daily_mad_anomalies_sql(
+    source_sql: str, ts_col: str, k_milli: int = 3500
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({source_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM counts),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+days AS MATERIALIZED (
+  SELECT g.d, COALESCE(c.n, 0) AS n_events
+  FROM grid g LEFT JOIN counts c ON g.d = c.d
+),
+med AS (
+  SELECT n_events AS med FROM (
+    SELECT n_events,
+           ROW_NUMBER() OVER (ORDER BY n_events ASC, d ASC) AS rn,
+           COUNT(*) OVER () AS m
+    FROM days
+  ) WHERE rn = (m + 1) // 2
+),
+devs AS MATERIALIZED (
+  SELECT d, n_events, med,
+         CAST(ABS(n_events - med) AS BIGINT) AS abs_deviation
+  FROM days CROSS JOIN med
+),
+mad AS (
+  SELECT abs_deviation AS mad FROM (
+    SELECT abs_deviation,
+           ROW_NUMBER() OVER (ORDER BY abs_deviation ASC, d ASC) AS rn,
+           COUNT(*) OVER () AS m
+    FROM devs
+  ) WHERE rn = (m + 1) // 2
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       n_events,
+       med AS median_n,
+       abs_deviation,
+       mad,
+       CASE WHEN mad > 0 THEN 1000 * abs_deviation > {k_milli} * mad
+            ELSE abs_deviation > 0 END AS is_anomaly
+FROM devs CROSS JOIN mad
+ORDER BY day
+"""

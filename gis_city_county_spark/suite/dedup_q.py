@@ -37,6 +37,24 @@ def q_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "doc_id", "text")
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection + cross-document
+    sharing audit over the documents corpus: guaranteed detection of
+    any shared w+k-1-token run at ~2/(w+1) of the shingle density."""
+    from gis_city_county_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, "doc_id", "text", k=4, w=4)
+
+
+def _winnowing_oracle() -> str:
+    from gis_city_county_spark.operators.dedup import (
+        winnowing_fingerprints_sql,
+    )
+
+    return winnowing_fingerprints_sql("documents", "doc_id", "text", k=4, w=4)
+
+
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication pairs: longest shared contiguous
     token span per pair via positioned k-token windows + diagonal
@@ -583,6 +601,7 @@ SPECS = [
     ),
     QuerySpec("dedup_prefix_jaccard_join", q_prefix_jaccard, _PREFIX_JACCARD_ORACLE),
     QuerySpec("dedup_substring_spans", q_substring_spans, _substring_oracle()),
+    QuerySpec("dedup_winnowing", q_winnowing, _winnowing_oracle()),
     QuerySpec(
         "dedup_cluster_keeper",
         q_cluster_keeper,

@@ -998,10 +998,48 @@ FROM p
     )
 
 
+def q_hazard_table(spark, sf_dir):
+    """Discrete-time churn hazard life table over events: per
+    lifetime day-index, at-risk / churned / censored counts and the
+    exact-ppm hazard (see operators.temporal.hazard_table)."""
+    from gis_city_county_spark.operators.temporal import hazard_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return hazard_table(ev, "user_id", "ts", churn_gap_days=7)
+
+
+def _hazard_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import hazard_table_sql
+
+    return hazard_table_sql(f"({_EV_CTE})", "user_id", "ts",
+                            churn_gap_days=7)
+
+
+def q_mad_anomalies(spark, sf_dir):
+    """MAD-based daily-volume anomaly flags over events (exact
+    lower-median convention, zero-filled calendar; see
+    operators.temporal.daily_mad_anomalies)."""
+    from gis_city_county_spark.operators.temporal import daily_mad_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    return daily_mad_anomalies(ev, "ts", k_milli=3500)
+
+
+def _mad_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        daily_mad_anomalies_sql,
+    )
+
+    return daily_mad_anomalies_sql(f"({_EV_CTE})", "ts", k_milli=3500)
+
+
+
 SPECS = [
     QuerySpec("events_conversion_latency", q_conversion_latency,
               _conversion_latency_oracle()),
     QuerySpec("events_stickiness", q_stickiness, _STICKINESS_ORACLE),
+    QuerySpec("events_hazard_table", q_hazard_table, _hazard_oracle()),
+    QuerySpec("events_mad_anomalies", q_mad_anomalies, _mad_oracle()),
     QuerySpec("profile_concentration", q_concentration,
               _concentration_oracle()),
     QuerySpec("events_seasonal_baseline", q_seasonal_baseline,

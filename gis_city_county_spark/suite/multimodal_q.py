@@ -348,6 +348,131 @@ FROM txt JOIN img USING (img)
 """
 
 
+
+
+def _dhash_fixture_bmps(spark: SparkSession) -> DataFrame:
+    """Deterministic 16×12 BMP fixtures for the perceptual-hash ops:
+    channel c of image i at pixel (y, x) is ``(b + y·ym + x·xm +
+    c·11 + tweak) % 256`` where the structure driver ``j = 0 for
+    i ≤ 2 else i`` sets ``b = j·37, ym = 7 + 11·(j%4), xm = 3 +
+    5·(j%3)`` — images 0 and 1 are bit-identical (an exact duplicate
+    pair),
+    image 2 adds +100 to R at the SAMPLED pixel (y=6, x=7) only (a
+    near-duplicate within a couple of dHash bits), the rest are
+    unrelated.  The formula is re-derivable in pure SQL, so the
+    oracle recomputes the full hash from pixel arithmetic."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import encode_bmp
+
+    rows = []
+    for i in range(10):
+        j = 0 if i <= 2 else i
+        base, ym, xm = j * 37, 7 + 11 * (j % 4), 3 + 5 * (j % 3)
+        y, x, c = np.ogrid[0:12, 0:16, 0:3]
+        img = (base + y * ym + x * xm + c * 11).astype(np.int64)
+        if i == 2:
+            img[6, 7, 0] += 100
+        rows.append((i, bytearray(encode_bmp((img % 256).astype(np.uint8)))))
+    return spark.createDataFrame(rows, "img_id long, payload binary")
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL perceptual hashing: BMP fixtures round-trip through
+    encode_bmp → executor-side decode → integer luma → 9×8
+    nearest-neighbor grid → 64 difference bits in two 32-bit
+    halves."""
+    from gis_city_county_spark.operators.multimodal import image_dhash
+
+    return image_dhash(_dhash_fixture_bmps(spark), "img_id", "payload")
+
+
+# The oracle recomputes the ENTIRE hash from the fixture formula:
+# luma (77R + 150G + 29B) // 256 at the nearest-neighbor sample
+# points sy = (y·12)//8, sx = (x·16)//9, then difference bits packed
+# little-endian into the two halves.
+_DHASH_PIXELS = """
+imgs AS (
+  SELECT i, j * 37 AS b, 7 + 11 * (j % 4) AS ym, 3 + 5 * (j % 3) AS xm
+  FROM (SELECT i, CASE WHEN i <= 2 THEN 0 ELSE i END AS j
+        FROM (SELECT unnest(generate_series(0, 9)) AS i))
+),
+g AS (
+  SELECT imgs.i, y.y8, x.x9,
+         (y.y8 * 12) // 8 AS sy, (x.x9 * 16) // 9 AS sx
+  FROM imgs,
+       LATERAL UNNEST(generate_series(0, 7)) y(y8),
+       LATERAL UNNEST(generate_series(0, 8)) x(x9)
+),
+px AS (
+  SELECT i, y8, x9,
+         (77 * ((b + sy*ym + sx*xm
+                 + CASE WHEN i = 2 AND sy = 6 AND sx = 7
+                        THEN 100 ELSE 0 END) % 256)
+          + 150 * ((b + sy*ym + sx*xm + 11) % 256)
+          + 29 * ((b + sy*ym + sx*xm + 22) % 256)) // 256 AS gray
+  FROM g JOIN imgs USING (i)
+),
+bits AS (
+  SELECT i, y8, x9 AS x,
+         CASE WHEN LEAD(gray) OVER (PARTITION BY i, y8 ORDER BY x9)
+                   > gray THEN 1 ELSE 0 END AS bit
+  FROM px
+  QUALIFY x9 <= 7
+),
+hashes AS (
+  SELECT i AS img_id,
+         CAST(SUM(CASE WHEN y8 <= 3
+                       THEN bit * (CAST(1 AS BIGINT) << (y8 * 8 + x))
+                       ELSE 0 END) AS BIGINT) AS dhash_hi,
+         CAST(SUM(CASE WHEN y8 >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((y8 - 4) * 8 + x))
+                       ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits GROUP BY i
+)
+"""
+
+_DHASH_ORACLE = f"""
+WITH {_DHASH_PIXELS}
+SELECT img_id, CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       dhash_hi, dhash_lo
+FROM hashes
+"""
+
+
+def q_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-duplicate image pairs over the dHash fixtures:
+    the exact-dup pair (0,1) at Hamming 0 and the tweaked image 2 a
+    few bits away, found via the pigeonhole half-match join, never
+    all pairs."""
+    from gis_city_county_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    hashes = image_dhash(_dhash_fixture_bmps(spark), "img_id", "payload")
+    return dhash_near_pairs(hashes, "img_id", max_hamming=6)
+
+
+_DHASH_PAIRS_ORACLE = f"""
+WITH {_DHASH_PIXELS},
+cand AS (
+  SELECT a.img_id AS a_id, b.img_id AS b_id,
+         a.dhash_hi AS ahi, a.dhash_lo AS alo,
+         b.dhash_hi AS bhi, b.dhash_lo AS blo
+  FROM hashes a JOIN hashes b
+    ON a.img_id < b.img_id
+   AND (a.dhash_hi = b.dhash_hi OR a.dhash_lo = b.dhash_lo)
+)
+SELECT a_id, b_id,
+       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6
+ORDER BY hamming, a_id, b_id
+"""
+
+
 SPECS = [
     QuerySpec("mm_token_budget", q_token_budget, _token_budget_oracle()),
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
@@ -360,4 +485,7 @@ SPECS = [
     QuerySpec("mm_image_decode_stats", q_image_decode_stats, _IMAGE_DECODE_ORACLE, bench=False),
     QuerySpec("mm_image_resize_stats", q_image_resize_stats, _IMAGE_RESIZE_ORACLE, bench=False),
     QuerySpec("mm_audio_decode_stats", q_audio_decode_stats, _AUDIO_DECODE_ORACLE, bench=False),
+    QuerySpec("mm_image_dhash", q_image_dhash, _DHASH_ORACLE, bench=False),
+    QuerySpec("mm_dhash_near_pairs", q_dhash_near_pairs,
+              _DHASH_PAIRS_ORACLE, bench=False),
 ]

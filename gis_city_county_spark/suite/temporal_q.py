@@ -1111,6 +1111,91 @@ def _effect_size_oracle() -> str:
     )
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (contingency-based, tie-corrected) between
+    lineitem quantity and the discount percentage — both naturally
+    bucketed ordinals (50 and 11 levels), the regime the
+    distinct-cell self-join is built for."""
+    from gis_city_county_spark.operators.mlprep import kendall_tau
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+    )
+    return kendall_tau(li, "qty", "disc_pct")
+
+
+def _kendall_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import kendall_tau_sql
+
+    return kendall_tau_sql(
+        "SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qty,"
+        " CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct"
+        " FROM lineitem",
+        "qty", "disc_pct",
+    )
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order status and order priority — the
+    categorical-association screen (exact pico-units χ² identity,
+    cells never rows)."""
+    from gis_city_county_spark.operators.mlprep import cramers_v
+
+    o = load_table(spark, sf_dir, "orders")
+    return cramers_v(o, "o_orderstatus", "o_orderpriority")
+
+
+def _cramers_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import cramers_v_sql
+
+    return cramers_v_sql(
+        "SELECT * FROM orders", "o_orderstatus", "o_orderpriority"
+    )
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit over the documents vocabulary:
+    per bucket-occupancy level, bucket and occurrence counts
+    (including the empty-bucket row, so widths cross-foot)."""
+    from gis_city_county_spark.operators.mlprep import (
+        feature_hash_collision_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return feature_hash_collision_audit(docs, "text", n_buckets=1024)
+
+
+def _feature_hashing_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import (
+        feature_hash_collision_audit_sql,
+    )
+
+    return feature_hash_collision_audit_sql(
+        "SELECT * FROM documents", "text", n_buckets=1024
+    )
+
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick transform itself: sparse signed bucket
+    counts per document (vocabulary-free, join-free, fit-free)."""
+    from gis_city_county_spark.operators.mlprep import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, "doc_id", "text", n_buckets=256)
+
+
+def _hashed_features_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import hashed_features_sql
+
+    return hashed_features_sql(
+        "SELECT * FROM documents", "doc_id", "text", n_buckets=256
+    )
+
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1118,6 +1203,12 @@ SPECS = [
     QuerySpec("mlprep_corr_matrix", q_corr_matrix, _corr_matrix_oracle()),
     QuerySpec("mlprep_loo_target_encode", q_loo_target_encode, _loo_oracle()),
     QuerySpec("eval_spearman", q_spearman, _spearman_oracle()),
+    QuerySpec("eval_kendall_tau", q_kendall_tau, _kendall_oracle()),
+    QuerySpec("mlprep_cramers_v", q_cramers_v, _cramers_oracle()),
+    QuerySpec("mlprep_feature_hashing", q_feature_hashing,
+              _feature_hashing_oracle()),
+    QuerySpec("mlprep_hashed_features", q_hashed_features,
+              _hashed_features_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

@@ -894,6 +894,21 @@ R10_PRESTAGE: tuple[str, ...] = (
     "pipeline_split_balance",
 )
 
+# Queries ADDED during round 10 (after WINDOWS[10] was pinned): their
+# first possible driver check is round 11.  Every new QuerySpec must
+# be appended here — the contract test derives the invariant.
+R11_PRESTAGE: tuple[str, ...] = (
+    "dedup_winnowing",
+    "eval_kendall_tau",
+    "mlprep_cramers_v",
+    "mlprep_feature_hashing",
+    "mlprep_hashed_features",
+    "events_hazard_table",
+    "events_mad_anomalies",
+    "mm_image_dhash",
+    "mm_dhash_near_pairs",
+)
+
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
     6: R6_PRESTAGE,
@@ -901,6 +916,7 @@ PRESTAGE: dict[int, tuple[str, ...]] = {
     8: R8_PRESTAGE,
     9: R9_PRESTAGE,
     10: R10_PRESTAGE,
+    11: R11_PRESTAGE,
 }
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

@@ -227,6 +227,17 @@ _BNLJ_ALLOWED = {
     "eval_bootstrap_ci",
     # the 1-row grand-total scalar riding the splits x labels cells
     "pipeline_split_balance",
+    # the 1-row horizon scalar riding the per-user lifetime rows
+    "events_hazard_table",
+    # two 1-row scalars (median, MAD) riding the calendar-bounded
+    # day rows
+    "events_mad_anomalies",
+    # three 1-row scalar merges (tie marginals + total) onto the
+    # 1-row concordance aggregate
+    "eval_kendall_tau",
+    # three 1-row scalar merges (category cardinalities + total)
+    # onto the 1-row chi-square cell sum
+    "mlprep_cramers_v",
 }
 
 
@@ -473,6 +484,22 @@ _SINGLE_PARTITION_ALLOWED = {
     # the order-stat rank over the n_replicas (=32) replica means +
     # the one-row point merge
     "eval_bootstrap_ci": 2,
+    # one-row horizon scalar + the at-risk suffix sum over the
+    # CALENDAR-bounded per-day rows (never the users)
+    "events_hazard_table": 2,
+    # the median/MAD rank windows over the calendar-bounded day rows
+    # (zero-filled grid; never the events)
+    "events_mad_anomalies": 1,
+    # four 1-row merges: concordant/discordant pair sums over the
+    # bounded distinct-value cells, the two tie marginals, the total
+    "eval_kendall_tau": 4,
+    # four 1-row merges: the chi-square cell sum over bounded
+    # contingency cells, the two category-cardinality scalars, the
+    # total
+    "mlprep_cramers_v": 4,
+    # the one-row empty-bucket remainder merge (input = per-bucket
+    # aggregate rows, bounded by the configured hash width)
+    "mlprep_feature_hashing": 1,
     # one-row final merge of the four discordance counters
     "eval_mcnemar": 1,
     # one-row pivot merge of the <= 2 per-group moment rows

@@ -1,0 +1,417 @@
+"""Round-10 operator additions: winnowing fingerprints, Kendall
+tau-b, Cramér's V, the hashing trick, the churn hazard life table,
+MAD daily anomalies, and the perceptual image dHash.
+
+Each operator gets (a) a hand-checkable exact fixture and (b) a
+Spark-vs-DuckDB twin comparison; the suite-wide
+``test_suite_vs_duckdb`` additionally hash-checks every registered
+QuerySpec at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------- winnowing
+
+
+def test_winnowing_guarantee_and_parity(spark):
+    """The winnowing guarantee: two documents sharing a run of
+    w + k - 1 = 7 tokens share at least one fingerprint; disjoint
+    documents share none; an exact duplicate shares everything."""
+    from gis_city_county_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_sql,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "prefix words then the quick brown fox jumps over the rest"),
+        (3, "nothing in common here at all whatsoever plainly unique"),
+        (4, "too short"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           winnowing_fingerprints(df, "doc_id", "text").collect()}
+    assert 4 not in out  # below k + w - 1 tokens: no full window
+    assert out[1]["shared_ppm"] == 1_000_000  # exact dup of 5
+    assert out[5]["shared_ppm"] == 1_000_000
+    assert out[2]["n_shared_fp"] >= 1  # 7-token overlap guarantee
+    assert out[3]["n_shared_fp"] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(
+            winnowing_fingerprints_sql("t", "doc_id", "text")
+        ).fetchall()
+    )
+    got = sorted(
+        tuple(r) for r in
+        winnowing_fingerprints(df, "doc_id", "text").collect()
+    )
+    assert got == want
+
+
+def test_winnowing_density(spark):
+    """Winnowing selects ~2/(w+1) of the shingles — on a long random
+    document the fingerprint density must land well below 1 and the
+    count below the shingle count."""
+    import random
+
+    rnd = random.Random(4)
+    words = " ".join(
+        rnd.choice(["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"])
+        + str(rnd.randint(0, 99))
+        for _ in range(400)
+    )
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    from gis_city_county_spark.operators.dedup import winnowing_fingerprints
+
+    r = winnowing_fingerprints(df, "doc_id", "text").collect()[0]
+    assert r["n_shingles"] == 397
+    # expected density 2/(w+1) = 0.4; allow generous slack
+    assert 0.2 * 397 < r["n_fingerprints"] < 0.6 * 397
+
+
+# ----------------------------------------------------- kendall tau
+
+
+def test_kendall_tau_exact_small(spark):
+    """Textbook check against a brute-force O(n²) pair count with
+    ties in both variables."""
+    rows = [(1, 2), (2, 2), (2, 3), (3, 1), (4, 4), (4, 4), (5, 5)]
+    from gis_city_county_spark.operators.mlprep import kendall_tau
+
+    r = kendall_tau(
+        spark.createDataFrame(rows, "x int, y int"), "x", "y"
+    ).collect()[0]
+    # brute force
+    C = D = 0
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (rows[i][0] - rows[j][0]) * (rows[i][1] - rows[j][1])
+            C += s > 0
+            D += s < 0
+    assert (r["concordant"], r["discordant"]) == (C, D)
+    from collections import Counter
+    import math
+
+    n0 = n * (n - 1) // 2
+    n1 = sum(c * (c - 1) // 2 for c in Counter(x for x, _ in rows).values())
+    n2 = sum(c * (c - 1) // 2 for c in Counter(y for _, y in rows).values())
+    assert r["ties_x_pairs"] == n1 and r["ties_y_pairs"] == n2
+    assert r["tau_b"] == pytest.approx(
+        (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    )
+
+
+def test_kendall_tau_constant_variable_null(spark):
+    from gis_city_county_spark.operators.mlprep import kendall_tau
+
+    df = spark.createDataFrame([(1, 1), (1, 2), (1, 3)], "x int, y int")
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["tau_b"] is None and r["concordant"] == 0
+
+
+def test_kendall_tau_matches_duckdb(spark):
+    import random
+
+    from gis_city_county_spark.operators.mlprep import (
+        kendall_tau,
+        kendall_tau_sql,
+    )
+
+    rnd = random.Random(9)
+    rows = [(rnd.randint(0, 6), rnd.randint(0, 4)) for _ in range(300)]
+    rows += [(None, 1), (2, None)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = tuple(kendall_tau(df, "x", "y").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x INT, y INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(kendall_tau_sql("SELECT * FROM t", "x", "y")).fetchall()[0]
+    assert got == want
+
+
+# ------------------------------------------------------- cramers v
+
+
+def test_cramers_v_perfect_association(spark):
+    """A bijective 3×3 table is perfect association: V = 1."""
+    from gis_city_county_spark.operators.mlprep import cramers_v
+
+    rows = [(c, c.upper()) for c in "abc" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cramers_v_independence_near_zero(spark):
+    """A perfectly balanced product table has χ² = 0 exactly."""
+    from gis_city_county_spark.operators.mlprep import cramers_v
+
+    rows = [(a, b) for a in "ab" for b in "xyz" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["phi2_pico"] == 0 and r["cramers_v"] == 0.0
+
+
+def test_cramers_v_constant_variable_null(spark):
+    from gis_city_county_spark.operators.mlprep import cramers_v
+
+    df = spark.createDataFrame([("a", "x"), ("a", "y")], "a string, b string")
+    r = cramers_v(df, "a", "b").collect()[0]
+    assert r["cramers_v"] is None
+
+
+def test_cramers_v_matches_duckdb(spark):
+    import random
+
+    from gis_city_county_spark.operators.mlprep import (
+        cramers_v,
+        cramers_v_sql,
+    )
+
+    rnd = random.Random(2)
+    rows = [
+        (rnd.choice("abcd"), rnd.choice("wxyz")) for _ in range(500)
+    ] + [(None, "w"), ("a", None)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = tuple(cramers_v(df, "a", "b").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(cramers_v_sql("SELECT * FROM t", "a", "b")).fetchall()[0]
+    assert got == want
+
+
+# -------------------------------------------------- feature hashing
+
+
+def test_hashed_features_sign_cancellation_and_parity(spark):
+    """Feature rows carry both the signed sum and the raw occurrence
+    count; repeated tokens accumulate; engines agree exactly."""
+    from gis_city_county_spark.operators.mlprep import (
+        hashed_features,
+        hashed_features_sql,
+    )
+
+    rows = [(1, "w1 w1 w2"), (2, "w3"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = hashed_features(df, "doc_id", "text", n_buckets=16)
+    got = sorted(tuple(r) for r in feats.collect())
+    assert all(abs(sc) <= nt for _, _, sc, nt in got)
+    assert sum(nt for _, _, _, nt in got) == 4  # total token occurrences
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(
+            hashed_features_sql("SELECT * FROM t", "doc_id", "text", 16)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_feature_hash_audit_crossfoots(spark):
+    """Occupancy histogram sums to the configured bucket count and
+    occurrence totals cross-foot to the corpus token count."""
+    from gis_city_county_spark.operators.mlprep import (
+        feature_hash_collision_audit,
+    )
+
+    rows = [(1, "a b c d e f g h"), (2, "a a b x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = [tuple(r) for r in
+            feature_hash_collision_audit(df, "text", n_buckets=32).collect()]
+    assert sum(h[1] for h in hist) == 32
+    assert sum(h[2] for h in hist) == 14
+    assert hist[0][0] == 0  # the empty-bucket row is always present
+
+
+# ------------------------------------------------------ hazard table
+
+
+def test_hazard_table_life_table_identities(spark):
+    """at_risk is the suffix sum of cohort exits; churned + censored
+    cross-foot; hazard is the exact ppm ratio."""
+    from gis_city_county_spark.operators.temporal import hazard_table
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-04"),   # t=3, churned
+        (2, "2024-01-02"),                        # t=0, churned
+        (3, "2024-01-10"), (3, "2024-01-28"),   # t=18, censored (horizon)
+        (4, "2024-01-25"), (4, "2024-01-28"),   # t=3, censored
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").select(
+        "user_id", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = {r["day_index"]: r for r in
+           hazard_table(df, "user_id", "ts", churn_gap_days=7).collect()}
+    assert out[0]["n_at_risk"] == 4
+    assert out[0]["n_churned"] == 1 and out[0]["hazard_ppm"] == 250_000
+    assert out[3]["n_at_risk"] == 3
+    assert out[3]["n_churned"] == 1 and out[3]["n_censored"] == 1
+    assert out[3]["hazard_ppm"] == 333_333
+    assert out[18]["n_at_risk"] == 1 and out[18]["n_censored"] == 1
+    assert out[18]["hazard_ppm"] == 0
+
+
+def test_hazard_table_matches_duckdb(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    got = sorted(
+        tuple(r) for r in q["events_hazard_table"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(o["events_hazard_table"]).fetchall())
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------ MAD anomalies
+
+
+def test_mad_flags_spike_and_outage(spark):
+    import datetime
+
+    from gis_city_county_spark.operators.temporal import daily_mad_anomalies
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for day in range(15):
+        n = 300 if day == 4 else (0 if day == 9 else 50 + day % 3)
+        for i in range(n):
+            rows.append((base + datetime.timedelta(days=day, minutes=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["day"].day: r for r in
+           daily_mad_anomalies(df, "ts").collect()}
+    assert len(out) == 15  # zero-filled calendar, outage day present
+    assert out[5]["is_anomaly"] and out[5]["n_events"] == 300
+    assert out[10]["is_anomaly"] and out[10]["n_events"] == 0
+    normal = [d for d, r in out.items() if d not in (5, 10)]
+    assert not any(out[d]["is_anomaly"] for d in normal)
+
+
+def test_mad_matches_duckdb_on_events(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    got = sorted(
+        tuple(r) for r in q["events_mad_anomalies"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in
+                  con.execute(o["events_mad_anomalies"]).fetchall())
+    assert got == want and len(got) > 0
+
+
+# ----------------------------------------------------------- dHash
+
+
+def test_image_dhash_invariances(spark):
+    """dHash is invariant to uniform brightness shifts (differences
+    survive) and to nearest-neighbor upscaling (the 9×8 grid samples
+    the same relative positions); a heavy local edit flips few
+    bits."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 200, size=(12, 16, 3)).astype(np.uint8)
+    brighter = np.clip(img.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    upscaled = img.repeat(2, axis=0).repeat(2, axis=1)
+    edited = img.copy()
+    edited[0:3, 0:3] = 255
+    rows = [
+        (0, bytearray(encode_bmp(img))),
+        (1, bytearray(encode_bmp(brighter))),
+        (2, bytearray(encode_bmp(upscaled))),
+        (3, bytearray(encode_bmp(edited))),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    out = {r["img_id"]: r for r in
+           image_dhash(df, "img_id", "payload").collect()}
+
+    def ham(a, b):
+        return (
+            bin(out[a]["dhash_hi"] ^ out[b]["dhash_hi"]).count("1")
+            + bin(out[a]["dhash_lo"] ^ out[b]["dhash_lo"]).count("1")
+        )
+
+    assert ham(0, 1) <= 4       # brightness shift: near-identical
+    assert ham(0, 2) <= 4       # 2x nearest-neighbor upscale
+    assert 0 < ham(0, 3) <= 16  # local edit flips a few bits only
+    assert out[2]["width"] == 32 and out[2]["height"] == 24
+
+
+def test_dhash_near_pairs_pigeonhole(spark):
+    """The banded join must find exactly the pairs within the
+    Hamming budget — including a pair differing ONLY in the low
+    half — and never emit a pair beyond it."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import (
+        dhash_near_pairs,
+    )
+
+    rows = [
+        (0, 100, 200),
+        (1, 100, 201),   # lo differs by 1 bit -> hamming 1
+        (2, 100, 200),   # exact dup of 0
+        (3, 999, 200),   # hi differs by bit_count(100^999)
+        (4, 555, 777),   # unrelated
+    ]
+    df = spark.createDataFrame(
+        rows, "img_id long, dhash_hi long, dhash_lo long"
+    )
+    got = [tuple(r) for r in dhash_near_pairs(df, "img_id", 6).collect()]
+    ham_3 = bin(100 ^ 999).count("1")
+    expected = [(0, 2, 0), (0, 1, 1), (1, 2, 1)]
+    if ham_3 <= 6:
+        expected += [(0, 3, ham_3), (2, 3, ham_3)]
+    assert sorted(got) == sorted(expected)
+
+
+def test_dhash_fixture_queries_match_oracle(spark):
+    from gis_city_county_spark.suite.multimodal_q import (
+        _DHASH_ORACLE,
+        _DHASH_PAIRS_ORACLE,
+        q_dhash_near_pairs,
+        q_image_dhash,
+    )
+
+    con = duckdb.connect()
+    got = sorted(tuple(r) for r in q_image_dhash(spark, "").collect())
+    want = sorted(tuple(r) for r in con.execute(_DHASH_ORACLE).fetchall())
+    assert got == want
+    gp = [tuple(r) for r in q_dhash_near_pairs(spark, "").collect()]
+    wp = [tuple(r) for r in con.execute(_DHASH_PAIRS_ORACLE).fetchall()]
+    assert gp == wp
+    assert (0, 1, 0) in gp  # the exact-duplicate pair
+    assert any(a == 0 and b == 2 and 0 < h <= 2 for a, b, h in gp)
