@@ -2854,3 +2854,128 @@ SELECT CAST(0 AS BIGINT), {n_buckets} - (SELECT COUNT(*) FROM per_bucket),
        CAST(0 AS BIGINT)
 ORDER BY terms_in_bucket
 """
+
+
+def iqr_outlier_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Tukey-fence outlier audit — the robust data-quality screen a
+    feature pipeline runs before training (the winsorize/clip
+    decision needs the COUNT of what clipping would touch, which the
+    quantiles alone don't give): exact lower-convention quartiles in
+    integer cents, fences at ``q1 − 1.5·IQR`` / ``q3 + 1.5·IQR``
+    held in exact MILLI-cents (so the 1.5 multiplier never touches a
+    float), and exact counts outside each fence.
+
+    Scale shape: one map-combinable (value → count) aggregate, the
+    two-phase bucketed running sum (:func:`~gis_city_county_spark.
+    operators.scale.ranged_cumsum` — never a single-partition
+    window), and two 1-row merges.  Quartile convention: the value
+    covering rank ``ceil(k·n/4)`` (1-based, lower) — identical on
+    both engines by construction.
+
+    Returns one row: (n, q1_cents, q3_cents, iqr_cents, n_low,
+    n_high, outlier_ppm).
+    """
+    from gis_city_county_spark.operators.scale import ranged_cumsum
+
+    cents = F.floor(
+        F.col(value_col).cast("decimal(38,10)") * 100
+    ).cast("bigint")
+    per_v = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(cents.alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    cum = ranged_cumsum(
+        per_v, "__v", "__v", "__c",
+        cum_col="__cum", total_col="__tot", descending=False,
+    ).localCheckpoint(eager=False)
+    stats = cum.agg(
+        F.max("__tot").cast("bigint").alias("n"),
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(__tot + 3) div 4"),
+                   F.col("__v"))
+        ).cast("bigint").alias("q1_cents"),
+        F.min(
+            F.when(F.col("__cum") >= F.expr("(3 * __tot + 3) div 4"),
+                   F.col("__v"))
+        ).cast("bigint").alias("q3_cents"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(stats))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1_cents").alias("q1_cents"),
+            F.max("q3_cents").alias("q3_cents"),
+            F.max(F.expr("q3_cents - q1_cents")).cast("bigint")
+            .alias("iqr_cents"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "1000 * __v < 1000 * q1_cents"
+                        " - 1500 * (q3_cents - q1_cents)"
+                    ),
+                    F.col("__c"),
+                ).otherwise(0)
+            ).cast("bigint").alias("n_low"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "1000 * __v > 1000 * q3_cents"
+                        " + 1500 * (q3_cents - q1_cents)"
+                    ),
+                    F.col("__c"),
+                ).otherwise(0)
+            ).cast("bigint").alias("n_high"),
+        )
+        .select(
+            "n", "q1_cents", "q3_cents", "iqr_cents", "n_low", "n_high",
+            F.expr(
+                "CAST(((n_low + n_high) * CAST(1000000 AS BIGINT))"
+                " div n AS BIGINT)"
+            ).alias("outlier_ppm"),
+        )
+    )
+
+
+def iqr_outlier_audit_sql(source_sql: str, value_col: str) -> str:
+    return f"""
+WITH per_v AS (
+  SELECT CAST(FLOOR(CAST({value_col} AS DECIMAL(38,10)) * 100) AS BIGINT)
+           AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({source_sql}) WHERE {value_col} IS NOT NULL GROUP BY 1
+),
+cum AS MATERIALIZED (
+  SELECT v, c,
+         SUM(c) OVER (ORDER BY v) AS cum,
+         SUM(c) OVER () AS tot
+  FROM per_v
+),
+stats AS (
+  SELECT CAST(MAX(tot) AS BIGINT) AS n,
+         CAST(MIN(CASE WHEN cum >= (tot + 3) // 4 THEN v END) AS BIGINT)
+           AS q1_cents,
+         CAST(MIN(CASE WHEN cum >= (3 * tot + 3) // 4 THEN v END)
+              AS BIGINT) AS q3_cents
+  FROM cum
+)
+SELECT MAX(n) AS n,
+       MAX(q1_cents) AS q1_cents,
+       MAX(q3_cents) AS q3_cents,
+       CAST(MAX(q3_cents - q1_cents) AS BIGINT) AS iqr_cents,
+       CAST(SUM(CASE WHEN 1000 * v < 1000 * q1_cents
+                          - 1500 * (q3_cents - q1_cents)
+                     THEN c ELSE 0 END) AS BIGINT) AS n_low,
+       CAST(SUM(CASE WHEN 1000 * v > 1000 * q3_cents
+                          + 1500 * (q3_cents - q1_cents)
+                     THEN c ELSE 0 END) AS BIGINT) AS n_high,
+       CAST(((SUM(CASE WHEN 1000 * v < 1000 * q1_cents
+                            - 1500 * (q3_cents - q1_cents)
+                       THEN c ELSE 0 END)
+              + SUM(CASE WHEN 1000 * v > 1000 * q3_cents
+                              + 1500 * (q3_cents - q1_cents)
+                         THEN c ELSE 0 END))
+             * CAST(1000000 AS BIGINT)) // MAX(n) AS BIGINT)
+         AS outlier_ppm
+FROM cum CROSS JOIN stats
+"""

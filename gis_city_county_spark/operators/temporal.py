@@ -2206,3 +2206,133 @@ SELECT CAST(d AS TIMESTAMP) AS day,
 FROM devs CROSS JOIN mad
 ORDER BY day
 """
+
+
+def growth_accounting(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly growth accounting (the new / retained / resurrected /
+    churned decomposition every growth team reports): a user active
+    in week ``w`` is NEW (never active before), RETAINED (active in
+    ``w − 1`` week) or RESURRECTED (active before, but not in ``w −
+    1``); a user active in ``w`` and not in ``w + 1`` CHURNS in ``w +
+    1``.  The identity ``active(w) = active(w−1) + new(w) +
+    resurrected(w) − churned(w)`` holds exactly (pinned by test) —
+    the property that makes the report self-auditing.
+
+    Churn needs one week of hindsight, so churned counts stop at the
+    horizon (the corpus-wide max week): the last active week never
+    shows its own churn-out, exactly like the live dashboard.
+
+    Scale shape: one distinct over (user, week), one USER-partitioned
+    lag/lead window (each partition a user's own weeks), a 1-row
+    broadcast horizon, and per-week count aggregates.  All exact
+    integers; weeks stay TIMESTAMP.
+
+    Returns (week, n_active, n_new, n_retained, n_resurrected,
+    n_churned) ordered by week.
+    """
+    weeks = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", F.col(ts_col)).alias("__w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    horizon = weeks.agg(F.max("__w").alias("__hz"))
+    wspec = Window.partitionBy("__u").orderBy("__w")
+    seq = weeks.select(
+        "__u",
+        "__w",
+        F.lag("__w").over(wspec).alias("__prev"),
+        F.lead("__w").over(wspec).alias("__next"),
+    )
+    active = seq.groupBy(F.col("__w").alias("week")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("__prev").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("__prev") == F.expr("timestampadd(WEEK, -1, __w)"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("__prev").isNotNull()
+                & (F.col("__prev") < F.expr("timestampadd(WEEK, -1, __w)")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(horizon))
+        .filter(
+            (
+                F.col("__next").isNull()
+                | (F.col("__next") > F.expr("timestampadd(WEEK, 1, __w)"))
+            )
+            & (F.expr("timestampadd(WEEK, 1, __w)") <= F.col("__hz"))
+        )
+        .groupBy(F.expr("timestampadd(WEEK, 1, __w)").alias("week"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return (
+        active.join(churn, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0).cast("bigint"))
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+def growth_accounting_sql(source_sql: str, user_col: str, ts_col: str) -> str:
+    return f"""
+WITH weeks AS MATERIALIZED (
+  -- CAST back to TIMESTAMP: DuckDB's date_trunc('week', TIMESTAMP)
+  -- returns DATE while Spark's stays TIMESTAMP, and the hash compare
+  -- sees different normal forms (the calendar-bucket gotcha).
+  SELECT DISTINCT {user_col} AS u,
+         CAST(date_trunc('week', {ts_col}) AS TIMESTAMP) AS w
+  FROM ({source_sql})
+  WHERE {user_col} IS NOT NULL AND {ts_col} IS NOT NULL
+),
+hz AS (SELECT MAX(w) AS hz FROM weeks),
+seq AS (
+  SELECT u, w,
+         LAG(w) OVER (PARTITION BY u ORDER BY w) AS prev,
+         LEAD(w) OVER (PARTITION BY u ORDER BY w) AS next
+  FROM weeks
+),
+active AS (
+  SELECT w AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+         CAST(SUM(CASE WHEN prev = w - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_retained,
+         CAST(SUM(CASE WHEN prev IS NOT NULL
+                        AND prev < w - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_resurrected
+  FROM seq GROUP BY w
+),
+churn AS (
+  SELECT w + INTERVAL 7 DAY AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_churned
+  FROM seq CROSS JOIN hz
+  WHERE (next IS NULL OR next > w + INTERVAL 7 DAY)
+    AND w + INTERVAL 7 DAY <= hz
+  GROUP BY 1
+)
+SELECT a.week, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+       COALESCE(c.n_churned, 0) AS n_churned
+FROM active a LEFT JOIN churn c ON a.week = c.week
+ORDER BY a.week
+"""

@@ -1034,12 +1034,34 @@ def _mad_oracle() -> str:
 
 
 
+def q_growth_accounting(spark, sf_dir):
+    """Weekly new/retained/resurrected/churned growth accounting over
+    events (see operators.temporal.growth_accounting); the identity
+    active(w) = active(w-1) + new + resurrected - churned is pinned
+    by test."""
+    from gis_city_county_spark.operators.temporal import growth_accounting
+
+    ev = load_table(spark, sf_dir, "events")
+    return growth_accounting(ev, "user_id", "ts")
+
+
+def _growth_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        growth_accounting_sql,
+    )
+
+    return growth_accounting_sql(f"({_EV_CTE})", "user_id", "ts")
+
+
+
 SPECS = [
     QuerySpec("events_conversion_latency", q_conversion_latency,
               _conversion_latency_oracle()),
     QuerySpec("events_stickiness", q_stickiness, _STICKINESS_ORACLE),
     QuerySpec("events_hazard_table", q_hazard_table, _hazard_oracle()),
     QuerySpec("events_mad_anomalies", q_mad_anomalies, _mad_oracle()),
+    QuerySpec("events_growth_accounting", q_growth_accounting,
+              _growth_oracle()),
     QuerySpec("profile_concentration", q_concentration,
               _concentration_oracle()),
     QuerySpec("events_seasonal_baseline", q_seasonal_baseline,

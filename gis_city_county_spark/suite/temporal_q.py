@@ -1196,6 +1196,24 @@ def _hashed_features_oracle() -> str:
 
 
 
+def q_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit on order totals: exact
+    lower-convention quartiles in cents, milli-cent fences, exact
+    outside-fence counts (two-phase bucketed cumsum, never a global
+    window)."""
+    from gis_city_county_spark.operators.mlprep import iqr_outlier_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return iqr_outlier_audit(o, "o_totalprice")
+
+
+def _iqr_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import iqr_outlier_audit_sql
+
+    return iqr_outlier_audit_sql("SELECT * FROM orders", "o_totalprice")
+
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1209,6 +1227,7 @@ SPECS = [
               _feature_hashing_oracle()),
     QuerySpec("mlprep_hashed_features", q_hashed_features,
               _hashed_features_oracle()),
+    QuerySpec("mlprep_iqr_outliers", q_iqr_outlier_audit, _iqr_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

@@ -2034,7 +2034,54 @@ FROM rev JOIN reg ON rev.r_name = reg.r_name CROSS JOIN tot
 """
 
 
+def q_cube_revenue(spark, sf_dir):
+    """Full CUBE over (order status, order priority): every subtotal
+    combination plus the grand total in ONE pass (Spark expands the
+    cube through a single Expand + hash aggregate — four grouping
+    sets, one scan, one shuffle), with an explicit grouping-bit id so
+    subtotal NULLs are distinguishable from data NULLs.  Exact
+    decimal revenue (dec_sum convention)."""
+    from gis_city_county_spark.functions.numeric import dec_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() must live inside the agg list (Spark rejects
+            # it in a downstream projection).
+            (2 * F.grouping("o_orderstatus")
+             + F.grouping("o_orderpriority")).cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+def _cube_revenue_oracle() -> str:
+    from gis_city_county_spark.functions.numeric import dec_sum_sql
+
+    return f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       CAST(2 * GROUPING(o_orderstatus) + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dec_sum_sql("o_totalprice", "revenue")}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+
 SPECS = [
+    QuerySpec("olap_cube_revenue", q_cube_revenue, _cube_revenue_oracle()),
     QuerySpec("olap_share_of_parent", q_share_of_parent,
               _SHARE_OF_PARENT_ORACLE),
     QuerySpec("olap_pivot_event_matrix", q_pivot_event_matrix, _PIVOT_ORACLE),

@@ -907,6 +907,10 @@ R11_PRESTAGE: tuple[str, ...] = (
     "events_mad_anomalies",
     "mm_image_dhash",
     "mm_dhash_near_pairs",
+    # Second wave (same session).
+    "events_growth_accounting",
+    "mlprep_iqr_outliers",
+    "olap_cube_revenue",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -238,6 +238,11 @@ _BNLJ_ALLOWED = {
     # three 1-row scalar merges (category cardinalities + total)
     # onto the 1-row chi-square cell sum
     "mlprep_cramers_v",
+    # the 1-row horizon scalar riding the per-user week sequence
+    "events_growth_accounting",
+    # the 1-row quartile scalar riding the bounded distinct-value
+    # cumsum frame
+    "mlprep_iqr_outliers",
 }
 
 
@@ -500,6 +505,13 @@ _SINGLE_PARTITION_ALLOWED = {
     # the one-row empty-bucket remainder merge (input = per-bucket
     # aggregate rows, bounded by the configured hash width)
     "mlprep_feature_hashing": 1,
+    # one-row horizon scalar (the per-user week windows are
+    # user-partitioned, never global)
+    "events_growth_accounting": 1,
+    # two 1-row merges: the quartile scalars and the final fence
+    # counts (inputs = ranged_cumsum partials / the bounded
+    # distinct-value frame)
+    "mlprep_iqr_outliers": 2,
     # one-row final merge of the four discordance counters
     "eval_mcnemar": 1,
     # one-row pivot merge of the <= 2 per-group moment rows

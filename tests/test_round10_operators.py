@@ -415,3 +415,125 @@ def test_dhash_fixture_queries_match_oracle(spark):
     assert gp == wp
     assert (0, 1, 0) in gp  # the exact-duplicate pair
     assert any(a == 0 and b == 2 and 0 < h <= 2 for a, b, h in gp)
+
+
+# ----------------------------------------------- growth accounting
+
+
+def test_growth_accounting_classification_and_identity(spark):
+    """Hand-checkable week classifications, the self-auditing
+    identity active(w) = active(w−1) + new + resurrected − churned,
+    and churn hindsight stopping at the horizon."""
+    from gis_city_county_spark.operators.temporal import growth_accounting
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-08"), (1, "2024-01-22"),
+        (2, "2024-01-01"),
+        (3, "2024-01-08"), (3, "2024-01-15"), (3, "2024-01-22"),
+        (None, "2024-01-01"), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").select(
+        "user_id", F.col("d").cast("timestamp").alias("ts")
+    )
+    out = [tuple(r) for r in growth_accounting(df, "user_id", "ts").collect()]
+    # (week, active, new, retained, resurrected, churned)
+    assert [t[1:] for t in out] == [
+        (2, 2, 0, 0, 0),   # w1: users 1,2 new
+        (2, 1, 1, 0, 1),   # w2: 3 new, 1 retained, 2 churned
+        (1, 0, 1, 0, 1),   # w3: 3 retained, 1 churned (gap week)
+        (2, 0, 1, 1, 0),   # w4: 3 retained, 1 resurrected; no hindsight
+    ]
+    for i in range(1, len(out)):
+        assert out[i][1] == out[i - 1][1] + out[i][2] + out[i][4] - out[i][5]
+
+
+def test_growth_accounting_matches_duckdb(spark):
+    from gis_city_county_spark.operators.temporal import (
+        growth_accounting,
+        growth_accounting_sql,
+    )
+
+    import datetime
+    import random
+
+    rnd = random.Random(6)
+    rows = [
+        (rnd.randint(1, 40),
+         datetime.datetime(2024, 1, 1)
+         + datetime.timedelta(days=rnd.randint(0, 70)))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = [tuple(r) for r in growth_accounting(df, "user_id", "ts").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [tuple(r) for r in con.execute(
+        growth_accounting_sql("SELECT * FROM t", "user_id", "ts")
+    ).fetchall()]
+    assert got == want and len(got) > 5
+
+
+# ------------------------------------------------------ IQR audit
+
+
+def test_iqr_outlier_audit_exact_quartiles(spark):
+    """1..100 in dollars plus two planted extremes (102 values):
+    lower-convention quartiles at ranks ceil(105/4)=26 and
+    ceil(309/4)=77 of the sorted sequence (−200, 1..100, 500) ⇒
+    q1=25.00, q3=76.00, IQR=51.00; fences at −51.50/152.50 ⇒ the
+    planted 500.00 and −200.00 are the only outliers."""
+    from gis_city_county_spark.operators.mlprep import iqr_outlier_audit
+
+    vals = [float(i) for i in range(1, 101)] + [500.0, -200.0]
+    df = spark.createDataFrame([(v,) for v in vals], "y double")
+    r = iqr_outlier_audit(df, "y").collect()[0]
+    assert r["n"] == 102
+    assert r["q1_cents"] == 2500 and r["q3_cents"] == 7600
+    assert r["iqr_cents"] == 5100
+    assert r["n_low"] == 1 and r["n_high"] == 1
+    assert r["outlier_ppm"] == 19_607
+
+
+def test_iqr_outlier_audit_matches_duckdb(spark):
+    import random
+
+    from gis_city_county_spark.operators.mlprep import (
+        iqr_outlier_audit,
+        iqr_outlier_audit_sql,
+    )
+
+    rnd = random.Random(8)
+    rows = [(round(rnd.gauss(100, 30), 2),) for _ in range(1000)]
+    rows += [(9999.99,), (None,)]
+    df = spark.createDataFrame(rows, "y double")
+    got = tuple(iqr_outlier_audit(df, "y").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = con.execute(
+        iqr_outlier_audit_sql("SELECT * FROM t", "y")
+    ).fetchall()[0]
+    assert got == want
+
+
+# ------------------------------------------------------------ cube
+
+
+def test_cube_revenue_subtotals_crossfoot(spark, sf_dir):
+    """The CUBE's four grouping sets must cross-foot: cell counts sum
+    to the grand total once per grouping set, and the grouping id
+    separates subtotal NULLs from data."""
+    from gis_city_county_spark.suite.tpch_ext import q_cube_revenue
+
+    rows = q_cube_revenue(spark, sf_dir).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 2, 3}
+    grand = by_gid[3][0]
+    assert len(by_gid[3]) == 1
+    for gid in (0, 1, 2):
+        assert sum(r["n_orders"] for r in by_gid[gid]) == grand["n_orders"]
+    assert all(r["priority"] is None for r in by_gid[1])
+    assert all(r["status"] is None for r in by_gid[2])
