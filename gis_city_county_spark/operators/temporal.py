@@ -2239,8 +2239,16 @@ def growth_accounting(
             F.date_trunc("week", F.col(ts_col)).alias("__w"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    return growth_from_user_weeks(weeks)
+
+
+def growth_from_user_weeks(weeks: DataFrame) -> DataFrame:
+    """The tail of :func:`growth_accounting` from an already-distinct
+    ``(__u, __w)`` relation — shared verbatim by the streaming twin
+    (``streaming/growth.py``), whose folded state IS that relation,
+    so the live report can't drift from the batch operator."""
+    weeks = weeks.localCheckpoint(eager=False)
     horizon = weeks.agg(F.max("__w").alias("__hz"))
     wspec = Window.partitionBy("__u").orderBy("__w")
     seq = weeks.select(

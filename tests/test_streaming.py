@@ -1740,3 +1740,109 @@ def test_streaming_stickiness_empty_batch_republishes(spark, tmp_path):
     p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
                 .drop("batch_id").collect())
     assert p2 == p1 and len(p2) > 0
+
+
+def test_streaming_growth_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch growth-
+    accounting maintainer: after each batch the published report
+    partition is BIT-EQUAL to the batch ``growth_accounting`` over
+    every row arrived so far — a LATE batch adds a week BETWEEN two
+    known weeks, re-classifying a resurrected user as retained."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import growth_accounting
+    from gis_city_county_spark.streaming.growth import (
+        streaming_growth_accounting,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ev([(1, "2024-01-01 09:00:00"), (2, "2024-01-01 10:00:00"),
+            (1, "2024-01-15 08:00:00")]),     # user 1 resurrects in w3
+        ev([(3, "2024-01-08 23:00:00"), (2, "2024-01-22 11:00:00")]),
+        # LATE week for user 1 between w1 and w3: w2 arrives last, so
+        # the w3 classification flips resurrected -> retained
+        ev([(1, "2024-01-08 12:00:00"), (None, "2024-01-02 09:00:00"),
+            (4, None)]),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "growth_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_growth_accounting(
+            spark, batches[0].schema, str(incoming),
+            state_dir, report_dir, "user_id", "ts",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["week", "n_active", "n_new", "n_retained", "n_resurrected",
+            "n_churned"]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in growth_accounting(acc, "user_id", "ts").collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+
+
+def test_streaming_growth_retry_and_empty_batch(spark, tmp_path):
+    """The shared replay/empty-batch contracts: a retried fold leaves
+    state distinct-on-read and the report identical; an all-NULL
+    batch republishes under the new batch_id."""
+    from gis_city_county_spark.streaming.growth import growth_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = growth_batch_folder(state_dir, report_dir, "user_id", "ts")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"), (2, "2024-01-08 10:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    weeks = spark.read.parquet(f"{state_dir}/user_weeks")
+    assert weeks.count() == 2 * weeks.distinct().count()
+
+    empty = spark.createDataFrame(
+        [(None, None)], "user_id long, ts timestamp"
+    )
+    fold(empty, 1)
+    rep = spark.read.parquet(report_dir)
+    assert rep.agg(F.max("batch_id")).first()[0] == 1
+    p0 = sorted(tuple(r) for r in rep.filter("batch_id = 0")
+                .drop("batch_id").collect())
+    p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
+                .drop("batch_id").collect())
+    assert p1 == p0 and len(p1) > 0
