@@ -24,7 +24,7 @@ import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -776,4 +776,130 @@ def dhash_near_pairs(
         cand.select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("hamming", "a_id", "b_id")
+    )
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    win: int = 64,
+    fanout: int = 3,
+) -> DataFrame:
+    """Landmark audio fingerprinting (the Shazam constellation idea
+    in its SQL-checkable time-domain form): REAL executor-side WAV
+    decode, one PEAK per non-overlapping ``win``-sample window
+    (argmax |amplitude|, earliest-sample tie — integer-exact), then
+    each peak pairs with the peaks of the next ``fanout`` windows
+    into a packed landmark hash ``offset_a·2¹⁶ + offset_b·2⁸ + dt``.
+    Two clips sharing audio share hashes at a CONSISTENT window
+    offset — which is what :func:`audio_fingerprint_matches` votes
+    on.
+
+    Everything after the decode is integer arithmetic an oracle can
+    recompute from a sample formula; no FFT, so the fingerprint is
+    robust to nothing fancier than time shifts — the point here is
+    the distributed SHAPE (decode → scan-side landmarks →
+    equi-join matching), the production swap-in being spectral peaks
+    from the same window grid.
+
+    Output: (id, win_idx, fp_hash) — one row per landmark;
+    ``win_idx`` is the anchor window index.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("win_idx", T.LongType()),
+            T.StructField("fp_hash", T.LongType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, wins, hashes = [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _ = decode_audio(bytes(payload))
+                mono = samples[:, 0]
+                n_win = len(mono) // win
+                peaks = []
+                for w in range(n_win):
+                    seg = np.abs(mono[w * win:(w + 1) * win])
+                    peaks.append(int(np.argmax(seg)))  # earliest max
+                for a in range(n_win):
+                    for d in range(1, fanout + 1):
+                        b = a + d
+                        if b >= n_win:
+                            break
+                        ids.append(rid)
+                        wins.append(a)
+                        hashes.append(
+                            (peaks[a] << 16) | (peaks[b] << 8) | d
+                        )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(wins, dtype="int64"),
+                    "fp_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    src = rebalance_for_fanout(df.select(id_col, payload_col), multiplier=8.0)
+    return src.mapInPandas(process, out_schema)
+
+
+def audio_fingerprint_matches(
+    fps: DataFrame, id_col: str, min_votes: int = 3
+) -> DataFrame:
+    """Clip-pair matching over :func:`audio_fingerprints` output: an
+    equi-join on the landmark hash (never an all-pairs scan), then a
+    Hough-style vote over the WINDOW-OFFSET difference — genuinely
+    shared audio piles votes on one consistent offset, while chance
+    hash collisions scatter.  Reports each pair's best offset and its
+    vote count.
+
+    Output: (a_id, b_id, n_shared, best_offset, best_votes) for
+    pairs whose best offset collects ≥ ``min_votes`` votes; a_id <
+    b_id, ordered by (best_votes desc, a_id, b_id).
+    """
+    a = fps.select(
+        F.col(id_col).alias("a_id"),
+        F.col("win_idx").alias("__wa"),
+        "fp_hash",
+    )
+    b = fps.select(
+        F.col(id_col).alias("b_id"),
+        F.col("win_idx").alias("__wb"),
+        "fp_hash",
+    )
+    votes = (
+        a.join(b, "fp_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy(
+            "a_id", "b_id",
+            (F.col("__wb") - F.col("__wa")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__votes"))
+    )
+    w = Window.partitionBy("a_id", "b_id").orderBy(
+        F.col("__votes").desc(), F.col("offset").asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_shared",
+            F.sum("__votes").over(
+                Window.partitionBy("a_id", "b_id")
+            ).cast("bigint"),
+        )
+        .filter((F.col("__rn") == 1) & (F.col("__votes") >= min_votes))
+        .select(
+            "a_id", "b_id", "n_shared",
+            F.col("offset").cast("bigint").alias("best_offset"),
+            F.col("__votes").alias("best_votes"),
+        )
+        .orderBy(F.col("best_votes").desc(), "a_id", "b_id")
     )

@@ -473,6 +473,124 @@ ORDER BY hamming, a_id, b_id
 """
 
 
+
+
+def _audio_fp_fixture_wavs(spark: SparkSession) -> DataFrame:
+    """Deterministic 16-bit mono WAV fixtures for the landmark
+    fingerprint ops: clip i's sample t is ``((i·53 + 7t² + 13t) %
+    211) − 105`` — except clip 1, which is clip 0 DELAYED by 128
+    samples (two 64-sample windows) with a zero lead-in, so the
+    matcher must find the (0, 1) pair dominating at best_offset = +2
+    (clip 1's windows lag clip 0's by two).  1024
+    samples per clip (16 windows).  The formula is re-derivable in
+    pure SQL, so the oracle recomputes every landmark from sample
+    arithmetic."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import encode_wav
+
+    def f(i, t):
+        return ((i * 53 + 7 * t * t + 13 * t) % 211) - 105
+
+    rows = []
+    t = np.arange(1024)
+    for i in range(6):
+        if i == 1:
+            samples = np.where(t >= 128, f(0, t - 128), 0)
+        else:
+            samples = f(i, t)
+        rows.append((i, bytearray(encode_wav(samples, 8000, bits=16))))
+    return spark.createDataFrame(rows, "clip_id long, payload binary")
+
+
+def q_audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL landmark fingerprinting: WAV fixtures round-trip through
+    encode_wav → executor-side decode → per-window peak landmarks."""
+    from gis_city_county_spark.operators.multimodal import audio_fingerprints
+
+    return audio_fingerprints(
+        _audio_fp_fixture_wavs(spark), "clip_id", "payload"
+    )
+
+
+_AUDIO_FP_PEAKS = """
+g AS (
+  SELECT i.i, t.t,
+         CASE WHEN i.i = 1 THEN
+           CASE WHEN t.t >= 128
+                THEN ((0 * 53 + 7*(t.t-128)*(t.t-128) + 13*(t.t-128))
+                      % 211) - 105
+                ELSE 0 END
+         ELSE ((i.i * 53 + 7*t.t*t.t + 13*t.t) % 211) - 105
+         END AS s
+  FROM (SELECT unnest(generate_series(0, 5)) AS i) i,
+       (SELECT unnest(generate_series(0, 1023)) AS t) t
+),
+peaks AS (
+  SELECT i, t // 64 AS w, t % 64 AS o
+  FROM (
+    SELECT i, t, ROW_NUMBER() OVER (
+             PARTITION BY i, t // 64 ORDER BY ABS(s) DESC, t ASC
+           ) AS rn
+    FROM g
+  ) WHERE rn = 1
+),
+landmarks AS (
+  SELECT a.i AS clip_id, a.w AS win_idx,
+         CAST(a.o * 65536 + b.o * 256 + (b.w - a.w) AS BIGINT) AS fp_hash
+  FROM peaks a JOIN peaks b
+    ON a.i = b.i AND b.w - a.w BETWEEN 1 AND 3
+)
+"""
+
+_AUDIO_FP_ORACLE = f"""
+WITH {_AUDIO_FP_PEAKS}
+SELECT clip_id, CAST(win_idx AS BIGINT) AS win_idx, fp_hash
+FROM landmarks
+"""
+
+
+def q_audio_fp_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hough-vote clip matching over the landmark fixtures: the
+    shifted copy (clips 0, 1) must dominate at one consistent
+    offset; unrelated clips must stay below the vote floor."""
+    from gis_city_county_spark.operators.multimodal import (
+        audio_fingerprint_matches,
+        audio_fingerprints,
+    )
+
+    fps = audio_fingerprints(
+        _audio_fp_fixture_wavs(spark), "clip_id", "payload"
+    )
+    return audio_fingerprint_matches(fps, "clip_id", min_votes=3)
+
+
+_AUDIO_FP_MATCH_ORACLE = f"""
+WITH {_AUDIO_FP_PEAKS},
+votes AS (
+  SELECT a.clip_id AS a_id, b.clip_id AS b_id,
+         b.win_idx - a.win_idx AS off,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM landmarks a JOIN landmarks b ON a.fp_hash = b.fp_hash
+  WHERE a.clip_id < b.clip_id
+  GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT a_id, b_id, off, votes,
+         ROW_NUMBER() OVER (PARTITION BY a_id, b_id
+                            ORDER BY votes DESC, off ASC) AS rn,
+         SUM(votes) OVER (PARTITION BY a_id, b_id) AS n_shared
+  FROM votes
+)
+SELECT a_id, b_id, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(off AS BIGINT) AS best_offset,
+       votes AS best_votes
+FROM best
+WHERE rn = 1 AND votes >= 3
+ORDER BY best_votes DESC, a_id, b_id
+"""
+
+
 SPECS = [
     QuerySpec("mm_token_budget", q_token_budget, _token_budget_oracle()),
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
@@ -488,4 +606,8 @@ SPECS = [
     QuerySpec("mm_image_dhash", q_image_dhash, _DHASH_ORACLE, bench=False),
     QuerySpec("mm_dhash_near_pairs", q_dhash_near_pairs,
               _DHASH_PAIRS_ORACLE, bench=False),
+    QuerySpec("mm_audio_fingerprints", q_audio_fingerprints,
+              _AUDIO_FP_ORACLE, bench=False),
+    QuerySpec("mm_audio_fp_matches", q_audio_fp_matches,
+              _AUDIO_FP_MATCH_ORACLE, bench=False),
 ]

@@ -911,6 +911,8 @@ R11_PRESTAGE: tuple[str, ...] = (
     "events_growth_accounting",
     "mlprep_iqr_outliers",
     "olap_cube_revenue",
+    "mm_audio_fingerprints",
+    "mm_audio_fp_matches",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

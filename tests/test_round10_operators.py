@@ -537,3 +537,49 @@ def test_cube_revenue_subtotals_crossfoot(spark, sf_dir):
         assert sum(r["n_orders"] for r in by_gid[gid]) == grand["n_orders"]
     assert all(r["priority"] is None for r in by_gid[1])
     assert all(r["status"] is None for r in by_gid[2])
+
+
+# ----------------------------------------------- audio fingerprints
+
+
+def test_audio_fingerprint_shift_detection(spark):
+    """A clip delayed by exactly two windows must match its source at
+    best_offset +2 with the most votes of any pair, and the shared
+    landmark hashes must be identical (time-domain peaks shift with
+    the audio)."""
+    from gis_city_county_spark.suite.multimodal_q import (
+        q_audio_fp_matches,
+    )
+
+    rows = {(r["a_id"], r["b_id"]): r
+            for r in q_audio_fp_matches(spark, "").collect()}
+    assert (0, 1) in rows
+    best = rows[(0, 1)]
+    assert best["best_offset"] == 2
+    assert best["best_votes"] == max(r["best_votes"] for r in rows.values())
+
+
+def test_audio_fingerprint_queries_match_oracle(spark):
+    from gis_city_county_spark.suite.multimodal_q import (
+        _AUDIO_FP_MATCH_ORACLE,
+        _AUDIO_FP_ORACLE,
+        q_audio_fingerprints,
+        q_audio_fp_matches,
+    )
+
+    con = duckdb.connect()
+    got = sorted(tuple(r) for r in q_audio_fingerprints(spark, "").collect())
+    want = sorted(tuple(r) for r in con.execute(_AUDIO_FP_ORACLE).fetchall())
+    assert got == want and len(got) > 200
+    gm = [tuple(r) for r in q_audio_fp_matches(spark, "").collect()]
+    wm = [tuple(r) for r in con.execute(_AUDIO_FP_MATCH_ORACLE).fetchall()]
+    assert gm == wm
+
+
+def test_audio_fingerprint_matches_no_all_pairs(spark):
+    """The matcher pairs clips through the landmark-hash equi-join —
+    never a cartesian scan over clip pairs."""
+    from gis_city_county_spark.plans.inspect import has_cartesian_or_bnlj
+    from gis_city_county_spark.suite.multimodal_q import q_audio_fp_matches
+
+    assert not has_cartesian_or_bnlj(q_audio_fp_matches(spark, ""))
