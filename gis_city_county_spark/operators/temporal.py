@@ -1985,8 +1985,19 @@ def hazard_table(
             F.min(F.to_date(ts_col)).alias("__first"),
             F.max(F.to_date(ts_col)).alias("__last"),
         )
-        .localCheckpoint(eager=False)
     )
+    return hazard_from_user_spans(per_user, churn_gap_days)
+
+
+def hazard_from_user_spans(
+    per_user: DataFrame, churn_gap_days: int = 7
+) -> DataFrame:
+    """The tail of :func:`hazard_table` from an already-aggregated
+    ``(__u, __first DATE, __last DATE)`` relation — shared verbatim
+    by the streaming twin (``streaming/hazard.py``), whose folded
+    min/max state IS that relation, so the live life table can't
+    drift from the batch operator."""
+    per_user = per_user.localCheckpoint(eager=False)
     horizon = per_user.agg(F.max("__last").alias("__hz"))
     pu = per_user.crossJoin(F.broadcast(horizon)).select(
         F.datediff("__last", "__first").cast("bigint").alias("__t"),

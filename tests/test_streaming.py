@@ -1846,3 +1846,113 @@ def test_streaming_growth_retry_and_empty_batch(spark, tmp_path):
     p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
                 .drop("batch_id").collect())
     assert p1 == p0 and len(p1) > 0
+
+
+def test_streaming_hazard_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch hazard-table
+    maintainer: after each batch the published life table is
+    BIT-EQUAL to the batch ``hazard_table`` over every row arrived so
+    far — a late batch EXTENDS one user's span (flipping their
+    lifetime bucket) and moves the global censoring horizon."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import hazard_table
+    from gis_city_county_spark.streaming.hazard import (
+        streaming_hazard_table,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ev([(1, "2024-01-01 09:00:00"), (1, "2024-01-04 09:00:00"),
+            (2, "2024-01-02 12:00:00")]),
+        # horizon jumps to Jan 28; user 3 appears
+        ev([(3, "2024-01-10 08:00:00"), (3, "2024-01-28 10:00:00")]),
+        # LATE events: user 1's span extends (lifetime 3 -> 20) and
+        # user 2 gains an earlier first event; NULLs are out
+        ev([(1, "2024-01-21 09:00:00"), (2, "2024-01-01 01:00:00"),
+            (None, "2024-01-02 00:00:00"), (4, None)]),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "hazard_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_hazard_table(
+            spark, batches[0].schema, str(incoming),
+            state_dir, report_dir, "user_id", "ts", churn_gap_days=7,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["day_index", "n_at_risk", "n_churned", "n_censored",
+            "hazard_ppm"]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in hazard_table(acc, "user_id", "ts",
+                                  churn_gap_days=7).collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+
+
+def test_streaming_hazard_retry_and_empty_batch(spark, tmp_path):
+    """The shared replay/empty-batch contracts for the span-state
+    twin: a retried fold leaves state distinct-on-read and the table
+    identical; an all-NULL batch republishes under the new
+    batch_id."""
+    from gis_city_county_spark.streaming.hazard import hazard_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = hazard_batch_folder(state_dir, report_dir, "user_id", "ts")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"), (1, "2024-01-05 09:00:00"),
+         (2, "2024-01-03 10:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    spans = spark.read.parquet(f"{state_dir}/user_spans")
+    assert spans.count() == 2 * spans.distinct().count()
+
+    empty = spark.createDataFrame(
+        [(None, None)], "user_id long, ts timestamp"
+    )
+    fold(empty, 1)
+    rep = spark.read.parquet(report_dir)
+    assert rep.agg(F.max("batch_id")).first()[0] == 1
+    p0 = sorted(tuple(r) for r in rep.filter("batch_id = 0")
+                .drop("batch_id").collect())
+    p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
+                .drop("batch_id").collect())
+    assert p1 == p0 and len(p1) > 0
