@@ -1047,3 +1047,102 @@ SELECT {id_col} AS id,
          AS n_entities
 FROM ({source_sql})
 """
+
+
+def sentence_dedup_ratio(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Sentence-level duplication audit — the C4-style cleaning
+    signal (boilerplate sentences repeat across pages long before
+    whole documents do): segment each document with the SAME portable
+    ``[.!?]+`` split as :func:`sentence_stats`, hash each distinct
+    sentence, and report per document how many of its sentences also
+    appear verbatim in at least one OTHER document.
+
+    Scale shape: scan-side split/explode, one distinct, one
+    map-combinable docs-per-sentence count, one equi-join back — the
+    exact relational shape of the winnowing audit at sentence
+    granularity.  All integers exact.
+
+    Returns (id, n_sentences, n_distinct_sentences,
+    n_shared_sentences, shared_ppm) for documents with at least one
+    sentence; ``shared_ppm`` is over DISTINCT sentences.
+    """
+    ws = "[ \t\n\x0B\f\r]"
+    frags = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"),
+            lambda s: F.regexp_replace(s, f"^{ws}+|{ws}+$", ""),
+        ),
+        lambda s: s != F.lit(""),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"), frags.alias("__frags")
+    ).filter(F.size("__frags") >= 1)
+    sent = base.select(
+        "__id",
+        F.size("__frags").cast("bigint").alias("__n_raw"),
+        F.explode("__frags").alias("__s"),
+    )
+    per_doc_sent = sent.select(
+        "__id", "__n_raw", F.md5("__s").alias("__h")
+    ).distinct()
+    hdocs = (
+        per_doc_sent.select("__h", "__id").distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    return (
+        per_doc_sent.join(hdocs, "__h")
+        .groupBy("__id", "__n_raw")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_sentences"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("n_shared_sentences"),
+        )
+        .select(
+            F.col("__id").alias("id"),
+            F.col("__n_raw").alias("n_sentences"),
+            "n_distinct_sentences",
+            "n_shared_sentences",
+            F.expr(
+                "CAST((n_shared_sentences * CAST(1000000 AS BIGINT))"
+                " div n_distinct_sentences AS BIGINT)"
+            ).alias("shared_ppm"),
+        )
+    )
+
+
+def sentence_dedup_ratio_sql(table: str, id_col: str, text_col: str) -> str:
+    ws = "[ \\t\\n\\x0B\\f\\r]"
+    frags = (
+        f"list_filter(list_transform(regexp_split_to_array({text_col},"
+        f" '[.!?]+'), s -> regexp_replace(s, '^{ws}+|{ws}+$', '', 'g')),"
+        " s -> s != '')"
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {frags} AS frags FROM {table}
+),
+sent AS (
+  SELECT id, CAST(len(frags) AS BIGINT) AS n_raw, unnest(frags) AS s
+  FROM base WHERE len(frags) >= 1
+),
+per_doc_sent AS (
+  SELECT DISTINCT id, n_raw, md5(s) AS h FROM sent
+),
+hdocs AS (
+  SELECT h, COUNT(*) AS nd
+  FROM (SELECT DISTINCT h, id FROM per_doc_sent) GROUP BY h
+)
+SELECT p.id AS id,
+       p.n_raw AS n_sentences,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_sentences,
+       CAST(SUM(CASE WHEN hdocs.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_sentences,
+       CAST((SUM(CASE WHEN hdocs.nd >= 2 THEN 1 ELSE 0 END)
+             * CAST(1000000 AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS shared_ppm
+FROM per_doc_sent p JOIN hdocs ON p.h = hdocs.h
+GROUP BY p.id, p.n_raw
+"""

@@ -798,6 +798,28 @@ FROM documents
     return strip_markup_sql(injected, "doc_id", "text")
 
 
+def q_sentence_dedup(spark, sf_dir):
+    """Sentence-level duplication audit over documents: per doc, how
+    many of its distinct sentences appear verbatim in other docs (the
+    C4-style boilerplate signal; see
+    operators.textstats.sentence_dedup_ratio)."""
+    from gis_city_county_spark.operators.textstats import (
+        sentence_dedup_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sentence_dedup_ratio(docs, "doc_id", "text")
+
+
+def _sentence_dedup_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import (
+        sentence_dedup_ratio_sql,
+    )
+
+    return sentence_dedup_ratio_sql("documents", "doc_id", "text")
+
+
+
 SPECS = [
     QuerySpec("text_strip_markup", q_strip_markup, _strip_markup_oracle()),
     QuerySpec("search_best_window", q_best_window, _best_window_oracle()),
@@ -829,5 +851,7 @@ SPECS = [
     QuerySpec("text_charclass_profile", q_charclass_profile, _charclass_oracle()),
     QuerySpec("profile_source_diversity", q_source_diversity, _diversity_oracle()),
     QuerySpec("text_sentence_stats", q_sentence_stats, _sentence_oracle()),
+    QuerySpec("text_sentence_dedup", q_sentence_dedup,
+              _sentence_dedup_oracle()),
     QuerySpec("text_case_profile", q_case_profile, _case_oracle()),
 ]

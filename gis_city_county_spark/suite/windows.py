@@ -913,6 +913,7 @@ R11_PRESTAGE: tuple[str, ...] = (
     "olap_cube_revenue",
     "mm_audio_fingerprints",
     "mm_audio_fp_matches",
+    "text_sentence_dedup",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -583,3 +583,41 @@ def test_audio_fingerprint_matches_no_all_pairs(spark):
     from gis_city_county_spark.suite.multimodal_q import q_audio_fp_matches
 
     assert not has_cartesian_or_bnlj(q_audio_fp_matches(spark, ""))
+
+
+# ------------------------------------------------- sentence dedup
+
+
+def test_sentence_dedup_ratio_fixture(spark):
+    """Boilerplate sentence shared by three docs; within-doc repeats
+    collapse to distinct; empty docs drop; engines agree."""
+    from gis_city_county_spark.operators.textstats import (
+        sentence_dedup_ratio,
+        sentence_dedup_ratio_sql,
+    )
+
+    rows = [
+        (1, "Cookies are used here. Welcome to my page! Unique one."),
+        (2, "Cookies are used here. Another unique remark?"),
+        (3, "Totally fresh content. Nothing borrowed at all"),
+        (4, ""),
+        (5, "Cookies are used here. Cookies are used here. Welcome to my page!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           sentence_dedup_ratio(df, "doc_id", "text").collect()}
+    assert 4 not in out
+    assert out[5]["n_sentences"] == 3
+    assert out[5]["n_distinct_sentences"] == 2
+    assert out[5]["shared_ppm"] == 1_000_000
+    assert out[3]["n_shared_sentences"] == 0
+    assert out[1]["n_shared_sentences"] == 2  # cookie + welcome lines
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in
+                 sentence_dedup_ratio(df, "doc_id", "text").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        sentence_dedup_ratio_sql("t", "doc_id", "text")
+    ).fetchall())
+    assert got == want
