@@ -1146,3 +1146,125 @@ SELECT p.id AS id,
 FROM per_doc_sent p JOIN hdocs ON p.h = hdocs.h
 GROUP BY p.id, p.n_raw
 """
+
+
+def loop_detection(
+    df: DataFrame, id_col: str, text_col: str,
+    tail_tokens: int = 32, max_period: int = 8,
+) -> DataFrame:
+    """Degenerate-repetition detector — the filter that catches
+    model-GENERATED text stuck in a loop ("the the the", "I'm sorry.
+    I'm sorry."), which cross-document dedup misses because the
+    repetition is WITHIN one document's tail: over the last
+    ``tail_tokens`` tokens, for each candidate period p ≤
+    ``max_period``, measure the longest suffix where every token
+    equals the token p positions earlier; a loop is declared when
+    that run covers at least one full extra period beyond the seed.
+
+    Entirely scan-side array expressions (transform / slice /
+    array_position — no explode, no UDF, no join): per row the work
+    is O(tail·max_period) with both factors constant.  Ties prefer
+    the SHORTEST period (the true loop length; a period-2 loop is
+    also periodic at 4 and 6), encoded by packing (loop_len,
+    16 − p) into one integer so a single ``greatest`` picks the
+    winner.
+
+    Returns (id, n_tokens, loop_period, loop_len, loop_ppm) —
+    ``loop_period`` 0 when no loop; ``loop_ppm`` is the looping
+    suffix's share of the inspected tail.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    tail = F.when(
+        n <= tail_tokens, toks
+    ).otherwise(F.slice(toks, -tail_tokens, tail_tokens))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n.cast("bigint").alias("n_tokens"),
+        tail.alias("__tail"),
+    ).filter(F.col("n_tokens") > 0)
+
+    # Per period p: matches[i] = tail[p+i] == tail[i] (1-based); the
+    # longest ALL-TRUE SUFFIX of matches is
+    #   size − (index of the last false)        [size if never false]
+    # computed as array_position(reverse(matches), false) − 1, with
+    # array_position's 0 = "no false" case mapping to size.
+    def run_len(p: int):
+        m = F.expr(
+            f"transform(sequence({p} + 1, size(__tail)),"
+            f" i -> element_at(__tail, i) = element_at(__tail, i - {p}))"
+        )
+        first_false_rev = F.array_position(F.reverse(m), F.lit(False))
+        return F.when(F.size(m) <= 0, F.lit(0)).otherwise(
+            F.when(first_false_rev == 0, F.size(m)).otherwise(
+                (first_false_rev - 1).cast("int")
+            )
+        )
+
+    scores = [
+        F.when(
+            run_len(p) >= p,  # one full extra period beyond the seed
+            (run_len(p) + F.lit(p)) * 16 + F.lit(16 - p),
+        ).otherwise(F.lit(0))
+        for p in range(1, max_period + 1)
+    ]
+    scored = base.withColumn("__best", F.greatest(*scores))
+    tail_n = F.least(F.col("n_tokens"), F.lit(tail_tokens))
+    return scored.select(
+        "id",
+        "n_tokens",
+        F.when(F.col("__best") > 0, 16 - F.col("__best") % 16)
+        .otherwise(0).cast("bigint").alias("loop_period"),
+        F.expr("CAST(__best div 16 AS BIGINT)").alias("loop_len"),
+        F.expr(
+            f"CAST((CAST(__best div 16 AS BIGINT)"
+            f" * CAST(1000000 AS BIGINT))"
+            f" div LEAST(n_tokens, {tail_tokens}) AS BIGINT)"
+        ).alias("loop_ppm"),
+    )
+
+
+def loop_detection_sql(
+    table: str, id_col: str, text_col: str,
+    tail_tokens: int = 32, max_period: int = 8,
+) -> str:
+    def run_len(p: int) -> str:
+        m = (
+            f"list_transform(generate_series({p} + 1, len(tail)),"
+            f" i -> list_extract(tail, i) = list_extract(tail, i - {p}))"
+        )
+        # list_position returns 0 for "not found" (same convention as
+        # Spark's array_position) — 0 means the tail is fully periodic.
+        return (
+            f"(CASE WHEN len({m}) <= 0 THEN 0"
+            f" WHEN COALESCE(list_position(list_reverse({m}), false), 0)"
+            f"   = 0 THEN len({m})"
+            f" ELSE list_position(list_reverse({m}), false) - 1 END)"
+        )
+
+    scores = ", ".join(
+        f"(CASE WHEN {run_len(p)} >= {p}"
+        f" THEN ({run_len(p)} + {p}) * 16 + {16 - p} ELSE 0 END)"
+        for p in range(1, max_period + 1)
+    )
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) <= {tail_tokens} THEN t
+              ELSE t[len(t) - {tail_tokens} + 1 : len(t)] END AS tail
+  FROM (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table})
+  WHERE len(t) > 0
+),
+scored AS (
+  SELECT id, n_tokens, GREATEST({scores}) AS best
+  FROM base
+)
+SELECT id, n_tokens,
+       CAST(CASE WHEN best > 0 THEN 16 - best % 16 ELSE 0 END AS BIGINT)
+         AS loop_period,
+       CAST(best // 16 AS BIGINT) AS loop_len,
+       CAST((best // 16 * CAST(1000000 AS BIGINT))
+            // LEAST(n_tokens, {tail_tokens}) AS BIGINT) AS loop_ppm
+FROM scored
+"""

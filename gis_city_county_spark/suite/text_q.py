@@ -820,6 +820,23 @@ def _sentence_dedup_oracle() -> str:
 
 
 
+def q_loop_detection(spark, sf_dir):
+    """Degenerate-repetition (generation-loop) flags over documents:
+    shortest tail period and looping-suffix share (see
+    operators.textstats.loop_detection)."""
+    from gis_city_county_spark.operators.textstats import loop_detection
+
+    docs = load_table(spark, sf_dir, "documents")
+    return loop_detection(docs, "doc_id", "text")
+
+
+def _loop_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import loop_detection_sql
+
+    return loop_detection_sql("documents", "doc_id", "text")
+
+
+
 SPECS = [
     QuerySpec("text_strip_markup", q_strip_markup, _strip_markup_oracle()),
     QuerySpec("search_best_window", q_best_window, _best_window_oracle()),
@@ -853,5 +870,6 @@ SPECS = [
     QuerySpec("text_sentence_stats", q_sentence_stats, _sentence_oracle()),
     QuerySpec("text_sentence_dedup", q_sentence_dedup,
               _sentence_dedup_oracle()),
+    QuerySpec("text_loop_detection", q_loop_detection, _loop_oracle()),
     QuerySpec("text_case_profile", q_case_profile, _case_oracle()),
 ]

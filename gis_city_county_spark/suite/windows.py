@@ -914,6 +914,7 @@ R11_PRESTAGE: tuple[str, ...] = (
     "mm_audio_fingerprints",
     "mm_audio_fp_matches",
     "text_sentence_dedup",
+    "text_loop_detection",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -621,3 +621,42 @@ def test_sentence_dedup_ratio_fixture(spark):
         sentence_dedup_ratio_sql("t", "doc_id", "text")
     ).fetchall())
     assert got == want
+
+
+# -------------------------------------------------- loop detection
+
+
+def test_loop_detection_periods_and_parity(spark):
+    """Known loops at periods 1, 2, 3 (including one longer than the
+    inspected tail), non-looping prose at 0, empty docs dropped —
+    and bit parity with DuckDB."""
+    from gis_city_county_spark.operators.textstats import (
+        loop_detection,
+        loop_detection_sql,
+    )
+
+    rows = [
+        (1, "a normal sentence that just ends with the the the the the the"),
+        (2, "intro text then sorry about that sorry about that sorry about that"),
+        (3, "completely ordinary prose with no repetition at the end"),
+        (4, "x y x y x y x y x y x y"),
+        (5, ""),
+        (6, "one two three " * 30),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in loop_detection(df, "doc_id", "text").collect()}
+    assert 5 not in out
+    assert out[1]["loop_period"] == 1 and out[1]["loop_len"] == 6
+    assert out[2]["loop_period"] == 3 and out[2]["loop_len"] == 9
+    assert out[3]["loop_period"] == 0 and out[3]["loop_ppm"] == 0
+    assert out[4]["loop_period"] == 2 and out[4]["loop_ppm"] == 1_000_000
+    assert out[6]["loop_period"] == 3 and out[6]["loop_ppm"] == 1_000_000
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in
+                 loop_detection(df, "doc_id", "text").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        loop_detection_sql("t", "doc_id", "text")
+    ).fetchall())
+    assert got == want
