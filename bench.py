@@ -77,6 +77,12 @@ HEADLINE = [
     "eval_spearman",
     "graph_cooccurrence_pairs",
     "sketch_ams_f2",
+    # r10: the three remaining >4s cost centers without a graded
+    # cross-round comparison — the Poisson-bootstrap CI (suite's #2),
+    # the bounded 2-hop ego sample, and the MinHash calibration.
+    "eval_bootstrap_ci",
+    "graph_ego_sample",
+    "dedup_minhash_accuracy",
 ]
 
 

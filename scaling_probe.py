@@ -90,6 +90,13 @@ PROBE_QUERIES = [
     # scaling row (VERDICT r9 item 4) — a scan-side ×32 replica
     # explode whose per-replica weighted sums are map-combinable.
     "eval_bootstrap_ci",
+    # round-10 second sync: the two remaining >4s top-slice members
+    # without probe rows — the GraphSAGE-style bounded 2-hop sample
+    # (fan-out capped at k/k² by construction) and the MinHash
+    # estimator calibration (one extra signature join over verified
+    # pairs).
+    "graph_ego_sample",
+    "dedup_minhash_accuracy",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
