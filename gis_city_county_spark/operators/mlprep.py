@@ -2979,3 +2979,110 @@ SELECT MAX(n) AS n,
          AS outlier_ppm
 FROM cum CROSS JOIN stats
 """
+
+
+def rbo_at_k(
+    df: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two rankings
+    of the same items, truncated at depth ``k`` — the top-weighted
+    ranking-agreement metric an eval pipeline uses where Kendall/
+    Spearman over-weight the tail (two retrieval runs agreeing on the
+    top 5 but shuffling ranks 80-100 should score HIGH).
+
+    Persistence parameter fixed at p = 1/2 so every term is exact
+    integer arithmetic: RBO = Σ_{d=1..k} X_d / (d·2^d) with X_d =
+    |top-d(A) ∩ top-d(B)| — each term floors once at micro scale,
+    identically on both engines; no floats anywhere.  Ties in either
+    score break by item id (a total order, or the two engines pick
+    different top-k sets).
+
+    Scale shape: two TakeOrdered top-k passes (never a global sort),
+    rank windows over the k-row frames, one k-bounded equi-join and a
+    ≤ k² explode — everything after the scans is constant-size.
+
+    Returns one row: (k, n_shared_at_k, rbo_micro) — rbo_micro in
+    [0, 1e6], 1e6-ish for identical rankings (per-term floors lose at
+    most k micro-units).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(a_col).alias("__a"),
+        F.col(b_col).alias("__b"),
+    )
+    top_a = base.orderBy(F.col("__a").desc(), F.col("__id").asc()).limit(k)
+    top_b = base.orderBy(F.col("__b").desc(), F.col("__id").asc()).limit(k)
+    wa = Window.orderBy(F.col("__a").desc(), F.col("__id").asc())
+    wb = Window.orderBy(F.col("__b").desc(), F.col("__id").asc())
+    ra = top_a.select("__id", F.row_number().over(wa).alias("__ra"))
+    rb = top_b.select("__id", F.row_number().over(wb).alias("__rb"))
+    shared = ra.join(rb, "__id").select(
+        F.greatest("__ra", "__rb").alias("__md")
+    )
+    per_d = (
+        shared.select(
+            F.explode(F.expr(f"sequence(__md, {k})")).alias("__d")
+        )
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__x"))
+    )
+    # 2^d via an integer shift on BOTH engines: pow()/** return
+    # DOUBLE, and DuckDB's ``//`` with a DOUBLE operand rounds
+    # instead of flooring (measured: 1e6 // 24.0 = 41667).
+    terms = per_d.select(
+        F.expr(
+            "CAST((__x * CAST(1000000 AS BIGINT))"
+            " div (__d * shiftleft(CAST(1 AS BIGINT), CAST(__d AS INT)))"
+            " AS BIGINT)"
+        ).alias("__t"),
+        F.when(F.col("__d") == k, F.col("__x")).alias("__xk"),
+    )
+    return terms.agg(
+        F.lit(k).cast("bigint").alias("k"),
+        F.coalesce(F.max("__xk"), F.lit(0)).cast("bigint")
+        .alias("n_shared_at_k"),
+        F.coalesce(F.sum("__t"), F.lit(0)).cast("bigint")
+        .alias("rbo_micro"),
+    )
+
+
+def rbo_at_k_sql(
+    source_sql: str, id_col: str, a_col: str, b_col: str, k: int = 20
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {a_col} AS a, {b_col} AS b FROM ({source_sql})
+),
+ra AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY a DESC, id ASC) AS r
+  FROM base QUALIFY r <= {k}
+),
+rb AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY b DESC, id ASC) AS r
+  FROM base QUALIFY r <= {k}
+),
+shared AS (
+  SELECT GREATEST(ra.r, rb.r) AS md FROM ra JOIN rb USING (id)
+),
+per_d AS (
+  SELECT d.d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM shared, LATERAL UNNEST(generate_series(md, {k})) AS d(d)
+  GROUP BY d.d
+),
+terms AS (
+  -- integer shift, not **: power returns DOUBLE and DuckDB's //
+  -- with a DOUBLE operand rounds instead of flooring
+  SELECT CAST((x * CAST(1000000 AS BIGINT))
+              // (d * (CAST(1 AS BIGINT) << d)) AS BIGINT) AS t,
+         CASE WHEN d = {k} THEN x END AS xk
+  FROM per_d
+)
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST(COALESCE(MAX(xk), 0) AS BIGINT) AS n_shared_at_k,
+       CAST(COALESCE(SUM(t), 0) AS BIGINT) AS rbo_micro
+FROM terms
+"""

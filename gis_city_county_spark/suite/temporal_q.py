@@ -1214,6 +1214,39 @@ def _iqr_oracle() -> str:
 
 
 
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between two document-quality rankings
+    (character length vs BPE token count, both length-flavored so
+    the top-weighted agreement is high but not perfect) — exact
+    integer p=1/2 terms, see operators.mlprep.rbo_at_k."""
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.mlprep import rbo_at_k
+    from gis_city_county_spark.operators.textstats import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+    return rbo_at_k(docs, "doc_id", "n_chars", "n_bpe", k=20)
+
+
+def _rbo_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import rbo_at_k_sql
+    from gis_city_county_spark.operators.textstats import (
+        bpe_token_count_sql,
+    )
+
+    inner = (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"
+        f" CAST({bpe_token_count_sql('text')} AS BIGINT) AS n_bpe"
+        " FROM documents"
+    )
+    return rbo_at_k_sql(f"({inner})", "doc_id", "n_chars", "n_bpe", k=20)
+
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1228,6 +1261,7 @@ SPECS = [
     QuerySpec("mlprep_hashed_features", q_hashed_features,
               _hashed_features_oracle()),
     QuerySpec("mlprep_iqr_outliers", q_iqr_outlier_audit, _iqr_oracle()),
+    QuerySpec("eval_rbo", q_rbo, _rbo_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

@@ -915,6 +915,7 @@ R11_PRESTAGE: tuple[str, ...] = (
     "mm_audio_fp_matches",
     "text_sentence_dedup",
     "text_loop_detection",
+    "eval_rbo",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -660,3 +660,59 @@ def test_loop_detection_periods_and_parity(spark):
         loop_detection_sql("t", "doc_id", "text")
     ).fetchall())
     assert got == want
+
+
+# ------------------------------------------------------------- RBO
+
+
+def test_rbo_endpoints_and_reference(spark):
+    """Identical rankings ~1e6 (minus per-term floor dust), disjoint
+    top-k exactly 0, and a correlated case equal to the exact Python
+    reference."""
+    from gis_city_county_spark.operators.mlprep import rbo_at_k
+
+    ident = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(50)],
+        "id long, a double, b double",
+    )
+    r = rbo_at_k(ident, "id", "a", "b").collect()[0]
+    assert r["n_shared_at_k"] == 20 and 999_980 <= r["rbo_micro"] <= 1_000_000
+    rev = spark.createDataFrame(
+        [(i, float(100 - i), float(i)) for i in range(100)],
+        "id long, a double, b double",
+    )
+    r2 = rbo_at_k(rev, "id", "a", "b").collect()[0]
+    assert r2["n_shared_at_k"] == 0 and r2["rbo_micro"] == 0
+
+
+def test_rbo_matches_duckdb_and_python(spark):
+    import random
+
+    from gis_city_county_spark.operators.mlprep import (
+        rbo_at_k,
+        rbo_at_k_sql,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i, float(1000 - i), float(1000 - i) + rnd.gauss(0, 8))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    got = tuple(rbo_at_k(df, "id", "a", "b").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, a DOUBLE, b DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = con.execute(
+        rbo_at_k_sql("SELECT * FROM t", "id", "a", "b")
+    ).fetchall()[0]
+    assert got == want
+    # exact Python reference over the same rankings
+    k = 20
+    ra = sorted(rows, key=lambda r: (-r[1], r[0]))[:k]
+    rb = sorted(rows, key=lambda r: (-r[2], r[0]))[:k]
+    sa = [r[0] for r in ra]
+    sb = [r[0] for r in rb]
+    ref = sum(
+        (len(set(sa[:d]) & set(sb[:d])) * 10**6) // (d * 2**d)
+        for d in range(1, k + 1)
+    )
+    assert got[2] == ref
