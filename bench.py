@@ -130,10 +130,27 @@ def main() -> None:
     # third — whose only job is spread adjudication — runs only when
     # the first two already DISAGREE by >= 15% (agreeing passes have
     # nothing left to adjudicate).
+    # Wall-clock budget guard: pass 0 ALWAYS completes (every query
+    # needs a timing), but re-run passes shed as the budget runs out —
+    # headline keys re-run first, then the rest — so the bench always
+    # emits its JSON line inside the driver's capture window even on a
+    # slow box (the 321-query suite's full 2-pass sweep exceeded 15
+    # minutes under host noise; a single pass is ~7).  Shed re-runs
+    # surface as spread=None in BENCH_DETAIL, never as missing keys.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "600"))
+    t_bench0 = time.perf_counter()
+    shed = 0
     runs: dict[str, list[float]] = {n: [] for n in names}
     headline = set(HEADLINE)
     for _pass in range(3):
-        for name in names:
+        # headline keys take their re-run slots before the budget can
+        # run out on them
+        ordered = (
+            names if _pass == 0
+            else [n for n in names if n in headline]
+            + [n for n in names if n not in headline]
+        )
+        for name in ordered:
             r = runs[name]
             if name not in headline:
                 if _pass == 2:
@@ -143,6 +160,9 @@ def main() -> None:
             elif _pass == 2:
                 if (max(r) - min(r)) / max(min(r), 1e-9) < 0.15:
                     continue
+            if _pass > 0 and time.perf_counter() - t_bench0 > budget_s:
+                shed += 1
+                continue
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             n = df.count()
@@ -190,6 +210,10 @@ def main() -> None:
     if spread_alert:
         print(f"# SPREAD ALERT (>=2x across passes): {spread_alert}",
               file=sys.stderr)
+    if shed:
+        print(f"# budget guard: {shed} re-run passes shed after "
+              f"{budget_s:.0f}s (fastest-of-1 for those keys)",
+              file=sys.stderr)
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -227,6 +251,7 @@ def main() -> None:
                 n: round(timings[n], 3) for n in HEADLINE if n in timings
             },
             "spread_alert": spread_alert,
+            "shed_reruns": shed,
             "n_queries": len(timings),
             "detail": "BENCH_DETAIL.json",
             "sf": sf_val,

@@ -22,7 +22,7 @@ pass.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -710,4 +710,95 @@ SELECT substr(md5('{salt}|' || CAST({id_col} AS VARCHAR)), 1,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM ({source_sql})
 GROUP BY 1
+"""
+
+
+def apportioned_release(
+    df: DataFrame, cat_col: str, total_budget: int = 1000
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: scale the category
+    distribution to EXACTLY ``total_budget`` released units — the
+    primitive behind fixed-size synthetic releases, stratified
+    sampling quotas, and "publish proportions as counts out of 1000"
+    disclosure formats, where independent rounding would miss the
+    total by ±k/2.
+
+    Exact integer arithmetic end to end: floor quotas ``(c·N) div
+    T``, scaled remainders ``c·N − quota·T`` (never a float share),
+    and the leftover ``N − Σ quota`` handed to the categories with
+    the largest remainders (ties → category value, a total order).
+    The released counts ALWAYS sum to ``total_budget`` — the identity
+    the operator exists for, pinned by test.
+
+    Scale shape: one map-combinable category count, a 1-row total
+    broadcast, and the remainder-rank window over the BOUNDED
+    category frame (never the rows).
+
+    Returns (category, n_true, n_released) ordered by category.
+    NULL categories are excluded.
+    """
+    counts = (
+        df.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .localCheckpoint(eager=False)
+    )
+    tot = counts.agg(F.sum("n_true").cast("bigint").alias("__t"))
+    n = F.lit(total_budget).cast("bigint")
+    quotas = counts.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_true",
+        "__t",
+        F.expr(f"(n_true * CAST({total_budget} AS BIGINT)) div __t")
+        .alias("__q"),
+        F.expr(
+            f"n_true * CAST({total_budget} AS BIGINT)"
+            f" - ((n_true * CAST({total_budget} AS BIGINT)) div __t) * __t"
+        ).alias("__rem"),
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col("category").asc())
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        quotas.select(
+            "category",
+            "n_true",
+            "__q",
+            F.row_number().over(w).alias("__rk"),
+            (n - F.sum("__q").over(wall)).alias("__left"),
+        )
+        .select(
+            "category",
+            "n_true",
+            (F.col("__q") + F.when(F.col("__rk") <= F.col("__left"), 1)
+             .otherwise(0)).cast("bigint").alias("n_released"),
+        )
+        .orderBy("category")
+    )
+
+
+def apportioned_release_sql(
+    source_sql: str, cat_col: str, total_budget: int = 1000
+) -> str:
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT {cat_col} AS category, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM ({source_sql}) WHERE {cat_col} IS NOT NULL GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_true) AS BIGINT) AS t FROM counts),
+quotas AS (
+  SELECT category, n_true,
+         (n_true * CAST({total_budget} AS BIGINT)) // t AS q,
+         n_true * CAST({total_budget} AS BIGINT)
+           - ((n_true * CAST({total_budget} AS BIGINT)) // t) * t AS rem
+  FROM counts CROSS JOIN tot
+)
+SELECT category, n_true,
+       CAST(q + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC,
+                                             category ASC)
+                       <= {total_budget} - SUM(q) OVER ()
+                THEN 1 ELSE 0 END AS BIGINT) AS n_released
+FROM quotas
+ORDER BY category
 """

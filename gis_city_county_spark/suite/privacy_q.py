@@ -301,10 +301,34 @@ def _pseudonymize_oracle() -> str:
     return pseudonymize_sql("SELECT * FROM events", "user_id")
 
 
+def q_apportioned_release(spark, sf_dir):
+    """Largest-remainder apportionment of the order-priority
+    distribution to exactly 1000 released units (see
+    operators.privacy.apportioned_release) — the fixed-total
+    disclosure format; released counts always sum to the budget."""
+    from gis_city_county_spark.operators.privacy import apportioned_release
+
+    o = load_table(spark, sf_dir, "orders")
+    return apportioned_release(o, "o_orderpriority", total_budget=1000)
+
+
+def _apportion_oracle() -> str:
+    from gis_city_county_spark.operators.privacy import (
+        apportioned_release_sql,
+    )
+
+    return apportioned_release_sql(
+        "SELECT * FROM orders", "o_orderpriority", total_budget=1000
+    )
+
+
+
 SPECS = [
     QuerySpec("privacy_pseudonymize", q_pseudonymize,
               _pseudonymize_oracle()),
     QuerySpec("privacy_dp_release", q_dp_release, _dp_release_oracle()),
+    QuerySpec("privacy_apportioned_release", q_apportioned_release,
+              _apportion_oracle()),
     QuerySpec("privacy_t_closeness", q_t_closeness, _tclose_oracle()),
     QuerySpec("privacy_generalization_ladder", q_generalization_ladder,
               _ladder_oracle()),

@@ -916,6 +916,7 @@ R11_PRESTAGE: tuple[str, ...] = (
     "text_sentence_dedup",
     "text_loop_detection",
     "eval_rbo",
+    "privacy_apportioned_release",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

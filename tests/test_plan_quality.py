@@ -243,6 +243,8 @@ _BNLJ_ALLOWED = {
     # the 1-row quartile scalar riding the bounded distinct-value
     # cumsum frame
     "mlprep_iqr_outliers",
+    # the 1-row total scalar riding the bounded category frame
+    "privacy_apportioned_release",
 }
 
 
@@ -512,6 +514,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # counts (inputs = ranged_cumsum partials / the bounded
     # distinct-value frame)
     "mlprep_iqr_outliers": 2,
+    # the 1-row total scalar + the remainder-rank window over the
+    # BOUNDED category frame (never the rows)
+    "privacy_apportioned_release": 2,
     # one-row final merge of the four discordance counters
     "eval_mcnemar": 1,
     # one-row pivot merge of the <= 2 per-group moment rows

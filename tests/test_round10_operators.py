@@ -716,3 +716,43 @@ def test_rbo_matches_duckdb_and_python(spark):
         for d in range(1, k + 1)
     )
     assert got[2] == ref
+
+
+# ------------------------------------------------- apportionment
+
+
+def test_apportioned_release_sums_to_budget_exactly(spark):
+    """The Hamilton identity: released counts sum to the budget for
+    awkward distributions where independent rounding misses (three
+    equal thirds at budget 100 → 34/33/33, not 33/33/33)."""
+    from gis_city_county_spark.operators.privacy import apportioned_release
+
+    rows = [("a",)] * 10 + [("b",)] * 10 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "cat string")
+    out = {r["category"]: r["n_released"] for r in
+           apportioned_release(df, "cat", total_budget=100).collect()}
+    assert sum(out.values()) == 100
+    assert out == {"a": 34, "b": 33, "c": 33}  # tie → category order
+
+
+def test_apportioned_release_matches_duckdb(spark):
+    import random
+
+    from gis_city_county_spark.operators.privacy import (
+        apportioned_release,
+        apportioned_release_sql,
+    )
+
+    rnd = random.Random(13)
+    rows = [(rnd.choice("abcdefg"),) for _ in range(777)] + [(None,)]
+    df = spark.createDataFrame(rows, "cat string")
+    got = sorted(tuple(r) for r in
+                 apportioned_release(df, "cat", 1000).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (cat VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        apportioned_release_sql("SELECT * FROM t", "cat", 1000)
+    ).fetchall())
+    assert got == want
+    assert sum(r[2] for r in got) == 1000
