@@ -160,7 +160,15 @@ def main() -> None:
             elif _pass == 2:
                 if (max(r) - min(r)) / max(min(r), 1e-9) < 0.15:
                     continue
-            if _pass > 0 and time.perf_counter() - t_bench0 > budget_s:
+            # HEADLINE re-runs are never shed: the graded cross-round
+            # comparison needs fastest-of-2 on those ~35 keys (a
+            # bounded ~60s overrun), while the long tail of
+            # non-headline re-runs is what actually blows the window.
+            if (
+                _pass > 0
+                and name not in headline
+                and time.perf_counter() - t_bench0 > budget_s
+            ):
                 shed += 1
                 continue
             t0 = time.perf_counter()
