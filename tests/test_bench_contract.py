@@ -27,6 +27,7 @@ def _worst_case_line(n_alerts: int = 0) -> str:
             "unit": "sec",
             "queries": queries,
             "spread_alert": sorted(bench.HEADLINE)[:n_alerts],
+            "shed_reruns": 9999,
             "n_queries": 9999,
             "detail": "BENCH_DETAIL.json",
             "sf": 0.1,
