@@ -97,6 +97,10 @@ PROBE_QUERIES = [
     # pairs).
     "graph_ego_sample",
     "dedup_minhash_accuracy",
+    # round-10 addition in the 3s class: winnowing fingerprint
+    # selection + the cross-doc sharing audit over the winnowed
+    # (~2/(w+1) density) relation.
+    "dedup_winnowing",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
