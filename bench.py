@@ -137,11 +137,39 @@ def main() -> None:
     # slow box (the 321-query suite's full 2-pass sweep exceeded 15
     # minutes under host noise; a single pass is ~7).  Shed re-runs
     # surface as spread=None in BENCH_DETAIL, never as missing keys.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "600"))
+    # Minimum-second-pass rule (round-10 verdict: 283/318 keys shipped
+    # fastest-of-1 during a noisy-host episode): a key whose pass-0
+    # reads >= 1.5x its COMMITTED prior value is exactly the key where
+    # single-pass data misleads — it gets a mandatory second pass that
+    # BYPASSES the budget shed (bounded extra cost: only inflated keys
+    # qualify, and sub-0.3s keys stay exempt because their inflation
+    # is scheduling jitter, not signal).  The prior is the repo's
+    # committed BENCH_DETAIL.json — at driver time, last round's
+    # numbers.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prior = {
+                k: float(v)
+                for k, v in json.load(f).get("queries", {}).items()
+            }
+    except Exception:
+        pass
+
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
     t_bench0 = time.perf_counter()
     shed = 0
+    forced = 0
     runs: dict[str, list[float]] = {n: [] for n in names}
     headline = set(HEADLINE)
+
+    def _must_rerun(name: str, r: list[float]) -> bool:
+        p = prior.get(name)
+        return bool(r) and p is not None and p > 0 \
+            and r[0] >= 1.5 * p and r[0] >= 0.3
     for _pass in range(3):
         # headline keys take their re-run slots before the budget can
         # run out on them
@@ -155,7 +183,8 @@ def main() -> None:
             if name not in headline:
                 if _pass == 2:
                     continue
-                if _pass == 1 and r and r[0] < 0.6:
+                if _pass == 1 and r and r[0] < 0.6 \
+                        and not _must_rerun(name, r):
                     continue
             elif _pass == 2:
                 if (max(r) - min(r)) / max(min(r), 1e-9) < 0.15:
@@ -164,13 +193,19 @@ def main() -> None:
             # comparison needs fastest-of-2 on those ~35 keys (a
             # bounded ~60s overrun), while the long tail of
             # non-headline re-runs is what actually blows the window.
+            # Keys reading >= 1.5x their committed prior are likewise
+            # exempt from shedding — fastest-of-1 is exactly the wrong
+            # artifact to ship for an inflated key.
             if (
                 _pass > 0
                 and name not in headline
                 and time.perf_counter() - t_bench0 > budget_s
             ):
-                shed += 1
-                continue
+                if _pass == 1 and _must_rerun(name, r):
+                    forced += 1
+                else:
+                    shed += 1
+                    continue
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             n = df.count()
@@ -222,10 +257,10 @@ def main() -> None:
         print(f"# budget guard: {shed} re-run passes shed after "
               f"{budget_s:.0f}s (fastest-of-1 for those keys)",
               file=sys.stderr)
+    if forced:
+        print(f"# budget guard: {forced} over-budget re-runs FORCED "
+              f"(pass-0 >= 1.5x committed prior)", file=sys.stderr)
 
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as f:
         json.dump(
             {
@@ -266,6 +301,11 @@ def main() -> None:
         }
     )
     if len(line) > 1800:  # last-resort: never exceed the capture window
+        # The degraded line must stay BOUNDED and keep the budget-guard
+        # signal: shed_reruns survives, and the (unbounded) spread
+        # alert name list collapses to a count plus a fixed-size head —
+        # a long alert list is exactly the case that triggers this
+        # fallback, so echoing it verbatim could blow the window again.
         print(f"# stdout line {len(line)} chars > 1800: dropping the "
               f"headline map (see BENCH_DETAIL.json)", file=sys.stderr)
         line = json.dumps(
@@ -274,7 +314,9 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": {},
-                "spread_alert": spread_alert,
+                "n_spread_alerts": len(spread_alert),
+                "spread_alert_head": spread_alert[:8],
+                "shed_reruns": shed,
                 "n_queries": len(timings),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf_val,

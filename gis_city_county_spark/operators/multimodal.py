@@ -734,47 +734,65 @@ def image_dhash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 
 def dhash_near_pairs(
-    hashes: DataFrame, id_col: str, max_hamming: int = 6
+    hashes: DataFrame, id_col: str, max_hamming: int = 6, bands: int = 8
 ) -> DataFrame:
     """Near-duplicate image pairs from :func:`image_dhash` output —
-    banded exactly like SimHash text dedup: a pair within Hamming
-    distance ``max_hamming`` (< 32) must agree EXACTLY on at least
-    one 32-bit half (pigeonhole over the two halves), so candidates
-    come from two equi-join buckets, never an all-pairs scan; the
-    exact popcount filter then keeps true near-pairs.
+    banded exactly like SimHash text dedup: split the 64-bit dHash
+    (stored as two 32-bit halves) into ``bands`` equal bands; by
+    pigeonhole any pair within Hamming distance ``max_hamming`` <
+    ``bands`` must agree EXACTLY on at least one band, so candidates
+    come from (band_idx, band_val) equi-join buckets, never an
+    all-pairs scan; the exact popcount filter then keeps true
+    near-pairs.  (Two 32-bit bands only guarantee recall for Hamming
+    ≤ 1 — bits split across both halves escape the half-match join —
+    hence the default 8 × 8-bit banding for the default
+    ``max_hamming`` of 6.)
 
     Output: (a_id, b_id, hamming), a_id < b_id, ordered by (hamming,
     a_id, b_id).
     """
-    h = hashes.select(
-        F.col(id_col).alias("__id"), "dhash_hi", "dhash_lo"
+    if max_hamming >= bands:
+        # not an assert: stripped under -O, and the failure mode is a
+        # silent recall loss (pairs differing in every band missed)
+        raise ValueError(
+            f"pigeonhole banding needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if bands % 2 or 32 % (bands // 2):
+        raise ValueError(f"bands must split two 32-bit halves evenly "
+                         f"(got {bands})")
+    half_bands = bands // 2
+    width = 32 // half_bands
+    mask = (1 << width) - 1
+    band_vals = [
+        F.expr(f"({src} >> {i * width}) & {mask}")
+        for src in ("dhash_hi", "dhash_lo")
+        for i in range(half_bands)
+    ]
+    banded = hashes.select(
+        F.col(id_col).alias("__id"), "dhash_hi", "dhash_lo",
+        F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
     )
-    a = h.select(
+    a = banded.select(
         F.col("__id").alias("a_id"),
         F.col("dhash_hi").alias("__ahi"), F.col("dhash_lo").alias("__alo"),
+        "band_idx", "band_val",
     )
-    b = h.select(
+    b = banded.select(
         F.col("__id").alias("b_id"),
         F.col("dhash_hi").alias("__bhi"), F.col("dhash_lo").alias("__blo"),
-    )
-    cand = (
-        a.join(b, (F.col("a_id") < F.col("b_id"))
-               & (F.col("__ahi") == F.col("__bhi")))
-        .select("a_id", "b_id", "__alo", "__blo", "__ahi", "__bhi")
-        .unionByName(
-            a.join(b, (F.col("a_id") < F.col("b_id"))
-                   & (F.col("__alo") == F.col("__blo")))
-            .select("a_id", "b_id", "__alo", "__blo", "__ahi", "__bhi")
-        )
-        .distinct()
+        "band_idx", "band_val",
     )
     ham = (
         F.bit_count(F.expr("__ahi ^ __bhi"))
         + F.bit_count(F.expr("__alo ^ __blo"))
     ).cast("bigint")
     return (
-        cand.select("a_id", "b_id", ham.alias("hamming"))
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("hamming", "a_id", "b_id")
     )
 

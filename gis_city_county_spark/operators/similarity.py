@@ -173,6 +173,7 @@ def embedding_cosine_pairs(
     n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: only
     vectors sharing an LSH band are compared, so the pairwise stage is
@@ -187,7 +188,22 @@ def embedding_cosine_pairs(
     at corpus scale. Recall for a pair at angle θ is
     ``1 - (1 - (1-θ/π)^8)^8`` — ≈0.99 at cosine 0.95, ≈0.93 at 0.9 —
     i.e. true near-dups are kept; only far-apart marginal pairs are
-    increasingly dropped."""
+    increasingly dropped.
+
+    ``max_bucket`` (default 256) bounds the residual quadratic term BY
+    CONSTRUCTION — the 8× scaling probe read 0.68× linear and the
+    growth is exactly per-bucket occupancy (pairs/band ~ n²/256):
+    buckets with more than ``max_bucket`` members are first
+    md5-rank-sampled down to the cap (deterministic — the same ids
+    survive on every engine, every run, every partitioning), so
+    per-bucket fan-out never exceeds C(cap, 2) and total candidate
+    work is O(band_rows · cap) instead of O(Σ bucket²).  A pair
+    dropped from one oversized bucket can still surface via any of
+    the other 7 bands, so the recall loss concentrates where LSH is
+    least informative (giant near-constant buckets).  Audit which
+    buckets were capped with :func:`lsh_bucket_truncation_report`;
+    pass ``max_bucket=None`` only when bucket occupancy is known
+    bounded."""
     planes = hyperplanes(dim, n_planes)
     bd = rp_lsh_bands(df, id_col, vec_col, planes, bands)
     # Pair on thin (id, band) rows only: the candidate-pair explosion
@@ -196,6 +212,15 @@ def embedding_cosine_pairs(
     # corpus scale it's a shuffle join on id over far fewer rows than
     # the raw band join would have carried).
     thin = bd.select("__id", "band_idx", "band_val")
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_val").orderBy(
+            F.md5(F.col("__id").cast("string")), F.col("__id")
+        )
+        thin = (
+            thin.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_bucket)
+            .drop("__rk")
+        )
     a = thin.select(F.col("__id").alias("a_id"), "band_idx", "band_val")
     b = thin.select(F.col("__id").alias("b_id"), "band_idx", "band_val")
     cand = (
@@ -547,13 +572,31 @@ def embedding_cosine_pairs_sql(
     n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
+    max_bucket: int | None = 256,
 ) -> str:
     ctes = _bands_cte_sql(table, id_col, vec_col, n_planes, bands, dim)
+    if max_bucket is not None:
+        capped = f"""
+capped AS (
+  SELECT id, band_idx, band_val FROM (
+    SELECT id, band_idx, band_val,
+           ROW_NUMBER() OVER (
+             PARTITION BY band_idx, band_val
+             ORDER BY md5(CAST(id AS VARCHAR)), id
+           ) AS rk
+    FROM bands
+  ) WHERE rk <= {max_bucket}
+),"""
+    else:
+        capped = """
+capped AS (
+  SELECT id, band_idx, band_val FROM bands
+),"""
     return f"""
-WITH {ctes},
+WITH {ctes},{capped}
 cand AS (
   SELECT DISTINCT a.id AS a_id, b.id AS b_id
-  FROM bands a JOIN bands b
+  FROM capped a JOIN capped b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id
 )
 SELECT c.a_id, c.b_id,
@@ -561,6 +604,50 @@ SELECT c.a_id, c.b_id,
 FROM cand c JOIN e ea ON ea.id = c.a_id JOIN e eb ON eb.id = c.b_id
 WHERE list_dot_product(ea.v, eb.v) / (sqrt(ea.n2) * sqrt(eb.n2)) >= {threshold}
 """
+
+
+def lsh_bucket_truncation_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """The loud half of the :func:`embedding_cosine_pairs` bound: one
+    row per OVERSIZED LSH bucket (member count > ``max_bucket``) with
+    its true occupancy and the candidate-pair count the cap discards —
+    run it alongside a capped pair search so truncation is an audited,
+    quantified decision instead of a silent recall loss (the
+    co-occurrence-cap discipline, applied to the LSH path).
+
+    Scale shape: one map-combinable count per (band_idx, band_val)
+    and a scan-side filter — no self-join, safe at any skew.  Returns
+    (band_idx, band_val, n_members, n_pairs_true, n_pairs_kept,
+    n_pairs_dropped) sorted by n_members desc (tie: band_idx,
+    band_val) — bounded output: only buckets past the cap.
+    """
+    planes = hyperplanes(dim, n_planes)
+    bd = rp_lsh_bands(df, id_col, vec_col, planes, bands)
+    cap = F.lit(max_bucket).cast("bigint")
+    n = F.col("n_members")
+    return (
+        bd.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .filter(n > cap)
+        .select(
+            "band_idx",
+            "band_val",
+            "n_members",
+            (n * (n - 1) / 2).cast("bigint").alias("n_pairs_true"),
+            (cap * (cap - 1) / 2).cast("bigint").alias("n_pairs_kept"),
+            (n * (n - 1) / 2 - cap * (cap - 1) / 2)
+            .cast("bigint")
+            .alias("n_pairs_dropped"),
+        )
+        .orderBy(F.col("n_members").desc(), "band_idx", "band_val")
+    )
 
 
 def lsh_ann_topk_sql(

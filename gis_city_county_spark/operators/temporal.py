@@ -2107,6 +2107,17 @@ def daily_mad_anomalies(
         .groupBy(F.to_date(ts_col).alias("__day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
+    return mad_from_day_counts(counts, k_milli)
+
+
+def mad_from_day_counts(counts: DataFrame, k_milli: int = 3500) -> DataFrame:
+    """Shared tail of :func:`daily_mad_anomalies`: the zero-filled
+    calendar grid, lower-median, MAD and flags from a SPARSE
+    (__day DATE, __n BIGINT) day-count relation — also the publish
+    step of the streaming twin (``streaming.mad``), whose state folds
+    per-batch count partials into exactly this relation.  Every
+    window runs over the calendar-bounded day rows, never the
+    events."""
     span = counts.agg(
         F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
     )

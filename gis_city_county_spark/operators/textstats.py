@@ -1201,10 +1201,19 @@ def loop_detection(
             )
         )
 
+    # Outer CASE guards docs shorter than the period: sequence(p+1,
+    # size) DESCENDS when p+1 > size (unlike DuckDB generate_series,
+    # which returns empty), driving element_at out of bounds under
+    # ANSI.  CASE branches evaluate lazily, so the descending sequence
+    # is never built for short docs; the oracle's empty-list path
+    # yields run_len = 0 → score 0, matched here by the otherwise(0).
     scores = [
         F.when(
-            run_len(p) >= p,  # one full extra period beyond the seed
-            (run_len(p) + F.lit(p)) * 16 + F.lit(16 - p),
+            F.size("__tail") > p,
+            F.when(
+                run_len(p) >= p,  # one full extra period beyond seed
+                (run_len(p) + F.lit(p)) * 16 + F.lit(16 - p),
+            ).otherwise(F.lit(0)),
         ).otherwise(F.lit(0))
         for p in range(1, max_period + 1)
     ]

@@ -454,21 +454,31 @@ def q_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_pairs(hashes, "img_id", max_hamming=6)
 
 
+# 8 × 8-bit pigeonhole bands (4 per 32-bit half) — guaranteed recall
+# for Hamming < 8, mirroring operators.multimodal.dhash_near_pairs.
+_DHASH_BAND_ROWS = "\n  UNION ALL\n  ".join(
+    f"SELECT img_id, dhash_hi, dhash_lo, {src_i * 4 + i} AS band_idx,"
+    f" ({src} >> {i * 8}) & 255 AS band_val FROM hashes"
+    for src_i, src in enumerate(("dhash_hi", "dhash_lo"))
+    for i in range(4)
+)
+
 _DHASH_PAIRS_ORACLE = f"""
 WITH {_DHASH_PIXELS},
+banded AS (
+  {_DHASH_BAND_ROWS}
+),
 cand AS (
-  SELECT a.img_id AS a_id, b.img_id AS b_id,
-         a.dhash_hi AS ahi, a.dhash_lo AS alo,
-         b.dhash_hi AS bhi, b.dhash_lo AS blo
-  FROM hashes a JOIN hashes b
-    ON a.img_id < b.img_id
-   AND (a.dhash_hi = b.dhash_hi OR a.dhash_lo = b.dhash_lo)
+  SELECT DISTINCT a.img_id AS a_id, b.img_id AS b_id,
+         CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS BIGINT)
+           AS hamming
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.img_id < b.img_id
 )
-SELECT a_id, b_id,
-       CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo))
-            AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 6
+SELECT a_id, b_id, hamming FROM cand
+WHERE hamming <= 6
 ORDER BY hamming, a_id, b_id
 """
 

@@ -38,12 +38,17 @@ CURRENT_ROUND = 10
 # 9, first driver-checkable now) + 11 reconfirm slots.  ``rotation.py``
 # 's mechanized proposal (run at round-10 start against the full
 # PLAN_HASHES history, rounds 5/7/8/9 all re-recorded through the
-# fixed normalizer) found ZERO plan-changed re-proof candidates — the
-# r9 snapshot matches every current analyzed plan — so the whole
-# 11-slot re-proof budget reconfirms the stalest green rows: the
-# r4-stamped events/session/funnel battery, none re-hashed since
-# round 4.  This window closes cumulative driver coverage at 316/316 —
-# every registered query will have a green driver row.
+# fixed normalizer) found ZERO plan-changed re-proof candidates at
+# ROTATION TIME — the r9 snapshot matched every then-current analyzed
+# plan — so the whole 11-slot re-proof budget reconfirms the stalest
+# green rows: the r4-stamped events/session/funnel battery, none
+# re-hashed since round 4.  (Three plans changed LATER in round 10 —
+# text_strip_markup, graph_cooccurrence_pairs (md5-rank cap,
+# 2df9605814af2ac7 → 117ef76da4a85850), eval_bootstrap_ci — all three
+# directed fixes; all three sit in this window as prestage/re-proof
+# slots, so the post-change plans were driver-proven green in the r10
+# results anyway.)  This window closes cumulative driver coverage at
+# 316/316 — every registered query will have a green driver row.
 _R10_WINDOW: tuple[str, ...] = (
     # The 39 never-driver-checked queries (R10_PRESTAGE), in
     # registration order.

@@ -53,6 +53,35 @@ def test_line_with_a_few_alerts_still_fits():
     assert len(line) <= 2000
 
 
+def test_fallback_line_bounded_and_keeps_budget_signal():
+    # The > 1800-char fallback must (a) keep shed_reruns — the budget
+    # guard's signal is most valuable exactly in the degraded case —
+    # and (b) stay bounded even when EVERY benched query raises a
+    # spread alert, by collapsing the name list to a count + a
+    # fixed-size head (round-10 advisory).
+    longest = max(bench.HEADLINE, key=len)
+    alerts = [f"{longest}_{i:03d}" for i in range(400)]
+    line = json.dumps(
+        {
+            "metric": "suite_total_runtime",
+            "value": 99999.9999,
+            "unit": "sec",
+            "queries": {},
+            "n_spread_alerts": len(alerts),
+            "spread_alert_head": alerts[:8],
+            "shed_reruns": 9999,
+            "n_queries": 9999,
+            "detail": "BENCH_DETAIL.json",
+            "sf": 0.1,
+        }
+    )
+    assert len(line) <= 1800
+    assert '"shed_reruns"' in line
+    src = open(bench.__file__).read()
+    assert '"spread_alert_head": spread_alert[:8]' in src
+    assert src.count('"shed_reruns": shed') == 2  # primary AND fallback
+
+
 def test_headline_names_resolve():
     from gis_city_county_spark.suite import all_specs
 

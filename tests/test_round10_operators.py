@@ -371,10 +371,14 @@ def test_image_dhash_invariances(spark):
 
 
 def test_dhash_near_pairs_pigeonhole(spark):
-    """The banded join must find exactly the pairs within the
-    Hamming budget — including a pair differing ONLY in the low
-    half — and never emit a pair beyond it."""
-    import numpy as np
+    """The banded join must find exactly the brute-force near-pair
+    set — including pairs whose differing bits SPLIT ACROSS both
+    32-bit halves (the case a 2-band half-match join silently
+    misses; the round-11 advisory fix) — and never emit a pair
+    beyond the Hamming budget."""
+    import itertools
+
+    import pytest
 
     from gis_city_county_spark.operators.multimodal import (
         dhash_near_pairs,
@@ -386,16 +390,24 @@ def test_dhash_near_pairs_pigeonhole(spark):
         (2, 100, 200),   # exact dup of 0
         (3, 999, 200),   # hi differs by bit_count(100^999)
         (4, 555, 777),   # unrelated
+        (5, 101, 201),   # vs 0: 1 bit in EACH half -> hamming 2,
+                         # invisible to the old half-match pigeonhole
+        (6, 0x0F, 0x0F000000),  # vs 7: 3 bits in hi + 3 in lo = 6
+        (7, 0x00, 0x08000000 | 0x02000000),
     ]
     df = spark.createDataFrame(
         rows, "img_id long, dhash_hi long, dhash_lo long"
     )
     got = [tuple(r) for r in dhash_near_pairs(df, "img_id", 6).collect()]
-    ham_3 = bin(100 ^ 999).count("1")
-    expected = [(0, 2, 0), (0, 1, 1), (1, 2, 1)]
-    if ham_3 <= 6:
-        expected += [(0, 3, ham_3), (2, 3, ham_3)]
-    assert sorted(got) == sorted(expected)
+    expected = sorted(
+        (a, b, bin(ahi ^ bhi).count("1") + bin(alo ^ blo).count("1"))
+        for (a, ahi, alo), (b, bhi, blo) in itertools.combinations(rows, 2)
+        if bin(ahi ^ bhi).count("1") + bin(alo ^ blo).count("1") <= 6
+    )
+    assert sorted(got) == expected
+    assert (0, 5, 2) in expected  # the cross-half pair IS in the set
+    with pytest.raises(ValueError):
+        dhash_near_pairs(df, "img_id", max_hamming=8, bands=8)
 
 
 def test_dhash_fixture_queries_match_oracle(spark):
@@ -585,6 +597,15 @@ def test_audio_fingerprint_matches_no_all_pairs(spark):
     assert not has_cartesian_or_bnlj(q_audio_fp_matches(spark, ""))
 
 
+def test_dhash_near_pairs_no_all_pairs(spark):
+    """The dHash near-pair search rides the (band_idx, band_val)
+    equi-join — never a cartesian scan over image pairs."""
+    from gis_city_county_spark.plans.inspect import has_cartesian_or_bnlj
+    from gis_city_county_spark.suite.multimodal_q import q_dhash_near_pairs
+
+    assert not has_cartesian_or_bnlj(q_dhash_near_pairs(spark, ""))
+
+
 # ------------------------------------------------- sentence dedup
 
 
@@ -642,6 +663,13 @@ def test_loop_detection_periods_and_parity(spark):
         (4, "x y x y x y x y x y x y"),
         (5, ""),
         (6, "one two three " * 30),
+        # Docs SHORTER than max_period (8 tokens): sequence(p+1, size)
+        # would descend and element_at would throw under ANSI without
+        # the per-period size guard — the round-11 advisory fix.
+        (7, "hi"),
+        (8, "go go"),
+        (9, "a b c"),
+        (10, "yes yes yes yes yes yes yes yes"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["id"]: r for r in loop_detection(df, "doc_id", "text").collect()}
@@ -651,6 +679,10 @@ def test_loop_detection_periods_and_parity(spark):
     assert out[3]["loop_period"] == 0 and out[3]["loop_ppm"] == 0
     assert out[4]["loop_period"] == 2 and out[4]["loop_ppm"] == 1_000_000
     assert out[6]["loop_period"] == 3 and out[6]["loop_ppm"] == 1_000_000
+    assert out[7]["loop_period"] == 0 and out[7]["loop_ppm"] == 0
+    assert out[8]["loop_period"] == 1 and out[8]["loop_ppm"] == 1_000_000
+    assert out[9]["loop_period"] == 0 and out[9]["loop_ppm"] == 0
+    assert out[10]["loop_period"] == 1 and out[10]["loop_len"] == 8
     con = duckdb.connect()
     con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)

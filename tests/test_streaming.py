@@ -1956,3 +1956,141 @@ def test_streaming_hazard_retry_and_empty_batch(spark, tmp_path):
     p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
                 .drop("batch_id").collect())
     assert p1 == p0 and len(p1) > 0
+
+
+# ------------------------------------------------ MAD anomaly twin
+
+
+def test_streaming_mad_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch MAD maintainer:
+    after each batch the published report partition is BIT-EQUAL to
+    the batch ``daily_mad_anomalies`` over every row arrived so far —
+    later batches revisit earlier days (their counts grow) and extend
+    the calendar (the zero-filled grid and both medians re-derive)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import daily_mad_anomalies
+    from gis_city_county_spark.streaming.mad import streaming_mad_anomalies
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ev([(1, "2024-01-01 09:00:00"), (1, "2024-01-01 17:00:00"),
+            (2, "2024-01-02 10:00:00"), (1, "2024-01-02 08:00:00"),
+            (3, "2024-01-04 08:00:00")]),
+        # revisits day 1 (late event) and stretches the grid to day 9
+        # (days 5-8 become zero-count rows — anomaly candidates)
+        ev([(3, "2024-01-01 23:00:00"), (2, "2024-01-09 11:00:00")]),
+        # NULL ts is out, exactly like batch; a burst lands on day 9
+        ev([(4, None)] + [(5, "2024-01-09 12:00:00")] * 6),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "mad_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_mad_anomalies(
+            spark, batches[0].schema, str(incoming),
+            state_dir, report_dir, "ts",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["day", "n_events", "median_n", "abs_deviation", "mad",
+            "is_anomaly"]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in daily_mad_anomalies(acc, "ts").collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+    # The day-9 burst is flagged in the final report (zero-majority
+    # grid -> median 0, MAD 0 -> the any-deviation fallback: every
+    # nonzero day flags, zero days don't).
+    final = {r["day"].day: r for r in
+             published.filter(F.col("batch_id") == 2).collect()}
+    assert final[9]["is_anomaly"] and not final[5]["is_anomaly"]
+    assert final[6]["n_events"] == 0  # zero-filled grid row exists
+
+
+def test_streaming_mad_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch, same id, folded twice) leaves
+    the day-count state distinct-on-read and the published report
+    identical — counts never double."""
+    from gis_city_county_spark.streaming.mad import mad_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = mad_batch_folder(state_dir, report_dir, "ts")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"), (2, "2024-01-01 10:00:00"),
+         (1, "2024-01-03 09:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    counts = spark.read.parquet(f"{state_dir}/day_counts")
+    assert counts.count() == 2 * counts.distinct().count()
+    rep = {r["day"].day: r for r in
+           spark.read.parquet(report_dir).collect()}
+    assert rep[1]["n_events"] == 2 and rep[3]["n_events"] == 1  # not 4/2
+
+
+def test_streaming_mad_empty_batch_republishes(spark, tmp_path):
+    """The shared empty-batch contract: an all-NULL batch republishes
+    the current report under the new batch_id; an empty FIRST batch
+    publishes nothing."""
+    import os
+
+    from gis_city_county_spark.streaming.mad import mad_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = mad_batch_folder(state_dir, report_dir, "ts")
+    empty = spark.createDataFrame(
+        [(None, None)], "user_id long, ts timestamp"
+    )
+    fold(empty, 0)
+    assert not os.path.exists(report_dir)
+
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b1, 1)
+    fold(empty, 2)
+    rep = spark.read.parquet(report_dir)
+    assert rep.agg(F.max("batch_id")).first()[0] == 2
+    p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
+                .drop("batch_id").collect())
+    p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
+                .drop("batch_id").collect())
+    assert p2 == p1 and len(p2) > 0
