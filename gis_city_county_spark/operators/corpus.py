@@ -2618,3 +2618,163 @@ JOIN st ON c.split = st.split
 JOIN lt ON c.label = lt.label
 CROSS JOIN g
 """
+
+
+def chao1_richness(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate per group — the
+    species-richness lower bound (Chao, 1984) every corpus census
+    wants: how many token TYPES does this source really have, given
+    we only sampled N tokens?  The frequency-of-frequencies carries
+    the answer: with ``f1`` singletons and ``f2`` doubletons,
+    ``chao1 = vocab + f1·(f1−1) / (2·(f2+1))`` (the bias-corrected
+    form, defined even when f2 = 0).  Good-Turing rides along for
+    free: the unseen-probability mass is ``f1 / N``.
+
+    Exact end to end in house style: BIGINT frequency-of-frequency
+    counts, the Chao1 correction as one integer floor division
+    (documented: the true estimate is within 1 of the floored value),
+    unseen mass in exact ppm — no logs, no doubles.  Scale shape: one
+    (group, token) count — map-combinable, shuffle ∝ vocabulary —
+    then a per-group fold over the counts relation.
+
+    Returns (group, n_tokens, vocab, f1_singletons, f2_doubletons,
+    chao1_vocab, unseen_ppm).
+    """
+    counts = (
+        rebalance_for_fanout(df, multiplier=64.0)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    )
+    return (
+        counts.groupBy("__g")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.expr("CASE WHEN __c = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("f1_singletons"),
+            F.sum(F.expr("CASE WHEN __c = 2 THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("f2_doubletons"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "vocab",
+            "f1_singletons",
+            "f2_doubletons",
+            F.expr(
+                "vocab + (f1_singletons * (f1_singletons - 1))"
+                " div (2 * (f2_doubletons + 1))"
+            ).cast("bigint").alias("chao1_vocab"),
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " (f1_singletons * CAST(1000000 AS BIGINT)) div n_tokens END"
+            ).cast("bigint").alias("unseen_ppm"),
+        )
+    )
+
+
+def chao1_richness_sql(table: str, group_col: str, text_col: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS g, unnest({tokens_sql(text_col)}) AS t
+  FROM {table}
+),
+counts AS (
+  SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY g, t
+),
+agg AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts GROUP BY g
+)
+SELECT g AS {group_col}, n_tokens, vocab,
+       f1 AS f1_singletons, f2 AS f2_doubletons,
+       CAST(vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1_vocab,
+       CASE WHEN n_tokens > 0 THEN
+         CAST((f1 * CAST(1000000 AS BIGINT)) // n_tokens AS BIGINT)
+       END AS unseen_ppm
+FROM agg
+"""
+
+
+def split_leakage_audit(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Group-leakage audit over the deterministic train/val/test
+    split — the check every eval pipeline owes itself: when
+    correlated documents share a GROUP (same source crawl, same
+    author, same near-dup cluster), a per-document split puts
+    siblings on both sides of the train/eval fence and the eval
+    overstates generalization.  One row per leaking group (present in
+    ≥ 2 splits) with its per-split counts and a sorted split list.
+
+    Scale shape: :func:`split_assign` is a pure projection; the audit
+    is one (group, split) count aggregate, one per-group rollup, a
+    HAVING filter — map-combinable end to end, output bounded by the
+    leaking-group count.
+
+    Returns (group, n_splits, n_docs, n_train, n_val, n_test, splits)
+    ordered by n_docs desc (tie: group).
+    """
+    assigned = split_assign(df, key_col)
+    cells = (
+        assigned.groupBy(
+            F.col(group_col).alias("__g"), F.col("split").alias("__s")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    return (
+        cells.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_splits"),
+            F.sum("__n").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("__s") == "train", F.col("__n"))
+                  .otherwise(0)).cast("bigint").alias("n_train"),
+            F.sum(F.when(F.col("__s") == "val", F.col("__n"))
+                  .otherwise(0)).cast("bigint").alias("n_val"),
+            F.sum(F.when(F.col("__s") == "test", F.col("__n"))
+                  .otherwise(0)).cast("bigint").alias("n_test"),
+            F.array_join(F.array_sort(F.collect_list("__s")), ",")
+            .alias("splits"),
+        )
+        .filter(F.col("n_splits") >= 2)
+        .select(
+            F.col("__g").alias(group_col),
+            "n_splits", "n_docs", "n_train", "n_val", "n_test", "splits",
+        )
+        .orderBy(F.col("n_docs").desc(), F.col(group_col).asc())
+    )
+
+
+def split_leakage_audit_sql(table: str, key_col: str, group_col: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {group_col} AS g, {split_case_sql(key_col)} AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1, 2
+),
+rolled AS (
+  SELECT g,
+         CAST(COUNT(*) AS BIGINT) AS n_splits,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN s = 'train' THEN n ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN s = 'val' THEN n ELSE 0 END) AS BIGINT)
+           AS n_val,
+         CAST(SUM(CASE WHEN s = 'test' THEN n ELSE 0 END) AS BIGINT)
+           AS n_test,
+         list_aggregate(list_sort(list(s)), 'string_agg', ',') AS splits
+  FROM cells GROUP BY 1
+)
+SELECT g AS {group_col}, n_splits, n_docs, n_train, n_val, n_test, splits
+FROM rolled
+WHERE n_splits >= 2
+ORDER BY n_docs DESC, {group_col} ASC
+"""

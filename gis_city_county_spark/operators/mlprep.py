@@ -3086,3 +3086,379 @@ SELECT CAST({k} AS BIGINT) AS k,
        CAST(COALESCE(SUM(t), 0) AS BIGINT) AS rbo_micro
 FROM terms
 """
+
+
+def cochrans_q(
+    df: DataFrame, item_col: str, rater_col: str, correct_col: str
+) -> DataFrame:
+    """Cochran's Q — the k-classifier extension of McNemar over the
+    long (item, classifier, correct∈{0,1}) relation: do the k models
+    differ in accuracy on the SAME items?  ``Q = (k−1)·(k·ΣG² −
+    (ΣG)²) / (k·ΣL − ΣL²)`` with ``G_j`` the per-classifier totals
+    and ``L_i`` the per-item totals — an exact rational of BIGINT
+    counts, emitted in milli units (χ²_{k−1}; at k = 3, ≥ 5991 milli
+    ≈ the 5% line).
+
+    Scale shape: one map-combinable per-item aggregate (ΣL and ΣL²
+    fold from it), one per-classifier aggregate bounded by k rows,
+    and 1-row scalar merges — no joins on the raw relation.  A
+    ``complete_design`` flag rides along (every item rated by all k
+    classifiers); Q is only defined on complete designs.
+
+    Returns one row: (n_items, k_raters, complete_design,
+    statistic_milli) — statistic NULL when the denominator is 0
+    (all items unanimously right or wrong).
+    """
+    per_item = (
+        df.groupBy(F.col(item_col).alias("__i"))
+        .agg(
+            F.sum(F.col(correct_col).cast("bigint")).alias("__l"),
+            F.count(F.lit(1)).cast("bigint").alias("__k"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    item_side = per_item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__l").cast("bigint").alias("__sum_l"),
+        F.sum(F.expr("__l * __l")).cast("bigint").alias("__sum_l2"),
+        F.min("__k").alias("__k_min"),
+        F.max("__k").alias("__k_max"),
+    )
+    rater_side = (
+        df.groupBy(F.col(rater_col).alias("__r"))
+        .agg(F.sum(F.col(correct_col).cast("bigint")).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_raters"),
+            F.sum(F.expr("__g * __g")).cast("bigint").alias("__sum_g2"),
+            F.sum("__g").cast("bigint").alias("__sum_g"),
+        )
+    )
+    den = F.expr("k_raters * __sum_l - __sum_l2")
+    return item_side.crossJoin(F.broadcast(rater_side)).select(
+        "n_items",
+        "k_raters",
+        (
+            (F.col("__k_min") == F.col("k_raters"))
+            & (F.col("__k_max") == F.col("k_raters"))
+        ).alias("complete_design"),
+        F.when(
+            den > 0,
+            F.expr(
+                "CAST((1000 * (k_raters - 1)"
+                " * (k_raters * __sum_g2 - __sum_g * __sum_g))"
+                " div (k_raters * __sum_l - __sum_l2) AS BIGINT)"
+            ),
+        ).alias("statistic_milli"),
+    )
+
+
+def cochrans_q_sql(
+    source_sql: str, item_col: str, rater_col: str, correct_col: str
+) -> str:
+    return f"""
+WITH per_item AS MATERIALIZED (
+  SELECT {item_col} AS i,
+         CAST(SUM(CAST({correct_col} AS BIGINT)) AS BIGINT) AS l,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM ({source_sql}) GROUP BY 1
+),
+item_side AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(l) AS BIGINT) AS sum_l,
+         CAST(SUM(l * l) AS BIGINT) AS sum_l2,
+         MIN(k) AS k_min, MAX(k) AS k_max
+  FROM per_item
+),
+rater_side AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_raters,
+         CAST(SUM(g * g) AS BIGINT) AS sum_g2,
+         CAST(SUM(g) AS BIGINT) AS sum_g
+  FROM (
+    SELECT {rater_col} AS r,
+           CAST(SUM(CAST({correct_col} AS BIGINT)) AS BIGINT) AS g
+    FROM ({source_sql}) GROUP BY 1
+  )
+)
+SELECT n_items, k_raters,
+       k_min = k_raters AND k_max = k_raters AS complete_design,
+       CASE WHEN k_raters * sum_l - sum_l2 > 0 THEN
+         CAST((1000 * (k_raters - 1)
+               * (k_raters * sum_g2 - sum_g * sum_g))
+              // (k_raters * sum_l - sum_l2) AS BIGINT)
+       END AS statistic_milli
+FROM item_side CROSS JOIN rater_side
+"""
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test over paired integer scores — the
+    rank-based paired comparison that ignores outlier magnitudes
+    (the nonparametric sibling of the paired t-test).  Zero
+    differences drop (Wilcoxon's original treatment); |d| ranks use
+    MIDRANKS for ties, exact in milli units (a tie group covering
+    1-based ranks ``s..s+c−1`` has midrank ``500·(2s + c − 1)``
+    milli — always an integer).  ``W⁺`` sums the milli midranks of
+    positive differences; the identity ``W⁺ + W⁻ = 500·n·(n+1)``
+    crossfoots the arithmetic and is emitted as a check column.
+
+    Scale shape: one map-combinable aggregate per DISTINCT |d| cell
+    (the contingency-cell discipline — Kendall/Cramér precedent),
+    one prefix-sum window over those bounded cells, one 1-row final
+    fold.  Never a rank window over raw rows.
+
+    Returns one row: (n_nonzero, w_plus_milli, w_minus_milli,
+    ranks_total_milli).
+    """
+    d = (F.col(a_col) - F.col(b_col)).cast("bigint")
+    cells = (
+        df.select(d.alias("__d"))
+        .filter(F.col("__d") != 0)
+        .groupBy(F.abs(F.col("__d")).alias("__ad"))
+        .agg(
+            F.sum(F.when(F.col("__d") > 0, 1).otherwise(0))
+            .cast("bigint").alias("__npos"),
+            F.count(F.lit(1)).cast("bigint").alias("__c"),
+        )
+    )
+    w_pre = Window.orderBy(F.col("__ad").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cells.withColumn(
+        "__cum", F.sum("__c").over(w_pre)
+    ).withColumn(
+        # 1-based start rank of this tie group: cum − c + 1; midrank
+        # in milli = 500 · (2·start + c − 1) = 500 · (2·cum − c + 1)
+        "__mid_milli",
+        (F.lit(500).cast("bigint")
+         * (2 * F.col("__cum") - F.col("__c") + 1)),
+    )
+    return ranked.agg(
+        F.sum("__c").cast("bigint").alias("n_nonzero"),
+        F.sum(F.expr("__npos * __mid_milli")).cast("bigint")
+        .alias("w_plus_milli"),
+        F.sum(F.expr("(__c - __npos) * __mid_milli")).cast("bigint")
+        .alias("w_minus_milli"),
+        F.sum(F.expr("__c * __mid_milli")).cast("bigint")
+        .alias("ranks_total_milli"),
+    )
+
+
+def wilcoxon_signed_rank_sql(source_sql: str, a_col: str, b_col: str) -> str:
+    return f"""
+WITH diffs AS (
+  SELECT CAST({a_col} AS BIGINT) - CAST({b_col} AS BIGINT) AS d
+  FROM ({source_sql})
+  WHERE CAST({a_col} AS BIGINT) - CAST({b_col} AS BIGINT) != 0
+),
+cells AS (
+  SELECT ABS(d) AS ad,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM diffs GROUP BY 1
+),
+ranked AS (
+  SELECT npos, c,
+         500 * (2 * SUM(c) OVER (ORDER BY ad ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - c + 1) AS mid_milli
+  FROM cells
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_nonzero,
+       CAST(SUM(npos * mid_milli) AS BIGINT) AS w_plus_milli,
+       CAST(SUM((c - npos) * mid_milli) AS BIGINT) AS w_minus_milli,
+       CAST(SUM(c * mid_milli) AS BIGINT) AS ranks_total_milli
+FROM ranked
+"""
+
+
+def permutation_test(
+    df: DataFrame,
+    key_col: str,
+    a_col: str,
+    b_col: str,
+    n_replicas: int = 128,
+    salt: str = "perm-v1",
+) -> DataFrame:
+    """Deterministic paired permutation test — the exact-by-replica
+    significance check for "is A better than B on the same items":
+    under H₀ each paired difference's sign is arbitrary, so replica
+    ``r`` flips each item's sign by the parity of md5(salt|r|key)
+    (every engine, every run, the same flips — the bootstrap_ci
+    coin discipline) and the p-value is the fraction of replicas
+    whose |Σ signed d| reaches the observed |Σ d|, with the
+    standard +1 smoothing: ``p_ppm = 10⁶·(hits + 1) div (R + 1)``.
+
+    Scale shape: the ×R fan-out is scan-side on the rows; per-replica
+    sums are map-combinable and only R rows shuffle; the observed
+    statistic is a 1-row broadcast merge.  All integers exact.
+
+    Returns one row: (n_items, observed_stat, n_replicas,
+    n_replicas_ge, p_value_ppm).
+    """
+    from gis_city_county_spark.operators.sketch import _h60
+
+    d = (F.col(a_col) - F.col(b_col)).cast("bigint")
+    base = df.select(
+        F.col(key_col).cast("string").alias("__k"), d.alias("__d")
+    )
+    obs = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("__d").cast("bigint").alias("observed_stat"),
+    )
+    rep = base.select(
+        "__k", "__d",
+        F.explode(F.array(*[F.lit(r) for r in range(n_replicas)]))
+        .alias("__r"),
+    )
+    sign = F.when(
+        _h60(F.concat(F.lit(salt + "|"), F.col("__r").cast("string"),
+                      F.lit("|"), F.col("__k"))) % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1)).cast("bigint")
+    stats = (
+        rep.groupBy("__r")
+        .agg(F.sum(sign * F.col("__d")).cast("bigint").alias("__s"))
+    )
+    hits = stats.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("__s")) >= F.abs(F.col("observed_stat")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_replicas_ge")
+    )
+    return (
+        obs.crossJoin(F.broadcast(hits))
+        .select(
+            "n_items",
+            "observed_stat",
+            F.lit(n_replicas).cast("bigint").alias("n_replicas"),
+            "n_replicas_ge",
+            F.expr(
+                f"((n_replicas_ge + 1) * CAST(1000000 AS BIGINT))"
+                f" div ({n_replicas} + 1)"
+            ).cast("bigint").alias("p_value_ppm"),
+        )
+    )
+
+
+def permutation_test_sql(
+    source_sql: str,
+    key_col: str,
+    a_col: str,
+    b_col: str,
+    n_replicas: int = 128,
+    salt: str = "perm-v1",
+) -> str:
+    from gis_city_county_spark.operators.sketch import _h60_sql
+
+    h = _h60_sql(
+        f"'{salt}|' || CAST(r AS VARCHAR) || '|' || CAST(k AS VARCHAR)"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT CAST({key_col} AS VARCHAR) AS k,
+         CAST({a_col} AS BIGINT) - CAST({b_col} AS BIGINT) AS d
+  FROM ({source_sql})
+),
+obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(d) AS BIGINT) AS observed_stat
+  FROM base
+),
+rep AS (
+  SELECT k, d, r
+  FROM base CROSS JOIN (
+    SELECT unnest(generate_series(0, {n_replicas - 1})) AS r
+  )
+),
+stats AS (
+  SELECT r,
+         CAST(SUM(CASE WHEN {h} % 2 = 0 THEN d ELSE -d END) AS BIGINT)
+           AS s
+  FROM rep GROUP BY r
+),
+hits AS (
+  SELECT CAST(SUM(CASE WHEN ABS(s) >= ABS(observed_stat)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_replicas_ge
+  FROM stats CROSS JOIN obs
+)
+SELECT n_items, observed_stat,
+       CAST({n_replicas} AS BIGINT) AS n_replicas,
+       n_replicas_ge,
+       CAST(((n_replicas_ge + 1) * CAST(1000000 AS BIGINT))
+            // ({n_replicas} + 1) AS BIGINT) AS p_value_ppm
+FROM obs CROSS JOIN hits
+"""
+
+
+def wilson_ci(
+    df: DataFrame, group_col: str, success_col: str, z_milli: int = 1960
+) -> DataFrame:
+    """Wilson score interval per group — the proportion CI that
+    behaves at the extremes (never leaves [0, 1], sane at small n)
+    where the naive Wald interval fails; the standard error bar for
+    per-slice pass rates and conversion dashboards.
+
+    Cross-engine exactness: the integer side (successes, trials) is
+    exact BIGINT; the interval is a FIXED-ORDER IEEE tail — identical
+    casts, one sqrt, identical multiply/divide sequence on both
+    engines (the MCC/Brier discipline), so the doubles bit-match.
+    ``z_milli`` keeps z rational (default 1960 = the 95% two-sided
+    score).
+
+    Returns (group, n_trials, n_successes, p_hat_ppm, wilson_lo,
+    wilson_hi) ordered by group.
+    """
+    agg = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+        F.sum(F.col(success_col).cast("bigint")).cast("bigint")
+        .alias("n_successes"),
+    )
+    z = F.lit(z_milli).cast("double") / F.lit(1000.0)
+    n = F.col("n_trials").cast("double")
+    p = F.col("n_successes").cast("double") / n
+    z2 = z * z
+    center = p + z2 / (F.lit(2.0) * n)
+    half = z * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_trials",
+        "n_successes",
+        F.expr(
+            "(n_successes * CAST(1000000 AS BIGINT)) div n_trials"
+        ).cast("bigint").alias("p_hat_ppm"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    ).orderBy(group_col)
+
+
+def wilson_ci_sql(
+    source_sql: str, group_col: str, success_col: str, z_milli: int = 1960
+) -> str:
+    z = f"(CAST({z_milli} AS DOUBLE) / 1000.0)"
+    n = "CAST(n_trials AS DOUBLE)"
+    p = f"(CAST(n_successes AS DOUBLE) / {n})"
+    z2 = f"({z} * {z})"
+    center = f"({p} + {z2} / (2.0 * {n}))"
+    half = (
+        f"({z} * SQRT(({p} * (1.0 - {p}) + {z2} / (4.0 * {n})) / {n}))"
+    )
+    denom = f"(1.0 + {z2} / {n})"
+    return f"""
+WITH agg AS (
+  SELECT {group_col} AS g,
+         CAST(COUNT(*) AS BIGINT) AS n_trials,
+         CAST(SUM(CAST({success_col} AS BIGINT)) AS BIGINT) AS n_successes
+  FROM ({source_sql}) GROUP BY 1
+)
+SELECT g AS {group_col}, n_trials, n_successes,
+       CAST((n_successes * CAST(1000000 AS BIGINT)) // n_trials AS BIGINT)
+         AS p_hat_ppm,
+       ({center} - {half}) / {denom} AS wilson_lo,
+       ({center} + {half}) / {denom} AS wilson_hi
+FROM agg
+ORDER BY g
+"""

@@ -734,7 +734,8 @@ def image_dhash(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 
 def dhash_near_pairs(
-    hashes: DataFrame, id_col: str, max_hamming: int = 6, bands: int = 8
+    hashes: DataFrame, id_col: str, max_hamming: int = 6, bands: int = 8,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate image pairs from :func:`image_dhash` output —
     banded exactly like SimHash text dedup: split the 64-bit dHash
@@ -747,6 +748,19 @@ def dhash_near_pairs(
     ≤ 1 — bits split across both halves escape the half-match join —
     hence the default 8 × 8-bit banding for the default
     ``max_hamming`` of 6.)
+
+    ``max_bucket`` (default 256) bounds the residual quadratic term
+    BY CONSTRUCTION — 8-bit bands give only 256 buckets per band, so
+    a uniform corpus's per-bucket occupancy grows with n and the
+    candidate join would grow n²·bands/256 (the price of the
+    narrow-band recall guarantee): buckets past the cap are md5-rank
+    sampled down (deterministic — the same ids survive on every
+    engine, every run, every partitioning), capping per-bucket
+    fan-out at C(cap, 2); a pair dropped from one oversized bucket
+    has the other 7 bands to surface through.  The co-occurrence-cap
+    discipline (``graph.cooccurrence_truncation_report`` /
+    ``similarity.lsh_bucket_truncation_report``) — truncation is a
+    deliberate, audited recall trade, not a silent one.
 
     Output: (a_id, b_id, hamming), a_id < b_id, ordered by (hamming,
     a_id, b_id).
@@ -773,6 +787,15 @@ def dhash_near_pairs(
         F.col(id_col).alias("__id"), "dhash_hi", "dhash_lo",
         F.posexplode(F.array(*band_vals)).alias("band_idx", "band_val"),
     )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_idx", "band_val").orderBy(
+            F.md5(F.col("__id").cast("string")), F.col("__id")
+        )
+        banded = (
+            banded.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_bucket)
+            .drop("__rk")
+        )
     a = banded.select(
         F.col("__id").alias("a_id"),
         F.col("dhash_hi").alias("__ahi"), F.col("dhash_lo").alias("__alo"),
@@ -920,4 +943,167 @@ def audio_fingerprint_matches(
             F.col("__votes").alias("best_votes"),
         )
         .orderBy(F.col("best_votes").desc(), "a_id", "b_id")
+    )
+
+
+# ------------------------------------------------------------- video
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode an (n_frames, h, w) uint8 luma array as a YUV4MPEG2
+    stream (``Cmono`` colourspace — luma plane only), the
+    uncompressed interchange format every video toolchain speaks.
+    Real container, real bytes: a text stream header, then one
+    ``FRAME\\n`` marker + h·w raw luma bytes per frame."""
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w = a.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n"
+    out = [hdr.encode("ascii")]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(a[i].tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Decode a ``Cmono`` YUV4MPEG2 payload into ``(frames, fps)``
+    where frames is an (n, h, w) uint8 numpy array.  Real parse:
+    stream-header tokens (W/H/F/C), per-frame ``FRAME`` markers
+    (frame-header parameters after ``FRAME`` are tolerated).
+    Chroma-bearing colourspaces need an external library."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = None
+    fps = (25, 1)
+    for tok in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            num, den = tok[1:].split(":")
+            fps = (int(num), int(den))
+        elif tok[0] == "C" and tok[1:] != "mono":
+            raise ValueError(f"only Cmono supported, got {tok}")
+    if not w or not h:
+        raise ValueError("missing W/H in stream header")
+    frames = []
+    pos = nl + 1
+    size = w * h
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at offset {pos}")
+        body = payload[fnl + 1 : fnl + 1 + size]
+        if len(body) < size:
+            raise ValueError("truncated frame")
+        frames.append(np.frombuffer(body, dtype=np.uint8).reshape(h, w))
+        pos = fnl + 1 + size
+    return np.stack(frames), fps
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str, payload_col: str, every: int = 2
+) -> DataFrame:
+    """Frame-sampled luma statistics per video — the frame-extraction
+    plumbing a multimodal training pipeline runs before any model
+    sees pixels (sample every ``every``-th frame, score it, decide
+    what to keep).  REAL executor-side Y4M decode in Arrow-batched
+    ``mapInPandas`` (the image/audio discipline: schema, batch shape
+    and partitioning are the production path; only the codec set is
+    minimal).  Per sampled frame the stats are exact integers:
+    ``mean_luma_milli = 1000·Σluma div (h·w)``, min, max.
+
+    Returns (id, n_frames, frame_idx, mean_luma_milli, min_luma,
+    max_luma) — one row per SAMPLED frame.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("mean_luma_milli", T.LongType()),
+            T.StructField("min_luma", T.IntegerType()),
+            T.StructField("max_luma", T.IntegerType()),
+        ]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "n_frames", "frame_idx",
+                                    "mean_luma_milli", "min_luma",
+                                    "max_luma")}
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames, _ = decode_y4m(bytes(payload))
+                n, h, w = frames.shape
+                for i in range(0, n, every):
+                    f = frames[i].astype(np.int64)
+                    rows["id"].append(rid)
+                    rows["n_frames"].append(n)
+                    rows["frame_idx"].append(i)
+                    rows["mean_luma_milli"].append(
+                        int(1000 * int(f.sum()) // (h * w))
+                    )
+                    rows["min_luma"].append(int(f.min()))
+                    rows["max_luma"].append(int(f.max()))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(rows["id"], dtype="int64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "mean_luma_milli": pd.Series(
+                        rows["mean_luma_milli"], dtype="int64"
+                    ),
+                    "min_luma": pd.Series(rows["min_luma"], dtype="int32"),
+                    "max_luma": pd.Series(rows["max_luma"], dtype="int32"),
+                }
+            )
+
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    src = rebalance_for_fanout(df.select(id_col, payload_col),
+                               multiplier=8.0)
+    return src.mapInPandas(process, out_schema)
+
+
+def video_scene_cuts(
+    frame_stats: DataFrame, threshold_milli: int = 40_000
+) -> DataFrame:
+    """Scene-change detection over :func:`video_frame_stats` output —
+    the shot segmenter in its exact-integer luma-delta form: a cut is
+    a sampled frame whose mean luma jumped at least
+    ``threshold_milli`` (milli-luma units) from the previous SAMPLED
+    frame of the same video.  Group-partitioned lag window only —
+    never a global sort.
+
+    Returns (id, frame_idx, prev_idx, delta_milli) — one row per
+    detected cut, ordered by (id, frame_idx).
+    """
+    w = Window.partitionBy("id").orderBy(F.col("frame_idx").asc())
+    lagged = frame_stats.select(
+        "id",
+        "frame_idx",
+        F.lag("frame_idx").over(w).alias("prev_idx"),
+        (F.col("mean_luma_milli")
+         - F.lag("mean_luma_milli").over(w)).alias("__delta"),
+    )
+    return (
+        lagged.filter(
+            F.col("prev_idx").isNotNull()
+            & (F.abs(F.col("__delta")) >= threshold_milli)
+        )
+        .select(
+            "id", "frame_idx", "prev_idx",
+            F.abs(F.col("__delta")).cast("bigint").alias("delta_milli"),
+        )
+        .orderBy("id", "frame_idx")
     )

@@ -2032,3 +2032,106 @@ r{step} AS (
         "WITH " + ",".join(ctes) + "\n"
         + "\nUNION ALL\n".join(sel_union)
     )
+
+
+def lsh_recall_audit(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int = 50,
+    k: int = 5,
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ANN recall audit — the blocking_recall discipline applied to
+    the vector path: on a bounded probe sample, compare
+    :func:`lsh_ann_topk`'s answer against the exact brute-force
+    cosine top-k and report recall@k in exact ppm.  This is the
+    number that justifies (or indicts) the banding/bucket-cap
+    configuration before anyone trusts the approximate path at
+    corpus scale.
+
+    Scale shape: the exact side is |corpus| × |probes| BY DESIGN —
+    the audit's budget — bounded by ``cosine_topk``'s probe guard;
+    the probe set is the deterministic ``id % probe_mod == 0``
+    hash-slice (same convention as the registered ANN queries).  The
+    approximate side rides the production LSH chain, so the audit
+    measures what actually ships.  The hit check is one equi-join on
+    (probe_id, neighbor_id); totals are map-combinable.
+
+    Returns one row: (n_probes, k, n_exact_pairs, n_hit_pairs,
+    recall_ppm).
+    """
+    exact = cosine_topk(
+        corpus, corpus.filter(F.col(id_col) % probe_mod == 0),
+        id_col, vec_col, k,
+    ).select("probe_id", "neighbor_id")
+    approx = lsh_ann_topk(
+        corpus, id_col, vec_col, F.col("__id") % probe_mod == 0,
+        k, n_planes, bands, dim,
+    ).select("probe_id", "neighbor_id")
+    hits = exact.join(approx, ["probe_id", "neighbor_id"], "left_semi")
+    ex_tot = exact.agg(
+        F.count_distinct("probe_id").cast("bigint").alias("n_probes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+    )
+    hit_tot = hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_pairs")
+    )
+    return ex_tot.crossJoin(F.broadcast(hit_tot)).select(
+        "n_probes",
+        F.lit(k).cast("bigint").alias("k"),
+        "n_exact_pairs",
+        "n_hit_pairs",
+        F.expr(
+            "CASE WHEN n_exact_pairs > 0 THEN"
+            " (n_hit_pairs * CAST(1000000 AS BIGINT)) div n_exact_pairs"
+            " ELSE 0 END"
+        ).cast("bigint").alias("recall_ppm"),
+    )
+
+
+def lsh_recall_audit_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    probe_mod: int = 50,
+    k: int = 5,
+    n_planes: int = 64,
+    bands: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB oracle twin of :func:`lsh_recall_audit` — the probe
+    filter is spelled per side (``p.{id_col}`` for the exact twin,
+    ``p.id`` for the banded twin, their respective conventions)."""
+    exact = cosine_topk_sql(
+        table, id_col, vec_col, f"p.{id_col} % {probe_mod} = 0", k
+    )
+    approx = lsh_ann_topk_sql(
+        table, id_col, vec_col, f"p.id % {probe_mod} = 0", k,
+        n_planes, bands, dim,
+    )
+    return f"""
+WITH exact AS MATERIALIZED ({exact}),
+approx AS MATERIALIZED ({approx}),
+hits AS (
+  SELECT e.probe_id, e.neighbor_id
+  FROM exact e JOIN approx a
+    ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+),
+ex_tot AS (
+  SELECT CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes,
+         CAST(COUNT(*) AS BIGINT) AS n_exact_pairs
+  FROM exact
+),
+hit_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hit_pairs FROM hits
+)
+SELECT n_probes, CAST({k} AS BIGINT) AS k, n_exact_pairs, n_hit_pairs,
+       CASE WHEN n_exact_pairs > 0 THEN
+         CAST((n_hit_pairs * CAST(1000000 AS BIGINT)) // n_exact_pairs
+              AS BIGINT)
+       ELSE 0 END AS recall_ppm
+FROM ex_tot CROSS JOIN hit_tot
+"""

@@ -2079,6 +2079,200 @@ ORDER BY day_index
 """
 
 
+def km_curve(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over the discrete-time life table —
+    the retention curve itself: ``S(t) = ∏_{s≤t} (1 − d_s / n_s)``
+    with ``d_s`` churned and ``n_s`` at risk on day ``s``.
+
+    :func:`hazard_table` historically left the product to the
+    consumer ("no engine reproduces it bit-for-bit") — the
+    canonical-order-fold house pattern (``kmeans_refine``) retires
+    that caveat for the CALENDAR-bounded day frame: each factor is
+    one IEEE division (correctly rounded, engine-identical), the
+    prefix product folds the factors in ascending day order on both
+    engines (Spark ``aggregate`` over an ordered-window
+    ``collect_list``, DuckDB ``list_reduce`` over a windowed
+    ``list``), and a fixed-order chain of IEEE multiplies is
+    bit-portable.  The per-day factor list is bounded by the calendar
+    span, never the users.
+
+    Returns the hazard table plus (km_survival DOUBLE,
+    survival_ppm BIGINT) ordered by day_index.
+    """
+    haz = hazard_table(df, user_col, ts_col, churn_gap_days)
+    w = (
+        Window.orderBy(F.col("day_index").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    factor = (
+        (F.col("n_at_risk") - F.col("n_churned")).cast("double")
+        / F.col("n_at_risk").cast("double")
+    )
+    return (
+        haz.withColumn("__f", factor)
+        .withColumn("__fs", F.collect_list("__f").over(w))
+        .withColumn(
+            "km_survival",
+            F.expr("aggregate(__fs, CAST(1.0 AS DOUBLE),"
+                   " (acc, x) -> acc * x)"),
+        )
+        .select(
+            "day_index",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            "km_survival",
+            F.floor(F.col("km_survival") * F.lit(1000000.0))
+            .cast("bigint").alias("survival_ppm"),
+        )
+        .orderBy("day_index")
+    )
+
+
+def km_curve_sql(
+    source_sql: str,
+    user_col: str,
+    ts_col: str,
+    churn_gap_days: int = 7,
+) -> str:
+    haz = hazard_table_sql(source_sql, user_col, ts_col, churn_gap_days)
+    return f"""
+WITH haz AS MATERIALIZED ({haz}),
+fs AS (
+  SELECT day_index, n_at_risk, n_churned, n_censored,
+         list(CAST(n_at_risk - n_churned AS DOUBLE)
+              / CAST(n_at_risk AS DOUBLE))
+           OVER (ORDER BY day_index ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS factors
+  FROM haz
+)
+SELECT day_index, n_at_risk, n_churned, n_censored,
+       list_reduce(factors, (acc, x) -> acc * x) AS km_survival,
+       CAST(FLOOR(list_reduce(factors, (acc, x) -> acc * x) * 1000000.0)
+            AS BIGINT) AS survival_ppm
+FROM fs
+ORDER BY day_index
+"""
+
+
+def cusum_changepoint(df: DataFrame, ts_col: str) -> DataFrame:
+    """CUSUM level-shift detection over the zero-filled daily volume —
+    the classic changepoint screen (Page, 1954) in its exact-integer
+    form: with ``D`` calendar days and total volume ``T``, the scaled
+    cumulative deviation at day ``i`` is ``cusum_i = D·prefix_i −
+    i·T`` (the running sum of ``n_j·D − T`` — per-day deviation from
+    the mean, multiplied through by ``D`` so everything stays
+    BIGINT).  The most likely single changepoint is the day of
+    maximum |cusum| (tie: earliest day); its magnitude normalizes to
+    ppm of the total deviation scale ``D·T``.
+
+    Scale shape: one map-combinable per-day count, the zero-filled
+    grid, and prefix sums / argmax windows over the CALENDAR-bounded
+    day rows — never the events.  All integers exact.
+
+    Returns (day, n_events, cusum_scaled, is_changepoint,
+    cusum_abs_ppm) ordered by day.
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("__day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    span = counts.agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    grid = span.select(F.explode(F.sequence("__lo", "__hi")).alias("__day"))
+    days = grid.join(counts, "__day", "left").select(
+        "__day",
+        F.coalesce("__n", F.lit(0).cast("bigint")).alias("n_events"),
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_pre = Window.orderBy(F.col("__day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        days.withColumn("__d_total", F.count(F.lit(1)).over(w_all))
+        .withColumn("__t_total", F.sum("n_events").over(w_all))
+        .withColumn("__i", F.row_number().over(Window.orderBy("__day")))
+        .withColumn(
+            "cusum_scaled",
+            (F.col("__d_total") * F.sum("n_events").over(w_pre)
+             - F.col("__i") * F.col("__t_total")).cast("bigint"),
+        )
+    )
+    w_mag = Window.orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("__day").asc()
+    )
+    return (
+        cum.withColumn("__mag_rk", F.row_number().over(w_mag))
+        .select(
+            F.col("__day").cast("timestamp").alias("day"),
+            "n_events",
+            "cusum_scaled",
+            (F.col("__mag_rk") == 1).alias("is_changepoint"),
+            F.expr(
+                "CASE WHEN __d_total * __t_total > 0 THEN"
+                " (abs(cusum_scaled) * CAST(1000000 AS BIGINT))"
+                " div (__d_total * __t_total) ELSE 0 END"
+            ).cast("bigint").alias("cusum_abs_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+def cusum_changepoint_sql(source_sql: str, ts_col: str) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({source_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM counts),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+days AS MATERIALIZED (
+  SELECT g.d, COALESCE(c.n, 0) AS n_events
+  FROM grid g LEFT JOIN counts c ON g.d = c.d
+),
+cum AS (
+  SELECT d, n_events,
+         COUNT(*) OVER () AS d_total,
+         SUM(n_events) OVER () AS t_total,
+         ROW_NUMBER() OVER (ORDER BY d) AS i,
+         SUM(n_events) OVER (ORDER BY d ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS prefix
+  FROM days
+),
+scored AS (
+  SELECT d, n_events,
+         CAST(d_total * prefix - i * t_total AS BIGINT) AS cusum_scaled,
+         d_total, t_total
+  FROM cum
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       n_events,
+       cusum_scaled,
+       ROW_NUMBER() OVER (ORDER BY ABS(cusum_scaled) DESC, d ASC) = 1
+         AS is_changepoint,
+       CASE WHEN d_total * t_total > 0 THEN
+         CAST((ABS(cusum_scaled) * CAST(1000000 AS BIGINT))
+              // (d_total * t_total) AS BIGINT)
+       ELSE 0 END AS cusum_abs_ppm
+FROM scored
+ORDER BY day
+"""
+
+
 def daily_mad_anomalies(
     df: DataFrame, ts_col: str, k_milli: int = 3500
 ) -> DataFrame:

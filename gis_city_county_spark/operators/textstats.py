@@ -1277,3 +1277,168 @@ SELECT id, n_tokens,
             // LEAST(n_tokens, {tail_tokens}) AS BIGINT) AS loop_ppm
 FROM scored
 """
+
+
+# Unicode-script character classes as LITERAL range characters (the
+# Python source embeds the actual codepoints), so Java regex (Spark)
+# and RE2 (DuckDB) read the identical class — neither engine's escape
+# syntax appears in the pattern.  Whitespace is the explicit
+# [ \t\n\x0B\f\r] class (Java \s includes \x0B, RE2's does not).
+_SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \t\n\x0B\f\r]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[一-鿿]"),
+    ("arabic", "[؀-ۿ]"),
+]
+
+
+def script_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Unicode-script composition per group — the pre-language-ID
+    screen a multilingual corpus census runs first (a "lang = en" doc
+    that is 40% Cyrillic is mislabeled; a CJK share tells you whether
+    whitespace tokenization applies at all).  Character counts per
+    script class via ``length(s) − length(regexp_replace(s, class,
+    ''))`` — scan-side, no explode; per-group shares in exact ppm of
+    total characters; ``other`` is the exact remainder.
+
+    Scale shape: one map-combinable aggregate; output bounded by the
+    group count.
+
+    Returns (group, n_chars, latin_ppm, digit_ppm, space_ppm,
+    cyrillic_ppm, greek_ppm, cjk_ppm, arabic_ppm, other_ppm) ordered
+    by group.
+    """
+    cnt = {
+        name: F.sum(
+            (F.length(text_col)
+             - F.length(F.regexp_replace(F.col(text_col), cls, "")))
+            .cast("bigint")
+        ).alias(f"__{name}")
+        for name, cls in _SCRIPT_CLASSES
+    }
+    agg = df.filter(F.col(text_col).isNotNull()).groupBy(
+        F.col(group_col).alias("__g")
+    ).agg(
+        F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
+        *cnt.values(),
+    )
+    known = " + ".join(f"__{name}" for name, _ in _SCRIPT_CLASSES)
+    ppm = [
+        F.expr(
+            f"CASE WHEN n_chars > 0 THEN"
+            f" (__{name} * CAST(1000000 AS BIGINT)) div n_chars"
+            f" ELSE 0 END"
+        ).cast("bigint").alias(f"{name}_ppm")
+        for name, _ in _SCRIPT_CLASSES
+    ]
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_chars",
+        *ppm,
+        F.expr(
+            f"CASE WHEN n_chars > 0 THEN"
+            f" ((n_chars - ({known})) * CAST(1000000 AS BIGINT))"
+            f" div n_chars ELSE 0 END"
+        ).cast("bigint").alias("other_ppm"),
+    ).orderBy(group_col)
+
+
+def script_profile_sql(table: str, group_col: str, text_col: str) -> str:
+    cnt = ",\n         ".join(
+        f"CAST(SUM(length({text_col})"
+        f" - length(regexp_replace({text_col}, '{cls}', '', 'g')))"
+        f" AS BIGINT) AS c_{name}"
+        for name, cls in _SCRIPT_CLASSES
+    )
+    known = " + ".join(f"c_{name}" for name, _ in _SCRIPT_CLASSES)
+    ppm = ",\n       ".join(
+        f"CASE WHEN n_chars > 0 THEN"
+        f" CAST((c_{name} * CAST(1000000 AS BIGINT)) // n_chars AS BIGINT)"
+        f" ELSE 0 END AS {name}_ppm"
+        for name, _ in _SCRIPT_CLASSES
+    )
+    return f"""
+WITH agg AS (
+  SELECT {group_col} AS g,
+         CAST(SUM(length({text_col})) AS BIGINT) AS n_chars,
+         {cnt}
+  FROM {table} WHERE {text_col} IS NOT NULL GROUP BY 1
+)
+SELECT g AS {group_col}, n_chars,
+       {ppm},
+       CASE WHEN n_chars > 0 THEN
+         CAST(((n_chars - ({known})) * CAST(1000000 AS BIGINT))
+              // n_chars AS BIGINT)
+       ELSE 0 END AS other_ppm
+FROM agg
+ORDER BY g
+"""
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty — the curation signal that ranks
+    documents by how much NEW text they contribute to the corpus:
+    a shingle's canonical owner is the lowest doc_id containing it
+    (deterministic, order-free); a document's novelty is the share of
+    its distinct k-shingles it owns.  Boilerplate-heavy docs score
+    near 0; the corpus's first copy of any passage scores it.
+
+    Scale shape: the distinct (doc, shingle) relation, one
+    min-aggregate per shingle (map-combinable), one equi-join back,
+    one per-doc aggregate — linear end to end, the first-seen rewrite
+    (``cumulative_distinct`` precedent) applied to shingles.
+
+    Docs with fewer than ``k`` tokens have no shingles and drop.
+    Returns (id, n_shingles, n_novel, novelty_ppm).
+    """
+    from gis_city_county_spark.operators.dedup import shingle_df
+
+    sh = shingle_df(df, id_col, text_col, k)
+    owner = sh.groupBy("shingle").agg(
+        F.min(id_col).alias("__owner")
+    )
+    return (
+        sh.join(owner, "shingle")
+        .groupBy(F.col(id_col).alias("id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__owner") == F.col(id_col), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "id",
+            "n_shingles",
+            "n_novel",
+            F.expr(
+                "(n_novel * CAST(1000000 AS BIGINT)) div n_shingles"
+            ).cast("bigint").alias("novelty_ppm"),
+        )
+    )
+
+
+def ngram_novelty_sql(
+    table: str, id_col: str, text_col: str, k: int = 3
+) -> str:
+    from gis_city_county_spark.operators.dedup import shingle_sql
+
+    return f"""
+WITH sh AS MATERIALIZED ({shingle_sql(table, id_col, text_col, k)}),
+owner AS (
+  SELECT shingle, MIN({id_col}) AS owner FROM sh GROUP BY 1
+)
+SELECT sh.{id_col} AS id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN owner = sh.{id_col} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((SUM(CASE WHEN owner = sh.{id_col} THEN 1 ELSE 0 END)
+             * CAST(1000000 AS BIGINT)) // COUNT(*) AS BIGINT)
+         AS novelty_ppm
+FROM sh JOIN owner USING (shingle)
+GROUP BY 1
+"""

@@ -722,6 +722,40 @@ def _split_balance_oracle() -> str:
     )
 
 
+def q_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness lower bound per language, with the
+    Good-Turing unseen mass riding along — exact integer
+    frequency-of-frequencies (see operators.corpus.chao1_richness)."""
+    from gis_city_county_spark.operators.corpus import chao1_richness
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chao1_richness(docs, "lang", "text")
+
+
+def _chao1_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import chao1_richness_sql
+
+    return chao1_richness_sql("documents", "lang", "text")
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage audit of the deterministic doc-level split:
+    sources whose documents land in more than one of train/val/test
+    (see operators.corpus.split_leakage_audit)."""
+    from gis_city_county_spark.operators.corpus import split_leakage_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage_audit(docs, "doc_id", "source")
+
+
+def _leakage_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import (
+        split_leakage_audit_sql,
+    )
+
+    return split_leakage_audit_sql("documents", "doc_id", "source")
+
+
 SPECS = [
     QuerySpec("pipeline_split_balance", q_split_balance,
               _split_balance_oracle()),
@@ -763,4 +797,6 @@ SPECS = [
     QuerySpec("corpus_quality_rule_audit", q_quality_rule_audit,
               _rule_audit_oracle()),
     QuerySpec("corpus_vocab_overlap", q_vocab_overlap, _vocab_overlap_oracle()),
+    QuerySpec("corpus_chao1_richness", q_chao1_richness, _chao1_oracle()),
+    QuerySpec("pipeline_split_leakage", q_split_leakage, _leakage_oracle()),
 ]

@@ -1054,12 +1054,50 @@ def _growth_oracle() -> str:
 
 
 
+def q_km_curve(spark, sf_dir):
+    """Kaplan-Meier survival CURVE over the hazard life table: per
+    lifetime day-index the running product of (1 − churned/at_risk),
+    folded in canonical day order so both engines bit-match (see
+    operators.temporal.km_curve)."""
+    from gis_city_county_spark.operators.temporal import km_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    return km_curve(ev, "user_id", "ts", churn_gap_days=7)
+
+
+def _km_curve_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import km_curve_sql
+
+    return km_curve_sql(f"({_EV_CTE})", "user_id", "ts", churn_gap_days=7)
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM level-shift screen over zero-filled daily event volume:
+    exact-integer scaled cumulative deviations, argmax |cusum| flag
+    (see operators.temporal.cusum_changepoint)."""
+    from gis_city_county_spark.operators.temporal import cusum_changepoint
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "ts")
+
+
+def _cusum_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        cusum_changepoint_sql,
+    )
+
+    return cusum_changepoint_sql(f"({_EV_CTE})", "ts")
+
+
 SPECS = [
     QuerySpec("events_conversion_latency", q_conversion_latency,
               _conversion_latency_oracle()),
     QuerySpec("events_stickiness", q_stickiness, _STICKINESS_ORACLE),
     QuerySpec("events_hazard_table", q_hazard_table, _hazard_oracle()),
     QuerySpec("events_mad_anomalies", q_mad_anomalies, _mad_oracle()),
+    QuerySpec("events_km_curve", q_km_curve, _km_curve_oracle()),
+    QuerySpec("events_cusum_changepoint", q_cusum_changepoint,
+              _cusum_oracle()),
     QuerySpec("events_growth_accounting", q_growth_accounting,
               _growth_oracle()),
     QuerySpec("profile_concentration", q_concentration,

@@ -456,6 +456,10 @@ def q_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 8 × 8-bit pigeonhole bands (4 per 32-bit half) — guaranteed recall
 # for Hamming < 8, mirroring operators.multimodal.dhash_near_pairs.
+# The operator's md5-rank bucket cap (max_bucket=256) cannot bind on
+# the 10-image fixture (≤ 10 members per bucket), so the twin omits
+# the rank window; the binding-cap behavior is pinned by
+# tests/test_round10_operators.py's subset assertion instead.
 _DHASH_BAND_ROWS = "\n  UNION ALL\n  ".join(
     f"SELECT img_id, dhash_hi, dhash_lo, {src_i * 4 + i} AS band_idx,"
     f" ({src} >> {i * 8}) & 255 AS band_val FROM hashes"
@@ -601,6 +605,111 @@ ORDER BY best_votes DESC, a_id, b_id
 """
 
 
+def _y4m_fixture_vids(spark: SparkSession) -> DataFrame:
+    """Deterministic Cmono Y4M fixtures for the video ops: 4 clips ×
+    12 frames × 8×8 luma, pixel ``luma(v, f, y, x) = v·13 + f·9 +
+    (f ≥ 8 ? 80 : 0) + 2y + x`` — max 239, so nothing wraps and the
+    formula is re-derivable in pure SQL.  The +80 step at frame 8 is
+    a scene cut every clip shares; within-scene frame deltas are 9
+    luma (18 at the every-2 sampling), far under the 40-luma cut
+    threshold."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import encode_y4m
+
+    y, x = np.ogrid[0:8, 0:8]
+    rows = []
+    for v in range(4):
+        frames = np.stack(
+            [
+                (v * 13 + f * 9 + (80 if f >= 8 else 0) + 2 * y + x)
+                .astype(np.uint8)
+                for f in range(12)
+            ]
+        )
+        rows.append((v, bytearray(encode_y4m(frames))))
+    return spark.createDataFrame(rows, "vid_id long, payload binary")
+
+
+def q_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container plumbing: Y4M fixtures round-trip through
+    encode_y4m → executor-side stream/FRAME-marker parse → exact
+    integer luma stats on every 2nd frame (the frame-extraction
+    sampling a multimodal pipeline runs before any model sees
+    pixels)."""
+    from gis_city_county_spark.operators.multimodal import video_frame_stats
+
+    return video_frame_stats(
+        _y4m_fixture_vids(spark), "vid_id", "payload", every=2
+    )
+
+
+def q_y4m_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the sampled Y4M frames: the +80
+    luma step at frame 8 is the one cut per clip (6→8 in sampled
+    indices); within-scene deltas stay far below the threshold."""
+    from gis_city_county_spark.operators.multimodal import (
+        video_frame_stats,
+        video_scene_cuts,
+    )
+
+    stats = video_frame_stats(
+        _y4m_fixture_vids(spark), "vid_id", "payload", every=2
+    )
+    return video_scene_cuts(stats, threshold_milli=40_000)
+
+
+# The oracle recomputes every sampled frame's stats from the fixture
+# formula (the dHash/audio discipline: pixel arithmetic in pure SQL).
+_Y4M_PIXELS = """
+fr AS (
+  SELECT v.v, f.f
+  FROM (SELECT unnest(generate_series(0, 3)) AS v) v,
+       LATERAL UNNEST(generate_series(0, 11)) f(f)
+  WHERE f.f % 2 = 0
+),
+px AS (
+  SELECT v, f,
+         v * 13 + f * 9 + CASE WHEN f >= 8 THEN 80 ELSE 0 END
+           + 2 * y.y + x.x AS luma
+  FROM fr,
+       LATERAL UNNEST(generate_series(0, 7)) y(y),
+       LATERAL UNNEST(generate_series(0, 7)) x(x)
+),
+stats AS (
+  SELECT v AS id, CAST(12 AS INTEGER) AS n_frames,
+         CAST(f AS INTEGER) AS frame_idx,
+         CAST((1000 * SUM(luma)) // 64 AS BIGINT) AS mean_luma_milli,
+         CAST(MIN(luma) AS INTEGER) AS min_luma,
+         CAST(MAX(luma) AS INTEGER) AS max_luma
+  FROM px GROUP BY v, f
+)
+"""
+
+_Y4M_STATS_ORACLE = f"""
+WITH {_Y4M_PIXELS}
+SELECT id, n_frames, frame_idx, mean_luma_milli, min_luma, max_luma
+FROM stats
+"""
+
+_Y4M_CUTS_ORACLE = f"""
+WITH {_Y4M_PIXELS},
+lagged AS (
+  SELECT id, frame_idx,
+         LAG(frame_idx) OVER (PARTITION BY id ORDER BY frame_idx)
+           AS prev_idx,
+         ABS(mean_luma_milli
+             - LAG(mean_luma_milli)
+               OVER (PARTITION BY id ORDER BY frame_idx)) AS delta_milli
+  FROM stats
+)
+SELECT id, frame_idx, prev_idx, CAST(delta_milli AS BIGINT) AS delta_milli
+FROM lagged
+WHERE prev_idx IS NOT NULL AND delta_milli >= 40000
+ORDER BY id, frame_idx
+"""
+
+
 SPECS = [
     QuerySpec("mm_token_budget", q_token_budget, _token_budget_oracle()),
     QuerySpec("mm_binary_features", q_binary_features, _BINARY_ORACLE),
@@ -620,4 +729,8 @@ SPECS = [
               _AUDIO_FP_ORACLE, bench=False),
     QuerySpec("mm_audio_fp_matches", q_audio_fp_matches,
               _AUDIO_FP_MATCH_ORACLE, bench=False),
+    QuerySpec("mm_y4m_frame_stats", q_y4m_frame_stats,
+              _Y4M_STATS_ORACLE, bench=False),
+    QuerySpec("mm_y4m_scene_cuts", q_y4m_scene_cuts,
+              _Y4M_CUTS_ORACLE, bench=False),
 ]

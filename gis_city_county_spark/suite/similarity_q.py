@@ -618,8 +618,29 @@ def _mmr_oracle() -> str:
                           n_candidates=50, k=5, lambda_milli=700)
 
 
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit: the banded LSH top-5 vs the exact
+    brute-force top-5 on the every-50th-vector probe slice — recall
+    in exact ppm (see operators.similarity.lsh_recall_audit)."""
+    from gis_city_county_spark.operators.similarity import lsh_recall_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_recall_audit(emb, "vec_id", "embedding", probe_mod=50, k=5)
+
+
+def _recall_audit_oracle() -> str:
+    from gis_city_county_spark.operators.similarity import (
+        lsh_recall_audit_sql,
+    )
+
+    return lsh_recall_audit_sql("embeddings", "vec_id", "embedding",
+                                probe_mod=50, k=5)
+
+
 SPECS = [
     QuerySpec("sim_mmr_rerank", q_mmr_rerank, _mmr_oracle()),
+    QuerySpec("sim_lsh_recall_audit", q_lsh_recall_audit,
+              _recall_audit_oracle()),
     QuerySpec("sim_cosine_histogram", q_cosine_histogram,
               _cosine_histogram_oracle()),
     QuerySpec("sim_bitext_mining", q_bitext_mining, _bitext_oracle()),

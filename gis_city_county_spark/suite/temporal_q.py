@@ -1247,6 +1247,149 @@ def _rbo_oracle() -> str:
 
 
 
+def q_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over three threshold classifiers on the same
+    events (value ≥ 40/50/60 vs the synthetic parity label) — the
+    k-classifier McNemar, long (item, rater, correct) relation."""
+    from gis_city_county_spark.operators.mlprep import cochrans_q
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("y"),
+    )
+    long = ev.select(
+        "event_id",
+        F.explode(
+            F.array(*[F.lit(t).cast("int") for t in (40, 50, 60)])
+        ).alias("rater"),
+        "value", "y",
+    ).select(
+        "event_id",
+        "rater",
+        ((F.col("value") >= F.col("rater")).cast("int") == F.col("y"))
+        .cast("int").alias("correct"),
+    )
+    return cochrans_q(long, "event_id", "rater", "correct")
+
+
+def _cochrans_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import cochrans_q_sql
+
+    src = (
+        "SELECT event_id, thr AS rater,"
+        " CAST(CAST(value >= thr AS INTEGER)"
+        "      = CAST(user_id % 2 AS INTEGER) AS INTEGER) AS correct"
+        " FROM events, (SELECT unnest([40, 50, 60]) AS thr)"
+    )
+    return cochrans_q_sql(src, "event_id", "rater", "correct")
+
+
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank over paired per-order half totals (even-
+    vs odd-numbered lines, exact cents) — midrank ties in milli units
+    over the distinct-|d| cells, never a rank window over raw rows."""
+    from gis_city_county_spark.operators.mlprep import wilcoxon_signed_rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    pairs = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(
+                F.col("l_linenumber") % 2 == 0,
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("a_cents"),
+        F.sum(
+            F.when(
+                F.col("l_linenumber") % 2 == 1,
+                F.floor(F.col("l_extendedprice") * 100).cast("bigint"),
+            ).otherwise(F.lit(0))
+        ).alias("b_cents"),
+    )
+    return wilcoxon_signed_rank(pairs, "a_cents", "b_cents")
+
+
+def _wilcoxon_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import (
+        wilcoxon_signed_rank_sql,
+    )
+
+    src = (
+        "SELECT l_orderkey,"
+        " SUM(CASE WHEN l_linenumber % 2 = 0 THEN"
+        " CAST(FLOOR(l_extendedprice * 100) AS BIGINT) ELSE 0 END)"
+        " AS a_cents,"
+        " SUM(CASE WHEN l_linenumber % 2 = 1 THEN"
+        " CAST(FLOOR(l_extendedprice * 100) AS BIGINT) ELSE 0 END)"
+        " AS b_cents"
+        " FROM lineitem GROUP BY 1"
+    )
+    return wilcoxon_signed_rank_sql(src, "a_cents", "b_cents")
+
+
+def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic paired permutation test on paired order-half
+    quantities: md5 sign flips per replica, exact-integer replica
+    sums, +1-smoothed p-value in ppm."""
+    from gis_city_county_spark.operators.mlprep import permutation_test
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    pairs = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(F.col("l_linenumber") % 2 == 0,
+                   F.floor("l_quantity").cast("bigint")).otherwise(F.lit(0))
+        ).alias("a_qty"),
+        F.sum(
+            F.when(F.col("l_linenumber") % 2 == 1,
+                   F.floor("l_quantity").cast("bigint")).otherwise(F.lit(0))
+        ).alias("b_qty"),
+    )
+    return permutation_test(pairs, "l_orderkey", "a_qty", "b_qty",
+                            n_replicas=64)
+
+
+def _perm_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import permutation_test_sql
+
+    src = (
+        "SELECT l_orderkey,"
+        " SUM(CASE WHEN l_linenumber % 2 = 0 THEN"
+        " CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END) AS a_qty,"
+        " SUM(CASE WHEN l_linenumber % 2 = 1 THEN"
+        " CAST(FLOOR(l_quantity) AS BIGINT) ELSE 0 END) AS b_qty"
+        " FROM lineitem GROUP BY 1"
+    )
+    return permutation_test_sql(src, "l_orderkey", "a_qty", "b_qty",
+                                n_replicas=64)
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the per-returnflag bulk-order
+    rate (quantity ≥ 25) — exact integer counts, one fixed-order
+    IEEE tail per group."""
+    from gis_city_county_spark.operators.mlprep import wilson_ci
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_quantity") >= 25).cast("int").alias("bulk"),
+    )
+    return wilson_ci(li, "l_returnflag", "bulk")
+
+
+def _wilson_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import wilson_ci_sql
+
+    src = (
+        "SELECT l_returnflag,"
+        " CAST(l_quantity >= 25 AS INTEGER) AS bulk"
+        " FROM lineitem"
+    )
+    return wilson_ci_sql(src, "l_returnflag", "bulk")
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1262,6 +1405,10 @@ SPECS = [
               _hashed_features_oracle()),
     QuerySpec("mlprep_iqr_outliers", q_iqr_outlier_audit, _iqr_oracle()),
     QuerySpec("eval_rbo", q_rbo, _rbo_oracle()),
+    QuerySpec("eval_cochrans_q", q_cochrans_q, _cochrans_oracle()),
+    QuerySpec("eval_wilcoxon", q_wilcoxon, _wilcoxon_oracle()),
+    QuerySpec("eval_perm_test", q_perm_test, _perm_oracle()),
+    QuerySpec("eval_wilson_ci", q_wilson_ci, _wilson_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

@@ -836,6 +836,38 @@ def _loop_oracle() -> str:
     return loop_detection_sql("documents", "doc_id", "text")
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script composition per language label: exact-ppm
+    character shares per script class — the pre-language-ID screen
+    (see operators.textstats.script_profile)."""
+    from gis_city_county_spark.operators.textstats import script_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return script_profile(docs, "lang", "text")
+
+
+def _script_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import script_profile_sql
+
+    return script_profile_sql("documents", "lang", "text")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the share of a doc's distinct
+    shingles whose canonical owner (lowest doc_id) is the doc itself
+    (see operators.textstats.ngram_novelty)."""
+    from gis_city_county_spark.operators.textstats import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text")
+
+
+def _novelty_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import ngram_novelty_sql
+
+    return ngram_novelty_sql("documents", "doc_id", "text")
+
+
 
 SPECS = [
     QuerySpec("text_strip_markup", q_strip_markup, _strip_markup_oracle()),
@@ -871,5 +903,7 @@ SPECS = [
     QuerySpec("text_sentence_dedup", q_sentence_dedup,
               _sentence_dedup_oracle()),
     QuerySpec("text_loop_detection", q_loop_detection, _loop_oracle()),
+    QuerySpec("text_script_profile", q_script_profile, _script_oracle()),
+    QuerySpec("text_ngram_novelty", q_ngram_novelty, _novelty_oracle()),
     QuerySpec("text_case_profile", q_case_profile, _case_oracle()),
 ]

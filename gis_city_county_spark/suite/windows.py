@@ -26,13 +26,103 @@ Everything round-shaped lives HERE so a rotation is one edit:
 map (checked-set scoped to CORRECTNESS files of rounds strictly
 before ``CURRENT_ROUND``), so committing the current round's own
 results file can never turn the suite red again (the r3 post-mortem).
+
+ROTATION-DEBT ARITHMETIC (pin from the round-10 verdict, item 8):
+round ``N``'s window must fit PRESTAGE[N] (everything added during
+round ``N - 1``) plus every re-proof the fingerprint diff demands,
+inside the 50-slot window.  So the standing budget is::
+
+    len(R{N+1}_PRESTAGE)  <=  50 - (expected re-proofs next round)
+
+Re-proof demand is historically small (0-4 plan-changed rows per
+round) but cumulative-closure rounds also want slack to re-prove the
+STALEST green rows, so the working cap on one round's additions is
+**~32 new QuerySpecs** — that leaves >= 18 slots, enough for every
+plan-changed row plus a stale-row battery.  Exceeding 32 means round
+N + 1 cannot simultaneously close cumulative coverage and re-prove
+its plan changes; don't.
 """
 
 from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
+
+# Round 11: the 31 never-driver-checked queries (all 18 R11_PRESTAGE
+# from round 10 + the 13 round-11-session additions, registered and
+# locally oracle-verified before this rotation ran, so they take
+# their driver rows THIS round instead of waiting a cycle) + 19
+# re-proof slots.  ``rotation.py``'s mechanized proposal flagged ONE
+# plan-changed candidate — ``dedup_embedding_cosine``
+# (3abcbc21e6fc32c5 → be4f20191f6b1175, the round-11 LSH bucket cap);
+# ``pipeline_semantic_dedup`` rides the same capped chain but its
+# analyzed plan is truncated at connected_components' localCheckpoint
+# boundary, so the fingerprint CANNOT see the change — it gets a
+# manual re-proof slot on the same grounds (the checkpoint-blindness
+# is recorded here so future rotations re-proof checkpoint-hidden
+# consumers whenever their upstream operator's plan changes).  The
+# remaining 17 slots reconfirm the stalest green rows (r4-stamped
+# events/profile battery; profile_gini_impurity, the 18th stale
+# proposal entry, yielded its slot to the manual re-proof).  This
+# window closes cumulative driver coverage at 347/347 — every
+# registered query, including this round's own additions, will have
+# a green driver row.
+_R11_WINDOW: tuple[str, ...] = (
+    # The 31 never-driver-checked queries.
+    "dedup_winnowing",
+    "sim_lsh_recall_audit",
+    "text_sentence_dedup",
+    "text_loop_detection",
+    "text_script_profile",
+    "text_ngram_novelty",
+    "mm_image_dhash",
+    "mm_dhash_near_pairs",
+    "mm_audio_fingerprints",
+    "mm_audio_fp_matches",
+    "mm_y4m_frame_stats",
+    "mm_y4m_scene_cuts",
+    "corpus_chao1_richness",
+    "pipeline_split_leakage",
+    "privacy_apportioned_release",
+    "events_hazard_table",
+    "events_mad_anomalies",
+    "events_km_curve",
+    "events_cusum_changepoint",
+    "events_growth_accounting",
+    "eval_kendall_tau",
+    "mlprep_cramers_v",
+    "mlprep_feature_hashing",
+    "mlprep_hashed_features",
+    "mlprep_iqr_outliers",
+    "eval_rbo",
+    "eval_cochrans_q",
+    "eval_wilcoxon",
+    "eval_perm_test",
+    "eval_wilson_ci",
+    "olap_cube_revenue",
+    # Plan-changed re-proofs (the LSH bucket cap).
+    "dedup_embedding_cosine",
+    "pipeline_semantic_dedup",
+    # Reconfirms: the stalest green rows (all r4-stamped).
+    "pyapi_group_median",
+    "events_drift_excursion",
+    "events_rolling_actives",
+    "profile_group_quantiles",
+    "events_peak_concurrency",
+    "events_path_trigrams",
+    "events_hourly_anomalies",
+    "events_ohlc_bars",
+    "events_lateness_audit",
+    "events_asof_join",
+    "events_bounded_funnel",
+    "events_last_touch_attribution",
+    "events_pattern_match",
+    "profile_mad_outliers",
+    "profile_trimmed_mean",
+    "profile_weighted_median",
+    "events_clamped_balance",
+)
 
 # Round 10: all 39 R10_PRESTAGE names (the queries added during round
 # 9, first driver-checkable now) + 11 reconfirm slots.  ``rotation.py``
@@ -587,6 +677,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     8: _R8_WINDOW,
     9: _R9_WINDOW,
     10: _R10_WINDOW,
+    11: _R11_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -725,6 +816,9 @@ REPROOFS: dict[int, frozenset[str]] = {
     # slots all reconfirm the stalest r4-green rows (the events/
     # session/funnel battery).
     10: frozenset(_R10_WINDOW[39:]),
+    # Round 11: 2 plan-change re-proofs (LSH bucket cap) + 17 stale
+    # reconfirms = every window entry that already had a driver row.
+    11: frozenset(_R11_WINDOW[31:]),
 }
 
 # The 41 queries that were still driver-unchecked after round 4
@@ -924,6 +1018,33 @@ R11_PRESTAGE: tuple[str, ...] = (
     "privacy_apportioned_release",
 )
 
+# The 13 round-11 additions that landed BEFORE the round-11 rotation
+# ran: they sit directly in WINDOWS[11] (driver rows this round, no
+# prestage cycle), but the historical suite-reconstruction in
+# tests/test_contract_shapes.py still needs to know they post-date
+# round 4 — in-window additions are recorded here for that purpose.
+R11_INWINDOW_ADDITIONS: tuple[str, ...] = (
+    "events_km_curve",
+    "events_cusum_changepoint",
+    "eval_cochrans_q",
+    "eval_wilcoxon",
+    "eval_perm_test",
+    "eval_wilson_ci",
+    "text_script_profile",
+    "text_ngram_novelty",
+    "corpus_chao1_richness",
+    "pipeline_split_leakage",
+    "mm_y4m_frame_stats",
+    "mm_y4m_scene_cuts",
+    "sim_lsh_recall_audit",
+)
+
+# Queries ADDED during round 11 AFTER WINDOWS[11] was pinned: their
+# first possible driver check is round 12.  Only later-session
+# additions accumulate here (the 13 pre-rotation additions are in
+# R11_INWINDOW_ADDITIONS and WINDOWS[11] instead).
+R12_PRESTAGE: tuple[str, ...] = ()
+
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
     6: R6_PRESTAGE,
@@ -932,6 +1053,7 @@ PRESTAGE: dict[int, tuple[str, ...]] = {
     9: R9_PRESTAGE,
     10: R10_PRESTAGE,
     11: R11_PRESTAGE,
+    12: R12_PRESTAGE,
 }
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

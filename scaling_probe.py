@@ -101,12 +101,68 @@ PROBE_QUERIES = [
     # selection + the cross-doc sharing audit over the winnowed
     # (~2/(w+1) density) relation.
     "dedup_winnowing",
+    # round-11 addition in the bench class: sentence-hash dedup (the
+    # sentence shuffle grows with the corpus).
+    "text_sentence_dedup",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
 # waves per fixed core count, deeper reduce trees); 1.5× linear is the
 # VERDICT-agreed budget separating "fine" from "hidden quadratic".
 SLACK = 1.5
+
+
+# ------------------------------------------------- synthetic probes
+#
+# The multimodal pair ops run on constant-size golden fixtures in the
+# suite (bench=False), so sf-replica probes can't scale them.  These
+# builders generate the DECODED relation directly at a requested row
+# count — the probe times the banded join, never the codec (VERDICT
+# r10 item 4).  Inputs are clustered like real corpora: dHash rows in
+# near-dup groups of 4 (base hash per group, 1 flipped bit per
+# member), audio fingerprints in clip pairs sharing all 16 window
+# hashes at one consistent offset.
+
+
+def _synth_dhash_pairs(spark, n_rows: int):
+    from gis_city_county_spark.operators.multimodal import dhash_near_pairs
+
+    hashes = spark.range(n_rows).selectExpr(
+        "id AS img_id",
+        "CAST(conv(substring(md5(concat('hi|',"
+        " CAST(id div 4 AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        " AS dhash_hi",
+        "CAST(conv(substring(md5(concat('lo|',"
+        " CAST(id div 4 AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        " ^ shiftleft(CAST(1 AS BIGINT), CAST(id % 4 AS INT))"
+        " AS dhash_lo",
+    )
+    return dhash_near_pairs(hashes, "img_id", max_hamming=6)
+
+
+def _synth_audio_matches(spark, n_rows: int):
+    from gis_city_county_spark.operators.multimodal import (
+        audio_fingerprint_matches,
+    )
+
+    # n_rows fingerprint rows = n_rows/16 clips x 16 windows; clips
+    # 2i and 2i+1 share every window hash (offset 0), others collide
+    # only by chance in the 60-bit space.
+    fps = spark.range(n_rows).selectExpr(
+        "id div 16 AS clip_id",
+        "CAST(id % 16 AS INT) AS win_idx",
+        "CAST(conv(substring(md5(concat('fp|',"
+        " CAST(id div 32 AS STRING), '|', CAST(id % 16 AS STRING))),"
+        " 1, 15), 16, 10) AS BIGINT) AS fp_hash",
+    )
+    return audio_fingerprint_matches(fps, "clip_id")
+
+
+SYNTH_PROBES = {
+    # name -> (builder, base_rows)
+    "mm_dhash_near_pairs": (_synth_dhash_pairs, 40_000),
+    "mm_audio_fp_matches": (_synth_audio_matches, 160_000),
+}
 
 # Per-copy key offsets, comfortably above each table's max key at any
 # test SF so shifted copies never collide.
@@ -298,6 +354,47 @@ def main() -> None:
         print(
             f"# {name}: {t1:.2f}s -> {tn:.2f}s at {args.factor}x "
             f"= {lin:.2f}x linear{' **SUPER-LINEAR**' if lin > SLACK else ''}",
+            file=sys.stderr,
+        )
+
+    # Synthetic decode-once probes (fixture-bound ops the sf replica
+    # can't scale): time the operator over a generated relation at
+    # base_rows and factor x base_rows.
+    only_set = set(args.only.split(",")) if args.only else None
+    for name, (builder, base_n) in SYNTH_PROBES.items():
+        if only_set is not None and name not in only_set:
+            continue
+
+        def best_synth(n_rows: int) -> float:
+            import gc
+
+            gc.collect()
+            spark.catalog.clearCache()
+            t_best = float("inf")
+            for _p in range(args.passes):
+                t0 = time.perf_counter()
+                builder(spark, n_rows).count()
+                dt = time.perf_counter() - t0
+                gc.collect()
+                t_best = min(t_best, dt)
+            return t_best
+
+        t1 = best_synth(base_n)
+        tn = best_synth(base_n * args.factor)
+        ratio = tn / max(t1, 1e-9)
+        lin = ratio / args.factor
+        results[name] = {
+            "base_sec": round(t1, 3),
+            "scaled_sec": round(tn, 3),
+            "ratio": round(ratio, 3),
+            "x_linear": round(lin, 3),
+            "super_linear": lin > SLACK,
+            "synthetic_rows": base_n,
+        }
+        print(
+            f"# {name} (synthetic, {base_n} rows): {t1:.2f}s -> "
+            f"{tn:.2f}s at {args.factor}x = {lin:.2f}x linear"
+            f"{' **SUPER-LINEAR**' if lin > SLACK else ''}",
             file=sys.stderr,
         )
 

@@ -118,6 +118,18 @@ _BNLJ_ALLOWED = {
     "tpch_q11_important_stock",
     "tpch_q22_idle_customers",
     "sim_bruteforce_cosine_topk",
+    # the recall audit's exact side IS the brute-force baseline
+    # (sampled probes broadcast × corpus — the audit's documented
+    # budget) plus two 1-row total merges
+    "sim_lsh_recall_audit",
+    # the hazard chain's 1-row broadcast horizon scalar (same merge
+    # events_hazard_table carries)
+    "events_km_curve",
+    # 1-row item-side totals × 1-row rater-side totals scalar merge
+    "eval_cochrans_q",
+    # 1-row observed-statistic merge onto the R replica sums + the
+    # 1-row hit-count merge
+    "eval_perm_test",
     "sim_ivf_ann_topk",
     # probe-only twin of the above: probes × nlist-row broadcast
     # centroids (the corpus side is the pruned partition read)
@@ -519,6 +531,21 @@ _SINGLE_PARTITION_ALLOWED = {
     "privacy_apportioned_release": 2,
     # one-row final merge of the four discordance counters
     "eval_mcnemar": 1,
+    # two 1-row merges: exact-pair totals + hit count (the recall
+    # audit's scalars; the pair relations themselves are equi-joins)
+    "sim_lsh_recall_audit": 2,
+    # hazard's per-day suffix-sum window + the KM prefix-product
+    # window — both over the CALENDAR-bounded day-index frame
+    "events_km_curve": 2,
+    # prefix-sum/argmax windows over the zero-filled calendar days
+    "events_cusum_changepoint": 1,
+    # 1-row item-side totals x 1-row rater-side totals merges
+    "eval_cochrans_q": 2,
+    # one prefix-sum window over the DISTINCT-|d| cells (bounded by
+    # the distinct absolute-difference count, never the rows)
+    "eval_wilcoxon": 1,
+    # 1-row observed merge, R-row replica-sum hit scan, 1-row final
+    "eval_perm_test": 3,
     # one-row pivot merge of the <= 2 per-group moment rows
     "eval_effect_size": 1,
     # the one-row grand-total merge over the splits x labels cells

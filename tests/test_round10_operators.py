@@ -408,6 +408,13 @@ def test_dhash_near_pairs_pigeonhole(spark):
     assert (0, 5, 2) in expected  # the cross-half pair IS in the set
     with pytest.raises(ValueError):
         dhash_near_pairs(df, "img_id", max_hamming=8, bands=8)
+    # A binding bucket cap yields a SUBSET (deterministic md5-rank
+    # survivors), never spurious pairs.
+    capped = [
+        tuple(r)
+        for r in dhash_near_pairs(df, "img_id", 6, max_bucket=2).collect()
+    ]
+    assert set(capped) <= set(expected)
 
 
 def test_dhash_fixture_queries_match_oracle(spark):

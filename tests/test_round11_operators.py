@@ -101,3 +101,456 @@ def test_lsh_bucket_truncation_report(spark):
         )
     # The big bucket appears in all 4 bands.
     assert sum(1 for r in rep if r["n_members"] >= 10) >= 4
+
+
+# ------------------------------------------------------- Chao1
+
+
+def test_chao1_richness_fixture_and_parity(spark):
+    """Hand-checkable frequency-of-frequencies: 7 tokens, vocab 5,
+    f1=4, f2=0 -> chao1 = 5 + 4*3/(2*1) = 11; unseen = 4/7."""
+    from gis_city_county_spark.operators.corpus import (
+        chao1_richness,
+        chao1_richness_sql,
+    )
+
+    rows = [(1, "g1", "a b c d"), (2, "g1", "a a e"),
+            (3, "g2", "x x y y")]
+    df = spark.createDataFrame(rows, "id long, g string, text string")
+    out = {r["g"]: r for r in chao1_richness(df, "g", "text").collect()}
+    g1 = out["g1"]
+    assert g1["n_tokens"] == 7 and g1["vocab"] == 5
+    assert g1["f1_singletons"] == 4 and g1["f2_doubletons"] == 0
+    assert g1["chao1_vocab"] == 11
+    assert g1["unseen_ppm"] == 4_000_000 // 7
+    g2 = out["g2"]
+    assert g2["vocab"] == 2 and g2["f1_singletons"] == 0
+    assert g2["chao1_vocab"] == 2 and g2["unseen_ppm"] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, g VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = sorted(tuple(r) for r in chao1_richness(df, "g", "text").collect())
+    want = sorted(tuple(r) for r in
+                  con.execute(chao1_richness_sql("t", "g", "text")).fetchall())
+    assert got == want
+
+
+# ------------------------------------------------------ KM curve
+
+
+def test_km_curve_product_identity_and_parity(spark):
+    """km_survival equals the Python prefix product of the hazard
+    factors (bit-for-bit), is nonincreasing, and bit-matches DuckDB."""
+    from gis_city_county_spark.operators.temporal import (
+        hazard_table,
+        km_curve,
+        km_curve_sql,
+    )
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-03"),
+        (2, "2024-01-01"),
+        (3, "2024-01-01"), (3, "2024-01-10"),
+        (4, "2024-01-02"), (4, "2024-01-05"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, d string").select(
+        "user_id", F.col("d").cast("timestamp").alias("ts")
+    )
+    haz = {r["day_index"]: r for r in
+           hazard_table(df, "user_id", "ts").collect()}
+    out = km_curve(df, "user_id", "ts").collect()
+    prod = 1.0
+    for r in sorted(out, key=lambda r: r["day_index"]):
+        h = haz[r["day_index"]]
+        prod = prod * ((h["n_at_risk"] - h["n_churned"]) / h["n_at_risk"])
+        assert r["km_survival"] == prod  # bit-equal fold
+        assert r["survival_ppm"] == int(prod * 1_000_000 // 1)
+    surv = [r["km_survival"] for r in sorted(out, key=lambda r: r["day_index"])]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)",
+                    [(u, d + " 00:00:00") for u, d in rows])
+    got = sorted(tuple(r) for r in out)
+    want = sorted(tuple(r) for r in con.execute(
+        km_curve_sql("SELECT * FROM ev", "user_id", "ts")).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------- CUSUM
+
+
+def test_cusum_changepoint_fixture_and_parity(spark):
+    """Counts [1,1,10,10] over four days: cusum_scaled =
+    [-18,-36,-18,0], changepoint at day 2 (max |cusum|), ppm =
+    36e6 // 88."""
+    from gis_city_county_spark.operators.temporal import (
+        cusum_changepoint,
+        cusum_changepoint_sql,
+    )
+
+    rows = []
+    for day, n in [("2024-03-01", 1), ("2024-03-02", 1),
+                   ("2024-03-03", 10), ("2024-03-04", 10)]:
+        rows += [(day,)] * n
+    df = spark.createDataFrame(rows, "d string").select(
+        F.col("d").cast("timestamp").alias("ts")
+    )
+    out = sorted(cusum_changepoint(df, "ts").collect(),
+                 key=lambda r: r["day"])
+    assert [r["cusum_scaled"] for r in out] == [-18, -36, -18, 0]
+    assert [r["is_changepoint"] for r in out] == [False, True, False, False]
+    assert out[1]["cusum_abs_ppm"] == 36 * 1_000_000 // 88
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?)",
+                    [(d + " 12:00:00",) for (d,) in rows])
+    got = sorted(tuple(r) for r in out)
+    want = sorted(tuple(r) for r in con.execute(
+        cusum_changepoint_sql("SELECT * FROM ev", "ts")).fetchall())
+    assert got == want
+
+
+# ------------------------------------------------------ Cochran's Q
+
+
+def test_cochrans_q_reference_and_parity(spark):
+    """Cross-checked against the closed form on a hand fixture, the
+    complete_design flag, and DuckDB parity."""
+    from gis_city_county_spark.operators.mlprep import (
+        cochrans_q,
+        cochrans_q_sql,
+    )
+
+    # (item, rater, correct) — 4 items x 3 raters, known totals.
+    data = {
+        (1, "a"): 1, (1, "b"): 1, (1, "c"): 0,
+        (2, "a"): 1, (2, "b"): 0, (2, "c"): 0,
+        (3, "a"): 1, (3, "b"): 1, (3, "c"): 1,
+        (4, "a"): 1, (4, "b"): 0, (4, "c"): 0,
+    }
+    rows = [(i, r, c) for (i, r), c in data.items()]
+    df = spark.createDataFrame(rows, "item long, rater string, correct int")
+    out = cochrans_q(df, "item", "rater", "correct").collect()[0]
+    k = 3
+    g = {r: sum(c for (i, rr), c in data.items() if rr == r)
+         for r in "abc"}
+    l = {i: sum(c for (ii, r), c in data.items() if ii == i)
+         for i in range(1, 5)}
+    num = (k - 1) * (k * sum(v * v for v in g.values())
+                     - sum(g.values()) ** 2)
+    den = k * sum(l.values()) - sum(v * v for v in l.values())
+    assert out["n_items"] == 4 and out["k_raters"] == 3
+    assert out["complete_design"]
+    assert out["statistic_milli"] == 1000 * num // den
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (item BIGINT, rater VARCHAR, correct INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        cochrans_q_sql("SELECT * FROM t", "item", "rater", "correct")
+    ).fetchall()[0]
+    assert tuple(out) == want
+    # Incomplete design flags false.
+    df2 = spark.createDataFrame(rows[:-1],
+                                "item long, rater string, correct int")
+    assert not cochrans_q(df2, "item", "rater", "correct") \
+        .collect()[0]["complete_design"]
+
+
+# ------------------------------------------------ Wilcoxon signed-rank
+
+
+def test_wilcoxon_midranks_and_parity(spark):
+    """Textbook midranks: diffs [1,-1,2,2,3,0] -> W+ = 13.5, W- = 1.5
+    (milli 13500/1500), zero dropped, total = 500*n*(n+1)."""
+    from gis_city_county_spark.operators.mlprep import (
+        wilcoxon_signed_rank,
+        wilcoxon_signed_rank_sql,
+    )
+
+    rows = [(10, 9), (9, 10), (12, 10), (22, 20), (13, 10), (5, 5)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = wilcoxon_signed_rank(df, "a", "b").collect()[0]
+    assert out["n_nonzero"] == 5
+    assert out["w_plus_milli"] == 13_500
+    assert out["w_minus_milli"] == 1_500
+    assert out["ranks_total_milli"] == 500 * 5 * 6
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        wilcoxon_signed_rank_sql("SELECT * FROM t", "a", "b")
+    ).fetchall()[0]
+    assert tuple(out) == want
+
+
+# --------------------------------------------------- permutation test
+
+
+def test_permutation_test_determinism_and_parity(spark):
+    """Same replicas on every run/engine; a null effect (all-zero
+    diffs) yields p = 1e6; a huge one-sided effect yields a small p."""
+    from gis_city_county_spark.operators.mlprep import (
+        permutation_test,
+        permutation_test_sql,
+    )
+
+    rows = [(i, 100 + i, i) for i in range(1, 21)]  # d_i = 100 each
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out1 = permutation_test(df, "k", "a", "b", n_replicas=64).collect()[0]
+    out2 = permutation_test(df, "k", "a", "b", n_replicas=64).collect()[0]
+    assert tuple(out1) == tuple(out2)
+    assert out1["observed_stat"] == 2000
+    assert out1["p_value_ppm"] <= 200_000  # constant +100 shift: strong
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        permutation_test_sql("SELECT * FROM t", "k", "a", "b",
+                             n_replicas=64)
+    ).fetchall()[0]
+    assert tuple(out1) == want
+    zero = spark.createDataFrame([(i, 5, 5) for i in range(10)],
+                                 "k long, a long, b long")
+    z = permutation_test(zero, "k", "a", "b", n_replicas=16).collect()[0]
+    assert z["p_value_ppm"] == 1_000_000
+
+
+# --------------------------------------------------------- Wilson CI
+
+
+def test_wilson_ci_reference_and_parity(spark):
+    """Bit-matches the fixed-order Python evaluation of the same
+    formula, brackets p-hat, stays inside [0, 1], and bit-matches
+    DuckDB."""
+    import math
+
+    from gis_city_county_spark.operators.mlprep import (
+        wilson_ci,
+        wilson_ci_sql,
+    )
+
+    rows = [("g1", 1)] * 8 + [("g1", 0)] * 2 + [("g2", 0)] * 5 + [("g2", 1)]
+    df = spark.createDataFrame(rows, "g string, s int")
+    out = {r["g"]: r for r in wilson_ci(df, "g", "s").collect()}
+
+    def ref(s, n):
+        z = 1960 / 1000.0
+        p = float(s) / float(n)
+        z2 = z * z
+        center = p + z2 / (2.0 * n)
+        half = z * math.sqrt((p * (1.0 - p) + z2 / (4.0 * n)) / n)
+        denom = 1.0 + z2 / n
+        return (center - half) / denom, (center + half) / denom
+
+    lo, hi = ref(8, 10)
+    assert out["g1"]["wilson_lo"] == lo and out["g1"]["wilson_hi"] == hi
+    for g, (s, n) in {"g1": (8, 10), "g2": (1, 6)}.items():
+        r = out[g]
+        assert 0.0 <= r["wilson_lo"] < s / n < r["wilson_hi"] <= 1.0
+        assert r["p_hat_ppm"] == s * 1_000_000 // n
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g VARCHAR, s INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in wilson_ci(df, "g", "s").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        wilson_ci_sql("SELECT * FROM t", "g", "s")).fetchall())
+    assert got == want
+
+
+# ----------------------------------------------------- script profile
+
+
+def test_script_profile_exact_counts_and_parity(spark):
+    """Mixed-script fixture: exact per-class char counts in ppm, the
+    other-remainder identity, and DuckDB parity (the class patterns
+    are literal codepoints, so Java regex and RE2 agree)."""
+    from gis_city_county_spark.operators.textstats import (
+        script_profile,
+        script_profile_sql,
+    )
+
+    rows = [
+        (1, "en", "Abc 123"),           # 3 latin, 3 digit, 1 space
+        (2, "ru", "Привет мир"),        # 9 cyrillic, 1 space
+        (3, "zh", "中文 ok"),            # 2 cjk, 2 latin, 1 space
+        (4, "el", "αβγ!"),              # 3 greek, 1 other
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    out = {r["lang"]: r for r in
+           script_profile(df, "lang", "text").collect()}
+    en = out["en"]
+    assert en["n_chars"] == 7
+    assert en["latin_ppm"] == 3_000_000 // 7
+    assert en["digit_ppm"] == 3_000_000 // 7
+    assert en["space_ppm"] == 1_000_000 // 7
+    assert out["ru"]["cyrillic_ppm"] == 9_000_000 // 10
+    assert out["zh"]["cjk_ppm"] == 2_000_000 // 5
+    assert out["el"]["greek_ppm"] == 3_000_000 // 4
+    assert out["el"]["other_ppm"] == 1_000_000 // 4
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = sorted(tuple(r) for r in script_profile(df, "lang", "text").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        script_profile_sql("t", "lang", "text")).fetchall())
+    assert got == want
+
+
+# ----------------------------------------------------- n-gram novelty
+
+
+def test_ngram_novelty_ownership_and_parity(spark):
+    """The lowest doc_id owns each shingle: d1 fully novel, d2 novel
+    only where it diverges; short docs drop."""
+    from gis_city_county_spark.operators.textstats import (
+        ngram_novelty,
+        ngram_novelty_sql,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c x y"),
+        (3, "a b"),          # < k tokens: no shingles, drops
+        (4, "a b c d e"),    # exact dup of 1: zero novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           ngram_novelty(df, "doc_id", "text").collect()}
+    assert 3 not in out
+    assert out[1]["n_shingles"] == 3 and out[1]["novelty_ppm"] == 1_000_000
+    assert out[2]["n_shingles"] == 3 and out[2]["n_novel"] == 2
+    assert out[2]["novelty_ppm"] == 2_000_000 // 3
+    assert out[4]["n_novel"] == 0 and out[4]["novelty_ppm"] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in ngram_novelty(df, "doc_id", "text").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        ngram_novelty_sql("t", "doc_id", "text")).fetchall())
+    assert got == want
+
+
+# ------------------------------------------------------ split leakage
+
+
+def test_split_leakage_audit_identities_and_parity(spark):
+    """Every reported group sits in >= 2 splits, per-split counts
+    crossfoot to n_docs, single-split groups stay out, and the md5
+    assignment makes Spark and DuckDB agree exactly."""
+    from gis_city_county_spark.operators.corpus import (
+        split_leakage_audit,
+        split_leakage_audit_sql,
+    )
+
+    # 40 docs in one big group guarantee it spans splits; 1-doc
+    # groups can never leak.
+    rows = [(i, "big") for i in range(40)] + [(100, "solo"), (101, "solo2")]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = split_leakage_audit(df, "doc_id", "src").collect()
+    by_g = {r["src"]: r for r in out}
+    assert "big" in by_g and "solo" not in by_g and "solo2" not in by_g
+    for r in out:
+        assert r["n_splits"] >= 2
+        assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_docs"]
+        assert len(r["splits"].split(",")) == r["n_splits"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, src VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in out)
+    want = sorted(tuple(r) for r in con.execute(
+        split_leakage_audit_sql("t", "doc_id", "src")).fetchall())
+    assert got == want
+
+
+# -------------------------------------------------------- Y4M video
+
+
+def test_y4m_roundtrip_and_validation():
+    """encode→decode is exact; malformed payloads raise."""
+    import numpy as np
+    import pytest
+
+    from gis_city_county_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, size=(5, 6, 9), dtype=np.uint8)
+    payload = encode_y4m(frames, fps=(30, 1))
+    back, fps = decode_y4m(payload)
+    assert fps == (30, 1)
+    assert (back == frames).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF not a y4m")
+    with pytest.raises(ValueError):
+        decode_y4m(payload[:-10])  # truncated final frame
+    with pytest.raises(ValueError):
+        decode_y4m(payload.replace(b"Cmono", b"C420 "))
+
+
+def test_video_frame_stats_exact_and_cuts(spark):
+    """Sampled-frame stats equal the numpy ground truth exactly; the
+    crafted +80 luma jump is the only detected cut per clip."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.multimodal import (
+        encode_y4m,
+        video_frame_stats,
+        video_scene_cuts,
+    )
+
+    y, x = np.ogrid[0:8, 0:8]
+    vids = {}
+    rows = []
+    for v in range(3):
+        frames = np.stack(
+            [(v * 13 + f * 9 + (80 if f >= 8 else 0) + 2 * y + x)
+             .astype(np.uint8) for f in range(12)]
+        )
+        vids[v] = frames
+        rows.append((v, bytearray(encode_y4m(frames))))
+    df = spark.createDataFrame(rows, "vid_id long, payload binary")
+    stats = video_frame_stats(df, "vid_id", "payload", every=2)
+    got = {(r["id"], r["frame_idx"]): r for r in stats.collect()}
+    assert len(got) == 3 * 6
+    for (v, f), r in got.items():
+        fr = vids[v][f].astype(np.int64)
+        assert r["n_frames"] == 12
+        assert r["mean_luma_milli"] == 1000 * int(fr.sum()) // 64
+        assert r["min_luma"] == int(fr.min())
+        assert r["max_luma"] == int(fr.max())
+    cuts = video_scene_cuts(stats, threshold_milli=40_000).collect()
+    assert len(cuts) == 3
+    for c in cuts:
+        assert (c["prev_idx"], c["frame_idx"]) == (6, 8)
+        assert c["delta_milli"] == 98_000  # 2 frames x 9 + 80 jump
+
+
+# ------------------------------------------------------ recall audit
+
+
+def test_lsh_recall_audit_perfect_on_identical_bands(spark):
+    """A corpus where each probe's true neighbors share its exact
+    vector (same bands by construction) must audit at recall 1e6;
+    totals crossfoot."""
+    import numpy as np
+
+    from gis_city_county_spark.operators.similarity import lsh_recall_audit
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 64))
+    rows = []
+    rid = 0
+    for c in range(4):
+        for _ in range(6):
+            rows.append((rid * 50, [float(v) for v in base[c]]))
+            rid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_recall_audit(df, "vec_id", "embedding",
+                           probe_mod=50, k=5).collect()[0]
+    assert out["n_probes"] == 24
+    assert out["n_exact_pairs"] == 24 * 5
+    assert out["n_hit_pairs"] == out["n_exact_pairs"]
+    assert out["recall_ppm"] == 1_000_000
