@@ -2778,3 +2778,109 @@ FROM rolled
 WHERE n_splits >= 2
 ORDER BY n_docs DESC, {group_col} ASC
 """
+
+
+def heaps_curve(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct token types seen
+    by each power-of-two token-count checkpoint when the corpus is
+    read in ``id_col`` order — the sub-linear V(N) curve whose shape
+    (and whose flattening) tells you whether more data still buys
+    vocabulary, without fitting Heaps' K·N^β (no logs, house style).
+
+    Exactness + scale shape: every token occurrence gets a GLOBAL
+    position = its document's exclusive token-count prefix (the
+    two-phase ``ranged_cumsum`` over the doc frame — no
+    single-partition window over docs) + its in-document index; a
+    type's first occurrence is one min-aggregate; the curve is one
+    count per checkpoint over the first-occurrence relation joined to
+    the ≤ log₂(N)-row checkpoint frame.  All integers exact.
+
+    Returns (checkpoint, vocab_seen) ordered by checkpoint — the
+    final row's checkpoint is the exact corpus token total.
+    """
+    from gis_city_county_spark.operators.scale import ranged_cumsum
+    from gis_city_county_spark.operators.textstats import tokens
+
+    docs = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    ).select("__id", "__toks", F.size("__toks").cast("bigint").alias("__cnt"))
+    offs = ranged_cumsum(
+        docs, "__id", "__id", "__cnt", cum_col="__cum",
+        total_col="__total", descending=False,
+    ).select(
+        "__id", "__toks",
+        (F.col("__cum") - F.col("__cnt")).alias("__off"), "__total",
+    )
+    first = (
+        offs.select(
+            "__total",
+            F.posexplode("__toks").alias("__pos", "__tok"),
+            F.col("__off"),
+        )
+        .select("__tok", (F.col("__off") + F.col("__pos") + 1).alias("__gpos"),
+                "__total")
+        .groupBy("__tok")
+        .agg(F.min("__gpos").alias("__first"), F.max("__total").alias("__t"))
+    ).localCheckpoint(eager=False)
+    total = first.agg(F.max("__t").cast("bigint").alias("__total"))
+    # Power-of-two checkpoints up to (and including, via the exact
+    # total) the corpus size — a <= 63-row frame, built with integer
+    # shifts (no log2/pow: libm is not bit-portable, house rule).
+    cps = total.select(
+        F.explode(
+            F.expr(
+                "array_union("
+                " filter(transform(sequence(0, 62),"
+                "                  p -> shiftleft(CAST(1 AS BIGINT), p)),"
+                "        c -> c <= __total),"
+                " array(__total))"
+            )
+        ).alias("checkpoint")
+    )
+    return (
+        cps.join(first, F.col("__first") <= F.col("checkpoint"), "left")
+        .groupBy("checkpoint")
+        .agg(F.count("__tok").cast("bigint").alias("vocab_seen"))
+        .orderBy("checkpoint")
+    )
+
+
+def heaps_curve_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS id, {tokens_sql(text_col)} AS toks
+  FROM {table}
+),
+offs AS (
+  SELECT id, toks,
+         SUM(len(toks)) OVER (ORDER BY id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+           - len(toks) AS off,
+         SUM(len(toks)) OVER () AS total
+  FROM docs
+),
+first AS MATERIALIZED (
+  SELECT tok, MIN(off + pos) AS first, MAX(total) AS total
+  FROM (
+    SELECT off, total, unnest(toks) AS tok,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM offs
+  )
+  GROUP BY tok
+),
+tot AS (SELECT CAST(MAX(total) AS BIGINT) AS total FROM first),
+cps AS (
+  SELECT DISTINCT checkpoint FROM (
+    SELECT CAST(CAST(1 AS BIGINT) << p AS BIGINT) AS checkpoint
+    FROM tot, LATERAL UNNEST(generate_series(0, 62)) g(p)
+    WHERE (CAST(1 AS BIGINT) << p) <= total
+    UNION ALL
+    SELECT total FROM tot
+  )
+)
+SELECT checkpoint, CAST(COUNT(tok) AS BIGINT) AS vocab_seen
+FROM cps LEFT JOIN first ON first <= checkpoint
+GROUP BY checkpoint
+ORDER BY checkpoint
+"""

@@ -3462,3 +3462,373 @@ SELECT g AS {group_col}, n_trials, n_successes,
 FROM agg
 ORDER BY g
 """
+
+
+def lift_table(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Decile lift & gains table — the model-eval artifact a ranking
+    or propensity model ships with: rows sorted by score descending,
+    cut into ``n_bands`` equal bands; each band reports its response
+    rate, its share of all positives captured so far (cumulative
+    gains), and its lift over the base rate — all in exact ppm.
+
+    Exactness: the rank is the house two-phase ``ranged_rank`` (a
+    strict (score, key) total order, no single-partition window over
+    raw rows); band assignment is integer arithmetic on the rank;
+    every rate is a BIGINT floor division.  Cumulative sums run over
+    the ``n_bands``-row band frame.
+
+    Returns (band, n_rows, n_pos, response_ppm, cum_pos, capture_ppm,
+    lift_ppm) ordered by band (1 = highest scores).
+    """
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    ranked = ranged_rank(
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.col(score_col).alias("__s"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        ),
+        "__s",
+        "__k",
+        rank_col="__r",
+        descending=True,
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("__y").cast("bigint").alias("__pos"),
+    )
+    bands = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            (F.expr(f"((__r - 1) * {n_bands}) div __n") + 1)
+            .cast("bigint").alias("band"),
+            "__y", "__n", "__pos",
+        )
+        .groupBy("band", "__n", "__pos")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("__y").cast("bigint").alias("n_pos"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("band").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bands.withColumn("cum_pos", F.sum("n_pos").over(w_cum).cast("bigint"))
+        .select(
+            "band",
+            "n_rows",
+            "n_pos",
+            F.expr("(n_pos * CAST(1000000 AS BIGINT)) div n_rows")
+            .cast("bigint").alias("response_ppm"),
+            "cum_pos",
+            F.expr(
+                "CASE WHEN __pos > 0 THEN"
+                " (cum_pos * CAST(1000000 AS BIGINT)) div __pos"
+                " ELSE 0 END"
+            ).cast("bigint").alias("capture_ppm"),
+            F.expr(
+                "CASE WHEN __pos > 0 THEN"
+                " (n_pos * __n * CAST(1000000 AS BIGINT))"
+                " div (n_rows * __pos) ELSE 0 END"
+            ).cast("bigint").alias("lift_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def lift_table_sql(
+    source_sql: str,
+    key_col: str,
+    score_col: str,
+    label_col: str,
+    n_bands: int = 10,
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT CAST({label_col} AS BIGINT) AS y,
+         ROW_NUMBER() OVER (ORDER BY {score_col} DESC, {key_col} ASC)
+           AS r
+  FROM ({source_sql})
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM ranked
+),
+bands AS (
+  SELECT ((r - 1) * {n_bands}) // n + 1 AS band, y, n, pos
+  FROM ranked CROSS JOIN tot
+),
+agg AS (
+  SELECT band, n, pos,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM bands GROUP BY 1, 2, 3
+)
+SELECT CAST(band AS BIGINT) AS band, n_rows, n_pos,
+       CAST((n_pos * CAST(1000000 AS BIGINT)) // n_rows AS BIGINT)
+         AS response_ppm,
+       CAST(SUM(n_pos) OVER (ORDER BY band ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       CASE WHEN pos > 0 THEN
+         CAST((SUM(n_pos) OVER (ORDER BY band ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+               * CAST(1000000 AS BIGINT)) // pos AS BIGINT)
+       ELSE 0 END AS capture_ppm,
+       CASE WHEN pos > 0 THEN
+         CAST((n_pos * n * CAST(1000000 AS BIGINT))
+              // (n_rows * pos) AS BIGINT)
+       ELSE 0 END AS lift_ppm
+FROM agg
+ORDER BY band
+"""
+
+
+def ks_test(
+    df: DataFrame, side_col: str, value_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance — the distribution-drift
+    test in its exact-integer form: over the DISTINCT-value cells
+    (never the rows), the empirical-CDF gap at value v is
+    ``|cum_a·n_b − cum_b·n_a| / (n_a·n_b)`` — an exact rational, so
+    the maximizing cell and the ppm distance are engine-exact with no
+    doubles at all.  ``side_col`` must be 0/1 (control/treatment,
+    yesterday/today, train/serve).
+
+    Scale shape: one map-combinable (value, side) count, cumulative
+    windows over the bounded distinct-value cells (the
+    contingency-cell discipline), one argmax.
+
+    Returns one row: (n_a, n_b, n_cells, d_ppm, at_value) — at_value
+    is the smallest value achieving the maximum gap.
+    """
+    cells = (
+        df.groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(
+                F.when(F.col(side_col) == 0, 1).otherwise(0)
+            ).cast("bigint").alias("__ca"),
+            F.sum(
+                F.when(F.col(side_col) == 1, 1).otherwise(0)
+            ).cast("bigint").alias("__cb"),
+        )
+    )
+    w_cum = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gaps = cells.select(
+        "__v",
+        F.sum("__ca").over(w_cum).alias("__cuma"),
+        F.sum("__cb").over(w_cum).alias("__cumb"),
+        F.sum("__ca").over(w_all).alias("__na"),
+        F.sum("__cb").over(w_all).alias("__nb"),
+        F.count(F.lit(1)).over(w_all).alias("__cells"),
+    ).withColumn(
+        "__gap",
+        F.abs(F.col("__cuma") * F.col("__nb")
+              - F.col("__cumb") * F.col("__na")).cast("bigint"),
+    )
+    w_max = Window.orderBy(F.col("__gap").desc(), F.col("__v").asc())
+    return (
+        gaps.withColumn("__rk", F.row_number().over(w_max))
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("__na").cast("bigint").alias("n_a"),
+            F.col("__nb").cast("bigint").alias("n_b"),
+            F.col("__cells").cast("bigint").alias("n_cells"),
+            F.expr(
+                "CASE WHEN __na * __nb > 0 THEN"
+                " (__gap * CAST(1000000 AS BIGINT)) div (__na * __nb)"
+                " ELSE 0 END"
+            ).cast("bigint").alias("d_ppm"),
+            F.col("__v").alias("at_value"),
+        )
+    )
+
+
+def ks_test_sql(source_sql: str, side_col: str, value_col: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {value_col} AS v,
+         CAST(SUM(CASE WHEN {side_col} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN {side_col} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM ({source_sql}) GROUP BY 1
+),
+gaps AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb,
+         SUM(ca) OVER () AS na,
+         SUM(cb) OVER () AS nb,
+         COUNT(*) OVER () AS cells
+  FROM cells
+),
+scored AS (
+  SELECT v, na, nb, cells,
+         CAST(ABS(cuma * nb - cumb * na) AS BIGINT) AS gap
+  FROM gaps
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(cells AS BIGINT) AS n_cells,
+       CASE WHEN na * nb > 0 THEN
+         CAST((gap * CAST(1000000 AS BIGINT)) // (na * nb) AS BIGINT)
+       ELSE 0 END AS d_ppm,
+       v AS at_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, v ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+"""
+
+
+def smd_balance(
+    df: DataFrame, treat_col: str, metric_cols: list[str]
+) -> DataFrame:
+    """Standardized mean difference per covariate — the A/B and
+    propensity-matching balance check ("are treatment and control
+    comparable BEFORE the effect readout?"): ``SMD = (mean_t −
+    mean_c) / sqrt((var_t + var_c) / 2)``; |SMD| > 0.1 is the
+    conventional imbalance flag (emitted in exact milli units
+    alongside).
+
+    Exactness: per-(metric, arm) moments fold in DECIMAL(38,10)
+    (exact sums of milli-quantized values); means/variances and the
+    SMD are a FIXED-ORDER IEEE tail identical on both engines.  Scale
+    shape: one scan-side melt (k metric structs per row), one
+    map-combinable (metric, arm) aggregate, a k-row pivot — never a
+    per-metric pass.
+
+    Returns (metric, n_c, n_t, mean_c, mean_t, smd) ordered by
+    metric.
+    """
+    melted = df.select(
+        F.col(treat_col).cast("int").alias("__t"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("__m"),
+                        F.col(m).cast("double").alias("__x"),
+                    )
+                    for m in metric_cols
+                ]
+            )
+        ).alias("__mx"),
+    ).select("__t", F.col("__mx.__m").alias("__m"), F.col("__mx.__x").alias("__x"))
+    # Exact decimal moments: x quantized to milli in BIGINT-safe
+    # decimal, folded exactly; the IEEE tail starts at the division.
+    milli = F.floor(F.col("__x") * 1000).cast("decimal(28,0)")
+    agg = melted.groupBy("__m", "__t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum(milli).cast("decimal(28,0)").alias("__s"),
+        F.sum(milli * milli).cast("decimal(38,0)").alias("__s2"),
+    )
+    pv = (
+        agg.groupBy("__m")
+        .agg(
+            F.sum(F.when(F.col("__t") == 0, F.col("__n"))).cast("bigint")
+            .alias("n_c"),
+            F.sum(F.when(F.col("__t") == 1, F.col("__n"))).cast("bigint")
+            .alias("n_t"),
+            F.sum(F.when(F.col("__t") == 0, F.col("__s")))
+            .cast("decimal(28,0)").alias("__sc"),
+            F.sum(F.when(F.col("__t") == 1, F.col("__s")))
+            .cast("decimal(28,0)").alias("__st"),
+            F.sum(F.when(F.col("__t") == 0, F.col("__s2")))
+            .cast("decimal(38,0)").alias("__s2c"),
+            F.sum(F.when(F.col("__t") == 1, F.col("__s2")))
+            .cast("decimal(38,0)").alias("__s2t"),
+        )
+    )
+    # Fixed-order IEEE tail (identical text on both engines): means
+    # and population variances in milli units, then the pooled-sd
+    # denominator.
+    tail = (
+        "CAST(__sc AS DOUBLE) / CAST(n_c AS DOUBLE)",
+        "CAST(__st AS DOUBLE) / CAST(n_t AS DOUBLE)",
+        "CAST(__s2c AS DOUBLE) / CAST(n_c AS DOUBLE)",
+        "CAST(__s2t AS DOUBLE) / CAST(n_t AS DOUBLE)",
+    )
+    mc, mt, qc, qt = tail
+    var_c = f"({qc} - {mc} * {mc})"
+    var_t = f"({qt} - {mt} * {mt})"
+    smd = (
+        f"CASE WHEN ({var_c} + {var_t}) > 0.0 THEN"
+        f" ({mt} - {mc}) / SQRT(({var_c} + {var_t}) / 2.0)"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return pv.select(
+        F.col("__m").alias("metric"),
+        "n_c",
+        "n_t",
+        (F.expr(mc) / F.lit(1000.0)).alias("mean_c"),
+        (F.expr(mt) / F.lit(1000.0)).alias("mean_t"),
+        F.expr(smd).alias("smd"),
+    ).orderBy("metric")
+
+
+def smd_balance_sql(
+    source_sql: str, treat_col: str, metric_cols: list[str]
+) -> str:
+    melt = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({treat_col} AS INTEGER) AS t, '{m}' AS m,"
+        f" CAST({m} AS DOUBLE) AS x FROM ({source_sql})"
+        for m in metric_cols
+    )
+    mc = "CAST(sc AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    mt = "CAST(st AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    qc = "CAST(s2c AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    qt = "CAST(s2t AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    var_c = f"({qc} - {mc} * {mc})"
+    var_t = f"({qt} - {mt} * {mt})"
+    smd = (
+        f"CASE WHEN ({var_c} + {var_t}) > 0.0 THEN"
+        f" ({mt} - {mc}) / SQRT(({var_c} + {var_t}) / 2.0)"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return f"""
+WITH melted AS (
+  {melt}
+),
+agg AS (
+  SELECT m, t,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(x * 1000) AS HUGEINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(FLOOR(x * 1000) AS HUGEINT)
+                  * CAST(FLOOR(x * 1000) AS HUGEINT)) AS HUGEINT) AS s2
+  FROM melted GROUP BY 1, 2
+),
+pv AS (
+  SELECT m,
+         CAST(SUM(CASE WHEN t = 0 THEN n END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN t = 1 THEN n END) AS BIGINT) AS n_t,
+         SUM(CASE WHEN t = 0 THEN s END) AS sc,
+         SUM(CASE WHEN t = 1 THEN s END) AS st,
+         SUM(CASE WHEN t = 0 THEN s2 END) AS s2c,
+         SUM(CASE WHEN t = 1 THEN s2 END) AS s2t
+  FROM agg GROUP BY 1
+)
+SELECT m AS metric, n_c, n_t,
+       {mc} / 1000.0 AS mean_c,
+       {mt} / 1000.0 AS mean_t,
+       {smd} AS smd
+FROM pv
+ORDER BY metric
+"""

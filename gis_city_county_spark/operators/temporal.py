@@ -2184,6 +2184,16 @@ def cusum_changepoint(df: DataFrame, ts_col: str) -> DataFrame:
         .groupBy(F.to_date(ts_col).alias("__day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     )
+    return cusum_from_day_counts(counts)
+
+
+def cusum_from_day_counts(counts: DataFrame) -> DataFrame:
+    """Shared tail of :func:`cusum_changepoint`: the zero-filled
+    calendar grid, scaled cumulative deviations and the argmax flag
+    from a SPARSE (__day DATE, __n BIGINT) day-count relation — also
+    the publish step of the streaming twin (``streaming.cusum``),
+    whose state folds per-batch count partials into exactly this
+    relation."""
     span = counts.agg(
         F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
     )
@@ -2559,4 +2569,268 @@ SELECT a.week, a.n_active, a.n_new, a.n_retained, a.n_resurrected,
        COALESCE(c.n_churned, 0) AS n_churned
 FROM active a LEFT JOIN churn c ON a.week = c.week
 ORDER BY a.week
+"""
+
+
+def trend_test(df: DataFrame, ts_col: str) -> DataFrame:
+    """Mann-Kendall trend test + Sen's slope over the zero-filled
+    daily volume — the nonparametric "is this metric actually
+    drifting" screen (monotone-trend power without assuming
+    linearity or normality): ``S = Σ_{i<j} sign(n_j − n_i)`` over all
+    day pairs, the tie-corrected variance ``18·Var = n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)``, the continuity-corrected z (one fixed-order
+    IEEE sqrt/divide tail), and Sen's slope as the exact lower-median
+    of per-pair integer milli-slopes (sign split from an
+    absolute-value floor division so Spark ``div`` and DuckDB ``//``
+    agree on negatives).
+
+    Scale shape: every holistic step runs on the CALENDAR-bounded
+    day frame — the pair join is days², data-independent and bounded
+    by the observation span (≈ 4.5M pairs for 3k days / a decade of
+    daily data), never the events; the tie correction folds over the
+    DISTINCT-count cells.
+
+    Returns one row: (n_days, s_statistic, var18, z_score,
+    sen_slope_milli).
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("__day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    span = counts.agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    grid = span.select(F.explode(F.sequence("__lo", "__hi")).alias("__day"))
+    days = (
+        grid.join(counts, "__day", "left")
+        .select(
+            F.coalesce("__n", F.lit(0).cast("bigint")).alias("n_events"),
+            F.row_number().over(Window.orderBy("__day")).alias("__i"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = days.select(F.col("n_events").alias("__na"), F.col("__i").alias("__ia"))
+    b = days.select(F.col("n_events").alias("__nb"), F.col("__i").alias("__ib"))
+    pairs = a.join(b, F.col("__ib") > F.col("__ia")).select(
+        (F.col("__nb") - F.col("__na")).alias("__dn"),
+        (F.col("__ib") - F.col("__ia")).alias("__di"),
+    ).localCheckpoint(eager=False)
+    s_side = pairs.agg(
+        F.sum(F.signum("__dn").cast("bigint")).cast("bigint").alias("s_statistic"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_pairs"),
+    )
+    # Tie correction over the distinct-count cells (bounded by the
+    # distinct daily volumes, never the days).
+    tie_side = (
+        days.groupBy("n_events")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_cells"),
+            F.sum("__t").cast("bigint").alias("n_days"),
+            F.sum(F.expr("__t * (__t - 1) * (2 * __t + 5)"))
+            .cast("bigint").alias("__tie_corr"),
+        )
+    )
+    slope_milli = (
+        F.when(F.col("__dn") < 0, F.lit(-1)).otherwise(F.lit(1)).cast("bigint")
+        * F.expr("(1000 * abs(__dn)) div __di")
+    )
+    ranked = pairs.select(slope_milli.alias("__sl")).select(
+        "__sl",
+        F.row_number().over(
+            Window.orderBy(F.col("__sl").asc())
+        ).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__m"),
+    )
+    sen = ranked.filter(
+        F.col("__rn") == F.expr("(__m + 1) div 2")
+    ).select(F.col("__sl").alias("sen_slope_milli"))
+    var18 = F.expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - __tie_corr"
+    ).cast("bigint")
+    z = F.expr(
+        "CASE WHEN s_statistic > 0 THEN"
+        " (CAST(s_statistic AS DOUBLE) - 1.0) / SQRT(CAST(var18 AS DOUBLE) / 18.0)"
+        " WHEN s_statistic < 0 THEN"
+        " (CAST(s_statistic AS DOUBLE) + 1.0) / SQRT(CAST(var18 AS DOUBLE) / 18.0)"
+        " ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return (
+        s_side.crossJoin(F.broadcast(tie_side))
+        .crossJoin(F.broadcast(sen))
+        .withColumn("var18", var18)
+        .select(
+            "n_days",
+            "s_statistic",
+            "var18",
+            F.when(F.col("var18") > 0, z).otherwise(F.lit(0.0))
+            .alias("z_score"),
+            "sen_slope_milli",
+        )
+    )
+
+
+def trend_test_sql(source_sql: str, ts_col: str) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({source_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM counts),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+days AS MATERIALIZED (
+  SELECT COALESCE(c.n, 0) AS n_events,
+         ROW_NUMBER() OVER (ORDER BY g.d) AS i
+  FROM grid g LEFT JOIN counts c ON g.d = c.d
+),
+pairs AS MATERIALIZED (
+  SELECT b.n_events - a.n_events AS dn, b.i - a.i AS di
+  FROM days a JOIN days b ON b.i > a.i
+),
+s_side AS (
+  SELECT CAST(SUM(SIGN(dn)) AS BIGINT) AS s_statistic FROM pairs
+),
+tie_side AS (
+  SELECT CAST(SUM(t) AS BIGINT) AS n_days,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_corr
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days GROUP BY n_events)
+),
+slopes AS (
+  SELECT (CASE WHEN dn < 0 THEN -1 ELSE 1 END)
+         * ((1000 * ABS(dn)) // di) AS sl
+  FROM pairs
+),
+sen AS (
+  SELECT sl AS sen_slope_milli FROM (
+    SELECT sl, ROW_NUMBER() OVER (ORDER BY sl ASC) AS rn,
+           COUNT(*) OVER () AS m
+    FROM slopes
+  ) WHERE rn = (m + 1) // 2
+)
+SELECT n_days, s_statistic,
+       CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr AS BIGINT)
+         AS var18,
+       CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_corr > 0
+            THEN CASE WHEN s_statistic > 0 THEN
+                   (CAST(s_statistic AS DOUBLE) - 1.0)
+                   / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                               - tie_corr AS DOUBLE) / 18.0)
+                 WHEN s_statistic < 0 THEN
+                   (CAST(s_statistic AS DOUBLE) + 1.0)
+                   / SQRT(CAST(n_days * (n_days - 1) * (2 * n_days + 5)
+                               - tie_corr AS DOUBLE) / 18.0)
+                 ELSE CAST(0.0 AS DOUBLE) END
+            ELSE CAST(0.0 AS DOUBLE) END AS z_score,
+       sen_slope_milli
+FROM s_side CROSS JOIN tie_side CROSS JOIN sen
+"""
+
+
+def seasonal_naive_backtest(
+    df: DataFrame, ts_col: str, period_days: int = 7
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over daily volume — the
+    baseline every forecasting pipeline must beat, and the
+    data-health number that says whether volume is even predictable:
+    forecast(d) = actual(d − period), scored on every day that has a
+    forecast.  Errors are exact integers: WAPE in ppm
+    (Σ|err| / Σactual — the scale-free accuracy number that works
+    through zero-volume days where MAPE blows up) and MAE in milli
+    units.
+
+    Scale shape: one map-combinable per-day count, the zero-filled
+    grid, one lag window over the CALENDAR-bounded day rows, a 1-row
+    fold.
+
+    Returns one row: (n_days_scored, total_actual, total_abs_err,
+    wape_ppm, mae_milli).
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("__day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    span = counts.agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    grid = span.select(F.explode(F.sequence("__lo", "__hi")).alias("__day"))
+    days = grid.join(counts, "__day", "left").select(
+        "__day",
+        F.coalesce("__n", F.lit(0).cast("bigint")).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("__day").asc())
+    scored = days.select(
+        "n_events",
+        F.lag("n_events", period_days).over(w).alias("__f"),
+    ).filter(F.col("__f").isNotNull())
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.sum("n_events").cast("bigint").alias("total_actual"),
+        F.sum(F.abs(F.col("n_events") - F.col("__f"))).cast("bigint")
+        .alias("total_abs_err"),
+    ).select(
+        "n_days_scored",
+        "total_actual",
+        "total_abs_err",
+        F.expr(
+            "CASE WHEN total_actual > 0 THEN"
+            " (total_abs_err * CAST(1000000 AS BIGINT)) div total_actual"
+            " ELSE 0 END"
+        ).cast("bigint").alias("wape_ppm"),
+        F.expr(
+            "CASE WHEN n_days_scored > 0 THEN"
+            " (total_abs_err * CAST(1000 AS BIGINT)) div n_days_scored"
+            " ELSE 0 END"
+        ).cast("bigint").alias("mae_milli"),
+    )
+
+
+def seasonal_naive_backtest_sql(
+    source_sql: str, ts_col: str, period_days: int = 7
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({source_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM counts),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+days AS (
+  SELECT g.d, COALESCE(c.n, 0) AS n_events
+  FROM grid g LEFT JOIN counts c ON g.d = c.d
+),
+scored AS (
+  SELECT n_events, f FROM (
+    SELECT n_events,
+           LAG(n_events, {period_days}) OVER (ORDER BY d ASC) AS f
+    FROM days
+  ) WHERE f IS NOT NULL
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+         CAST(SUM(n_events) AS BIGINT) AS total_actual,
+         CAST(SUM(ABS(n_events - f)) AS BIGINT) AS total_abs_err
+  FROM scored
+)
+SELECT n_days_scored, total_actual, total_abs_err,
+       CASE WHEN total_actual > 0 THEN
+         CAST((total_abs_err * CAST(1000000 AS BIGINT)) // total_actual
+              AS BIGINT)
+       ELSE 0 END AS wape_ppm,
+       CASE WHEN n_days_scored > 0 THEN
+         CAST((total_abs_err * CAST(1000 AS BIGINT)) // n_days_scored
+              AS BIGINT)
+       ELSE 0 END AS mae_milli
+FROM agg
 """

@@ -1442,3 +1442,89 @@ SELECT sh.{id_col} AS id,
 FROM sh JOIN owner USING (shingle)
 GROUP BY 1
 """
+
+
+# Letter-script classes for the homoglyph audit (literal codepoints —
+# see _SCRIPT_CLASSES).
+_LETTER_SCRIPTS: list[tuple[str, str]] = [
+    ("latin", "[A-Za-z]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+]
+
+
+def mixed_script_tokens(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Homoglyph / script-spoof audit: tokens mixing letters from two
+    or more alphabets ("pаypal" with a Cyrillic а) — the classic
+    phishing/SEO-spam signal a crawl-quality gate screens for, and a
+    tokenizer-health check (mixed-script tokens explode subword
+    vocabularies).  A token is MIXED when it matches at least two of
+    the Latin/Cyrillic/Greek letter classes; per group the audit
+    reports exact token counts and the mixed share in ppm.
+
+    Scan-side only: one array filter over the token array per row
+    (regex per class, literal-codepoint classes Java and RE2 read
+    identically), one map-combinable aggregate.
+
+    Returns (group, n_tokens, n_mixed, mixed_ppm) ordered by group.
+    """
+    toks = tokens(text_col)
+
+    def is_mixed(t):
+        lat = t.rlike(_LETTER_SCRIPTS[0][1])
+        cyr = t.rlike(_LETTER_SCRIPTS[1][1])
+        grk = t.rlike(_LETTER_SCRIPTS[2][1])
+        return (lat & cyr) | (lat & grk) | (cyr & grk)
+
+    per_row = df.select(
+        F.col(group_col).alias("__g"),
+        F.size(toks).cast("bigint").alias("__n"),
+        F.size(F.filter(toks, is_mixed)).cast("bigint").alias("__m"),
+    )
+    return (
+        per_row.groupBy("__g")
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.sum("__m").cast("bigint").alias("n_mixed"),
+        )
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "n_mixed",
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " (n_mixed * CAST(1000000 AS BIGINT)) div n_tokens"
+                " ELSE 0 END"
+            ).cast("bigint").alias("mixed_ppm"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def mixed_script_tokens_sql(table: str, group_col: str, text_col: str) -> str:
+    lat, cyr, grk = (c for _, c in _LETTER_SCRIPTS)
+    cond = (
+        f"(regexp_matches(t, '{lat}') AND regexp_matches(t, '{cyr}'))"
+        f" OR (regexp_matches(t, '{lat}') AND regexp_matches(t, '{grk}'))"
+        f" OR (regexp_matches(t, '{cyr}') AND regexp_matches(t, '{grk}'))"
+    )
+    return f"""
+WITH per_row AS (
+  SELECT {group_col} AS g,
+         CAST(len({tokens_sql(text_col)}) AS BIGINT) AS n,
+         CAST(len(list_filter({tokens_sql(text_col)},
+                              t -> {cond})) AS BIGINT) AS m
+  FROM {table}
+)
+SELECT g AS {group_col},
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(m) AS BIGINT) AS n_mixed,
+       CASE WHEN SUM(n) > 0 THEN
+         CAST((SUM(m) * CAST(1000000 AS BIGINT)) // SUM(n) AS BIGINT)
+       ELSE 0 END AS mixed_ppm
+FROM per_row
+GROUP BY g
+ORDER BY g
+"""

@@ -738,6 +738,21 @@ def _chao1_oracle() -> str:
     return chao1_richness_sql("documents", "lang", "text")
 
 
+def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth at power-of-two token checkpoints
+    in doc_id order (see operators.corpus.heaps_curve)."""
+    from gis_city_county_spark.operators.corpus import heaps_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_curve(docs, "doc_id", "text")
+
+
+def _heaps_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import heaps_curve_sql
+
+    return heaps_curve_sql("documents", "doc_id", "text")
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-leakage audit of the deterministic doc-level split:
     sources whose documents land in more than one of train/val/test
@@ -799,4 +814,5 @@ SPECS = [
     QuerySpec("corpus_vocab_overlap", q_vocab_overlap, _vocab_overlap_oracle()),
     QuerySpec("corpus_chao1_richness", q_chao1_richness, _chao1_oracle()),
     QuerySpec("pipeline_split_leakage", q_split_leakage, _leakage_oracle()),
+    QuerySpec("corpus_heaps_curve", q_heaps_curve, _heaps_oracle()),
 ]

@@ -1054,6 +1054,42 @@ def _growth_oracle() -> str:
 
 
 
+def q_trend_test(spark, sf_dir):
+    """Mann-Kendall trend + Sen slope over daily event volume: exact
+    S / tie-corrected variance, one fixed IEEE z tail, lower-median
+    milli slope (see operators.temporal.trend_test)."""
+    from gis_city_county_spark.operators.temporal import trend_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return trend_test(ev, "ts")
+
+
+def _trend_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import trend_test_sql
+
+    return trend_test_sql(f"({_EV_CTE})", "ts")
+
+
+def q_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive (lag-7) forecast backtest over daily volume:
+    exact WAPE ppm + MAE milli (see
+    operators.temporal.seasonal_naive_backtest)."""
+    from gis_city_county_spark.operators.temporal import (
+        seasonal_naive_backtest,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_naive_backtest(ev, "ts", period_days=7)
+
+
+def _seasonal_naive_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        seasonal_naive_backtest_sql,
+    )
+
+    return seasonal_naive_backtest_sql(f"({_EV_CTE})", "ts", period_days=7)
+
+
 def q_km_curve(spark, sf_dir):
     """Kaplan-Meier survival CURVE over the hazard life table: per
     lifetime day-index the running product of (1 − churned/at_risk),
@@ -1098,6 +1134,9 @@ SPECS = [
     QuerySpec("events_km_curve", q_km_curve, _km_curve_oracle()),
     QuerySpec("events_cusum_changepoint", q_cusum_changepoint,
               _cusum_oracle()),
+    QuerySpec("events_trend_test", q_trend_test, _trend_oracle()),
+    QuerySpec("events_seasonal_naive", q_seasonal_naive,
+              _seasonal_naive_oracle()),
     QuerySpec("events_growth_accounting", q_growth_accounting,
               _growth_oracle()),
     QuerySpec("profile_concentration", q_concentration,

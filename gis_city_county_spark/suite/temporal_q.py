@@ -1366,6 +1366,83 @@ def _perm_oracle() -> str:
                                 n_replicas=64)
 
 
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains over scored events (value as the score,
+    user parity as the label): exact ppm response/capture/lift per
+    band, two-phase ranked, cumulative over the 10-row band frame."""
+    from gis_city_county_spark.operators.mlprep import lift_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("score_milli"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("y"),
+    )
+    return lift_table(ev, "event_id", "score_milli", "y")
+
+
+def _lift_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import lift_table_sql
+
+    src = (
+        "SELECT event_id,"
+        " CAST(FLOOR(value * 1000) AS BIGINT) AS score_milli,"
+        " CAST(user_id % 2 AS INTEGER) AS y FROM events"
+    )
+    return lift_table_sql(src, "event_id", "score_milli", "y")
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS distance between click and error event values —
+    exact-integer ECDF gap over the distinct-value cells (see
+    operators.mlprep.ks_test)."""
+    from gis_city_county_spark.operators.mlprep import ks_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    ).select(
+        (F.col("event_type") == "error").cast("int").alias("side"),
+        F.floor(F.col("value")).cast("bigint").alias("v"),
+    )
+    return ks_test(ev, "side", "v")
+
+
+def _ks_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import ks_test_sql
+
+    src = (
+        "SELECT CAST(event_type = 'error' AS INTEGER) AS side,"
+        " CAST(FLOOR(value) AS BIGINT) AS v FROM events"
+        " WHERE event_type IN ('click', 'error')"
+    )
+    return ks_test_sql(src, "side", "v")
+
+
+def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate balance (standardized mean difference) between the
+    user-parity arms over order metrics — the pre-readout A/B health
+    check (see operators.mlprep.smd_balance)."""
+    from gis_city_county_spark.operators.mlprep import smd_balance
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(2)).cast("int").alias("arm"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+        F.length("o_orderpriority").cast("double").alias("priority_len"),
+    )
+    return smd_balance(o, "arm", ["totalprice", "priority_len"])
+
+
+def _smd_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import smd_balance_sql
+
+    src = (
+        "SELECT CAST(o_custkey % 2 AS INTEGER) AS arm,"
+        " CAST(o_totalprice AS DOUBLE) AS totalprice,"
+        " CAST(length(o_orderpriority) AS DOUBLE) AS priority_len"
+        " FROM orders"
+    )
+    return smd_balance_sql(src, "arm", ["totalprice", "priority_len"])
+
+
 def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson 95% score interval for the per-returnflag bulk-order
     rate (quantity ≥ 25) — exact integer counts, one fixed-order
@@ -1409,6 +1486,9 @@ SPECS = [
     QuerySpec("eval_wilcoxon", q_wilcoxon, _wilcoxon_oracle()),
     QuerySpec("eval_perm_test", q_perm_test, _perm_oracle()),
     QuerySpec("eval_wilson_ci", q_wilson_ci, _wilson_oracle()),
+    QuerySpec("eval_lift_table", q_lift_table, _lift_oracle()),
+    QuerySpec("eval_ks_test", q_ks_test, _ks_oracle()),
+    QuerySpec("mlprep_smd_balance", q_smd_balance, _smd_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

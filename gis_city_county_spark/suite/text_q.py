@@ -852,6 +852,26 @@ def _script_oracle() -> str:
     return script_profile_sql("documents", "lang", "text")
 
 
+def q_mixed_script(spark, sf_dir):
+    """Homoglyph/script-spoof audit per language label: tokens mixing
+    Latin/Cyrillic/Greek letters, exact ppm share (see
+    operators.textstats.mixed_script_tokens)."""
+    from gis_city_county_spark.operators.textstats import (
+        mixed_script_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixed_script_tokens(docs, "lang", "text")
+
+
+def _mixed_script_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import (
+        mixed_script_tokens_sql,
+    )
+
+    return mixed_script_tokens_sql("documents", "lang", "text")
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-document 3-gram novelty: the share of a doc's distinct
     shingles whose canonical owner (lowest doc_id) is the doc itself
@@ -905,5 +925,6 @@ SPECS = [
     QuerySpec("text_loop_detection", q_loop_detection, _loop_oracle()),
     QuerySpec("text_script_profile", q_script_profile, _script_oracle()),
     QuerySpec("text_ngram_novelty", q_ngram_novelty, _novelty_oracle()),
+    QuerySpec("text_mixed_script", q_mixed_script, _mixed_script_oracle()),
     QuerySpec("text_case_profile", q_case_profile, _case_oracle()),
 ]

@@ -1043,7 +1043,15 @@ R11_INWINDOW_ADDITIONS: tuple[str, ...] = (
 # first possible driver check is round 12.  Only later-session
 # additions accumulate here (the 13 pre-rotation additions are in
 # R11_INWINDOW_ADDITIONS and WINDOWS[11] instead).
-R12_PRESTAGE: tuple[str, ...] = ()
+R12_PRESTAGE: tuple[str, ...] = (
+    "events_trend_test",
+    "eval_lift_table",
+    "corpus_heaps_curve",
+    "text_mixed_script",
+    "events_seasonal_naive",
+    "eval_ks_test",
+    "mlprep_smd_balance",
+)
 
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,

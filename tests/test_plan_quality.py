@@ -122,6 +122,15 @@ _BNLJ_ALLOWED = {
     # (sampled probes broadcast × corpus — the audit's documented
     # budget) plus two 1-row total merges
     "sim_lsh_recall_audit",
+    # Mann-Kendall day-pair range join: days² is CALENDAR-bounded and
+    # data-independent (≈4.5M pairs per decade of daily data), never
+    # the events; plus the 1-row S/tie/Sen scalar merges
+    "events_trend_test",
+    # 1-row (n, positives) totals broadcast onto the ranked rows
+    "eval_lift_table",
+    # first-occurrence relation × the ≤63-row power-of-two checkpoint
+    # frame (a bounded non-equi join), plus the 1-row total scalar
+    "corpus_heaps_curve",
     # the hazard chain's 1-row broadcast horizon scalar (same merge
     # events_hazard_table carries)
     "events_km_curve",
@@ -546,6 +555,19 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_wilcoxon": 1,
     # 1-row observed merge, R-row replica-sum hit scan, 1-row final
     "eval_perm_test": 3,
+    # day-index window over the calendar grid + the Sen lower-median
+    # rank/count windows over the calendar-bounded pair frame
+    "events_trend_test": 3,
+    # the cumulative-gains window over the <= n_bands band rows,
+    # plus the band-frame ordering merge (both <= n_bands rows)
+    "eval_lift_table": 2,
+    # cumulative/grand-total/argmax windows over the bounded
+    # DISTINCT-value cells (the contingency-cell discipline)
+    "eval_ks_test": 1,
+    # the lag-window over the CALENDAR-bounded day grid
+    "events_seasonal_naive": 1,
+    # the 1-row corpus-total scalar feeding the checkpoint frame
+    "corpus_heaps_curve": 1,
     # one-row pivot merge of the <= 2 per-group moment rows
     "eval_effect_size": 1,
     # the one-row grand-total merge over the splits x labels cells

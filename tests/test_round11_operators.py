@@ -554,3 +554,267 @@ def test_lsh_recall_audit_perfect_on_identical_bands(spark):
     assert out["n_exact_pairs"] == 24 * 5
     assert out["n_hit_pairs"] == out["n_exact_pairs"]
     assert out["recall_ppm"] == 1_000_000
+
+
+# --------------------------------------------------- Mann-Kendall
+
+
+def test_trend_test_reference_and_parity(spark):
+    """Strictly rising volume: S = C(n,2), zero tie correction,
+    var18 = n(n-1)(2n+5), z from the closed form, Sen slope exactly
+    the common difference; bit parity with DuckDB."""
+    import math
+
+    from gis_city_county_spark.operators.temporal import (
+        trend_test,
+        trend_test_sql,
+    )
+
+    rows = []
+    for i, (day, n) in enumerate(
+        [("2024-03-01", 1), ("2024-03-02", 2),
+         ("2024-03-03", 3), ("2024-03-04", 4)]
+    ):
+        rows += [(day,)] * n
+    df = spark.createDataFrame(rows, "d string").select(
+        F.col("d").cast("timestamp").alias("ts")
+    )
+    out = trend_test(df, "ts").collect()[0]
+    assert out["n_days"] == 4
+    assert out["s_statistic"] == 6  # all 6 pairs rising
+    assert out["var18"] == 4 * 3 * 13
+    assert out["z_score"] == (6.0 - 1.0) / math.sqrt((4 * 3 * 13) / 18.0)
+    assert out["sen_slope_milli"] == 1000
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?)",
+                    [(d + " 12:00:00",) for (d,) in rows])
+    want = con.execute(
+        trend_test_sql("SELECT * FROM ev", "ts")).fetchall()[0]
+    assert tuple(out) == want
+
+
+def test_trend_test_falling_and_ties(spark):
+    """A falling series flips the sign (negative Sen slope agrees
+    across engines despite the floor-division asymmetry); tied days
+    shrink var18 by the textbook correction."""
+    from gis_city_county_spark.operators.temporal import (
+        trend_test,
+        trend_test_sql,
+    )
+
+    rows = []
+    for day, n in [("2024-03-01", 5), ("2024-03-02", 5),
+                   ("2024-03-03", 2), ("2024-03-04", 1)]:
+        rows += [(day,)] * n
+    df = spark.createDataFrame(rows, "d string").select(
+        F.col("d").cast("timestamp").alias("ts")
+    )
+    out = trend_test(df, "ts").collect()[0]
+    assert out["s_statistic"] == -5  # one tied pair contributes 0
+    assert out["var18"] == 4 * 3 * 13 - 2 * 1 * 9  # one t=2 group
+    assert out["sen_slope_milli"] < 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?)",
+                    [(d + " 12:00:00",) for (d,) in rows])
+    want = con.execute(
+        trend_test_sql("SELECT * FROM ev", "ts")).fetchall()[0]
+    assert tuple(out) == want
+
+
+# ------------------------------------------------------- lift table
+
+
+def test_lift_table_identities_and_parity(spark):
+    """Top-scored positives: band 1 captures everything, identities
+    crossfoot (Σn_rows = n, final cum_pos = total positives, final
+    capture = 1e6, uniform-band lift = capture-rate · n/pos)."""
+    from gis_city_county_spark.operators.mlprep import (
+        lift_table,
+        lift_table_sql,
+    )
+
+    rows = [(i, 100 - i, 1 if i < 4 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k long, s long, y int")
+    out = sorted(lift_table(df, "k", "s", "y").collect(),
+                 key=lambda r: r["band"])
+    assert [r["band"] for r in out] == list(range(1, 11))
+    assert sum(r["n_rows"] for r in out) == 20
+    assert out[-1]["cum_pos"] == 4 and out[-1]["capture_ppm"] == 1_000_000
+    assert out[0]["n_pos"] == 2 and out[0]["response_ppm"] == 1_000_000
+    assert out[0]["lift_ppm"] == 5_000_000  # 100% response vs 20% base
+    assert out[2]["n_pos"] == 0 and out[2]["lift_ppm"] == 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, s BIGINT, y INTEGER)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = sorted(tuple(r) for r in lift_table(df, "k", "s", "y").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        lift_table_sql("SELECT * FROM t", "k", "s", "y")).fetchall())
+    assert got == want
+
+
+# ------------------------------------------------------ Heaps curve
+
+
+def test_heaps_curve_first_positions_and_parity(spark):
+    """Global positions follow doc_id order: vocab at checkpoint 1/2/
+    total is exactly the first-occurrence census; exact duplicate
+    docs add tokens but no vocabulary."""
+    from gis_city_county_spark.operators.corpus import (
+        heaps_curve,
+        heaps_curve_sql,
+    )
+
+    rows = [(1, "a b"), (2, "a c"), (3, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["checkpoint"]: r["vocab_seen"]
+           for r in heaps_curve(df, "doc_id", "text").collect()}
+    # positions: a=1, b=2 (doc1); a=3, c=4 (doc2); doc3 adds nothing.
+    assert out == {1: 1, 2: 2, 4: 3, 6: 3}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = sorted(tuple(r) for r in
+                 heaps_curve(df, "doc_id", "text").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        heaps_curve_sql("t", "doc_id", "text")).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------- mixed script
+
+
+def test_mixed_script_tokens_fixture_and_parity(spark):
+    """The Cyrillic-а 'pаypal' spoof counts as mixed; pure-script
+    tokens don't; exact ppm; DuckDB parity (literal-codepoint
+    classes)."""
+    from gis_city_county_spark.operators.textstats import (
+        mixed_script_tokens,
+        mixed_script_tokens_sql,
+    )
+
+    rows = [
+        (1, "en", "login to pаypal now"),     # 1 mixed of 4
+        (2, "ru", "привет мир"),              # 0 mixed of 2
+        (3, "el", "alphaβeta ok"),            # greek+latin mix
+        (4, "en", "all clean tokens here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    out = {r["lang"]: r for r in
+           mixed_script_tokens(df, "lang", "text").collect()}
+    assert out["en"]["n_tokens"] == 8 and out["en"]["n_mixed"] == 1
+    assert out["en"]["mixed_ppm"] == 1_000_000 // 8
+    assert out["ru"]["n_mixed"] == 0
+    assert out["el"]["n_mixed"] == 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = sorted(tuple(r) for r in
+                 mixed_script_tokens(df, "lang", "text").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        mixed_script_tokens_sql("t", "lang", "text")).fetchall())
+    assert got == want
+
+
+# ----------------------------------------------------------- KS test
+
+
+def test_ks_test_exact_gap_and_parity(spark):
+    """Hand-checkable ECDF gap: side 0 = {1,2,3,4}, side 1 = {3,4,5,6}
+    -> max gap 1/2 at value 2; exact ppm; DuckDB parity; identical
+    samples -> D = 0."""
+    from gis_city_county_spark.operators.mlprep import ks_test, ks_test_sql
+
+    rows = [(0, v) for v in (1, 2, 3, 4)] + [(1, v) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "side int, v long")
+    out = ks_test(df, "side", "v").collect()[0]
+    assert out["n_a"] == 4 and out["n_b"] == 4 and out["n_cells"] == 6
+    assert out["d_ppm"] == 500_000 and out["at_value"] == 2
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (side INTEGER, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        ks_test_sql("SELECT * FROM t", "side", "v")).fetchall()[0]
+    assert tuple(out) == want
+    same = spark.createDataFrame(
+        [(s, v) for s in (0, 1) for v in (1, 2, 3)], "side int, v long"
+    )
+    z = ks_test(same, "side", "v").collect()[0]
+    assert z["d_ppm"] == 0
+
+
+# -------------------------------------------------- seasonal naive
+
+
+def test_seasonal_naive_backtest_exact_and_parity(spark):
+    """period=2 over counts [1,2,3,4]: forecasts [1,2] score days
+    3-4 with errors |3-1|+|4-2| = 4; WAPE = 4/7; MAE = 2.0."""
+    from gis_city_county_spark.operators.temporal import (
+        seasonal_naive_backtest,
+        seasonal_naive_backtest_sql,
+    )
+
+    rows = []
+    for day, n in [("2024-03-01", 1), ("2024-03-02", 2),
+                   ("2024-03-03", 3), ("2024-03-04", 4)]:
+        rows += [(day,)] * n
+    df = spark.createDataFrame(rows, "d string").select(
+        F.col("d").cast("timestamp").alias("ts")
+    )
+    out = seasonal_naive_backtest(df, "ts", period_days=2).collect()[0]
+    assert out["n_days_scored"] == 2
+    assert out["total_actual"] == 7
+    assert out["total_abs_err"] == 4
+    assert out["wape_ppm"] == 4_000_000 // 7
+    assert out["mae_milli"] == 2_000
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (ts TIMESTAMP)")
+    con.executemany("INSERT INTO ev VALUES (?)",
+                    [(d + " 12:00:00",) for (d,) in rows])
+    want = con.execute(seasonal_naive_backtest_sql(
+        "SELECT * FROM ev", "ts", period_days=2)).fetchall()[0]
+    assert tuple(out) == want
+
+
+# ------------------------------------------------------ SMD balance
+
+
+def test_smd_balance_reference_and_parity(spark):
+    """Bit-matches the fixed-order Python evaluation on exact milli
+    moments; balanced arms -> SMD 0; a shifted arm -> positive SMD;
+    DuckDB parity."""
+    import math
+
+    from gis_city_county_spark.operators.mlprep import (
+        smd_balance,
+        smd_balance_sql,
+    )
+
+    rows = [
+        (0, 10.0, 5.0), (0, 12.0, 5.0), (0, 14.0, 5.0),
+        (1, 16.0, 5.0), (1, 18.0, 5.0), (1, 20.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "arm int, a double, b double")
+    out = {r["metric"]: r for r in
+           smd_balance(df, "arm", ["a", "b"]).collect()}
+
+    def ref(vals_c, vals_t):
+        mc = sum(math.floor(v * 1000) for v in vals_c) / len(vals_c)
+        mt = sum(math.floor(v * 1000) for v in vals_t) / len(vals_t)
+        qc = sum(math.floor(v * 1000) ** 2 for v in vals_c) / len(vals_c)
+        qt = sum(math.floor(v * 1000) ** 2 for v in vals_t) / len(vals_t)
+        vc, vt = qc - mc * mc, qt - mt * mt
+        return (mt - mc) / math.sqrt((vc + vt) / 2.0)
+
+    assert out["a"]["smd"] == ref([10, 12, 14], [16, 18, 20])
+    assert out["a"]["mean_c"] == 12.0 and out["a"]["mean_t"] == 18.0
+    assert out["b"]["smd"] == 0.0  # constant covariate: degenerate -> 0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (arm INTEGER, a DOUBLE, b DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = sorted(tuple(r) for r in
+                 smd_balance(df, "arm", ["a", "b"]).collect())
+    want = sorted(tuple(r) for r in con.execute(
+        smd_balance_sql("SELECT * FROM t", "arm", ["a", "b"])).fetchall())
+    assert got == want

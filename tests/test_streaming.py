@@ -2094,3 +2094,140 @@ def test_streaming_mad_empty_batch_republishes(spark, tmp_path):
     p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
                 .drop("batch_id").collect())
     assert p2 == p1 and len(p2) > 0
+
+
+# ----------------------------------------------- CUSUM changepoint twin
+
+
+def test_streaming_cusum_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch CUSUM
+    maintainer: after each batch the published report partition is
+    BIT-EQUAL to the batch ``cusum_changepoint`` over every row
+    arrived so far — a late batch shifts the level and MOVES the
+    argmax changepoint."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import cusum_changepoint
+    from gis_city_county_spark.streaming.cusum import (
+        streaming_cusum_changepoint,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ev([(1, "2024-01-01 09:00:00"), (1, "2024-01-02 17:00:00"),
+            (2, "2024-01-03 10:00:00")]),
+        # a burst at the tail: the level shift moves the changepoint
+        ev([(3, "2024-01-05 23:00:00")] * 8),
+        # NULL ts is out, exactly like batch; day 1 gains late events
+        ev([(4, None), (5, "2024-01-01 12:00:00"),
+            (5, "2024-01-01 13:00:00")]),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "cusum_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_cusum_changepoint(
+            spark, batches[0].schema, str(incoming),
+            state_dir, report_dir, "ts",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["day", "n_events", "cusum_scaled", "is_changepoint",
+            "cusum_abs_ppm"]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in cusum_changepoint(acc, "ts").collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+    # Exactly one changepoint per published partition.
+    for bid in range(3):
+        flags = [r["is_changepoint"] for r in
+                 published.filter(F.col("batch_id") == bid).collect()]
+        assert sum(flags) == 1
+
+
+def test_streaming_cusum_retry_idempotent(spark, tmp_path):
+    """A foreachBatch retry (same batch, same id, folded twice)
+    leaves the day-count state distinct-on-read and the published
+    report identical."""
+    from gis_city_county_spark.streaming.cusum import cusum_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = cusum_batch_folder(state_dir, report_dir, "ts")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"), (2, "2024-01-01 10:00:00"),
+         (1, "2024-01-03 09:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    counts = spark.read.parquet(f"{state_dir}/day_counts")
+    assert counts.count() == 2 * counts.distinct().count()
+    rep = {r["day"].day: r for r in
+           spark.read.parquet(report_dir).collect()}
+    assert rep[1]["n_events"] == 2 and rep[3]["n_events"] == 1  # not 4/2
+
+
+def test_streaming_cusum_empty_batch_republishes(spark, tmp_path):
+    """The shared empty-batch contract: an all-NULL batch republishes
+    the current report under the new batch_id; an empty FIRST batch
+    publishes nothing."""
+    import os
+
+    from gis_city_county_spark.streaming.cusum import cusum_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = cusum_batch_folder(state_dir, report_dir, "ts")
+    empty = spark.createDataFrame(
+        [(None, None)], "user_id long, ts timestamp"
+    )
+    fold(empty, 0)
+    assert not os.path.exists(report_dir)
+
+    b1 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b1, 1)
+    fold(empty, 2)
+    rep = spark.read.parquet(report_dir)
+    assert rep.agg(F.max("batch_id")).first()[0] == 2
+    p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
+                .drop("batch_id").collect())
+    p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
+                .drop("batch_id").collect())
+    assert p2 == p1 and len(p2) > 0
