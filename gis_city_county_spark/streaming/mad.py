@@ -2,32 +2,37 @@
 
 ``operators.temporal.daily_mad_anomalies`` derives the zero-filled
 calendar, lower-median, MAD and flags from one batch pass.  The
-streaming form keeps that pipeline-health dashboard live with
-calendar-bounded state: per-(batch, day) event-COUNT partials —
-counts are associative, so summing partials reproduces the batch
-per-day count EXACTLY — and each publish re-runs the shared tail
-(:func:`~gis_city_county_spark.operators.temporal.mad_from_day_counts`)
-over the folded counts, so the live report is bit-equal to the batch
-operator over all rows arrived so far (asserted batch-by-batch in
+streaming form rides the SHARED day-count fold
+(``streaming.daycount`` — per-(batch, day) count partials,
+associative, so folded sums bit-equal the batch per-day counts) and
+publishes through the shared tail
+(:func:`~gis_city_county_spark.operators.temporal.mad_from_day_counts`),
+so the live report is bit-equal to the batch operator over all rows
+arrived so far (asserted batch-by-batch in
 ``tests/test_streaming.py``).  Late events simply add to their day's
 partial; the median/MAD — holistic over the CALENDAR grid, never the
 events — re-derive on the next publish, exactly as a batch rerun
 would.
 
-Replay-idempotent end to end (the countmin-delta pattern): per-batch
-day-count partials are keyed by ``batch_id`` and deterministic per
-batch, so a retried batch appends IDENTICAL rows and reads collapse
-them with DISTINCT before the sum fold; the publish
-partition-overwrites by ``batch_id`` (retries replace, never
-duplicate).  A batch whose rows are all filtered (NULL ts) still
-publishes the current report under its ``batch_id`` — consumers key
-on ``max(batch_id)`` and must never read a stale release as the
-newest.
+Retry-idempotency and the empty-batch republish contract come from
+the shared fold; see ``streaming/daycount.py``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from gis_city_county_spark.streaming.daycount import (
+    daycount_batch_folder,
+    streaming_daycount_report,
+)
+
+
+def _tail(k_milli: int):
+    from gis_city_county_spark.operators.temporal import mad_from_day_counts
+
+    def tail(counts):
+        return mad_from_day_counts(counts, k_milli)
+
+    return tail
 
 
 def mad_batch_folder(
@@ -38,42 +43,9 @@ def mad_batch_folder(
 ):
     """The foreachBatch fold, exposed as a plain callable so the
     retry and equivalence paths are directly testable."""
-    from gis_city_county_spark.operators.temporal import mad_from_day_counts
-
-    counts_dir = f"{state_dir}/day_counts"
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-
-        inc = (
-            batch_df.filter(F.col(ts_col).isNotNull())
-            .groupBy(F.to_date(ts_col).alias("__day"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
-            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-        )
-        if not inc.isEmpty():
-            inc.write.mode("append").parquet(counts_dir)
-        # All-filtered / empty batches still publish over the existing
-        # state (the round-9 ADVICE contract shared by every twin).
-        # With no prior state there is nothing to publish yet.
-        try:
-            state = sess.read.parquet(counts_dir)
-        except Exception:  # no counts yet: first batch was empty
-            return
-
-        counts = (
-            state.distinct()  # a retried batch's identical partials collapse
-            .groupBy("__day")
-            .agg(F.sum("__n").cast("bigint").alias("__n"))
-        )
-        report = mad_from_day_counts(counts, k_milli).withColumn(
-            "batch_id", F.lit(batch_id).cast("bigint")
-        )
-        report.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("batch_id").parquet(report_dir)
-
-    return apply_batch
+    return daycount_batch_folder(
+        state_dir, report_dir, ts_col, _tail(k_milli)
+    )
 
 
 def streaming_mad_anomalies(
@@ -90,10 +62,7 @@ def streaming_mad_anomalies(
     count partials into state and publish the refreshed MAD anomaly
     report into the batch's ``batch_id`` partition of ``report_dir``.
     Returns a ``DataStreamWriter`` — caller ``.start()``s it."""
-    apply_batch = mad_batch_folder(state_dir, report_dir, ts_col, k_milli)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(incoming_path)
+    return streaming_daycount_report(
+        spark, schema, incoming_path, state_dir, report_dir, ts_col,
+        _tail(k_milli), max_files_per_trigger,
     )
-    return stream.writeStream.foreachBatch(apply_batch).outputMode("update")

@@ -104,6 +104,17 @@ PROBE_QUERIES = [
     # round-11 addition in the bench class: sentence-hash dedup (the
     # sentence shuffle grows with the corpus).
     "text_sentence_dedup",
+    # round-11 second wave >1.5s keys: the two-phase-ranked lift
+    # table, the shingle-ownership novelty join, and the Heaps
+    # first-occurrence census.  (sim_lsh_recall_audit is EXCLUDED by
+    # design: its exact side is |corpus| x |probes| with probes a
+    # fixed corpus fraction, so an sf-replica probe measures the
+    # documented quadratic audit budget, not a hidden regression —
+    # at scale the caller fixes |probes| by raising probe_mod; see
+    # docs/SCALE.md.)
+    "eval_lift_table",
+    "text_ngram_novelty",
+    "corpus_heaps_curve",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
