@@ -3832,3 +3832,219 @@ SELECT m AS metric, n_c, n_t,
 FROM pv
 ORDER BY metric
 """
+
+
+def bradley_terry(
+    contests: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    rounds: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bradley-Terry preference strengths — the model behind pairwise
+    preference data (RLHF comparisons, A/B taste tests, chess-style
+    ratings in batch form): item strengths ``p`` with ``P(i beats j)
+    = p_i / (p_i + p_j)``, fit by Hunter's MM iteration ``p_i ←
+    W_i / Σ_j n_ij / (p_i + p_j)``.
+
+    Exactness: the PageRank discipline — strengths live in integer
+    ``scale`` units and every division is an integral floor division
+    mirrored on both engines, so per-round sums are order-independent
+    (no sorted folds) and the result is engine-exact at any
+    parallelism.  Per round the renormalization pins Σp = k·scale.
+    ``max_delta`` (last round's largest per-item move, in scale
+    units) rides along so callers see convergence instead of trusting
+    the round count.
+
+    Scale shape: contests aggregate once to the pairwise cell
+    relation (≤ items² rows — items are MODELS/VARIANTS being
+    compared, thousands at most, while contests are the big input);
+    each round is two broadcast-sized joins + one map-combinable sum
+    over the cells.  Requires every item to appear in at least one
+    win for a finite strength (the standard BT connectivity caveat —
+    zero-win items converge to strength 0 and are reported, not
+    dropped).
+
+    Returns (item, strength, n_wins, n_contests) ordered by strength
+    desc (tie: item).
+    """
+    from gis_city_county_spark.operators.scale import checkpoint_lazy
+
+    w = (
+        contests.groupBy(
+            F.col(winner_col).alias("__i"), F.col(loser_col).alias("__j")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__w"))
+    )
+    # Symmetric cells n_ij (both orientations present) + per-item wins.
+    cells = (
+        w.select("__i", "__j", "__w")
+        .unionByName(
+            w.select(
+                F.col("__j").alias("__i"), F.col("__i").alias("__j"),
+                F.lit(0).cast("bigint").alias("__w"),
+            )
+        )
+        .groupBy("__i", "__j")
+        .agg(F.sum("__w").cast("bigint").alias("__wij"))
+    )
+    sym = (
+        cells.alias("a")
+        .join(
+            cells.select(
+                F.col("__i").alias("__j2"), F.col("__j").alias("__i2"),
+                F.col("__wij").alias("__wji"),
+            ),
+            (F.col("__i") == F.col("__i2")) & (F.col("__j") == F.col("__j2")),
+        )
+        .select("__i", "__j", (F.col("__wij") + F.col("__wji")).alias("__n"))
+        .transform(checkpoint_lazy)
+    )
+    wins = (
+        cells.groupBy("__i")
+        .agg(F.sum("__wij").cast("bigint").alias("__wi"))
+        .transform(checkpoint_lazy)
+    )
+    n_items = wins.count()  # bounded: the item census, not the contests
+    p = wins.select("__i", F.lit(scale).cast("bigint").alias("__p"),
+                    F.lit(0).cast("bigint").alias("__delta"))
+    for r in range(rounds):
+        terms = (
+            sym.join(p.select(F.col("__i").alias("__ti"),
+                              F.col("__p").alias("__pi")),
+                     F.col("__i") == F.col("__ti"))
+            .join(p.select(F.col("__i").alias("__tj"),
+                           F.col("__p").alias("__pj")),
+                  F.col("__j") == F.col("__tj"))
+            .select(
+                "__i",
+                F.expr(
+                    "CASE WHEN __pi + __pj > 0 THEN"
+                    " CAST(__n AS DECIMAL(28,0)) * 1000000000"
+                    "   div (__pi + __pj)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                ).alias("__t"),
+            )
+            .groupBy("__i")
+            .agg(F.sum("__t").cast("decimal(38,0)").alias("__d"))
+        )
+        raw = wins.join(terms, "__i").select(
+            "__i",
+            F.expr(
+                "CASE WHEN __d > 0 THEN"
+                " CAST(CAST(__wi AS DECIMAL(28,0)) * 1000000000"
+                f"  * {scale} div __d AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("__praw"),
+        )
+        tot = raw.agg(F.sum("__praw").cast("decimal(38,0)").alias("__tot"))
+        new_p = raw.crossJoin(F.broadcast(tot)).select(
+            "__i",
+            F.expr(
+                "CASE WHEN __tot > 0 THEN"
+                f" CAST(CAST(__praw AS DECIMAL(28,0)) * {n_items}"
+                f"  * {scale} div __tot AS BIGINT)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("__p"),
+        )
+        p = (
+            new_p.join(p.select(F.col("__i").alias("__oi"),
+                                F.col("__p").alias("__op")),
+                       F.col("__i") == F.col("__oi"))
+            .select("__i", "__p",
+                    F.abs(F.col("__p") - F.col("__op")).alias("__delta"))
+            .transform(checkpoint_lazy)
+        )
+    max_delta = p.agg(F.max("__delta").cast("bigint").alias("__md"))
+    return (
+        p.join(wins, "__i")
+        .join(
+            sym.groupBy("__i").agg(
+                F.sum("__n").cast("bigint").alias("n_contests")
+            ),
+            "__i",
+        )
+        .crossJoin(F.broadcast(max_delta))
+        .select(
+            F.col("__i").alias("item"),
+            F.col("__p").cast("bigint").alias("strength"),
+            F.col("__wi").alias("n_wins"),
+            "n_contests",
+            F.col("__md").alias("max_delta"),
+        )
+        .orderBy(F.col("strength").desc(), F.col("item").asc())
+    )
+
+
+def bradley_terry_sql(
+    contests_sql: str,
+    winner_col: str,
+    loser_col: str,
+    rounds: int = 10,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin: fixed MM rounds unrolled into chained CTEs (the
+    pagerank convention), HUGEINT floor divisions mirroring Spark's
+    integral `div`."""
+    parts = [
+        f"""WITH contests AS ({contests_sql}),
+w AS (
+  SELECT {winner_col} AS i, {loser_col} AS j,
+         CAST(COUNT(*) AS BIGINT) AS wij
+  FROM contests GROUP BY 1, 2
+),
+cells AS (
+  SELECT i, j, CAST(SUM(wij) AS BIGINT) AS wij FROM (
+    SELECT i, j, wij FROM w
+    UNION ALL
+    SELECT j AS i, i AS j, 0 AS wij FROM w
+  ) GROUP BY 1, 2
+),
+sym AS MATERIALIZED (
+  SELECT a.i, a.j, a.wij + b.wij AS n
+  FROM cells a JOIN cells b ON a.i = b.j AND a.j = b.i
+),
+wins AS MATERIALIZED (SELECT i, CAST(SUM(wij) AS BIGINT) AS wi FROM cells GROUP BY 1),
+k AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM wins),
+p0 AS MATERIALIZED (SELECT i, CAST({scale} AS HUGEINT) AS p,
+              CAST(0 AS HUGEINT) AS delta FROM wins)"""
+    ]
+    for r in range(rounds):
+        parts.append(f"""terms{r} AS MATERIALIZED (
+  SELECT s.i,
+         SUM(CASE WHEN pi.p + pj.p > 0 THEN
+               (CAST(s.n AS HUGEINT) * 1000000000) // (pi.p + pj.p)
+             ELSE 0 END) AS d
+  FROM sym s JOIN p{r} pi ON s.i = pi.i JOIN p{r} pj ON s.j = pj.i
+  GROUP BY s.i
+),
+raw{r} AS MATERIALIZED (
+  SELECT w.i,
+         CASE WHEN t.d > 0 THEN
+           (CAST(w.wi AS HUGEINT) * 1000000000 * {scale}) // t.d
+         ELSE 0 END AS praw
+  FROM wins w JOIN terms{r} t ON w.i = t.i
+),
+tot{r} AS (SELECT CAST(SUM(praw) AS HUGEINT) AS tot FROM raw{r}),
+p{r + 1} AS MATERIALIZED (
+  SELECT r.i,
+         CASE WHEN tot > 0 THEN
+           (CAST(r.praw AS HUGEINT) * k * {scale}) // tot
+         ELSE 0 END AS p,
+         CAST(ABS(CASE WHEN tot > 0 THEN
+           (CAST(r.praw AS HUGEINT) * k * {scale}) // tot
+         ELSE 0 END - o.p) AS HUGEINT) AS delta
+  FROM raw{r} r CROSS JOIN tot{r} CROSS JOIN k
+  JOIN p{r} o ON r.i = o.i
+)""")
+        parts[-1] = parts[-1]
+    body = ",\n".join(parts)
+    return f"""{body},
+md AS (SELECT CAST(MAX(delta) AS BIGINT) AS md FROM p{rounds}),
+nc AS (SELECT i, CAST(SUM(n) AS BIGINT) AS n_contests FROM sym GROUP BY 1)
+SELECT p.i AS item, CAST(p.p AS BIGINT) AS strength,
+       w.wi AS n_wins, nc.n_contests, md.md AS max_delta
+FROM p{rounds} p JOIN wins w ON p.i = w.i JOIN nc ON p.i = nc.i
+CROSS JOIN md
+ORDER BY strength DESC, item ASC
+"""

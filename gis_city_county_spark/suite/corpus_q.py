@@ -753,6 +753,24 @@ def _heaps_oracle() -> str:
     return heaps_curve_sql("documents", "doc_id", "text")
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE tokens per word, chars
+    per token) — the token-budget calibration row (see
+    operators.corpus.tokenizer_fertility)."""
+    from gis_city_county_spark.operators.corpus import tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, "lang", "text")
+
+
+def _fertility_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import (
+        tokenizer_fertility_sql,
+    )
+
+    return tokenizer_fertility_sql("documents", "lang", "text")
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-leakage audit of the deterministic doc-level split:
     sources whose documents land in more than one of train/val/test
@@ -815,4 +833,6 @@ SPECS = [
     QuerySpec("corpus_chao1_richness", q_chao1_richness, _chao1_oracle()),
     QuerySpec("pipeline_split_leakage", q_split_leakage, _leakage_oracle()),
     QuerySpec("corpus_heaps_curve", q_heaps_curve, _heaps_oracle()),
+    QuerySpec("corpus_tokenizer_fertility", q_tokenizer_fertility,
+              _fertility_oracle()),
 ]

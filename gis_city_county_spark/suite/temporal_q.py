@@ -1443,6 +1443,52 @@ def _smd_oracle() -> str:
     return smd_balance_sql(src, "arm", ["totalprice", "priority_len"])
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over per-user event-type preferences
+    (within each user, the type with the higher event count beats the
+    lower; ties skipped) — the pairwise-preference fit in its
+    integer-exact MM form (see operators.mlprep.bradley_terry)."""
+    from gis_city_county_spark.operators.mlprep import bradley_terry
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    a = counts.select("user_id", F.col("event_type").alias("ta"),
+                      F.col("__c").alias("ca"))
+    b = counts.select("user_id", F.col("event_type").alias("tb"),
+                      F.col("__c").alias("cb"))
+    contests = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.when(F.col("ca") > F.col("cb"), F.col("ta"))
+            .otherwise(F.col("tb")).alias("winner"),
+            F.when(F.col("ca") > F.col("cb"), F.col("tb"))
+            .otherwise(F.col("ta")).alias("loser"),
+        )
+    )
+    return bradley_terry(contests, "winner", "loser", rounds=8)
+
+
+def _bt_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import bradley_terry_sql
+
+    contests = (
+        "WITH counts AS ("
+        " SELECT user_id, event_type, COUNT(*) AS c"
+        " FROM events GROUP BY 1, 2)"
+        " SELECT CASE WHEN a.c > b.c THEN a.event_type"
+        "        ELSE b.event_type END AS winner,"
+        "        CASE WHEN a.c > b.c THEN b.event_type"
+        "        ELSE a.event_type END AS loser"
+        " FROM counts a JOIN counts b ON a.user_id = b.user_id"
+        "  AND a.event_type < b.event_type AND a.c != b.c"
+    )
+    return bradley_terry_sql(contests, "winner", "loser", rounds=8)
+
+
 def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson 95% score interval for the per-returnflag bulk-order
     rate (quantity ≥ 25) — exact integer counts, one fixed-order
@@ -1489,6 +1535,7 @@ SPECS = [
     QuerySpec("eval_lift_table", q_lift_table, _lift_oracle()),
     QuerySpec("eval_ks_test", q_ks_test, _ks_oracle()),
     QuerySpec("mlprep_smd_balance", q_smd_balance, _smd_oracle()),
+    QuerySpec("eval_bradley_terry", q_bradley_terry, _bt_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

@@ -1051,6 +1051,8 @@ R12_PRESTAGE: tuple[str, ...] = (
     "events_seasonal_naive",
     "eval_ks_test",
     "mlprep_smd_balance",
+    "eval_bradley_terry",
+    "corpus_tokenizer_fertility",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

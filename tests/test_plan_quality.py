@@ -139,6 +139,10 @@ _BNLJ_ALLOWED = {
     # 1-row observed-statistic merge onto the R replica sums + the
     # 1-row hit-count merge
     "eval_perm_test",
+    # per-round 1-row normalizer merges over the bounded item
+    # relation (items = models/variants being compared, never the
+    # contests) + the final 1-row max-delta merge
+    "eval_bradley_terry",
     "sim_ivf_ann_topk",
     # probe-only twin of the above: probes × nlist-row broadcast
     # centroids (the corpus side is the pruned partition read)
@@ -555,6 +559,8 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_wilcoxon": 1,
     # 1-row observed merge, R-row replica-sum hit scan, 1-row final
     "eval_perm_test": 3,
+    # the visible (post-checkpoint) round's 1-row normalizer merge
+    "eval_bradley_terry": 1,
     # day-index window over the calendar grid + the Sen lower-median
     # rank/count windows over the calendar-bounded pair frame
     "events_trend_test": 3,

@@ -818,3 +818,93 @@ def test_smd_balance_reference_and_parity(spark):
     want = sorted(tuple(r) for r in con.execute(
         smd_balance_sql("SELECT * FROM t", "arm", ["a", "b"])).fetchall())
     assert got == want
+
+
+# --------------------------------------------------- Bradley-Terry
+
+
+def test_bradley_terry_ordering_identity_and_parity(spark):
+    """Dominant item gets the top strength, strengths order by true
+    win rates, Σ strength ≈ k·scale (the per-round normalization),
+    and the integer MM iteration is BIT-IDENTICAL on DuckDB."""
+    from gis_city_county_spark.operators.mlprep import (
+        bradley_terry,
+        bradley_terry_sql,
+    )
+
+    rows = ([("a", "b")] * 8 + [("b", "a")] * 2 + [("b", "c")] * 6
+            + [("c", "b")] * 4 + [("a", "c")] * 9 + [("c", "a")] * 1)
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    out = bradley_terry(df, "winner", "loser", rounds=10).collect()
+    assert [r["item"] for r in out] == ["a", "b", "c"]
+    assert out[0]["n_wins"] == 17 and out[0]["n_contests"] == 20
+    total = sum(r["strength"] for r in out)
+    assert abs(total - 3 * 1_000_000) <= 3  # floor dust only
+    assert out[0]["max_delta"] == out[1]["max_delta"]  # one scalar
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (winner VARCHAR, loser VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        bradley_terry_sql("SELECT * FROM t", "winner", "loser", rounds=10)
+    ).fetchall()
+    assert [tuple(r) for r in out] == want
+
+
+def test_bradley_terry_symmetric_and_zero_wins(spark):
+    """A perfectly balanced pair converges to equal strengths; a
+    never-winning item reports strength 0 (the documented
+    connectivity caveat), not an error."""
+    from gis_city_county_spark.operators.mlprep import bradley_terry
+
+    bal = spark.createDataFrame(
+        [("x", "y")] * 5 + [("y", "x")] * 5, "winner string, loser string"
+    )
+    out = {r["item"]: r for r in
+           bradley_terry(bal, "winner", "loser", rounds=6).collect()}
+    assert out["x"]["strength"] == out["y"]["strength"]
+
+    lop = spark.createDataFrame(
+        [("x", "z")] * 4 + [("y", "z")] * 4 + [("x", "y")] * 2
+        + [("y", "x")] * 2,
+        "winner string, loser string",
+    )
+    res = {r["item"]: r for r in
+           bradley_terry(lop, "winner", "loser", rounds=6).collect()}
+    assert res["z"]["strength"] == 0 and res["z"]["n_wins"] == 0
+    assert res["x"]["strength"] > 0 and res["y"]["strength"] > 0
+
+
+# ----------------------------------------------- tokenizer fertility
+
+
+def test_tokenizer_fertility_exact_and_parity(spark):
+    """Whitespace words vs BPE-regex tokens: contractions and
+    punctuation inflate fertility exactly as counted; parity with
+    DuckDB."""
+    from gis_city_county_spark.operators.corpus import (
+        tokenizer_fertility,
+        tokenizer_fertility_sql,
+    )
+
+    rows = [
+        (1, "en", "don't stop now"),   # 3 words -> don 't stop now = 4
+        (2, "en", "plain words here"),  # 3 -> 3
+        (3, "xx", "a,b,c"),             # 1 word -> a , b , c = 5
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    out = {r["lang"]: r for r in
+           tokenizer_fertility(df, "lang", "text").collect()}
+    en = out["en"]
+    assert en["n_words"] == 6 and en["n_bpe_tokens"] == 7
+    assert en["fertility_ppm"] == 7_000_000 // 6
+    xx = out["xx"]
+    assert xx["n_words"] == 1 and xx["n_bpe_tokens"] == 5
+    assert xx["fertility_ppm"] == 5_000_000
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = sorted(tuple(r) for r in
+                 tokenizer_fertility(df, "lang", "text").collect())
+    want = sorted(tuple(r) for r in con.execute(
+        tokenizer_fertility_sql("t", "lang", "text")).fetchall())
+    assert got == want
