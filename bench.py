@@ -143,21 +143,43 @@ def main() -> None:
     # single-pass data misleads — it gets a mandatory second pass that
     # BYPASSES the budget shed (bounded extra cost: only inflated keys
     # qualify, and sub-0.3s keys stay exempt because their inflation
-    # is scheduling jitter, not signal).  The prior is the repo's
-    # committed BENCH_DETAIL.json — at driver time, last round's
-    # numbers.
+    # is scheduling jitter, not signal).  The prior is the COMMITTED
+    # BENCH_DETAIL.json (``git show HEAD:``), NOT the on-disk file:
+    # this script overwrites the file at the end of every run, so a
+    # noisy local run would otherwise become the prior and silently
+    # disarm the 1.5x trigger exactly when host noise was the problem
+    # (round-11 advisory).  On-disk fallback covers non-git checkouts.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     prior: dict[str, float] = {}
+    raw_prior = None
     try:
-        with open(detail_path) as f:
+        import subprocess
+
+        proc = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            raw_prior = proc.stdout
+    except Exception:
+        raw_prior = None
+    if raw_prior is None:
+        try:
+            with open(detail_path) as f:
+                raw_prior = f.read()
+        except Exception:
+            raw_prior = None
+    if raw_prior:
+        try:
             prior = {
                 k: float(v)
-                for k, v in json.load(f).get("queries", {}).items()
+                for k, v in json.loads(raw_prior).get("queries", {}).items()
             }
-    except Exception:
-        pass
+        except Exception:
+            prior = {}
 
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
     t_bench0 = time.perf_counter()

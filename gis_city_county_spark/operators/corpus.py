@@ -2886,76 +2886,8 @@ ORDER BY checkpoint
 """
 
 
-def tokenizer_fertility(
-    df: DataFrame, group_col: str, text_col: str
-) -> DataFrame:
-    """Tokenizer fertility per group — subword tokens per whitespace
-    word (and characters per subword token), THE number a token-budget
-    plan needs per language before anyone multiplies corpus size by a
-    single global tokens-per-word guess: CJK and punctuation-heavy
-    text can run 2-4× the English fertility, silently blowing a
-    training budget.  Exact integer ratios (ppm / milli).
-
-    Scale shape: scan-side token counts (the existing whitespace and
-    BPE-regex counters), one map-combinable aggregate.
-
-    Returns (group, n_words, n_bpe_tokens, n_chars, fertility_ppm,
-    chars_per_token_milli) ordered by group.
-    """
-    from gis_city_county_spark.operators.textstats import (
-        bpe_token_count,
-        token_count,
-    )
-
-    agg = df.filter(F.col(text_col).isNotNull()).groupBy(
-        F.col(group_col).alias("__g")
-    ).agg(
-        F.sum(token_count(text_col).cast("bigint")).alias("n_words"),
-        F.sum(bpe_token_count(text_col).cast("bigint"))
-        .alias("n_bpe_tokens"),
-        F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
-    )
-    return agg.select(
-        F.col("__g").alias(group_col),
-        "n_words",
-        "n_bpe_tokens",
-        "n_chars",
-        F.expr(
-            "CASE WHEN n_words > 0 THEN"
-            " (n_bpe_tokens * CAST(1000000 AS BIGINT)) div n_words"
-            " ELSE 0 END"
-        ).cast("bigint").alias("fertility_ppm"),
-        F.expr(
-            "CASE WHEN n_bpe_tokens > 0 THEN"
-            " (n_chars * CAST(1000 AS BIGINT)) div n_bpe_tokens"
-            " ELSE 0 END"
-        ).cast("bigint").alias("chars_per_token_milli"),
-    ).orderBy(group_col)
-
-
-def tokenizer_fertility_sql(table: str, group_col: str, text_col: str) -> str:
-    from gis_city_county_spark.operators.textstats import (
-        bpe_token_count_sql,
-        tokens_sql,
-    )
-
-    return f"""
-WITH agg AS (
-  SELECT {group_col} AS g,
-         CAST(SUM(len({tokens_sql(text_col)})) AS BIGINT) AS n_words,
-         CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)
-           AS n_bpe_tokens,
-         CAST(SUM(length({text_col})) AS BIGINT) AS n_chars
-  FROM {table} WHERE {text_col} IS NOT NULL GROUP BY 1
-)
-SELECT g AS {group_col}, n_words, n_bpe_tokens, n_chars,
-       CASE WHEN n_words > 0 THEN
-         CAST((n_bpe_tokens * CAST(1000000 AS BIGINT)) // n_words
-              AS BIGINT)
-       ELSE 0 END AS fertility_ppm,
-       CASE WHEN n_bpe_tokens > 0 THEN
-         CAST((n_chars * CAST(1000 AS BIGINT)) // n_bpe_tokens AS BIGINT)
-       ELSE 0 END AS chars_per_token_milli
-FROM agg
-ORDER BY g
-"""
+# tokenizer_fertility lived here for one session in round 11; it
+# near-duplicated the round-5 ``textstats.tokenizer_fertility`` (same
+# counters, same metric, same source table) and was consolidated into
+# that operator in round 12 — the textstats variant now also emits the
+# ``n_chars``/``chars_per_token_milli`` columns this one added.

@@ -3095,9 +3095,10 @@ def cochrans_q(
     long (item, classifier, correct∈{0,1}) relation: do the k models
     differ in accuracy on the SAME items?  ``Q = (k−1)·(k·ΣG² −
     (ΣG)²) / (k·ΣL − ΣL²)`` with ``G_j`` the per-classifier totals
-    and ``L_i`` the per-item totals — an exact rational of BIGINT
-    counts, emitted in milli units (χ²_{k−1}; at k = 3, ≥ 5991 milli
-    ≈ the 5% line).
+    and ``L_i`` the per-item totals — an exact rational of counts
+    whose numerator routes through DECIMAL(38,0)/HUGEINT (ΣG² alone
+    overflows int64 near 3·10⁹ correct answers), emitted in milli
+    units (χ²_{k−1}; at k = 3, ≥ 5991 milli ≈ the 5% line).
 
     Scale shape: one map-combinable per-item aggregate (ΣL and ΣL²
     fold from it), one per-classifier aggregate bounded by k rows,
@@ -3141,11 +3142,19 @@ def cochrans_q(
             (F.col("__k_min") == F.col("k_raters"))
             & (F.col("__k_max") == F.col("k_raters"))
         ).alias("complete_design"),
+        # DECIMAL(38,0) numerator: ΣG² alone overflows int64 near
+        # 3·10⁹ total correct answers (round-11 advisory; the
+        # cohens_kappa count-product convention).  ΣG products use
+        # DECIMAL(18) factors; k·ΣG² ≥ (ΣG)² by Cauchy-Schwarz so
+        # the numerator is non-negative and `div` == floor on both
+        # engines.
         F.when(
             den > 0,
             F.expr(
-                "CAST((1000 * (k_raters - 1)"
-                " * (k_raters * __sum_g2 - __sum_g * __sum_g))"
+                "CAST((CAST(1000 AS DECIMAL(4,0)) * (k_raters - 1)"
+                " * (k_raters * CAST(__sum_g2 AS DECIMAL(30,0))"
+                " - CAST(__sum_g AS DECIMAL(18,0))"
+                " * CAST(__sum_g AS DECIMAL(18,0))))"
                 " div (k_raters * __sum_l - __sum_l2) AS BIGINT)"
             ),
         ).alias("statistic_milli"),
@@ -3182,8 +3191,9 @@ rater_side AS (
 SELECT n_items, k_raters,
        k_min = k_raters AND k_max = k_raters AS complete_design,
        CASE WHEN k_raters * sum_l - sum_l2 > 0 THEN
-         CAST((1000 * (k_raters - 1)
-               * (k_raters * sum_g2 - sum_g * sum_g))
+         CAST((CAST(1000 AS HUGEINT) * (k_raters - 1)
+               * (k_raters * CAST(sum_g2 AS HUGEINT)
+                  - CAST(sum_g AS HUGEINT) * CAST(sum_g AS HUGEINT)))
               // (k_raters * sum_l - sum_l2) AS BIGINT)
        END AS statistic_milli
 FROM item_side CROSS JOIN rater_side
@@ -3204,8 +3214,12 @@ def wilcoxon_signed_rank(
     crossfoots the arithmetic and is emitted as a check column.
 
     Scale shape: one map-combinable aggregate per DISTINCT |d| cell
-    (the contingency-cell discipline — Kendall/Cramér precedent),
-    one prefix-sum window over those bounded cells, one 1-row final
+    (the contingency-cell discipline — Kendall/Cramér precedent);
+    the prefix sum over those cells runs through the two-phase
+    ``ranged_cumsum`` (distinct |d| is only bounded when the paired
+    scores are coarse — exact cent-valued totals make it ~|rows|,
+    where an unpartitioned ORDER BY window is a global
+    single-partition sort; round-11 advisory), then one 1-row final
     fold.  Never a rank window over raw rows.
 
     Returns one row: (n_nonzero, w_plus_milli, w_minus_milli,
@@ -3222,11 +3236,12 @@ def wilcoxon_signed_rank(
             F.count(F.lit(1)).cast("bigint").alias("__c"),
         )
     )
-    w_pre = Window.orderBy(F.col("__ad").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = cells.withColumn(
-        "__cum", F.sum("__c").over(w_pre)
+    from gis_city_county_spark.operators.scale import ranged_cumsum
+
+    # __ad is the group key, hence distinct — it is its own tiebreak.
+    ranked = ranged_cumsum(
+        cells, "__ad", "__ad", "__c",
+        cum_col="__cum", total_col=None, descending=False,
     ).withColumn(
         # 1-based start rank of this tie group: cum − c + 1; midrank
         # in milli = 500 · (2·start + c − 1) = 500 · (2·cum − c + 1)
@@ -3480,8 +3495,10 @@ def lift_table(
     Exactness: the rank is the house two-phase ``ranged_rank`` (a
     strict (score, key) total order, no single-partition window over
     raw rows); band assignment is integer arithmetic on the rank;
-    every rate is a BIGINT floor division.  Cumulative sums run over
-    the ``n_bands``-row band frame.
+    every rate is an exact floor division — lift's three-factor
+    numerator n_pos·N·10⁶ routes through DECIMAL(38,0)/HUGEINT (it
+    overflows int64 around 10⁷ rows; round-11 advisory).  Cumulative
+    sums run over the ``n_bands``-row band frame.
 
     Returns (band, n_rows, n_pos, response_ppm, cum_pos, capture_ppm,
     lift_ppm) ordered by band (1 = highest scores).
@@ -3533,10 +3550,16 @@ def lift_table(
                 " (cum_pos * CAST(1000000 AS BIGINT)) div __pos"
                 " ELSE 0 END"
             ).cast("bigint").alias("capture_ppm"),
+            # three-factor DECIMAL product: n_pos·n·10⁶ overflows
+            # int64 around 10⁷ input rows (round-11 advisory)
             F.expr(
                 "CASE WHEN __pos > 0 THEN"
-                " (n_pos * __n * CAST(1000000 AS BIGINT))"
-                " div (n_rows * __pos) ELSE 0 END"
+                " CAST((CAST(n_pos AS DECIMAL(18,0))"
+                " * CAST(__n AS DECIMAL(18,0))"
+                " * CAST(1000000 AS DECIMAL(7,0)))"
+                " div (CAST(n_rows AS DECIMAL(18,0))"
+                " * CAST(__pos AS DECIMAL(18,0))) AS BIGINT)"
+                " ELSE 0 END"
             ).cast("bigint").alias("lift_ppm"),
         )
         .orderBy("band")
@@ -3584,8 +3607,10 @@ SELECT CAST(band AS BIGINT) AS band, n_rows, n_pos,
                * CAST(1000000 AS BIGINT)) // pos AS BIGINT)
        ELSE 0 END AS capture_ppm,
        CASE WHEN pos > 0 THEN
-         CAST((n_pos * n * CAST(1000000 AS BIGINT))
-              // (n_rows * pos) AS BIGINT)
+         CAST((CAST(n_pos AS HUGEINT) * CAST(n AS HUGEINT)
+               * CAST(1000000 AS HUGEINT))
+              // (CAST(n_rows AS HUGEINT) * CAST(pos AS HUGEINT))
+              AS BIGINT)
        ELSE 0 END AS lift_ppm
 FROM agg
 ORDER BY band
@@ -3601,7 +3626,12 @@ def ks_test(
     ``|cum_a·n_b − cum_b·n_a| / (n_a·n_b)`` — an exact rational, so
     the maximizing cell and the ppm distance are engine-exact with no
     doubles at all.  ``side_col`` must be 0/1 (control/treatment,
-    yesterday/today, train/serve).
+    yesterday/today, train/serve).  The gap products and the ×10⁶
+    ppm numerator route through DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — cum·n alone overflows int64 once each side passes
+    ~3·10⁹ rows, and gap·10⁶ at ~3·10⁶ (round-11 advisory; the
+    cohens_kappa count-product convention).  Exact up to ~5·10¹⁵
+    rows per side (gap·10⁶ ≤ 10³⁸).
 
     Scale shape: one map-combinable (value, side) count, cumulative
     windows over the bounded distinct-value cells (the
@@ -3635,9 +3665,15 @@ def ks_test(
         F.sum("__cb").over(w_all).alias("__nb"),
         F.count(F.lit(1)).over(w_all).alias("__cells"),
     ).withColumn(
+        # DECIMAL(18)×DECIMAL(18) products: cum·n alone overflows
+        # int64 near 3e9 rows per side (round-11 advisory).
         "__gap",
-        F.abs(F.col("__cuma") * F.col("__nb")
-              - F.col("__cumb") * F.col("__na")).cast("bigint"),
+        F.abs(
+            F.col("__cuma").cast("decimal(18,0)")
+            * F.col("__nb").cast("decimal(18,0)")
+            - F.col("__cumb").cast("decimal(18,0)")
+            * F.col("__na").cast("decimal(18,0)")
+        ).cast("decimal(38,0)"),
     )
     w_max = Window.orderBy(F.col("__gap").desc(), F.col("__v").asc())
     return (
@@ -3647,9 +3683,13 @@ def ks_test(
             F.col("__na").cast("bigint").alias("n_a"),
             F.col("__nb").cast("bigint").alias("n_b"),
             F.col("__cells").cast("bigint").alias("n_cells"),
+            # guard on the factors, not their product — na·nb itself
+            # is the int64-overflowing term the decimals route around
             F.expr(
-                "CASE WHEN __na * __nb > 0 THEN"
-                " (__gap * CAST(1000000 AS BIGINT)) div (__na * __nb)"
+                "CASE WHEN __na > 0 AND __nb > 0 THEN"
+                " (__gap * CAST(1000000 AS DECIMAL(7,0)))"
+                " div (CAST(__na AS DECIMAL(18,0))"
+                " * CAST(__nb AS DECIMAL(18,0)))"
                 " ELSE 0 END"
             ).cast("bigint").alias("d_ppm"),
             F.col("__v").alias("at_value"),
@@ -3682,13 +3722,15 @@ gaps AS (
 ),
 scored AS (
   SELECT v, na, nb, cells,
-         CAST(ABS(cuma * nb - cumb * na) AS BIGINT) AS gap
+         ABS(CAST(cuma AS HUGEINT) * CAST(nb AS HUGEINT)
+             - CAST(cumb AS HUGEINT) * CAST(na AS HUGEINT)) AS gap
   FROM gaps
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        CAST(cells AS BIGINT) AS n_cells,
-       CASE WHEN na * nb > 0 THEN
-         CAST((gap * CAST(1000000 AS BIGINT)) // (na * nb) AS BIGINT)
+       CASE WHEN na > 0 AND nb > 0 THEN
+         CAST((gap * CAST(1000000 AS HUGEINT))
+              // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS BIGINT)
        ELSE 0 END AS d_ppm,
        v AS at_value
 FROM (

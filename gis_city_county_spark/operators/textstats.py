@@ -372,17 +372,24 @@ def tokenizer_fertility(df, group_col: str, text_col: str):
     the tokenizer" metric — fertility ≫ 1 flags scripts the vocab
     underserves, the signal behind per-language vocab budgeting).
 
-    One map-combinable aggregate of two exact BIGINT token counts
-    (BPE-regex subwords over whitespace words), fertility = one IEEE
-    division — engine-exact, no shuffle beyond the group aggregate.
+    One map-combinable aggregate of exact BIGINT counters
+    (BPE-regex subwords over whitespace words, plus the raw character
+    count), fertility = one IEEE division — engine-exact, no shuffle
+    beyond the group aggregate.  ``chars_per_token_milli`` (exact
+    milli floor division) is the sibling compression read — how many
+    characters one subword token buys per language (round-12
+    consolidation: this column absorbed the round-11
+    ``corpus.tokenizer_fertility`` near-duplicate, which is retired;
+    ONE implementation and ONE registered spec measure the metric).
 
     Degenerate input: a group whose docs contain zero whitespace words
     (n_words = 0) has undefined fertility — both engines emit NULL for
     ``fertility_ppm``/``fertility`` (Spark's ``div`` NULLs on a zero
-    divisor while DuckDB's ``//`` raises, so the guard is explicit).
+    divisor while DuckDB's ``//`` raises, so the guard is explicit);
+    likewise ``chars_per_token_milli`` is NULL when n_subwords = 0.
 
-    Returns (group, n_docs, n_words, n_subwords, fertility_ppm,
-    fertility).
+    Returns (group, n_docs, n_words, n_subwords, n_chars,
+    fertility_ppm, fertility, chars_per_token_milli).
     """
     from pyspark.sql import functions as F
 
@@ -392,12 +399,14 @@ def tokenizer_fertility(df, group_col: str, text_col: str):
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum(token_count(text_col)).cast("bigint").alias("n_words"),
             F.sum(bpe_token_count(text_col)).cast("bigint").alias("n_subwords"),
+            F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
         )
         .select(
             group_col,
             "n_docs",
             "n_words",
             "n_subwords",
+            "n_chars",
             F.expr(
                 "CASE WHEN n_words = 0 THEN CAST(NULL AS BIGINT) ELSE"
                 " (n_subwords * CAST(1000000 AS BIGINT)) div n_words END"
@@ -407,6 +416,10 @@ def tokenizer_fertility(df, group_col: str, text_col: str):
             ).otherwise(
                 F.col("n_subwords").cast("double") / F.col("n_words").cast("double")
             ).alias("fertility"),
+            F.expr(
+                "CASE WHEN n_subwords = 0 THEN CAST(NULL AS BIGINT) ELSE"
+                " (n_chars * CAST(1000 AS BIGINT)) div n_subwords END"
+            ).alias("chars_per_token_milli"),
         )
     )
 
@@ -418,13 +431,21 @@ SELECT {group_col},
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM({words}) AS BIGINT) AS n_words,
        CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT) AS n_subwords,
+       CAST(SUM(length({text_col})) AS BIGINT) AS n_chars,
        CASE WHEN CAST(SUM({words}) AS BIGINT) = 0 THEN CAST(NULL AS BIGINT)
             ELSE CAST((CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)
              * CAST(1000000 AS BIGINT))
             // CAST(SUM({words}) AS BIGINT) AS BIGINT) END AS fertility_ppm,
        CASE WHEN CAST(SUM({words}) AS BIGINT) = 0 THEN CAST(NULL AS DOUBLE)
             ELSE CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)::DOUBLE
-         / CAST(SUM({words}) AS BIGINT)::DOUBLE END AS fertility
+         / CAST(SUM({words}) AS BIGINT)::DOUBLE END AS fertility,
+       CASE WHEN COALESCE(CAST(SUM({bpe_token_count_sql(text_col)})
+                               AS BIGINT), 0) = 0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST((CAST(SUM(length({text_col})) AS BIGINT)
+             * CAST(1000 AS BIGINT))
+            // CAST(SUM({bpe_token_count_sql(text_col)}) AS BIGINT)
+              AS BIGINT) END AS chars_per_token_milli
 FROM {table} GROUP BY {group_col}
 """
 

@@ -753,22 +753,11 @@ def _heaps_oracle() -> str:
     return heaps_curve_sql("documents", "doc_id", "text")
 
 
-def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language tokenizer fertility (BPE tokens per word, chars
-    per token) — the token-budget calibration row (see
-    operators.corpus.tokenizer_fertility)."""
-    from gis_city_county_spark.operators.corpus import tokenizer_fertility
-
-    docs = load_table(spark, sf_dir, "documents")
-    return tokenizer_fertility(docs, "lang", "text")
-
-
-def _fertility_oracle() -> str:
-    from gis_city_county_spark.operators.corpus import (
-        tokenizer_fertility_sql,
-    )
-
-    return tokenizer_fertility_sql("documents", "lang", "text")
+# q_tokenizer_fertility was registered here for one round-11 session
+# as ``corpus_tokenizer_fertility``; it duplicated the round-5
+# ``text_tokenizer_fertility`` spec (same operator semantics, same
+# table/columns) and was retired in round 12 — the surviving textstats
+# spec now also covers the chars_per_token_milli column.
 
 
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,6 +822,4 @@ SPECS = [
     QuerySpec("corpus_chao1_richness", q_chao1_richness, _chao1_oracle()),
     QuerySpec("pipeline_split_leakage", q_split_leakage, _leakage_oracle()),
     QuerySpec("corpus_heaps_curve", q_heaps_curve, _heaps_oracle()),
-    QuerySpec("corpus_tokenizer_fertility", q_tokenizer_fertility,
-              _fertility_oracle()),
 ]

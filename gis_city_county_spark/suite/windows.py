@@ -1052,7 +1052,12 @@ R12_PRESTAGE: tuple[str, ...] = (
     "eval_ks_test",
     "mlprep_smd_balance",
     "eval_bradley_terry",
-    "corpus_tokenizer_fertility",
+    # corpus_tokenizer_fertility was prestaged here in round 11 and
+    # RETIRED in round 12 before ever taking a driver row (round-11
+    # verdict "What's wrong" #2: it near-duplicated the round-5
+    # text_tokenizer_fertility spec).  Its one extra column moved into
+    # the surviving textstats operator, whose spec re-proves this
+    # round (schema + plan change).
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -554,8 +554,9 @@ _SINGLE_PARTITION_ALLOWED = {
     "events_cusum_changepoint": 1,
     # 1-row item-side totals x 1-row rater-side totals merges
     "eval_cochrans_q": 2,
-    # one prefix-sum window over the DISTINCT-|d| cells (bounded by
-    # the distinct absolute-difference count, never the rows)
+    # the final 1-row fold over the |d| cells (the prefix sum itself
+    # is the two-phase ranged_cumsum since r12 — distinct |d| is only
+    # bounded for coarse scores, so no ORDER BY window over the cells)
     "eval_wilcoxon": 1,
     # 1-row observed merge, R-row replica-sum hit scan, 1-row final
     "eval_perm_test": 3,

@@ -880,8 +880,10 @@ def test_bradley_terry_symmetric_and_zero_wins(spark):
 def test_tokenizer_fertility_exact_and_parity(spark):
     """Whitespace words vs BPE-regex tokens: contractions and
     punctuation inflate fertility exactly as counted; parity with
-    DuckDB."""
-    from gis_city_county_spark.operators.corpus import (
+    DuckDB.  Round 12 consolidated the short-lived corpus variant
+    into the round-5 textstats operator, which now also carries the
+    chars_per_token_milli column this test pins."""
+    from gis_city_county_spark.operators.textstats import (
         tokenizer_fertility,
         tokenizer_fertility_sql,
     )
@@ -895,11 +897,14 @@ def test_tokenizer_fertility_exact_and_parity(spark):
     out = {r["lang"]: r for r in
            tokenizer_fertility(df, "lang", "text").collect()}
     en = out["en"]
-    assert en["n_words"] == 6 and en["n_bpe_tokens"] == 7
+    assert en["n_words"] == 6 and en["n_subwords"] == 7
     assert en["fertility_ppm"] == 7_000_000 // 6
+    assert en["n_chars"] == len("don't stop now") + len("plain words here")
+    assert en["chars_per_token_milli"] == en["n_chars"] * 1000 // 7
     xx = out["xx"]
-    assert xx["n_words"] == 1 and xx["n_bpe_tokens"] == 5
+    assert xx["n_words"] == 1 and xx["n_subwords"] == 5
     assert xx["fertility_ppm"] == 5_000_000
+    assert xx["chars_per_token_milli"] == 5 * 1000 // 5
     con = duckdb.connect()
     con.execute("CREATE TABLE t (id BIGINT, lang VARCHAR, text VARCHAR)")
     con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
