@@ -2891,3 +2891,128 @@ ORDER BY checkpoint
 # counters, same metric, same source table) and was consolidated into
 # that operator in round 12 — the textstats variant now also emits the
 # ``n_chars``/``chars_per_token_milli`` columns this one added.
+
+
+def tv_distance(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Total-variation distance between each source's unigram
+    distribution and the REST of the corpus — the mixture-design
+    number a data curator reads before weighting sources: TV ≈ 0
+    means the source adds volume but no distributional novelty,
+    TV → 1 means it's a different language/register entirely.
+    Unlike KL/JS divergence this needs NO logarithms (the house
+    statistics rule), and it's a proper metric:
+    ``TV(g) = ½ Σ_t |p_g(t) − p_rest(t)|``.
+
+    Exact over the common denominator: with per-group token count
+    ``N_g``, corpus total ``N``, per-(group, token) count ``c`` and
+    corpus-wide token count ``C``, each in-vocabulary term is
+    ``|c·(N−N_g) − (C−c)·N_g|`` and the tokens a group has NEVER seen
+    contribute ``N_g·(N − S_g)`` in one closed form (``S_g`` = the
+    corpus-wide count mass of the group's own vocabulary) — so the
+    relation never has to materialize (group × full-vocab) zero
+    cells.  Every product routes through DECIMAL(38,0)/HUGEINT
+    (c·N overflows int64 near 10⁹·10¹⁰), and the ppm result is one
+    floor division of non-negative exact integers.
+
+    Scale shape: one (group, token) count (map-combinable, shuffle
+    ∝ vocabulary — the chao1 discipline), a token-total equi-join on
+    the token key, a broadcastable per-group total join, and one
+    1-row corpus-total merge.
+
+    Returns (group, n_tokens, vocab, tv_ppm) ordered by group —
+    tv_ppm NULL for a single-group corpus (no "rest" to compare to).
+    """
+    counts = (
+        rebalance_for_fanout(df, multiplier=64.0)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    tok_tot = counts.groupBy("__t").agg(
+        F.sum("__c").cast("bigint").alias("__ct")
+    )
+    gtot = counts.groupBy("__g").agg(
+        F.sum("__c").cast("bigint").alias("__ng")
+    )
+    n = gtot.agg(F.sum("__ng").cast("bigint").alias("__n"))
+    joined = (
+        counts.join(tok_tot, "__t")
+        .join(gtot, "__g")
+        .crossJoin(F.broadcast(n))  # 1-row corpus-total merge
+    )
+    per_g = joined.groupBy("__g").agg(
+        F.max("__ng").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.max("__n").cast("bigint").alias("__ntot"),
+        F.sum("__ct").cast("decimal(38,0)").alias("__sg"),
+        F.sum(
+            F.abs(
+                F.col("__c").cast("decimal(18,0)")
+                * (F.col("__n") - F.col("__ng")).cast("decimal(18,0)")
+                - (F.col("__ct") - F.col("__c")).cast("decimal(18,0)")
+                * F.col("__ng").cast("decimal(18,0)")
+            )
+        ).cast("decimal(38,0)").alias("__num_in"),
+    )
+    return per_g.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "CASE WHEN n_tokens > 0 AND __ntot > n_tokens THEN"
+            " CAST((CAST(1000000 AS DECIMAL(7,0))"
+            " * (__num_in + CAST(n_tokens AS DECIMAL(18,0))"
+            "    * (CAST(__ntot AS DECIMAL(18,0)) - __sg)))"
+            " div (2 * CAST(n_tokens AS DECIMAL(18,0))"
+            "      * CAST(__ntot - n_tokens AS DECIMAL(18,0)))"
+            " AS BIGINT) END"
+        ).alias("tv_ppm"),
+    ).orderBy(group_col)
+
+
+def tv_distance_sql(table: str, group_col: str, text_col: str) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS g, unnest({tokens_sql(text_col)}) AS t
+  FROM {table}
+),
+counts AS MATERIALIZED (
+  SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY g, t
+),
+tok_tot AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS ct FROM counts GROUP BY t
+),
+gtot AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM counts GROUP BY g
+),
+n AS (SELECT CAST(SUM(ng) AS BIGINT) AS ntot FROM gtot),
+per_g AS (
+  SELECT counts.g,
+         CAST(MAX(ng) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(MAX(ntot) AS BIGINT) AS ntot,
+         CAST(SUM(CAST(ct AS HUGEINT)) AS HUGEINT) AS sg,
+         CAST(SUM(ABS(CAST(c AS HUGEINT) * (ntot - ng)
+                      - CAST(ct - c AS HUGEINT) * ng)) AS HUGEINT)
+           AS num_in
+  FROM counts
+  JOIN tok_tot ON counts.t = tok_tot.t
+  JOIN gtot ON counts.g = gtot.g
+  CROSS JOIN n
+  GROUP BY counts.g
+)
+SELECT g AS {group_col}, n_tokens, vocab,
+       CASE WHEN n_tokens > 0 AND ntot > n_tokens THEN
+         CAST((CAST(1000000 AS HUGEINT)
+               * (num_in + CAST(n_tokens AS HUGEINT)
+                  * (CAST(ntot AS HUGEINT) - sg)))
+              // (2 * CAST(n_tokens AS HUGEINT)
+                  * CAST(ntot - n_tokens AS HUGEINT)) AS BIGINT) END
+         AS tv_ppm
+FROM per_g
+ORDER BY g
+"""

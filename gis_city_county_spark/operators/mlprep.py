@@ -4090,3 +4090,242 @@ FROM p{rounds} p JOIN wins w ON p.i = w.i JOIN nc ON p.i = nc.i
 CROSS JOIN md
 ORDER BY strength DESC, item ASC
 """
+
+
+def mann_whitney_u(df: DataFrame, side_col: str, value_col: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) over two INDEPENDENT samples
+    — the unpaired sibling of :func:`wilcoxon_signed_rank` and the
+    rank-based answer to "did the treatment arm score higher" when
+    rows don't pair up.  Cliff's delta ``δ = 2U/(n_a·n_b) − 1`` rides
+    along as the ordinal effect size (δ_ppm ≈ ±10⁶ = total
+    separation) — the number an eval report should quote INSTEAD of a
+    bare p-value when samples are corpus-sized.
+
+    Exact in house style: midranks over the DISTINCT-value cells
+    (never the rows), in milli units (a tie group covering 1-based
+    ranks ``s..s+c−1`` has integer midrank ``500·(2s + c − 1)``
+    milli); the prefix sum over the cells is the two-phase
+    ``ranged_cumsum`` (distinct values are only bounded for coarse
+    scores — the paired wilcoxon's round-11 lesson); every count
+    product routes through DECIMAL(38,0)/HUGEINT (ca·midrank alone
+    overflows int64 near 3·10⁹ rows per side); Cliff's delta is a
+    sign-split floor division (Spark ``div`` truncates toward zero,
+    DuckDB ``//`` floors — they only agree on non-negative operands).
+    ``side_col`` must be 0/1.  The identity ``U_a + U_b = n_a·n_b``
+    crossfoots the arithmetic (both emitted, milli units).
+
+    Returns one row: (n_a, n_b, n_cells, u_a_milli, u_b_milli,
+    cliffs_delta_ppm) — delta NULL when either side is empty.
+    """
+    from gis_city_county_spark.operators.scale import ranged_cumsum
+
+    cells = (
+        df.groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(F.col(side_col) == 0, 1).otherwise(0))
+            .cast("bigint").alias("__ca"),
+            F.sum(F.when(F.col(side_col) == 1, 1).otherwise(0))
+            .cast("bigint").alias("__cb"),
+        )
+        .withColumn("__c", F.col("__ca") + F.col("__cb"))
+    )
+    # __v is the group key, hence distinct — it is its own tiebreak.
+    ranked = ranged_cumsum(
+        cells, "__v", "__v", "__c",
+        cum_col="__cum", total_col=None, descending=False,
+    ).withColumn(
+        # 1-based start rank of this tie group: cum − c + 1; midrank
+        # in milli = 500 · (2·start + c − 1) = 500 · (2·cum − c + 1)
+        "__mid_milli",
+        (F.lit(500).cast("bigint")
+         * (2 * F.col("__cum") - F.col("__c") + 1)),
+    )
+    tot = ranked.agg(
+        F.sum("__ca").cast("bigint").alias("n_a"),
+        F.sum("__cb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(
+            F.col("__ca").cast("decimal(18,0)")
+            * F.col("__mid_milli").cast("decimal(18,0)")
+        ).cast("decimal(38,0)").alias("__ra_milli"),
+    )
+    scored = tot.withColumn(
+        "__ua_milli",
+        F.expr(
+            "__ra_milli - CAST(500 AS DECIMAL(4,0))"
+            " * CAST(n_a AS DECIMAL(18,0)) * (n_a + 1)"
+        ),
+    ).withColumn(
+        "__nab_milli",
+        F.expr(
+            "CAST(1000 AS DECIMAL(4,0))"
+            " * CAST(n_a AS DECIMAL(18,0)) * CAST(n_b AS DECIMAL(18,0))"
+        ),
+    )
+    return scored.select(
+        "n_a",
+        "n_b",
+        "n_cells",
+        F.expr("CAST(__ua_milli AS BIGINT)").alias("u_a_milli"),
+        F.expr("CAST(__nab_milli - __ua_milli AS BIGINT)")
+        .alias("u_b_milli"),
+        F.expr(
+            "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT) ELSE"
+            " CAST((CASE WHEN 2 * __ua_milli < __nab_milli"
+            "       THEN -1 ELSE 1 END)"
+            " * ((CAST(1000 AS DECIMAL(4,0))"
+            "     * abs(2 * __ua_milli - __nab_milli))"
+            "    div (CAST(n_a AS DECIMAL(18,0))"
+            "         * CAST(n_b AS DECIMAL(18,0)))) AS BIGINT) END"
+        ).alias("cliffs_delta_ppm"),
+    )
+
+
+def mann_whitney_u_sql(source_sql: str, side_col: str, value_col: str) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {value_col} AS v,
+         CAST(SUM(CASE WHEN {side_col} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN {side_col} = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM ({source_sql}) GROUP BY 1
+),
+ranked AS (
+  SELECT ca, cb,
+         500 * (2 * SUM(ca + cb) OVER (ORDER BY v ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                - (ca + cb) + 1) AS mid_milli
+  FROM cells
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cb) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(CAST(ca AS HUGEINT) * CAST(mid_milli AS HUGEINT))
+              AS HUGEINT) AS ra_milli
+  FROM ranked
+),
+scored AS (
+  SELECT n_a, n_b, n_cells,
+         ra_milli - CAST(500 AS HUGEINT) * CAST(n_a AS HUGEINT)
+           * (CAST(n_a AS HUGEINT) + 1) AS ua_milli
+  FROM tot
+)
+SELECT n_a, n_b, n_cells,
+       CAST(ua_milli AS BIGINT) AS u_a_milli,
+       CAST(CAST(1000 AS HUGEINT) * CAST(n_a AS HUGEINT)
+            * CAST(n_b AS HUGEINT) - ua_milli AS BIGINT) AS u_b_milli,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT) ELSE
+         CAST((CASE WHEN 2 * ua_milli < CAST(1000 AS HUGEINT)
+                 * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+               THEN -1 ELSE 1 END)
+              * ((CAST(1000 AS HUGEINT)
+                  * ABS(2 * ua_milli - CAST(1000 AS HUGEINT)
+                        * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)))
+                 // (CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)))
+              AS BIGINT) END AS cliffs_delta_ppm
+FROM scored
+"""
+
+
+def weighted_kappa(df: DataFrame, rater_a: str, rater_b: str) -> DataFrame:
+    """Quadratic-weighted Cohen's kappa over two ORDINAL labelers —
+    the agreement statistic for graded judgments (1-5 quality scores,
+    rubric points, star ratings) where plain kappa wastes the scale:
+    disagreeing by one step should cost less than disagreeing by four,
+    so cell (i, j) carries weight ``(i−j)²``.
+
+    The whole statistic is scan-side — no contingency table is ever
+    materialized.  The observed disagreement is ``Σ (a−b)²`` over the
+    rows, and the chance disagreement FACTORS through the marginal
+    moments: ``Σᵢⱼ rᵢ·cⱼ·(i−j)² = (Σa²)·N + N·(Σb²) − 2·(Σa)(Σb)``
+    (expand (i−j)² and note Σᵢ rᵢ·iᵏ is just the k-th moment of
+    rater a over the rows).  So ONE map-combinable aggregate yields
+    both numerators, each an exact DECIMAL(38,0)/HUGEINT product of
+    BIGINT sums (N·Σ(a−b)² overflows int64 near 10⁹ rows on a 5-point
+    scale — the cohens_kappa convention), and
+
+        κ_w = 1 − N·Σ(a−b)² / (Σa²·N + N·Σb² − 2·Σa·Σb)
+
+    is emitted as an exact sign-split milli floor division — no
+    doubles anywhere (DuckDB's DECIMAL→DOUBLE cast rounds
+    incorrectly, so exact integer output is the only bit-portable
+    form).  Rows where either label is NULL are dropped (documented
+    contract, same as cohens_kappa).  Labels must be integer-castable
+    ordinals.
+
+    Returns one row: (n_rows, o_num, e_num, kappa_w_milli) — o_num =
+    N·Σ(a−b)² and e_num the chance numerator, both cast to BIGINT for
+    the result surface (exact below ~3·10⁹ rows · 5-point scales;
+    internal arithmetic stays DECIMAL), kappa NULL when e_num = 0 (a
+    constant labeling).
+    """
+    base = df.filter(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(
+        F.col(rater_a).cast("bigint").alias("__a"),
+        F.col(rater_b).cast("bigint").alias("__b"),
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("(__a - __b) * (__a - __b)"))
+        .cast("bigint").alias("__d2"),
+        F.sum("__a").cast("bigint").alias("__sa"),
+        F.sum(F.expr("__a * __a")).cast("bigint").alias("__sa2"),
+        F.sum("__b").cast("bigint").alias("__sb"),
+        F.sum(F.expr("__b * __b")).cast("bigint").alias("__sb2"),
+    )
+    o_num = (
+        "(CAST(n_rows AS DECIMAL(18,0)) * CAST(__d2 AS DECIMAL(18,0)))"
+    )
+    e_num = (
+        "(CAST(__sa2 AS DECIMAL(18,0)) * CAST(n_rows AS DECIMAL(18,0))"
+        " + CAST(n_rows AS DECIMAL(18,0)) * CAST(__sb2 AS DECIMAL(18,0))"
+        " - 2 * CAST(__sa AS DECIMAL(18,0)) * CAST(__sb AS DECIMAL(18,0)))"
+    )
+    return mom.select(
+        "n_rows",
+        F.expr(f"CAST({o_num} AS BIGINT)").alias("o_num"),
+        F.expr(f"CAST({e_num} AS BIGINT)").alias("e_num"),
+        F.expr(
+            f"CASE WHEN {e_num} = 0 THEN CAST(NULL AS BIGINT) ELSE"
+            f" CAST((CASE WHEN {e_num} < {o_num} THEN -1 ELSE 1 END)"
+            f" * ((CAST(1000 AS DECIMAL(4,0)) * abs({e_num} - {o_num}))"
+            f"    div {e_num}) AS BIGINT) END"
+        ).alias("kappa_w_milli"),
+    )
+
+
+def weighted_kappa_sql(source_sql: str, rater_a: str, rater_b: str) -> str:
+    o_num = "(CAST(n_rows AS HUGEINT) * CAST(d2 AS HUGEINT))"
+    e_num = (
+        "(CAST(sa2 AS HUGEINT) * CAST(n_rows AS HUGEINT)"
+        " + CAST(n_rows AS HUGEINT) * CAST(sb2 AS HUGEINT)"
+        " - 2 * CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT))"
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST({rater_a} AS BIGINT) AS a, CAST({rater_b} AS BIGINT) AS b
+  FROM ({source_sql})
+  WHERE {rater_a} IS NOT NULL AND {rater_b} IS NOT NULL
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM((a - b) * (a - b)) AS BIGINT) AS d2,
+         CAST(SUM(a) AS BIGINT) AS sa,
+         CAST(SUM(a * a) AS BIGINT) AS sa2,
+         CAST(SUM(b) AS BIGINT) AS sb,
+         CAST(SUM(b * b) AS BIGINT) AS sb2
+  FROM base
+)
+SELECT n_rows,
+       CAST({o_num} AS BIGINT) AS o_num,
+       CAST({e_num} AS BIGINT) AS e_num,
+       CASE WHEN {e_num} = 0 THEN CAST(NULL AS BIGINT) ELSE
+         CAST((CASE WHEN {e_num} < {o_num} THEN -1 ELSE 1 END)
+              * ((CAST(1000 AS HUGEINT) * ABS({e_num} - {o_num}))
+                 // {e_num}) AS BIGINT) END AS kappa_w_milli
+FROM mom
+"""

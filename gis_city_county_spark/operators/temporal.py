@@ -2104,7 +2104,28 @@ def km_curve(
     Returns the hazard table plus (km_survival DOUBLE,
     survival_ppm BIGINT) ordered by day_index.
     """
-    haz = hazard_table(df, user_col, ts_col, churn_gap_days)
+    per_user = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("__u"))
+        .agg(
+            F.min(F.to_date(ts_col)).alias("__first"),
+            F.max(F.to_date(ts_col)).alias("__last"),
+        )
+    )
+    return km_from_user_spans(per_user, churn_gap_days)
+
+
+def km_from_user_spans(
+    per_user: DataFrame, churn_gap_days: int = 7
+) -> DataFrame:
+    """The tail of :func:`km_curve` from an already-aggregated
+    ``(__u, __first DATE, __last DATE)`` relation — shared verbatim
+    by the streaming twin (``streaming/km.py``), whose folded min/max
+    span state IS that relation (the hazard-twin state), so the live
+    survival curve can't drift from the batch operator.  The plan is
+    IDENTICAL to the pre-refactor ``km_curve`` (same hazard tail,
+    same canonical-order product)."""
+    haz = hazard_from_user_spans(per_user, churn_gap_days)
     w = (
         Window.orderBy(F.col("day_index").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2833,4 +2854,347 @@ SELECT n_days_scored, total_actual, total_abs_err,
               AS BIGINT)
        ELSE 0 END AS mae_milli
 FROM agg
+"""
+
+
+def pettitt_changepoint(df: DataFrame, ts_col: str) -> DataFrame:
+    """Pettitt changepoint test over the zero-filled daily volume —
+    the RANK-based single-changepoint screen (Pettitt, 1979) that
+    complements :func:`cusum_changepoint`'s mean-shift statistic:
+    where CUSUM is dragged by heavy-tailed days, Pettitt only sees
+    sign relations, so an ingestion spike can't fake (or mask) a
+    level shift.  ``U_t = Σ_{i≤t} Σ_{j>t} sign(x_i − x_j)``; the most
+    likely changepoint is the day of maximum |U_t| over t < D (tie:
+    earliest day; U_D ≡ 0 by antisymmetry and is excluded).
+
+    Exact-integer and NEVER quadratic in days: instead of the D²
+    pair relation (the trend_test shape), the recurrence ``U_t =
+    U_{t−1} + V_t`` with ``V_t = Σ_j sign(x_t − x_j) = (#days below
+    x_t) − (#days above x_t)`` reads each day's V from one cumulative
+    count over the DISTINCT-value cells — a broadcast-joinable
+    relation bounded by the distinct daily volumes.  |U| ≤ D²/4, so
+    BIGINT holds exactly for any calendar (a century is 3.3·10⁸;
+    ×10⁶ for the ppm column still fits).
+
+    Scale shape: one map-combinable per-day count; the value cells,
+    their cumulative counts, and the day-order prefix/argmax windows
+    are all CALENDAR-bounded — never the events.
+
+    Returns (day, n_events, u_stat, is_changepoint, u_abs_ppm)
+    ordered by day, with u_abs_ppm = 4·10⁶·|U_t|/D² (the statistic's
+    attainable-maximum normalization).
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("__day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    span = counts.agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    grid = span.select(F.explode(F.sequence("__lo", "__hi")).alias("__day"))
+    days = (
+        grid.join(counts, "__day", "left")
+        .select(
+            "__day",
+            F.coalesce("__n", F.lit(0).cast("bigint")).alias("n_events"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_vcum = Window.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cells = (
+        days.groupBy(F.col("n_events").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__cnt"))
+        .select(
+            "__v", "__cnt",
+            F.sum("__cnt").over(w_vcum).cast("bigint").alias("__cum"),
+            # total days, folded over the CELLS (summing over the
+            # joined per-day relation would double-count)
+            F.sum("__cnt").over(w_all).cast("bigint").alias("__dtot"),
+        )
+    )
+    w_day = Window.orderBy(F.col("__day").asc())
+    w_pre = w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = (
+        days.join(
+            F.broadcast(cells), days["n_events"] == cells["__v"], "inner"
+        )
+        .select(
+            "__day",
+            "n_events",
+            # V_t = (#days strictly below x_t) − (#days strictly above)
+            (
+                (F.col("__cum") - F.col("__cnt"))
+                - (F.col("__dtot") - F.col("__cum"))
+            ).cast("bigint").alias("__v_t"),
+        )
+    )
+    u = scored.select(
+        "__day",
+        "n_events",
+        F.sum("__v_t").over(w_pre).cast("bigint").alias("u_stat"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("__d"),
+        F.row_number().over(w_day).alias("__i"),
+    )
+    w_mag = Window.orderBy(
+        F.when(F.col("__i") < F.col("__d"), F.abs(F.col("u_stat")))
+        .otherwise(F.lit(-1)).desc(),
+        F.col("__day").asc(),
+    )
+    return (
+        u.withColumn("__mag_rk", F.row_number().over(w_mag))
+        .select(
+            F.col("__day").cast("timestamp").alias("day"),
+            "n_events",
+            "u_stat",
+            ((F.col("__mag_rk") == 1) & (F.col("__i") < F.col("__d")))
+            .alias("is_changepoint"),
+            F.expr(
+                "CASE WHEN __d > 1 THEN"
+                " (abs(u_stat) * CAST(4000000 AS BIGINT)) div (__d * __d)"
+                " ELSE 0 END"
+            ).cast("bigint").alias("u_abs_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+def pettitt_changepoint_sql(source_sql: str, ts_col: str) -> str:
+    return f"""
+WITH counts AS (
+  SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({source_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM counts),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+days AS MATERIALIZED (
+  SELECT g.d, COALESCE(c.n, 0) AS n_events
+  FROM grid g LEFT JOIN counts c ON g.d = c.d
+),
+cells AS (
+  SELECT v, cnt,
+         SUM(cnt) OVER (ORDER BY v ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS dtot
+  FROM (
+    SELECT n_events AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM days GROUP BY 1
+  )
+),
+scored AS (
+  SELECT days.d, days.n_events,
+         CAST((cum - cnt) - (dtot - cum) AS BIGINT) AS v_t
+  FROM days JOIN cells ON days.n_events = cells.v
+),
+u AS (
+  SELECT d, n_events,
+         CAST(SUM(v_t) OVER (ORDER BY d ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS u_stat,
+         CAST(COUNT(*) OVER () AS BIGINT) AS dd,
+         ROW_NUMBER() OVER (ORDER BY d) AS i
+  FROM scored
+)
+SELECT CAST(d AS TIMESTAMP) AS day,
+       n_events,
+       u_stat,
+       (ROW_NUMBER() OVER (ORDER BY CASE WHEN i < dd THEN ABS(u_stat)
+                                         ELSE -1 END DESC, d ASC) = 1)
+         AND i < dd AS is_changepoint,
+       CASE WHEN dd > 1 THEN
+         CAST((ABS(u_stat) * CAST(4000000 AS BIGINT)) // (dd * dd)
+              AS BIGINT)
+       ELSE 0 END AS u_abs_ppm
+FROM u
+ORDER BY day
+"""
+
+
+def runs_test(df: DataFrame, ts_col: str) -> DataFrame:
+    """Wald–Wolfowitz runs test over the zero-filled daily volume —
+    the randomness screen a monitoring pipeline runs BEFORE trusting
+    any i.i.d.-flavored alert threshold: too few runs of
+    above/below-median days means the series is sticky
+    (autocorrelated, regime-y), too many means it oscillates; either
+    way, daily readings are not independent draws.
+
+    House-exact: the reference level is the exact LOWER-median of the
+    day values (the MAD convention); days equal to the median drop
+    (Wald–Wolfowitz's original treatment); runs are counted with one
+    lag over the CALENDAR-bounded day order.  With ``a`` days above,
+    ``b`` below, and ``R`` runs, the z-score uses the exact-integer
+    identity ``z = ((R−1)(a+b) − 2ab) · sqrt((a+b−1) /
+    (2ab·(2ab−a−b)))`` — every factor a DECIMAL/HUGEINT product of
+    counts (2ab·(2ab−a−b) overflows int64 past ~10⁵ days), and the
+    closing tail is one IEEE divide + sqrt + multiply in fixed order,
+    so both engines emit the same double.  z is NULL when a·b = 0 or
+    the variance factor is 0 (a+b ≤ 2·... degenerate two-day
+    series).
+
+    Returns one row: (n_days, median_n, n_above, n_below, n_runs,
+    z_num, z_score).
+    """
+    counts = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.to_date(ts_col).alias("__day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    )
+    span = counts.agg(
+        F.min("__day").alias("__lo"), F.max("__day").alias("__hi")
+    )
+    grid = span.select(F.explode(F.sequence("__lo", "__hi")).alias("__day"))
+    days = (
+        grid.join(counts, "__day", "left")
+        .select(
+            "__day",
+            F.coalesce("__n", F.lit(0).cast("bigint")).alias("n_events"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_ord = Window.orderBy(F.col("n_events").asc(), F.col("__day").asc())
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        days.select(
+            "n_events",
+            F.row_number().over(w_ord).alias("__rn"),
+            F.count(F.lit(1)).over(w_all).alias("__m"),
+        )
+        .filter(F.col("__rn") == F.expr("(__m + 1) div 2"))
+        .select(F.col("n_events").alias("__med"))
+    )
+    signs = (
+        days.crossJoin(F.broadcast(med))
+        .filter(F.col("n_events") != F.col("__med"))
+        .select(
+            "__day",
+            "__med",
+            F.when(F.col("n_events") > F.col("__med"), F.lit(1))
+            .otherwise(F.lit(-1)).alias("__s"),
+        )
+    )
+    w_day = Window.orderBy(F.col("__day").asc())
+    runs = signs.select(
+        "__med",
+        "__s",
+        F.when(
+            F.lag("__s").over(w_day).isNull()
+            | (F.lag("__s").over(w_day) != F.col("__s")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("__new_run"),
+    )
+    agg = runs.agg(
+        F.max("__med").cast("bigint").alias("median_n"),
+        F.sum(F.when(F.col("__s") > 0, 1).otherwise(0))
+        .cast("bigint").alias("n_above"),
+        F.sum(F.when(F.col("__s") < 0, 1).otherwise(0))
+        .cast("bigint").alias("n_below"),
+        F.sum("__new_run").cast("bigint").alias("n_runs"),
+    )
+    total = days.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    z_num = (
+        "(CAST(n_runs - 1 AS DECIMAL(18,0)) * (n_above + n_below)"
+        " - 2 * CAST(n_above AS DECIMAL(18,0))"
+        " * CAST(n_below AS DECIMAL(18,0)))"
+    )
+    var_fac = (
+        "(2 * CAST(n_above AS DECIMAL(18,0))"
+        " * CAST(n_below AS DECIMAL(18,0))"
+        " * (2 * CAST(n_above AS DECIMAL(18,0))"
+        "    * CAST(n_below AS DECIMAL(18,0))"
+        "    - n_above - n_below))"
+    )
+    return (
+        total.crossJoin(F.broadcast(agg))  # two 1-row scalar merges
+        .select(
+            "n_days",
+            "median_n",
+            "n_above",
+            "n_below",
+            "n_runs",
+            F.expr(f"CAST({z_num} AS BIGINT)").alias("z_num"),
+            F.expr(
+                f"CASE WHEN n_above = 0 OR n_below = 0"
+                f" OR {var_fac} <= 0 THEN CAST(NULL AS DOUBLE) ELSE"
+                f" CAST({z_num} AS DOUBLE)"
+                f" * sqrt(CAST(n_above + n_below - 1 AS DOUBLE)"
+                f"        / CAST({var_fac} AS DOUBLE)) END"
+            ).alias("z_score"),
+        )
+    )
+
+
+def runs_test_sql(source_sql: str, ts_col: str) -> str:
+    z_num = (
+        "(CAST(n_runs - 1 AS HUGEINT) * (n_above + n_below)"
+        " - 2 * CAST(n_above AS HUGEINT) * CAST(n_below AS HUGEINT))"
+    )
+    var_fac = (
+        "(2 * CAST(n_above AS HUGEINT) * CAST(n_below AS HUGEINT)"
+        " * (2 * CAST(n_above AS HUGEINT) * CAST(n_below AS HUGEINT)"
+        "    - n_above - n_below))"
+    )
+    return f"""
+WITH counts AS (
+  SELECT CAST({ts_col} AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({source_sql}) WHERE {ts_col} IS NOT NULL GROUP BY 1
+),
+span AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM counts),
+grid AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+),
+days AS MATERIALIZED (
+  SELECT g.d, COALESCE(c.n, 0) AS n_events
+  FROM grid g LEFT JOIN counts c ON g.d = c.d
+),
+med AS (
+  SELECT n_events AS med FROM (
+    SELECT n_events,
+           ROW_NUMBER() OVER (ORDER BY n_events ASC, d ASC) AS rn,
+           COUNT(*) OVER () AS m
+    FROM days
+  ) WHERE rn = (m + 1) // 2
+),
+signs AS (
+  SELECT d, med,
+         CASE WHEN n_events > med THEN 1 ELSE -1 END AS s
+  FROM days CROSS JOIN med
+  WHERE n_events != med
+),
+runs AS (
+  SELECT med, s,
+         CASE WHEN LAG(s) OVER (ORDER BY d ASC) IS NULL
+                OR LAG(s) OVER (ORDER BY d ASC) != s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+),
+agg AS (
+  SELECT CAST(MAX(med) AS BIGINT) AS median_n,
+         CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_above,
+         CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below,
+         CAST(SUM(new_run) AS BIGINT) AS n_runs
+  FROM runs
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM days)
+SELECT n_days, median_n, n_above, n_below, n_runs,
+       CAST({z_num} AS BIGINT) AS z_num,
+       CASE WHEN n_above = 0 OR n_below = 0 OR {var_fac} <= 0
+            THEN CAST(NULL AS DOUBLE) ELSE
+         CAST({z_num} AS DOUBLE)
+         * sqrt(CAST(n_above + n_below - 1 AS DOUBLE)
+                / CAST({var_fac} AS DOUBLE)) END AS z_score
+FROM total CROSS JOIN agg
 """

@@ -1549,3 +1549,113 @@ FROM per_row
 GROUP BY g
 ORDER BY g
 """
+
+
+# C0 control characters minus \t \n \r (legitimate whitespace) — the
+# class is spelled with explicit \xHH escapes interpreted by the REGEX
+# engines (Java and RE2 agree on \xHH), never by the SQL parser.
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+# Classic UTF-8-read-as-Latin-1 signatures: 'Ã' starts every mangled
+# 2-byte sequence (Ã©, Ã¼, Ã±...), 'â€' every mangled punctuation
+# (â€™, â€œ, â€").  Literal substrings — no regex dialect involved.
+_MOJIBAKE_A = "Ã"
+_MOJIBAKE_B = "â€"
+_REPLACEMENT = "�"
+
+
+def encoding_anomaly(df, group_col: str, text_col: str):
+    """Per-group encoding-damage census — the corpus-quality screen
+    that catches what language-ID and quality scores miss: mojibake
+    (UTF-8 decoded as Latin-1: 'Ã©', 'â€™'), U+FFFD replacement
+    characters (a decoder already gave up upstream), and C0 control
+    characters (binary junk in "text").  A source with a few percent
+    of damaged docs usually means a broken extraction stage, and the
+    damage poisons tokenizers downstream — these docs should be
+    repaired or dropped BEFORE dedup (mojibake breaks shingle
+    matching against the clean twin of the same document).
+
+    Engine-exact by construction: mojibake and replacement flags are
+    literal-substring CONTAINS tests (no regex dialect), the control
+    count is length-minus-stripped with an explicit ``\\xHH`` class
+    both Java regex and RE2 read identically (the ``\\s``-dialect
+    lesson), and rates are BIGINT ppm floor divisions.  NULL texts
+    count toward n_docs but set no flags (documented contract).
+
+    Scale shape: entirely scan-side — one map-combinable aggregate,
+    no joins, no windows.
+
+    Returns (group, n_docs, replacement_docs, mojibake_docs,
+    ctrl_char_total, replacement_doc_ppm, mojibake_doc_ppm) ordered
+    by group.
+    """
+    flag_repl = F.when(
+        F.col(text_col).contains(_REPLACEMENT), 1
+    ).otherwise(0)
+    flag_moji = F.when(
+        F.col(text_col).contains(_MOJIBAKE_A)
+        | F.col(text_col).contains(_MOJIBAKE_B),
+        1,
+    ).otherwise(0)
+    ctrl = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), _CTRL_CLASS, "")
+    )
+    return (
+        df.groupBy(F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(flag_repl).cast("bigint").alias("replacement_docs"),
+            F.sum(flag_moji).cast("bigint").alias("mojibake_docs"),
+            F.coalesce(F.sum(ctrl), F.lit(0)).cast("bigint")
+            .alias("ctrl_char_total"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "replacement_docs",
+            "mojibake_docs",
+            "ctrl_char_total",
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN"
+                " (replacement_docs * CAST(1000000 AS BIGINT)) div n_docs"
+                " ELSE 0 END"
+            ).cast("bigint").alias("replacement_doc_ppm"),
+            F.expr(
+                "CASE WHEN n_docs > 0 THEN"
+                " (mojibake_docs * CAST(1000000 AS BIGINT)) div n_docs"
+                " ELSE 0 END"
+            ).cast("bigint").alias("mojibake_doc_ppm"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def encoding_anomaly_sql(table: str, group_col: str, text_col: str) -> str:
+    # DuckDB regexp_replace needs the 'g' flag (first-match-only by
+    # default, unlike Spark's replace-all).
+    return f"""
+SELECT {group_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN position('{_REPLACEMENT}' IN {text_col}) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS replacement_docs,
+       CAST(SUM(CASE WHEN position('{_MOJIBAKE_A}' IN {text_col}) > 0
+                       OR position('{_MOJIBAKE_B}' IN {text_col}) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS mojibake_docs,
+       CAST(COALESCE(SUM(length({text_col})
+             - length(regexp_replace({text_col},
+                      '{_CTRL_CLASS}', '', 'g'))), 0) AS BIGINT)
+         AS ctrl_char_total,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST((SUM(CASE WHEN position('{_REPLACEMENT}' IN {text_col}) > 0
+                        THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
+              // COUNT(*) AS BIGINT)
+       ELSE 0 END AS replacement_doc_ppm,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST((SUM(CASE WHEN position('{_MOJIBAKE_A}' IN {text_col}) > 0
+                          OR position('{_MOJIBAKE_B}' IN {text_col}) > 0
+                        THEN 1 ELSE 0 END) * CAST(1000000 AS BIGINT))
+              // COUNT(*) AS BIGINT)
+       ELSE 0 END AS mojibake_doc_ppm
+FROM {table}
+GROUP BY {group_col}
+ORDER BY {group_col}
+"""

@@ -738,6 +738,24 @@ def _chao1_oracle() -> str:
     return chao1_richness_sql("documents", "lang", "text")
 
 
+def q_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between each source's unigram
+    distribution and the rest of the corpus — the log-free mixture
+    novelty read, exact over the common denominator with the
+    never-seen-token mass in closed form (see
+    operators.corpus.tv_distance)."""
+    from gis_city_county_spark.operators.corpus import tv_distance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tv_distance(docs, "source", "text")
+
+
+def _tv_oracle() -> str:
+    from gis_city_county_spark.operators.corpus import tv_distance_sql
+
+    return tv_distance_sql("documents", "source", "text")
+
+
 def q_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary growth at power-of-two token checkpoints
     in doc_id order (see operators.corpus.heaps_curve)."""
@@ -822,4 +840,5 @@ SPECS = [
     QuerySpec("corpus_chao1_richness", q_chao1_richness, _chao1_oracle()),
     QuerySpec("pipeline_split_leakage", q_split_leakage, _leakage_oracle()),
     QuerySpec("corpus_heaps_curve", q_heaps_curve, _heaps_oracle()),
+    QuerySpec("corpus_tv_distance", q_tv_distance, _tv_oracle()),
 ]

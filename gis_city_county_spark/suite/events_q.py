@@ -1125,6 +1125,44 @@ def _cusum_oracle() -> str:
     return cusum_changepoint_sql(f"({_EV_CTE})", "ts")
 
 
+def q_pettitt_changepoint(spark, sf_dir):
+    """Pettitt rank-based changepoint over zero-filled daily event
+    volume: sign-relation statistic via the distinct-value cells and
+    the U_t recurrence — never the day-pair relation (see
+    operators.temporal.pettitt_changepoint)."""
+    from gis_city_county_spark.operators.temporal import (
+        pettitt_changepoint,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return pettitt_changepoint(ev, "ts")
+
+
+def _pettitt_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import (
+        pettitt_changepoint_sql,
+    )
+
+    return pettitt_changepoint_sql(f"({_EV_CTE})", "ts")
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on above/below-median daily volume:
+    exact lower-median reference, one lag over the calendar-bounded
+    day order, exact-integer z numerators (see
+    operators.temporal.runs_test)."""
+    from gis_city_county_spark.operators.temporal import runs_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return runs_test(ev, "ts")
+
+
+def _runs_oracle() -> str:
+    from gis_city_county_spark.operators.temporal import runs_test_sql
+
+    return runs_test_sql(f"({_EV_CTE})", "ts")
+
+
 SPECS = [
     QuerySpec("events_conversion_latency", q_conversion_latency,
               _conversion_latency_oracle()),
@@ -1135,6 +1173,9 @@ SPECS = [
     QuerySpec("events_cusum_changepoint", q_cusum_changepoint,
               _cusum_oracle()),
     QuerySpec("events_trend_test", q_trend_test, _trend_oracle()),
+    QuerySpec("events_pettitt_changepoint", q_pettitt_changepoint,
+              _pettitt_oracle()),
+    QuerySpec("events_runs_test", q_runs_test, _runs_oracle()),
     QuerySpec("events_seasonal_naive", q_seasonal_naive,
               _seasonal_naive_oracle()),
     QuerySpec("events_growth_accounting", q_growth_accounting,

@@ -1417,6 +1417,57 @@ def _ks_oracle() -> str:
     return ks_test_sql(src, "side", "v")
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U + Cliff's delta between the user-parity arms
+    over exact order totals in cents — distinct values ~ |orders|, so
+    the midrank prefix sum runs through the two-phase ranged_cumsum
+    (see operators.mlprep.mann_whitney_u)."""
+    from gis_city_county_spark.operators.mlprep import mann_whitney_u
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.pmod(F.col("o_custkey"), F.lit(2)).cast("int").alias("side"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    return mann_whitney_u(o, "side", "v")
+
+
+def _mann_whitney_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import mann_whitney_u_sql
+
+    src = (
+        "SELECT CAST(o_custkey % 2 AS INTEGER) AS side,"
+        " CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v"
+        " FROM orders"
+    )
+    return mann_whitney_u_sql(src, "side", "v")
+
+
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa between two ordinal 0-5 graders
+    derived from lineitem quantities (the second grader disagrees by
+    the line number's nudge) — fully scan-side moment factorization
+    (see operators.mlprep.weighted_kappa)."""
+    from gis_city_county_spark.operators.mlprep import weighted_kappa
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.floor(F.col("l_quantity") / 10)).cast("bigint").alias("ra"),
+        (F.floor((F.col("l_quantity") + F.col("l_linenumber")) / 10))
+        .cast("bigint").alias("rb"),
+    )
+    return weighted_kappa(li, "ra", "rb")
+
+
+def _weighted_kappa_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import weighted_kappa_sql
+
+    src = (
+        "SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS ra,"
+        " CAST(FLOOR((l_quantity + l_linenumber) / 10) AS BIGINT) AS rb"
+        " FROM lineitem"
+    )
+    return weighted_kappa_sql(src, "ra", "rb")
+
+
 def q_smd_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Covariate balance (standardized mean difference) between the
     user-parity arms over order metrics — the pre-readout A/B health
@@ -1534,6 +1585,9 @@ SPECS = [
     QuerySpec("eval_wilson_ci", q_wilson_ci, _wilson_oracle()),
     QuerySpec("eval_lift_table", q_lift_table, _lift_oracle()),
     QuerySpec("eval_ks_test", q_ks_test, _ks_oracle()),
+    QuerySpec("eval_mann_whitney", q_mann_whitney, _mann_whitney_oracle()),
+    QuerySpec("eval_weighted_kappa", q_weighted_kappa,
+              _weighted_kappa_oracle()),
     QuerySpec("mlprep_smd_balance", q_smd_balance, _smd_oracle()),
     QuerySpec("eval_bradley_terry", q_bradley_terry, _bt_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),

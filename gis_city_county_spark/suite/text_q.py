@@ -852,6 +852,27 @@ def _script_oracle() -> str:
     return script_profile_sql("documents", "lang", "text")
 
 
+def q_encoding_anomaly(spark, sf_dir):
+    """Encoding-damage census per language label: mojibake
+    signatures, U+FFFD replacement chars, C0 control chars — exact
+    literal-substring flags and ppm rates, entirely scan-side (see
+    operators.textstats.encoding_anomaly)."""
+    from gis_city_county_spark.operators.textstats import (
+        encoding_anomaly,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return encoding_anomaly(docs, "lang", "text")
+
+
+def _encoding_anomaly_oracle() -> str:
+    from gis_city_county_spark.operators.textstats import (
+        encoding_anomaly_sql,
+    )
+
+    return encoding_anomaly_sql("documents", "lang", "text")
+
+
 def q_mixed_script(spark, sf_dir):
     """Homoglyph/script-spoof audit per language label: tokens mixing
     Latin/Cyrillic/Greek letters, exact ppm share (see
@@ -926,5 +947,7 @@ SPECS = [
     QuerySpec("text_script_profile", q_script_profile, _script_oracle()),
     QuerySpec("text_ngram_novelty", q_ngram_novelty, _novelty_oracle()),
     QuerySpec("text_mixed_script", q_mixed_script, _mixed_script_oracle()),
+    QuerySpec("text_encoding_anomaly", q_encoding_anomaly,
+              _encoding_anomaly_oracle()),
     QuerySpec("text_case_profile", q_case_profile, _case_oracle()),
 ]

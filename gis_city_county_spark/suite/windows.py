@@ -47,7 +47,89 @@ from __future__ import annotations
 
 DRIVER_WINDOW = 50
 
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
+
+# Round 12: the 14 never-driver-checked queries (all 8 surviving
+# R12_PRESTAGE entries from round 11 — the 9th, corpus_tokenizer_
+# fertility, was retired this round before ever taking a driver row —
+# plus the 6 round-12-session additions, registered and locally
+# oracle-verified before this rotation ran: the R11 in-window
+# precedent) + 36 re-proof slots.  ``rotation.py``'s mechanized
+# proposal flagged THREE plan-changed candidates, all three this
+# round's own directed fixes: ``eval_cochrans_q`` (DECIMAL/HUGEINT
+# statistic numerator, 4a12eeecdc57ca8b → 0c6db53858c3e438),
+# ``eval_wilcoxon`` (the two-phase ranged_cumsum prefix sum,
+# 25b45ca312607399 → 86f68127d38cea1a) and ``text_tokenizer_fertility``
+# (absorbed the retired corpus duplicate's n_chars/
+# chars_per_token_milli columns, dec14b3beadb0ede → 94d461183570310b).
+# NOTE the widened checkpoint blind spot: eval_wilcoxon,
+# eval_mann_whitney and eval_lift_table now run their prefix/rank
+# phases through ranged_cumsum/ranged_rank, whose
+# _materialize_for_multipass truncates the analyzed plan with a lazy
+# localCheckpoint — future upstream changes to those operators'
+# CELL-BUILDING stages will NOT move their fingerprints; re-proof them
+# manually whenever wilcoxon/mann-whitney/lift cell logic changes (the
+# round-11 pipeline_semantic_dedup lesson).  The remaining 33 slots
+# reconfirm the stalest green rows (the r4 func/olap/gate battery,
+# then the r5-stamped geo/dedup/text/pipeline battery).  This window
+# closes cumulative driver coverage at 361/361 — every registered
+# query, including this round's own additions, will have a green
+# driver row.
+_R12_WINDOW: tuple[str, ...] = (
+    # The 14 never-driver-checked queries.
+    "text_mixed_script",
+    "text_encoding_anomaly",
+    "corpus_heaps_curve",
+    "corpus_tv_distance",
+    "events_trend_test",
+    "events_pettitt_changepoint",
+    "events_runs_test",
+    "events_seasonal_naive",
+    "eval_lift_table",
+    "eval_ks_test",
+    "eval_mann_whitney",
+    "eval_weighted_kappa",
+    "mlprep_smd_balance",
+    "eval_bradley_terry",
+    # Plan-changed re-proofs (this round's directed fixes).
+    "eval_cochrans_q",
+    "eval_wilcoxon",
+    "text_tokenizer_fertility",
+    # Reconfirms: the stalest green rows (r4 battery, then r5).
+    "profile_gini_impurity",
+    "func_date_battery",
+    "func_string_battery",
+    "func_null_battery",
+    "func_bitwise_battery",
+    "func_try_battery",
+    "olap_pareto_abc",
+    "olap_top_movers",
+    "gate_sequence_gaps",
+    "ref_a1_dissolve_attach",
+    "geo_a1_dissolve",
+    "geo_j3_erase",
+    "geo_sliver_fix",
+    "geo_j2_union_overlay",
+    "dedup_connected_components",
+    "dedup_minhash_lsh_pairs",
+    "dedup_cluster_keeper",
+    "pipeline_dedup_yield",
+    "text_url_canonicalize",
+    "olap_keyset_page",
+    "text_fingerprint",
+    "pipeline_training_data",
+    "text_zscore_nchars",
+    "text_rarity_score",
+    "eval_lang_id_confusion",
+    "corpus_vocab_coverage",
+    "mlprep_curriculum_phases",
+    "func_array_set_battery",
+    "mlprep_hash_features",
+    "mlprep_one_hot_segments",
+    "pipeline_shard_assign",
+    "pipeline_mixture_resample",
+    "pipeline_mixture_upsample",
+)
 
 # Round 11: the 31 never-driver-checked queries (all 18 R11_PRESTAGE
 # from round 10 + the 13 round-11-session additions, registered and
@@ -678,6 +760,7 @@ WINDOWS: dict[int, tuple[str, ...]] = {
     9: _R9_WINDOW,
     10: _R10_WINDOW,
     11: _R11_WINDOW,
+    12: _R12_WINDOW,
 }
 
 REPROOFS: dict[int, frozenset[str]] = {
@@ -819,6 +902,7 @@ REPROOFS: dict[int, frozenset[str]] = {
     # Round 11: 2 plan-change re-proofs (LSH bucket cap) + 17 stale
     # reconfirms = every window entry that already had a driver row.
     11: frozenset(_R11_WINDOW[31:]),
+    12: frozenset(_R12_WINDOW[14:]),
 }
 
 # The 41 queries that were still driver-unchecked after round 4
@@ -1058,6 +1142,20 @@ R12_PRESTAGE: tuple[str, ...] = (
     # text_tokenizer_fertility spec).  Its one extra column moved into
     # the surviving textstats operator, whose spec re-proves this
     # round (schema + plan change).
+)
+
+# The 6 round-12 additions that landed BEFORE the round-12 rotation
+# ran: they sit directly in WINDOWS[12] (driver rows this round, no
+# prestage cycle), recorded here so the historical suite
+# reconstruction in tests/test_contract_shapes.py knows they
+# post-date round 4 (the R11_INWINDOW_ADDITIONS precedent).
+R12_INWINDOW_ADDITIONS: tuple[str, ...] = (
+    "eval_mann_whitney",
+    "eval_weighted_kappa",
+    "events_pettitt_changepoint",
+    "events_runs_test",
+    "corpus_tv_distance",
+    "text_encoding_anomaly",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

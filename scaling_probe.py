@@ -115,6 +115,20 @@ PROBE_QUERIES = [
     "eval_lift_table",
     "text_ngram_novelty",
     "corpus_heaps_curve",
+    # round-12 directed rows (VERDICT r11 item 3): the suite's only
+    # iterative MM operator — the sf replica scales USERS (hence
+    # contests, the big input) while the item census (event types) is
+    # FIXED at every SF, exactly the "fixed item census" shape the
+    # directive asks for — and the consolidated tokenizer-fertility
+    # operator (trivially linear scan-side counters; its first row).
+    "eval_bradley_terry",
+    "text_tokenizer_fertility",
+    # round-12 new-operator row: the one r12 addition with a
+    # vocabulary-sized shuffle (the per-copy token suffix grows the
+    # vocab with the replica, so the token-total equi-join is
+    # genuinely stressed; the calendar-bounded pettitt/runs ops are
+    # sub-linear by construction and skip the probe).
+    "corpus_tv_distance",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle

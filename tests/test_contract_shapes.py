@@ -31,6 +31,7 @@ from gis_city_county_spark.suite.windows import (
     PRESTAGE,
     R5_PRESTAGE,
     R11_INWINDOW_ADDITIONS,
+    R12_INWINDOW_ADDITIONS,
 )
 
 REPO = Path(__file__).resolve().parent.parent
@@ -93,6 +94,7 @@ def test_windows_partition_the_suite() -> None:
     # prestage set (they sit directly in WINDOWS[11]) but still
     # post-date round 4.
     added_after_r4 |= set(R11_INWINDOW_ADDITIONS)
+    added_after_r4 |= set(R12_INWINDOW_ADDITIONS)
     r4_suite_names = names - added_after_r4
     leftover_after_4 = r4_suite_names - checked_before_4 - set(WINDOWS[4])
     assert leftover_after_4 == set(R5_PRESTAGE), (

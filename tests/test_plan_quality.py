@@ -136,6 +136,11 @@ _BNLJ_ALLOWED = {
     "events_km_curve",
     # 1-row item-side totals × 1-row rater-side totals scalar merge
     "eval_cochrans_q",
+    # 1-row day-count total × 1-row runs/median scalar merge, plus
+    # the 1-row lower-median broadcast onto the calendar day frame
+    "events_runs_test",
+    # the 1-row corpus-total merge onto the (group, token) counts
+    "corpus_tv_distance",
     # 1-row observed-statistic merge onto the R replica sums + the
     # 1-row hit-count merge
     "eval_perm_test",
@@ -573,6 +578,19 @@ _SINGLE_PARTITION_ALLOWED = {
     "eval_ks_test": 1,
     # the lag-window over the CALENDAR-bounded day grid
     "events_seasonal_naive": 1,
+    # the final 1-row fold over the |d| cells (prefix sums are the
+    # two-phase ranged_cumsum; the rank-sum twin of eval_wilcoxon)
+    "eval_mann_whitney": 1,
+    # the one scan-side moment aggregate (one 1-row fold)
+    "eval_weighted_kappa": 1,
+    # value-cell cumulative window (cells bounded by distinct daily
+    # volumes) + day-order prefix/argmax windows — all CALENDAR-bounded
+    "events_pettitt_changepoint": 2,
+    # the lower-median rank window + the run-lag window over the
+    # CALENDAR-bounded day grid, plus the 1-row final scalar merge
+    "events_runs_test": 3,
+    # the 1-row corpus-total merge over the per-group totals
+    "corpus_tv_distance": 1,
     # the 1-row corpus-total scalar feeding the checkpoint frame
     "corpus_heaps_curve": 1,
     # one-row pivot merge of the <= 2 per-group moment rows

@@ -1,0 +1,354 @@
+"""Round-12 operator tests.
+
+New operators this round: Mann-Whitney U + Cliff's delta (the
+unpaired rank test), quadratic-weighted kappa (scan-side moment
+factorization), Pettitt rank changepoint and the Wald-Wolfowitz runs
+test over the zero-filled day grid, total-variation source novelty,
+and the encoding-damage census.  Each test pins a hand-checkable
+fixture AND DuckDB parity (the driver's exact comparison, in
+miniature).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+from pyspark.sql import functions as F  # noqa: F401  (spec-style imports)
+
+
+# ------------------------------------------------- Mann-Whitney U
+
+
+def _duck(sql, create, rows):
+    con = duckdb.connect()
+    con.execute(create)
+    ph = ", ".join("?" for _ in rows[0])
+    table = create.split()[2]
+    con.executemany(f"INSERT INTO {table} VALUES ({ph})", rows)
+    return con.execute(sql)
+
+
+def test_mann_whitney_exact_and_parity(spark):
+    """Ties get milli midranks; U_a from the brute-force pair count
+    (x beats y = 1, tie = 1/2); crossfoot U_a + U_b = n_a·n_b."""
+    from gis_city_county_spark.operators.mlprep import (
+        mann_whitney_u,
+        mann_whitney_u_sql,
+    )
+
+    rows = [(0, 1), (0, 2), (0, 2), (0, 5), (1, 2), (1, 3), (1, 7), (1, 7)]
+    df = spark.createDataFrame(rows, "side int, v bigint")
+    got = mann_whitney_u(df, "side", "v").collect()[0].asDict()
+
+    a = [v for s, v in rows if s == 0]
+    b = [v for s, v in rows if s == 1]
+    ua = sum(
+        1000 if x > y else 500 if x == y else 0 for x in a for y in b
+    )
+    assert got["u_a_milli"] == ua
+    assert got["u_a_milli"] + got["u_b_milli"] == 1000 * len(a) * len(b)
+    # delta = 2U/(n_a n_b) − 1 = 2·3/16 − 1 = −0.625
+    assert got["cliffs_delta_ppm"] == -625000
+
+    res = _duck(
+        mann_whitney_u_sql("SELECT * FROM t", "side", "v"),
+        "CREATE TABLE t (side INTEGER, v BIGINT)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+
+def test_mann_whitney_empty_side_null_delta(spark):
+    from gis_city_county_spark.operators.mlprep import mann_whitney_u
+
+    df = spark.createDataFrame([(0, 3), (0, 5)], "side int, v bigint")
+    row = mann_whitney_u(df, "side", "v").collect()[0]
+    assert row["n_b"] == 0 and row["cliffs_delta_ppm"] is None
+
+
+# --------------------------------------------- weighted kappa
+
+
+def test_weighted_kappa_exact_and_parity(spark):
+    """Quadratic-weighted kappa equals the contingency-table formula
+    (computed by hand here via the marginal products) and matches
+    DuckDB bit-for-bit; constant labelings yield NULL."""
+    import collections
+
+    from gis_city_county_spark.operators.mlprep import (
+        weighted_kappa,
+        weighted_kappa_sql,
+    )
+
+    rows = [(1, 1), (2, 2), (3, 3), (4, 4), (2, 2), (1, 2)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = weighted_kappa(df, "a", "b").collect()[0].asDict()
+
+    n = len(rows)
+    o = sum((a - b) ** 2 for a, b in rows)
+    ra = collections.Counter(a for a, _ in rows)
+    cb = collections.Counter(b for _, b in rows)
+    e_num = sum(
+        ra[i] * cb[j] * (i - j) ** 2 for i in ra for j in cb
+    )
+    assert got["o_num"] == n * o
+    assert got["e_num"] == e_num
+    kappa = 1 - (n * o) / e_num
+    assert got["kappa_w_milli"] == int(kappa * 1000)  # 0.918...
+
+    res = _duck(
+        weighted_kappa_sql("SELECT * FROM t", "a", "b"),
+        "CREATE TABLE t (a INTEGER, b INTEGER)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+    const = spark.createDataFrame([(2, 2), (2, 2)], "a int, b int")
+    assert weighted_kappa(const, "a", "b").collect()[0][
+        "kappa_w_milli"
+    ] is None
+
+
+def test_weighted_kappa_negative_for_reversed(spark):
+    """Systematically reversed graders score below zero — the sign
+    split keeps Spark div and DuckDB // in agreement on negatives."""
+    from gis_city_county_spark.operators.mlprep import (
+        weighted_kappa,
+        weighted_kappa_sql,
+    )
+
+    rows = [(i, 5 - i) for i in range(6)] * 3
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = weighted_kappa(df, "a", "b").collect()[0].asDict()
+    assert got["kappa_w_milli"] < 0
+    res = _duck(
+        weighted_kappa_sql("SELECT * FROM t", "a", "b"),
+        "CREATE TABLE t (a INTEGER, b INTEGER)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+
+# ------------------------------------------ Pettitt changepoint
+
+
+def _event_rows(daily_counts, start=datetime.datetime(2024, 1, 1, 10)):
+    rows, eid = [], 0
+    for i, v in enumerate(daily_counts):
+        for k in range(v):
+            rows.append(
+                (eid, start + datetime.timedelta(days=i, minutes=k))
+            )
+            eid += 1
+    return rows
+
+
+def test_pettitt_matches_bruteforce_and_duckdb(spark):
+    """U_t from the cells recurrence equals the literal double sum
+    Σ_{i≤t}Σ_{j>t} sign(x_i − x_j); exactly one changepoint flag at
+    the max-|U| day (t < D); bit parity with DuckDB."""
+    from gis_city_county_spark.operators.temporal import (
+        pettitt_changepoint,
+        pettitt_changepoint_sql,
+    )
+
+    vals = [2, 3, 2, 0, 3, 2, 9, 8, 10, 9, 0, 9]
+    rows = _event_rows(vals)
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = [tuple(r) for r in pettitt_changepoint(df, "ts").collect()]
+
+    res = _duck(
+        pettitt_changepoint_sql("SELECT * FROM t", "ts"),
+        "CREATE TABLE t (id BIGINT, ts TIMESTAMP)",
+        rows,
+    )
+    assert got == [tuple(r) for r in res.fetchall()]
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    d = len(vals)
+    u = [
+        sum(
+            sgn(vals[i] - vals[j])
+            for i in range(t + 1)
+            for j in range(t + 1, d)
+        )
+        for t in range(d)
+    ]
+    assert [r[2] for r in got] == u
+    flags = [r for r in got if r[3]]
+    assert len(flags) == 1
+    assert abs(flags[0][2]) == max(abs(x) for x in u[:-1])
+    # the level shift after day 6 is found at day 6
+    assert flags[0][0] == datetime.datetime(2024, 1, 6)
+
+
+def test_pettitt_constant_series_no_signal(spark):
+    from gis_city_county_spark.operators.temporal import (
+        pettitt_changepoint,
+    )
+
+    rows = _event_rows([4, 4, 4, 4])
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = pettitt_changepoint(df, "ts").collect()
+    assert all(r["u_stat"] == 0 for r in out)
+    assert sum(r["is_changepoint"] for r in out) == 1  # earliest-day tie
+
+
+# ------------------------------------------------- runs test
+
+
+def test_runs_test_hand_count_and_parity(spark):
+    """Lower median 3 over the 12-day fixture; equal-to-median days
+    drop; the - - - - + + + + - + sequence has 4 runs; z matches the
+    closed form on both engines bit-for-bit."""
+    from gis_city_county_spark.operators.temporal import (
+        runs_test,
+        runs_test_sql,
+    )
+
+    vals = [2, 3, 2, 0, 3, 2, 9, 8, 10, 9, 0, 9]
+    rows = _event_rows(vals)
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    got = runs_test(df, "ts").collect()[0].asDict()
+    assert got["median_n"] == 3
+    assert got["n_above"] == 5 and got["n_below"] == 5
+    assert got["n_runs"] == 4
+    a, b, r = 5, 5, 4
+    z_num = (r - 1) * (a + b) - 2 * a * b
+    assert got["z_num"] == z_num
+    import math
+
+    z = z_num * math.sqrt(
+        (a + b - 1) / (2 * a * b * (2 * a * b - a - b))
+    )
+    assert got["z_score"] == z
+
+    res = _duck(
+        runs_test_sql("SELECT * FROM t", "ts"),
+        "CREATE TABLE t (id BIGINT, ts TIMESTAMP)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+
+def test_runs_test_one_sided_null_z(spark):
+    """All days above/below never happens vs the median by
+    construction, but a two-day series degenerates (variance factor
+    0) — z must be NULL, not a crash."""
+    from gis_city_county_spark.operators.temporal import runs_test
+
+    rows = _event_rows([1, 5])
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    row = runs_test(df, "ts").collect()[0]
+    assert row["z_score"] is None
+
+
+# ------------------------------------------------ TV distance
+
+
+def test_tv_distance_exact_fractions_and_parity(spark):
+    """tv_ppm equals the floor of the exact fractions::Fraction TV
+    against the rest-of-corpus distribution — including the
+    never-seen-token closed form — and matches DuckDB."""
+    import collections
+    from fractions import Fraction
+
+    from gis_city_county_spark.operators.corpus import (
+        tv_distance,
+        tv_distance_sql,
+    )
+
+    rows = [
+        (1, "web", "the cat sat on the mat"),
+        (2, "web", "the dog sat"),
+        (3, "code", "def foo bar baz qux"),
+        (4, "code", "def bar"),
+        (5, "wiki", "the history of the cat"),
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    got = [tuple(r) for r in tv_distance(df, "src", "text").collect()]
+
+    res = _duck(
+        tv_distance_sql("t", "src", "text"),
+        "CREATE TABLE t (id BIGINT, src VARCHAR, text VARCHAR)",
+        rows,
+    )
+    assert got == [tuple(r) for r in res.fetchall()]
+
+    toks = collections.defaultdict(list)
+    for _, s, t in rows:
+        toks[s] += t.lower().split()
+    allt = [w for v in toks.values() for w in v]
+    for g, n_tok, vocab, ppm in got:
+        pg = collections.Counter(toks[g])
+        rest = collections.Counter(allt) - pg
+        ng, nr = sum(pg.values()), sum(rest.values())
+        tv = (
+            sum(
+                abs(
+                    Fraction(pg.get(t, 0), ng)
+                    - Fraction(rest.get(t, 0), nr)
+                )
+                for t in set(allt)
+            )
+            / 2
+        )
+        assert ppm == int(tv * 1_000_000)
+    # fully disjoint vocabulary ('code') saturates at exactly 1.0
+    assert dict((g, p) for g, _, _, p in got)["code"] == 1_000_000
+
+
+def test_tv_distance_single_group_null(spark):
+    from gis_city_county_spark.operators.corpus import tv_distance
+
+    df = spark.createDataFrame(
+        [(1, "only", "a b c")], "id long, src string, text string"
+    )
+    assert tv_distance(df, "src", "text").collect()[0]["tv_ppm"] is None
+
+
+# ------------------------------------------- encoding anomaly
+
+
+def test_encoding_anomaly_flags_and_parity(spark):
+    """Mojibake digraphs, U+FFFD and C0 controls each counted once
+    per kind; NULL text counts toward n_docs but sets no flags; bit
+    parity with DuckDB (literal substrings — no regex dialect)."""
+    from gis_city_county_spark.operators.textstats import (
+        encoding_anomaly,
+        encoding_anomaly_sql,
+    )
+
+    rows = [
+        (1, "en", "clean text"),
+        (2, "en", "mojibake Ã© here and â€™ there"),
+        (3, "en", "bad � char \x01\x02 ctrl"),
+        (4, "fr", None),
+        (5, "fr", "propre"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    got = [tuple(r) for r in encoding_anomaly(df, "lang", "text").collect()]
+    res = _duck(
+        encoding_anomaly_sql("t", "lang", "text"),
+        "CREATE TABLE t (id BIGINT, lang VARCHAR, text VARCHAR)",
+        rows,
+    )
+    assert got == [tuple(r) for r in res.fetchall()]
+    en = dict(
+        zip(
+            ["lang", "n_docs", "repl", "moji", "ctrl", "rppm", "mppm"],
+            got[0],
+        )
+    )
+    assert en["n_docs"] == 3
+    assert en["repl"] == 1 and en["moji"] == 1 and en["ctrl"] == 2
+    assert en["rppm"] == 333333
+    fr = got[1]
+    assert fr[1] == 2 and fr[2] == 0 and fr[4] == 0

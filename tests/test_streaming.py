@@ -2231,3 +2231,115 @@ def test_streaming_cusum_empty_batch_republishes(spark, tmp_path):
     p2 = sorted(tuple(r) for r in rep.filter("batch_id = 2")
                 .drop("batch_id").collect())
     assert p2 == p1 and len(p2) > 0
+
+
+# ------------------------------------------- Kaplan-Meier twin
+
+
+def test_streaming_km_matches_batch_after_each_batch(spark, tmp_path):
+    """Three arrival batches through the foreachBatch KM maintainer:
+    after each batch the published survival curve — INCLUDING the
+    canonical-order double product — is BIT-EQUAL to the batch
+    ``km_curve`` over every row arrived so far; a late batch extends
+    one user's span and moves the censoring horizon, re-deriving the
+    whole curve."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.temporal import km_curve
+    from gis_city_county_spark.streaming.km import streaming_km_curve
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "user_id long, ts_s string").select(
+            "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    batches = [
+        ev([(1, "2024-01-01 09:00:00"), (1, "2024-01-04 09:00:00"),
+            (2, "2024-01-02 12:00:00")]),
+        # horizon jumps to Jan 28; user 3 appears
+        ev([(3, "2024-01-10 08:00:00"), (3, "2024-01-28 10:00:00")]),
+        # LATE events: user 1's span extends (lifetime 3 -> 20) and
+        # user 2 gains an earlier first event; NULLs are out
+        ev([(1, "2024-01-21 09:00:00"), (2, "2024-01-01 01:00:00"),
+            (None, "2024-01-02 00:00:00"), (4, None)]),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "km_state")
+    report_dir = str(tmp_path / "reports")
+    q = (
+        streaming_km_curve(
+            spark, batches[0].schema, str(incoming),
+            state_dir, report_dir, "user_id", "ts", churn_gap_days=7,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["day_index", "n_at_risk", "n_churned", "n_censored",
+            "km_survival", "survival_ppm"]
+    published = spark.read.parquet(report_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in km_curve(acc, "user_id", "ts",
+                              churn_gap_days=7).collect()
+        )
+        assert got == want and len(got) > 0, f"batch {bid} diverged"
+
+
+def test_streaming_km_retry_and_empty_batch(spark, tmp_path):
+    """The shared replay/empty-batch contracts on the KM twin: a
+    retried fold leaves state distinct-on-read and the curve
+    identical; an all-NULL batch republishes under the new
+    batch_id."""
+    from gis_city_county_spark.streaming.km import km_batch_folder
+
+    state_dir = str(tmp_path / "state")
+    report_dir = str(tmp_path / "reports")
+    fold = km_batch_folder(state_dir, report_dir, "user_id", "ts")
+    b0 = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00"), (1, "2024-01-05 09:00:00"),
+         (2, "2024-01-03 10:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(report_dir).collect())
+    assert twice == once
+    spans = spark.read.parquet(f"{state_dir}/user_spans")
+    assert spans.count() == 2 * spans.distinct().count()
+
+    empty = spark.createDataFrame(
+        [(None, None)], "user_id long, ts timestamp"
+    )
+    fold(empty, 1)
+    rep = spark.read.parquet(report_dir)
+    assert rep.agg(F.max("batch_id")).first()[0] == 1
+    p0 = sorted(tuple(r) for r in rep.filter("batch_id = 0")
+                .drop("batch_id").collect())
+    p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
+                .drop("batch_id").collect())
+    assert p1 == p0 and len(p1) > 0
