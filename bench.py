@@ -182,6 +182,12 @@ def main() -> None:
             prior = {}
 
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+    # One-off prior-refresh mode (round-11 verdict item 4): with
+    # SPARK_GRAFT_BENCH_MIN_PASSES=2 the sub-0.6s adaptive skip is
+    # disabled so EVERY key records a fastest-of-2, giving the
+    # ≥1.5×-prior trigger a measured anchor suite-wide.  The driver
+    # never sets this; default behavior is unchanged.
+    min_passes = int(os.environ.get("SPARK_GRAFT_BENCH_MIN_PASSES", "1"))
     t_bench0 = time.perf_counter()
     shed = 0
     forced = 0
@@ -206,7 +212,7 @@ def main() -> None:
                 if _pass == 2:
                     continue
                 if _pass == 1 and r and r[0] < 0.6 \
-                        and not _must_rerun(name, r):
+                        and min_passes < 2 and not _must_rerun(name, r):
                     continue
             elif _pass == 2:
                 if (max(r) - min(r)) / max(min(r), 1e-9) < 0.15:

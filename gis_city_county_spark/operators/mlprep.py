@@ -4329,3 +4329,446 @@ SELECT n_rows,
                  // {e_num}) AS BIGINT) END AS kappa_w_milli
 FROM mom
 """
+
+
+def did_estimate(
+    df: DataFrame, arm_col: str, period_col: str, value_col: str
+) -> DataFrame:
+    """Difference-in-differences — the pre/post × treatment/control
+    estimate every launch review wants when randomization wasn't
+    clean: ``DID = (T_post − T_pre) − (C_post − C_pre)``, the
+    treatment's change net of the ambient drift the control arm
+    measured.
+
+    Exact where it can be: the four cell sums and counts are BIGINT
+    (pass integer units — cents, counts; the spec feeds cents), and
+    the estimate itself is four IEEE divisions and three subtractions
+    in one FIXED spelled-out order, so both engines emit the same
+    double (the runs-test tail discipline).  ``arm_col`` and
+    ``period_col`` must be 0/1.
+
+    Scale shape: ONE map-combinable scan-side aggregate — no joins,
+    no windows, nothing driver-side.
+
+    Returns one row: (n_c_pre, n_c_post, n_t_pre, n_t_post,
+    sum_c_pre, sum_c_post, sum_t_pre, sum_t_post, did_estimate) —
+    the estimate NULL when any cell is empty.
+    """
+    cell = [
+        (a, p, f"{'t' if a else 'c'}_{'post' if p else 'pre'}")
+        for a in (0, 1)
+        for p in (0, 1)
+    ]
+    aggs = []
+    for a, p, tag in cell:
+        cond = (F.col(arm_col) == a) & (F.col(period_col) == p)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+            .alias(f"n_{tag}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col(value_col)).otherwise(0))
+            .cast("bigint").alias(f"sum_{tag}")
+        )
+    mom = df.agg(*aggs)
+    est = (
+        "(CAST(sum_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)"
+        " - CAST(sum_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))"
+        " - (CAST(sum_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)"
+        " - CAST(sum_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))"
+    )
+    return mom.select(
+        "n_c_pre", "n_c_post", "n_t_pre", "n_t_post",
+        "sum_c_pre", "sum_c_post", "sum_t_pre", "sum_t_post",
+        F.expr(
+            "CASE WHEN n_c_pre > 0 AND n_c_post > 0"
+            " AND n_t_pre > 0 AND n_t_post > 0"
+            f" THEN {est} ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("did_estimate"),
+    )
+
+
+def did_estimate_sql(
+    source_sql: str, arm_col: str, period_col: str, value_col: str
+) -> str:
+    cells = []
+    for a in (0, 1):
+        for p in (0, 1):
+            tag = f"{'t' if a else 'c'}_{'post' if p else 'pre'}"
+            cond = f"{arm_col} = {a} AND {period_col} = {p}"
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS n_{tag}"
+            )
+            cells.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN {value_col}"
+                f" ELSE 0 END) AS BIGINT) AS sum_{tag}"
+            )
+    est = (
+        "(CAST(sum_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)"
+        " - CAST(sum_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))"
+        " - (CAST(sum_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)"
+        " - CAST(sum_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))"
+    )
+    return f"""
+WITH mom AS (
+  SELECT {', '.join(cells)}
+  FROM ({source_sql})
+)
+SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       sum_c_pre, sum_c_post, sum_t_pre, sum_t_post,
+       CASE WHEN n_c_pre > 0 AND n_c_post > 0
+              AND n_t_pre > 0 AND n_t_post > 0
+            THEN {est} ELSE CAST(NULL AS DOUBLE) END AS did_estimate
+FROM mom
+"""
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_ppm_col: str,
+    alpha_ppm: int = 50_000,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR gate over a relation of test p-values
+    (in exact ppm) — the multiple-testing control an eval pipeline
+    needs the moment it ships hundreds of per-segment metrics: reject
+    the ``k*`` smallest p-values where ``k*`` is the largest rank
+    with ``p_(k) ≤ α·k/m``, guaranteeing an expected false-discovery
+    rate ≤ α under independence.
+
+    Exact end to end: the step-up comparison is the cross-multiplied
+    integer inequality ``p_ppm·m ≤ α_ppm·k`` (DECIMAL products — at
+    10⁹ tests p·m alone overflows int64), the rank is the two-phase
+    ``ranged_rank`` over (p_ppm, test id) — a strict total order, no
+    single-partition window — and both the test census ``m`` and
+    ``k*`` ride 1-row broadcast scalar merges (never a global
+    ``count() over ()`` window, which would single-partition the
+    whole relation).
+
+    Scale shape: ranged_rank's bounded three-pass plan + two
+    broadcast 1-row scalar joins.
+
+    Returns (test_id, p_ppm, p_rank, passes_line, is_rejected)
+    ordered by p_rank: ``passes_line`` marks ranks satisfying the
+    step-up inequality, ``is_rejected`` the actual BH decision
+    (everything at or below the LARGEST passing rank — rejected rows
+    need not individually pass the line).
+    """
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    base = df.select(
+        F.col(test_col).alias("test_id"),
+        F.col(p_ppm_col).cast("bigint").alias("p_ppm"),
+    )
+    ranked = ranged_rank(
+        base, "p_ppm", "test_id", rank_col="p_rank", descending=False
+    ).localCheckpoint(eager=False)
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m")
+    )
+    flagged = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "passes_line",
+        F.expr(
+            "CAST(p_ppm AS DECIMAL(18,0)) * CAST(__m AS DECIMAL(18,0))"
+            f" <= CAST({alpha_ppm} AS DECIMAL(18,0))"
+            " * CAST(p_rank AS DECIMAL(18,0))"
+        ),
+    )
+    kstar = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("passes_line"), F.col("p_rank"))),
+            F.lit(0),
+        ).cast("bigint").alias("__kstar")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kstar))  # 1-row threshold merge
+        .select(
+            "test_id",
+            "p_ppm",
+            F.col("p_rank").cast("bigint").alias("p_rank"),
+            "passes_line",
+            (F.col("p_rank") <= F.col("__kstar")).alias("is_rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+def bh_fdr_sql(
+    source_sql: str,
+    test_col: str,
+    p_ppm_col: str,
+    alpha_ppm: int = 50_000,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT {test_col} AS test_id, CAST({p_ppm_col} AS BIGINT) AS p_ppm
+  FROM ({source_sql})
+),
+ranked AS (
+  SELECT test_id, p_ppm,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_ppm ASC, test_id ASC)
+              AS BIGINT) AS p_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM base
+),
+flagged AS (
+  SELECT test_id, p_ppm, p_rank,
+         CAST(p_ppm AS HUGEINT) * CAST(m AS HUGEINT)
+           <= CAST({alpha_ppm} AS HUGEINT) * CAST(p_rank AS HUGEINT)
+           AS passes_line
+  FROM ranked
+),
+kstar AS (
+  SELECT COALESCE(MAX(CASE WHEN passes_line THEN p_rank END),
+                  CAST(0 AS BIGINT)) AS k
+  FROM flagged
+)
+SELECT test_id, p_ppm, p_rank, passes_line,
+       p_rank <= k AS is_rejected
+FROM flagged CROSS JOIN kstar
+ORDER BY p_rank
+"""
+
+
+def mantel_haenszel_or(
+    df: DataFrame, stratum_col: str, treat_col: str, outcome_col: str
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio over stratified 2×2 tables —
+    the confounder-adjusted effect readout (Cochran-Mantel-Haenszel):
+    ``OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ)`` with a=treated success,
+    b=treated failure, c=control success, d=control failure per
+    stratum — each stratum contributes in proportion to its
+    information, unlike a naive pooled table (Simpson's paradox).
+
+    Exactness: the statistic is DEFINED on milli-scaled per-stratum
+    floor divisions — ``Σ (aᵢ·dᵢ·1000) div nᵢ`` — so both engines
+    compute identical integers end to end (all terms non-negative, so
+    Spark ``div`` and DuckDB ``//`` agree); the count products route
+    through DECIMAL(18)×DECIMAL(18) / HUGEINT (aᵢdᵢ·1000 overflows
+    int64 near 3e9-row strata, the cohens_kappa convention) and the
+    pooled ratio is ONE closing IEEE divide, NULL when the
+    denominator is zero.  ``treat_col`` / ``outcome_col`` must be
+    0/1.
+
+    Scale shape: one (stratum) aggregate then a 1-row fold — shuffle
+    ∝ strata, never a raw-relation join.
+
+    Returns one row: (n_strata, n_rows, num_milli, den_milli, or_mh).
+    """
+    t, o = F.col(treat_col), F.col(outcome_col)
+    cells = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.sum(F.when((t == 1) & (o == 1), 1).otherwise(0))
+        .cast("bigint").alias("__a"),
+        F.sum(F.when((t == 1) & (o == 0), 1).otherwise(0))
+        .cast("bigint").alias("__b"),
+        F.sum(F.when((t == 0) & (o == 1), 1).otherwise(0))
+        .cast("bigint").alias("__c"),
+        F.sum(F.when((t == 0) & (o == 0), 1).otherwise(0))
+        .cast("bigint").alias("__d"),
+    )
+    terms = cells.select(
+        (F.col("__a") + F.col("__b") + F.col("__c") + F.col("__d"))
+        .alias("__n"),
+        F.expr(
+            "(CAST(__a AS DECIMAL(18,0)) * CAST(__d * 1000 AS"
+            " DECIMAL(18,0))) div CAST((__a + __b + __c + __d)"
+            " AS DECIMAL(18,0))"
+        ).cast("decimal(38,0)").alias("__num"),
+        F.expr(
+            "(CAST(__b AS DECIMAL(18,0)) * CAST(__c * 1000 AS"
+            " DECIMAL(18,0))) div CAST((__a + __b + __c + __d)"
+            " AS DECIMAL(18,0))"
+        ).cast("decimal(38,0)").alias("__den"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("__n").cast("bigint").alias("n_rows"),
+        F.sum("__num").cast("bigint").alias("num_milli"),
+        F.sum("__den").cast("bigint").alias("den_milli"),
+    ).select(
+        "n_strata",
+        "n_rows",
+        "num_milli",
+        "den_milli",
+        F.expr(
+            "CASE WHEN den_milli > 0 THEN CAST(num_milli AS DOUBLE)"
+            " / CAST(den_milli AS DOUBLE)"
+            " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("or_mh"),
+    )
+
+
+def mantel_haenszel_or_sql(
+    source_sql: str, stratum_col: str, treat_col: str, outcome_col: str
+) -> str:
+    return f"""
+WITH cells AS (
+  SELECT {stratum_col} AS s,
+         CAST(SUM(CASE WHEN {treat_col} = 1 AND {outcome_col} = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN {treat_col} = 1 AND {outcome_col} = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN {treat_col} = 0 AND {outcome_col} = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN {treat_col} = 0 AND {outcome_col} = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM ({source_sql}) GROUP BY 1
+),
+terms AS (
+  SELECT a + b + c + d AS n,
+         (CAST(a AS HUGEINT) * CAST(d * 1000 AS HUGEINT))
+           // CAST(a + b + c + d AS HUGEINT) AS num,
+         (CAST(b AS HUGEINT) * CAST(c * 1000 AS HUGEINT))
+           // CAST(a + b + c + d AS HUGEINT) AS den
+  FROM cells
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(SUM(num) AS BIGINT) AS num_milli,
+         CAST(SUM(den) AS BIGINT) AS den_milli
+  FROM terms
+)
+SELECT n_strata, n_rows, num_milli, den_milli,
+       CASE WHEN den_milli > 0 THEN CAST(num_milli AS DOUBLE)
+            / CAST(den_milli AS DOUBLE)
+            ELSE CAST(NULL AS DOUBLE) END AS or_mh
+FROM mom
+"""
+
+
+def cuped_lift(
+    df: DataFrame, treat_col: str, y_col: str, x_col: str
+) -> DataFrame:
+    """CUPED variance-reduced treatment lift — the experiment readout
+    that nets out pre-experiment covariate noise: with ``θ =
+    cov(X,Y)/var(X)`` fitted pooled, the adjusted outcome is ``Y −
+    θ·(X − X̄)`` and the reported lift is the adjusted-mean gap,
+    identical in expectation to the raw lift but with variance shrunk
+    by the squared X–Y correlation (Deng et al., WSDM'13 — public
+    method).
+
+    Exactness: all five moment sums (ΣY, ΣX per arm; ΣXY, ΣX² pooled)
+    fold exactly — pass integer units (cents, counts); the per-row
+    products route through DECIMAL(18)×DECIMAL(18) / HUGEINT (x·y
+    overflows int64 at cent scales) — and θ's numerator
+    ``n·ΣXY − ΣX·ΣY`` / denominator ``n·ΣX² − ΣX·ΣX`` are exact
+    DECIMAL(38,0)/HUGEINT integers (documented bound: |n·ΣXY| <
+    10³⁸, comfortably true for cent-valued columns below ~10¹⁵
+    rows).  The tail — θ, the two means, both lifts — is a
+    FIXED-ORDER IEEE expression identical on both engines; θ is 0
+    when var(X) is 0 (lift degrades to the raw gap), the lifts NULL
+    when either arm is empty.
+
+    Scale shape: ONE map-combinable scan-side aggregate — no joins,
+    no windows, nothing driver-side.
+
+    Returns one row: (n_c, n_t, theta, mean_y_c, mean_y_t, raw_lift,
+    cuped_lift).
+    """
+    t = F.col(treat_col)
+    y18 = F.col(y_col).cast("decimal(18,0)")
+    x18 = F.col(x_col).cast("decimal(18,0)")
+    mom = df.agg(
+        F.sum(F.when(t == 0, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(t == 1, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(t == 0, F.col(y_col)).otherwise(0))
+        .cast("decimal(38,0)").alias("__syc"),
+        F.sum(F.when(t == 1, F.col(y_col)).otherwise(0))
+        .cast("decimal(38,0)").alias("__syt"),
+        F.sum(F.when(t == 0, F.col(x_col)).otherwise(0))
+        .cast("decimal(38,0)").alias("__sxc"),
+        F.sum(F.when(t == 1, F.col(x_col)).otherwise(0))
+        .cast("decimal(38,0)").alias("__sxt"),
+        F.sum(x18 * y18).cast("decimal(38,0)").alias("__sxy"),
+        F.sum(x18 * x18).cast("decimal(38,0)").alias("__sxx"),
+    )
+    n = "CAST(n_c + n_t AS DECIMAL(38,0))"
+    cov_num = f"({n} * __sxy - (__sxc + __sxt) * (__syc + __syt))"
+    var_num = f"({n} * __sxx - (__sxc + __sxt) * (__sxc + __sxt))"
+    theta = (
+        f"CASE WHEN {var_num} > 0 THEN CAST({cov_num} AS DOUBLE)"
+        f" / CAST({var_num} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    myc = "CAST(__syc AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    myt = "CAST(__syt AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    mxc = "CAST(__sxc AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    mxt = "CAST(__sxt AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    guard = "n_c > 0 AND n_t > 0"
+    raw = f"({myt} - {myc})"
+    adj = f"({raw} - theta * ({mxt} - {mxc}))"
+    return mom.withColumn("theta", F.expr(theta)).select(
+        "n_c",
+        "n_t",
+        "theta",
+        F.expr(
+            f"CASE WHEN n_c > 0 THEN {myc}"
+            " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("mean_y_c"),
+        F.expr(
+            f"CASE WHEN n_t > 0 THEN {myt}"
+            " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("mean_y_t"),
+        F.expr(
+            f"CASE WHEN {guard} THEN {raw}"
+            " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("raw_lift"),
+        F.expr(
+            f"CASE WHEN {guard} THEN {adj}"
+            " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("cuped_lift"),
+    )
+
+
+def cuped_lift_sql(
+    source_sql: str, treat_col: str, y_col: str, x_col: str
+) -> str:
+    n = "CAST(n_c + n_t AS HUGEINT)"
+    cov_num = f"({n} * sxy - (sxc + sxt) * (syc + syt))"
+    var_num = f"({n} * sxx - (sxc + sxt) * (sxc + sxt))"
+    theta = (
+        f"CASE WHEN {var_num} > 0 THEN CAST({cov_num} AS DOUBLE)"
+        f" / CAST({var_num} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    myc = "CAST(syc AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    myt = "CAST(syt AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    mxc = "CAST(sxc AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    mxt = "CAST(sxt AS DOUBLE) / CAST(n_t AS DOUBLE)"
+    guard = "n_c > 0 AND n_t > 0"
+    raw = f"({myt} - {myc})"
+    adj = f"({raw} - theta * ({mxt} - {mxc}))"
+    return f"""
+WITH mom AS (
+  SELECT CAST(SUM(CASE WHEN {treat_col} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN {treat_col} = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN {treat_col} = 0 THEN {y_col} ELSE 0 END)
+              AS HUGEINT) AS syc,
+         CAST(SUM(CASE WHEN {treat_col} = 1 THEN {y_col} ELSE 0 END)
+              AS HUGEINT) AS syt,
+         CAST(SUM(CASE WHEN {treat_col} = 0 THEN {x_col} ELSE 0 END)
+              AS HUGEINT) AS sxc,
+         CAST(SUM(CASE WHEN {treat_col} = 1 THEN {x_col} ELSE 0 END)
+              AS HUGEINT) AS sxt,
+         CAST(SUM(CAST({x_col} AS HUGEINT) * CAST({y_col} AS HUGEINT))
+              AS HUGEINT) AS sxy,
+         CAST(SUM(CAST({x_col} AS HUGEINT) * CAST({x_col} AS HUGEINT))
+              AS HUGEINT) AS sxx
+  FROM ({source_sql})
+),
+th AS (
+  SELECT *, {theta} AS theta FROM mom
+)
+SELECT n_c, n_t, theta,
+       CASE WHEN n_c > 0 THEN {myc} ELSE CAST(NULL AS DOUBLE) END
+         AS mean_y_c,
+       CASE WHEN n_t > 0 THEN {myt} ELSE CAST(NULL AS DOUBLE) END
+         AS mean_y_t,
+       CASE WHEN {guard} THEN {raw} ELSE CAST(NULL AS DOUBLE) END
+         AS raw_lift,
+       CASE WHEN {guard} THEN {adj} ELSE CAST(NULL AS DOUBLE) END
+         AS cuped_lift
+FROM th
+"""

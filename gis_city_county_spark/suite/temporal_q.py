@@ -1564,6 +1564,127 @@ def _wilson_oracle() -> str:
     return wilson_ci_sql(src, "l_returnflag", "bulk")
 
 
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over order revenue: odd customers
+    are the "treated" arm, orders from 1995-07-01 on are "post", the
+    outcome is order total in exact cents (see
+    operators.mlprep.did_estimate)."""
+    from gis_city_county_spark.operators.mlprep import did_estimate
+
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-07-01")))
+        .cast("int").alias("period"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+    )
+    return did_estimate(od, "arm", "period", "cents")
+
+
+def _did_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import did_estimate_sql
+
+    src = (
+        "SELECT CAST(o_custkey % 2 AS INTEGER) AS arm,"
+        " CAST(o_orderdate >= TIMESTAMP '1995-07-01' AS INTEGER)"
+        " AS period,"
+        " CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents"
+        " FROM orders"
+    )
+    return did_estimate_sql(src, "arm", "period", "cents")
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up over a deterministic per-part
+    p-value battery (10% of parts carry a strong signal, p < 500 ppm;
+    the rest are near-uniform) — the multiple-testing gate in its
+    exact cross-multiplied-integer form (see
+    operators.mlprep.bh_fdr)."""
+    from gis_city_county_spark.operators.mlprep import bh_fdr
+
+    pv = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("bigint").alias("test_id"),
+        F.when(
+            F.col("p_partkey") % 10 == 0,
+            (F.col("p_partkey") * 37) % 500,
+        ).otherwise(
+            1000 + (F.col("p_partkey") * 7919) % 999001
+        ).cast("bigint").alias("p_ppm"),
+    )
+    return bh_fdr(pv, "test_id", "p_ppm")
+
+
+def _bh_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import bh_fdr_sql
+
+    src = (
+        "SELECT CAST(p_partkey AS BIGINT) AS test_id,"
+        " CAST(CASE WHEN p_partkey % 10 = 0"
+        " THEN (p_partkey * 37) % 500"
+        " ELSE 1000 + (p_partkey * 7919) % 999001 END AS BIGINT)"
+        " AS p_ppm"
+        " FROM part"
+    )
+    return bh_fdr_sql(src, "test_id", "p_ppm")
+
+
+def q_mh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel odds ratio for big-ticket orders (total ≥
+    150k) by customer-parity arm, stratified on order priority — the
+    confounder-adjusted pooled 2×2 readout (see
+    operators.mlprep.mantel_haenszel_or)."""
+    from gis_city_county_spark.operators.mlprep import mantel_haenszel_or
+
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("o_custkey") % 2).cast("int").alias("arm"),
+        (F.col("o_totalprice") >= 150000).cast("int").alias("big"),
+    )
+    return mantel_haenszel_or(od, "stratum", "arm", "big")
+
+
+def _mh_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import (
+        mantel_haenszel_or_sql,
+    )
+
+    src = (
+        "SELECT o_orderpriority AS stratum,"
+        " CAST(o_custkey % 2 AS INTEGER) AS arm,"
+        " CAST(o_totalprice >= 150000 AS INTEGER) AS big"
+        " FROM orders"
+    )
+    return mantel_haenszel_or_sql(src, "stratum", "arm", "big")
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted revenue lift with quantity as the covariate
+    (strongly correlated with extended price by construction) over
+    part-parity arms — the variance-reduced experiment readout (see
+    operators.mlprep.cuped_lift)."""
+    from gis_city_county_spark.operators.mlprep import cuped_lift
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 2).cast("int").alias("arm"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    return cuped_lift(li, "arm", "cents", "qty")
+
+
+def _cuped_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import cuped_lift_sql
+
+    src = (
+        "SELECT CAST(l_partkey % 2 AS INTEGER) AS arm,"
+        " CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,"
+        " CAST(FLOOR(l_quantity) AS BIGINT) AS qty"
+        " FROM lineitem"
+    )
+    return cuped_lift_sql(src, "arm", "cents", "qty")
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1590,6 +1711,10 @@ SPECS = [
               _weighted_kappa_oracle()),
     QuerySpec("mlprep_smd_balance", q_smd_balance, _smd_oracle()),
     QuerySpec("eval_bradley_terry", q_bradley_terry, _bt_oracle()),
+    QuerySpec("eval_did", q_did, _did_oracle()),
+    QuerySpec("eval_bh_fdr", q_bh_fdr, _bh_oracle()),
+    QuerySpec("eval_mh_odds", q_mh_odds, _mh_oracle()),
+    QuerySpec("eval_cuped", q_cuped, _cuped_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

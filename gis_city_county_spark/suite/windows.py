@@ -1158,6 +1158,15 @@ R12_INWINDOW_ADDITIONS: tuple[str, ...] = (
     "text_encoding_anomaly",
 )
 
+# Queries ADDED during round 12 AFTER WINDOWS[12] was pinned: their
+# first possible driver check is round 13.
+R13_PRESTAGE: tuple[str, ...] = (
+    "eval_did",
+    "eval_bh_fdr",
+    "eval_mh_odds",
+    "eval_cuped",
+)
+
 PRESTAGE: dict[int, tuple[str, ...]] = {
     5: R5_PRESTAGE,
     6: R6_PRESTAGE,
@@ -1167,6 +1176,7 @@ PRESTAGE: dict[int, tuple[str, ...]] = {
     10: R10_PRESTAGE,
     11: R11_PRESTAGE,
     12: R12_PRESTAGE,
+    13: R13_PRESTAGE,
 }
 
 CURRENT_WINDOW: tuple[str, ...] = WINDOWS[CURRENT_ROUND]

@@ -129,6 +129,11 @@ PROBE_QUERIES = [
     # genuinely stressed; the calendar-bounded pettitt/runs ops are
     # sub-linear by construction and skip the probe).
     "corpus_tv_distance",
+    # late round-12 addition: the BH gate's ranged_rank is the
+    # scale-relevant path (three bounded passes over the p-value
+    # relation, replica scales the test battery); eval_did is one
+    # scan-side aggregate and skips the probe.
+    "eval_bh_fdr",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle

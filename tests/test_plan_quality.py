@@ -148,6 +148,9 @@ _BNLJ_ALLOWED = {
     # relation (items = models/variants being compared, never the
     # contests) + the final 1-row max-delta merge
     "eval_bradley_terry",
+    # the 1-row test-census (m) and k* threshold broadcast merges
+    # onto the ranked p-value relation
+    "eval_bh_fdr",
     "sim_ivf_ann_topk",
     # probe-only twin of the above: probes × nlist-row broadcast
     # centroids (the corpus side is the pruned partition read)
@@ -549,6 +552,15 @@ _SINGLE_PARTITION_ALLOWED = {
     "privacy_apportioned_release": 2,
     # one-row final merge of the four discordance counters
     "eval_mcnemar": 1,
+    # one-row final merge of the four DID cell partials
+    "eval_did": 1,
+    # one-row final fold of the per-stratum milli terms
+    "eval_mh_odds": 1,
+    # one-row final merge of the CUPED moment partials
+    "eval_cuped": 1,
+    # 1-row m census + 1-row k* max + ranged_rank's bounded
+    # cut-points reduce (inputs all <= task count or 1 row)
+    "eval_bh_fdr": 3,
     # two 1-row merges: exact-pair totals + hit count (the recall
     # audit's scalars; the pair relations themselves are equi-joins)
     "sim_lsh_recall_audit": 2,

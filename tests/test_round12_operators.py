@@ -352,3 +352,184 @@ def test_encoding_anomaly_flags_and_parity(spark):
     assert en["rppm"] == 333333
     fr = got[1]
     assert fr[1] == 2 and fr[2] == 0 and fr[4] == 0
+
+
+# --------------------------------------------- difference-in-differences
+
+
+def test_did_exact_and_parity(spark):
+    """Four-cell fixture with hand-computed means: DID =
+    (45 − 10) − (30 − 15) = 20.0; bit-equal with DuckDB."""
+    from gis_city_county_spark.operators.mlprep import (
+        did_estimate,
+        did_estimate_sql,
+    )
+
+    rows = [
+        (0, 0, 10), (0, 0, 20),          # control pre, mean 15
+        (0, 1, 30),                      # control post, mean 30
+        (1, 0, 5), (1, 0, 15),           # treated pre, mean 10
+        (1, 1, 40), (1, 1, 50),          # treated post, mean 45
+    ]
+    df = spark.createDataFrame(rows, "arm int, period int, v bigint")
+    got = did_estimate(df, "arm", "period", "v").collect()[0].asDict()
+    assert got["did_estimate"] == 20.0
+    assert got["n_t_post"] == 2 and got["sum_c_pre"] == 30
+
+    res = _duck(
+        did_estimate_sql("SELECT * FROM t", "arm", "period", "v"),
+        "CREATE TABLE t (arm INTEGER, period INTEGER, v BIGINT)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+
+def test_did_empty_cell_null(spark):
+    """Any empty cell (here treated-post) makes the estimate NULL
+    instead of a divide-by-zero abort."""
+    from gis_city_county_spark.operators.mlprep import did_estimate
+
+    rows = [(0, 0, 10), (0, 1, 20), (1, 0, 5)]
+    df = spark.createDataFrame(rows, "arm int, period int, v bigint")
+    row = did_estimate(df, "arm", "period", "v").collect()[0]
+    assert row["n_t_post"] == 0 and row["did_estimate"] is None
+
+
+# --------------------------------------------- Benjamini-Hochberg FDR
+
+
+def test_bh_fdr_step_up_past_failing_rank(spark):
+    """The defining BH subtlety: rank 1 FAILS the line (20000·3 >
+    50000·1) but rank 3 passes, so k* = 3 and ALL THREE are rejected
+    — rejection is by k*, not per-row line membership."""
+    from gis_city_county_spark.operators.mlprep import bh_fdr, bh_fdr_sql
+
+    rows = [("a", 20000), ("b", 30000), ("c", 45000)]
+    df = spark.createDataFrame(rows, "tid string, p bigint")
+    got = [tuple(r) for r in bh_fdr(df, "tid", "p").collect()]
+    assert got == [
+        ("a", 20000, 1, False, True),
+        ("b", 30000, 2, True, True),
+        ("c", 45000, 3, True, True),
+    ]
+    res = _duck(
+        bh_fdr_sql("SELECT * FROM t", "tid", "p"),
+        "CREATE TABLE t (tid VARCHAR, p BIGINT)",
+        rows,
+    )
+    assert got == [tuple(r) for r in res.fetchall()]
+
+
+def test_bh_fdr_ties_and_none_rejected(spark):
+    """Tied p-values rank by the test-id tiebreak (strict total
+    order, both engines); when nothing passes the line k* = 0 and
+    nothing is rejected."""
+    from gis_city_county_spark.operators.mlprep import bh_fdr, bh_fdr_sql
+
+    rows = [("y", 400000), ("x", 400000), ("z", 900000)]
+    df = spark.createDataFrame(rows, "tid string, p bigint")
+    got = [tuple(r) for r in bh_fdr(df, "tid", "p").collect()]
+    assert [g[0] for g in got] == ["x", "y", "z"]
+    assert all(not g[3] and not g[4] for g in got)
+    res = _duck(
+        bh_fdr_sql("SELECT * FROM t", "tid", "p"),
+        "CREATE TABLE t (tid VARCHAR, p BIGINT)",
+        rows,
+    )
+    assert got == [tuple(r) for r in res.fetchall()]
+
+
+# --------------------------------------------- Mantel-Haenszel OR
+
+
+def test_mantel_haenszel_exact_and_parity(spark):
+    """One stratum reduces to the plain odds ratio ((6·6)/(2·2) = 9);
+    a second, effect-reversed stratum pulls the pooled OR back to 1;
+    milli terms are per-stratum floor divisions, bit-equal DuckDB."""
+    from gis_city_county_spark.operators.mlprep import (
+        mantel_haenszel_or,
+        mantel_haenszel_or_sql,
+    )
+
+    one = (
+        [("s1", 1, 1)] * 6 + [("s1", 1, 0)] * 2
+        + [("s1", 0, 1)] * 2 + [("s1", 0, 0)] * 6
+    )
+    df = spark.createDataFrame(one, "s string, t int, o int")
+    got = mantel_haenszel_or(df, "s", "t", "o").collect()[0].asDict()
+    # floor(6*6*1000/16) = 2250, floor(2*2*1000/16) = 250
+    assert got["num_milli"] == 2250 and got["den_milli"] == 250
+    assert got["or_mh"] == 9.0
+
+    two = one + (
+        [("s2", 1, 1)] * 2 + [("s2", 1, 0)] * 6
+        + [("s2", 0, 1)] * 6 + [("s2", 0, 0)] * 2
+    )
+    df2 = spark.createDataFrame(two, "s string, t int, o int")
+    got2 = mantel_haenszel_or(df2, "s", "t", "o").collect()[0].asDict()
+    assert got2["n_strata"] == 2 and got2["n_rows"] == 32
+    assert got2["num_milli"] == got2["den_milli"] == 2500
+    assert got2["or_mh"] == 1.0
+
+    res = _duck(
+        mantel_haenszel_or_sql("SELECT * FROM t", "s", "t", "o"),
+        "CREATE TABLE t (s VARCHAR, t INTEGER, o INTEGER)",
+        two,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got2 == want
+
+
+def test_mantel_haenszel_zero_denominator_null(spark):
+    """No treated failures and no control successes anywhere →
+    denominator 0 → NULL, not a divide-by-zero."""
+    from gis_city_county_spark.operators.mlprep import mantel_haenszel_or
+
+    rows = [("s", 1, 1), ("s", 1, 1), ("s", 0, 0)]
+    df = spark.createDataFrame(rows, "s string, t int, o int")
+    row = mantel_haenszel_or(df, "s", "t", "o").collect()[0]
+    assert row["den_milli"] == 0 and row["or_mh"] is None
+
+
+# --------------------------------------------- CUPED lift
+
+
+def test_cuped_exact_and_parity(spark):
+    """y = 10x exactly, so θ = 10 and the adjusted lift is 0 (the
+    raw 20-unit gap is pure covariate imbalance); DuckDB bit-equal."""
+    from gis_city_county_spark.operators.mlprep import (
+        cuped_lift,
+        cuped_lift_sql,
+    )
+
+    rows = [(0, 10, 1), (0, 20, 2), (1, 30, 3), (1, 40, 4)]
+    df = spark.createDataFrame(rows, "arm int, y bigint, x bigint")
+    got = cuped_lift(df, "arm", "y", "x").collect()[0].asDict()
+    assert got["theta"] == 10.0
+    assert got["raw_lift"] == 20.0
+    assert got["cuped_lift"] == 0.0
+
+    res = _duck(
+        cuped_lift_sql("SELECT * FROM t", "arm", "y", "x"),
+        "CREATE TABLE t (arm INTEGER, y BIGINT, x BIGINT)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+
+def test_cuped_constant_covariate_degrades_to_raw(spark):
+    """var(X) = 0 → θ = 0 and the CUPED lift equals the raw lift;
+    an empty arm NULLs both lifts."""
+    from gis_city_county_spark.operators.mlprep import cuped_lift
+
+    rows = [(0, 10, 7), (0, 20, 7), (1, 40, 7)]
+    df = spark.createDataFrame(rows, "arm int, y bigint, x bigint")
+    got = cuped_lift(df, "arm", "y", "x").collect()[0]
+    assert got["theta"] == 0.0
+    assert got["cuped_lift"] == got["raw_lift"] == 25.0
+
+    solo = spark.createDataFrame([(0, 10, 7)], "arm int, y bigint, x bigint")
+    row = cuped_lift(solo, "arm", "y", "x").collect()[0]
+    assert row["raw_lift"] is None and row["cuped_lift"] is None
