@@ -4772,3 +4772,239 @@ SELECT n_c, n_t, theta,
          AS cuped_lift
 FROM th
 """
+
+
+def icc_design_effect(
+    df: DataFrame, cluster_col: str, value_col: str
+) -> DataFrame:
+    """Intra-cluster correlation (one-way ANOVA, unbalanced) and the
+    Kish design effect — the clustered-randomization sanity check: an
+    experiment randomized by cluster (user, session, geo) has its
+    effective sample size shrunk by ``deff = 1 + (m̄−1)·ICC``, and
+    ignoring it is the classic false-positive factory.
+
+    ICC here is ANOVA-estimated: ``(MSB − MSW) / (MSB + (n₀−1)·MSW)``
+    with the unbalanced-design cluster size
+    ``n₀ = (N − Σn_g²/N)/(G−1)``.
+
+    Exactness AND scale: the statistic is DEFINED on milli-quantized
+    cluster means ``b_g = sign·(|S_g|·1000 div n_g)`` (sign-split so
+    Spark ``div`` and DuckDB ``//`` agree on negative sums) — small
+    integers bounded by 1000·max|y|, NOT sums of squares — so
+    ``SSB = Σ n_g·(b_g − b̄)²`` and the total
+    ``SST = 10⁶·ΣY² − 2000·b̄·ΣY + N·b̄²`` stay exact in
+    DECIMAL(38,0)/HUGEINT at any corpus size (documented bounds:
+    per-cluster |ΣY|·1000 < 9·10¹⁸ for the BIGINT milli-mean, and
+    10⁶·ΣY² < 10³⁸ overall); ``SSW = SST − SSB``.  The tail — MSB,
+    MSW, n₀, ICC, deff — is a FIXED-ORDER IEEE expression identical
+    on both engines; ICC/deff are NULL when G ≤ 1, N = G, or the ICC
+    denominator is 0 (constant data).  Units are all in milli² — the
+    IEEE tail divides them out, and ICC is unit-free.
+
+    Scale shape: one (cluster) aggregate, a 1-row global fold, and
+    the canonical 1-row broadcast scalar merge of b̄ back onto the
+    ≤G-row cluster relation (localCheckpoint'd to break the
+    shared-lineage self-join) — shuffle ∝ clusters, never a
+    raw-relation join.
+
+    Returns one row: (n_clusters, n_rows, ssb_microsq, ssw_microsq,
+    icc, deff).
+    """
+    y18 = F.col(value_col).cast("decimal(18,0)")
+    cl = (
+        df.groupBy(F.col(cluster_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__ng"),
+            F.sum(F.col(value_col)).cast("decimal(19,0)").alias("__sg"),
+            F.sum(y18 * y18).cast("decimal(38,0)").alias("__qg"),
+        )
+        .withColumn(
+            # sign-split milli mean: trunc-toward-zero on both engines
+            "__bg",
+            F.expr(
+                "CASE WHEN __sg < 0 THEN"
+                " -CAST((CAST(-__sg AS DECIMAL(19,0))"
+                "   * CAST(1000 AS DECIMAL(4,0)))"
+                "  div CAST(__ng AS DECIMAL(19,0)) AS BIGINT)"
+                " ELSE CAST((CAST(__sg AS DECIMAL(19,0))"
+                "   * CAST(1000 AS DECIMAL(4,0)))"
+                "  div CAST(__ng AS DECIMAL(19,0)) AS BIGINT) END"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = cl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("__ng").cast("bigint").alias("n_rows"),
+        F.sum("__sg").cast("decimal(38,0)").alias("__s"),
+        F.sum("__qg").cast("decimal(38,0)").alias("__q"),
+        F.sum(
+            F.expr(
+                "CAST(__ng AS DECIMAL(19,0))"
+                " * CAST(__ng AS DECIMAL(19,0))"
+            )
+        ).cast("decimal(38,0)").alias("__ng2"),
+    ).withColumn(
+        "__bbar",
+        F.expr(
+            "CASE WHEN __s < 0 THEN"
+            " -CAST((-__s * CAST(1000 AS DECIMAL(4,0)))"
+            "  div CAST(n_rows AS DECIMAL(19,0)) AS BIGINT)"
+            " ELSE CAST((__s * CAST(1000 AS DECIMAL(4,0)))"
+            "  div CAST(n_rows AS DECIMAL(19,0)) AS BIGINT) END"
+        ),
+    )
+    ssb = (
+        cl.crossJoin(F.broadcast(tot.select("__bbar")))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(__ng AS DECIMAL(19,0))"
+                    " * (CAST(__bg - __bbar AS DECIMAL(19,0))"
+                    "    * CAST(__bg - __bbar AS DECIMAL(19,0)))"
+                )
+            ).cast("decimal(38,0)").alias("ssb_microsq")
+        )
+    )
+    mom = tot.crossJoin(F.broadcast(ssb)).select(
+        "n_clusters",
+        "n_rows",
+        "ssb_microsq",
+        F.expr(
+            "CAST(__q * CAST(1000000 AS DECIMAL(7,0))"
+            " - CAST(2000 AS DECIMAL(4,0)) * CAST(__bbar AS"
+            " DECIMAL(19,0)) * __s"
+            " + CAST(n_rows AS DECIMAL(19,0))"
+            "   * (CAST(__bbar AS DECIMAL(19,0))"
+            "      * CAST(__bbar AS DECIMAL(19,0)))"
+            " - ssb_microsq AS DECIMAL(38,0))"
+        ).alias("ssw_microsq"),
+        "__ng2",
+    )
+    msb = (
+        "CAST(ssb_microsq AS DOUBLE)"
+        " / (1000000.0 * CAST(n_clusters - 1 AS DOUBLE))"
+    )
+    msw = (
+        "CAST(ssw_microsq AS DOUBLE)"
+        " / (1000000.0 * CAST(n_rows - n_clusters AS DOUBLE))"
+    )
+    n0 = (
+        "(CAST(n_rows AS DOUBLE)"
+        " - CAST(__ng2 AS DOUBLE) / CAST(n_rows AS DOUBLE))"
+        " / CAST(n_clusters - 1 AS DOUBLE)"
+    )
+    icc = (
+        f"CASE WHEN n_clusters > 1 AND n_rows > n_clusters"
+        f" AND ({msb} + ({n0} - 1.0) * {msw}) > 0.0"
+        f" THEN ({msb} - {msw}) / ({msb} + ({n0} - 1.0) * {msw})"
+        f" ELSE CAST(NULL AS DOUBLE) END"
+    )
+    return mom.withColumn("icc", F.expr(icc)).select(
+        "n_clusters",
+        "n_rows",
+        # digit strings: DECIMAL(38,0)/HUGEINT exceed int64, and the
+        # two engines' pandas conversions disagree on the numeric
+        # normal form (Decimal vs float64) — VARCHAR is exact on both
+        F.col("ssb_microsq").cast("decimal(38,0)").cast("string")
+        .alias("ssb_microsq"),
+        F.col("ssw_microsq").cast("decimal(38,0)").cast("string")
+        .alias("ssw_microsq"),
+        "icc",
+        F.expr(
+            "CASE WHEN icc IS NOT NULL THEN"
+            " 1.0 + (CAST(n_rows AS DOUBLE)"
+            " / CAST(n_clusters AS DOUBLE) - 1.0) * icc"
+            " ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("deff"),
+    )
+
+
+def icc_design_effect_sql(
+    source_sql: str, cluster_col: str, value_col: str
+) -> str:
+    msb = (
+        "CAST(ssb_microsq AS DOUBLE)"
+        " / (1000000.0 * CAST(n_clusters - 1 AS DOUBLE))"
+    )
+    msw = (
+        "CAST(ssw_microsq AS DOUBLE)"
+        " / (1000000.0 * CAST(n_rows - n_clusters AS DOUBLE))"
+    )
+    n0 = (
+        "(CAST(n_rows AS DOUBLE)"
+        " - CAST(ng2 AS DOUBLE) / CAST(n_rows AS DOUBLE))"
+        " / CAST(n_clusters - 1 AS DOUBLE)"
+    )
+    icc = (
+        f"CASE WHEN n_clusters > 1 AND n_rows > n_clusters"
+        f" AND ({msb} + ({n0} - 1.0) * {msw}) > 0.0"
+        f" THEN ({msb} - {msw}) / ({msb} + ({n0} - 1.0) * {msw})"
+        f" ELSE CAST(NULL AS DOUBLE) END"
+    )
+    return f"""
+WITH cl AS (
+  SELECT {cluster_col} AS g,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM({value_col}) AS HUGEINT) AS sg,
+         CAST(SUM(CAST({value_col} AS HUGEINT)
+                  * CAST({value_col} AS HUGEINT)) AS HUGEINT) AS qg
+  FROM ({source_sql}) GROUP BY 1
+),
+clb AS (
+  SELECT *,
+         CASE WHEN sg < 0
+              THEN -CAST(((-sg) * 1000) // CAST(ng AS HUGEINT)
+                         AS BIGINT)
+              ELSE CAST((sg * 1000) // CAST(ng AS HUGEINT) AS BIGINT)
+         END AS bg
+  FROM cl
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(ng) AS BIGINT) AS n_rows,
+         CAST(SUM(sg) AS HUGEINT) AS s,
+         CAST(SUM(qg) AS HUGEINT) AS q,
+         CAST(SUM(CAST(ng AS HUGEINT) * CAST(ng AS HUGEINT))
+              AS HUGEINT) AS ng2
+  FROM clb
+),
+totb AS (
+  SELECT *,
+         CASE WHEN s < 0
+              THEN -CAST(((-s) * 1000) // CAST(n_rows AS HUGEINT)
+                         AS BIGINT)
+              ELSE CAST((s * 1000) // CAST(n_rows AS HUGEINT)
+                        AS BIGINT)
+         END AS bbar
+  FROM tot
+),
+ssb AS (
+  SELECT CAST(SUM(CAST(ng AS HUGEINT)
+                  * (CAST(bg - bbar AS HUGEINT)
+                     * CAST(bg - bbar AS HUGEINT))) AS HUGEINT)
+           AS ssb_microsq
+  FROM clb CROSS JOIN totb
+),
+mom AS (
+  SELECT n_clusters, n_rows, ssb_microsq,
+         q * 1000000 - 2000 * CAST(bbar AS HUGEINT) * s
+           + CAST(n_rows AS HUGEINT)
+             * (CAST(bbar AS HUGEINT) * CAST(bbar AS HUGEINT))
+           - ssb_microsq AS ssw_microsq,
+         ng2
+  FROM totb CROSS JOIN ssb
+),
+wi AS (
+  SELECT *, {icc} AS icc FROM mom
+)
+SELECT n_clusters, n_rows,
+       CAST(ssb_microsq AS VARCHAR) AS ssb_microsq,
+       CAST(ssw_microsq AS VARCHAR) AS ssw_microsq,
+       icc,
+       CASE WHEN icc IS NOT NULL THEN
+            1.0 + (CAST(n_rows AS DOUBLE)
+            / CAST(n_clusters AS DOUBLE) - 1.0) * icc
+            ELSE CAST(NULL AS DOUBLE) END AS deff
+FROM wi
+"""

@@ -1685,6 +1685,34 @@ def _cuped_oracle() -> str:
     return cuped_lift_sql(src, "arm", "cents", "qty")
 
 
+def q_icc_deff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-cluster correlation + Kish design effect of line-item
+    revenue clustered by order — the clustered-randomization
+    effective-sample-size check (see
+    operators.mlprep.icc_design_effect)."""
+    from gis_city_county_spark.operators.mlprep import icc_design_effect
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("cluster"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"),
+    )
+    return icc_design_effect(li, "cluster", "cents")
+
+
+def _icc_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import (
+        icc_design_effect_sql,
+    )
+
+    src = (
+        "SELECT l_orderkey AS cluster,"
+        " CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents"
+        " FROM lineitem"
+    )
+    return icc_design_effect_sql(src, "cluster", "cents")
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1715,6 +1743,7 @@ SPECS = [
     QuerySpec("eval_bh_fdr", q_bh_fdr, _bh_oracle()),
     QuerySpec("eval_mh_odds", q_mh_odds, _mh_oracle()),
     QuerySpec("eval_cuped", q_cuped, _cuped_oracle()),
+    QuerySpec("mlprep_icc_deff", q_icc_deff, _icc_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

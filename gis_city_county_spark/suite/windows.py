@@ -1165,6 +1165,7 @@ R13_PRESTAGE: tuple[str, ...] = (
     "eval_bh_fdr",
     "eval_mh_odds",
     "eval_cuped",
+    "mlprep_icc_deff",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

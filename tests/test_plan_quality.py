@@ -151,6 +151,9 @@ _BNLJ_ALLOWED = {
     # the 1-row test-census (m) and k* threshold broadcast merges
     # onto the ranked p-value relation
     "eval_bh_fdr",
+    # the 1-row b̄ scalar onto the ≤G-row cluster relation + the
+    # 1-row tot × ssb final merge
+    "mlprep_icc_deff",
     "sim_ivf_ann_topk",
     # probe-only twin of the above: probes × nlist-row broadcast
     # centroids (the corpus side is the pruned partition read)
@@ -561,6 +564,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # 1-row m census + 1-row k* max + ranged_rank's bounded
     # cut-points reduce (inputs all <= task count or 1 row)
     "eval_bh_fdr": 3,
+    # 1-row global fold + 1-row SSB fold + final 1-row merge (cluster
+    # relation is checkpoint-bounded, per-cluster work map-combinable)
+    "mlprep_icc_deff": 3,
     # two 1-row merges: exact-pair totals + hit count (the recall
     # audit's scalars; the pair relations themselves are equi-joins)
     "sim_lsh_recall_audit": 2,

@@ -533,3 +533,64 @@ def test_cuped_constant_covariate_degrades_to_raw(spark):
     solo = spark.createDataFrame([(0, 10, 7)], "arm int, y bigint, x bigint")
     row = cuped_lift(solo, "arm", "y", "x").collect()[0]
     assert row["raw_lift"] is None and row["cuped_lift"] is None
+
+
+# --------------------------------------------- ICC / design effect
+
+
+def test_icc_perfect_and_zero_clustering(spark):
+    """Two clusters [1,1] and [3,3]: all variance between → ICC = 1,
+    deff = 1 + (2−1)·1 = 2.  Identical clusters [1,3],[1,3]: ICC
+    hits the ANOVA lower bound −1/(n₀−1) = −1, deff = 0.  Both
+    bit-equal with DuckDB."""
+    from gis_city_county_spark.operators.mlprep import (
+        icc_design_effect,
+        icc_design_effect_sql,
+    )
+
+    rows = [("c1", 1), ("c1", 1), ("c2", 3), ("c2", 3)]
+    df = spark.createDataFrame(rows, "g string, y bigint")
+    got = icc_design_effect(df, "g", "y").collect()[0].asDict()
+    assert got["n_clusters"] == 2 and got["n_rows"] == 4
+    # milli means 1000/3000, b̄=2000: SSB = 2·10⁶+2·10⁶; SST = 4·10⁶
+    assert int(got["ssb_microsq"]) == 4_000_000
+    assert int(got["ssw_microsq"]) == 0
+    assert got["icc"] == 1.0 and got["deff"] == 2.0
+
+    res = _duck(
+        icc_design_effect_sql("SELECT * FROM t", "g", "y"),
+        "CREATE TABLE t (g VARCHAR, y BIGINT)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+    anti = [("c1", 1), ("c1", 3), ("c2", 1), ("c2", 3)]
+    df2 = spark.createDataFrame(anti, "g string, y bigint")
+    got2 = icc_design_effect(df2, "g", "y").collect()[0].asDict()
+    assert int(got2["ssb_microsq"]) == 0
+    assert got2["icc"] == -1.0 and got2["deff"] == 0.0
+    res2 = _duck(
+        icc_design_effect_sql("SELECT * FROM t", "g", "y"),
+        "CREATE TABLE t (g VARCHAR, y BIGINT)",
+        anti,
+    )
+    want2 = dict(zip([d[0] for d in res2.description], res2.fetchall()[0]))
+    assert got2 == want2
+
+
+def test_icc_degenerate_nulls(spark):
+    """Constant data (zero total variance) and a single cluster both
+    yield NULL ICC/deff instead of 0/0."""
+    from gis_city_county_spark.operators.mlprep import icc_design_effect
+
+    const = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, y bigint"
+    )
+    row = icc_design_effect(const, "g", "y").collect()[0]
+    assert row["icc"] is None and row["deff"] is None
+
+    solo = spark.createDataFrame([("a", 1), ("a", 9)], "g string, y bigint")
+    row2 = icc_design_effect(solo, "g", "y").collect()[0]
+    assert row2["n_clusters"] == 1
+    assert row2["icc"] is None and row2["deff"] is None
