@@ -1332,6 +1332,28 @@ def script_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     cyrillic_ppm, greek_ppm, cjk_ppm, arabic_ppm, other_ppm) ordered
     by group.
     """
+    return script_profile_from_counts(
+        script_profile_counts(df, group_col, text_col), group_col
+    )
+
+
+#: Per-group BIGINT counter columns of the script-profile build path
+#: (the streaming twin's fold state) — exact sums, so folding
+#: per-batch partials with + reproduces the batch aggregate exactly.
+SCRIPT_PROFILE_COUNTERS: list[str] = ["n_chars"] + [
+    f"__{name}" for name, _ in _SCRIPT_CLASSES
+]
+
+
+def script_profile_counts(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """The map-combinable half of :func:`script_profile`: per-group
+    character totals and per-script counts (columns
+    ``SCRIPT_PROFILE_COUNTERS``, group aliased ``__g``).  Shared by
+    the batch operator and the streaming twin
+    (``streaming/script.py``), which folds these rows by exact BIGINT
+    addition."""
     cnt = {
         name: F.sum(
             (F.length(text_col)
@@ -1340,12 +1362,19 @@ def script_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         ).alias(f"__{name}")
         for name, cls in _SCRIPT_CLASSES
     }
-    agg = df.filter(F.col(text_col).isNotNull()).groupBy(
+    return df.filter(F.col(text_col).isNotNull()).groupBy(
         F.col(group_col).alias("__g")
     ).agg(
         F.sum(F.length(text_col).cast("bigint")).alias("n_chars"),
         *cnt.values(),
     )
+
+
+def script_profile_from_counts(
+    agg: DataFrame, group_col: str
+) -> DataFrame:
+    """The exact-division tail of :func:`script_profile` over a
+    counter relation shaped like :func:`script_profile_counts`."""
     known = " + ".join(f"__{name}" for name, _ in _SCRIPT_CLASSES)
     ppm = [
         F.expr(

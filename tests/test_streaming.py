@@ -2343,3 +2343,112 @@ def test_streaming_km_retry_and_empty_batch(spark, tmp_path):
     p1 = sorted(tuple(r) for r in rep.filter("batch_id = 1")
                 .drop("batch_id").collect())
     assert p1 == p0 and len(p1) > 0
+
+
+def test_streaming_script_profile_matches_batch_after_each_batch(
+    spark, tmp_path
+):
+    """Three arrival batches through the foreachBatch script-census
+    maintainer — including a Cyrillic/CJK batch and a new language
+    group — and after each batch the published profile partition is
+    BIT-EQUAL to running the batch ``script_profile`` over every
+    document arrived so far."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.textstats import script_profile
+    from gis_city_county_spark.streaming.script import (
+        streaming_script_profile,
+    )
+
+    batches = [
+        spark.createDataFrame(
+            [(1, "hello plain latin text 123", "en"),
+             (2, "more english words here", "en")],
+            "id long, body string, lang string",
+        ),
+        spark.createDataFrame(
+            [(3, "привет мир кириллица", "ru"),       # new group
+             (4, "mixed latin и кириллица", "en")],   # flips en shares
+            "id long, body string, lang string",
+        ),
+        spark.createDataFrame(
+            [(5, "汉字文本 with some latin", "zh")],
+            "id long, body string, lang string",
+        ),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "script_state")
+    profile_dir = str(tmp_path / "profiles")
+    q = (
+        streaming_script_profile(
+            spark, batches[0].schema, str(incoming), state_dir,
+            profile_dir, "lang", "body",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "lang", "n_chars", "latin_ppm", "digit_ppm", "space_ppm",
+        "cyrillic_ppm", "greek_ppm", "cjk_ppm", "arabic_ppm",
+        "other_ppm",
+    ]
+    published = spark.read.parquet(profile_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in script_profile(acc, "lang", "body").collect()
+        )
+        assert got == want, f"batch {bid}: {got} != {want}"
+
+
+def test_streaming_script_profile_publish_is_retry_idempotent(
+    spark, tmp_path
+):
+    """A foreachBatch retry (same batch, same id, folded twice)
+    leaves the counter state distinct-on-read and the published
+    profile partition with exactly one row set, identical values."""
+    from gis_city_county_spark.streaming.script import (
+        script_profile_batch_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    profile_dir = str(tmp_path / "profiles")
+    fold = script_profile_batch_folder(
+        state_dir, profile_dir, "lang", "body"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "latin и кириллица 12", "en"),
+         (2, None, "en")],            # NULL text filtered, not a row
+        "id long, body string, lang string",
+    )
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(profile_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(profile_dir).collect())
+    assert twice == once
+    assert spark.read.parquet(profile_dir).count() == 1  # one lang group
+    counts = spark.read.parquet(f"{state_dir}/script_counts")
+    assert counts.distinct().count() == 1  # identical retry row collapses
