@@ -5008,3 +5008,144 @@ SELECT n_clusters, n_rows,
             ELSE CAST(NULL AS DOUBLE) END AS deff
 FROM wi
 """
+
+
+def conformal_coverage(
+    df: DataFrame,
+    split_col: str,
+    score_col: str,
+    id_col: str,
+    alpha_ppm: int = 100_000,
+) -> DataFrame:
+    """Split-conformal prediction audit — calibrate the quantile
+    threshold on the calibration split and measure empirical coverage
+    on the test split: ``q̂`` is the ``k``-th smallest calibration
+    nonconformity score with ``k = ⌈(n_c+1)(1−α)⌉`` (the
+    finite-sample-valid split-conformal rank, Vovk/Papadopoulos —
+    public method), and coverage is the exact fraction of test scores
+    ``≤ q̂``.  Marginal coverage ≥ 1−α is the guarantee being
+    audited; a test reading far off it means the splits aren't
+    exchangeable (drift, leakage, or a broken scorer).
+
+    Exactness: ``k`` is the exact integer ceiling
+    ``((n_c+1)·(10⁶−α_ppm) + 10⁶−1) div 10⁶`` through
+    DECIMAL/HUGEINT (the count product overflows int64 near 9·10¹²
+    calibration rows); the rank is the two-phase ``ranged_rank`` over
+    (score, id) — a strict total order, no single-partition sort;
+    coverage is an exact ppm floor division.  When ``k > n_c``
+    (calibration too small for the requested α) q̂ is NULL and the
+    audit reports covered = n_test (the conformal convention: the
+    prediction set is everything).
+
+    Scale shape: ranged_rank's bounded three-pass plan over the
+    calibration split + two 1-row broadcast scalar merges (the n_c
+    census and the q̂ threshold onto the test aggregate).
+
+    Returns one row: (n_calib, n_test, k_rank, qhat, n_covered,
+    coverage_ppm).
+    """
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    base = df.select(
+        F.col(split_col).cast("int").alias("__split"),
+        F.col(score_col).cast("bigint").alias("__score"),
+        F.col(id_col).alias("__id"),
+    ).localCheckpoint(eager=False)
+    calib = base.filter(F.col("__split") == 0).select("__score", "__id")
+    ranked = ranged_rank(
+        calib, "__score", "__id", rank_col="__rk", descending=False
+    )
+    kk = calib.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_calib")
+    ).select(
+        "n_calib",
+        F.expr(
+            "CAST((CAST(n_calib + 1 AS DECIMAL(18,0))"
+            f" * CAST({1_000_000 - alpha_ppm} AS DECIMAL(7,0))"
+            " + CAST(999999 AS DECIMAL(6,0)))"
+            " div CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)"
+        ).alias("k_rank"),
+    )
+    qhat = (
+        ranked.join(F.broadcast(kk), F.col("__rk") == F.col("k_rank"))
+        .select(F.col("__score").alias("qhat"))
+    )
+    test = base.filter(F.col("__split") == 1)
+    cov = (
+        test.crossJoin(F.broadcast(kk))  # 1-row k/n_c scalar
+        .join(F.broadcast(qhat), F.lit(True), "left")  # 1-row or empty
+        .agg(
+            F.max("n_calib").alias("n_calib"),
+            F.max("k_rank").alias("k_rank"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.max("qhat").alias("qhat"),
+            F.sum(
+                F.when(
+                    F.col("qhat").isNull()
+                    | (F.col("__score") <= F.col("qhat")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "n_calib",
+        "n_test",
+        "k_rank",
+        "qhat",
+        "n_covered",
+        F.expr(
+            "CASE WHEN n_test > 0 THEN"
+            " (n_covered * CAST(1000000 AS BIGINT)) div n_test"
+            " ELSE CAST(NULL AS BIGINT) END"
+        ).alias("coverage_ppm"),
+    )
+
+
+def conformal_coverage_sql(
+    source_sql: str,
+    split_col: str,
+    score_col: str,
+    id_col: str,
+    alpha_ppm: int = 100_000,
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT CAST({split_col} AS INTEGER) AS split,
+         CAST({score_col} AS BIGINT) AS score,
+         {id_col} AS id
+  FROM ({source_sql})
+),
+ranked AS (
+  SELECT score,
+         CAST(ROW_NUMBER() OVER (ORDER BY score ASC, id ASC)
+              AS BIGINT) AS rk
+  FROM base WHERE split = 0
+),
+kk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_calib,
+         CAST((CAST(COUNT(*) + 1 AS HUGEINT)
+               * {1_000_000 - alpha_ppm} + 999999)
+              // 1000000 AS BIGINT) AS k_rank
+  FROM base WHERE split = 0
+),
+qhat AS (
+  SELECT score AS qhat FROM ranked, kk WHERE rk = k_rank
+),
+cov AS (
+  SELECT MAX(kk.n_calib) AS n_calib,
+         MAX(kk.k_rank) AS k_rank,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         MAX(qhat.qhat) AS qhat,
+         CAST(SUM(CASE WHEN qhat.qhat IS NULL OR score <= qhat.qhat
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM (SELECT score FROM base WHERE split = 1) t
+  CROSS JOIN kk
+  LEFT JOIN qhat ON TRUE
+)
+SELECT n_calib, n_test, k_rank, qhat, n_covered,
+       CASE WHEN n_test > 0 THEN
+            (n_covered * CAST(1000000 AS BIGINT)) // n_test
+            ELSE CAST(NULL AS BIGINT) END AS coverage_ppm
+FROM cov
+"""

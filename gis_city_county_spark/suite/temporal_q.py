@@ -1713,6 +1713,36 @@ def _icc_oracle() -> str:
     return icc_design_effect_sql(src, "cluster", "cents")
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit at α = 10% with order-parity
+    calibration/test splits and cent-valued nonconformity scores
+    (see operators.mlprep.conformal_coverage)."""
+    from gis_city_county_spark.operators.mlprep import conformal_coverage
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 2).cast("int").alias("split"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("score"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint").alias("rid"),
+    )
+    return conformal_coverage(li, "split", "score", "rid")
+
+
+def _conformal_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import (
+        conformal_coverage_sql,
+    )
+
+    src = (
+        "SELECT CAST(l_orderkey % 2 AS INTEGER) AS split,"
+        " CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS score,"
+        " CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid"
+        " FROM lineitem"
+    )
+    return conformal_coverage_sql(src, "split", "score", "rid")
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1744,6 +1774,7 @@ SPECS = [
     QuerySpec("eval_mh_odds", q_mh_odds, _mh_oracle()),
     QuerySpec("eval_cuped", q_cuped, _cuped_oracle()),
     QuerySpec("mlprep_icc_deff", q_icc_deff, _icc_oracle()),
+    QuerySpec("eval_conformal", q_conformal, _conformal_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

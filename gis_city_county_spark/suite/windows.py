@@ -1166,6 +1166,7 @@ R13_PRESTAGE: tuple[str, ...] = (
     "eval_mh_odds",
     "eval_cuped",
     "mlprep_icc_deff",
+    "eval_conformal",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -154,6 +154,9 @@ _BNLJ_ALLOWED = {
     # the 1-row b̄ scalar onto the ≤G-row cluster relation + the
     # 1-row tot × ssb final merge
     "mlprep_icc_deff",
+    # the 1-row (n_calib, k) census and ≤1-row q̂ threshold broadcast
+    # onto the test-split aggregate
+    "eval_conformal",
     "sim_ivf_ann_topk",
     # probe-only twin of the above: probes × nlist-row broadcast
     # centroids (the corpus side is the pruned partition read)
@@ -567,6 +570,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # 1-row global fold + 1-row SSB fold + final 1-row merge (cluster
     # relation is checkpoint-bounded, per-cluster work map-combinable)
     "mlprep_icc_deff": 3,
+    # 1-row (n_calib, k) census + final 1-row coverage merge +
+    # ranged_rank's bounded cut-points reduce
+    "eval_conformal": 3,
     # two 1-row merges: exact-pair totals + hit count (the recall
     # audit's scalars; the pair relations themselves are equi-joins)
     "sim_lsh_recall_audit": 2,

@@ -594,3 +594,61 @@ def test_icc_degenerate_nulls(spark):
     row2 = icc_design_effect(solo, "g", "y").collect()[0]
     assert row2["n_clusters"] == 1
     assert row2["icc"] is None and row2["deff"] is None
+
+
+# --------------------------------------------- conformal coverage
+
+
+def test_conformal_exact_and_parity(spark):
+    """Hand-checkable split: 9 calibration scores 10..90, α = 10% →
+    k = ⌈10·0.9⌉ = 9 → q̂ = 90; test scores [5, 50, 91] → covered 2,
+    coverage 666666 ppm.  Bit-equal with DuckDB."""
+    from gis_city_county_spark.operators.mlprep import (
+        conformal_coverage,
+        conformal_coverage_sql,
+    )
+
+    rows = [(0, 10 * i, i) for i in range(1, 10)] + [
+        (1, 5, 100), (1, 50, 101), (1, 91, 102),
+    ]
+    df = spark.createDataFrame(rows, "split int, score bigint, rid bigint")
+    got = conformal_coverage(df, "split", "score", "rid").collect()[0].asDict()
+    assert got["n_calib"] == 9 and got["k_rank"] == 9
+    assert got["qhat"] == 90
+    assert got["n_covered"] == 2 and got["coverage_ppm"] == 666666
+
+    res = _duck(
+        conformal_coverage_sql("SELECT * FROM t", "split", "score", "rid"),
+        "CREATE TABLE t (split INTEGER, score BIGINT, rid BIGINT)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
+
+
+def test_conformal_small_calibration_covers_everything(spark):
+    """k = ⌈(n_c+1)(1−α)⌉ > n_c (calibration too small for α) → q̂
+    NULL and the prediction set is everything: coverage 10⁶ ppm."""
+    from gis_city_county_spark.operators.mlprep import (
+        conformal_coverage,
+        conformal_coverage_sql,
+    )
+
+    rows = [(0, 10, 1), (0, 20, 2), (1, 999, 3), (1, 5, 4)]
+    df = spark.createDataFrame(rows, "split int, score bigint, rid bigint")
+    got = conformal_coverage(
+        df, "split", "score", "rid", alpha_ppm=100_000
+    ).collect()[0].asDict()
+    # k = ceil(3 * 0.9) = 3 > n_c = 2
+    assert got["k_rank"] == 3 and got["qhat"] is None
+    assert got["n_covered"] == 2 and got["coverage_ppm"] == 1_000_000
+
+    res = _duck(
+        conformal_coverage_sql(
+            "SELECT * FROM t", "split", "score", "rid", alpha_ppm=100_000
+        ),
+        "CREATE TABLE t (split INTEGER, score BIGINT, rid BIGINT)",
+        rows,
+    )
+    want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
+    assert got == want
