@@ -1617,6 +1617,27 @@ def encoding_anomaly(df, group_col: str, text_col: str):
     ctrl_char_total, replacement_doc_ppm, mojibake_doc_ppm) ordered
     by group.
     """
+    return encoding_anomaly_from_counts(
+        encoding_anomaly_counts(df, group_col, text_col), group_col
+    )
+
+
+#: Per-group BIGINT counter columns of the encoding-census build path
+#: (the streaming twin's fold state) — all additive, so folding
+#: per-batch partials with + reproduces the batch aggregate exactly.
+ENCODING_ANOMALY_COUNTERS: list[str] = [
+    "n_docs",
+    "replacement_docs",
+    "mojibake_docs",
+    "ctrl_char_total",
+]
+
+
+def encoding_anomaly_counts(df, group_col: str, text_col: str):
+    """The map-combinable half of :func:`encoding_anomaly`: per-group
+    doc totals and damage counters (columns
+    ``ENCODING_ANOMALY_COUNTERS``).  Shared by the batch operator and
+    the streaming twin (``streaming/encoding.py``)."""
     flag_repl = F.when(
         F.col(text_col).contains(_REPLACEMENT), 1
     ).otherwise(0)
@@ -1628,15 +1649,20 @@ def encoding_anomaly(df, group_col: str, text_col: str):
     ctrl = F.length(text_col) - F.length(
         F.regexp_replace(F.col(text_col), _CTRL_CLASS, "")
     )
+    return df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(flag_repl).cast("bigint").alias("replacement_docs"),
+        F.sum(flag_moji).cast("bigint").alias("mojibake_docs"),
+        F.coalesce(F.sum(ctrl), F.lit(0)).cast("bigint")
+        .alias("ctrl_char_total"),
+    )
+
+
+def encoding_anomaly_from_counts(agg, group_col: str):
+    """The exact-division tail of :func:`encoding_anomaly` over a
+    counter relation shaped like :func:`encoding_anomaly_counts`."""
     return (
-        df.groupBy(F.col(group_col))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(flag_repl).cast("bigint").alias("replacement_docs"),
-            F.sum(flag_moji).cast("bigint").alias("mojibake_docs"),
-            F.coalesce(F.sum(ctrl), F.lit(0)).cast("bigint")
-            .alias("ctrl_char_total"),
-        )
+        agg
         .select(
             group_col,
             "n_docs",

@@ -2452,3 +2452,111 @@ def test_streaming_script_profile_publish_is_retry_idempotent(
     assert spark.read.parquet(profile_dir).count() == 1  # one lang group
     counts = spark.read.parquet(f"{state_dir}/script_counts")
     assert counts.distinct().count() == 1  # identical retry row collapses
+
+
+def test_streaming_encoding_census_matches_batch_after_each_batch(
+    spark, tmp_path
+):
+    """Three arrival batches through the foreachBatch damage-census
+    maintainer — a clean batch, a mojibake+U+FFFD batch that flips
+    the rates, and a control-char batch in a NEW group — and after
+    each batch the published census partition is BIT-EQUAL to the
+    batch ``encoding_anomaly`` over every document arrived so far."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from gis_city_county_spark.operators.textstats import encoding_anomaly
+    from gis_city_county_spark.streaming.encoding import (
+        streaming_encoding_anomaly,
+    )
+
+    batches = [
+        spark.createDataFrame(
+            [(1, "perfectly clean text", "web"),
+             (2, "also clean here", "web")],
+            "id long, body string, src string",
+        ),
+        spark.createDataFrame(
+            [(3, "broken mojibake Ã© here", "web"),
+             (4, "lost char � mid-doc", "web")],
+            "id long, body string, src string",
+        ),
+        spark.createDataFrame(
+            [(5, "binary\x01junk\x02text", "books"),
+             (6, None, "books")],         # NULL text: counted, no flags
+            "id long, body string, src string",
+        ),
+    ]
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    stage = tmp_path / "stage"
+    now = time.time()
+    for i, b in enumerate(batches):
+        staged = str(stage / f"b{i}")
+        b.coalesce(1).write.parquet(staged)
+        part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+        dest = str(incoming / f"b{i}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (now - 90 + i * 30, now - 90 + i * 30))
+
+    state_dir = str(tmp_path / "enc_state")
+    census_dir = str(tmp_path / "census")
+    q = (
+        streaming_encoding_anomaly(
+            spark, batches[0].schema, str(incoming), state_dir,
+            census_dir, "src", "body",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = [
+        "src", "n_docs", "replacement_docs", "mojibake_docs",
+        "ctrl_char_total", "replacement_doc_ppm", "mojibake_doc_ppm",
+    ]
+    published = spark.read.parquet(census_dir)
+    acc = None
+    for bid, b in enumerate(batches):
+        acc = b if acc is None else acc.unionByName(b)
+        got = sorted(
+            tuple(r[c] for c in cols)
+            for r in published.filter(F.col("batch_id") == bid).collect()
+        )
+        want = sorted(
+            tuple(r[c] for c in cols)
+            for r in encoding_anomaly(acc, "src", "body").collect()
+        )
+        assert got == want, f"batch {bid}: {got} != {want}"
+
+
+def test_streaming_encoding_census_publish_is_retry_idempotent(
+    spark, tmp_path
+):
+    """A foreachBatch retry (same batch, same id, folded twice)
+    leaves the counter state distinct-on-read and the published
+    census partition with exactly one row set, identical values."""
+    from gis_city_county_spark.streaming.encoding import (
+        encoding_census_batch_folder,
+    )
+
+    state_dir = str(tmp_path / "state")
+    census_dir = str(tmp_path / "census")
+    fold = encoding_census_batch_folder(
+        state_dir, census_dir, "src", "body"
+    )
+    b0 = spark.createDataFrame(
+        [(1, "damaged Ã© doc", "web"), (2, "clean", "web")],
+        "id long, body string, src string",
+    )
+    fold(b0, 0)
+    once = sorted(tuple(r) for r in spark.read.parquet(census_dir).collect())
+    fold(b0, 0)  # the retry
+    twice = sorted(tuple(r) for r in spark.read.parquet(census_dir).collect())
+    assert twice == once
+    assert spark.read.parquet(census_dir).count() == 1  # one src group
+    counts = spark.read.parquet(f"{state_dir}/encoding_counts")
+    assert counts.distinct().count() == 1  # identical retry row collapses
