@@ -134,6 +134,12 @@ PROBE_QUERIES = [
     # relation, replica scales the test battery); eval_did is one
     # scan-side aggregate and skips the probe.
     "eval_bh_fdr",
+    # ICC: the replica scales CLUSTERS (orders) at fixed cluster
+    # size — the "shuffle ∝ clusters" claim measured directly.
+    "mlprep_icc_deff",
+    # conformal: ranged_rank selection over the calibration split +
+    # the test-side scan; replica scales both splits together.
+    "eval_conformal",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle
