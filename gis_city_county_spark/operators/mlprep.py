@@ -5149,3 +5149,137 @@ SELECT n_calib, n_test, k_rank, qhat, n_covered,
             ELSE CAST(NULL AS BIGINT) END AS coverage_ppm
 FROM cov
 """
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    treat_col: str,
+    value_col: str,
+    id_col: str,
+    q_ppm: tuple[int, ...] = (250_000, 500_000, 750_000),
+) -> DataFrame:
+    """Quantile treatment effects — the experiment readout beyond the
+    mean: per-arm lower (type-1) quantiles at the requested levels
+    and their differences.  A lift concentrated in the upper
+    quantiles with a flat median is a different product story than a
+    uniform shift, and the mean alone cannot tell them apart.
+
+    Exactness: each arm's ``q``-quantile is the value at rank
+    ``k = ⌈q·n⌉`` under the strict (value, id) total order — ``k`` is
+    the exact integer ceiling ``(q_ppm·n + 10⁶−1) div 10⁶`` through
+    DECIMAL/HUGEINT — so both engines select the SAME row; the QTE
+    column is an exact BIGINT difference, no IEEE anywhere.
+
+    Scale shape: one two-phase ``ranged_rank`` per arm (bounded
+    three-pass plans, no single-partition sort) + a broadcast
+    ≤2·|q|-row rank-table equi-join.  Empty arms yield NULL
+    quantiles/QTE at every level rather than dropping rows.
+
+    Returns |q| rows: (q_ppm, n_c, n_t, v_c, v_t, qte) ordered by
+    q_ppm.
+    """
+    from gis_city_county_spark.operators.scale import ranged_rank
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(treat_col).cast("int").alias("__t"),
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(id_col).alias("__id"),
+    ).localCheckpoint(eager=False)
+    qs = spark.createDataFrame(
+        [(int(q),) for q in q_ppm], "q_ppm bigint"
+    )
+
+    def arm_quantiles(side: int, vcol: str, ncol: str) -> DataFrame:
+        arm = base.filter(F.col("__t") == side).select("__v", "__id")
+        ranked = ranged_rank(
+            arm, "__v", "__id", rank_col="__rk", descending=False
+        )
+        n = arm.agg(F.count(F.lit(1)).cast("bigint").alias(ncol))
+        ks = qs.crossJoin(F.broadcast(n)).select(
+            "q_ppm",
+            ncol,
+            F.expr(
+                "CAST((CAST(q_ppm AS DECIMAL(18,0))"
+                f" * CAST({ncol} AS DECIMAL(18,0))"
+                " + CAST(999999 AS DECIMAL(6,0)))"
+                " div CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)"
+            ).alias("__k"),
+        )
+        # Selection order matters at scale: the big ranked relation
+        # streams against the BROADCAST ≤|q|-row rank table (inner
+        # equi-join), leaving ≤|q| selected rows; the left merge back
+        # onto ks (to keep every requested level even when the arm is
+        # empty — k = 0 matches no rank) then broadcasts that tiny
+        # selection, never the arm.
+        sel = ranked.join(
+            # distinct: two levels can share a rank on a tiny arm,
+            # and a duplicated key here would fan out the merge below
+            F.broadcast(ks.select(F.col("__k")).distinct()),
+            ranked["__rk"] == F.col("__k"),
+        ).select(
+            F.col("__rk").alias("__k"), F.col("__v").alias(vcol)
+        )
+        return ks.join(F.broadcast(sel), "__k", "left").select(
+            "q_ppm", ncol, vcol
+        )
+
+    c = arm_quantiles(0, "v_c", "n_c")
+    t = arm_quantiles(1, "v_t", "n_t")
+    return (
+        c.join(t, "q_ppm")
+        .select(
+            "q_ppm",
+            "n_c",
+            "n_t",
+            "v_c",
+            "v_t",
+            (F.col("v_t") - F.col("v_c")).cast("bigint").alias("qte"),
+        )
+        .orderBy("q_ppm")
+    )
+
+
+def quantile_treatment_effect_sql(
+    source_sql: str,
+    treat_col: str,
+    value_col: str,
+    id_col: str,
+    q_ppm: tuple[int, ...] = (250_000, 500_000, 750_000),
+) -> str:
+    qvals = ", ".join(f"({int(q)})" for q in q_ppm)
+    return f"""
+WITH base AS (
+  SELECT CAST({treat_col} AS INTEGER) AS t,
+         CAST({value_col} AS BIGINT) AS v,
+         {id_col} AS id
+  FROM ({source_sql})
+),
+qs(q_ppm) AS (VALUES {qvals}),
+ranked AS (
+  SELECT t, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY t ORDER BY v ASC, id ASC)
+              AS BIGINT) AS rk
+  FROM base
+),
+ns AS (
+  SELECT CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+  FROM base
+),
+ks AS (
+  SELECT CAST(q_ppm AS BIGINT) AS q_ppm, n_c, n_t,
+         CAST((CAST(q_ppm AS HUGEINT) * CAST(n_c AS HUGEINT) + 999999)
+              // 1000000 AS BIGINT) AS k_c,
+         CAST((CAST(q_ppm AS HUGEINT) * CAST(n_t AS HUGEINT) + 999999)
+              // 1000000 AS BIGINT) AS k_t
+  FROM qs CROSS JOIN ns
+)
+SELECT ks.q_ppm, ks.n_c, ks.n_t,
+       rc.v AS v_c, rt.v AS v_t,
+       CAST(rt.v - rc.v AS BIGINT) AS qte
+FROM ks
+LEFT JOIN ranked rc ON rc.t = 0 AND rc.rk = ks.k_c
+LEFT JOIN ranked rt ON rt.t = 1 AND rt.rk = ks.k_t
+ORDER BY ks.q_ppm
+"""

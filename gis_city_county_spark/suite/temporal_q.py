@@ -1743,6 +1743,39 @@ def _conformal_oracle() -> str:
     return conformal_coverage_sql(src, "split", "score", "rid")
 
 
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (25/50/75) of line-item revenue
+    cents across part-parity arms — exact rank-selected per-arm
+    quantiles and lifts (see
+    operators.mlprep.quantile_treatment_effect)."""
+    from gis_city_county_spark.operators.mlprep import (
+        quantile_treatment_effect,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 2).cast("int").alias("arm"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("bigint").alias("rid"),
+    )
+    return quantile_treatment_effect(li, "arm", "cents", "rid")
+
+
+def _qte_oracle() -> str:
+    from gis_city_county_spark.operators.mlprep import (
+        quantile_treatment_effect_sql,
+    )
+
+    src = (
+        "SELECT CAST(l_partkey % 2 AS INTEGER) AS arm,"
+        " CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,"
+        " CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS rid"
+        " FROM lineitem"
+    )
+    return quantile_treatment_effect_sql(src, "arm", "cents", "rid")
+
+
 SPECS = [
     QuerySpec("eval_mcnemar", q_mcnemar, _mcnemar_oracle()),
     QuerySpec("eval_effect_size", q_effect_size, _effect_size_oracle()),
@@ -1775,6 +1808,7 @@ SPECS = [
     QuerySpec("eval_cuped", q_cuped, _cuped_oracle()),
     QuerySpec("mlprep_icc_deff", q_icc_deff, _icc_oracle()),
     QuerySpec("eval_conformal", q_conformal, _conformal_oracle()),
+    QuerySpec("eval_qte", q_qte, _qte_oracle()),
     QuerySpec("events_asof_join", q_asof, _ASOF_ORACLE),
     QuerySpec("mlprep_winsorize", q_winsorize, _winsorize_oracle()),
     QuerySpec("eval_brier_decomposition", q_brier_decomposition, _brier_oracle()),

@@ -1167,6 +1167,7 @@ R13_PRESTAGE: tuple[str, ...] = (
     "eval_cuped",
     "mlprep_icc_deff",
     "eval_conformal",
+    "eval_qte",
 )
 
 PRESTAGE: dict[int, tuple[str, ...]] = {

@@ -140,6 +140,8 @@ PROBE_QUERIES = [
     # conformal: ranged_rank selection over the calibration split +
     # the test-side scan; replica scales both splits together.
     "eval_conformal",
+    # QTE: two per-arm ranged_ranks; replica scales both arms.
+    "eval_qte",
 ]
 
 # Wall-clock at factor F may legitimately exceed F× (more shuffle

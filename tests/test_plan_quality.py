@@ -157,6 +157,9 @@ _BNLJ_ALLOWED = {
     # the 1-row (n_calib, k) census and ≤1-row q̂ threshold broadcast
     # onto the test-split aggregate
     "eval_conformal",
+    # per-arm 1-row n census onto the |q|-row level table (the big
+    # ranked side streams against the broadcast rank table)
+    "eval_qte",
     "sim_ivf_ann_topk",
     # probe-only twin of the above: probes × nlist-row broadcast
     # centroids (the corpus side is the pruned partition read)
@@ -573,6 +576,9 @@ _SINGLE_PARTITION_ALLOWED = {
     # 1-row (n_calib, k) census + final 1-row coverage merge +
     # ranged_rank's bounded cut-points reduce
     "eval_conformal": 3,
+    # per-arm 1-row n census + per-arm ranged_rank cut reduces
+    # (inputs all <= task count or 1 row)
+    "eval_qte": 4,
     # two 1-row merges: exact-pair totals + hit count (the recall
     # audit's scalars; the pair relations themselves are equi-joins)
     "sim_lsh_recall_audit": 2,

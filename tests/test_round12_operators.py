@@ -652,3 +652,67 @@ def test_conformal_small_calibration_covers_everything(spark):
     )
     want = dict(zip([d[0] for d in res.description], res.fetchall()[0]))
     assert got == want
+
+
+# --------------------------------------------- quantile treatment effect
+
+
+def test_qte_exact_and_parity(spark):
+    """Type-1 quantiles at 25/50/75 on two 4-row arms shifted by a
+    constant 5: k = ⌈q·4⌉ = 1/2/3 selects 10/20/30 vs 15/25/35, QTE
+    = 5 at every level; bit-equal with DuckDB."""
+    from gis_city_county_spark.operators.mlprep import (
+        quantile_treatment_effect,
+        quantile_treatment_effect_sql,
+    )
+
+    rows = [(0, v, i) for i, v in enumerate([10, 20, 30, 40])] + [
+        (1, v, 10 + i) for i, v in enumerate([15, 25, 35, 45])
+    ]
+    df = spark.createDataFrame(rows, "arm int, v bigint, rid bigint")
+    got = [tuple(r) for r in
+           quantile_treatment_effect(df, "arm", "v", "rid").collect()]
+    assert got == [
+        (250000, 4, 4, 10, 15, 5),
+        (500000, 4, 4, 20, 25, 5),
+        (750000, 4, 4, 30, 35, 5),
+    ]
+    res = _duck(
+        quantile_treatment_effect_sql("SELECT * FROM t", "arm", "v", "rid"),
+        "CREATE TABLE t (arm INTEGER, v BIGINT, rid BIGINT)",
+        rows,
+    )
+    assert got == [tuple(r) for r in res.fetchall()]
+
+
+def test_qte_tiny_and_empty_arms(spark):
+    """A 1-row arm maps all three levels to rank 1 (the duplicate-k
+    merge must NOT fan out); an empty arm yields NULL quantiles and
+    NULL QTE at every level; both DuckDB-bit-equal."""
+    from gis_city_county_spark.operators.mlprep import (
+        quantile_treatment_effect,
+        quantile_treatment_effect_sql,
+    )
+
+    rows = [(0, 10, 1), (0, 20, 2), (1, 99, 3)]
+    df = spark.createDataFrame(rows, "arm int, v bigint, rid bigint")
+    got = [tuple(r) for r in
+           quantile_treatment_effect(df, "arm", "v", "rid").collect()]
+    assert len(got) == 3  # no fan-out from the shared rank
+    assert [g[4] for g in got] == [99, 99, 99]
+    res = _duck(
+        quantile_treatment_effect_sql("SELECT * FROM t", "arm", "v", "rid"),
+        "CREATE TABLE t (arm INTEGER, v BIGINT, rid BIGINT)",
+        rows,
+    )
+    assert got == [tuple(r) for r in res.fetchall()]
+
+    solo = spark.createDataFrame(
+        [(0, 10, 1), (0, 30, 2)], "arm int, v bigint, rid bigint"
+    )
+    out = {r["q_ppm"]: r for r in
+           quantile_treatment_effect(solo, "arm", "v", "rid").collect()}
+    assert len(out) == 3
+    assert all(out[q]["v_t"] is None and out[q]["qte"] is None
+               for q in out)
+    assert out[500000]["v_c"] == 10  # k = ceil(0.5*2) = 1
