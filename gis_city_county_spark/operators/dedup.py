@@ -60,13 +60,27 @@ FROM {table}
 
 # ------------------------------------------------------------------ shingles
 
-def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def shingle_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    *,
+    unique_id_rows: bool = False,
+) -> DataFrame:
     """Distinct k-word shingles per document: (id, shingle).
 
     Built with array expressions (transform over sequence + slice), so
     shingling happens JVM-side during the scan; explode produces the
     long (id, shingle) relation that every downstream dedup op keys
-    on."""
+    on.
+
+    ``unique_id_rows=True`` asserts each id appears on exactly ONE
+    input row (a per-document key): the distinct-shingle set is then
+    row-local and the cross-row ``dropDuplicates`` shuffle is skipped
+    entirely. Leave it False for grouping keys that span rows (e.g. a
+    source column), where two documents of one id can repeat a
+    shingle."""
     with_toks = rebalance_for_fanout(df, multiplier=64.0).select(
         F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
     )
@@ -77,11 +91,19 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFra
             f" i -> concat_ws(' ', slice(__toks, i, {k})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        with_toks.select("__id", F.explode(sh).alias("shingle"))
-        .dropDuplicates(["__id", "shingle"])
-        .withColumnRenamed("__id", id_col)
+    # Dedupe inside the shingle array BEFORE exploding: a map-side
+    # partial distinct that shrinks the exploded relation either way
+    # (guide SS2.3 — shuffle fewer bytes). When the caller guarantees
+    # one row per id, that row-local distinct IS the per-id distinct
+    # set and the dropDuplicates shuffle is removed outright (guide
+    # SS2.4); otherwise ids spanning rows still need the cross-row
+    # dedup (a source key repeating a shingle across documents).
+    out = with_toks.select(
+        "__id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
+    if not unique_id_rows:
+        out = out.dropDuplicates(["__id", "shingle"])
+    return out.withColumnRenamed("__id", id_col)
 
 
 def shingle_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
@@ -195,7 +217,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Full MinHash-LSH candidate-pair pipeline."""
-    sh = shingle_df(df, id_col, text_col, k)
+    sh = shingle_df(df, id_col, text_col, k, unique_id_rows=True)
     sig = minhash_signatures(sh, id_col, num_hashes)
     return lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
 
@@ -262,7 +284,9 @@ def ngram_jaccard_pairs(
     # caching pays serialization without truncating the plan). At
     # corpus scale, checkpoint to the cluster store instead
     # (executor-local blocks don't survive executor loss).
-    sh = shingle_df(df, id_col, text_col, k).transform(checkpoint_eager)
+    sh = shingle_df(
+        df, id_col, text_col, k, unique_id_rows=True
+    ).transform(checkpoint_eager)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -362,7 +386,7 @@ def simhash32_shingles(
     keep near-dup selectivity sane; 32 bits keeps random collisions
     out of birthday range for warehouse-scale corpora. Same one-pass
     vote aggregate as :func:`simhash16`."""
-    sh = shingle_df(df, id_col, text_col, k).withColumn(
+    sh = shingle_df(df, id_col, text_col, k, unique_id_rows=True).withColumn(
         "h", _md5_int(F.col("shingle"))
     )
     votes = [
@@ -726,7 +750,9 @@ def prefix_jaccard_join(
     everything looks similar; shingle universes stay sparse).
     """
     if shingle_k is not None:
-        toks = shingle_df(df, id_col, text_col, shingle_k).select(
+        toks = shingle_df(
+            df, id_col, text_col, shingle_k, unique_id_rows=True
+        ).select(
             F.col(id_col).alias("__id"), F.col("shingle").alias("token")
         )
     else:
@@ -734,6 +760,16 @@ def prefix_jaccard_join(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(tokens(text_col))).alias("token"),
         )
+    # `toks` feeds five consumers (document frequencies, sizes, the
+    # ranked prefix, and both verify legs); materialize the
+    # tokenize/shingle explode ONCE instead of replaying it per
+    # reference — the un-truncated plan held 84 exchanges / 28 scans
+    # (guide SS3.3: materialize intermediates referenced many times).
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    toks = _materialize_for_multipass(toks)
     dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     sizes = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("n_t"))
     w = Window.partitionBy("__id").orderBy(F.col("__df").asc(), F.col("token").asc())
@@ -748,8 +784,13 @@ def prefix_jaccard_join(
         - F.expr(f"(CAST({tau_num} AS BIGINT) * n_t + {tau_den} - 1) div {tau_den}")
         + 1
     )
-    prefix = ranked.filter(F.col("__pos") <= lmax).select(
-        "__id", "token", "n_t", "__pos"
+    # the prefix relation feeds both join legs; the candidate set
+    # feeds the verify join and the final report — truncate each once
+    # (their subtrees hold the window rank / the candidate equi-join).
+    prefix = _materialize_for_multipass(
+        ranked.filter(F.col("__pos") <= lmax).select(
+            "__id", "token", "n_t", "__pos"
+        )
     )
     a = prefix.select(
         F.col("__id").alias("a_id"),
@@ -786,6 +827,7 @@ def prefix_jaccard_join(
         .select("a_id", "b_id", "n_a", "n_b")
         .distinct()
     )
+    cand = _materialize_for_multipass(cand)
     a_t = toks.select(F.col("__id").alias("a_id"), "token")
     b_t = toks.select(F.col("__id").alias("b_id"), "token")
     inter = (
@@ -878,7 +920,7 @@ def novelty_scores(
     keys are shingles only; exact integer ppm.
 
     Output: ``(id, n_shingles, n_seen_before, novelty_ppm)``."""
-    sh = shingle_df(df, id_col, text_col, k)
+    sh = shingle_df(df, id_col, text_col, k, unique_id_rows=True)
     first = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
     joined = sh.join(first, "shingle")
     return (
@@ -1205,7 +1247,9 @@ def blocking_recall(
     from gis_city_county_spark.operators.sketch import hash_sample
 
     sample = hash_sample(df, id_col, sample_fraction)
-    sh = shingle_df(sample, id_col, text_col, k).transform(checkpoint_eager)
+    sh = shingle_df(
+        sample, id_col, text_col, k, unique_id_rows=True
+    ).transform(checkpoint_eager)
 
     # Ground truth: pairs sharing >= 1 shingle, verified by exact
     # integer Jaccard (pairs with no shared shingle have Jaccard 0 <
@@ -1367,7 +1411,9 @@ def containment_pairs(
 
     Returns (a_id, b_id, n_inter, n_a, n_b, containment_ppm).
     """
-    sh = shingle_df(df, id_col, text_col, k).transform(checkpoint_eager)
+    sh = shingle_df(
+        df, id_col, text_col, k, unique_id_rows=True
+    ).transform(checkpoint_eager)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
         sh.groupBy("shingle")
@@ -1770,6 +1816,11 @@ def threshold_yield_curve(
     Returns (threshold_permille, n_pairs, n_docs_affected), one row
     per threshold in ascending order.
     """
+    # the verified-pair relation feeds the pair count AND the
+    # distinct-doc count; truncate the LSH→verify chain once instead
+    # of replaying signatures+band join+verify per output branch
+    # (guide SS3.3 — the plan held 30 broadcast joins before; pairs
+    # are the bounded post-verify relation, the cheap thing to hold)
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col, k=k, threshold=0.0,
         num_hashes=num_hashes, bands=bands,
@@ -1778,7 +1829,7 @@ def threshold_yield_curve(
         "b_id",
         F.expr("CAST((1000 * n_inter) div (n_a + n_b - n_inter) AS BIGINT)")
         .alias("__pm"),
-    )
+    ).localCheckpoint(eager=False)
     t_arr = F.array(*[F.lit(int(t)) for t in thresholds])
     hits = pairs.select(
         "a_id", "b_id", "__pm",
@@ -1890,7 +1941,9 @@ def minhash_accuracy(
     Returns (err_bucket, n_pairs, min_err_permille, max_err_permille),
     err_bucket = floor(e/100).
     """
-    sh = shingle_df(df, id_col, text_col, k).transform(checkpoint_eager)
+    sh = shingle_df(
+        df, id_col, text_col, k, unique_id_rows=True
+    ).transform(checkpoint_eager)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(
         lsh_bands(sig, id_col, num_hashes, bands), id_col

@@ -532,8 +532,20 @@ def degree_assortativity(
     """
     from gis_city_county_spark.operators.profile import correlation
 
-    endpoints = edges.select(F.col(src_col).alias("__node")).unionAll(
-        edges.select(F.col(dst_col).alias("__node"))
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # Three consumers of `edges` (both degree endpoints + the pair
+    # relation): materialize expensive lineage once, and build both
+    # endpoints with one row-local explode instead of a self-union
+    # (guide SS2.4/SS3.3).
+    edges = _materialize_for_multipass(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    src_col, dst_col = "src", "dst"
+    endpoints = edges.select(
+        F.explode(F.array(src_col, dst_col)).alias("__node")
     )
     deg = endpoints.groupBy("__node").agg(
         F.count(F.lit(1)).cast("long").alias("__deg")
@@ -611,7 +623,15 @@ def clustering_coefficient(
     n_triangles, n_wedges, transitivity_ppm, avg_local_cc_ppm); the
     ratios are NULL on wedge-free / all-degree-1 graphs.
     """
-    und = (
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # `und` feeds five consumers (the degree count and three triangle
+    # join legs); materialize expensive lineage ONCE instead of
+    # replaying the canonicalize+distinct subtree per reference
+    # (guide SS3.3 / SS5 — the plan held 44 parquet scans before).
+    und = _materialize_for_multipass(
         edges.select(
             F.least(src_col, dst_col).alias("a"),
             F.greatest(src_col, dst_col).alias("b"),
@@ -619,9 +639,10 @@ def clustering_coefficient(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    # endpoint/corner fan-outs as row-local explodes, not self-unions:
+    # a union of k selects over the same frame evaluates it k times.
     deg = (
-        und.select(F.col("a").alias("__node"))
-        .unionAll(und.select(F.col("b").alias("__node")))
+        und.select(F.explode(F.array("a", "b")).alias("__node"))
         .groupBy("__node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__deg"))
     )
@@ -633,9 +654,7 @@ def clustering_coefficient(
         .select("a", "b", "c")
     )
     corners = (
-        tri.select(F.col("a").alias("__node"))
-        .unionAll(tri.select(F.col("b").alias("__node")))
-        .unionAll(tri.select(F.col("c").alias("__node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("__node"))
         .groupBy("__node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__tri"))
     )

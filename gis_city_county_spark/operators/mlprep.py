@@ -1791,9 +1791,23 @@ def corr_matrix(
             f"corr_matrix needs >= 2 metrics, got {len(metrics)}"
         )
     names = list(metrics)
+    # Project to the k metric columns, then spread the 2k+C(k,2)
+    # exact-DECIMAL moment products across the cluster's slots: on a
+    # single-row-group input the whole partial aggregate otherwise
+    # runs in ONE scan task (guide SS2.5).  The projected shuffle rows
+    # are a few narrow columns (guide SS2.3); the helper no-ops when
+    # the scan already has enough splits — always at production scale.
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
+
+    proj = rebalance_for_fanout(
+        df.select(*[c.alias(f"__in_{n}") for n, c in metrics.items()]),
+        multiplier=8.0,
+    )
     ints = {
-        name: F.floor(col.cast("decimal(38,10)") * scale).cast("decimal(19,0)")
-        for name, col in metrics.items()
+        name: F.floor(
+            F.col(f"__in_{name}").cast("decimal(38,10)") * scale
+        ).cast("decimal(19,0)")
+        for name in names
     }
     dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
@@ -1812,7 +1826,7 @@ def corr_matrix(
             F.sum((ints[x] * ints[y]).cast(dec)).cast(dec)
             .alias(f"__sp_{x}_{y}")
         )
-    m = df.agg(*aggs)
+    m = proj.agg(*aggs)
 
     def _r(x: str, y: str) -> Column:
         nn = F.col("n").cast(dec)
@@ -2126,13 +2140,21 @@ def bootstrap_ci(
     smallest / 2nd largest replica means (the ~5%/95% order stats at
     B=32), bracketing the point estimate's sampling noise.
     """
+    from gis_city_county_spark.operators.scale import rebalance_for_fanout
     from gis_city_county_spark.operators.sketch import _h60
 
     thresholds = _poisson1_cdf_thresholds()
     cents = F.floor(
         F.col(value_col).cast("decimal(38,10)") * 100
     ).cast("decimal(19,0)")
+    # Project to the two needed columns FIRST (guide SS2.3), then
+    # spread the x n_replicas hash fan-out across the cluster's slots:
+    # a single-row-group parquet scan otherwise evaluates all
+    # n_replicas md5 draws + decimal partial sums in ONE task (guide
+    # SS2.5 input skew; the helper no-ops once the scan already has
+    # >= slots/2 splits, i.e. always at production scale).
     base = df.select(F.col(key_col).alias("__k"), cents.alias("__v"))
+    base = rebalance_for_fanout(base, multiplier=float(n_replicas))
     rep = base.select(
         "__k", "__v",
         F.explode(F.array(*[F.lit(b) for b in range(n_replicas)]))
@@ -3950,13 +3972,20 @@ def bradley_terry(
     n_items = wins.count()  # bounded: the item census, not the contests
     p = wins.select("__i", F.lit(scale).cast("bigint").alias("__p"),
                     F.lit(0).cast("bigint").alias("__delta"))
+    # Every per-round join operand below is items-sized (the item
+    # census `n_items`, thousands at most per the operator contract —
+    # contests are the big input and they collapsed into `sym` above),
+    # so the strengths table is explicitly broadcast: each round
+    # becomes two map-side joins over the cell relation instead of
+    # four shuffle exchanges (guide SS3.1 — broadcast the side you
+    # KNOW is small; the planner only sees size estimates).
     for r in range(rounds):
         terms = (
-            sym.join(p.select(F.col("__i").alias("__ti"),
-                              F.col("__p").alias("__pi")),
+            sym.join(F.broadcast(p.select(F.col("__i").alias("__ti"),
+                                          F.col("__p").alias("__pi"))),
                      F.col("__i") == F.col("__ti"))
-            .join(p.select(F.col("__i").alias("__tj"),
-                           F.col("__p").alias("__pj")),
+            .join(F.broadcast(p.select(F.col("__i").alias("__tj"),
+                                       F.col("__p").alias("__pj"))),
                   F.col("__j") == F.col("__tj"))
             .select(
                 "__i",
@@ -3970,7 +3999,7 @@ def bradley_terry(
             .groupBy("__i")
             .agg(F.sum("__t").cast("decimal(38,0)").alias("__d"))
         )
-        raw = wins.join(terms, "__i").select(
+        raw = wins.join(F.broadcast(terms), "__i").select(
             "__i",
             F.expr(
                 "CASE WHEN __d > 0 THEN"
@@ -3990,8 +4019,8 @@ def bradley_terry(
             ).alias("__p"),
         )
         p = (
-            new_p.join(p.select(F.col("__i").alias("__oi"),
-                                F.col("__p").alias("__op")),
+            new_p.join(F.broadcast(p.select(F.col("__i").alias("__oi"),
+                                            F.col("__p").alias("__op"))),
                        F.col("__i") == F.col("__oi"))
             .select("__i", "__p",
                     F.abs(F.col("__p") - F.col("__op")).alias("__delta"))
@@ -3999,11 +4028,11 @@ def bradley_terry(
         )
     max_delta = p.agg(F.max("__delta").cast("bigint").alias("__md"))
     return (
-        p.join(wins, "__i")
+        p.join(F.broadcast(wins), "__i")
         .join(
-            sym.groupBy("__i").agg(
+            F.broadcast(sym.groupBy("__i").agg(
                 F.sum("__n").cast("bigint").alias("n_contests")
-            ),
+            )),
             "__i",
         )
         .crossJoin(F.broadcast(max_delta))

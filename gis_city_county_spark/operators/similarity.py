@@ -958,9 +958,13 @@ def pq_adc_topk(
             )
         ).alias("p"),
     ).select("__id", F.col("p.s").alias("s"), F.col("p.sv").alias("sv"))
+    # the m·ksub-row codebook is broadcast into the assignment join,
+    # the probe ADC table, and (via adt) m search joins — truncate it
+    # once instead of replaying the corpus explode per reference
+    # (guide SS3.3; the plan held 34 parquet scans before)
     cb = subs.filter(F.col("__id") < ksub).select(
         F.col("s").alias("cs"), F.col("__id").alias("cid"), F.col("sv").alias("cv")
-    )
+    ).localCheckpoint(eager=False)
     d2 = (
         dot_product(F.col("sv"), F.col("sv"))
         + dot_product(F.col("cv"), F.col("cv"))
@@ -1000,6 +1004,8 @@ def pq_adc_topk(
             - 2 * dot_product(F.col("pv"), F.col("cv")),
         )
         .select("pid", "ps", "cid", "d")
+        # bounded: |probes|·m·ksub rows, broadcast m+1 times below
+        .localCheckpoint(eager=False)
     )
     scored = codes.crossJoin(
         F.broadcast(adt.select("pid").distinct())
@@ -1184,7 +1190,11 @@ def kmeans_refine(
             F.expr(
                 "transform(array_sort(collect_list(struct(dim, m))), p -> p.m)"
             ).alias("cv")
-        )
+        # truncate the k-row centroid frame per iteration: the final
+        # assign AND the closing join both reference `cents`, which
+        # otherwise replays every earlier iteration's corpus pass per
+        # reference (guide SS3.3; k rows — negligible storage)
+        ).localCheckpoint(eager=False)
 
     final = assign(cents)
     counts = final.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
@@ -1968,6 +1978,11 @@ def mmr_rerank(
                         / F.sqrt(F.col("__n2") * F.col("__sn2")),
                     ).alias("__maxsim"),
                 )
+                # truncate per step: step j's lineage otherwise embeds
+                # every earlier step's join, and the k unioned picks
+                # replay that pyramid O(k^2) times (the plan held 52
+                # BroadcastNestedLoopJoins before; guide SS3.3)
+                .localCheckpoint(eager=False)
             )
     out = picks[0]
     for p in picks[1:]:

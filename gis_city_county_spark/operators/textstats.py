@@ -1448,7 +1448,7 @@ def ngram_novelty(
     """
     from gis_city_county_spark.operators.dedup import shingle_df
 
-    sh = shingle_df(df, id_col, text_col, k)
+    sh = shingle_df(df, id_col, text_col, k, unique_id_rows=True)
     owner = sh.groupBy("shingle").agg(
         F.min(id_col).alias("__owner")
     )

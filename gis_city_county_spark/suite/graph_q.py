@@ -34,11 +34,23 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Both directions via one row-local explode instead of a
+    # self-union: a union of two selects over `pairs` executes the
+    # join+distinct subtree TWICE per downstream action (guide SS2.4 —
+    # remove recomputation, not just shuffles); the explode emits the
+    # same rows from one evaluation.
     return pairs.select(
-        F.col("s_node").alias("src"), F.col("c_node").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+                ),
+                F.struct(
+                    F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
 
 
 def q_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:

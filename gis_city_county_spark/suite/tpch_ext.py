@@ -1283,8 +1283,17 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is bounded by basket size (≈ lines-per-order, single digits),
     never O(parts²); supports below 3 are pruned before the lift math
     and top-k executes as TakeOrderedAndProject."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # four consumers (order census, item counts, both self-join legs):
+    # materialize the distinct-basket shuffle once instead of
+    # replaying it per reference (guide SS3.3)
+    baskets = _materialize_for_multipass(
+        li.select("l_orderkey", "l_partkey").distinct()
+    )
     n_orders = baskets.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )

@@ -962,3 +962,47 @@ def test_incremental_dedup_survives_null_fingerprints(spark):
     )
     want = con.execute(sql).fetchall()
     assert want == [("g", 5, 1, 2, 2)]
+
+
+def test_shingle_df_non_unique_id_dedupes_across_rows(spark):
+    """r12 regression pin: with a grouping id that spans rows (a
+    SOURCE key, not a doc key), a shingle repeated by two documents of
+    the same id must count ONCE — the row-local array_distinct alone
+    is not enough (caught by the r12 driver-sim sweep on
+    corpus_source_similarity). unique_id_rows=True documents the
+    one-row-per-id contract and must agree wherever that contract
+    holds."""
+    from gis_city_county_spark.operators.dedup import shingle_df
+
+    rows = [
+        ("feedA", "the quick brown fox jumps"),
+        ("feedA", "the quick brown fox sleeps"),   # repeats 2 shingles
+        ("feedB", "another entirely different text here"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+
+    got = {
+        (r["source"], r["shingle"])
+        for r in shingle_df(df, "source", "text", k=3).collect()
+    }
+    # feedA: doc1 has 3 shingles, doc2 has 3, sharing 'the quick brown'
+    # and 'quick brown fox' -> 4 distinct; feedB: 3.
+    assert len([1 for s, _ in got if s == "feedA"]) == 4
+    assert len([1 for s, _ in got if s == "feedB"]) == 3
+
+    # On a one-row-per-id input both modes are set-identical.
+    uniq = df.withColumn(
+        "rid",
+        F.monotonically_increasing_id().cast("string"),
+    )
+    a = {
+        (r["rid"], r["shingle"])
+        for r in shingle_df(uniq, "rid", "text", k=3).collect()
+    }
+    b = {
+        (r["rid"], r["shingle"])
+        for r in shingle_df(
+            uniq, "rid", "text", k=3, unique_id_rows=True
+        ).collect()
+    }
+    assert a == b

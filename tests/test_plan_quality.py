@@ -516,6 +516,11 @@ _SINGLE_PARTITION_ALLOWED = {
     "events_cumulative_distinct": 1,
     # one-row corpus doc-count scalar merge (input = partial counts)
     "corpus_token_burstiness": 1,
+    # the runtime Bloom-filter injection (SPARK-32268) the optimizer
+    # fires for the probe->vector join since the r12 codebook/ADC
+    # truncation: the creation side's final bloom_filter_agg merge
+    # (input = per-partition bloom buffers, bounded by task count)
+    "sim_pq_rerank_topk": 1,
     # two 1-row merges: the exact-F2 audit and the 32-seed estimate
     "sketch_ams_f2": 2,
     # the one-row date-span aggregate + the calendar-grid generator
