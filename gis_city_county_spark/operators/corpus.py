@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.scale import rebalance_for_fanout
@@ -786,7 +786,13 @@ def pair_merge_rounds(
     merges = []
     for r in range(1, rounds + 1):
         w = Window.partitionBy("doc").orderBy("pos")
-        paired = seq.withColumn("nxt", F.lead("token").over(w))
+        # the lead-windowed relation feeds BOTH the pair count (via the
+        # broadcast top-1 job) and the rebuild's main pass — truncate
+        # it once per round instead of re-running the shuffle+sort
+        # twice (guide §3.3)
+        paired = seq.withColumn("nxt", F.lead("token").over(w)).localCheckpoint(
+            eager=False
+        )
         cnt = (
             paired.filter(F.col("nxt").isNotNull())
             .groupBy(F.col("token").alias("w1"), F.col("nxt").alias("w2"))
@@ -796,51 +802,53 @@ def pair_merge_rounds(
             F.col("pair_count").desc(), F.col("w1").asc(), F.col("w2").asc()
         ).limit(1)
         marked = paired.crossJoin(F.broadcast(win)).withColumn(
-            "m", (F.col("token") == F.col("w1")) & (F.col("nxt") == F.col("w2"))
+            "m",
+            F.coalesce(
+                (F.col("token") == F.col("w1")) & (F.col("nxt") == F.col("w2")),
+                F.lit(False),
+            ),
         )
-        runs = (
-            marked.filter("m")
-            .select(
-                "doc",
-                "pos",
-                (
-                    F.col("pos")
-                    - F.row_number().over(Window.partitionBy("doc").orderBy("pos"))
-                ).alias("grp"),
+        # Run decomposition WITHOUT the two (doc, pos) self-joins the
+        # r11 version paid (guide §2.4 — each was a full shuffle+sort
+        # of the token relation per round): the running match count
+        # ranks each matching position among matches, pos − that rank
+        # is constant exactly on maximal runs of consecutive matches
+        # (strictly increasing across runs — a gap advances pos
+        # without advancing the count), and every window below
+        # partitions by doc (or doc+grp, satisfied by the same hash
+        # clustering), so the whole rebuild is one exchange + sorts.
+        staged = (
+            marked.withColumn(
+                "__rnm",
+                F.sum(F.when(F.col("m"), 1).otherwise(0)).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
             )
-        )
-        sel = (
-            runs.withColumn(
-                "rk",
-                F.row_number().over(Window.partitionBy("doc", "grp").orderBy("pos")),
+            .withColumn(
+                "__grp", F.when(F.col("m"), F.col("pos") - F.col("__rnm"))
             )
-            .filter(F.col("rk") % 2 == 1)
-            .select("doc", F.col("pos").alias("mpos"))
-        )
-        # Alias the self-join keys to fresh names: `sel` descends from
-        # `marked`, so `marked.doc == sel.doc` would resolve both sides
-        # to the SAME attribute (trivially-true join) and leak merges
-        # across documents.
-        sel_m = sel.select(F.col("doc").alias("__mdoc"), "mpos")
-        sel_c = sel.select(
-            F.col("doc").alias("__cdoc"), (F.col("mpos") + 1).alias("__cpos")
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("doc", "__grp").orderBy("pos")
+                ),
+            )
+            .withColumn(
+                "__mg", F.col("m") & (F.col("__rk") % 2 == 1)
+            )
         )
         rebuilt = (
-            marked.join(
-                sel_m,
-                (F.col("doc") == F.col("__mdoc")) & (F.col("pos") == F.col("mpos")),
-                "left",
+            staged.withColumn(
+                # position consumed by the merge at pos−1 (positions
+                # are dense within a doc, so lag IS pos−1)
+                "__pm", F.coalesce(F.lag("__mg").over(w), F.lit(False))
             )
-            .join(
-                sel_c,
-                (F.col("doc") == F.col("__cdoc")) & (F.col("pos") == F.col("__cpos")),
-                "left_anti",
-            )
+            .filter(~F.col("__pm"))
             .select(
                 "doc",
                 "pos",
                 F.when(
-                    F.col("mpos").isNotNull(),
+                    F.col("__mg"),
                     F.concat_ws(joiner, F.col("token"), F.col("nxt")),
                 )
                 .otherwise(F.col("token"))
@@ -1086,6 +1094,10 @@ def dsir_weights(
     aggregate — no shuffle keyed on anything wider than the doc id.
 
     Output: ``(id, n_tokens, weight)``."""
+    # r12: the tokenize+explode+md5 relation feeds the bucket census
+    # AND the final per-doc join — materialize it once; the 256-row
+    # bucket table likewise feeds the totals and the ratio projection
+    # (guide §3.3 — three corpus passes become one).
     toks = rebalance_for_fanout(df, multiplier=64.0).select(
         F.col(id_col).alias("__id"),
         target_pred.alias("__is_target"),
@@ -1095,11 +1107,11 @@ def dsir_weights(
         F.expr(
             f"cast(conv(substring(md5(tok), 25, 8), 16, 10) as bigint) % {n_buckets}"
         ),
-    )
+    ).localCheckpoint(eager=False)
     per_bucket = toks.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("sc"),
         F.sum(F.col("__is_target").cast("long")).alias("tc"),
-    )
+    ).localCheckpoint(eager=False)
     totals = per_bucket.groupBy().agg(
         F.sum("sc").alias("S"), F.sum("tc").alias("T")
     )
@@ -1297,70 +1309,91 @@ def ngram_precision_eval(
     convention. Long output, one row per (id, n):
     ``(id, n, cand_len, ref_len, clipped, total, precision_ppm)``.
 
-    Plan shape per n: two explode→count aggregates (map-side
-    combinable), one (id, gram) equi-join, one per-id reduce — shuffle
-    keys are (id, gram), so the fanout collapses before any wide
-    exchange and the plan survives corpus-scale inputs."""
+    Plan shape (r12): ONE combined (n, gram) fan-out per side for all
+    n ≤ ``max_n`` — the old per-n loop ran two explode→count
+    aggregates, a join and a reduce FOUR times each, re-tokenizing the
+    corpus eight times; folding n into the shuffle key gives the same
+    rows from two aggregates, one (id, n, gram) equi-join and one
+    reduce.  Shuffle keys stay (id, n, gram), so the fanout collapses
+    before any wide exchange and the plan survives corpus-scale
+    inputs."""
     base = df.select(
         F.col(id_col),
         tokens(cand_col).alias("__ct"),
         tokens(ref_col).alias("__rt"),
     )
 
-    def grams(col: str, n: int):
+    def all_grams(col: str, outer: bool) -> Column:
+        # one struct (n, gram) per n-gram per n; a candidate side too
+        # short for some n still emits ONE null-gram struct for that n
+        # (the explode_outer row the per-n loop produced), so every
+        # (id, n) keeps its zero-count output row.
+        empty = (
+            f"array(named_struct('n', n, 'gram', CAST(NULL AS STRING)))"
+            if outer
+            else "array()"
+        )
         return F.expr(
-            f"CASE WHEN size({col}) >= {n} THEN "
-            f"transform(sequence(1, size({col}) - {n - 1}),"
-            f" i -> concat_ws(' ', slice({col}, i, {n}))) "
-            f"ELSE array() END"
+            f"flatten(transform(sequence(1, {max_n}), n -> "
+            f"CASE WHEN size({col}) >= n THEN "
+            f"transform(sequence(1, size({col}) - n + 1),"
+            f" i -> named_struct('n', n, 'gram',"
+            f" concat_ws(' ', slice({col}, i, n)))) "
+            f"ELSE {empty} END))"
         )
 
-    out = None
-    for n in range(1, max_n + 1):
-        c = (
-            base.select(
-                id_col,
-                F.size("__ct").alias("cand_len"),
-                F.size("__rt").alias("ref_len"),
-                F.explode_outer(grams("__ct", n)).alias("gram"),
-            )
-            .groupBy(id_col, "cand_len", "ref_len", "gram")
-            .agg(F.count(F.when(F.col("gram").isNotNull(), 1)).alias("__c"))
+    c = (
+        base.select(
+            id_col,
+            F.size("__ct").alias("cand_len"),
+            F.size("__rt").alias("ref_len"),
+            F.explode(all_grams("__ct", outer=True)).alias("__g"),
         )
-        r = (
-            base.select(id_col, F.explode(grams("__rt", n)).alias("gram"))
-            .groupBy(id_col, "gram")
-            .agg(F.count(F.lit(1)).alias("__r"))
+        .select(
+            id_col, "cand_len", "ref_len",
+            F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"),
         )
-        agg = (
-            c.join(r, [id_col, "gram"], "left")
-            .groupBy(id_col, "cand_len", "ref_len")
-            .agg(
-                F.sum(
-                    F.when(
-                        F.col("gram").isNotNull(),
-                        F.least(F.col("__c"), F.coalesce(F.col("__r"), F.lit(0))),
-                    ).otherwise(0)
-                ).alias("clipped"),
-                F.sum(
-                    F.when(F.col("gram").isNotNull(), F.col("__c")).otherwise(0)
-                ).alias("total"),
-            )
+        .groupBy(id_col, "cand_len", "ref_len", "n", "gram")
+        .agg(F.count(F.when(F.col("gram").isNotNull(), 1)).alias("__c"))
+    )
+    r = (
+        base.select(
+            id_col, F.explode(all_grams("__rt", outer=False)).alias("__g")
         )
-        res = agg.select(
-            F.col(id_col),
-            F.lit(n).cast("int").alias("n"),
-            F.col("cand_len").cast("long").alias("cand_len"),
-            F.col("ref_len").cast("long").alias("ref_len"),
-            F.col("clipped").cast("long").alias("clipped"),
-            F.col("total").cast("long").alias("total"),
-            F.when(
-                F.col("total") > 0,
-                F.expr("clipped * 1000000 div total"),
-            ).alias("precision_ppm"),
+        .select(
+            id_col,
+            F.col("__g.n").alias("n"), F.col("__g.gram").alias("gram"),
         )
-        out = res if out is None else out.unionByName(res)
-    return out
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("__r"))
+    )
+    agg = (
+        c.join(r, [id_col, "n", "gram"], "left")
+        .groupBy(id_col, "cand_len", "ref_len", "n")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gram").isNotNull(),
+                    F.least(F.col("__c"), F.coalesce(F.col("__r"), F.lit(0))),
+                ).otherwise(0)
+            ).alias("clipped"),
+            F.sum(
+                F.when(F.col("gram").isNotNull(), F.col("__c")).otherwise(0)
+            ).alias("total"),
+        )
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n").cast("int").alias("n"),
+        F.col("cand_len").cast("long").alias("cand_len"),
+        F.col("ref_len").cast("long").alias("ref_len"),
+        F.col("clipped").cast("long").alias("clipped"),
+        F.col("total").cast("long").alias("total"),
+        F.when(
+            F.col("total") > 0,
+            F.expr("clipped * 1000000 div total"),
+        ).alias("precision_ppm"),
+    )
 
 
 def ngram_precision_eval_sql(

@@ -449,10 +449,17 @@ def simhash_near_pairs(
             f"pigeonhole banding needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     sig = simhash32_shingles(df, id_col, text_col)
     width = 32 // bands
     mask = (1 << width) - 1
-    banded = sig.select(
+    # the banded relation feeds both self-join legs — materialize the
+    # shingle+signature subtree once (guide §3.3); buckets here are
+    # uncapped so the join (never a per-bucket collect) stays
+    banded = _materialize_for_multipass(sig.select(
         F.col(id_col).alias("__id"),
         "simhash",
         F.posexplode(
@@ -463,7 +470,7 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("band_idx", "band_val"),
-    )
+    ))
     a = banded.select(
         F.col("__id").alias("a_id"), F.col("simhash").alias("a_sig"),
         "band_idx", "band_val",
@@ -1676,19 +1683,38 @@ def substring_dup_pairs(
         "__id", F.posexplode(win).alias("pos", "w")
     ).transform(checkpoint_eager)
 
-    dw = pw.select("__id", "w").distinct()
+    # r12: `dw` feeds the document-frequency census AND the candidate
+    # generator — materialize the distinct shuffle once (guide §3.3).
+    # Candidates then come from a per-window sorted id array: a rare
+    # window holds ≤ max_window_df ids by construction, so the pair
+    # fan-out is ROW-LOCAL (≤ C(max_window_df, 2) per window) instead
+    # of a self-join that evaluated the rdw subtree twice (§2.4; the
+    # same rewrite as cooccurrence_pairs).
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    dw = _materialize_for_multipass(pw.select("__id", "w").distinct())
     rare = (
         dw.groupBy("w")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_window_df)
         .select("w")
     )
-    rdw = dw.join(rare, "w")
     cand = (
-        rdw.select(F.col("__id").alias("a_id"), "w")
-        .join(rdw.select(F.col("__id").alias("b_id"), "w"), "w")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        dw.join(rare, "w")
+        .groupBy("w")
+        .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) ->"
+                    " transform(slice(__ids, i + 2, size(__ids)),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.a_id", "__p.b_id")
         .distinct()
     )
 

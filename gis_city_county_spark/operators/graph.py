@@ -784,11 +784,29 @@ def cooccurrence_pairs(
             .filter(F.col("__rk") <= max_group_size)
             .drop("__rk")
         )
-    a = gi.withColumnRenamed("__i", "item_a")
-    b = gi.withColumnRenamed("__i", "item_b")
+    # r12: after the cap every group holds ≤ max_group_size distinct
+    # items, so the pair fan-out is ROW-LOCAL — collect each group's
+    # sorted item array (reuses the cap window's hash clustering on
+    # __g, no new exchange) and explode the C(m,2) ordered pairs from
+    # one evaluation, instead of self-joining two copies of the
+    # distinct+cap subtree (guide §2.4/§3.3: the join evaluated that
+    # subtree twice AND paid the join exchange; item_a < item_b falls
+    # out of the ascending sort, and collect_list dropping NULL items
+    # matches the old `NULL < x` filter semantics).
+    grouped = gi.groupBy("__g").agg(
+        F.array_sort(F.collect_list("__i")).alias("__items")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) ->"
+                " transform(slice(__items, i + 2, size(__items)),"
+                " y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("__p")
+    ).select("__p.item_a", "__p.item_b")
     return (
-        a.join(b, "__g")
-        .filter(F.col("item_a") < F.col("item_b"))
+        pairs
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_groups"))
         .orderBy(
@@ -894,8 +912,16 @@ def ego_sample(
     Returns (seed, hop, parent, node) — hop ∈ {1, 2}; for hop 1,
     parent = seed.
     """
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
     from gis_city_county_spark.operators.sketch import _h60
 
+    # three consumers of `edges` (the seed census + both hop joins):
+    # materialize expensive lineage once (guide §3.3 — the registered
+    # trade-graph edge relation is a join+distinct, and the r12-before
+    # plan re-evaluated it per reference: 40 parquet scans)
+    edges = _materialize_for_multipass(edges)
     nodes = edges.select(F.col("src").alias("seed")).distinct()
     seeds = nodes.filter(
         _h60(F.concat(F.lit("ego|"), F.col("seed").cast("string")))
@@ -914,6 +940,9 @@ def ego_sample(
         .withColumn("__rk", F.row_number().over(w1))
         .filter(F.col("__rk") <= k)
         .select("seed", F.col("node"))
+        # hop1 feeds the hop-2 join AND the output union — truncate
+        # the seed-join+rank subtree once (≤ k rows per seed)
+        .localCheckpoint(eager=False)
     )
     w2 = Window.partitionBy("seed", "parent").orderBy("__r", "node")
     hop2 = (

@@ -769,28 +769,21 @@ def average_precision(
 
     Returns one row: (n, n_pos, sum_prec_ppm, ap_ppm, ap).
     """
-    from gis_city_county_spark.operators.scale import (
-        ranged_cumsum,
-        ranged_rank,
-    )
+    from gis_city_county_spark.operators.scale import ranged_rank_cumsum
 
     base = df.select(
         F.col(score_col).alias("__score"),
         F.col(label_col).cast("bigint").alias("__lab"),
         F.col(tiebreak_col).alias("__tb"),
     )
-    # Rank first, then cumsum ON THE RANKED FRAME (ranged_cumsum
-    # passes every input column through) — recombining two separate
-    # two-phase passes with an equi-join on the tiebreak would
-    # silently require the tiebreak to be globally unique and
-    # non-NULL, a stronger contract than the (score, tiebreak) strict
-    # total order the ranged helpers actually need.
-    ranked = ranged_rank(
-        base, "__score", "__tb", rank_col="__k", descending=True
-    )
-    cum = ranged_cumsum(
-        ranked, "__score", "__tb", "__lab", cum_col="__cum",
-        total_col=None, descending=True,
+    # Rank and running positive count share the (score, tiebreak)
+    # order — ONE fused two-phase pass (r12): the former
+    # ranged_rank → ranged_cumsum chain paid a second checkpoint,
+    # cut-point job, offsets collect, and bucket sort over the frame
+    # the first pass had already ordered.
+    cum = ranged_rank_cumsum(
+        base, "__score", "__tb", "__lab",
+        rank_col="__k", cum_col="__cum", descending=True,
     )
     prec = cum.select(
         "__lab",
@@ -2000,9 +1993,14 @@ def spearman_corr(
     # Pairs with a NULL on either side are out of the statistic on
     # BOTH engines (Spark windows order NULLs first, DuckDB last — a
     # NULL group in the running sum would shift every rank).
-    obs = df.filter(
-        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
-    ).select(F.col(x_col).alias("__vx"), F.col(y_col).alias("__vy"))
+    # four consumers (each variable's distinct-value frame + both
+    # rank-join legs): materialize the filtered projection once
+    # instead of re-scanning the source per reference (guide §3.3)
+    obs = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .select(F.col(x_col).alias("__vx"), F.col(y_col).alias("__vy"))
+        .localCheckpoint(eager=False)
+    )
 
     def _r2(col: str, out: str) -> DataFrame:
         from gis_city_county_spark.operators.scale import ranged_cumsum
@@ -2907,11 +2905,16 @@ def iqr_outlier_audit(df: DataFrame, value_col: str) -> DataFrame:
         .groupBy(cents.alias("__v"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
+    # r12: total_col=None keeps ranged_cumsum on its plan-side-offsets
+    # path (no driver collect); the grand total is just the maximum
+    # inclusive cumsum, recovered by one extra 1-row merge over the
+    # checkpointed bounded frame.
     cum = ranged_cumsum(
         per_v, "__v", "__v", "__c",
-        cum_col="__cum", total_col="__tot", descending=False,
+        cum_col="__cum", total_col=None, descending=False,
     ).localCheckpoint(eager=False)
-    stats = cum.agg(
+    tot = cum.agg(F.max("__cum").cast("bigint").alias("__tot"))
+    stats = cum.crossJoin(F.broadcast(tot)).agg(
         F.max("__tot").cast("bigint").alias("n"),
         F.min(
             F.when(F.col("__cum") >= F.expr("(__tot + 3) div 4"),
@@ -5199,68 +5202,104 @@ def quantile_treatment_effect(
     DECIMAL/HUGEINT — so both engines select the SAME row; the QTE
     column is an exact BIGINT difference, no IEEE anywhere.
 
-    Scale shape: one two-phase ``ranged_rank`` per arm (bounded
-    three-pass plans, no single-partition sort) + a broadcast
-    ≤2·|q|-row rank-table equi-join.  Empty arms yield NULL
-    quantiles/QTE at every level rather than dropping rows.
+    Scale shape (r12): the rank-``k`` VALUE does not depend on the
+    tiebreak — it is the smallest ``v`` whose cumulative count reaches
+    ``k`` — so instead of fully ranking each arm's rows (two
+    three-pass ``ranged_rank`` plans over the row relation), aggregate
+    once to the DISTINCT-VALUE histogram with per-arm counts, run ONE
+    two-phase bucketed cumsum over that bounded frame, and select each
+    level's value with a ≤2·|q|-row broadcast interval join
+    (``cum − n < k ≤ cum`` — unique by monotonicity).  Per-bucket
+    offsets/totals are the usual driver-bounded collect (≤ n_ranges
+    rows).  Empty arms yield NULL quantiles/QTE at every level rather
+    than dropping rows.
 
     Returns |q| rows: (q_ppm, n_c, n_t, v_c, v_t, qte) ordered by
     q_ppm.
     """
-    from gis_city_county_spark.operators.scale import ranged_rank
+    from gis_city_county_spark.operators.scale import _range_buckets
 
     spark = df.sparkSession
-    base = df.select(
-        F.col(treat_col).cast("int").alias("__t"),
-        F.col(value_col).cast("bigint").alias("__v"),
-        F.col(id_col).alias("__id"),
-    ).localCheckpoint(eager=False)
-    qs = spark.createDataFrame(
-        [(int(q),) for q in q_ppm], "q_ppm bigint"
+    grouped = (
+        df.select(
+            F.col(treat_col).cast("int").alias("__t"),
+            F.col(value_col).cast("bigint").alias("__v"),
+        )
+        .groupBy("__v")
+        .agg(
+            F.sum(F.when(F.col("__t") == 0, 1).otherwise(0))
+            .cast("bigint").alias("__n0"),
+            F.sum(F.when(F.col("__t") == 1, 1).otherwise(0))
+            .cast("bigint").alias("__n1"),
+        )
+        .localCheckpoint(eager=False)
     )
-
-    def arm_quantiles(side: int, vcol: str, ncol: str) -> DataFrame:
-        arm = base.filter(F.col("__t") == side).select("__v", "__id")
-        ranked = ranged_rank(
-            arm, "__v", "__id", rank_col="__rk", descending=False
+    n_ranges = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = _range_buckets(grouped, "__v", n_ranges, descending=False)
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__c0", F.sum("__n0").over(w)).withColumn(
+        "__c1", F.sum("__n1").over(w)
+    )
+    rows = sorted(
+        (r["__bkt"], r["s0"], r["s1"])
+        for r in b.groupBy("__bkt")
+        .agg(F.sum("__n0").alias("s0"), F.sum("__n1").alias("s1"))
+        .collect()
+    )
+    off, n_c, n_t = {}, 0, 0
+    for bkt, s0, s1 in rows:
+        off[bkt] = (n_c, n_t)
+        n_c += int(s0 or 0)
+        n_t += int(s1 or 0)
+    off_df = spark.createDataFrame(
+        [(int(k), v0, v1) for k, (v0, v1) in off.items()] or [(0, 0, 0)],
+        "__bkt int, __o0 bigint, __o1 bigint",
+    )
+    cum = local.join(F.broadcast(off_df), "__bkt").select(
+        "__v",
+        "__n0",
+        "__n1",
+        (F.col("__c0") + F.col("__o0")).alias("__cum0"),
+        (F.col("__c1") + F.col("__o1")).alias("__cum1"),
+    )
+    # exact integer ceil(q·n/1e6) in unbounded Python int — the same
+    # driver-bounded arithmetic class as the bucket offsets above
+    ks_rows = []
+    for q in q_ppm:
+        ks_rows.append((int(q), 0, (int(q) * n_c + 999_999) // 1_000_000))
+        ks_rows.append((int(q), 1, (int(q) * n_t + 999_999) // 1_000_000))
+    ks = spark.createDataFrame(ks_rows, "q_ppm bigint, __arm int, __k bigint")
+    sel = (
+        cum.join(
+            F.broadcast(ks),
+            (
+                (F.col("__arm") == 0)
+                & (F.col("__k") > F.col("__cum0") - F.col("__n0"))
+                & (F.col("__k") <= F.col("__cum0"))
+            )
+            | (
+                (F.col("__arm") == 1)
+                & (F.col("__k") > F.col("__cum1") - F.col("__n1"))
+                & (F.col("__k") <= F.col("__cum1"))
+            ),
         )
-        n = arm.agg(F.count(F.lit(1)).cast("bigint").alias(ncol))
-        ks = qs.crossJoin(F.broadcast(n)).select(
-            "q_ppm",
-            ncol,
-            F.expr(
-                "CAST((CAST(q_ppm AS DECIMAL(18,0))"
-                f" * CAST({ncol} AS DECIMAL(18,0))"
-                " + CAST(999999 AS DECIMAL(6,0)))"
-                " div CAST(1000000 AS DECIMAL(7,0)) AS BIGINT)"
-            ).alias("__k"),
+        .groupBy("q_ppm")
+        .agg(
+            F.max(F.when(F.col("__arm") == 0, F.col("__v"))).alias("v_c"),
+            F.max(F.when(F.col("__arm") == 1, F.col("__v"))).alias("v_t"),
         )
-        # Selection order matters at scale: the big ranked relation
-        # streams against the BROADCAST ≤|q|-row rank table (inner
-        # equi-join), leaving ≤|q| selected rows; the left merge back
-        # onto ks (to keep every requested level even when the arm is
-        # empty — k = 0 matches no rank) then broadcasts that tiny
-        # selection, never the arm.
-        sel = ranked.join(
-            # distinct: two levels can share a rank on a tiny arm,
-            # and a duplicated key here would fan out the merge below
-            F.broadcast(ks.select(F.col("__k")).distinct()),
-            ranked["__rk"] == F.col("__k"),
-        ).select(
-            F.col("__rk").alias("__k"), F.col("__v").alias(vcol)
-        )
-        return ks.join(F.broadcast(sel), "__k", "left").select(
-            "q_ppm", ncol, vcol
-        )
-
-    c = arm_quantiles(0, "v_c", "n_c")
-    t = arm_quantiles(1, "v_t", "n_t")
+    )
+    qs = spark.createDataFrame([(int(q),) for q in q_ppm], "q_ppm bigint")
     return (
-        c.join(t, "q_ppm")
+        qs.join(F.broadcast(sel), "q_ppm", "left")
         .select(
             "q_ppm",
-            "n_c",
-            "n_t",
+            F.lit(n_c).cast("bigint").alias("n_c"),
+            F.lit(n_t).cast("bigint").alias("n_t"),
             "v_c",
             "v_t",
             (F.col("v_t") - F.col("v_c")).cast("bigint").alias("qte"),

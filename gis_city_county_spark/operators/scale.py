@@ -425,9 +425,13 @@ def ranged_rank(
     ``(primary, tiebreak)`` is a strict total order and buckets are
     contiguous in it.
 
-    The input lineage is evaluated by three jobs (cuts, counts, rank);
-    expensive lineage (anything beyond scan/filter/project) is
-    truncated automatically with a lazy localCheckpoint."""
+    The input lineage is evaluated by two jobs (cuts, rank); expensive
+    lineage (anything beyond scan/filter/project) is truncated
+    automatically with a lazy localCheckpoint.  (r12: the per-bucket
+    prefix offsets moved INTO the plan — bucket row-counts are exact
+    BIGINTs, so the exclusive prefix is an order-independent sum over
+    a ≤ n_ranges² broadcast inequality join, and the old offsets
+    collect's driver job + barrier disappear.)"""
     spark = df.sparkSession
     n = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
     b = _range_buckets(_materialize_for_multipass(df), primary, n, descending)
@@ -437,21 +441,47 @@ def ranged_rank(
     ]
     w = Window.partitionBy("__bkt").orderBy(*order)
     local = b.withColumn("__lr", F.row_number().over(w))
-    counts = sorted(
-        (r["__bkt"], r["n"])
-        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    off_df = _plan_side_offsets(
+        b.groupBy("__bkt").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__bn")
+        ),
+        {"__off": ("__bn", "bigint")},
+        n,
     )
-    off, acc = {}, 0
-    for bkt, cnt in counts:
-        off[bkt] = acc
-        acc += cnt
-    off_df = spark.createDataFrame(
-        [(int(k), int(v)) for k, v in off.items()], "__bkt int, __off bigint"
-    )
-    out = local.join(F.broadcast(off_df), "__bkt").withColumn(
-        rank_col, (F.col("__lr") + F.col("__off")).cast("long")
+    out = local.join(F.broadcast(off_df), "__bkt", "left").withColumn(
+        rank_col,
+        (F.col("__lr") + F.coalesce(F.col("__off"), F.lit(0))).cast("long"),
     )
     return out.drop("__bkt", "__lr", "__off")
+
+
+def _plan_side_offsets(cnts: DataFrame, sums: dict, n_ranges: int) -> DataFrame:
+    """Exclusive per-bucket prefix totals WITHOUT a driver collect:
+    ``cnts`` is the tiny (≤ ``n_ranges`` rows) per-bucket aggregate
+    frame keyed by ``__bkt``; ``sums`` maps output column → (input
+    column, spark type).  Each bucket's totals are EXPLODED onto every
+    higher bucket index (≤ n_ranges² rows — the old driver-fold's
+    work, now plan work) and re-aggregated per target bucket: exact
+    for BIGINT/DECIMAL because those sums are order-independent, and a
+    plain equi-join shape (no inequality BNLJ, which the suite-wide
+    product-join gate rightly rejects).  Bucket 0 has no contributors
+    — callers LEFT-join and coalesce each column to 0.  Callers with
+    double sums must keep the Python-fold collect path."""
+    return (
+        cnts.select(
+            F.explode(
+                F.expr(f"sequence(__bkt + 1, {int(n_ranges)})")
+            ).alias("__bkt"),
+            *[F.col(src).alias(f"__r_{out}") for out, (src, _) in sums.items()],
+        )
+        .groupBy("__bkt")
+        .agg(
+            *[
+                F.sum(f"__r_{out}").cast(ty).alias(out)
+                for out, (_, ty) in sums.items()
+            ]
+        )
+    )
 
 
 def ranged_cumsum(
@@ -495,12 +525,40 @@ def ranged_cumsum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = b.withColumn("__lc", F.sum(F.col(value_col)).over(w))
+    sum_type = local.schema["__lc"].dataType
+    dec_ty = sum_type.simpleString()
+    exact = dec_ty.startswith("decimal") or dec_ty in (
+        "bigint", "int", "smallint", "tinyint", "long"
+    )
+    if exact and not total_col:
+        # r12: exact sums are order-independent, so the exclusive
+        # bucket prefix moves INTO the plan (no offsets collect, one
+        # fewer driver job).  The grand total still needs the driver
+        # fold (a scalar against every row), so total_col keeps the
+        # collect path below; double sums always do (Python-fold
+        # order is part of their contract).
+        off_df = _plan_side_offsets(
+            b.groupBy("__bkt").agg(
+                F.sum(F.col(value_col)).cast(dec_ty).alias("__bs")
+            ),
+            {"__off": ("__bs", dec_ty)},
+            n,
+        )
+        return (
+            local.join(F.broadcast(off_df), "__bkt", "left")
+            .withColumn(
+                cum_col,
+                (
+                    F.col("__lc")
+                    + F.coalesce(F.col("__off"), F.lit(0).cast(dec_ty))
+                ).cast(dec_ty),
+            )
+            .drop("__bkt", "__lr", "__lc", "__off")
+        )
     rows = sorted(
         (r["__bkt"], r["t"])
         for r in b.groupBy("__bkt").agg(F.sum(F.col(value_col)).alias("t")).collect()
     )
-    sum_type = local.schema["__lc"].dataType
-    dec_ty = sum_type.simpleString()
     if dec_ty.startswith("decimal"):
         zero, conv = Decimal(0), lambda t: Decimal(str(t))
     elif dec_ty in ("bigint", "int", "smallint", "tinyint", "long"):
@@ -523,6 +581,66 @@ def ranged_cumsum(
     if total_col:
         out = out.withColumn(total_col, F.lit(acc).cast(dec_ty))
     return out
+
+
+def ranged_rank_cumsum(
+    df: DataFrame,
+    primary: str,
+    tiebreak: str,
+    value_col: str,
+    rank_col: str = "rank",
+    cum_col: str = "cum",
+    descending: bool = True,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """:func:`ranged_rank` AND :func:`ranged_cumsum` of an integral
+    ``value_col`` along the SAME ``(primary, tiebreak)`` order in ONE
+    two-phase pass (r12): one bucketing (one cut-point job), one
+    per-bucket window producing both the local row_number and the
+    local running sum, and ONE bounded offsets collect carrying both
+    the exclusive row-count and value prefix per bucket.  Running the
+    two helpers back-to-back costs double — the second call
+    re-checkpoints, re-samples cut points, and re-sorts the frame the
+    first call already ordered.
+
+    ``value_col`` must be integral (the prefix fold is Python int —
+    exact); use the separate helpers for decimal/double sums."""
+    spark = df.sparkSession
+    n = n_ranges or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    b = _range_buckets(_materialize_for_multipass(df), primary, n, descending)
+    order = [
+        F.col(primary).desc() if descending else F.col(primary).asc(),
+        F.col(tiebreak).asc(),
+    ]
+    w = Window.partitionBy("__bkt").orderBy(*order)
+    local = b.withColumn("__lr", F.row_number().over(w)).withColumn(
+        "__lc",
+        F.sum(F.col(value_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    off_df = _plan_side_offsets(
+        b.groupBy("__bkt").agg(
+            F.count(F.lit(1)).cast("bigint").alias("__bn"),
+            F.sum(F.col(value_col)).cast("bigint").alias("__bs"),
+        ),
+        {"__offn": ("__bn", "bigint"), "__offs": ("__bs", "bigint")},
+        n,
+    )
+    return (
+        local.join(F.broadcast(off_df), "__bkt", "left")
+        .withColumn(
+            rank_col,
+            (F.col("__lr") + F.coalesce(F.col("__offn"), F.lit(0)))
+            .cast("long"),
+        )
+        .withColumn(
+            cum_col,
+            (F.col("__lc") + F.coalesce(F.col("__offs"), F.lit(0)))
+            .cast("long"),
+        )
+        .drop("__bkt", "__lr", "__lc", "__offn", "__offs")
+    )
 
 
 def ranged_gaps(

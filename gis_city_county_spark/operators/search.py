@@ -44,15 +44,20 @@ def tfidf_topk(
         .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok"))
         .filter(F.col("tok").isin(terms))
     )
+    # r12: df_t derives from the tf frame (docs with tf_t > 0) —
+    # materialize the bounded per-matching-doc frame once instead of
+    # evaluating the filtered explode a second time for the old
+    # countDistinct census (guide §3.3; same rewrite as bm25_topk).
     tf = toks.groupBy("__id").agg(
         *[
             F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
             for t in terms
         ]
-    )
-    dfs = toks.groupBy().agg(
+    ).localCheckpoint(eager=False)
+    dfs = tf.groupBy().agg(
         *[
-            F.countDistinct(F.when(F.col("tok") == t, F.col("__id"))).alias(f"df_{t}")
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .alias(f"df_{t}")
             for t in terms
         ]
     )
@@ -160,12 +165,17 @@ def bm25_topk(
         .select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("tok"))
         .filter(F.col("tok").isin(terms))
     )
+    # r12: tf feeds the scoring join AND the df census (df_t = docs
+    # with tf_t > 0 — same value the old countDistinct over a SECOND
+    # evaluation of the filtered explode computed); materialize the
+    # bounded per-matching-doc frame once (guide §3.3; the truncation
+    # also licenses the crossJoin with its own aggregate).
     tf = toks.groupBy("__id").agg(
         *[
             F.sum(F.when(F.col("tok") == t, 1).otherwise(0)).alias(f"tf_{t}")
             for t in terms
         ]
-    )
+    ).localCheckpoint(eager=False)
     dls = df.select(
         F.col(id_col).alias("__id"), token_count(text_col).alias("dl")
     )
@@ -174,9 +184,10 @@ def bm25_topk(
     )
     scored = (
         tf.join(dls, "__id")
-        .crossJoin(F.broadcast(toks.groupBy().agg(
+        .crossJoin(F.broadcast(tf.groupBy().agg(
             *[
-                F.countDistinct(F.when(F.col("tok") == t, F.col("__id"))).alias(f"df_{t}")
+                F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+                .alias(f"df_{t}")
                 for t in terms
             ]
         )))

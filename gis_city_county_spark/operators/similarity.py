@@ -213,22 +213,50 @@ def embedding_cosine_pairs(
     # the raw band join would have carried).
     thin = bd.select("__id", "band_idx", "band_val")
     if max_bucket is not None:
+        # r12: the cap bounds every bucket at ``max_bucket`` ids, so
+        # the pair fan-out is ROW-LOCAL — collect each bucket's sorted
+        # id array (reuses the cap window's clustering on the band
+        # keys, no new exchange) and explode the C(m,2) ordered pairs
+        # from ONE evaluation, instead of a banded self-join that
+        # evaluated the 64-plane projection + cap window twice
+        # (guide §2.4/§3.3; the cooccurrence_pairs rewrite).
         w = Window.partitionBy("band_idx", "band_val").orderBy(
             F.md5(F.col("__id").cast("string")), F.col("__id")
         )
-        thin = (
+        cand = (
             thin.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= max_bucket)
-            .drop("__rk")
+            .groupBy("band_idx", "band_val")
+            .agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(__ids, (x, i) ->"
+                        " transform(slice(__ids, i + 2, size(__ids)),"
+                        " y -> struct(x AS a_id, y AS b_id))))"
+                    )
+                ).alias("__p")
+            )
+            .select("__p.a_id", "__p.b_id")
+            .dropDuplicates(["a_id", "b_id"])
         )
-    a = thin.select(F.col("__id").alias("a_id"), "band_idx", "band_val")
-    b = thin.select(F.col("__id").alias("b_id"), "band_idx", "band_val")
-    cand = (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+    else:
+        # uncapped buckets can be huge — keep the self-join (never a
+        # per-bucket collect), but materialize the banded relation
+        # once for its two legs
+        from gis_city_county_spark.operators.scale import (
+            _materialize_for_multipass,
+        )
+
+        thin = _materialize_for_multipass(thin)
+        a = thin.select(F.col("__id").alias("a_id"), "band_idx", "band_val")
+        b = thin.select(F.col("__id").alias("b_id"), "band_idx", "band_val")
+        cand = (
+            a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .dropDuplicates(["a_id", "b_id"])
+        )
     vecs = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -265,11 +293,20 @@ def lsh_ann_topk(
     """Approximate top-k neighbors: probes meet only same-band corpus
     rows (the 100 TB path — bucket join instead of cross join), then
     exact cosine + per-probe window rank over the candidates."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     planes = hyperplanes(dim, n_planes)
     bd = rp_lsh_bands(corpus, id_col, vec_col, planes, bands)
     # Thin-pair join (see embedding_cosine_pairs): vectors re-attach
-    # by id after the candidate dedupe.
-    thin = bd.select("__id", "band_idx", "band_val")
+    # by id after the candidate dedupe.  The banded relation feeds
+    # BOTH the probe and candidate legs — materialize the hyperplane
+    # projection once instead of re-running the 64-plane dot products
+    # per leg (guide §3.3).
+    thin = _materialize_for_multipass(
+        bd.select("__id", "band_idx", "band_val")
+    )
     probes = thin.filter(probe_pred).select(
         F.col("__id").alias("probe_id"), "band_idx", "band_val"
     )
@@ -1534,7 +1571,13 @@ def bitext_mining_top1_lsh(
     planes = hyperplanes(dim, n_planes)
     bd = rp_lsh_bands(tagged, id_col, vec_col, planes, bands)
     ids = tagged.select(F.col(id_col).alias("__id"), "__lang")
-    thin = bd.join(ids, "__id")
+    # the tagged+banded relation feeds BOTH language legs — truncate
+    # the hyperplane projection + language join once (guide §3.3)
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    thin = _materialize_for_multipass(bd.join(ids, "__id"))
     probes = thin.filter(F.col("__lang") == src_lang).select(
         F.col("__id").alias("probe_id"), "band_idx", "band_val"
     )
@@ -2078,10 +2121,13 @@ def lsh_recall_audit(
     Returns one row: (n_probes, k, n_exact_pairs, n_hit_pairs,
     recall_ppm).
     """
+    # `exact` feeds the hit join AND the totals aggregate — truncate
+    # the |corpus|×|probes| brute-force subtree once (bounded:
+    # ≤ |probes|·k rows; guide §3.3)
     exact = cosine_topk(
         corpus, corpus.filter(F.col(id_col) % probe_mod == 0),
         id_col, vec_col, k,
-    ).select("probe_id", "neighbor_id")
+    ).select("probe_id", "neighbor_id").localCheckpoint(eager=False)
     approx = lsh_ann_topk(
         corpus, id_col, vec_col, F.col("__id") % probe_mod == 0,
         k, n_planes, bands, dim,

@@ -1639,29 +1639,47 @@ def rfm_from_per_user(per_user: DataFrame, n_tiles: int = 5) -> DataFrame:
         F.max("__last").alias("__anchor"),
         F.count(F.lit(1)).cast("bigint").alias("__n_users"),
     )
-    scored = per_user.join(F.broadcast(anchor)).select(
-        "__u",
-        F.datediff("__anchor", "__last").cast("bigint").alias("recency_days"),
-        "frequency",
-        "monetary_milli",
-        "__n_users",
+    # r12: materialize the per-user frame ONCE and run the three tile
+    # ranks as independent NARROW passes joined back on user, instead
+    # of chaining them — the chained form re-checkpointed and re-sorted
+    # an ever-wider frame per tile (each tile's cut-point job replayed
+    # the previous tiles' window+join lineage; 21 driver jobs at
+    # sf0.1), and each pass carried every column through its window.
+    scored = (
+        per_user.join(F.broadcast(anchor))
+        .select(
+            "__u",
+            F.datediff("__anchor", "__last").cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_milli",
+            "__n_users",
+        )
+        .localCheckpoint(eager=False)
     )
 
-    def _tile(frame: DataFrame, metric: str, out: str, asc: bool) -> DataFrame:
+    def _tile(metric: str, out: str, asc: bool) -> DataFrame:
         ranked = ranged_rank(
-            frame, metric, "__u", rank_col="__rk", descending=not asc
+            scored.select("__u", metric, "__n_users"),
+            metric,
+            "__u",
+            rank_col="__rk",
+            descending=not asc,
         )
-        return ranked.withColumn(
-            out,
+        return ranked.select(
+            "__u",
             (
                 F.lit(1)
                 + F.expr(f"({n_tiles} * (__rk - 1)) div __n_users")
-            ).cast("bigint"),
-        ).drop("__rk")
+            ).cast("bigint").alias(out),
+        )
 
-    out = _tile(scored, "recency_days", "r_tile", asc=True)
-    out = _tile(out, "frequency", "f_tile", asc=False)
-    out = _tile(out, "monetary_milli", "m_tile", asc=False)
+    out = (
+        scored
+        .join(_tile("recency_days", "r_tile", asc=True), "__u")
+        .join(_tile("frequency", "f_tile", asc=False), "__u")
+        .join(_tile("monetary_milli", "m_tile", asc=False), "__u")
+    )
     return out.select(
         F.col("__u").alias("user_id"),
         "recency_days",

@@ -330,10 +330,19 @@ def q_source_similarity(spark, sf_dir):
     dedup even starts. Shuffle keys are shingles; the matrix is
     |sources|² bounded."""
     from gis_city_county_spark.operators.dedup import shingle_df
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_df(
-        docs.select(F.col("source"), F.col("text")), "source", "text", k=3
+    # three consumers (sizes + both self-join legs): materialize the
+    # tokenize+shingle explode+cross-row dedup ONCE instead of
+    # replaying it per reference (guide §3.3; the r12-before plan held
+    # 22 Exchange / 8 parquet scans)
+    sh = _materialize_for_multipass(
+        shingle_df(
+            docs.select(F.col("source"), F.col("text")), "source", "text", k=3
+        )
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("src_a"), "shingle")

@@ -266,7 +266,14 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    edges = (
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # four consumers (edge count, both degree endpoints, the
+    # within-community count): materialize the join+distinct lineage
+    # once (guide §3.3 — the r12-before plan held 32 parquet scans)
+    edges = _materialize_for_multipass(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("l_suppkey", "o_custkey")
         .distinct()
@@ -278,10 +285,11 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = edges.groupBy().agg(F.count(F.lit(1)).alias("m"))
     # per-community degree = edges touching the community (each edge
-    # contributes 1 to each endpoint's community)
+    # contributes 1 to each endpoint's community); both endpoints via
+    # one row-local explode, not a self-union that evaluates the edge
+    # frame twice (guide §2.4)
     deg = (
-        edges.select(F.col("na").alias("c"))
-        .unionAll(edges.select(F.col("nb").alias("c")))
+        edges.select(F.explode(F.array("na", "nb")).alias("c"))
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("a"))
     )

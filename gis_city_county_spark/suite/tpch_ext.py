@@ -1544,22 +1544,25 @@ def q_share_of_wallet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__s")
         )
     )
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("__s").desc(), F.col("l_suppkey").asc()
+    # r12: the argmax (s desc, suppkey asc) and the per-customer total
+    # are ONE map-side-combinable aggregate — min over (−s…, suppkey)
+    # is wrong for decimals, but max over (s, −suppkey) structs picks
+    # the same row the row_number window did, without the
+    # per-customer sort (guide §2.2 — same shuffle, no sort, and
+    # partial aggregation collapses cells map-side).
+    top = spend.groupBy("o_custkey").agg(
+        F.sum(F.col("__s").cast("decimal(28,10)")).alias("__tot"),
+        F.max(
+            F.struct(F.col("__s"), (-F.col("l_suppkey")).alias("__negk"))
+        ).alias("__m"),
     )
-    tot = Window.partitionBy("o_custkey")
-    return (
-        spend.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__tot", F.sum(F.col("__s").cast("decimal(28,10)")).over(tot))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "o_custkey",
-            F.col("l_suppkey").alias("top_suppkey"),
-            F.expr(
-                "CAST((CAST(__s * 10000000000 AS DECIMAL(38,0)) * 1000000)"
-                " div CAST(__tot * 10000000000 AS DECIMAL(38,0)) AS BIGINT)"
-            ).alias("top_share_ppm"),
-        )
+    return top.select(
+        "o_custkey",
+        (-F.col("__m.__negk")).cast("bigint").alias("top_suppkey"),
+        F.expr(
+            "CAST((CAST(__m.__s * 10000000000 AS DECIMAL(38,0)) * 1000000)"
+            " div CAST(__tot * 10000000000 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("top_share_ppm"),
     )
 
 
@@ -1636,22 +1639,39 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_city_county_spark.operators.scale import ranged_rank
 
     li = load_table(spark, sf_dir, "lineitem")
+    # r12: ONE lineitem scan + one aggregate for both years (guide
+    # §2.3 — the old per-year helper scanned and shuffled lineitem
+    # twice); each year's per-part sum is a conditional sum, and a
+    # part absent from a year drops via the NULL filter, reproducing
+    # the year-filtered grouping exactly.
+    rev2 = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("l_shipdate") >= f"{y}-01-01")
+                        & (F.col("l_shipdate") < f"{y + 1}-01-01"),
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(38,10)"),
+                    )
+                ).alias(f"__rev_{y}")
+                for y in (1995, 1996)
+            ]
+        )
+        .persist()  # small per-part table; LRU-evictable, not unpersisted
+    )
 
     def year_rank(year: str):
-        rev = (
-            li.filter(
-                (F.col("l_shipdate") >= f"{year}-01-01")
-                & (F.col("l_shipdate") < f"{int(year) + 1}-01-01")
-            )
-            .groupBy("l_partkey")
-            .agg(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(38,10)"
-                    )
-                ).alias("__rev")
-            )
-        ).persist()  # small per-part table; LRU-evictable, not unpersisted
+        rev = rev2.filter(F.col(f"__rev_{year}").isNotNull()).select(
+            "l_partkey", F.col(f"__rev_{year}").alias("__rev")
+        )
         ranked = ranged_rank(
             rev, "__rev", "l_partkey", rank_col=f"rank_{year}", descending=True
         )
@@ -1993,6 +2013,11 @@ def q_share_of_parent(spark, sf_dir):
                 .cast("decimal(38,10)")
             ).alias("__rev")
         )
+        # r12: `rev` is ≤25 rows but its lineage is the full
+        # lineitem 3-join aggregate, and THREE consumers (itself, the
+        # region rollup, the grand total) replayed that scan+joins per
+        # reference (guide §3.3) — truncate once.
+        .localCheckpoint(eager=False)
     )
     region = rev.groupBy("r_name").agg(
         F.sum("__rev").alias("__region_rev")

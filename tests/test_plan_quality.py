@@ -557,10 +557,11 @@ _SINGLE_PARTITION_ALLOWED = {
     # one-row horizon scalar (the per-user week windows are
     # user-partitioned, never global)
     "events_growth_accounting": 1,
-    # two 1-row merges: the quartile scalars and the final fence
-    # counts (inputs = ranged_cumsum partials / the bounded
-    # distinct-value frame)
-    "mlprep_iqr_outliers": 2,
+    # three 1-row merges: the grand-total scalar (r12 — recovered as
+    # max cumsum so ranged_cumsum stays on its collect-free path),
+    # the quartile scalars, and the final fence counts (inputs =
+    # the bounded distinct-value cumsum frame each time)
+    "mlprep_iqr_outliers": 3,
     # the 1-row total scalar + the remainder-rank window over the
     # BOUNDED category frame (never the rows)
     "privacy_apportioned_release": 2,

@@ -354,3 +354,44 @@ def test_iterative_ops_use_reliable_checkpoint_when_configured(spark, tmp_path):
         # later test with durable checkpoints
         jsc = sc._jsc.sc()
         getattr(jsc, "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_ranged_rank_cumsum_matches_both_single_windows(spark):
+    """r12: the fused rank+cumsum pass must exactly reproduce BOTH the
+    single-window global row_number and the single-window running sum
+    (ties by tiebreak, NULL values skipped by the sum), in one
+    two-phase plan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gis_city_county_spark.operators.scale import ranged_rank_cumsum
+
+    rows = [
+        (i, v, lab)
+        for i, (v, lab) in enumerate(
+            [(5.0, 1), (3.0, 0), (8.0, None), (1.0, 1), (7.0, 1),
+             (2.0, 0), (6.0, None), (4.0, 1), (5.0, 0), (3.0, 1)] * 5
+        )
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, lab bigint")
+    for descending in (True, False):
+        got = {
+            r["k"]: (int(r["rnk"]), None if r["cum"] is None else int(r["cum"]))
+            for r in ranged_rank_cumsum(
+                df, "v", "k", "lab",
+                rank_col="rnk", cum_col="cum",
+                descending=descending, n_ranges=4,
+            ).collect()
+        }
+        order = F.col("v").desc() if descending else F.col("v").asc()
+        w = Window.orderBy(order, F.col("k").asc())
+        want = {
+            r["k"]: (int(r["rnk"]), None if r["cum"] is None else int(r["cum"]))
+            for r in df.withColumn("rnk", F.row_number().over(w))
+            .withColumn(
+                "cum",
+                F.sum("lab").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .collect()
+        }
+        assert got == want
