@@ -361,7 +361,7 @@ def label_propagation(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
             )
-            .transform(checkpoint_eager)
+            .transform(checkpoint_lazy)
         )
     return labels
 
