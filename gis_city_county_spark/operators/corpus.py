@@ -673,25 +673,65 @@ def pmi_pairs(
     positive association), so ranking is bit-deterministic across
     engines. Top-k executes as TakeOrderedAndProject.
     """
-    tok = df.select(
-        F.col(id_col).alias("__doc"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # tok feeds the document-frequency census AND the vocab-filtered
+    # pair stage; vocab feeds the filter and both df attachments —
+    # materialize each once (guide §3.3; the r12-before plan ran the
+    # tokenize+explode three times: 8 Exchange / 10 parquet scans)
+    tok = _materialize_for_multipass(
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+        )
     )
     totals = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    vocab = dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(vocab_k)
-    tokv = tok.join(F.broadcast(vocab), "token").select("__doc", "token", "df")
-    a = tokv.select(
-        F.col("__doc"), F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    vocab = _materialize_for_multipass(
+        dfreq.orderBy(F.col("df").desc(), F.col("token").asc()).limit(vocab_k)
     )
-    b = tokv.select(
-        F.col("__doc"), F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    tokv = tok.join(F.broadcast(vocab.select("token")), "token")
+    # per-document pair fan-out is ROW-LOCAL (tokens are distinct per
+    # doc and vocab-bounded): collect each doc's sorted surviving
+    # tokens and explode the C(m,2) ordered pairs from one evaluation
+    # instead of self-joining two copies of the vocab-filtered stream
+    # (guide §2.4 — the ascending sort yields token_a < token_b); the
+    # constant-per-token df values attach afterwards from the
+    # broadcast vocab, off the pair aggregate's key.
+    grouped = tokv.groupBy("__doc").agg(
+        F.array_sort(F.collect_list("token")).alias("__ts")
     )
     pairs = (
-        a.join(b, ["__doc"])
-        .filter(F.col("token_a") < F.col("token_b"))
-        .groupBy("token_a", "token_b", "df_a", "df_b")
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ts, (x, i) ->"
+                    " transform(slice(__ts, i + 2, size(__ts)),"
+                    " y -> struct(x AS token_a, y AS token_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.token_a", "__p.token_b")
+        .groupBy("token_a", "token_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("token").alias("token_a"), F.col("df").alias("df_a")
+                )
+            ),
+            "token_a",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("token").alias("token_b"), F.col("df").alias("df_b")
+                )
+            ),
+            "token_b",
+        )
     )
     # `div` = exact integral division on decimals (matches HUGEINT `//`
     # in the twin); a decimal `/` would round at scale 6 first and can

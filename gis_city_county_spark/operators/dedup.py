@@ -927,7 +927,16 @@ def novelty_scores(
     keys are shingles only; exact integer ppm.
 
     Output: ``(id, n_shingles, n_seen_before, novelty_ppm)``."""
-    sh = shingle_df(df, id_col, text_col, k, unique_id_rows=True)
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # sh feeds the first-owner aggregate AND the join back —
+    # materialize the scan-side shingle explode once (guide §3.3;
+    # r12-before plan of corpus_novelty_scores: 8 Exchange / 4 scans)
+    sh = _materialize_for_multipass(
+        shingle_df(df, id_col, text_col, k, unique_id_rows=True)
+    )
     first = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
     joined = sh.join(first, "shingle")
     return (
@@ -1429,11 +1438,25 @@ def containment_pairs(
         .select("shingle")
     )
     rsh = sh.join(rare, "shingle")
+    # every rare shingle has ≤ max_shingle_df owners, so the pair
+    # fan-out is ROW-LOCAL: collect each shingle's sorted owner array
+    # (bounded) and explode the C(df,2) ordered pairs from ONE
+    # evaluation of rsh — the self-join evaluated rsh twice and paid
+    # the join exchange (guide §2.4/§3.3, the cooccurrence_pairs
+    # rewrite; a_id < b_id falls out of the ascending sort)
     cand = (
-        rsh.select(F.col(id_col).alias("a_id"), "shingle")
-        .join(rsh.select(F.col(id_col).alias("b_id"), "shingle"), "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        rsh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) ->"
+                    " transform(slice(__ids, i + 2, size(__ids)),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.a_id", "__p.b_id")
         .distinct()
     )
     a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
@@ -1548,11 +1571,21 @@ def incremental_dedup_report_from_fps(
 
     from gis_city_county_spark.operators.textstats import fingerprint_md5
 
+    # inc feeds the per-group census AND the anti join; it is
+    # projection-only (so _materialize_for_multipass would wave it
+    # through) but the projection normalizes+md5s the FULL text per
+    # reference while its output is three slim columns — checkpoint
+    # it explicitly.  fresh stays UN-materialized: its two consumers
+    # replay only a cheap anti join over the checkpointed inc, and
+    # the LeftAnti must remain visible in the executed plan (the
+    # test_plan_quality gate; a checkpoint would hide it behind a
+    # Scan ExistingRDD).  (guide §3.3; r12-before plan: 12 Exchange /
+    # 10 parquet scans)
     inc = incoming.select(
         F.col(group_col).alias("__grp"),
         F.col(id_col).alias("__id"),
         fingerprint_md5(text_col).alias("__fp"),
-    )
+    ).localCheckpoint(eager=False)
     fresh = inc.join(base_fp, "__fp", "left_anti")
     w = Window.partitionBy("__fp").orderBy(F.col("__id").asc())
     kept = fresh.withColumn("__rk", F.row_number().over(w))
@@ -2146,7 +2179,15 @@ def winnowing_fingerprints(
     wspec = (
         Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
     )
-    fp = (
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # fp feeds the per-hash doc census AND the final join — without
+    # the materialization the shingle explode + window + distinct
+    # subtree runs twice (guide §3.3; the r12-before plan held 10
+    # Exchange / 4 parquet scans)
+    fp = _materialize_for_multipass(
         sh.withColumn("__wmin", F.min("__key").over(wspec))
         .filter(F.col("__pos") <= F.col("__nsh") - (w - 1))
         .select("__id", "__nsh", F.col("__wmin").alias("__key"))

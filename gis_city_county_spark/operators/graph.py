@@ -424,11 +424,23 @@ def resource_allocation(
 
     Returns (sa, sb, n_common, ra_scaled) with sa < sb.
     """
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # edges feeds the degree aggregate + the term join; e feeds both
+    # sides of the shared-neighbor self-join — materialize each once
+    # instead of replaying the caller's (often join+distinct) lineage
+    # per reference (guide §3.3; the r12-before plan of
+    # graph_resource_allocation held 16 Exchange / 16 parquet scans)
+    edges = _materialize_for_multipass(edges)
     deg = edges.groupBy(dst_col).agg(F.count(F.lit(1)).alias("__deg"))
-    e = edges.join(deg, dst_col).select(
-        F.col(src_col).alias("__s"),
-        F.col(dst_col).alias("__z"),
-        F.expr(f"CAST({scale} AS BIGINT) div __deg").alias("__term"),
+    e = _materialize_for_multipass(
+        edges.join(deg, dst_col).select(
+            F.col(src_col).alias("__s"),
+            F.col(dst_col).alias("__z"),
+            F.expr(f"CAST({scale} AS BIGINT) div __deg").alias("__term"),
+        )
     )
     a = e.select(F.col("__s").alias("sa"), "__z", "__term")
     b = e.select(F.col("__s").alias("sb"), "__z")

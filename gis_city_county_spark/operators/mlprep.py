@@ -155,7 +155,14 @@ def quantile_align(
         F.row_number().over(wg).alias("__r"),
         F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
     )
-    ref = (
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # ref feeds the m census AND the index join — materialize the
+    # single-partition reference ranking once (guide §3.3;
+    # r12-before plan of mlprep_quantile_align: 6 Exchange / 6 scans)
+    ref = _materialize_for_multipass(
         base.filter(F.col("__g") == reference)
         .select(
             F.col("__v").alias("__refv"),
@@ -301,14 +308,21 @@ def curriculum_phases(
 
     Returns per phase: (phase, n_rows, min/max difficulty).
     """
-    from gis_city_county_spark.operators.scale import ranged_rank
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+        ranged_rank,
+    )
 
-    ranked = ranged_rank(
-        df.select(F.col(key_col), F.col(difficulty_col)),
-        primary=difficulty_col,
-        tiebreak=key_col,
-        rank_col="__rk",
-        descending=False,
+    # ranked feeds the N census AND the phase rollup — materialize
+    # once (guide §3.3; r12-before plan: 10 Exchange / 6 scans)
+    ranked = _materialize_for_multipass(
+        ranged_rank(
+            df.select(F.col(key_col), F.col(difficulty_col)),
+            primary=difficulty_col,
+            tiebreak=key_col,
+            rank_col="__rk",
+            descending=False,
+        )
     )
     n = ranked.agg(F.count(F.lit(1)).alias("__n"))
     # Integer `div`, never double-divide-then-cast: Spark's double→
@@ -973,10 +987,11 @@ def ndcg_at_k(
     # strings with correctly-rounded strtod, while DuckDB types a bare
     # literal DECIMAL and its DECIMAL→DOUBLE cast is incorrectly
     # rounded (1-ulp divergence seen at sf0.01).
-    disc_expr = "CASE " + " ".join(
-        f"WHEN __rn = {r} THEN CAST('{disc[r]!r}' AS DOUBLE)"
-        for r in range(1, k + 1)
-    ) + " END"
+    def _disc_expr(rn: str) -> str:
+        return "CASE " + " ".join(
+            f"WHEN {rn} = {r} THEN CAST('{disc[r]!r}' AS DOUBLE)"
+            for r in range(1, k + 1)
+        ) + " END"
 
     base = df.filter(F.col(rel_col).isNotNull()).select(
         F.col(group_col).alias("__g"),
@@ -984,31 +999,55 @@ def ndcg_at_k(
         F.col(rel_col).cast("bigint").alias("__rel"),
         F.col(id_col).alias("__id"),
     )
+    # Both rankings partition by the SAME group key, so they share
+    # ONE exchange (two in-pass sorts), and the DCG/IDCG/count fold
+    # into a single group aggregate — the old shape paid three
+    # evaluations of base, two window shuffles and two joins (guide
+    # §2.4; r12-before plan of eval_ndcg_at_k: 6 Exchange / 6 scans).
+    # collect_list skips the NULLs the `rank ≤ k` guard produces, so
+    # the folded arrays are exactly the old filtered top-k terms.
     wm = Window.partitionBy("__g").orderBy(F.desc("__s"), F.asc("__id"))
     wi = Window.partitionBy("__g").orderBy(F.desc("__rel"), F.asc("__id"))
-
-    def _dcg(w, out: str) -> DataFrame:
-        terms = (
-            base.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .withColumn(
-                "__term", F.col("__rel").cast("double") * F.expr(disc_expr)
-            )
+    ranked = (
+        base.withColumn("__rm", F.row_number().over(wm))
+        .withColumn("__ri", F.row_number().over(wi))
+        .withColumn(
+            "__tm",
+            F.when(
+                F.col("__rm") <= k,
+                F.col("__rel").cast("double") * F.expr(_disc_expr("__rm")),
+            ),
         )
-        return terms.groupBy("__g").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("__rn", "__term"))),
-                F.lit(0.0),
-                lambda a, x: a + x["__term"],
-            ).alias(out)
+        .withColumn(
+            "__ti",
+            F.when(
+                F.col("__ri") <= k,
+                F.col("__rel").cast("double") * F.expr(_disc_expr("__ri")),
+            ),
         )
-
-    n_items = base.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_items")
     )
+
+    def _fold(rn: str, term: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col(term).isNotNull(),
+                        F.struct(F.col(rn), F.col(term).alias("__term")),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["__term"],
+        )
+
     return (
-        n_items.join(_dcg(wm, "dcg"), "__g")
-        .join(_dcg(wi, "idcg"), "__g")
+        ranked.groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            _fold("__rm", "__tm").alias("dcg"),
+            _fold("__ri", "__ti").alias("idcg"),
+        )
         .select(
             F.col("__g").alias(group_col),
             "n_items",
@@ -1557,6 +1596,10 @@ def krippendorff_alpha(
     """
     from pyspark.sql import Window
 
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     base = df.filter(
         F.col(item_col).isNotNull()
         & F.col(rater_col).isNotNull()
@@ -1569,9 +1612,14 @@ def krippendorff_alpha(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )
     wm = Window.partitionBy("__i")
-    per_cell = nuc.select(
-        "__i", "__l", "__n", F.sum("__n").over(wm).alias("__m")
-    ).filter(F.col("__m") >= 2)
+    # per_cell feeds the per-item disagreement rollup AND the
+    # category margin — materialize the groupBy+window lineage once
+    # (guide §3.3; r12-before plan: 18 Exchange)
+    per_cell = _materialize_for_multipass(
+        nuc.select(
+            "__i", "__l", "__n", F.sum("__n").over(wm).alias("__m")
+        ).filter(F.col("__m") >= 2)
+    )
     per_item = per_cell.groupBy("__i").agg(
         F.max("__m").alias("__m"),
         F.sum(F.expr("__n * (__m - __n)")).alias("__t"),

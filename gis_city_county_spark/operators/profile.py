@@ -521,8 +521,18 @@ def mad_outliers(
         F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
     )
     med = lower_median(base, "__v", "med").select("__g", "__n_rows", "med")
-    dev = base.join(med, "__g").withColumn(
-        "__d", F.abs(F.col("__v") - F.col("med"))
+    # dev feeds the MAD median AND the outlier rollup — materialize
+    # once or the join+window-median lineage replays per reference
+    # (guide §3.3; r12-before plan of profile_mad_outliers: 6
+    # Exchange / 8 parquet scans)
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    dev = _materialize_for_multipass(
+        base.join(med, "__g").withColumn(
+            "__d", F.abs(F.col("__v") - F.col("med"))
+        )
     )
     mad = lower_median(dev.select("__g", "__d"), "__d", "mad").select("__g", "mad")
     out = (
@@ -1048,8 +1058,17 @@ def join_fanout_histogram(
     Returns (fanout, n_parents, n_children) ordered small→large by
     the caller if needed.
     """
-    counts = child.groupBy(F.col(child_fk).alias("__k")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("__n")
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # counts feeds the per-parent attach AND the orphan census —
+    # materialize the child aggregate once (guide §3.3; r12-before
+    # plan of profile_join_fanout: 8 Exchange / 8 parquet scans)
+    counts = _materialize_for_multipass(
+        child.groupBy(F.col(child_fk).alias("__k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n")
+        )
     )
     pkeys = parent.select(F.col(parent_key).alias("__k"))
     per_parent = pkeys.join(counts, "__k", "left").select(
@@ -1126,8 +1145,17 @@ def concentration_profile(
         .groupBy(F.col(key_col).alias("__k"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
     )
-    ranked = ranged_rank(counts, "__c", "__k", rank_col="__i",
-                         descending=False)
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # ranked feeds the moment aggregate AND the band rollup — without
+    # the materialization the count+rank lineage replays per
+    # reference (guide §3.3; r12-before plan: 20 Exchange)
+    ranked = _materialize_for_multipass(
+        ranged_rank(counts, "__c", "__k", rank_col="__i",
+                    descending=False)
+    )
     dec = "decimal(38,0)"
     moments = ranked.agg(
         F.count(F.lit(1)).cast(dec).alias("__n"),

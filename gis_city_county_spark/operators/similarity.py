@@ -394,8 +394,18 @@ def ivf_ann_topk(
     centroid table in unchanged (the assignment/search plans don't
     depend on how centroids were chosen). ``probe_pred`` is evaluated
     against the assigned-corpus ``__id`` column."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     cents = corpus.filter(F.col(id_col) < nlist)
-    lists = ivf_assign(corpus, cents, id_col, vec_col)
+    # the assigned inverted lists feed the probe selection AND the
+    # scoring join — materialize once or the ×nlist assignment
+    # crossjoin + argmin window replays per reference (guide §3.3;
+    # the r12-before plan held 10 Exchange / 6 BNLJ / 18 Sorts)
+    lists = _materialize_for_multipass(
+        ivf_assign(corpus, cents, id_col, vec_col)
+    )
 
     c = cents.select(
         F.col(id_col).alias("pcid"), F.col(vec_col).alias("__pcv")

@@ -354,11 +354,39 @@ def countmin_heavy_hitters(
     overcount)`` — overcount = est − exact ≥ 0 by construction, and
     the whole computation is md5-deterministic, so the DuckDB twin
     matches bit-for-bit."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     key = F.col(key_col).cast("string")
     rows = df.select(key.alias("__k"))
-    sketch = countmin_cells(rows, "__k", width, depth)
-
-    exact = rows.groupBy("__k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # ONE pass over the raw stream: the exact per-key counts are
+    # needed anyway, and every sketch cell equals the sum of its
+    # keys' counts — so build the cells FROM the aggregate (counts as
+    # weights) instead of re-running the caller's (often
+    # tokenize+explode) lineage per consumer (guide §2.3 "aggregate
+    # before you shuffle" + §3.3; the r12-before plan evaluated the
+    # token stream twice).  Cell values are identical by
+    # construction; the streaming path still uses
+    # :func:`countmin_cells` over raw rows — same cells either way.
+    exact = _materialize_for_multipass(
+        rows.groupBy("__k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    sketch = (
+        exact.select(
+            "exact_cnt",
+            F.posexplode(
+                F.array(
+                    *[
+                        (_h60(F.concat(F.lit(f"{d}|"), F.col("__k"))) % width)
+                        for d in range(depth)
+                    ]
+                )
+            ).alias("__d", "__b"),
+        )
+        .groupBy("__d", "__b")
+        .agg(F.sum("exact_cnt").alias("__cell"))
+    )
     topk = exact.orderBy(F.desc("exact_cnt"), F.asc("__k")).limit(k)
     probes = topk.select(
         "__k",
@@ -411,17 +439,46 @@ def countmin_delta(
     Returns (key, exact_a, exact_b, exact_delta, est_a, est_b,
     est_delta).
     """
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    def _cells_from_exact(ex: DataFrame, cnt_col: str) -> DataFrame:
+        # cells from the exact aggregate (counts as weights) — ONE
+        # pass per period over the raw rows instead of two (guide
+        # §2.3/§3.3, same rewrite as countmin_heavy_hitters); cell
+        # values identical by construction.
+        return (
+            ex.select(
+                cnt_col,
+                F.posexplode(
+                    F.array(
+                        *[
+                            (_h60(F.concat(F.lit(f"{d}|"), F.col("__k")))
+                             % width)
+                            for d in range(depth)
+                        ]
+                    )
+                ).alias("__d", "__b"),
+            )
+            .groupBy("__d", "__b")
+            .agg(F.sum(cnt_col).alias("__cell"))
+        )
+
     rows_a = df_a.select(F.col(key_col).cast("string").alias("__k"))
     rows_b = df_b.select(F.col(key_col).cast("string").alias("__k"))
-    sk_a = countmin_cells(rows_a, "__k", width, depth)
-    sk_b = countmin_cells(rows_b, "__k", width, depth)
-
-    ex_a = rows_a.groupBy("__k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_a")
+    ex_a = _materialize_for_multipass(
+        rows_a.groupBy("__k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_a")
+        )
     )
-    ex_b = rows_b.groupBy("__k").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_b")
+    ex_b = _materialize_for_multipass(
+        rows_b.groupBy("__k").agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_b")
+        )
     )
+    sk_a = _cells_from_exact(ex_a, "exact_a")
+    sk_b = _cells_from_exact(ex_b, "exact_b")
     return countmin_delta_from_summaries(
         sk_a, ex_a, sk_b, ex_b, key_col, width=width, depth=depth, k=k
     )

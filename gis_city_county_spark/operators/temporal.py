@@ -1781,6 +1781,15 @@ def seasonal_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
     the batch report by construction.  The calendar span derives from
     the counts (every event lands in a cell, so min/max day match the
     raw-event span)."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # counts feeds the span probe AND the grid attach; cells feeds
+    # the median window AND the deviation join — materialize each
+    # once (guide §3.3; r12-before plan of events_seasonal_baseline:
+    # 8 Exchange / 8 parquet scans)
+    counts = _materialize_for_multipass(counts)
     span = counts.agg(
         F.min("__day").alias("__lo"),
         F.max("__day").alias("__hi"),
@@ -1795,7 +1804,7 @@ def seasonal_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
         )
         .select("__day", F.col("__h").cast("int").alias("hour"))
     )
-    cells = (
+    cells = _materialize_for_multipass(
         grid.join(counts, ["__day", "hour"], "left")
         .select(
             "__day",
@@ -1906,6 +1915,14 @@ def stickiness_from_days(days: DataFrame, window_days: int = 28) -> DataFrame:
     (``streaming/stickiness.py``), whose folded state IS that
     relation, so the live report can't drift from the batch
     operator."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # days feeds the DAU aggregate AND the ×window_days spread —
+    # materialize the distinct aggregate once (guide §3.3;
+    # r12-before plan of events_stickiness: 10 Exchange / 4 scans)
+    days = _materialize_for_multipass(days)
     dau = days.groupBy(F.col("__day").alias("report_day")).agg(
         F.countDistinct("__u").alias("dau")
     )

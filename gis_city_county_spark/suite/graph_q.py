@@ -85,7 +85,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    pairs = (
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # pairs feeds e1/e2/e3 — three references replay the 4-table
+    # join+distinct lineage per reference (the r12-before plan held
+    # 40 Exchange / 72 parquet scans); materialize it once (guide
+    # §3.3)
+    pairs = _materialize_for_multipass(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -104,9 +112,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
-    nodes = tri.select(F.col("a").alias("nation")).unionByName(
-        tri.select(F.col("b").alias("nation"))
-    ).unionByName(tri.select(F.col("c").alias("nation")))
+    # all three corners from ONE evaluation of the triangle relation
+    # via a row-local explode, not a 3-way self-union (guide §2.4)
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("nation"))
     return (
         nodes.groupBy("nation")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -198,9 +206,16 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard (ppm) for every sampled supplier pair with ≥1 shared
     customer — all via one self-join on the shared-neighbor key, the
     standard CN/Jaccard link-prediction program."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
+    # edges feeds deg + both sides of the shared-neighbor self-join —
+    # materialize the join+distinct lineage once (guide §3.3; the
+    # r12-before plan held 22 Exchange / 16 parquet scans)
+    edges = _materialize_for_multipass(
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
         .distinct()

@@ -317,7 +317,15 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes_full = emb.filter(F.col("vec_id") % 50 == 0)
     probes_trunc = trunc.filter(F.col("vec_id") % 50 == 0)
-    bf = cosine_topk(emb, probes_full, "vec_id", "embedding", k=5)
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
+    # bf feeds the hit join AND the probe census (guide §3.3 — same
+    # replay as sim_ann_recall; before-plan 18 Exchange / 12 scans)
+    bf = _materialize_for_multipass(
+        cosine_topk(emb, probes_full, "vec_id", "embedding", k=5)
+    )
     tr = cosine_topk(trunc, probes_trunc, "vec_id", "embedding", k=5)
     hits = (
         bf.join(tr, ["probe_id", "neighbor_id"])
@@ -438,9 +446,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the LSH ANN path against the brute-force baseline,
     per probe — the evaluation harness an ANN deployment runs on a
     sampled probe set before trading exactness for the bucket join."""
+    from gis_city_county_spark.operators.scale import (
+        _materialize_for_multipass,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    bf = cosine_topk(emb, probes, "vec_id", "embedding", k=5)
+    # bf feeds the hit join AND the probe census — materialize the
+    # brute-force top-k once instead of replaying its probe×corpus
+    # scoring pyramid per reference (guide §3.3; the r12-before plan
+    # held 18 Exchange / 12 parquet scans)
+    bf = _materialize_for_multipass(
+        cosine_topk(emb, probes, "vec_id", "embedding", k=5)
+    )
     ann = lsh_ann_topk(emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5)
     hits = (
         bf.join(ann, ["probe_id", "neighbor_id"])
