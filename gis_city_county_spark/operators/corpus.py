@@ -677,15 +677,15 @@ def pmi_pairs(
         _materialize_for_multipass,
     )
 
-    # tok feeds the document-frequency census AND the vocab-filtered
-    # pair stage; vocab feeds the filter and both df attachments —
-    # materialize each once (guide §3.3; the r12-before plan ran the
-    # tokenize+explode three times: 8 Exchange / 10 parquet scans)
-    tok = _materialize_for_multipass(
-        df.select(
-            F.col(id_col).alias("__doc"),
-            F.explode(F.array_distinct(tokens(text_col))).alias("token"),
-        )
+    # vocab feeds the membership filter and both df attachments —
+    # materialize the tiny limit-k relation once; tok itself stays
+    # UN-materialized (r12: checkpointing the full token stream
+    # measured 1.6× slower than letting the two consumers re-run the
+    # scan-side tokenize in parallel within one action; the row-local
+    # pairing below already cut tok's evaluations from 3 to 2)
+    tok = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
     )
     totals = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))

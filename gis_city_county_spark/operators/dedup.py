@@ -1438,25 +1438,11 @@ def containment_pairs(
         .select("shingle")
     )
     rsh = sh.join(rare, "shingle")
-    # every rare shingle has ≤ max_shingle_df owners, so the pair
-    # fan-out is ROW-LOCAL: collect each shingle's sorted owner array
-    # (bounded) and explode the C(df,2) ordered pairs from ONE
-    # evaluation of rsh — the self-join evaluated rsh twice and paid
-    # the join exchange (guide §2.4/§3.3, the cooccurrence_pairs
-    # rewrite; a_id < b_id falls out of the ascending sort)
     cand = (
-        rsh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(__ids, (x, i) ->"
-                    " transform(slice(__ids, i + 2, size(__ids)),"
-                    " y -> struct(x AS a_id, y AS b_id))))"
-                )
-            ).alias("__p")
-        )
-        .select("__p.a_id", "__p.b_id")
+        rsh.select(F.col(id_col).alias("a_id"), "shingle")
+        .join(rsh.select(F.col(id_col).alias("b_id"), "shingle"), "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .distinct()
     )
     a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")

@@ -155,14 +155,7 @@ def quantile_align(
         F.row_number().over(wg).alias("__r"),
         F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"),
     )
-    from gis_city_county_spark.operators.scale import (
-        _materialize_for_multipass,
-    )
-
-    # ref feeds the m census AND the index join — materialize the
-    # single-partition reference ranking once (guide §3.3;
-    # r12-before plan of mlprep_quantile_align: 6 Exchange / 6 scans)
-    ref = _materialize_for_multipass(
+    ref = (
         base.filter(F.col("__g") == reference)
         .select(
             F.col("__v").alias("__refv"),
@@ -1596,10 +1589,6 @@ def krippendorff_alpha(
     """
     from pyspark.sql import Window
 
-    from gis_city_county_spark.operators.scale import (
-        _materialize_for_multipass,
-    )
-
     base = df.filter(
         F.col(item_col).isNotNull()
         & F.col(rater_col).isNotNull()
@@ -1612,14 +1601,9 @@ def krippendorff_alpha(
         F.count(F.lit(1)).cast("bigint").alias("__n")
     )
     wm = Window.partitionBy("__i")
-    # per_cell feeds the per-item disagreement rollup AND the
-    # category margin — materialize the groupBy+window lineage once
-    # (guide §3.3; r12-before plan: 18 Exchange)
-    per_cell = _materialize_for_multipass(
-        nuc.select(
-            "__i", "__l", "__n", F.sum("__n").over(wm).alias("__m")
-        ).filter(F.col("__m") >= 2)
-    )
+    per_cell = nuc.select(
+        "__i", "__l", "__n", F.sum("__n").over(wm).alias("__m")
+    ).filter(F.col("__m") >= 2)
     per_item = per_cell.groupBy("__i").agg(
         F.max("__m").alias("__m"),
         F.sum(F.expr("__n * (__m - __n)")).alias("__t"),

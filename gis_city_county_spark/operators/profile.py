@@ -521,18 +521,12 @@ def mad_outliers(
         F.col(group_col).alias("__g"), F.col(value_col).cast("double").alias("__v")
     )
     med = lower_median(base, "__v", "med").select("__g", "__n_rows", "med")
-    # dev feeds the MAD median AND the outlier rollup — materialize
-    # once or the join+window-median lineage replays per reference
-    # (guide §3.3; r12-before plan of profile_mad_outliers: 6
-    # Exchange / 8 parquet scans)
-    from gis_city_county_spark.operators.scale import (
-        _materialize_for_multipass,
-    )
-
-    dev = _materialize_for_multipass(
-        base.join(med, "__g").withColumn(
-            "__d", F.abs(F.col("__v") - F.col("med"))
-        )
+    # dev stays un-materialized: its replay is one scan + a broadcast
+    # join against the tiny per-group median table, and both
+    # consumers' copies run in parallel inside one action (r12: a
+    # lazy checkpoint here measured 1.6× slower)
+    dev = base.join(med, "__g").withColumn(
+        "__d", F.abs(F.col("__v") - F.col("med"))
     )
     mad = lower_median(dev.select("__g", "__d"), "__d", "mad").select("__g", "mad")
     out = (
@@ -1058,17 +1052,8 @@ def join_fanout_histogram(
     Returns (fanout, n_parents, n_children) ordered small→large by
     the caller if needed.
     """
-    from gis_city_county_spark.operators.scale import (
-        _materialize_for_multipass,
-    )
-
-    # counts feeds the per-parent attach AND the orphan census —
-    # materialize the child aggregate once (guide §3.3; r12-before
-    # plan of profile_join_fanout: 8 Exchange / 8 parquet scans)
-    counts = _materialize_for_multipass(
-        child.groupBy(F.col(child_fk).alias("__k")).agg(
-            F.count(F.lit(1)).cast("bigint").alias("__n")
-        )
+    counts = child.groupBy(F.col(child_fk).alias("__k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n")
     )
     pkeys = parent.select(F.col(parent_key).alias("__k"))
     per_parent = pkeys.join(counts, "__k", "left").select(

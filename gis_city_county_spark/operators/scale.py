@@ -199,17 +199,8 @@ def bloom_fpr_report(
             )
         ).alias("pos")
     ).distinct()
-    # cand feeds the position explode AND the denominator census;
-    # members feeds the member flag (used twice) and its own count —
-    # materialize each distinct aggregate once instead of replaying
-    # it per reference (guide §3.3; r12-before plan of
-    # scale_bloom_fpr: 20 Exchange / 12 parquet scans)
-    cand = _materialize_for_multipass(
-        big.select(F.col(key).cast("string").alias("k")).distinct()
-    )
-    members = _materialize_for_multipass(
-        small.select(F.col(key).cast("string").alias("k")).distinct()
-    )
+    cand = big.select(F.col(key).cast("string").alias("k")).distinct()
+    members = small.select(F.col(key).cast("string").alias("k")).distinct()
     cpos = cand.withColumn("h", F.md5("k")).select(
         "k",
         F.explode(

@@ -1915,14 +1915,6 @@ def stickiness_from_days(days: DataFrame, window_days: int = 28) -> DataFrame:
     (``streaming/stickiness.py``), whose folded state IS that
     relation, so the live report can't drift from the batch
     operator."""
-    from gis_city_county_spark.operators.scale import (
-        _materialize_for_multipass,
-    )
-
-    # days feeds the DAU aggregate AND the ×window_days spread —
-    # materialize the distinct aggregate once (guide §3.3;
-    # r12-before plan of events_stickiness: 10 Exchange / 4 scans)
-    days = _materialize_for_multipass(days)
     dau = days.groupBy(F.col("__day").alias("report_day")).agg(
         F.countDistinct("__u").alias("dau")
     )

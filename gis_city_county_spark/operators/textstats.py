@@ -184,42 +184,31 @@ def rarity_score(df, id_col: str, text_col: str):
     stream and one aggregate keyed on the document."""
     from pyspark.sql import DataFrame
 
-    from gis_city_county_spark.operators.scale import (
-        _materialize_for_multipass,
-        ranged_rank,
-    )
+    from gis_city_county_spark.functions.numeric import dec_avg
+    from gis_city_county_spark.operators.scale import ranged_rank
 
     assert isinstance(df, DataFrame)
-    # Tokenize ONCE into the per-(doc, token) occurrence aggregate
-    # (map-side combinable) and materialize it: the corpus-wide token
-    # counts, the rank machinery, and the final score join all read
-    # this relation, so no pass re-runs the corpus tokenize and the
-    # score join moves deduped doc-token cells, not raw occurrences
-    # (guide §2.3/§3.3 — the r12-before plan tokenized twice: 14
-    # Exchange / 7 parquet scans).  Weighted sums below are exact
-    # integer/decimal arithmetic, so they equal the per-occurrence
-    # fold the docstring promises bit-for-bit.
-    dt = _materialize_for_multipass(
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("__k"))
+    # (r12: a one-tokenize rewrite through a (doc, token) occurrence
+    # aggregate measured 1.7× SLOWER here — the pre-aggregate's
+    # shuffle + checkpoint cost more than the second scan-side
+    # tokenize, which runs in parallel with the first inside one
+    # action.  The two-pass shape below is the measured winner.)
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
-    counts = dt.groupBy("tok").agg(F.sum("__k").alias("cnt"))
+    # persisted (never unpersisted: the returned plan depends on the
+    # cache) so ranged_rank's bounded cuts/counts jobs reuse it; the
+    # vocabulary-sized entry is LRU-evictable and accepted per call.
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
     ranked = ranged_rank(
         counts, "cnt", "tok", rank_col="rank", descending=True
     )
     return (
-        dt.join(F.broadcast(ranked.select("tok", "rank")), "tok")
+        toks.join(F.broadcast(ranked.select("tok", "rank")), "tok")
         .groupBy(id_col)
         .agg(
-            F.sum("__k").cast("long").alias("n_tokens"),
-            (
-                F.sum(
-                    (F.col("rank").cast("decimal(19,0)") * F.col("__k"))
-                    .cast("decimal(38,0)")
-                ).cast("double")
-                / F.sum("__k")
-            ).alias("mean_rank"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            dec_avg(F.col("rank").cast("double"), "mean_rank"),
             F.max("rank").alias("max_rank"),
         )
     )

@@ -187,7 +187,10 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 8)
     assigned = ivf_assign(emb, cents, "vec_id", "embedding")
-    labeled = assigned.join(
+    # project the 64-dim vectors away BEFORE the label join — only
+    # (id, cid) matter downstream, so the join shuffle moves two
+    # slim columns instead of the embedding payload (guide §2.3)
+    labeled = assigned.select("__id", "cid").join(
         emb.select(F.col("vec_id").alias("__id"), "label"), "__id"
     )
     per_label = labeled.groupBy("cid", "label").agg(
@@ -446,19 +449,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the LSH ANN path against the brute-force baseline,
     per probe — the evaluation harness an ANN deployment runs on a
     sampled probe set before trading exactness for the bucket join."""
-    from gis_city_county_spark.operators.scale import (
-        _materialize_for_multipass,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") % 50 == 0)
-    # bf feeds the hit join AND the probe census — materialize the
-    # brute-force top-k once instead of replaying its probe×corpus
-    # scoring pyramid per reference (guide §3.3; the r12-before plan
-    # held 18 Exchange / 12 parquet scans)
-    bf = _materialize_for_multipass(
-        cosine_topk(emb, probes, "vec_id", "embedding", k=5)
-    )
+    bf = cosine_topk(emb, probes, "vec_id", "embedding", k=5)
     ann = lsh_ann_topk(emb, "vec_id", "embedding", F.col("__id") % 50 == 0, k=5)
     hits = (
         bf.join(ann, ["probe_id", "neighbor_id"])
