@@ -3967,7 +3967,10 @@ def bradley_terry(
     Returns (item, strength, n_wins, n_contests) ordered by strength
     desc (tie: item).
     """
-    from gis_city_county_spark.operators.scale import checkpoint_lazy
+    from gis_city_county_spark.operators.scale import (
+        checkpoint_eager,
+        checkpoint_lazy,
+    )
 
     w = (
         contests.groupBy(
@@ -4005,6 +4008,23 @@ def bradley_terry(
         .transform(checkpoint_lazy)
     )
     n_items = wins.count()  # bounded: the item census, not the contests
+    # Fast path (r12, guide §1.2/§5): the MM rounds operate on the
+    # ≤items² cell relation — microseconds of integer arithmetic that
+    # the relational loop was paying ~8 driver-job round trips for.
+    # When the MEASURED cell count is metadata-sized (same boundedness
+    # class as the `wins.count()` above and the bloom-bits/IVF-probe
+    # collects), run the rounds in exact Python ints on the driver —
+    # bit-identical to the relational path (all operands non-negative,
+    # Python `//` == Spark `div` == DuckDB `//` there) — and return a
+    # LocalRelation.  A cell relation too big to collect falls back to
+    # the per-round relational loop unchanged.
+    sym_eager = sym.transform(checkpoint_eager)
+    n_cells = sym_eager.count()
+    if n_cells <= 65536:
+        return _bradley_terry_local(
+            sym_eager, wins, n_items, rounds, scale, contests.sparkSession
+        )
+    sym = sym_eager
     p = wins.select("__i", F.lit(scale).cast("bigint").alias("__p"),
                     F.lit(0).cast("bigint").alias("__delta"))
     # Every per-round join operand below is items-sized (the item
@@ -4079,6 +4099,67 @@ def bradley_terry(
             F.col("__md").alias("max_delta"),
         )
         .orderBy(F.col("strength").desc(), F.col("item").asc())
+    )
+
+
+def _bradley_terry_local(
+    sym: DataFrame,
+    wins: DataFrame,
+    n_items: int,
+    rounds: int,
+    scale: int,
+    spark,
+) -> DataFrame:
+    """Driver-side MM rounds over the MEASURED-small cell relation —
+    the exact integer arithmetic of the relational loop (and of
+    ``bradley_terry_sql``'s unrolled CTEs) in Python ints: every
+    operand is non-negative, so Python ``//`` == Spark ``div`` ==
+    DuckDB HUGEINT ``//`` bit-for-bit, and int sums are
+    order-independent.  One bounded collect replaces rounds× driver
+    jobs; the caller gates on the cell count."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cell_rows = [(r["__i"], r["__j"], r["__n"]) for r in sym.collect()]
+    win_rows = {r["__i"]: r["__wi"] for r in wins.collect()}
+    p = {i: scale for i in win_rows}
+    delta = {i: 0 for i in win_rows}
+    for _ in range(rounds):
+        d = {i: 0 for i in win_rows}
+        for i, j, n in cell_rows:
+            s = p[i] + p[j]
+            if s > 0:
+                d[i] += (n * 1_000_000_000) // s
+        praw = {
+            i: ((wi * 1_000_000_000 * scale) // d[i] if d[i] > 0 else 0)
+            for i, wi in win_rows.items()
+        }
+        tot = sum(praw.values())
+        new_p = {
+            i: ((v * n_items * scale) // tot if tot > 0 else 0)
+            for i, v in praw.items()
+        }
+        delta = {i: abs(new_p[i] - p[i]) for i in win_rows}
+        p = new_p
+    max_delta = max(delta.values()) if delta else None
+    n_contests = {i: 0 for i in win_rows}
+    for i, _j, n in cell_rows:
+        n_contests[i] += n
+    item_type = wins.schema["__i"].dataType
+    schema = StructType(
+        [
+            StructField("item", item_type),
+            StructField("strength", LongType()),
+            StructField("n_wins", LongType()),
+            StructField("n_contests", LongType()),
+            StructField("max_delta", LongType()),
+        ]
+    )
+    rows = [
+        (i, p[i], win_rows[i], n_contests[i], max_delta)
+        for i in win_rows
+    ]
+    return spark.createDataFrame(rows, schema).orderBy(
+        F.col("strength").desc(), F.col("item").asc()
     )
 
 

@@ -14,6 +14,7 @@ Usage::
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -50,8 +51,16 @@ def main() -> None:
     for _ in range(passes):
         for n in names:
             t0 = time.perf_counter()
-            specs[n].fn(spark, sf_dir).count()
-            runs[n].append(round(time.perf_counter() - t0, 4))
+            df = specs[n].fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+            # bench.py's exact hygiene: drop refs to the previous
+            # pass's localCheckpoint RDDs AFTER the clock stops —
+            # pinned blocks otherwise inflate later passes 2-3x and
+            # (r12, measured) can even flip an A/B verdict.
+            del df
+            gc.collect()
+            runs[n].append(round(dt, 4))
     print(json.dumps({
         "tree": tree,
         "fastest": {n: min(r) for n, r in runs.items()},
