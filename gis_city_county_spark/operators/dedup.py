@@ -60,6 +60,30 @@ FROM {table}
 
 # ------------------------------------------------------------------ shingles
 
+def shingle_array_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-row DISTINCT k-word shingle sets as arrays: (id, __shs).
+
+    The array form of :func:`shingle_df` (same expressions, no
+    explode): operators that verify candidate pairs row-locally
+    (``array_intersect`` instead of an exploded equi-join fan-out)
+    consume this directly; :func:`shingle_df` explodes it."""
+    with_toks = rebalance_for_fanout(df, multiplier=64.0).select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
+    )
+    sh = F.when(
+        F.size("__toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {k - 1}),"
+            f" i -> concat_ws(' ', slice(__toks, i, {k})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_toks.select(
+        "__id", F.array_distinct(sh).alias("__shs")
+    ).withColumnRenamed("__id", id_col)
+
+
 def shingle_df(
     df: DataFrame,
     id_col: str,
@@ -81,16 +105,6 @@ def shingle_df(
     entirely. Leave it False for grouping keys that span rows (e.g. a
     source column), where two documents of one id can repeat a
     shingle."""
-    with_toks = rebalance_for_fanout(df, multiplier=64.0).select(
-        F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    )
-    sh = F.when(
-        F.size("__toks") >= k,
-        F.expr(
-            f"transform(sequence(1, size(__toks) - {k - 1}),"
-            f" i -> concat_ws(' ', slice(__toks, i, {k})))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # Dedupe inside the shingle array BEFORE exploding: a map-side
     # partial distinct that shrinks the exploded relation either way
     # (guide SS2.3 — shuffle fewer bytes). When the caller guarantees
@@ -98,12 +112,12 @@ def shingle_df(
     # set and the dropDuplicates shuffle is removed outright (guide
     # SS2.4); otherwise ids spanning rows still need the cross-row
     # dedup (a source key repeating a shingle across documents).
-    out = with_toks.select(
-        "__id", F.explode(F.array_distinct(sh)).alias("shingle")
+    out = shingle_array_df(df, id_col, text_col, k).select(
+        id_col, F.explode("__shs").alias("shingle")
     )
     if not unique_id_rows:
-        out = out.dropDuplicates(["__id", "shingle"])
-    return out.withColumnRenamed("__id", id_col)
+        out = out.dropDuplicates([id_col, "shingle"])
+    return out
 
 
 def shingle_sql(table: str, id_col: str, text_col: str, k: int = 3) -> str:
@@ -1427,10 +1441,17 @@ def containment_pairs(
 
     Returns (a_id, b_id, n_inter, n_a, n_b, containment_ppm).
     """
-    sh = shingle_df(
-        df, id_col, text_col, k, unique_id_rows=True
-    ).transform(checkpoint_eager)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # The shingle SETS are computed once in array form (r12, guide
+    # §2.3/§3.3): candidate generation explodes them (equi-join
+    # blocking needs the long relation), but verification intersects
+    # the two arrays ROW-LOCALLY — the old exploded verify fanned every
+    # candidate pair out by the a-side's shingle count (|cand| × ~k·|doc|
+    # rows through two shuffle joins) to compute a number that two
+    # array cells already determine.
+    arr = shingle_array_df(df, id_col, text_col, k).transform(
+        checkpoint_eager
+    )
+    sh = arr.select(id_col, F.explode("__shs").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -1445,19 +1466,20 @@ def containment_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    inter = (
-        cand.join(a_sh, "a_id")
-        .join(b_sh, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    a_arr = arr.select(F.col(id_col).alias("a_id"), F.col("__shs").alias("__sa"))
+    b_arr = arr.select(F.col(id_col).alias("b_id"), F.col("__shs").alias("__sb"))
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        cand.join(a_arr, "a_id")
+        .join(b_arr, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("__sa", "__sb"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size("__sa").cast("bigint").alias("n_a"),
+            F.size("__sb").cast("bigint").alias("n_b"),
+        )
         .withColumn(
             "containment_ppm",
             F.expr("(n_inter * CAST(1000000 AS BIGINT)) div least(n_a, n_b)"),
