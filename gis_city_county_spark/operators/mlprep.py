@@ -3939,6 +3939,7 @@ def bradley_terry(
     loser_col: str,
     rounds: int = 10,
     scale: int = 1_000_000,
+    local_max_cells: int = 65536,
 ) -> DataFrame:
     """Bradley-Terry preference strengths — the model behind pairwise
     preference data (RLHF comparisons, A/B taste tests, chess-style
@@ -4020,7 +4021,7 @@ def bradley_terry(
     # the per-round relational loop unchanged.
     sym_eager = sym.transform(checkpoint_eager)
     n_cells = sym_eager.count()
-    if n_cells <= 65536:
+    if n_cells <= local_max_cells:
         return _bradley_terry_local(
             sym_eager, wins, n_items, rounds, scale, contests.sparkSession
         )
