@@ -60,15 +60,22 @@ FROM {table}
 
 # ------------------------------------------------------------------ shingles
 
-def shingle_array_df(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
-) -> DataFrame:
-    """Per-row DISTINCT k-word shingle sets as arrays: (id, __shs).
+def _tokens_and_shingle_expr(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, Column]:
+    """Shared builder: (tokenized frame keyed ``__id``, the DISTINCT
+    k-shingle array expression over its ``__toks`` column).
 
-    The array form of :func:`shingle_df` (same expressions, no
-    explode): operators that verify candidate pairs row-locally
-    (``array_intersect`` instead of an exploded equi-join fan-out)
-    consume this directly; :func:`shingle_df` explodes it."""
+    Callers must compose the returned expression INLINE into their
+    consuming operator (``explode(expr)``, ``expr.alias(...)`` as the
+    final output) rather than aliasing it to an intermediate column
+    that a later ``explode`` references: exploding a mere attribute
+    lets ``InferFiltersFromGenerate`` add ``size(col) > 0 AND
+    isnotnull(col)``, and predicate pushdown then substitutes the
+    WHOLE interpreted transform/array_distinct expression into a
+    Filter below the repartition — evaluated twice more per row inside
+    the single-task scan stage (measured 10.7s vs 0.7s for the shingle
+    explode at sf0.1; the round-12 shingle-family regression)."""
     with_toks = rebalance_for_fanout(df, multiplier=64.0).select(
         F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")
     )
@@ -79,8 +86,23 @@ def shingle_array_df(
             f" i -> concat_ws(' ', slice(__toks, i, {k})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return with_toks, F.array_distinct(sh)
+
+
+def shingle_array_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-row DISTINCT k-word shingle sets as arrays: (id, __shs).
+
+    The array form of :func:`shingle_df` (same expressions, no
+    explode): operators that verify candidate pairs row-locally
+    (``array_intersect`` instead of an exploded equi-join fan-out)
+    consume this directly; :func:`shingle_df` explodes the expression
+    inline instead (see :func:`_tokens_and_shingle_expr` for why it
+    must not explode this frame's attribute)."""
+    with_toks, shs = _tokens_and_shingle_expr(df, id_col, text_col, k)
     return with_toks.select(
-        "__id", F.array_distinct(sh).alias("__shs")
+        "__id", shs.alias("__shs")
     ).withColumnRenamed("__id", id_col)
 
 
@@ -112,8 +134,14 @@ def shingle_df(
     # set and the dropDuplicates shuffle is removed outright (guide
     # SS2.4); otherwise ids spanning rows still need the cross-row
     # dedup (a source key repeating a shingle across documents).
-    out = shingle_array_df(df, id_col, text_col, k).select(
-        id_col, F.explode("__shs").alias("shingle")
+    # The array expression is composed INLINE into explode — exploding
+    # an aliased attribute instead re-evaluates the whole interpreted
+    # expression 2 extra times per row inside the single-task scan
+    # stage via InferFiltersFromGenerate + pushdown (the r12 shingle
+    # regression; see _tokens_and_shingle_expr).
+    with_toks, shs = _tokens_and_shingle_expr(df, id_col, text_col, k)
+    out = with_toks.select(
+        F.col("__id").alias(id_col), F.explode(shs).alias("shingle")
     )
     if not unique_id_rows:
         out = out.dropDuplicates([id_col, "shingle"])

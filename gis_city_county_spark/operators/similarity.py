@@ -257,11 +257,19 @@ def embedding_cosine_pairs(
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
         )
-    vecs = df.select(
+    from gis_city_county_spark.operators.scale import checkpoint_lazy
+
+    # lazy-checkpointed: the norms column feeds both join legs AND the
+    # final cosine>=threshold filter — live, constraint propagation
+    # infers isnotnull(<norm expr>) and pushdown substitutes the whole
+    # interpreted zip_with/aggregate dot product into per-row Filters
+    # inside the single-task scan stage (2 extra evaluations/row); a
+    # materialized frame pins the filter to the concrete column.
+    vecs = checkpoint_lazy(df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         dot_product(F.col(vec_col), F.col(vec_col)).alias("__n2"),
-    )
+    ))
     av = vecs.select(
         F.col("__id").alias("a_id"), F.col("__v").alias("a_v"), F.col("__n2").alias("a_n2")
     )

@@ -185,7 +185,10 @@ def rarity_score(df, id_col: str, text_col: str):
     from pyspark.sql import DataFrame
 
     from gis_city_county_spark.functions.numeric import dec_avg
-    from gis_city_county_spark.operators.scale import ranged_rank
+    from gis_city_county_spark.operators.scale import (
+        checkpoint_lazy,
+        ranged_rank,
+    )
 
     assert isinstance(df, DataFrame)
     # (r12: a one-tokenize rewrite through a (doc, token) occurrence
@@ -196,10 +199,15 @@ def rarity_score(df, id_col: str, text_col: str):
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
-    # persisted (never unpersisted: the returned plan depends on the
-    # cache) so ranged_rank's bounded cuts/counts jobs reuse it; the
-    # vocabulary-sized entry is LRU-evictable and accepted per call.
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    # lazy-checkpointed (NOT .persist()): ranged_rank's bounded
+    # cuts/counts jobs and the final join reuse the one materialized
+    # copy within THIS invocation, but a fresh call re-computes — a
+    # plan-keyed .persist() here made bench pass 2 reuse pass 1's
+    # cache (driver runs read [7.0, 0.74]), reporting a warm number
+    # the cold query never sees (r12 verdict item 3).
+    counts = checkpoint_lazy(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     ranked = ranged_rank(
         counts, "cnt", "tok", rank_col="rank", descending=True
     )
@@ -1102,13 +1110,17 @@ def sentence_dedup_ratio(
         ),
         lambda s: s != F.lit(""),
     )
-    base = df.select(
-        F.col(id_col).alias("__id"), frags.alias("__frags")
-    ).filter(F.size("__frags") >= 1)
-    sent = base.select(
-        "__id",
-        F.size("__frags").cast("bigint").alias("__n_raw"),
-        F.explode("__frags").alias("__s"),
+    # `frags` is composed INLINE into size() and explode(): aliasing
+    # it to a column and filtering/exploding that attribute lets
+    # pushdown + InferFiltersFromGenerate duplicate the interpreted
+    # filter(transform(...)) expression into per-row Filter nodes
+    # (2 extra evaluations inside the single-task scan stage — the
+    # r12 shingle-regression mechanism).  The explicit ``size >= 1``
+    # filter is redundant: explode() of an empty array emits nothing.
+    sent = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(frags).cast("bigint").alias("__n_raw"),
+        F.explode(frags).alias("__s"),
     )
     per_doc_sent = sent.select(
         "__id", "__n_raw", F.md5("__s").alias("__h")

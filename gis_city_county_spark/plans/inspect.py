@@ -74,6 +74,24 @@ def has_cartesian_or_bnlj(df: DataFrame) -> bool:
     return "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
 
 
+def num_lambda_filters(df: DataFrame) -> int:
+    """Physical Filter nodes whose condition evaluates a higher-order
+    function (``lambdafunction(...)`` in the condition text).
+
+    This is the signature of ``InferFiltersFromGenerate`` + predicate
+    pushdown re-materializing an exploded array EXPRESSION into a
+    Filter: exploding an aliased attribute lets the optimizer infer
+    ``size(col) > 0 AND isnotnull(col)`` and push it through the
+    defining Project, duplicating the whole interpreted
+    transform/array_distinct subtree per input row — and usually into
+    the single-task scan stage (the r12 shingle-family 3–6×
+    regression). Compose array expressions INLINE into ``explode``
+    instead; zero is the target suite-wide."""
+    return len(
+        re.findall(r"Condition : .*lambdafunction", formatted_plan(df))
+    )
+
+
 def num_single_partition_exchanges(df: DataFrame) -> int:
     """SinglePartition exchanges — each funnels its entire input
     through ONE task (the plan shape behind the "WindowExec: No

@@ -200,14 +200,28 @@ def q_training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gis_city_county_spark.functions.numeric import dec_sum
 
+    from gis_city_county_spark.operators.scale import (
+        checkpoint_lazy,
+        rebalance_for_fanout,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    enriched = docs.select(
-        "doc_id",
-        "source",
-        predicted_lang("text").alias("plang"),
-        quality_score("text").alias("quality"),
-        bpe_token_count("text").alias("n_tokens"),
-        fingerprint_md5("text").alias("fp"),
+    # lazy-checkpointed BEFORE the filter: live, pushdown substitutes
+    # the interpreted predicted_lang/quality_score HOF chains into a
+    # per-row Filter below the projection (re-evaluated inside the
+    # single-task scan stage); materializing pins the filter to the
+    # computed columns.  The rebalance spreads the heavy per-row
+    # expression work over the cluster slots (guide §2.5) — the sf0.1
+    # scan is one split.
+    enriched = checkpoint_lazy(
+        rebalance_for_fanout(docs, multiplier=8.0).select(
+            "doc_id",
+            "source",
+            predicted_lang("text").alias("plang"),
+            quality_score("text").alias("quality"),
+            bpe_token_count("text").alias("n_tokens"),
+            fingerprint_md5("text").alias("fp"),
+        )
     ).filter((F.col("plang") == "en") & (F.col("quality") >= 0.45))
     w = Window.partitionBy("fp").orderBy("doc_id")
     deduped = enriched.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)

@@ -1636,7 +1636,10 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition ``Window.orderBy`` (pinned by
     test_plan_quality). The per-part revenue table is persisted so
     the rank helper's bounded cut/count jobs don't rescan lineitem."""
-    from gis_city_county_spark.operators.scale import ranged_rank
+    from gis_city_county_spark.operators.scale import (
+        checkpoint_lazy,
+        ranged_rank,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     # r12: ONE lineitem scan + one aggregate for both years (guide
@@ -1665,7 +1668,11 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for y in (1995, 1996)
             ]
         )
-        .persist()  # small per-part table; LRU-evictable, not unpersisted
+        # lazy-checkpointed (NOT .persist()): reused by both year
+        # ranks within this invocation; a plan-keyed persist made
+        # bench pass 2 reuse pass 1's cache ([8.1, 2.0] driver runs —
+        # r12 verdict item 3), hiding the honest cold cost.
+        .transform(checkpoint_lazy)
     )
 
     def year_rank(year: str):
@@ -1727,7 +1734,10 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed cumsum + driver-bounded (Decimal-exact) bucket prefix
     offsets — replacing both single-partition patterns the r1 version
     had (the global-order running sum AND ``SUM(...) OVER ()``)."""
-    from gis_city_county_spark.operators.scale import ranged_cumsum
+    from gis_city_county_spark.operators.scale import (
+        checkpoint_lazy,
+        ranged_cumsum,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
@@ -1740,7 +1750,8 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__rev")
         )
         .withColumn("__v", F.col("__rev").cast("decimal(28,10)"))
-        .persist()  # small per-part table; LRU-evictable, not unpersisted
+        # lazy checkpoint, not .persist(): see q_top_movers.
+        .transform(checkpoint_lazy)
     )
     ranked = ranged_cumsum(
         rev,

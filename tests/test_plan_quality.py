@@ -654,3 +654,25 @@ def test_single_partition_exchanges_suite_wide(spark, sf_dir):
         "plans gained single-partition exchanges beyond the audited "
         f"bounded set: {over}"
     )
+
+
+def test_no_lambda_bearing_filters_suite_wide(spark, sf_dir):
+    """No physical Filter may evaluate a higher-order function: that
+    is InferFiltersFromGenerate + pushdown duplicating an exploded
+    interpreted array expression into a per-row filter (evaluated
+    again, typically inside the single-task scan stage) — the r12
+    shingle-family 3-6x regression. Explode array EXPRESSIONS inline;
+    never explode an aliased attribute of a live (non-materialized)
+    projection."""
+    from gis_city_county_spark.plans.inspect import num_lambda_filters
+    from gis_city_county_spark.suite import all_specs
+
+    hits = []
+    for s in all_specs():
+        n = num_lambda_filters(s.fn(spark, sf_dir))
+        if n > 0:
+            hits.append(f"{s.name}={n}")
+    assert not hits, (
+        "plans gained lambda-bearing Filter nodes (generator expression "
+        f"duplicated into a filter): {hits}"
+    )
