@@ -1467,6 +1467,13 @@ def containment_pairs(
     corpus).  Verification is exact: full shared-shingle count per
     candidate pair, integer ppm threshold test, no floats anywhere.
 
+    ``id_col`` must be UNIQUE per input row (a per-document key, the
+    same contract as ``shingle_df(unique_id_rows=True)``): the
+    row-local verify id-equi-joins the per-row shingle arrays, so an
+    id spanning multiple rows would emit one output row per
+    underlying row pair with per-row set sizes instead of one
+    aggregated row per id pair.
+
     Returns (a_id, b_id, n_inter, n_a, n_b, containment_ppm).
     """
     # The shingle SETS are computed once in array form (r12, guide

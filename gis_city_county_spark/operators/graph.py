@@ -127,46 +127,51 @@ def bfs_hops(
     expansion — (node, hops) for every node within ``max_hops`` of
     ``source``.
 
-    The Pregel-as-relational BFS: each round joins the current
-    frontier against the edge list (one hash join keyed on the node),
-    min-aggregates candidate distances, and anti-joins off already-
-    visited nodes so the frontier only carries *newly* discovered
-    nodes — work per round is proportional to the frontier's edge
-    neighborhood, not the graph. ``localCheckpoint`` truncates the
-    growing lineage each round (durable ``checkpoint()`` on a real
-    cluster). Early-exits when the frontier empties (one cheap
-    ``isEmpty`` per round — a driver barrier by design, like the
-    reference's count gates). Hop counts are exact integers: bit-
-    identical to the recursive-CTE oracle on any engine.
+    The Pregel-as-relational BFS, aggregate-only form: each round
+    joins the labeled set against the edge list (one hash join keyed
+    on the node) and min-aggregates hop counts; rounds chain into one
+    adaptive plan (no per-round driver job).  Hop counts are exact
+    integers: bit-identical to the recursive-CTE oracle on any
+    engine.
     """
-    # Materialize the edge list once — every round's frontier join and
-    # emptiness probe would otherwise re-derive it from its full
-    # upstream lineage (scans + joins) on each action.
-    edges = edges.transform(checkpoint_eager)
-    seed = edges.sparkSession.createDataFrame(
+    # Materialize the edge list once — every round's join would
+    # otherwise re-derive it from its full upstream lineage (scans +
+    # joins).  Lazy: the single unrolled action below materializes it
+    # on first use with no extra driver barrier.
+    edges = edges.transform(checkpoint_lazy)
+    labels = edges.sparkSession.createDataFrame(
         [(source, 0)], "node long, hops long"
     )
-    # `visited` stays a lazy union of already-materialized levels —
-    # only each round's (small) frontier is checkpointed, never the
-    # growing visited set.
-    visited = seed
-    frontier = seed
+    # Aggregate-only rounds unrolled into ONE adaptive plan (r13; the
+    # LPA segment-unroll finding): labels_{r+1} = min hops over
+    # labels_r ∪ (labels_r ⋈ edges → dst, hops+1) — identical final
+    # frame to the old frontier/anti-join/isEmpty loop (min over all
+    # ≤ max_hops walks IS the capped shortest distance), but the
+    # per-round eager checkpoint + isEmpty driver jobs (~0.6s/round
+    # measured at sf0.1 vs ~0.04s/round of data work) are gone; the
+    # doubled per-round `labels` reference dedupes via AQE
+    # exchange/stage reuse because the subtrees are canonically
+    # identical.  Lineage is truncated every 4 rounds so deep-hop
+    # calls keep bounded plans (same cadence as label_propagation).
+    # The trade-off vs the frontier loop: no early exit when the
+    # reachable set saturates before max_hops, and every round
+    # re-aggregates the full labeled set rather than the frontier —
+    # the right trade at shallow max_hops (the operators' use: 3-4
+    # hops); a diameter-scale traversal should keep frontier
+    # semantics and durable checkpoints instead.
     for hop in range(1, max_hops + 1):
-        candidates = (
-            frontier.join(edges, frontier.node == edges[src_col])
-            .select(F.col(dst_col).alias("node"))
-            .distinct()
+        nxt = labels.join(edges, labels.node == edges[src_col]).select(
+            F.col(dst_col).alias("node"),
+            (F.col("hops") + F.lit(1).cast("long")).alias("hops"),
         )
-        new = (
-            candidates.join(visited, "node", "left_anti")
-            .withColumn("hops", F.lit(hop).cast("long"))
-            .transform(checkpoint_eager)
+        labels = (
+            labels.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
         )
-        if new.isEmpty():
-            break
-        visited = visited.unionByName(new)
-        frontier = new
-    return visited.orderBy("hops", "node")
+        if hop % 4 == 0 and hop < max_hops:
+            labels = labels.transform(checkpoint_lazy)
+    return labels.orderBy("hops", "node")
 
 
 def bfs_hops_sql(edges_sql: str, source: int, max_hops: int) -> str:
@@ -328,9 +333,15 @@ def label_propagation(
 
     Per round: one edge⋈labels shuffle join, one (node, label) count
     aggregate (map-side combinable), one argmax-by-min-struct per node
-    (no window), one left join back for isolated nodes —
-    ``localCheckpoint`` truncates lineage, so cost is linear in
-    rounds, never in history.
+    (no window), one left join back for isolated nodes.  Rounds chain
+    into one adaptive plan in segments of ``checkpoint_every`` rounds
+    (AQE exchange/stage reuse executes each round's canonically
+    identical duplicated subtrees once); a lazy ``localCheckpoint``
+    truncates lineage at each segment boundary so the doubled
+    per-round ``labels`` reference grows the logical plan at most
+    2^checkpoint_every within a segment, keeping long runs bounded.
+    ``checkpoint_every <= 0`` disables segment checkpointing entirely
+    (one fully unrolled plan).
 
     Returns (node, label) — nodes sharing a label after R rounds are
     one community.
@@ -370,7 +381,11 @@ def label_propagation(
         # ``checkpoint_every`` rounds to keep long runs' plans bounded
         # (the doubled reference grows the logical plan 2^k within a
         # segment).
-        if (r + 1) % checkpoint_every == 0 and r + 1 < rounds:
+        if (
+            checkpoint_every > 0
+            and (r + 1) % checkpoint_every == 0
+            and r + 1 < rounds
+        ):
             labels = labels.transform(checkpoint_lazy)
     return labels
 

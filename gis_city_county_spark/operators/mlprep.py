@@ -3973,8 +3973,16 @@ def bradley_terry(
         checkpoint_lazy,
     )
 
+    # NULL winner/loser rows are dropped UP FRONT so the driver-local
+    # fast path and the relational loop agree bit-for-bit: the
+    # relational path's inner joins on __i silently dropped a null
+    # item from the output while the local MM kept it as a strength-0
+    # row (r12 advisory).  A null item is not a contestant.
     w = (
-        contests.groupBy(
+        contests.filter(
+            F.col(winner_col).isNotNull() & F.col(loser_col).isNotNull()
+        )
+        .groupBy(
             F.col(winner_col).alias("__i"), F.col(loser_col).alias("__j")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("__w"))

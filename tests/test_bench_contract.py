@@ -26,7 +26,8 @@ def _worst_case_line(n_alerts: int = 0) -> str:
             "value": 99999.9999,
             "unit": "sec",
             "queries": queries,
-            "spread_alert": sorted(bench.HEADLINE)[:n_alerts],
+            "n_spread_alerts": 9999,
+            "spread_alert_head": sorted(bench.HEADLINE)[:n_alerts],
             "shed_reruns": 9999,
             "n_queries": 9999,
             "detail": "BENCH_DETAIL.json",
@@ -45,12 +46,13 @@ def test_headline_line_fits_capture_window():
     )
 
 
-def test_line_with_a_few_alerts_still_fits():
-    # A handful of spread alerts is the realistic bad case; the
-    # in-bench > 1800 fallback (drop the queries map) covers anything
-    # beyond this.
-    line = _worst_case_line(n_alerts=3)
-    assert len(line) <= 2000
+def test_line_with_max_alert_head_still_fits():
+    # The primary line carries at most 8 alert names (the r13 cap: an
+    # unbounded list degraded a 21-alert run to the no-headline
+    # fallback); worst case must fit the window WITH the full
+    # headline map.
+    line = _worst_case_line(n_alerts=8)
+    assert len(line) <= 1800
 
 
 def test_fallback_line_bounded_and_keeps_budget_signal():
