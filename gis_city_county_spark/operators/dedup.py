@@ -1484,28 +1484,46 @@ def containment_pairs(
     # rows through two shuffle joins) to compute a number that two
     # array cells already determine.
     arr = shingle_array_df(df, id_col, text_col, k).transform(
-        checkpoint_eager
+        checkpoint_lazy
     )
     sh = arr.select(id_col, F.explode("__shs").alias("shingle"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_shingle_df)
-        .select("shingle")
-    )
-    rsh = sh.join(rare, "shingle")
+    # Candidate generation fused into ONE aggregate (r13): the old
+    # shape computed the document frequencies (groupBy + broadcast
+    # back), joined them onto the exploded relation TWICE (both
+    # self-join legs), and self-joined on the shingle — four
+    # broadcast-build driver jobs and two replays of the explode.
+    # One groupBy(shingle) yields both the df cap AND the per-shingle
+    # id list (bounded at ``max_shingle_df`` ids by the filter), and
+    # the C(m,2) ordered pairs explode ROW-LOCALLY from the sorted id
+    # array — identical pair set (ids are distinct per shingle: one
+    # row per id, row-local distinct shingle arrays).
     cand = (
-        rsh.select(F.col(id_col).alias("a_id"), "shingle")
-        .join(rsh.select(F.col(id_col).alias("b_id"), "shingle"), "shingle")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .filter(F.size("__ids") <= max_shingle_df)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ids, (x, i) ->"
+                    " transform(slice(__ids, i + 2, size(__ids)),"
+                    " y -> struct(x AS a_id, y AS b_id))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.a_id", "__p.b_id")
         .distinct()
     )
     a_arr = arr.select(F.col(id_col).alias("a_id"), F.col("__shs").alias("__sa"))
     b_arr = arr.select(F.col(id_col).alias("b_id"), F.col("__shs").alias("__sb"))
+    # Build side = the PAIR relation (bounded by the blocking cap),
+    # never the array-payload side: the planner's static pick
+    # broadcast the shingle-array frame twice (~10 MB of array cells
+    # serialized per build job) to join a few hundred id pairs.  The
+    # id-keyed probes stream the arrays exactly once each (guide §3.1:
+    # broadcast the side you KNOW is small).
     return (
-        cand.join(a_arr, "a_id")
-        .join(b_arr, "b_id")
+        a_arr.join(F.broadcast(cand), "a_id")
+        .transform(lambda d: b_arr.join(F.broadcast(d), "b_id"))
         .select(
             "a_id",
             "b_id",
