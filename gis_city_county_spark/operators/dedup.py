@@ -318,36 +318,48 @@ def ngram_jaccard_pairs(
 
     Jaccard is computed from integer intersection/union counts —
     exact, so thresholding is deterministic."""
-    # The shingle explode feeds three consumers (signatures, set
-    # sizes, the intersection join); materialize it once with a local
-    # checkpoint so the tokenize+explode+dedupe subtree doesn't run
-    # three times (measured ~15% off the whole query at bench scale —
-    # an earlier attempt with .persist() lost because MEMORY_AND_DISK
-    # caching pays serialization without truncating the plan). At
-    # corpus scale, checkpoint to the cluster store instead
-    # (executor-local blocks don't survive executor loss).
-    sh = shingle_df(
-        df, id_col, text_col, k, unique_id_rows=True
-    ).transform(checkpoint_eager)
+    # The per-document DISTINCT shingle sets are computed once in
+    # ARRAY form (lazy localCheckpoint — materialized by the first
+    # consumer, reused by the rest; at corpus scale checkpoint to the
+    # cluster store instead, executor-local blocks don't survive
+    # executor loss).  Candidate generation explodes the materialized
+    # attribute (the equi-join blocking needs the long relation);
+    # verification intersects the two arrays ROW-LOCALLY — the old
+    # exploded verify fanned every candidate pair out by the a-side's
+    # shingle count through two shuffle joins, then joined two size
+    # relations back on, to compute numbers that two array cells
+    # already determine (the containment_pairs shape, r13).  The pair
+    # relation is the explicit broadcast build side: the planner's
+    # static pick broadcast the array-payload frame per verify join.
+    arr = shingle_array_df(df, id_col, text_col, k).transform(
+        checkpoint_lazy
+    )
+    sh = arr.select(id_col, F.explode("__shs").alias("shingle"))
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, num_hashes, bands), id_col)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    inter = (
-        cand.join(a_sh, "a_id")
-        .join(b_sh, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_sh").alias("n_b"))
+    a_arr = arr.select(F.col(id_col).alias("a_id"), F.col("__shs").alias("__sa"))
+    b_arr = arr.select(F.col(id_col).alias("b_id"), F.col("__shs").alias("__sb"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
+        a_arr.join(F.broadcast(cand.select("a_id", "b_id")), "a_id")
+        .transform(lambda d: b_arr.join(F.broadcast(d), "b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("__sa", "__sb"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size("__sa").cast("bigint").alias("n_a"),
+            F.size("__sb").cast("bigint").alias("n_b"),
+        )
+        # LSH candidates share a band hash, hence (md5 collisions
+        # aside) at least one shingle — but the row-local verify keeps
+        # zero-intersection pairs where the old inner intersection
+        # join dropped them, so filter them explicitly for exact
+        # shape parity at any threshold.
+        .filter(F.col("n_inter") >= 1)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "n_inter", "n_a", "n_b", "jaccard")
