@@ -649,7 +649,7 @@ def connected_components(
         .unionByName(
             pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
         )
-        .transform(checkpoint_eager)
+        .transform(checkpoint_lazy)
     )
     # Propagate labels only over nodes incident to at least one edge.
     # In a near-dup corpus the overwhelming majority of documents are
@@ -658,11 +658,16 @@ def connected_components(
     # difference between shuffling 100 TB per round and shuffling the
     # (tiny) duplicate subgraph. Singletons are attached at the end
     # with constant-folded component columns (no shuffle).
+    # Lazy checkpoints throughout the loop (r13): each round's
+    # label-sum collect is the action that materializes that round's
+    # frame, so the separate eager-checkpoint job disappears — one
+    # driver job per round instead of two (and the same for the init
+    # frame and the edge list, which the first collect pulls through).
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
-        .transform(checkpoint_eager)
+        .transform(checkpoint_lazy)
     )
 
     def _label_sum(df: DataFrame) -> object:
@@ -699,7 +704,7 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("__hcomp"), F.col("comp"))
                 ).alias("comp"),
             )
-        labels = merged.transform(checkpoint_eager)
+        labels = merged.transform(checkpoint_lazy)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break
