@@ -196,6 +196,9 @@ def rarity_score(df, id_col: str, text_col: str):
     # shuffle + checkpoint cost more than the second scan-side
     # tokenize, which runs in parallel with the first inside one
     # action.  The two-pass shape below is the measured winner.)
+    # (r13: a rebalance_for_fanout before this explode measured
+    # SLOWER here — 0.86-1.03s -> 1.23s — the repartition exchange
+    # costs more than the fan-out parallelism buys on this frame.)
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
@@ -1117,6 +1120,8 @@ def sentence_dedup_ratio(
     # (2 extra evaluations inside the single-task scan stage — the
     # r12 shingle-regression mechanism).  The explicit ``size >= 1``
     # filter is redundant: explode() of an empty array emits nothing.
+    # (r13: a rebalance_for_fanout here measured slower — see
+    # rarity_score.)
     sent = df.select(
         F.col(id_col).alias("__id"),
         F.size(frags).cast("bigint").alias("__n_raw"),

@@ -23,3 +23,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def pytest_configure(config):
+    # `fast` marks the window-sized gate set (plan-quality, scale,
+    # contract shapes, bench contract): `pytest tests/ -m fast -q`
+    # completes in minutes, so an external verify window that cannot
+    # fit the full suite (~43 min) still gets a completed run with a
+    # summary line (r12 verdict item 6).
+    config.addinivalue_line(
+        "markers", "fast: window-sized gate tests (plan/contract/scale)"
+    )

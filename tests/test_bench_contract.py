@@ -14,6 +14,9 @@ from __future__ import annotations
 import json
 
 import bench
+import pytest
+
+pytestmark = pytest.mark.fast
 
 
 def _worst_case_line(n_alerts: int = 0) -> str:

@@ -34,6 +34,10 @@ from gis_city_county_spark.suite.windows import (
     R12_INWINDOW_ADDITIONS,
 )
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 REPO = Path(__file__).resolve().parent.parent
 
 

@@ -28,6 +28,8 @@ from gis_city_county_spark.suite.tpch_ext import (
     q21_waiting_suppliers,
 )
 
+pytestmark = pytest.mark.fast
+
 
 def test_q6_filters_reach_the_scan(spark, sf_dir):
     df = q_revenue_forecast(spark, sf_dir)

@@ -3,10 +3,13 @@ identical to their plain forms (the only difference is plan shape)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gis_city_county_spark.operators.scale import salted_join, two_phase_count_distinct
 from gis_city_county_spark.sources.tables import load_table
+
+pytestmark = pytest.mark.fast
 
 
 def _sorted_rows(df, cols):
